@@ -1,0 +1,115 @@
+"""File-based catalog with put-if-absent CAS.
+
+Mirrors the reference's file catalog (iceberg-file-catalog/src/lib.rs:306-361):
+each tabular's commits advance a ``pointer.v{N}.json`` file created with
+O_EXCL (put-if-absent). Whoever creates version N+1 first wins; the loser
+gets CommitFailed and must retry on fresh metadata. On object stores the
+same protocol maps to conditional PUT (if-none-match), as the reference's
+``copy_if_not_exists`` does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+
+
+class FileCatalog(Catalog):
+    def __init__(self, warehouse: str):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # registry entry directory for an identifier
+    def _entry_dir(self, identifier: Identifier) -> str:
+        return os.path.join(self.warehouse, "_catalog", *identifier.namespace, identifier.name)
+
+    def create_namespace(self, namespace: tuple) -> None:
+        os.makedirs(os.path.join(self.warehouse, "_catalog", *namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[tuple]:
+        root = os.path.join(self.warehouse, "_catalog")
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            if rel == ".":
+                continue
+            if not any(f.startswith("pointer.v") for f in filenames):
+                out.append(tuple(rel.split(os.sep)))
+        return out
+
+    def list_tabulars(self, namespace: tuple) -> list[Identifier]:
+        ns_dir = os.path.join(self.warehouse, "_catalog", *namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(ns_dir)):
+            d = os.path.join(ns_dir, name)
+            if os.path.isdir(d) and any(f.startswith("pointer.v") for f in os.listdir(d)):
+                out.append(Identifier(namespace, name))
+        return out
+
+    def tabular_exists(self, identifier: Identifier) -> bool:
+        d = self._entry_dir(identifier)
+        return os.path.isdir(d) and any(f.startswith("pointer.v") for f in os.listdir(d))
+
+    def _versions(self, identifier: Identifier) -> list[int]:
+        d = self._entry_dir(identifier)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[len("pointer.v") : -len(".json")])
+            for f in os.listdir(d)
+            if f.startswith("pointer.v") and f.endswith(".json")
+        )
+
+    def _write_pointer(self, identifier: Identifier, version: int, payload: dict) -> None:
+        d = self._entry_dir(identifier)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"pointer.v{version}.json")
+        # O_EXCL = put-if-absent: the atomic primitive (lib.rs:306-361 analogue)
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(payload).encode())
+        finally:
+            os.close(fd)
+
+    def register(self, identifier: Identifier, metadata_location: str, kind: str = "table") -> None:
+        if self.tabular_exists(identifier):
+            raise CommitFailed(f"{identifier} already exists")
+        try:
+            self._write_pointer(identifier, 0, {"metadata_location": metadata_location, "kind": kind})
+        except FileExistsError:
+            raise CommitFailed(f"{identifier} already exists") from None
+
+    def load(self, identifier: Identifier) -> tuple[str, str]:
+        versions = self._versions(identifier)
+        if not versions:
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        with open(os.path.join(self._entry_dir(identifier), f"pointer.v{versions[-1]}.json")) as f:
+            payload = json.load(f)
+        return payload["metadata_location"], payload.get("kind", "table")
+
+    def swap(self, identifier: Identifier, expected_location: str, new_location: str) -> None:
+        versions = self._versions(identifier)
+        if not versions:
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        current, kind = self.load(identifier)
+        if current != expected_location:
+            raise CommitFailed(f"{identifier}: expected {expected_location}, found {current}")
+        try:
+            self._write_pointer(
+                identifier, versions[-1] + 1, {"metadata_location": new_location, "kind": kind}
+            )
+        except FileExistsError:
+            raise CommitFailed(f"{identifier}: concurrent commit won version {versions[-1] + 1}") from None
+
+    def drop(self, identifier: Identifier) -> None:
+        import shutil
+
+        d = self._entry_dir(identifier)
+        if os.path.isdir(d):
+            shutil.rmtree(d)

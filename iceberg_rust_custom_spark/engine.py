@@ -1,0 +1,229 @@
+"""Engine: the user-facing entry point (catalog + SparkSession).
+
+Plays the role of the reference's DataFusion integration surface
+(datafusion_iceberg/src/{catalog,planner,table}.rs): DDL (create table /
+view / materialized view), inserts, SQL over registered tables, and the
+``refresh_materialized_view`` entry point (planner.rs:371-447).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, Identifier
+from iceberg_rust_custom_spark.catalog.file_catalog import FileCatalog
+from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
+from iceberg_rust_custom_spark.metadata.schema import Schema
+from iceberg_rust_custom_spark.metadata.sort import SortField, SortOrder
+from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+from iceberg_rust_custom_spark.table.table import Table
+from iceberg_rust_custom_spark.table.write import write_partitioned
+from iceberg_rust_custom_spark.views.view import (
+    MaterializedView,
+    View,
+    ViewMetadata,
+    find_relations,
+    transform_name,
+    transform_relations,
+)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None, warehouse: str | None = None):
+        if catalog is None:
+            if warehouse is None:
+                raise ValueError("pass a catalog or a warehouse path")
+            catalog = FileCatalog(warehouse)
+        self.spark = spark
+        self.catalog = catalog
+        self.warehouse = warehouse or getattr(catalog, "warehouse", None)
+
+    # ------------------------------------------------------------------ DDL
+    def create_table(
+        self,
+        name: str,
+        schema: Schema | T.StructType,
+        partition_by: list[tuple] | None = None,
+        sort_by: list[str] | None = None,
+        properties: dict | None = None,
+        location: str | None = None,
+    ) -> Table:
+        """partition_by: [(column, transform)] e.g. [("l_shipdate", "month"),
+        ("l_partkey", "bucket[16]")] — the reference's
+        ``PARTITIONED BY ("month(col)")`` DDL (planner.rs:451-499)."""
+        ident = Identifier.parse(name)
+        if isinstance(schema, T.StructType):
+            schema = Schema.from_spark(schema)
+        spec = PartitionSpec.build(schema, *(partition_by or []))
+        sort_order = SortOrder()
+        if sort_by:
+            sort_order = SortOrder(
+                0, tuple(SortField(source_id=schema.field_by_name(c).field_id) for c in sort_by)
+            )
+        location = location or os.path.join(
+            self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
+        )
+        md = TableMetadata.new(location, schema, spec, sort_order, properties)
+        meta_dir = os.path.join(location, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
+        with open(path, "w") as f:
+            f.write(md.to_json())
+        self.catalog.register(ident, path, kind="table")
+        return Table(self.catalog, ident, md, self.spark)
+
+    def load_table(self, name: str) -> Table:
+        ident = Identifier.parse(name)
+        location, kind = self.catalog.load(ident)
+        if kind != "table":
+            raise ValueError(f"{name} is a {kind}, not a table")
+        with open(location) as f:
+            md = TableMetadata.from_json(f.read())
+        return Table(self.catalog, ident, md, self.spark)
+
+    def drop(self, name: str) -> None:
+        self.catalog.drop(Identifier.parse(name))
+
+    def table_exists(self, name: str) -> bool:
+        return self.catalog.tabular_exists(Identifier.parse(name))
+
+    # --------------------------------------------------------------- queries
+    def table(self, name: str, **scan_kwargs) -> DataFrame:
+        return self.load_table(name).scan(**scan_kwargs)
+
+    def insert(self, name: str, df: DataFrame) -> Table:
+        """INSERT INTO (append) — reference: IcebergDataSink::write_all
+        (table.rs:517-572)."""
+        return self.load_table(name).append(df)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL front door: resolve catalog relations in the query, register
+        each as a temp view (dotted names rewritten a.b.c → a__b__c, as the
+        reference does — datafusion_iceberg/src/sql.rs:12-32), then let
+        Catalyst plan it."""
+        for rel in find_relations(query):
+            ident = Identifier.parse(rel)
+            if not self.catalog.tabular_exists(ident):
+                continue
+            _, kind = self.catalog.load(ident)
+            if kind == "table":
+                df = self.load_table(rel).scan()
+            elif kind == "view":
+                df = self.scan_view(rel)
+            else:
+                df = self.scan_materialized_view(rel)
+            df.createOrReplaceTempView(transform_name(rel))
+        return self.spark.sql(transform_relations(query))
+
+    # ----------------------------------------------------------------- views
+    def _view_location(self, ident: Identifier) -> str:
+        return os.path.join(self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name)
+
+    def create_view(self, name: str, sql: str) -> View:
+        ident = Identifier.parse(name)
+        location = self._view_location(ident)
+        md = ViewMetadata.new(location, sql)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
+        with open(path, "w") as f:
+            f.write(md.to_json())
+        self.catalog.register(ident, path, kind="view")
+        return View(name, md)
+
+    def scan_view(self, name: str) -> DataFrame:
+        ident = Identifier.parse(name)
+        location, kind = self.catalog.load(ident)
+        with open(location) as f:
+            md = ViewMetadata.from_json(f.read())
+        return self.sql(md.current_sql())
+
+    def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
+        """Create MV + its ``__storage`` table (schema inferred by planning
+        the SQL, as the reference does — datafusion-iceberg-sql/src/
+        schema.rs:14-44), then run the initial refresh."""
+        ident = Identifier.parse(name)
+        storage_name = name + "__storage"
+        result_schema = self.sql(sql).schema
+        self.create_table(storage_name, Schema.from_spark(result_schema))
+        location = self._view_location(ident)
+        md = ViewMetadata.new(location, sql, storage_table=storage_name)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
+        with open(path, "w") as f:
+            f.write(md.to_json())
+        self.catalog.register(ident, path, kind="materialized-view")
+        mv = MaterializedView(name, md)
+        self.refresh_materialized_view(name)
+        return mv
+
+    def _load_view_metadata(self, name: str) -> ViewMetadata:
+        location, _ = self.catalog.load(Identifier.parse(name))
+        with open(location) as f:
+            return ViewMetadata.from_json(f.read())
+
+    def scan_materialized_view(self, name: str) -> DataFrame:
+        md = self._load_view_metadata(name)
+        return self.load_table(md.storage_table).scan()
+
+    def materialized_view_freshness(self, name: str) -> dict:
+        """Per-source Fresh/Outdated classification
+        (reference: materialized_view.rs:48-126)."""
+        md = self._load_view_metadata(name)
+        storage = self.load_table(md.storage_table)
+        snap = storage.metadata.snapshot_for_ref()
+        state = (snap.summary.get("refresh-state") if snap else None) or {}
+        stored = state.get("source-table-states", {})
+        out = {}
+        for rel in find_relations(md.current_sql()):
+            ident = Identifier.parse(rel)
+            if not self.catalog.tabular_exists(ident):
+                continue
+            src = self.load_table(rel)
+            cur = src.metadata.current_snapshot_id
+            prev = stored.get(src.metadata.table_uuid)
+            out[rel] = "fresh" if (prev is not None and prev == cur) else (
+                "outdated" if prev is not None else "invalid"
+            )
+        if state.get("refresh-version-id") != md.current_version_id:
+            out["__version__"] = "outdated"
+        return out
+
+    def refresh_materialized_view(self, name: str) -> bool:
+        """Full refresh iff stale; records new RefreshState in the storage
+        table's snapshot summary (reference: materialized_view.rs:29-207 +
+        rewrite_with_lineage, transaction/mod.rs:97-121). Returns True if a
+        refresh ran."""
+        md = self._load_view_metadata(name)
+        freshness = self.materialized_view_freshness(name)
+        if freshness and all(v == "fresh" for v in freshness.values()):
+            return False
+        source_states = {}
+        for rel in find_relations(md.current_sql()):
+            ident = Identifier.parse(rel)
+            if self.catalog.tabular_exists(ident):
+                src = self.load_table(rel)
+                source_states[src.metadata.table_uuid] = src.metadata.current_snapshot_id
+        result = self.sql(md.current_sql())
+        storage = self.load_table(md.storage_table)
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        files = write_partitioned(result, storage.metadata, data_dir)
+        refresh_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": source_states,
+        }
+        storage.metadata = (
+            storage.new_transaction().rewrite_with_lineage(files, refresh_state).commit()
+        )
+        return True
+
+    def register_function_registry(self) -> None:
+        """Expose maintenance entry points as session SQL functions, mirroring
+        the reference's refresh_materialized_view scalar UDF
+        (planner.rs:371-447). Spark UDFs can't run driver jobs, so these are
+        driver-side callables registered on the engine instead."""
+        # intentionally a no-op: engine.refresh_materialized_view IS the UDF
+        return None

@@ -1,0 +1,217 @@
+"""Versioned table schemas with table-unique field ids.
+
+Mirrors the reference's schema model (iceberg-rust-spec/src/spec/schema.rs:20-32,
+types.rs:297-310): every field carries an integer field id and a ``required``
+flag; multiple schemas coexist in table metadata keyed by schema_id.
+
+Type names use the Iceberg string forms (iceberg-rust-spec/src/spec/types.rs:45-79)
+and map to Spark types per SURVEY.md §1.2 (time → long µs, uuid → string,
+fixed[n] → binary — matching the reference's own Arrow mapping,
+iceberg-rust-spec/src/arrow/schema.rs:78-152).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+_PRIMITIVES = {
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "date",
+    "time",
+    "timestamp",
+    "timestamptz",
+    "string",
+    "uuid",
+    "binary",
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+
+
+def _primitive_to_spark(name: str) -> T.DataType:
+    m = _DECIMAL_RE.match(name)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if _FIXED_RE.match(name):
+        return T.BinaryType()
+    return {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "time": T.LongType(),  # µs since midnight; Spark has no TimeType
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }[name]
+
+
+def type_to_spark(t) -> T.DataType:
+    """Iceberg type (str primitive or nested dict) → Spark DataType."""
+    if isinstance(t, str):
+        return _primitive_to_spark(t)
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    type_to_spark(f["type"]),
+                    not f.get("required", False),
+                    metadata={"iceberg.field_id": f["id"]},
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(type_to_spark(t["element"]), not t.get("element-required", False))
+    if kind == "map":
+        return T.MapType(
+            type_to_spark(t["key"]),
+            type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise ValueError(f"unknown type: {t!r}")
+
+
+def spark_type_to_iceberg(dt: T.DataType):
+    """Spark DataType → Iceberg type (inverse of type_to_spark; lossy for
+    time/uuid which have no distinct Spark types)."""
+    simple = {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.DateType: "date",
+        T.TimestampNTZType: "timestamp",
+        T.TimestampType: "timestamptz",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+    }
+    for klass, name in simple.items():
+        if isinstance(dt, klass):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": f.metadata.get("iceberg.field_id", i + 1) if f.metadata else i + 1,
+                    "name": f.name,
+                    "type": spark_type_to_iceberg(f.dataType),
+                    "required": not f.nullable,
+                }
+                for i, f in enumerate(dt.fields)
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element": spark_type_to_iceberg(dt.elementType),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key": spark_type_to_iceberg(dt.keyType),
+            "value": spark_type_to_iceberg(dt.valueType),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise ValueError(f"unsupported Spark type: {dt}")
+
+
+@dataclass(frozen=True)
+class NestedField:
+    field_id: int
+    name: str
+    field_type: object  # str primitive or nested dict
+    required: bool = False
+    doc: str | None = None
+
+    def to_dict(self) -> dict:
+        d = {"id": self.field_id, "name": self.name, "type": self.field_type, "required": self.required}
+        if self.doc:
+            d["doc"] = self.doc
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NestedField":
+        return cls(d["id"], d["name"], d["type"], d.get("required", False), d.get("doc"))
+
+    def spark_field(self) -> T.StructField:
+        return T.StructField(
+            self.name,
+            type_to_spark(self.field_type),
+            not self.required,
+            metadata={"iceberg.field_id": self.field_id},
+        )
+
+
+@dataclass(frozen=True)
+class Schema:
+    schema_id: int = 0
+    fields: tuple = ()
+    identifier_field_ids: tuple = ()
+
+    def to_dict(self) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": self.schema_id,
+            "fields": [f.to_dict() for f in self.fields],
+            "identifier-field-ids": list(self.identifier_field_ids),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Schema":
+        return cls(
+            schema_id=d.get("schema-id", 0),
+            fields=tuple(NestedField.from_dict(f) for f in d["fields"]),
+            identifier_field_ids=tuple(d.get("identifier-field-ids", ())),
+        )
+
+    @classmethod
+    def from_spark(cls, st: T.StructType, schema_id: int = 0) -> "Schema":
+        fields = []
+        for i, f in enumerate(st.fields):
+            fid = f.metadata.get("iceberg.field_id", i + 1) if f.metadata else i + 1
+            fields.append(NestedField(fid, f.name, spark_type_to_iceberg(f.dataType), not f.nullable))
+        return cls(schema_id=schema_id, fields=tuple(fields))
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType([f.spark_field() for f in self.fields])
+
+    def field_by_id(self, field_id: int) -> NestedField:
+        for f in self.fields:
+            if f.field_id == field_id:
+                return f
+        raise KeyError(f"no field with id {field_id}")
+
+    def field_by_name(self, name: str) -> NestedField:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"no field named {name!r}")
+
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    @property
+    def max_field_id(self) -> int:
+        return max((f.field_id for f in self.fields), default=0)

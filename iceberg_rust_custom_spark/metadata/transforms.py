@@ -1,0 +1,282 @@
+"""Partition transforms: identity / bucket[N] / truncate[W] / year / month /
+day / hour / void.
+
+Reference: iceberg-rust-spec/src/spec/partition.rs:27-44 (the transform enum)
+and values.rs:294-404 (value-level semantics). Two deliberate choices:
+
+* **Epoch-relative temporal transforms.** The reference returns calendar
+  month-of-year / day-of-month / hour-of-day (values.rs:339-399), deviating
+  from the Iceberg spec. We implement the *spec-correct* epoch-relative
+  semantics (months since 1970-01, days since epoch, hours since epoch) —
+  SURVEY.md §1.4 documents the divergence. This matters: epoch-relative
+  transforms are strictly monotonic in the source value, which is what makes
+  range-predicate partition pruning sound.
+
+* **Overflow-free 32-bit murmur3 as a native Spark expression.** Iceberg's
+  bucket transform is ``(murmur3_32(encode(v), seed=0) & MAX_INT) % N``
+  (values.rs:297-301). For 8-byte encodings (int/long/date/timestamp) we
+  build the hash out of Spark long arithmetic with 16-bit-split multiplies so
+  it never overflows (safe under ANSI mode) and stays inside whole-stage
+  codegen. Strings fall back to a vectorized pandas UDF.
+
+Every transform exposes:
+  - ``python(value)``     — driver-side value semantics (partition literals,
+                            pruning bound math)
+  - ``spark(col)``        — a Column expression (JVM-side where possible)
+  - ``result_type(src)``  — Iceberg result type name
+  - ``preserves_order``   — True if monotonic in the source (pruning-safe
+                            for range predicates)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import struct
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_M32 = 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Pure-python murmur3_x86_32 (public algorithm, Austin Appleby).
+    Matches the reference's bucket hashing (values.rs:297-301)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    for i in range(n // 4):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[(n // 4) * 4 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _bucket_encode(value) -> bytes:
+    """Iceberg single-value binary encoding for bucket hashing
+    (iceberg-rust-spec/src/spec/values.rs:86-110): int/long/date/time/
+    timestamp hash as 8-byte little-endian long; string as UTF-8 bytes."""
+    if isinstance(value, bool):
+        raise TypeError("bucket on boolean is not defined")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, _dt.datetime):
+        epoch = _EPOCH_TS if value.tzinfo else _dt.datetime(1970, 1, 1)
+        return struct.pack("<q", int((value - epoch).total_seconds() * 1_000_000))
+    if isinstance(value, _dt.date):
+        return struct.pack("<q", (value - _EPOCH_DATE).days)
+    raise TypeError(f"cannot bucket-encode {type(value)}")
+
+
+def bucket_python(value, n: int) -> int | None:
+    if value is None:
+        return None
+    return (murmur3_32(_bucket_encode(value)) & 0x7FFFFFFF) % n
+
+
+# ---------------------------------------------------------------------------
+# Spark-native murmur3 over an 8-byte little-endian long (ANSI-safe)
+# ---------------------------------------------------------------------------
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """(x * c) mod 2^32 without long overflow: split the 32-bit constant into
+    16-bit halves; all intermediates stay < 2^49."""
+    lo, hi = c & 0xFFFF, (c >> 16) & 0xFFFF
+    return (x * F.lit(lo) + ((x * F.lit(hi)).bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16))).bitwiseAND(
+        F.lit(_M32)
+    )
+
+
+def _rotl32(x: Column, r: int) -> Column:
+    return (
+        F.shiftleft(x, r).bitwiseAND(F.lit(_M32)) | F.shiftrightunsigned(x.bitwiseAND(F.lit(_M32)), 32 - r)
+    )
+
+
+def _mix_k(h: Column, k: Column) -> Column:
+    k = _mul32(k, 0xCC9E2D51)
+    k = _rotl32(k, 15)
+    k = _mul32(k, 0x1B873593)
+    h = h.bitwiseXOR(k)
+    h = _rotl32(h, 13)
+    return (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+
+
+def murmur3_32_long_expr(v: Column) -> Column:
+    """murmur3_x86_32(little_endian_8_bytes(v), seed=0) as a pure Spark
+    column expression over a LongType input. Stays inside whole-stage
+    codegen; no UDF, no overflow even under ANSI mode."""
+    v = v.cast("long")
+    k1 = v.bitwiseAND(F.lit(_M32))
+    k2 = F.shiftrightunsigned(v, 32)
+    h = F.lit(0)
+    h = _mix_k(h, k1)
+    h = _mix_k(h, k2)
+    h = h.bitwiseXOR(F.lit(8))
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 16))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 13))
+    h = _mul32(h, 0xC2B2AE35)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 16))
+    return h
+
+
+def _bucket_string_udf(n: int):
+    @F.pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+        ).astype("Int32")
+
+    return _bucket
+
+
+# ---------------------------------------------------------------------------
+# Transform
+# ---------------------------------------------------------------------------
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+
+@dataclass(frozen=True)
+class Transform:
+    """A named partition transform. Serialized as its Iceberg string form:
+    identity, bucket[N], truncate[W], year, month, day, hour, void."""
+
+    name: str
+
+    def __post_init__(self):
+        if self.name not in ("identity", "year", "month", "day", "hour", "void") and not (
+            _BUCKET_RE.match(self.name) or _TRUNCATE_RE.match(self.name)
+        ):
+            raise ValueError(f"unknown transform {self.name!r}")
+
+    @property
+    def n_buckets(self) -> int | None:
+        m = _BUCKET_RE.match(self.name)
+        return int(m.group(1)) if m else None
+
+    @property
+    def truncate_width(self) -> int | None:
+        m = _TRUNCATE_RE.match(self.name)
+        return int(m.group(1)) if m else None
+
+    @property
+    def preserves_order(self) -> bool:
+        """Monotonic transforms admit range-predicate pruning; bucket/void
+        only admit equality."""
+        return self.name in ("identity", "year", "month", "day", "hour") or bool(
+            _TRUNCATE_RE.match(self.name)
+        )
+
+    def result_type(self, source_type: str) -> str:
+        if self.name == "identity" or self.truncate_width is not None:
+            return source_type
+        if self.name == "void":
+            return source_type
+        return "int" if self.name != "day" else "int"
+
+    # -- value-level (driver) semantics ------------------------------------
+    def python(self, value):
+        if value is None or self.name == "void":
+            return None
+        if self.name == "identity":
+            return value
+        n = self.n_buckets
+        if n is not None:
+            return bucket_python(value, n)
+        w = self.truncate_width
+        if w is not None:
+            if isinstance(value, int):
+                return value - (value % w)  # rem_euclid semantics (values.rs:302-313)
+            if isinstance(value, str):
+                return value[:w]
+            raise TypeError(f"truncate on {type(value)}")
+        if isinstance(value, str):
+            value = _parse_temporal(value)
+        if self.name == "year":
+            return value.year - 1970
+        if self.name == "month":
+            return (value.year - 1970) * 12 + value.month - 1
+        if self.name == "day":
+            d = value.date() if isinstance(value, _dt.datetime) else value
+            return (d - _EPOCH_DATE).days
+        if self.name == "hour":
+            if not isinstance(value, _dt.datetime):
+                raise TypeError("hour transform needs a timestamp")
+            epoch = _EPOCH_TS if value.tzinfo else _dt.datetime(1970, 1, 1)
+            return int((value - epoch).total_seconds() // 3600)
+        raise AssertionError(self.name)
+
+    # -- Spark column semantics --------------------------------------------
+    def spark(self, col: Column, source_type: str = "long") -> Column:
+        if self.name == "identity":
+            return col
+        if self.name == "void":
+            return F.lit(None)
+        if self.name == "year":
+            return (F.year(col) - F.lit(1970)).cast("int")
+        if self.name == "month":
+            return ((F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)).cast("int")
+        if self.name == "day":
+            return F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
+        if self.name == "hour":
+            return F.floor(F.unix_timestamp(col) / F.lit(3600)).cast("int")
+        w = self.truncate_width
+        if w is not None:
+            if source_type == "string":
+                return F.substring(col, 1, w)
+            # rem_euclid: ((v % w) + w) % w handles negatives
+            return col - ((col % F.lit(w)) + F.lit(w)) % F.lit(w)
+        n = self.n_buckets
+        if n is not None:
+            if source_type == "string":
+                return _bucket_string_udf(n)(col)
+            if source_type == "date":
+                v = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+            elif source_type in ("timestamp", "timestamptz"):
+                v = (F.unix_timestamp(col).cast("long") * F.lit(1_000_000)).cast("long")
+            else:
+                v = col.cast("long")
+            return (murmur3_32_long_expr(v).bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n)).cast("int")
+        raise AssertionError(self.name)
+
+
+def _parse_temporal(s: str):
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return _dt.date.fromisoformat(s)

@@ -1,0 +1,71 @@
+"""Table maintenance jobs: compaction and snapshot expiry.
+
+The reference ships the ``Rewrite`` operation (operation.rs:378-552) but no
+automatic policy, and leaves snapshot expiry unimplemented
+(operation.rs:76-77, commented out). BASELINE.md calls for compaction jobs
+explicitly — these are the Spark-native implementations.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid as _uuid
+
+from iceberg_rust_custom_spark.table.table import Table
+from iceberg_rust_custom_spark.table.write import write_partitioned
+
+
+def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
+    """Rewrite the current file set into ~target-size files.
+
+    Distributed plan: read all live files, repartition to
+    ceil(total_bytes / target) tasks (partition transforms stay the shuffle
+    keys so partition dirs are preserved), write, atomically swap via a
+    Rewrite transaction. Old files are deleted post-commit.
+    """
+    md = table.metadata
+    target = target_file_size_bytes or int(md.properties.get("write.target-file-size-bytes", 512_000_000))
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    files = plan_files(md, snap)
+    if not files:
+        return table
+    total_bytes = sum(f.file_size_in_bytes for f in files)
+    n_tasks = max(1, math.ceil(total_bytes / target))
+
+    schema = md.current_schema().spark_schema()
+    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in files])
+    spec = md.default_spec()
+    if not spec.is_partitioned:
+        df = df.repartition(n_tasks)
+    data_dir = os.path.join(md.location, "data", "compact-" + _uuid.uuid4().hex[:12])
+    new_files = write_partitioned(df, md, data_dir)
+    table.metadata = table.new_transaction().rewrite(new_files).commit()
+    return table
+
+
+def expire_snapshots(
+    table: Table, older_than_ms: int | None = None, keep_last: int = 1
+) -> Table:
+    """Drop old snapshots (and their unreferenced manifests) from metadata.
+    Data files still referenced by surviving snapshots are kept."""
+    md = table.metadata
+    snaps = sorted(md.snapshots.values(), key=lambda s: s.timestamp_ms)
+    current = md.snapshot_for_ref()
+    protected = {r.snapshot_id for r in md.refs.values()}
+    if current:
+        protected.add(current.snapshot_id)
+    keep = {s.snapshot_id for s in snaps[-keep_last:]} | protected
+    to_remove = [
+        s.snapshot_id
+        for s in snaps
+        if s.snapshot_id not in keep and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+    ]
+    if not to_remove:
+        return table
+    table.metadata = table.new_transaction().remove_snapshots(to_remove).commit()
+    return table

