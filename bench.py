@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+value = total wall seconds across headline queries (lower is better).
+Each query is executed to completion (count() action) after a shared
+warm-up that triggers JVM/codegen initialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "group_by_sum_partkey",
+    "multiway_join_regional_revenue",
+    "join_orders_customer",
+    "window_topk_orders_per_customer",
+    "correlated_subquery",
+    "rollup_flag_status",
+    # event-time
+    "tumbling_windows",
+    "session_windows_gaps_islands",
+    "asof_join_last_signup",
+    # LLM-pipeline
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "embedding_neardup_pairs",
+    # table-format round trip (write + pruned read)
+    "iceberg_roundtrip_partitioned_agg",
+    "iceberg_pruned_scan",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_rust_custom_spark.queries import QUERIES
+    from iceberg_rust_custom_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm-up: JVM, codegen, parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    timings = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

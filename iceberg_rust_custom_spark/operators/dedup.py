@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB story — each op avoids the O(N²) trap):
+
+* exact: one hash-aggregate shuffle on a 32/64-bit content hash.
+* minhash-LSH: shingle→hash→min-aggregate (one shuffle keyed by doc),
+  then band signatures → self-join **only within LSH buckets** (shuffle
+  keyed by band value; candidate pairs ≪ N²).
+* simhash: per-doc fingerprint via conditional aggregation (one shuffle),
+  near-dup = fingerprints at Hamming distance ≤ k, joined on band slices.
+* n-gram Jaccard: exploded shingle equi-join — only docs sharing ≥1
+  shingle ever meet (plus a broadcast of per-doc sizes).
+* embedding cosine: LSH/bucketed variant in similarity.py; the all-pairs
+  version here is for verification at small N.
+
+Everything is built-in expressions (md5-based hashing, see
+functions/hashing.py) so the DuckDB oracle can replay results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.functions.hashing import (
+    MERSENNE_31,
+    affine_hash_sql,
+    md5h32_sql,
+    minhash_params,
+)
+from iceberg_rust_custom_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per identical (whitespace-normalized) text."""
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    return (
+        df.withColumn("_h", F.expr(md5h32_sql(norm)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams per document. Built from
+    slice/concat_ws over the token array — no UDF."""
+    toks = tokens(F.lower(F.col(text_col)))
+    # guard: Spark's sequence(1, 0) would DESCEND; docs with < n tokens get
+    # an empty shingle set (same as the oracle's generate_series(1, 0) = [])
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold. Shuffle keys: shingle
+    (join), then pair (aggregate). Only docs sharing a shingle meet."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k-permutation MinHash over word shingles.
+    One explode + one aggregate (map-side combine makes the min cheap)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    h = F.expr(md5h32_sql("shingle"))
+    hashed = sh.select(id_col, h.alias("h0"))
+    aggs = [
+        F.min(F.expr(affine_hash_sql("h0", a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 LSH band.
+    The self-join is keyed by (band_idx, band_signature) — the LSH bucket —
+    so work scales with bucket sizes, not N²."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("_", *[c.cast("string") for c in cols]).alias(f"band_{b}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_sig")) for b in range(len(band_cols))])
+        ).alias("bs"),
+    ).select(id_col, "bs.band_idx", "bs.band_sig")
+    a, b2 = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: for each bit position j, sum +1/-1 over
+    token hashes, take the sign. One explode + one aggregate; the bit loop
+    is column expressions (stays in codegen)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.expr(md5h32_sql("tok"))
+    hashed = exploded.select(id_col, h.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    summed = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else (fp + bit)
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (verification-scale; the LSH-bucketed
+    path for big N lives in similarity.cosine_lsh_candidates)."""
+    withn = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.sqrt(F.aggregate(F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)).alias(
+            "norm"
+        ),
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``: brute-force exact top-k — one broadcast of the (small)
+  query set against a full scan of the corpus; per-row work is a fused
+  zip_with/aggregate expression (JVM-side, no Python). At 100 TB this is
+  the correct *baseline*: one pass, no shuffle except the final per-query
+  top-k (TakeOrderedAndProject after a groupBy on query_id).
+
+* ``cosine_lsh_candidates``: random-hyperplane (SimHash) LSH — sign
+  signatures from fixed pseudo-random hyperplanes, banded into buckets;
+  candidate join keyed by (band, signature). This is the scale path: the
+  join touches only colliding buckets. Hyperplanes are derived from the
+  deterministic md5 hash so results are reproducible across engines.
+
+* ``ivf_topk``: IVF-style two-stage search — k-means-lite centroids picked
+  deterministically (hash-sampled rows), vectors assigned to nearest
+  centroid (one pass), query probes the ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine. `queries`: (query_id, embedding).
+    Queries are broadcast; corpus is scanned once."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from an LCG
+    (reproducible in any engine; no numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state >> 20) % 2001 - 1000) / 1000.0)  # [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def cosine_lsh_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs via random-hyperplane LSH: join keyed by
+    (band_idx, band_signature) — never all-pairs."""
+    planes = random_hyperplanes(dim, n_planes)
+    v = F.col(vec_col).cast("array<double>")
+    sign_bits = []
+    for p_idx, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        sign_bits.append(F.when(_dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p_idx}"))
+    sig = corpus.select(F.col(id_col), *sign_bits)
+    rows_per_band = n_planes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"b{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band_idx"), F.concat(*cols).alias("band_sig")))
+    stacked = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
+        id_col, "bs.band_idx", "bs.band_sig"
+    )
+    a, b2 = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-lite approximate top-k: centroids = deterministic hash-sample of
+    corpus rows; assignment + probing are broadcast joins (no all-pairs)."""
+    cents = (
+        corpus.where((F.col(id_col) % F.lit(max(1, 997))) < n_centroids)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("centv"))
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")).withColumn(
+        "cnorm", _norm(F.col("cv"))
+    )
+    # assign each vector to its nearest centroid (broadcast the centroids)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("d", _dot(F.col("cv"), F.col("centv")) / (F.col("cnorm") * _norm(F.col("centv"))))
+        .withColumn("rn", F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("d"), F.col("centroid_id"))))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cv", "cnorm", "centroid_id")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")).withColumn(
+        "qnorm", _norm(F.col("qv"))
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", _dot(F.col("qv"), F.col("centv")) / (F.col("qnorm") * _norm(F.col("centv"))))
+        .withColumn("rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.desc("d"), F.col("centroid_id"))))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, "qv", "qnorm", "centroid_id")
+    )
+    cand = assigned.join(probes, "centroid_id")
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

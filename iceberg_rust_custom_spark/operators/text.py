@@ -1,0 +1,109 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side (built-in pyspark.sql.functions only — no Python in the hot
+path), embarrassingly parallel (no shuffle: every feature is a per-row
+projection), and deterministic so a SQL oracle can verify them exactly.
+At 100 TB these run at full scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# small deterministic stopword sets per language (public common words)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "que", "es", "de"],
+}
+CJK_RE = r"[一-鿿]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (identical semantics to the
+    DuckDB oracle's regexp_split_to_array + filter)."""
+    return F.filter(F.split(col, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation, the
+    classic BPE-approximating regex (public GPT-2 style pattern, simplified
+    to engine-portable form)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"([^A-Za-z0-9一-鿿]+)"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-density features + a composite
+    quality score. Deterministic; rounded to 6 dp for oracle comparison."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    stop_re = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    n_stop = F.regexp_count(F.lower(c), F.lit(stop_re))
+    mean_word_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(c, r"\s+", ""))) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(mean_word_len, 6).alias("q_mean_word_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stop_ratio"),
+        F.round(score, 6).alias("q_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """n-gram/stopword-heuristic language ID over {en,de,fr,es,zh}:
+    CJK characters → zh, else the language with the highest stopword hit
+    count (ties broken in a fixed order). Pure expressions; the DuckDB
+    oracle reproduces the identical CASE chain."""
+    c = F.lower(F.col(text_col))
+    counts = {
+        lang: F.regexp_count(c, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    pred = (
+        F.when(F.regexp_count(F.col(text_col), F.lit(CJK_RE)) > 0, F.lit("zh"))
+        .when(
+            (counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]) & (counts["en"] >= counts["es"]),
+            F.lit("en"),
+        )
+        .when((counts["de"] >= counts["fr"]) & (counts["de"] >= counts["es"]), F.lit("de"))
+        .when(counts["fr"] >= counts["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: 32-bit hash of whitespace-normalized lowercase
+    text (rolling-hash-equivalent content id; collision-checked at 32 bits
+    per ~60k docs is fine, widen to two hashes at real scale)."""
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    return df.withColumn(out_col, F.expr(md5h32_sql(norm)))

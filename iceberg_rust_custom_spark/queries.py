@@ -1,0 +1,1274 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark
+implementation, DuckDB oracle SQL) pair.
+
+Contract (driver, __spark_entry__.py): each Spark callable takes
+(spark, sf_dir) and returns a DataFrame; the oracle SQL runs on DuckDB with
+views `region nation customer supplier part orders lineitem events documents
+embeddings` over the same parquet. Column names/aliases match exactly; the
+driver compares row counts, schemas, and order-insensitive value hashes.
+
+Cross-engine determinism rules used throughout:
+* money sums: per-row double expression → CAST to DECIMAL(38,10) → SUM →
+  CAST back to DOUBLE (exact decimal aggregation removes float
+  order-dependence; the final double is identical in both engines).
+* timestamps in outputs are formatted to strings (Spark µs vs DuckDB ns).
+* hashes: md5-based 32-bit (functions/hashing.py) — same value in both.
+* top-k orderings always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.functions.hashing import (
+    MERSENNE_31,
+    affine_hash_sql,
+    md5h32_sql,
+    minhash_params,
+)
+from iceberg_rust_custom_spark.operators import dedup as D
+from iceberg_rust_custom_spark.operators import similarity as S
+from iceberg_rust_custom_spark.operators import text as TX
+from iceberg_rust_custom_spark.operators import windows as WIN
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with TIMESTAMP(NANOS) which Spark's
+    Parquet reader rejects (PARQUET_TYPE_ILLEGAL) unless the session was
+    started with spark.sql.legacy.parquet.nanosAsLong — which we can't
+    assume for the harness session. One-time fix-up per sf_dir: rewrite with
+    µs timestamps (naive → TimestampNTZ in Spark, matching DuckDB's naive
+    ns timestamps truncated to µs); Spark reads the converted file from
+    then on. At real scale this is an upstream-writer fix, not a read path."""
+    import hashlib
+    import os
+
+    cache_dir = os.path.join(
+        "/tmp", "iceberg_rust_custom_spark_cache", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    out = os.path.join(cache_dir, "events_us.parquet")
+    if not os.path.exists(out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        fields = [
+            pa.field(f.name, pa.timestamp("us")) if pa.types.is_timestamp(f.type) else f
+            for f in t.schema
+        ]
+        t = t.cast(pa.schema(fields), safe=False)
+        tmp = out + ".tmp"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, out)
+    return spark.read.parquet(out)
+
+
+def _dsum(col_expr) -> F.Column:
+    """Order-independent double sum: exact decimal aggregation."""
+    return F.sum(col_expr.cast("decimal(38,10)")).cast("double")
+
+
+# =========================================================================
+# §2.3 relational surface — projections, filters, aggregates
+# =========================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the reference's canonical agg evidence
+    (datafusion_iceberg/examples/insert_csv.rs:118, table.rs:691)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            _dsum(F.col("l_discount")).alias("sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "group_by_sum_partkey",
+    """
+    SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def group_by_sum_partkey(spark, sf_dir):
+    """The reference's own TPC-H smoke query (insert_csv.rs:118)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@q(
+    "ungrouped_aggregates",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+    FROM lineitem
+    """,
+)
+def ungrouped_aggregates(spark, sf_dir):
+    """SELECT SUM(...) FROM t — integration_trino.rs:217 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+@q(
+    "filter_projection_pushdown",
+    """
+    SELECT l_orderkey, l_partkey,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 10 AND l_returnflag = 'N'
+    """,
+)
+def filter_projection_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") < 10)
+        & (F.col("l_returnflag") == "N")
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double").alias("revenue"),
+    )
+
+
+@q(
+    "having_filter",
+    """
+    SELECT l_suppkey, COUNT(*) AS n
+    FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 500
+    """,
+)
+def having_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 500)
+    )
+
+
+@q(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "stat_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qe
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_aggregates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.median("l_quantity").cast("double").alias("med_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+    )
+
+
+# =========================================================================
+# joins
+# =========================================================================
+
+
+@q(
+    "join_orders_customer",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_orders_customer(spark, sf_dir):
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q(
+    "multiway_join_regional_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def multiway_join_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: chain of dimension joins — all broadcastable."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "outer_join_null_handling",
+    """
+    SELECT c.c_custkey, COALESCE(o.cnt, 0) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def outer_join_null_handling(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+
+
+@q(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "cross_join_small",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_small(spark, sf_dir):
+    return _t(spark, sf_dir, "region").crossJoin(_t(spark, sf_dir, "nation")).select("r_name", "n_name")
+
+
+@q(
+    "theta_join_price_band",
+    """
+    SELECT p.p_partkey, COUNT(*) AS n_close
+    FROM part p JOIN part p2
+      ON p.p_partkey < p2.p_partkey AND ABS(p.p_retailprice - p2.p_retailprice) < 0.5
+    GROUP BY p.p_partkey
+    """,
+)
+def theta_join_price_band(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    p2 = p.select(F.col("p_partkey").alias("pk2"), F.col("p_retailprice").alias("rp2"))
+    return (
+        p.join(p2, (p.p_partkey < p2.pk2) & (F.abs(p.p_retailprice - p2.rp2) < 0.5))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_close"))
+    )
+
+
+# =========================================================================
+# windows / ranking / sorting
+# =========================================================================
+
+
+@q(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "rnk")
+    )
+
+
+@q(
+    "window_rank_dense_ntile",
+    """
+    SELECT o_orderkey,
+           RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_rank_dense_ntile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w_all = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    w_st = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w_all).alias("rnk"),
+        F.dense_rank().over(w_st).alias("drnk"),
+        F.ntile(4).over(w_all).alias("quartile"),
+    )
+
+
+@q(
+    "window_running_and_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(AVG(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_and_frames(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.avg(F.col("o_totalprice").cast("decimal(38,10)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_avg3"),
+    )
+
+
+@q(
+    "window_lag_lead",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(LAG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS prev_qty,
+           CAST(LEAD(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS next_qty
+    FROM lineitem
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).cast("double").alias("prev_qty"),
+        F.lead("l_quantity").over(w).cast("double").alias("next_qty"),
+    )
+
+
+@q(
+    "topk_global",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_global(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+# =========================================================================
+# set ops, grouping sets, pivot
+# =========================================================================
+
+
+@q(
+    "set_operations",
+    """
+    SELECT p_brand FROM part WHERE p_size > 40
+    UNION
+    SELECT p_brand FROM part WHERE p_retailprice > 1500
+    """,
+)
+def set_operations(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.where("p_size > 40").select("p_brand").union(
+        p.where("p_retailprice > 1500").select("p_brand")
+    ).distinct()
+
+
+@q(
+    "intersect_except",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 49
+    """,
+)
+def intersect_except(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where("l_returnflag = 'R'").select("l_suppkey")
+    a = li.where("l_returnflag = 'A'").select("l_suppkey")
+    big = li.where("l_quantity > 49").select("l_suppkey")
+    return r.intersect(a).exceptAll(big.distinct()).distinct()
+
+
+@q(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@q(
+    "cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@q(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_shipmode_null AS l_linestatus, COUNT(*) AS n FROM (
+      SELECT l_returnflag, l_linestatus AS l_shipmode_null FROM lineitem) t
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_null), ())
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity")))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# =========================================================================
+# subqueries
+# =========================================================================
+
+
+@q(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        "FROM _sq_orders WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM _sq_orders)"
+    )
+
+
+@q(
+    "in_subquery",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def in_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_in_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_in_customer")
+    return spark.sql(
+        "SELECT o_orderkey FROM _in_orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM _in_customer WHERE c_mktsegment = 'BUILDING')"
+    )
+
+
+@q(
+    "correlated_subquery",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem l1
+    WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def correlated_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_cs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+        FROM _cs_lineitem l1
+        WHERE l_quantity > (SELECT AVG(l_quantity) FROM _cs_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+# =========================================================================
+# scalar function families
+# =========================================================================
+
+
+@q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           SUBSTR(p_name, 1, 5) AS name5,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_us,
+           TRIM(p_name) AS name_trim,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)', 1) AS first_word,
+           md5(p_name) AS name_md5
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.md5("p_name").alias("name_md5"),
+    )
+
+
+@q(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 6) AS d1,
+           ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           FLOOR(l_quantity / 7) AS qty_div,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod
+    FROM lineitem
+    """,
+)
+def math_functions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("d1"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+    )
+
+
+@q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@q(
+    "case_and_conditionals",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS urgent
+    FROM orders
+    """,
+)
+def case_and_conditionals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status2"),
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).alias("urgent"),
+    )
+
+
+@q(
+    "json_extraction",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def json_extraction(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.where("event_type = 'purchase'").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+@q(
+    "array_map_struct_ops",
+    """
+    SELECT l_orderkey,
+           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def array_map_struct_ops(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.count("*").alias("n_lines"),
+        _dsum(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+# =========================================================================
+# event-time windows (batch; beyond-reference — SURVEY §2.4)
+# =========================================================================
+
+
+@q(
+    "tumbling_windows",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return out
+
+
+@q(
+    "sliding_windows",
+    """
+    WITH offs AS (SELECT unnest(generate_series(0, 1)) AS k)
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+)
+def sliding_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n")
+    )
+
+
+@q(
+    "session_windows_gaps_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM marked)
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def session_windows_gaps_islands(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w) > 1800, 1
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_session").over(w2))
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value")
+    )
+
+
+@q(
+    "asof_join_last_signup",
+    """
+    SELECT e.event_id, s.ts_s AS signup_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') e
+    ASOF LEFT JOIN (SELECT user_id AS uid_s, ts AS ts_s FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.uid_s AND s.ts_s <= e.ts
+    """,
+)
+def asof_join_last_signup(spark, sf_dir):
+    """As-of join (operators/asof.py) vs DuckDB's native ASOF JOIN oracle."""
+    from iceberg_rust_custom_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where("event_type <> 'signup'").select("event_id", "user_id", "ts")
+    right = e.where("event_type = 'signup'").select("user_id", "ts")
+    out = asof_join(left, right, ts_col="ts", key_col="user_id", tolerance_seconds=45 * 86400, bucket_seconds=86400)
+    return out.select("event_id", F.col("r_ts").alias("signup_ts"))
+
+
+# =========================================================================
+# text analysis (beyond-reference)
+# =========================================================================
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS_SQL}) - 2, 0)), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]))"
+)
+
+
+@q(
+    "text_quality_features",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS q_chars,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS q_tokens,
+           ROUND(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) > 0
+                 THEN LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                 ELSE 0.0 END, 6) AS q_mean_word_len,
+           len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS n_stop
+    FROM documents
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = TX.tokens(c)
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length(c).alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(
+            F.when(n_tokens > 0, F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens).otherwise(0.0), 6
+        ).alias("q_mean_word_len"),
+        F.regexp_count(F.lower(c), F.lit(r"\b(the|and|of|to|is|a)\b")).alias("n_stop"),
+    )
+
+
+@q(
+    "language_id_heuristic",
+    """
+    SELECT doc_id, lang,
+      CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) >= len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b'))
+            AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) >= len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b'))
+            AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) >= len(regexp_extract_all(lower(text), '\\b(el|la|los|que|es|de)\\b'))
+           THEN 'en'
+           WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) >= len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b'))
+            AND len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) >= len(regexp_extract_all(lower(text), '\\b(el|la|los|que|es|de)\\b'))
+           THEN 'de'
+           WHEN len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b')) >= len(regexp_extract_all(lower(text), '\\b(el|la|los|que|es|de)\\b'))
+           THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM documents
+    """,
+)
+def language_id_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return TX.language_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@q(
+    "document_fingerprint",
+    f"""
+    SELECT doc_id, {md5h32_sql(_NORM_TEXT_SQL)} AS fingerprint
+    FROM documents
+    """,
+)
+def document_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9一-鿿]+'), t -> t <> '')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+# =========================================================================
+# dedup (beyond-reference)
+# =========================================================================
+
+
+@q(
+    "exact_dedup",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY {md5h32_sql(_NORM_TEXT_SQL)}
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_oracle(num_hashes: int = 16) -> str:
+    mins = ",\n           ".join(
+        f"MIN({affine_hash_sql('h0', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {md5h32_sql('shingle')} AS h0 FROM sh WHERE shingle <> ''
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@q("minhash_signatures", _minhash_oracle(16))
+def minhash_signatures(spark, sf_dir):
+    return D.minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16)
+
+
+def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN({affine_hash_sql('h0', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        sig = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {sig} AS band_sig FROM sig")
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {md5h32_sql('shingle')} AS h0 FROM sh WHERE shingle <> ''
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """
+
+
+@q("minhash_lsh_pairs", _lsh_oracle(16, 8))
+def minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=8)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {md5h32_sql('tok')} AS th FROM tok
+    ), sums AS (
+      SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@q("simhash_fingerprints", _simhash_oracle(32))
+def simhash_fingerprints(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh WHERE shingle <> '' GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle <> ''
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+@q(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.3)
+
+
+# =========================================================================
+# similarity search (beyond-reference)
+# =========================================================================
+
+
+@q(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+      FROM embeddings e CROSS JOIN q)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def cosine_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@q("ivf_topk_approx")  # approximate two-stage search: rows-only check
+def ivf_topk_approx(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
+@q("embedding_lsh_candidates")  # LSH bucketing: rows-only check
+def embedding_lsh_candidates(spark, sf_dir):
+    return S.cosine_lsh_candidates(_t(spark, sf_dir, "embeddings"), n_planes=16, bands=4, dim=64)
+
+
+# =========================================================================
+# Iceberg-table round trips: the engine's write path feeding its read path,
+# verified against SQL over the original parquet (§2.1/2.2 parity inside
+# the correctness gate)
+# =========================================================================
+
+
+def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = ""):
+    """Create (once per session+sf) an engine table from a source parquet and
+    return it. Warehouse lives under /tmp keyed by (sf_dir, source)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:{source}:{key}".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    name = f"rt.{source}"
+    if not eng.table_exists(name):
+        df = _t(spark, sf_dir, source)
+        t = eng.create_table(name, df.schema, partition_by=partition_by)
+        t.append(df)
+    return eng.load_table(name)
+
+
+@q(
+    "iceberg_roundtrip_partitioned_agg",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def iceberg_roundtrip_partitioned_agg(spark, sf_dir):
+    """Write lineitem into a month(l_shipdate)-partitioned engine table,
+    read it back, aggregate — proves partitioned write/commit/scan parity
+    (the reference's core loop, table.rs:601-716)."""
+    t = _roundtrip_table(spark, sf_dir, "lineitem", partition_by=[("l_shipdate", "month")])
+    return (
+        t.scan()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@q(
+    "iceberg_pruned_scan",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    """,
+)
+def iceberg_pruned_scan(spark, sf_dir):
+    """Predicate scan through the engine's two-level pruning (manifest
+    FieldSummary + file stats) must return exactly the rows SQL returns."""
+    t = _roundtrip_table(spark, sf_dir, "lineitem", partition_by=[("l_shipdate", "month")])
+    return t.scan("l_shipdate >= '1998-06-01'").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+
+
+@q(
+    "iceberg_materialized_view",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_materialized_view(spark, sf_dir):
+    """MV over an engine table: storage-table read must equal recomputation
+    (materialized_view.rs:235-545 shape)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:mv".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders"):
+        df = _t(spark, sf_dir, "orders")
+        eng.create_table("rt.orders", df.schema).append(df)
+    if not eng.table_exists("rt.orders_mv"):
+        eng.create_materialized_view(
+            "rt.orders_mv",
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue "
+            "FROM rt.orders GROUP BY o_orderstatus",
+        )
+    eng.refresh_materialized_view("rt.orders_mv")
+    return eng.scan_materialized_view("rt.orders_mv")
+
+
+@q(
+    "iceberg_compaction_preserves_data",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def iceberg_compaction_preserves_data(spark, sf_dir):
+    """Append twice in halves, compact, aggregate — rewrite must preserve
+    content exactly (operation.rs:378-552 semantics)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    tag = hashlib.md5(f"{sf_dir}:compact".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.customer"):
+        df = _t(spark, sf_dir, "customer")
+        t = eng.create_table("rt.customer", df.schema)
+        half = df.where(F.col("c_custkey") % 2 == 0)
+        t.append(half)
+        t.append(df.where(F.col("c_custkey") % 2 == 1))
+        compact(t)
+    t = eng.load_table("rt.customer")
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), _dsum(F.col("c_acctbal")).alias("bal"))
+    )

@@ -1,0 +1,64 @@
+"""Structured Streaming surface (beyond-reference; the reference has no
+streaming — SURVEY.md §2.4).
+
+Streaming mirrors of the batch window operators: readStream over a parquet
+directory → watermarked event-time aggregation → memory/parquet sink. The
+batch operators in operators/windows.py share the same expressions, so
+batch results are the oracle for the streaming path (same input → same
+windows), which is exactly how the tests verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped — bounded state at scale)."""
+    # Watermarks require TIMESTAMP (with timezone); parquet sources often
+    # surface TIMESTAMP_NTZ. The cast is session-TZ-consistent with the
+    # batch oracle, which windows the same column.
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str = "stream_out") -> DataFrame:
+    """Drive a bounded source to completion synchronously (test harness)."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,115 @@
+"""Local mirror of the driver's t2 correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir; compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+                af = av.astype(float)
+                bf = bv.astype(float)
+                mask = ~(af.isna() & bf.isna())
+                diff = (af[mask] - bf[mask]).abs()
+                if len(diff) and diff.max() > 0:
+                    problems.append(f"col {c}: max abs diff {diff.max():.3e} ({int((diff > 0).sum())} rows differ)")
+            else:
+                neq = ~((av == bv) | (av.isna() & bv.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    problems.append(f"col {c}: {int(neq.sum())} values differ, e.g. {av[i]!r} vs {bv[i]!r}")
+        except Exception as e:
+            problems.append(f"col {c}: compare error {e}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.001"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    from iceberg_rust_custom_spark.queries import ORACLES, QUERIES
+    from iceberg_rust_custom_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    names = only or list(QUERIES)
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            oracle_pdf = con.execute(ORACLES[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems[:4]:
+                print(f"      - {p}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
