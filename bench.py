@@ -48,8 +48,11 @@ def main():
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm-up: JVM, codegen, parquet footers
+    # warm-up (untimed): JVM + codegen + parquet footers, the Arrow
+    # collect path, and Python worker spin-up on every core
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(8).toPandas()
+    spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

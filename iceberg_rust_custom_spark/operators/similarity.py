@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_rust_custom_spark.operators.util import ensure_min_parallelism
+
 
 def _norm(vec_col):
     return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
@@ -41,7 +43,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine. `queries`: (query_id, embedding).
     Queries are broadcast; corpus is scanned once."""
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cnorm", _norm(F.col("cv")))
     q = queries.select(
@@ -91,7 +93,7 @@ def cosine_lsh_candidates(
     for p_idx, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
         sign_bits.append(F.when(_dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p_idx}"))
-    sig = corpus.select(F.col(id_col), *sign_bits)
+    sig = ensure_min_parallelism(corpus).select(F.col(id_col), *sign_bits)
     rows_per_band = n_planes // bands
     band_structs = []
     for b in range(bands):
