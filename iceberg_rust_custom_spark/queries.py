@@ -1272,3 +1272,213 @@ def iceberg_compaction_preserves_data(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"), _dsum(F.col("c_acctbal")).alias("bal"))
     )
+
+
+# =========================================================================
+# additional §2.3 surface: VALUES/CAST, crypto hashes, ALL-variant set ops,
+# EXISTS subquery, approx aggregates
+# =========================================================================
+
+
+@q(
+    "values_inline_cast",
+    """
+    SELECT i, CAST(s AS DOUBLE) AS v, CAST(CAST(dt AS DATE) AS VARCHAR) AS dt_s
+    FROM (VALUES (1, '1.5', '2020-01-01'), (2, '2.25', '2020-06-15'), (3, '-4.75', '1998-12-31')) AS t(i, s, dt)
+    """,
+)
+def values_inline_cast(spark, sf_dir):
+    """Inline VALUES + CAST surface (reference evidence: INSERT…VALUES with
+    date-string literals, datafusion_iceberg/src/table.rs:675-683)."""
+    return spark.sql(
+        "SELECT i, CAST(s AS DOUBLE) AS v, CAST(CAST(dt AS DATE) AS STRING) AS dt_s "
+        "FROM VALUES (1, '1.5', '2020-01-01'), (2, '2.25', '2020-06-15'), (3, '-4.75', '1998-12-31') AS t(i, s, dt)"
+    )
+
+
+@q(
+    "crypto_hash_functions",
+    """
+    SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def crypto_hash_functions(spark, sf_dir):
+    """md5/sha2 scalar functions (reference registers DataFusion
+    crypto_expressions, Cargo.toml:31, via context.rs:57)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where("c_custkey <= 100")
+        .select("c_custkey", F.md5("c_name").alias("md5_name"), F.sha2("c_name", 256).alias("sha256_name"))
+    )
+
+
+@q(
+    "intersect_all_except_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def intersect_all_except_all(spark, sf_dir):
+    """Multiset (bag) set-op semantics: intersectAll preserves duplicate
+    multiplicity, unlike INTERSECT (DataFusion SQL surface via ctx.sql)."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where("l_returnflag = 'R'").select("l_suppkey")
+    a = li.where("l_returnflag = 'A'").select("l_suppkey")
+    return r.intersectAll(a)
+
+
+@q(
+    "exists_subquery",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
+                      AND l2.l_quantity > 49 AND l2.l_discount >= 0.1)
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """EXISTS / NOT EXISTS correlated subqueries (decorrelated by Catalyst
+    into semi/anti joins — SURVEY.md §2.3 subquery row)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    s.createOrReplaceTempView("_ex_supplier")
+    li.createOrReplaceTempView("_ex_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM _ex_supplier s
+        WHERE EXISTS (SELECT 1 FROM _ex_lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+          AND NOT EXISTS (SELECT 1 FROM _ex_lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
+                          AND l2.l_quantity > 49 AND l2.l_discount >= 0.1)
+        """
+    )
+
+
+@q("approx_aggregates")  # rows-only: HLL / quantile sketches are engine-specific by design
+def approx_aggregates(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) and percentile_approx (KLL-ish)
+    — the scale path for distincts/quantiles at 100 TB where exact
+    COUNT(DISTINCT) would shuffle every key. Sketch values are
+    engine-specific, so the driver records the rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_partkeys"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_price_quartiles"),
+    )
+
+
+# =========================================================================
+# §2.2 time travel + incremental read through the engine
+# =========================================================================
+
+
+def _two_append_orders(spark, sf_dir):
+    """Orders table built with two appends (evens then odds) so snapshots
+    and sequence numbers are deterministic."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:tt".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_tt"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_tt", df.schema)
+        t.append(df.where(F.col("o_orderkey") % 2 == 0))
+        t.append(df.where(F.col("o_orderkey") % 2 == 1))
+    return eng.load_table("rt.orders_tt")
+
+
+@q(
+    "iceberg_time_travel",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_time_travel(spark, sf_dir):
+    """scan(snapshot_id=first) must see exactly the first append —
+    snapshot resolution per iceberg-rust-spec/src/spec/snapshot.rs:22-48."""
+    t = _two_append_orders(spark, sf_dir)
+    first = min(t.metadata.snapshots.values(), key=lambda s: s.sequence_number)
+    return (
+        t.scan(snapshot_id=first.snapshot_id)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q(
+    "iceberg_incremental_read",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_incremental_read(spark, sf_dir):
+    """incremental_scan(from_seq) returns only files committed after that
+    sequence number — the MV-delta primitive (table/mod.rs:120-144)."""
+    t = _two_append_orders(spark, sf_dir)
+    first_seq = min(s.sequence_number for s in t.metadata.snapshots.values())
+    return (
+        t.incremental_scan(first_seq)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+# =========================================================================
+# multimodal plumbing (binary payload columns; decode stubbed — the
+# deterministic fake path keeps schema/partitioning/batch shape real)
+# =========================================================================
+
+
+@q(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(CAST(list_sum(list_transform(split(substr(text, 1, 64), ''), c -> unicode(c))) AS DOUBLE)
+                 / LEAST(octet_length(encode(text)), 64), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow-batched mapInPandas; the
+    payload is the utf-8 encoding of document text (pure-ASCII corpus), so
+    the byte-level fake decode is exactly reproducible in SQL."""
+    from iceberg_rust_custom_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload"))
+    feats = M.extract_image_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", F.round("px_mean", 6).alias("px_mean"))
+
+
+@q(
+    "multimodal_frame_sampling",
+    """
+    SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms
+    FROM (SELECT doc_id AS media_id,
+                 unnest(generate_series(0, CAST(doc_id % 10 AS BIGINT))) AS frame_idx
+          FROM documents)
+    """,
+)
+def multimodal_frame_sampling(spark, sf_dir):
+    """Video frame sampling plumbing: one row per sampled frame, exploded
+    from a synthetic duration ((doc_id % 10) + 1 seconds) at 1 fps."""
+    from iceberg_rust_custom_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
+    )
+    return M.sample_video_frames(media, every_ms=1000, fake=True)
