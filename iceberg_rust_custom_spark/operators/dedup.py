@@ -80,8 +80,8 @@ def ngram_jaccard_pairs(
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
@@ -127,15 +127,31 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_sig")) for b in range(len(band_cols))])
         ).alias("bs"),
     ).select(id_col, "bs.band_idx", "bs.band_sig")
-    a, b2 = stacked.alias("a"), stacked.alias("b")
+    return _bucket_pairs(stacked, id_col)
+
+
+def _bucket_pairs(stacked: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_sig) → distinct candidate pairs, by grouping per
+    LSH bucket and expanding in-bucket combinations with array expressions.
+
+    One shuffle (the groupBy), and the signature pipeline runs ONCE — a
+    self-join would execute it twice (no exchange reuse across the
+    broadcast/probe sides). Bucket sizes are small by LSH design, so the
+    in-bucket O(b²) expansion is bounded; a pathological hot bucket shows up
+    as one fat group and should be salted/capped upstream, not joined."""
     return (
-        a.join(
-            b2,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        stacked.groupBy("band_idx", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -102,17 +102,9 @@ def cosine_lsh_candidates(
     stacked = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
         id_col, "bs.band_idx", "bs.band_sig"
     )
-    a, b2 = stacked.alias("a"), stacked.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    from iceberg_rust_custom_spark.operators.dedup import _bucket_pairs
+
+    return _bucket_pairs(stacked, id_col)
 
 
 def ivf_topk(

@@ -256,9 +256,11 @@ def stat_aggregates(spark, sf_dir):
     """,
 )
 def join_orders_customer(spark, sf_dir):
+    """customer grows with SF — no forced broadcast; AQE picks broadcast at
+    bench scale and shuffle-hash/SMJ when customer is cluster-sized."""
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
@@ -277,13 +279,14 @@ def join_orders_customer(spark, sf_dir):
     """,
 )
 def multiway_join_regional_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: chain of dimension joins — all broadcastable."""
+    """TPC-H Q5 shape. region/nation are fixed-size (5/25 rows at any SF) →
+    always broadcast; supplier grows with SF → AQE decides."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
