@@ -111,5 +111,6 @@ class FileCatalog(Catalog):
         import shutil
 
         d = self._entry_dir(identifier)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        shutil.rmtree(d)

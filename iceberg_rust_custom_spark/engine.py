@@ -101,10 +101,17 @@ class Engine:
         return self.load_table(name).append(df)
 
     def sql(self, query: str) -> DataFrame:
-        """SQL front door: resolve catalog relations in the query, register
-        each as a temp view (dotted names rewritten a.b.c → a__b__c, as the
-        reference does — datafusion_iceberg/src/sql.rs:12-32), then let
-        Catalyst plan it."""
+        """SQL front door. DDL statements (CREATE TABLE/VIEW, INSERT,
+        DELETE, REFRESH, DROP — see ddl.py) execute engine-side, mirroring
+        the reference's extension planners (planner.rs:55-244). Everything
+        else: resolve catalog relations, register each as a temp view
+        (dotted names rewritten a.b.c → a__b__c, as the reference does —
+        datafusion_iceberg/src/sql.rs:12-32), then let Catalyst plan it."""
+        from iceberg_rust_custom_spark import ddl as _ddl
+
+        ddl_result = _ddl.try_execute(self, query)
+        if ddl_result is not None:
+            return ddl_result
         for rel in find_relations(query):
             ident = Identifier.parse(rel)
             if not self.catalog.tabular_exists(ident):

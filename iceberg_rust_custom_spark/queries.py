@@ -1485,3 +1485,68 @@ def multimodal_frame_sampling(spark, sf_dir):
         ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
     )
     return M.sample_video_frames(media, every_ms=1000, fake=True)
+
+
+@q(
+    "iceberg_delete_where",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+    """,
+)
+def iceberg_delete_where(spark, sf_dir):
+    """Copy-on-write DELETE (our completion of the reference's unimplemented
+    delete, README.md:22-46): files whose stats exclude the predicate are
+    carried over untouched; only matching files rewrite."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:del".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_del"):
+        df = _t(spark, sf_dir, "orders")
+        eng.create_table("rt.orders_del", df.schema).append(df)
+        eng.sql("DELETE FROM rt.orders_del WHERE o_orderstatus = 'F'")
+    return (
+        eng.load_table("rt.orders_del")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q(
+    "csv_source_agg",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def csv_source_agg(spark, sf_dir):
+    """CSV source parity (reference loads TPC-H from CSV,
+    examples/insert_csv.rs:46-73): parquet → csv once per sf (cache), then a
+    schema-explicit distributed CSV read must round-trip the values."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.sources import read_csv
+
+    cache_dir = os.path.join(
+        "/tmp", "iceberg_rust_custom_spark_cache", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    # own subdir: the cache root doubles as a parquet streaming source in
+    # tests — a stray .csv there would break schema-uniform directory reads
+    out = os.path.join(cache_dir, "csv", "region.csv")
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+        pdf = t.to_pandas()
+        tmp = out + ".tmp"
+        pdf.to_csv(tmp, index=False, header=False)
+        os.replace(tmp, out)
+    return read_csv(spark, out, "r_regionkey INT, r_name STRING")

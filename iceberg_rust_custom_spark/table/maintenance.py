@@ -48,6 +48,45 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     return table
 
 
+def delete_where(table: Table, predicate) -> Table:
+    """Row-level DELETE, copy-on-write.
+
+    The reference *detects* delete files but never applies them
+    (table/mod.rs:156-166; README lists delete as unimplemented) — this is
+    the Spark-native completion of that gap. Plan:
+
+    1. two-level pruning selects only files that MAY contain matching rows —
+       files whose stats exclude the predicate are carried over untouched
+       (no read, no write, metadata-only);
+    2. one distributed job rewrites just the matched files with
+       ``predicate IS NOT TRUE`` (NULL predicate rows are kept, SQL DELETE
+       semantics);
+    3. one Rewrite commit swaps (untouched + rewritten) atomically.
+    """
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    expr = parse_predicate(predicate) if isinstance(predicate, str) else predicate
+    all_files = plan_files(md, snap)
+    matched = plan_files(md, snap, expr)
+    if not matched:
+        return table
+    matched_paths = {f.file_path for f in matched}
+    untouched = [f for f in all_files if f.file_path not in matched_paths]
+
+    schema = md.current_schema().spark_schema()
+    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    kept = df.filter(f"NOT coalesce(({expr.sql()}), false)")
+    data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
+    new_files = write_partitioned(kept, md, data_dir)
+    table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
+    return table
+
+
 def expire_snapshots(
     table: Table, older_than_ms: int | None = None, keep_last: int = 1
 ) -> Table:

@@ -82,7 +82,13 @@ def collect_datafile_stats(path: str, schema: Schema, partition: dict) -> DataFi
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # e.g. INT96 timestamps: footer stats not extractable —
+                    # the file simply contributes no bounds (pruning stays
+                    # conservative, correctness unaffected)
+                    continue
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
@@ -105,6 +111,33 @@ def collect_datafile_stats(path: str, schema: Schema, partition: dict) -> DataFi
     )
 
 
+def _align_to_schema(df: DataFrame, target) -> DataFrame:
+    """Validate + align an incoming DataFrame to the table schema before
+    writing (the reference rejects non-equivalent insert schemas,
+    datafusion_iceberg/src/table.rs:216-236). Columns are matched by name,
+    reordered, and cast when the type differs (e.g. a with-timezone
+    TIMESTAMP literal into a TIMESTAMP_NTZ column); missing or extra
+    columns are an error, not a silent null-fill."""
+    from pyspark.sql import functions as F
+
+    have = {f.name for f in df.schema.fields}
+    want = [f for f in target.fields]
+    missing = [f.name for f in want if f.name not in have]
+    extra = sorted(have - {f.name for f in want})
+    if missing or extra:
+        raise ValueError(
+            f"insert schema mismatch: missing columns {missing}, unexpected columns {extra}"
+        )
+    by_name = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in want:
+        c = F.col(f.name)
+        if by_name[f.name].dataType != f.dataType:
+            c = c.cast(f.dataType).alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
 def write_partitioned(
     df: DataFrame,
     metadata: TableMetadata,
@@ -113,6 +146,7 @@ def write_partitioned(
 ) -> list[DataFile]:
     """Run the distributed write job; return DataFile records with stats."""
     schema = metadata.current_schema()
+    df = _align_to_schema(df, schema.spark_schema())
     spec = metadata.default_spec()
     target_bytes = int(metadata.properties.get("write.target-file-size-bytes", 512_000_000))
     codec = metadata.properties.get("write.parquet.compression-codec", "zstd")

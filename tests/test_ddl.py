@@ -1,0 +1,96 @@
+"""DDL front door + copy-on-write DELETE tests (reference surface:
+datafusion_iceberg/src/planner.rs:55-244 for DDL; delete is our completion
+of the reference's unimplemented-delete gap, README.md:22-46)."""
+
+import os
+
+import pytest
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_create_table_ddl_with_transforms(eng):
+    eng.sql(
+        "CREATE EXTERNAL TABLE tpch.t1 (id BIGINT, ts TIMESTAMP_NTZ, name STRING) "
+        "STORED AS ICEBERG PARTITIONED BY (month(ts), bucket(4, id))"
+    )
+    t = eng.load_table("tpch.t1")
+    spec = t.metadata.default_spec()
+    assert [(f.name, f.transform.name) for f in spec.fields] == [
+        ("ts_month", "month"),
+        ("id_bucket", "bucket[4]"),
+    ]
+
+
+def test_insert_values_and_select(eng):
+    eng.sql("CREATE TABLE ns.kv (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.kv VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    out = eng.sql("SELECT v, COUNT(*) AS n FROM ns.kv GROUP BY v ORDER BY v").collect()
+    assert [(r.v, r.n) for r in out] == [("a", 2), ("b", 1)]
+
+
+def test_create_view_and_materialized_view_ddl(eng):
+    eng.sql("CREATE TABLE ns.src (k BIGINT, amt BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.src VALUES (1, 10), (1, 20), (2, 5)")
+    eng.sql("CREATE VIEW ns.v AS SELECT k, SUM(amt) AS total FROM ns.src GROUP BY k")
+    assert {(r.k, r.total) for r in eng.sql("SELECT * FROM ns.v").collect()} == {(1, 30), (2, 5)}
+    eng.sql("CREATE MATERIALIZED VIEW ns.mv AS SELECT k, SUM(amt) AS total FROM ns.src GROUP BY k")
+    eng.sql("REFRESH MATERIALIZED VIEW ns.mv")
+    assert {(r.k, r.total) for r in eng.scan_materialized_view("ns.mv").collect()} == {(1, 30), (2, 5)}
+
+
+def test_csv_external_table(eng, spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("1,x\n2,y\n3,x\n")
+    df = eng.sql(f"CREATE EXTERNAL TABLE csvsrc (id BIGINT, tag STRING) STORED AS CSV LOCATION '{p}'")
+    assert df.count() == 3
+    out = spark.sql("SELECT tag, COUNT(*) AS n FROM csvsrc GROUP BY tag ORDER BY tag").collect()
+    assert [(r.tag, r.n) for r in out] == [("x", 2), ("y", 1)]
+
+
+def test_delete_where_copy_on_write(eng, spark):
+    eng.sql("CREATE TABLE ns.d (id BIGINT, status STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.d VALUES (1, 'keep'), (2, 'drop'), (3, 'keep'), (4, 'drop')")
+    eng.sql("DELETE FROM ns.d WHERE status = 'drop'")
+    t = eng.load_table("ns.d")
+    rows = sorted(r.id for r in t.scan().collect())
+    assert rows == [1, 3]
+    # physically removed: no remaining file contains dropped rows
+    assert t.scan().where("status = 'drop'").count() == 0
+
+
+def test_delete_where_prunes_untouched_files(eng, spark):
+    """Files whose stats exclude the predicate are carried over without
+    rewrite (their paths survive the delete commit)."""
+    eng.sql("CREATE TABLE ns.p (id BIGINT, grp STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.p")
+    t.append(spark.createDataFrame([(i, "low") for i in range(10)], "id long, grp string"))
+    t.append(spark.createDataFrame([(i, "high") for i in range(100, 110)], "id long, grp string"))
+    before = {f.file_path for f in _files(t)}
+    delete_where(t, "id >= 100")
+    t = eng.load_table("ns.p")
+    after = {f.file_path for f in _files(t)}
+    assert sorted(r.id for r in t.scan().collect()) == list(range(10))
+    # the low-ids file was untouched (same physical path), high file is gone
+    assert any(p in after for p in before), "untouched file should be carried over"
+
+
+def _files(t):
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    return plan_files(t.metadata, t.metadata.snapshot_for_ref())
+
+
+def test_drop_and_if_exists(eng):
+    eng.sql("CREATE TABLE ns.tmp (a BIGINT) STORED AS ICEBERG")
+    eng.sql("DROP TABLE ns.tmp")
+    assert not eng.table_exists("ns.tmp")
+    eng.sql("DROP TABLE IF EXISTS ns.tmp")  # no error
+    with pytest.raises(Exception):
+        eng.sql("DROP TABLE ns.tmp")
