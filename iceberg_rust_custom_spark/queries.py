@@ -1550,3 +1550,44 @@ def csv_source_agg(spark, sf_dir):
         pdf.to_csv(tmp, index=False, header=False)
         os.replace(tmp, out)
     return read_csv(spark, out, "r_regionkey INT, r_name STRING")
+
+
+@q(
+    "iceberg_merge_upsert",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders WHERE o_orderkey % 100 = 0
+    ) GROUP BY o_orderstatus
+    """,
+)
+def iceberg_merge_upsert(spark, sf_dir):
+    """MERGE/upsert through the engine (beyond-reference row-level op):
+    every 100th order gets its price doubled via merge; the final table
+    must equal the SQL-reconstructed post-merge state."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import merge_upsert
+
+    tag = hashlib.md5(f"{sf_dir}:mrg".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_mrg"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_mrg", df.schema)
+        t.append(df)
+        src = df.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        merge_upsert(t, src, ["o_orderkey"])
+    return (
+        eng.load_table("rt.orders_mrg")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

@@ -51,6 +51,24 @@ def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: 
     )
 
 
+def stream_append_to_table(table, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
+    """Streaming sink into an engine table: each micro-batch appends through
+    the normal write path (partitioned write + footer stats + ACID commit),
+    so a streaming ingest gets the same table semantics as batch. The
+    checkpoint dir gives restart recovery; appends are atomic per batch.
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.refresh().append(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str = "stream_out") -> DataFrame:
     """Drive a bounded source to completion synchronously (test harness)."""
     q = (

@@ -87,6 +87,56 @@ def delete_where(table: Table, predicate) -> Table:
     return table
 
 
+def merge_upsert(table: Table, source, key_cols: list[str]) -> Table:
+    """MERGE/upsert, copy-on-write: delete-matching + insert-all-source
+    (WHEN MATCHED THEN UPDATE (full row) / WHEN NOT MATCHED THEN INSERT).
+
+    Beyond the reference (no row-level ops there). Scale shape:
+    1. the source's key range prunes target files via file stats — files
+       that cannot contain matched keys carry over untouched;
+    2. one distributed job: matched files LEFT ANTI JOIN source keys
+       (drop rows being upserted) UNION the full source;
+    3. one atomic Rewrite commit.
+    The anti join shuffles on the key — at cluster scale pre-partition both
+    sides on the key, or bucket the table, to make it co-located.
+    """
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table.append(source)
+
+    k = key_cols[0]
+    bounds = source.selectExpr(f"min({k}) AS lo", f"max({k}) AS hi").first()
+    all_files = plan_files(md, snap)
+    if bounds.lo is None:  # empty source → no-op
+        return table
+    try:
+        lo, hi = repr(bounds.lo), repr(bounds.hi)
+        pred = parse_predicate(f"{k} >= {lo} and {k} <= {hi}")
+        matched = plan_files(md, snap, pred)
+    except Exception:
+        matched = list(all_files)  # unprunable key type → rewrite everything
+    matched_paths = {f.file_path for f in matched}
+    untouched = [f for f in all_files if f.file_path not in matched_paths]
+
+    schema = md.current_schema().spark_schema()
+    pieces = []
+    if matched:
+        tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+        pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
+    pieces.append(source)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    data_dir = os.path.join(md.location, "data", "merge-" + _uuid.uuid4().hex[:12])
+    new_files = write_partitioned(out, md, data_dir)
+    table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
+    return table
+
+
 def expire_snapshots(
     table: Table, older_than_ms: int | None = None, keep_last: int = 1
 ) -> Table:

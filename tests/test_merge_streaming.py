@@ -1,0 +1,115 @@
+"""MERGE upsert + stateful streaming operator + streaming table sink tests.
+All beyond-reference features (the reference has no row-level ops and no
+streaming; SURVEY.md §2.4, README.md:22-46)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import merge_upsert
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_merge_upsert_updates_and_inserts(eng, spark):
+    eng.sql("CREATE TABLE ns.m (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.m")
+    t.append(spark.createDataFrame([(1, "old1"), (2, "old2"), (3, "old3")], "id long, v string"))
+    src = spark.createDataFrame([(2, "new2"), (4, "new4")], "id long, v string")
+    merge_upsert(t, src, ["id"])
+    rows = {(r.id, r.v) for r in eng.load_table("ns.m").scan().collect()}
+    assert rows == {(1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")}
+
+
+def test_merge_prunes_unmatched_files(eng, spark):
+    """A file outside the source key range must carry over physically."""
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    eng.sql("CREATE TABLE ns.mp (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.mp")
+    t.append(spark.createDataFrame([(i, "lo") for i in range(10)], "id long, v string"))
+    t.append(spark.createDataFrame([(i, "hi") for i in range(1000, 1010)], "id long, v string"))
+    before = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+    merge_upsert(t, spark.createDataFrame([(1005, "merged")], "id long, v string"), ["id"])
+    t = eng.load_table("ns.mp")
+    after = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+    assert any(p in after for p in before), "low-range file should be untouched"
+    got = {(r.id, r.v) for r in t.scan().where("id >= 1000").collect()}
+    assert (1005, "merged") in got and len(got) == 10
+
+
+def test_merge_empty_source_noop(eng, spark):
+    eng.sql("CREATE TABLE ns.me (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.me")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snap_before = t.metadata.current_snapshot_id
+    merge_upsert(t, spark.createDataFrame([], "id long, v string"), ["id"])
+    assert t.metadata.current_snapshot_id == snap_before
+
+
+def test_stateful_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming dedup (applyInPandasWithState) == batch dropDuplicates."""
+    from iceberg_rust_custom_spark.streaming.stateful import dedup_stream
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    # two files → two micro-batches (maxFilesPerTrigger=1); duplicate ids
+    # within and across batches
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (1, 10, "dup-in-batch")],
+        "event_id long, user_id long, payload string",
+    ).coalesce(1).write.parquet(str(src_dir / "b1"))
+    spark.createDataFrame(
+        [(2, 10, "dup-across"), (4, 20, "d"), (5, 30, "e")],
+        "event_id long, user_id long, payload string",
+    ).coalesce(1).write.parquet(str(src_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    out = dedup_stream(stream, key_col="user_id", id_col="event_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3, 4, 5]
+
+
+def test_stream_append_to_table(eng, spark, tmp_path):
+    """Streaming ingest into an engine table: foreachBatch append commits
+    per micro-batch; final table content == source content."""
+    from iceberg_rust_custom_spark.streaming.pipeline import stream_append_to_table
+
+    eng.sql("CREATE TABLE ns.ing (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.ing")
+    src_dir = tmp_path / "ingest_src"
+    src_dir.mkdir()
+    spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double").write.parquet(
+        str(src_dir / "p1")
+    )
+    spark.createDataFrame([(i, float(i)) for i in range(50, 80)], "id long, v double").write.parquet(
+        str(src_dir / "p2")
+    )
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    q = stream_append_to_table(t, stream, str(tmp_path / "ckpt2"))
+    q.awaitTermination(300)
+    t = eng.load_table("ns.ing")
+    assert t.scan().count() == 80
+    assert len(t.metadata.snapshots) >= 2  # one commit per non-empty batch
