@@ -120,8 +120,10 @@ def _mul32(x: Column, c: int) -> Column:
 
 
 def _rotl32(x: Column, r: int) -> Column:
-    return (
-        F.shiftleft(x, r).bitwiseAND(F.lit(_M32)) | F.shiftrightunsigned(x.bitwiseAND(F.lit(_M32)), 32 - r)
+    # '+' not '|': pyspark's Column | is boolean OR; the two masked halves
+    # occupy disjoint bit ranges, so addition == bitwise or
+    return F.shiftleft(x, r).bitwiseAND(F.lit(_M32)) + F.shiftrightunsigned(
+        x.bitwiseAND(F.lit(_M32)), 32 - r
     )
 
 
@@ -268,7 +270,9 @@ class Transform:
             if source_type == "date":
                 v = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
             elif source_type in ("timestamp", "timestamptz"):
-                v = (F.unix_timestamp(col).cast("long") * F.lit(1_000_000)).cast("long")
+                # Iceberg hashes µs since epoch (values.rs:86-110) — whole
+                # seconds would mis-bucket sub-second timestamps
+                v = F.unix_micros(col.cast("timestamp"))
             else:
                 v = col.cast("long")
             return (murmur3_32_long_expr(v).bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n)).cast("int")
