@@ -36,9 +36,12 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
-    # table-format round trip (write + pruned read)
+    "multimodal_image_features",
+    # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_pruned_scan",
+    "iceberg_delete_where",
+    "iceberg_merge_upsert",
 ]
 
 
