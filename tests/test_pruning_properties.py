@@ -1,0 +1,180 @@
+"""Property-based soundness tests for the pruning layer (no Spark needed).
+
+Invariant (the one that matters for correctness): pruning may keep too much,
+but must NEVER drop a file that contains a matching row. We generate random
+file contents, derive real bounds the way the stats collector would, generate
+random predicates, and cross-check ``may_match`` against brute-force row
+evaluation. Same invariant for manifest-level pruning through
+``project_to_partition`` with every transform."""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_rust_custom_spark.metadata.expressions import (
+    And,
+    Comparison,
+    Expr,
+    FileBounds,
+    IsNull,
+    Not,
+    Or,
+    may_match,
+    parse_predicate,
+    project_to_partition,
+)
+from iceberg_rust_custom_spark.metadata.partition import PartitionField, PartitionSpec
+from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+from iceberg_rust_custom_spark.metadata.transforms import Transform
+
+SCHEMA = Schema(
+    0,
+    (
+        NestedField(1, "a", "long", False),
+        NestedField(2, "s", "string", False),
+    ),
+)
+
+
+def _eval_row(e: Expr, row: dict):
+    """Three-valued SQL semantics: returns True/False/None."""
+    if isinstance(e, And):
+        l, r = _eval_row(e.left, row), _eval_row(e.right, row)
+        if l is False or r is False:
+            return False
+        if l is None or r is None:
+            return None
+        return True
+    if isinstance(e, Or):
+        l, r = _eval_row(e.left, row), _eval_row(e.right, row)
+        if l is True or r is True:
+            return True
+        if l is None or r is None:
+            return None
+        return False
+    if isinstance(e, Not):
+        v = _eval_row(e.child, row)
+        return None if v is None else (not v)
+    if isinstance(e, IsNull):
+        is_null = row[e.column] is None
+        return (not is_null) if e.negated else is_null
+    if isinstance(e, Comparison):
+        v = row[e.column]
+        if v is None:
+            return None
+        lit = e.literal
+        if e.op == "in":
+            return v in lit
+        if e.op == "=":
+            return v == lit
+        if e.op == "!=":
+            return v != lit
+        if e.op == "<":
+            return v < lit
+        if e.op == "<=":
+            return v <= lit
+        if e.op == ">":
+            return v > lit
+        if e.op == ">=":
+            return v >= lit
+    raise AssertionError(e)
+
+
+def _bounds_for(rows: list[dict]) -> FileBounds:
+    lower, upper, nulls, counts = {}, {}, {}, {}
+    for col in ("a", "s"):
+        vals = [r[col] for r in rows]
+        nonnull = [v for v in vals if v is not None]
+        counts[col] = len(vals)
+        nulls[col] = len(vals) - len(nonnull)
+        if nonnull:
+            lower[col], upper[col] = min(nonnull), max(nonnull)
+    return FileBounds(lower, upper, nulls, counts, None)
+
+
+_num = st.integers(min_value=-50, max_value=50)
+_strlit = st.text(alphabet="abc", min_size=0, max_size=3)
+
+
+def _comparisons(col, lit_strategy):
+    ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    simple = st.builds(lambda op, lit: Comparison(col, op, lit), ops, lit_strategy)
+    inlist = st.builds(
+        lambda lits: Comparison(col, "in", tuple(lits)), st.lists(lit_strategy, min_size=1, max_size=4)
+    )
+    isnull = st.builds(lambda neg: IsNull(col, neg), st.booleans())
+    return st.one_of(simple, inlist, isnull)
+
+
+def _predicates():
+    leaf = st.one_of(_comparisons("a", _num), _comparisons("s", _strlit))
+    return st.recursive(
+        leaf,
+        lambda children: st.one_of(
+            st.builds(And, children, children),
+            st.builds(Or, children, children),
+            st.builds(Not, children),
+        ),
+        max_leaves=6,
+    )
+
+
+_rows = st.lists(
+    st.fixed_dictionaries(
+        {"a": st.one_of(st.none(), _num), "s": st.one_of(st.none(), _strlit)}
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(rows=_rows, pred=_predicates())
+def test_file_pruning_never_drops_matching_rows(rows, pred):
+    any_match = any(_eval_row(pred, r) is True for r in rows)
+    if any_match:
+        assert may_match(pred, _bounds_for(rows)), (
+            f"pruned a file containing matching rows: pred={pred.sql()} rows={rows}"
+        )
+
+
+_TRANSFORMS = ["identity", "bucket[4]", "truncate[8]"]
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    rows=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=12),
+    pred=_comparisons("a", st.integers(min_value=-1000, max_value=1000)),
+    tname=st.sampled_from(_TRANSFORMS),
+)
+def test_partition_projection_never_drops_matching_rows(rows, pred, tname):
+    """Manifest-level invariant: project the predicate through a partition
+    transform; a partition (single tuple) holding a matching row must
+    survive. Bounds here are the exact partition value (lower == upper),
+    as plan_files builds them for the file-level partition check."""
+    t = Transform(tname)
+    spec = PartitionSpec(0, (PartitionField(source_id=1, field_id=1000, name="p", transform=t),))
+    projected = project_to_partition(pred, SCHEMA, spec)
+    if projected is None:
+        return  # nothing projectable → no pruning → trivially sound
+    for v in rows:
+        if _eval_row(pred, {"a": v, "s": None}) is True:
+            pv = t.python(v)
+            pb = FileBounds({"p": pv}, {"p": pv}, {"p": 0}, {"p": 1}, None)
+            assert may_match(projected, pb), (
+                f"partition pruning dropped value {v} (partition {pv}): "
+                f"pred={pred.sql()} projected={projected.sql()} transform={tname}"
+            )
+
+
+def test_parser_roundtrip_examples():
+    for text in [
+        "a >= 10 AND a < 20",
+        "s = 'x''y' OR s IS NULL",
+        "NOT (a != 3) AND s IN ('a', 'b')",
+        "a IS NOT NULL",
+    ]:
+        e = parse_predicate(text)
+        assert isinstance(e, Expr)
+        assert parse_predicate(e.sql().replace("TRUE", "1 = 1")) is not None
