@@ -71,6 +71,7 @@ class DataFile:
     lower_bounds: dict = field(default_factory=dict)  # column name -> value
     upper_bounds: dict = field(default_factory=dict)
     content: int = 0  # 0 = data
+    schema_id: int = -1  # schema the file was written under (-1 = unknown/legacy)
 
 
 @dataclass
@@ -97,6 +98,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("null_value_counts", pa.string()),
         ("lower_bounds", pa.string()),
         ("upper_bounds", pa.string()),
+        ("schema_id", pa.int32()),
     ]
 )
 
@@ -142,6 +144,7 @@ def write_manifest(path: str, entries: list[ManifestEntry]) -> dict:
         rows["null_value_counts"].append(json.dumps(df.null_value_counts))
         rows["lower_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.lower_bounds.items()}))
         rows["upper_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.upper_bounds.items()}))
+        rows["schema_id"].append(df.schema_id)
         if e.status == STATUS_ADDED:
             added_files += 1
             added_rows += df.record_count
@@ -195,6 +198,7 @@ def read_manifest(path: str) -> list[ManifestEntry]:
             lower_bounds=json.loads(row["lower_bounds"]),
             upper_bounds=json.loads(row["upper_bounds"]),
             content=row["content"],
+            schema_id=row.get("schema_id", -1) if row.get("schema_id") is not None else -1,
         )
         out.append(ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df))
     return out

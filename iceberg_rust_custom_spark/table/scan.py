@@ -154,6 +154,8 @@ def scan_to_dataframe(
     spark_schema = schema.spark_schema()
     if not files:
         df = spark.createDataFrame([], spark_schema)
+    elif len(metadata.schemas) > 1:
+        df = _read_with_field_id_resolution(spark, metadata, schema, files)
     else:
         df = spark.read.schema(spark_schema).parquet(*[f.file_path for f in files])
     if predicate is not None:
@@ -161,3 +163,70 @@ def scan_to_dataframe(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def _read_with_field_id_resolution(spark, metadata, schema, files):
+    """Evolved tables: resolve columns by FIELD ID — a file written before
+    ``rename_column(a→b)`` physically stores ``a``; reading it under the
+    current schema must surface those values as ``b`` (and a later *new*
+    field named ``a`` must read as null there, never as b's values).
+
+    Spark-first mechanism: every DataFile records the schema_id it was
+    written under; files are grouped by write-schema, each group is read
+    with its own physical schema and projected (rename + widen-cast +
+    null-fill for later columns) onto the current schema by matching field
+    ids, then the per-epoch scans union. Exactly Iceberg's parquet-field-id
+    projection, expressed as a plan union instead of a custom data source.
+    Legacy files without a recorded schema_id fall back to a conservative
+    coalesce over the field's historical names."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_rust_custom_spark.metadata.schema import type_to_spark
+    from iceberg_rust_custom_spark.metadata.schema_evolution import historical_names
+
+    by_schema: dict[int, list] = {}
+    for f in files:
+        by_schema.setdefault(f.schema_id, []).append(f)
+
+    parts = []
+    for sid, group in by_schema.items():
+        paths = [f.file_path for f in group]
+        write_schema = metadata.schemas.get(sid)
+        if write_schema is not None:
+            wfields = {f.field_id: f for f in write_schema.fields}
+            df = spark.read.schema(write_schema.spark_schema()).parquet(*paths)
+            exprs = []
+            for f in schema.fields:
+                wf = wfields.get(f.field_id)
+                if wf is None:  # column added after these files were written
+                    exprs.append(F.lit(None).cast(type_to_spark(f.field_type)).alias(f.name))
+                else:
+                    exprs.append(F.col(wf.name).cast(type_to_spark(f.field_type)).alias(f.name))
+            parts.append(df.select(*exprs))
+        else:
+            # legacy: no write-schema recorded → coalesce over historical names
+            current_names = {f.name for f in schema.fields}
+            read_fields: list[T.StructField] = []
+            seen: set[str] = set()
+            exprs = []
+            for f in schema.fields:
+                variants = [
+                    (name, ftype)
+                    for name, ftype in historical_names(metadata, f.field_id)
+                    if name == f.name or name not in current_names
+                ] or [(f.name, f.field_type)]
+                for name, ftype in variants:
+                    if name not in seen:
+                        seen.add(name)
+                        read_fields.append(T.StructField(name, type_to_spark(ftype), True))
+                target_type = type_to_spark(f.field_type)
+                cols = [F.col(name).cast(target_type) for name, _ in variants]
+                exprs.append((cols[0] if len(cols) == 1 else F.coalesce(*cols)).alias(f.name))
+            df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+            parts.append(df.select(*exprs))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

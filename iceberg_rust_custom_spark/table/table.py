@@ -34,6 +34,14 @@ class Table:
             self.metadata = TableMetadata.from_json(f.read())
         return self
 
+    def update_schema(self):
+        """Fluent schema evolution: ``t.update_schema().add_column(...)
+        .rename_column(...).widen_column(...).commit()`` — old files stay
+        readable via field-id resolution in the scan."""
+        from iceberg_rust_custom_spark.metadata.schema_evolution import SchemaUpdate
+
+        return SchemaUpdate(self)
+
     def new_transaction(self, branch: str = MAIN_BRANCH) -> Transaction:
         return Transaction(self.catalog, self.identifier, self.metadata, branch)
 

@@ -61,7 +61,7 @@ def _parse_partition_path_value(raw: str, type_name: str):
     return v
 
 
-def collect_datafile_stats(path: str, schema: Schema, partition: dict) -> DataFile:
+def collect_datafile_stats(path: str, schema: Schema, partition: dict, schema_id: int = -1) -> DataFile:
     """Read one Parquet footer → DataFile with min/max/null-count per column,
     merged across row groups (reference: file_format/parquet.rs:59-235)."""
     meta = pq.ParquetFile(path).metadata
@@ -99,6 +99,7 @@ def collect_datafile_stats(path: str, schema: Schema, partition: dict) -> DataFi
                 if name not in upper or (mx is not None and upper[name] is not None and mx > upper[name]):
                     upper[name] = mx
     return DataFile(
+        schema_id=schema_id,
         file_path=path,
         partition=partition,
         record_count=meta.num_rows,
@@ -208,4 +209,6 @@ def write_partitioned(
                 paths.append((os.path.join(dirpath, fn), partition))
 
     with ThreadPoolExecutor(max_workers=16) as pool:
-        return list(pool.map(lambda t: collect_datafile_stats(t[0], schema, t[1]), paths))
+        return list(
+            pool.map(lambda t: collect_datafile_stats(t[0], schema, t[1], schema.schema_id), paths)
+        )
