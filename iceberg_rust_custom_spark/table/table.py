@@ -45,6 +45,28 @@ class Table:
     def new_transaction(self, branch: str = MAIN_BRANCH) -> Transaction:
         return Transaction(self.catalog, self.identifier, self.metadata, branch)
 
+    # ------------------------------------------------------------ refs (§1.4)
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> "Table":
+        """Named branch at a snapshot (default: current head). Appends with
+        branch=<name> advance it independently of main
+        (snapshot.rs:242-281)."""
+        snap = self.metadata.snapshot_for_ref() if snapshot_id is None else self.metadata.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError("cannot branch an empty table")
+        self.metadata = self.new_transaction().set_ref(name, snap.snapshot_id, "branch").commit()
+        return self
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> "Table":
+        """Immutable named snapshot pointer (retention-tag semantics)."""
+        snap = self.metadata.snapshot_for_ref() if snapshot_id is None else self.metadata.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError("cannot tag an empty table")
+        self.metadata = self.new_transaction().set_ref(name, snap.snapshot_id, "tag").commit()
+        return self
+
+    def refs(self) -> dict:
+        return dict(self.metadata.refs)
+
     # ------------------------------------------------------------------ read
     def _resolve_snapshot(
         self,
@@ -56,6 +78,9 @@ class Table:
             return self.metadata.snapshot_by_id(snapshot_id)
         if as_of_timestamp_ms is not None:
             return self.metadata.snapshot_as_of(as_of_timestamp_ms)
+        if branch != MAIN_BRANCH and branch not in self.metadata.refs:
+            # a typo'd branch must error, not silently scan empty
+            raise KeyError(f"no branch or tag named {branch!r}")
         return self.metadata.snapshot_for_ref(branch)
 
     def scan(

@@ -155,3 +155,26 @@ def test_schema_evolution(engine, spark):
     df = t2.scan()
     assert "note" in df.columns
     assert df.count() == 6  # old files read with nulls for the new column
+
+
+def test_branches_and_tags(engine, spark):
+    """Branch writes advance independently of main; tags pin a snapshot
+    (snapshot.rs:242-281; branch-aware lookup table_metadata.rs:140-277)."""
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(0, (NestedField(1, "id", "long", False), NestedField(2, "v", "string", False)))
+    t = engine.create_table("ns.br", schema)
+    t.append(spark.createDataFrame([(1, "main1")], "id long, v string"))
+    t.create_tag("v1")
+    t.create_branch("dev")
+    t.append(spark.createDataFrame([(2, "dev1")], "id long, v string"), branch="dev")
+    t.append(spark.createDataFrame([(3, "main2")], "id long, v string"))  # main
+
+    main_rows = {r.id for r in t.scan().collect()}
+    dev_rows = {r.id for r in t.scan(branch="dev").collect()}
+    tag_rows = {r.id for r in t.scan(branch="v1").collect()}
+    assert main_rows == {1, 3}
+    assert dev_rows == {1, 2}
+    assert tag_rows == {1}
+    kinds = {name: r.ref_type for name, r in t.refs().items()}
+    assert kinds["v1"] == "tag" and kinds["dev"] == "branch"
