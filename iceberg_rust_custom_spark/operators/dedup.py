@@ -180,6 +180,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return summed.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs of documents whose SimHash fingerprints are within
+    ``max_hamming`` bits.
+
+    Scale shape (pigeonhole banding): split the fingerprint into
+    ``max_hamming + 1`` disjoint bit-bands — any pair at distance ≤ k agrees
+    EXACTLY on at least one band — so candidates come from equality joins on
+    (band_idx, band_value) buckets (one shuffle, via _bucket_pairs), and only
+    candidates pay the bit_count(xor) verification. Never all-pairs."""
+    fp = simhash(df, id_col, text_col, bits)
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    band_structs = []
+    for b in range(n_bands):
+        lo = b * width
+        w = width if b < n_bands - 1 else bits - lo  # last band absorbs remainder
+        band_val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
+        band_structs.append(F.struct(F.lit(b).alias("band_idx"), band_val.cast("string").alias("band_sig")))
+    stacked = fp.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
+        id_col, "bs.band_idx", "bs.band_sig"
+    )
+    cand = _bucket_pairs(stacked, id_col)
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.expr("bit_count(_fa ^ _fb)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -85,8 +85,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsum(col_expr) -> F.Column:
-    """Order-independent double sum: exact decimal aggregation."""
-    return F.sum(col_expr.cast("decimal(38,10)")).cast("double")
+    """Order-independent, engine-portable double sum: exact decimal
+    aggregation, rounded to scale 4 BEFORE the double cast. The final
+    decimal(38,10) -> double conversion is where engines can disagree by one
+    ULP (DuckDB converts the int128 in two rounding steps); at scale 4 the
+    scaled value fits 2^53 and both conversions are a single exact-int
+    division -> bit-identical doubles."""
+    return F.round(F.sum(col_expr.cast("decimal(38,10)")), 4).cast("double")
 
 
 # =========================================================================
@@ -98,12 +103,12 @@ def _dsum(col_expr) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -134,7 +139,7 @@ def q1_pricing_summary(spark, sf_dir):
 @q(
     "group_by_sum_partkey",
     """
-    SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    SELECT l_partkey, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_partkey
     """,
 )
@@ -152,7 +157,7 @@ def group_by_sum_partkey(spark, sf_dir):
     """
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_price,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
            strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
@@ -250,7 +255,7 @@ def stat_aggregates(spark, sf_dir):
     "join_orders_customer",
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -270,7 +275,7 @@ def join_orders_customer(spark, sf_dir):
     "multiway_join_regional_revenue",
     """
     SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -416,12 +421,12 @@ def window_rank_dense_ntile(spark, sf_dir):
     "window_running_and_frames",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-           CAST(AVG(CAST(o_totalprice AS DECIMAL(38,10)))
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total,
+           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(38,10)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg3
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS moving_avg3
     FROM orders
     """,
 )
@@ -431,14 +436,20 @@ def window_running_and_frames(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        )
         .cast("double")
         .alias("running_total"),
-        F.avg(F.col("o_totalprice").cast("decimal(38,10)"))
-        .over(w.rowsBetween(-2, 0))
-        .cast("double")
-        .alias("moving_avg3"),
+        F.round(
+            F.avg(F.col("o_totalprice").cast("decimal(38,10)"))
+            .over(w.rowsBetween(-2, 0))
+            .cast("double"),
+            4,
+        ).alias("moving_avg3"),
     )
 
 
@@ -446,14 +457,14 @@ def window_running_and_frames(spark, sf_dir):
     "window_lag_lead",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(LAG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS prev_qty,
-           CAST(LEAD(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS next_qty
+           CAST(LAG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) AS DOUBLE) AS prev_qty,
+           CAST(LEAD(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) AS DOUBLE) AS next_qty
     FROM lineitem
     """,
 )
 def window_lag_lead(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber", "l_quantity")
     return li.select(
         "l_suppkey",
         "l_orderkey",
@@ -521,7 +532,7 @@ def intersect_except(spark, sf_dir):
     "rollup_flag_status",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -771,7 +782,7 @@ def json_extraction(spark, sf_dir):
     SELECT l_orderkey,
            list_sort(list(DISTINCT l_returnflag)) AS flags,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS total_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -794,7 +805,7 @@ def array_map_struct_ops(spark, sf_dir):
     """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -845,7 +856,7 @@ def sliding_windows(spark, sf_dir):
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM marked)
     SELECT user_id, session_idx, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_idx
     """,
 )
@@ -1177,7 +1188,7 @@ def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = "
     "iceberg_roundtrip_partitioned_agg",
     """
     SELECT l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1213,7 +1224,7 @@ def iceberg_pruned_scan(spark, sf_dir):
     "iceberg_materialized_view",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1235,7 +1246,7 @@ def iceberg_materialized_view(spark, sf_dir):
         eng.create_materialized_view(
             "rt.orders_mv",
             "SELECT o_orderstatus, COUNT(*) AS n, "
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue "
+            "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue "
             "FROM rt.orders GROUP BY o_orderstatus",
         )
     eng.refresh_materialized_view("rt.orders_mv")
@@ -1246,7 +1257,7 @@ def iceberg_materialized_view(spark, sf_dir):
     "iceberg_compaction_preserves_data",
     """
     SELECT c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -1401,7 +1412,7 @@ def _two_append_orders(spark, sf_dir):
     "iceberg_time_travel",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
     """,
 )
@@ -1421,7 +1432,7 @@ def iceberg_time_travel(spark, sf_dir):
     "iceberg_incremental_read",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
     """,
 )
@@ -1491,7 +1502,7 @@ def multimodal_frame_sampling(spark, sf_dir):
     "iceberg_delete_where",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
     """,
 )
@@ -1556,7 +1567,7 @@ def csv_source_agg(spark, sf_dir):
     "iceberg_merge_upsert",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(price AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM (
       SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 <> 0
       UNION ALL
@@ -1591,3 +1602,20 @@ def iceberg_merge_upsert(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@q(
+    "simhash_neardup_pairs",
+    f"""
+    WITH fp AS ({_simhash_oracle(32)})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup: pigeonhole banding makes candidates an equality
+    bucket join (one shuffle); only candidates pay hamming verification.
+    The exact all-pairs oracle confirms the banding loses nothing."""
+    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3)

@@ -64,7 +64,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.001"
+    # default to sf0.01 — the scale the driver gates at; sf0.001 is too small
+    # to surface tie-ordering and float-conversion mismatches
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
     from iceberg_rust_custom_spark.queries import ORACLES, QUERIES
