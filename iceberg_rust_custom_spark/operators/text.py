@@ -101,6 +101,57 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, pred)
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", chunk_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step of a training-data pipeline. One row per chunk:
+    (id, chunk_idx, chunk_text, n_tokens). Pure array expressions (explode
+    over slice windows), no UDF; embarrassingly parallel."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, 1+2*stride, ... while start <= max(n,1)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(starts).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(F.col("_toks")) - F.col("chunk_idx") * stride, F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+REDACTION_PATTERNS = {
+    # public, deterministic patterns — same regex syntax in Spark and DuckDB
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "long_number": r"\b[0-9]{7,}\b",
+}
+
+
+def redact_text(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Redact email-like and long-number spans (training-data hygiene).
+    Chained regexp_replace — stays in codegen, full scan speed."""
+    c = F.col(text_col)
+    for tag, pat in REDACTION_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{tag}>")
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: 32-bit hash of whitespace-normalized lowercase
     text (rolling-hash-equivalent content id; collision-checked at 32 bits

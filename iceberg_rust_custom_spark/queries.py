@@ -1619,3 +1619,43 @@ def simhash_neardup_pairs(spark, sf_dir):
     bucket join (one shuffle); only candidates pay hamming verification.
     The exact all-pairs oracle confirms the banding loses nothing."""
     return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3)
+
+
+@q(
+    "document_chunking",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, CAST(greatest(ceil((len(toks) - 8) / 56.0), 1) AS BIGINT) - 1)) AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ') AS chunk_text,
+           CAST(LEAST(n - chunk_idx * 56, 64) AS INT) AS n_tokens
+    FROM chunks
+    WHERE LEAST(n - chunk_idx * 56, 64) > 0
+    """,
+)
+def document_chunking(spark, sf_dir):
+    """Token-window chunking with overlap (chunk=64, overlap=8) — the
+    standard LLM pre-tokenization fan-out, one row per chunk."""
+    return TX.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+@q(
+    "text_redaction",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'),
+             '\\b[0-9]{7,}\\b', '<long_number>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_redaction(spark, sf_dir):
+    """Deterministic PII-style span redaction (emails, long digit runs) —
+    chained regexp_replace at scan speed."""
+    return TX.redact_text(_t(spark, sf_dir, "documents"), "text").select("doc_id", "redacted")

@@ -48,6 +48,27 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     return table
 
 
+def maintain(table: Table, small_file_bytes: int | None = None, min_small_files: int = 8) -> Table:
+    """Compaction *policy* (the reference ships the Rewrite op but no
+    trigger — operation.rs:68-81): compact when at least ``min_small_files``
+    live files are below ``small_file_bytes`` (default: a quarter of the
+    table's target file size). Idempotent — call after streaming ingest or
+    frequent small appends; no-ops on healthy tables."""
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    target = int(md.properties.get("write.target-file-size-bytes", 512_000_000))
+    threshold = small_file_bytes or target // 4
+    files = plan_files(md, snap)
+    small = [f for f in files if f.file_size_in_bytes < threshold]
+    if len(small) < min_small_files:
+        return table
+    return compact(table, target)
+
+
 def delete_where(table: Table, predicate) -> Table:
     """Row-level DELETE, copy-on-write.
 

@@ -113,3 +113,23 @@ def test_stream_append_to_table(eng, spark, tmp_path):
     t = eng.load_table("ns.ing")
     assert t.scan().count() == 80
     assert len(t.metadata.snapshots) >= 2  # one commit per non-empty batch
+
+
+def test_maintain_compacts_after_small_appends(eng, spark):
+    """Policy: many small files → one compaction; healthy table → no-op."""
+    from iceberg_rust_custom_spark.table.maintenance import maintain
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    eng.sql("CREATE TABLE ns.c (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.c")
+    for i in range(10):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    n_before = len(plan_files(t.metadata, t.metadata.snapshot_for_ref()))
+    assert n_before >= 10
+    maintain(t, min_small_files=8)
+    n_after = len(plan_files(t.metadata, t.metadata.snapshot_for_ref()))
+    assert n_after < n_before
+    assert t.scan().count() == 10
+    snap = t.metadata.current_snapshot_id
+    maintain(t, min_small_files=8)  # now healthy → no new snapshot
+    assert t.metadata.current_snapshot_id == snap
