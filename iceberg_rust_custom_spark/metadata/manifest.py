@@ -119,9 +119,12 @@ MANIFEST_LIST_SCHEMA = pa.schema(
 )
 
 
-def write_manifest(path: str, entries: list[ManifestEntry]) -> dict:
+def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) -> dict:
     """Write manifest parquet; return a manifest-list row (dict) with
-    FieldSummary bounds per partition field (manifest.rs update_partitions)."""
+    FieldSummary bounds per partition field (manifest.rs update_partitions).
+    ``spec_id`` records which partition spec the entries' partition tuples
+    were written under (manifest_list.rs:26-59) — scan planning decodes and
+    prunes each manifest with its own spec after partition evolution."""
     rows = {name: [] for name in MANIFEST_SCHEMA.names}
     summaries: dict[str, dict] = {}
     added_files = existing_files = deleted_files = 0
@@ -167,7 +170,7 @@ def write_manifest(path: str, entries: list[ManifestEntry]) -> dict:
     pq.write_table(pa.table(rows, schema=MANIFEST_SCHEMA), path, compression="zstd")
     return {
         "manifest_path": path,
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": max_seq,
         "min_sequence_number": min_seq if min_seq is not None else 0,

@@ -47,14 +47,31 @@ class PartitionSpec:
         return cls(d["spec-id"], tuple(PartitionField.from_dict(f) for f in d["fields"]))
 
     @classmethod
-    def build(cls, schema: Schema, *specs: tuple, spec_id: int = 0) -> "PartitionSpec":
+    def build(
+        cls,
+        schema: Schema,
+        *specs: tuple,
+        spec_id: int = 0,
+        first_field_id: int = 1000,
+        reuse: dict | None = None,
+    ) -> "PartitionSpec":
         """specs: (source_column_name, transform_name) pairs, e.g.
-        ("l_shipdate", "month") or ("l_partkey", "bucket[16]")."""
+        ("l_shipdate", "month") or ("l_partkey", "bucket[16]").
+
+        ``reuse`` maps (source_id, transform_name) → existing PartitionField;
+        evolution passes it so a field shared with a prior spec keeps its
+        field id AND name (the Iceberg evolution rule — same transform, same
+        identity), while genuinely new fields get ids from
+        ``first_field_id`` up."""
         fields = []
-        next_id = 1000
+        next_id = first_field_id
         for col, tname in specs:
             src = schema.field_by_name(col)
             t = Transform(tname)
+            prior = (reuse or {}).get((src.field_id, tname))
+            if prior is not None:
+                fields.append(prior)
+                continue
             suffix = "" if tname == "identity" else "_" + tname.split("[")[0]
             fields.append(PartitionField(src.field_id, next_id, f"{col}{suffix}", t))
             next_id += 1

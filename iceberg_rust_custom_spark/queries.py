@@ -1659,3 +1659,40 @@ def text_redaction(spark, sf_dir):
     """Deterministic PII-style span redaction (emails, long digit runs) —
     chained regexp_replace at scan speed."""
     return TX.redact_text(_t(spark, sf_dir, "documents"), "text").select("doc_id", "redacted")
+
+
+@q(
+    "iceberg_partition_evolution",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_partition_evolution(spark, sf_dir):
+    """Partition evolution round trip: half the orders land unpartitioned,
+    the spec evolves to month(o_orderdate), the other half lands
+    partitioned; one scan reads across both layouts (per-manifest spec
+    decoding) and must equal plain SQL over the source."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:pevo".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_pevo"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_pevo", df.schema)
+        t.append(df.where(F.col("o_orderkey") % 2 == 0))
+        t.update_partition_spec("month(o_orderdate)")
+        t.append(df.where(F.col("o_orderkey") % 2 == 1))
+    return (
+        eng.load_table("rt.orders_pevo")
+        .scan("o_orderdate >= '1997-01-01'")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("sum_price"))
+    )

@@ -85,18 +85,35 @@ def plan_files(
     if snapshot is None:
         return []
     schema = metadata.schemas.get(snapshot.schema_id, metadata.current_schema())
-    spec = metadata.default_spec()
-    result_types = {}
-    for pf in spec.fields:
-        src = schema.field_by_id(pf.source_id)
-        tname = src.field_type if isinstance(src.field_type, str) else "string"
-        result_types[pf.name] = pf.transform.result_type(tname)
 
-    part_pred = project_to_partition(predicate, schema, spec) if predicate is not None else None
+    # After partition evolution, manifests written under different specs
+    # coexist in one snapshot; each must be decoded and pruned with its own
+    # spec (the reference stores partition_spec_id per manifest-list entry,
+    # manifest_list.rs:26-59). Lazily build (result_types, projected
+    # predicate) per spec id.
+    _spec_cache: dict[int, tuple[dict, object]] = {}
+
+    def for_spec(spec_id: int) -> tuple[dict, object]:
+        if spec_id not in _spec_cache:
+            spec = metadata.partition_specs.get(spec_id, metadata.default_spec())
+            result_types = {}
+            for pf in spec.fields:
+                try:
+                    src = schema.field_by_id(pf.source_id)
+                except KeyError:
+                    continue  # source column dropped by schema evolution
+                tname = src.field_type if isinstance(src.field_type, str) else "string"
+                result_types[pf.name] = pf.transform.result_type(tname)
+            part_pred = (
+                project_to_partition(predicate, schema, spec) if predicate is not None else None
+            )
+            _spec_cache[spec_id] = (result_types, part_pred)
+        return _spec_cache[spec_id]
 
     manifest_rows = read_manifest_list(snapshot.manifest_list)
     out: list[DataFile] = []
     for row in manifest_rows:
+        result_types, part_pred = for_spec(row.get("partition_spec_id", metadata.default_spec_id))
         if sequence_number_range is not None:
             start, end = sequence_number_range
             # whole manifest outside (start, end] → skip without opening it

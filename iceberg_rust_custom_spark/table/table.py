@@ -42,6 +42,46 @@ class Table:
 
         return SchemaUpdate(self)
 
+    def update_partition_spec(self, *transforms: str) -> "Table":
+        """Partition evolution: switch new writes to a new spec, e.g.
+        ``t.update_partition_spec("month(o_orderdate)", "bucket(16, o_custkey)")``.
+        Old data files keep their old layout and stay readable — scans
+        decode each manifest with the spec it was written under; pruning is
+        exact for files under the new spec and falls back to file-level
+        stats for the rest. ``compact()`` rewrites everything under the new
+        spec. Fields identical to a prior spec's (same source, same
+        transform) keep their field id and name, per Iceberg's evolution
+        rule."""
+        from iceberg_rust_custom_spark.ddl import parse_transform
+        from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
+
+        md = self.metadata
+        schema = md.current_schema()
+        pairs = [parse_transform(t.strip()) for t in transforms]
+        reuse = {}
+        max_field_id = 999
+        for spec in md.partition_specs.values():
+            for pf in spec.fields:
+                reuse[(pf.source_id, pf.transform.name)] = pf
+                max_field_id = max(max_field_id, pf.field_id)
+        new_spec_id = max(md.partition_specs) + 1 if md.partition_specs else 0
+        spec = PartitionSpec.build(
+            schema, *pairs, spec_id=new_spec_id, first_field_id=max_field_id + 1, reuse=reuse
+        )
+        names = [f.name for f in spec.fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate partition field names in new spec: {names}")
+        for other in md.partition_specs.values():
+            for pf in other.fields:
+                for nf in spec.fields:
+                    if nf.name == pf.name and nf.field_id != pf.field_id:
+                        raise ValueError(
+                            f"partition field name {nf.name!r} already used by spec "
+                            f"{other.spec_id} with a different transform"
+                        )
+        self.metadata = self.new_transaction().update_spec(spec).commit()
+        return self
+
     def new_transaction(self, branch: str = MAIN_BRANCH) -> Transaction:
         return Transaction(self.catalog, self.identifier, self.metadata, branch)
 

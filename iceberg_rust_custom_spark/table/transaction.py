@@ -97,6 +97,17 @@ class Transaction:
         self._extra_updates.append({"action": "set-current-schema", "schema-id": schema_id})
         return self
 
+    def update_spec(self, spec) -> "Transaction":
+        """Partition evolution: register a new spec and make it the default
+        (reference models this as AddPartitionSpec + SetDefaultSpec commit
+        updates — catalog/commit.rs:303-317 — but never wires an API to it).
+        Existing data files keep their old spec; only new writes use this
+        one. Scan planning prunes each manifest with the spec it was written
+        under."""
+        self._extra_updates.append({"action": "add-spec", "spec": spec.to_dict()})
+        self._extra_updates.append({"action": "set-default-spec", "spec-id": spec.spec_id})
+        return self
+
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Transaction":
         self._extra_updates.append(
             {
@@ -223,10 +234,17 @@ class Transaction:
         rows: list[dict] = []
 
         # best-fit: merge into the smallest existing manifest if it stays
-        # within the sqrt-law limit; otherwise start new manifest(s)
+        # within the sqrt-law limit; otherwise start new manifest(s).
+        # Only same-spec manifests are merge candidates — a manifest's
+        # partition tuples are decoded with ONE spec at scan time, so mixing
+        # specs inside a manifest would corrupt pruning after evolution.
+        spec_id = metadata.default_spec_id
         merge_target = None
-        if existing_rows:
-            smallest = min(existing_rows, key=lambda r: r["added_files_count"] + r["existing_files_count"])
+        candidates = [
+            r for r in existing_rows if r.get("partition_spec_id", 0) == spec_id
+        ]
+        if candidates:
+            smallest = min(candidates, key=lambda r: r["added_files_count"] + r["existing_files_count"])
             if (
                 smallest["added_files_count"] + smallest["existing_files_count"] + len(new_entries)
                 <= limit
@@ -244,25 +262,26 @@ class Transaction:
                 if e.status != 2
             ]
             path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, carried + new_entries))
+            rows.append(write_manifest(path, carried + new_entries, spec_id))
         else:
             for chunk_start in range(0, len(new_entries), max(limit, 1)):
                 chunk = new_entries[chunk_start : chunk_start + max(limit, 1)]
                 path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-                rows.append(write_manifest(path, chunk))
+                rows.append(write_manifest(path, chunk, spec_id))
         return rows
 
     def _build_rewrite_manifests(self, metadata, meta_dir, snap_id, seq) -> list[dict]:
         entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._rewrite or []]
         limit = _manifest_size_limit(len(entries))
+        spec_id = metadata.default_spec_id
         rows = []
         for chunk_start in range(0, len(entries), max(limit, 1)):
             chunk = entries[chunk_start : chunk_start + max(limit, 1)]
             path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, chunk))
+            rows.append(write_manifest(path, chunk, spec_id))
         if not entries:
             path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, []))
+            rows.append(write_manifest(path, [], spec_id))
         return rows
 
     def _delete_replaced_files(self, old_metadata: TableMetadata) -> None:
