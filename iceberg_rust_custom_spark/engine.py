@@ -199,15 +199,30 @@ class Engine:
             out["__version__"] = "outdated"
         return out
 
-    def refresh_materialized_view(self, name: str) -> bool:
-        """Full refresh iff stale; records new RefreshState in the storage
+    def refresh_materialized_view(self, name: str, mode: str = "auto"):
+        """Refresh iff stale; records new RefreshState in the storage
         table's snapshot summary (reference: materialized_view.rs:29-207 +
-        rewrite_with_lineage, transaction/mod.rs:97-121). Returns True if a
-        refresh ran."""
+        rewrite_with_lineage, transaction/mod.rs:97-121).
+
+        ``mode``: "auto" tries incremental maintenance first — delta-append
+        for select-project-filter views, partial-aggregate merge for
+        single-table GROUP BY views — and falls back to full recompute
+        whenever the SQL shape or the source history (non-append commits)
+        rules it out. "incremental" behaves like auto; "full" forces a
+        recompute. The reference leaves incremental refresh unimplemented
+        (README.md:22-46; empty __delta__ placeholders,
+        materialized_view.rs:147-159).
+
+        Returns False when already fresh, else the refresh flavor that ran:
+        "full" | "incremental-append" | "incremental-aggregate"."""
         md = self._load_view_metadata(name)
         freshness = self.materialized_view_freshness(name)
         if freshness and all(v == "fresh" for v in freshness.values()):
             return False
+        if mode in ("auto", "incremental"):
+            ran = self._try_incremental_refresh(md, freshness)
+            if ran:
+                return ran
         source_states = {}
         for rel in find_relations(md.current_sql()):
             ident = Identifier.parse(rel)
@@ -225,7 +240,63 @@ class Engine:
         storage.metadata = (
             storage.new_transaction().rewrite_with_lineage(files, refresh_state).commit()
         )
-        return True
+        return "full"
+
+    def _try_incremental_refresh(self, md, freshness):
+        """Incremental maintenance when sound; False → caller does a full
+        refresh. See views/incremental.py for the classification rules."""
+        from iceberg_rust_custom_spark.views.incremental import (
+            appends_only_since,
+            classify_view_sql,
+            merge_partial_aggregates,
+        )
+
+        if freshness.get("__version__") == "outdated":
+            return False  # view SQL changed — delta of the old SQL is useless
+        plan = classify_view_sql(md.current_sql())
+        if plan is None:
+            return False
+        ident = Identifier.parse(plan.relation)
+        if not self.catalog.tabular_exists(ident):
+            return False
+        _, kind = self.catalog.load(ident)
+        if kind != "table":
+            return False  # view-over-view: full refresh
+        src = self.load_table(plan.relation)
+        storage = self.load_table(md.storage_table)
+        snap = storage.metadata.snapshot_for_ref()
+        state = (snap.summary.get("refresh-state") if snap else None) or {}
+        stored_id = state.get("source-table-states", {}).get(src.metadata.table_uuid)
+        if stored_id is None or not appends_only_since(src.metadata, stored_id):
+            return False
+        from_seq = src.metadata.snapshots[stored_id].sequence_number
+
+        delta = src.incremental_scan(from_seq)
+        delta.createOrReplaceTempView(transform_name(plan.relation))
+        delta_result = self.spark.sql(transform_relations(md.current_sql()))
+
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+            },
+        }
+        data_dir = os.path.join(
+            storage.metadata.location, "data", _uuid.uuid4().hex[:12]
+        )
+        if plan.mode == "append":
+            files = write_partitioned(delta_result, storage.metadata, data_dir)
+            storage.metadata = (
+                storage.new_transaction().append_with_lineage(files, new_state).commit()
+            )
+            return "incremental-append"
+        merged = merge_partial_aggregates(storage.scan(), delta_result, plan)
+        merged = merged.select(*[f.name for f in storage.metadata.current_schema().fields])
+        files = write_partitioned(merged, storage.metadata, data_dir)
+        storage.metadata = (
+            storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
+        )
+        return "incremental-aggregate"
 
     def register_function_registry(self) -> None:
         """Expose maintenance entry points as session SQL functions, mirroring

@@ -18,6 +18,7 @@ driven by the table schema at pruning time.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
 from dataclasses import dataclass, field
 
@@ -40,6 +41,8 @@ def encode_value(v):
         return v.hex()
     if isinstance(v, _dt.timedelta):
         return v.total_seconds()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)  # exact; decimal bounds round-trip losslessly
     return v
 
 
@@ -52,6 +55,8 @@ def decode_value(v, type_name: str):
         return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
     if type_name == "binary" or type_name.startswith("fixed"):
         return bytes.fromhex(v) if isinstance(v, str) else v
+    if type_name.startswith("decimal"):
+        return _decimal.Decimal(v) if isinstance(v, str) else v
     return v
 
 

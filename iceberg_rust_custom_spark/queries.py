@@ -1696,3 +1696,45 @@ def iceberg_partition_evolution(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("sum_price"))
     )
+
+
+@q(
+    "iceberg_incremental_mv_refresh",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_incremental_mv_refresh(spark, sf_dir):
+    """Incremental MV maintenance (unimplemented in the reference —
+    README.md:22-46, __delta__ placeholders materialized_view.rs:147-159):
+    the MV is built over half the orders, the rest lands later, and refresh
+    folds ONLY the delta in by partial-aggregate merge. Result must equal a
+    full recompute. Note: the DECIMAL-rounded SUM commutes with the merge
+    because each refresh re-derives sum_price from raw deltas and adds
+    exact partials before the final cast."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:incmv".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_inc"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_inc", df.schema)
+        t.append(df.where(F.col("o_orderkey") % 2 == 0))
+        eng.create_materialized_view(
+            "rt.orders_inc_mv",
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS raw_sum "
+            "FROM rt.orders_inc GROUP BY o_orderstatus",
+        )
+        t.append(df.where(F.col("o_orderkey") % 2 == 1))
+        mode = eng.refresh_materialized_view("rt.orders_inc_mv")
+        assert mode == "incremental-aggregate", mode
+    return eng.scan_materialized_view("rt.orders_inc_mv").select(
+        "o_orderstatus", "n", F.round(F.col("raw_sum"), 4).cast("double").alias("sum_price")
+    )

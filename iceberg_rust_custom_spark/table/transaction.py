@@ -69,6 +69,15 @@ class Transaction:
         self._appends.extend(files)
         return self
 
+    def append_with_lineage(self, files: list[DataFile], refresh_state: dict) -> "Transaction":
+        """Append carrying MV RefreshState — incremental refresh commits
+        deltas without rewriting the storage table (the reference only has
+        the rewrite flavor; its incremental path is an unimplemented
+        placeholder — materialized_view.rs:147-159)."""
+        self._appends.extend(files)
+        self._summary_extra["refresh-state"] = refresh_state
+        return self
+
     def rewrite(self, files: list[DataFile]) -> "Transaction":
         """Replace the entire visible file set (compaction / overwrite)."""
         self._rewrite = list(files)
@@ -175,7 +184,11 @@ class Transaction:
                 )
             else:
                 manifest_rows = self._build_append_manifests(metadata, parent, meta_dir, snap_id, seq)
-                summary = {"operation": "append", "added-data-files": str(len(self._appends))}
+                summary = {
+                    "operation": "append",
+                    "added-data-files": str(len(self._appends)),
+                    **self._summary_extra,
+                }
 
             ml_path = os.path.join(meta_dir, f"snap-{snap_id}.manifest-list.parquet")
             write_manifest_list(ml_path, manifest_rows)

@@ -69,7 +69,8 @@ def test_materialized_view_refresh(engine, spark):
 
     t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
     assert engine.materialized_view_freshness("test.orders_mv")["test.orders"] == "outdated"
-    assert engine.refresh_materialized_view("test.orders_mv") is True
+    # single-table GROUP BY SUM → maintained by partial-aggregate merge
+    assert engine.refresh_materialized_view("test.orders_mv") == "incremental-aggregate"
     got = {r["product_id"]: r["total"] for r in engine.scan_materialized_view("test.orders_mv").collect()}
     assert got == {1: 9, 2: 2, 3: 4}
 
@@ -81,3 +82,98 @@ def test_engine_sql_joins_tables_and_views(engine, spark):
         "SELECT o.product_id, SUM(o.amount) AS total FROM test.orders o GROUP BY o.product_id ORDER BY 1"
     )
     assert [(r["product_id"], r["total"]) for r in df.collect()] == [(1, 7), (2, 1), (3, 3)]
+
+
+# ---------------------------------------------------------------- incremental
+def _rows(engine, name):
+    return {tuple(r) for r in engine.scan_materialized_view(name).collect()}
+
+
+def test_incremental_append_mode(engine, spark):
+    """SPJ view: refresh after a source append only appends the delta to
+    storage (no storage rewrite — snapshot operation stays 'append')."""
+    t = engine.create_table("test.orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.spj_mv", "SELECT id, amount FROM test.orders WHERE product_id = 1"
+    )
+    assert _rows(engine, "test.spj_mv") == {(1, 1), (2, 1), (3, 3), (5, 2)}
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    assert engine.refresh_materialized_view("test.spj_mv") == "incremental-append"
+    assert _rows(engine, "test.spj_mv") == {(1, 1), (2, 1), (3, 3), (5, 2), (8, 2)}
+    storage = engine.load_table("test.spj_mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    assert snap.summary["operation"] == "append"
+    assert snap.summary["refresh-state"]["source-table-states"] == {
+        t.metadata.table_uuid: t.metadata.current_snapshot_id
+    }
+
+
+def test_incremental_aggregate_min_max_count(engine, spark):
+    t = engine.create_table("test.orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.agg_mv",
+        "SELECT customer_id, COUNT(*) AS n, MIN(amount) AS lo, MAX(amount) AS hi "
+        "FROM test.orders GROUP BY customer_id",
+    )
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    assert engine.refresh_materialized_view("test.agg_mv") == "incremental-aggregate"
+    assert _rows(engine, "test.agg_mv") == {(1, 4, 1, 2), (2, 3, 1, 2), (3, 2, 3, 3)}
+
+
+def test_incremental_falls_back_to_full_after_overwrite(engine, spark):
+    """A non-append source commit (DELETE) invalidates delta maintenance."""
+    t = engine.create_table("test.orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.full_mv",
+        "SELECT product_id, SUM(amount) AS total FROM test.orders GROUP BY product_id",
+    )
+    engine.sql("DELETE FROM test.orders WHERE product_id = 3")
+    assert engine.refresh_materialized_view("test.full_mv") == "full"
+    assert _rows(engine, "test.full_mv") == {(1, 7), (2, 1)}
+
+
+def test_join_view_always_full(engine, spark):
+    t = engine.create_table("test.orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    c = engine.create_table(
+        "test.cust",
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "customer_id long, name string").schema,
+    )
+    c.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "customer_id long, name string"))
+    engine.create_materialized_view(
+        "test.join_mv",
+        "SELECT name, SUM(amount) AS total FROM test.orders o JOIN test.cust c "
+        "ON o.customer_id = c.customer_id GROUP BY name",
+    )
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    assert engine.refresh_materialized_view("test.join_mv") == "full"
+    assert _rows(engine, "test.join_mv") == {("a", 5), ("b", 4), ("c", 6)}
+
+
+def test_forced_full_mode(engine, spark):
+    t = engine.create_table("test.orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.fmv", "SELECT id, amount FROM test.orders WHERE amount > 1"
+    )
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    assert engine.refresh_materialized_view("test.fmv", mode="full") == "full"
+    assert _rows(engine, "test.fmv") == {(3, 3), (5, 2), (6, 3), (8, 2)}
+
+
+def test_classifier_shapes():
+    from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+    p = classify_view_sql("SELECT a, b FROM ns.t WHERE a > 1")
+    assert p.mode == "append" and p.relation == "ns.t"
+    p = classify_view_sql("SELECT k, SUM(v) AS s, COUNT(*) AS n FROM ns.t GROUP BY k")
+    assert p.mode == "aggregate" and p.group_keys == ("k",)
+    assert p.merge_ops == {"s": "sum", "n": "sum"}
+    assert classify_view_sql("SELECT k, AVG(v) AS a FROM ns.t GROUP BY k") is None
+    assert classify_view_sql("SELECT a FROM t1 JOIN t2 ON t1.k = t2.k") is None
+    assert classify_view_sql("SELECT DISTINCT a FROM t") is None
+    assert classify_view_sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY s") is None
+    assert classify_view_sql("SELECT upper(k), SUM(v) AS s FROM t GROUP BY upper(k)") is None
