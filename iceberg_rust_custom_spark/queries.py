@@ -1738,3 +1738,38 @@ def iceberg_incremental_mv_refresh(spark, sf_dir):
     return eng.scan_materialized_view("rt.orders_inc_mv").select(
         "o_orderstatus", "n", F.round(F.col("raw_sum"), 4).cast("double").alias("sum_price")
     )
+
+
+@q(
+    "iceberg_mor_delete",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE NOT (l_quantity < 10) GROUP BY l_returnflag
+    """,
+)
+def iceberg_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE: position-delete tombstones + scan-side anti
+    join, no data-file rewrite — delete cost tracks rows deleted, not bytes
+    resident (the 100 TB cost model; reference leaves delete unimplemented,
+    README.md:22-46)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    tag = hashlib.md5(f"{sf_dir}:mordel".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.li_mor"):
+        df = _t(spark, sf_dir, "lineitem")
+        t = eng.create_table("rt.li_mor", df.schema)
+        t.append(df)
+        delete_where(t, "l_quantity < 10", mode="merge-on-read")
+    return (
+        eng.load_table("rt.li_mor")
+        .scan()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )

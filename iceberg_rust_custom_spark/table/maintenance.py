@@ -29,7 +29,11 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     snap = md.snapshot_for_ref()
     if snap is None:
         return table
-    from iceberg_rust_custom_spark.table.scan import plan_files
+    from iceberg_rust_custom_spark.table.scan import (
+        plan_delete_files,
+        plan_files,
+        scan_to_dataframe,
+    )
 
     files = plan_files(md, snap)
     if not files:
@@ -37,8 +41,13 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     total_bytes = sum(f.file_size_in_bytes for f in files)
     n_tasks = max(1, math.ceil(total_bytes / target))
 
-    schema = md.current_schema().spark_schema()
-    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in files])
+    if plan_delete_files(md, snap):
+        # merge-on-read deletes materialize here: the scan applies them,
+        # the rewrite commit drops the delete files with the old data files
+        df = scan_to_dataframe(table.spark, md, snap)
+    else:
+        schema = md.current_schema().spark_schema()
+        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in files])
     spec = md.default_spec()
     if not spec.is_partitioned:
         df = df.repartition(n_tasks)
@@ -69,33 +78,51 @@ def maintain(table: Table, small_file_bytes: int | None = None, min_small_files:
     return compact(table, target)
 
 
-def delete_where(table: Table, predicate) -> Table:
-    """Row-level DELETE, copy-on-write.
+def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
+    """Row-level DELETE. The reference *detects* delete files but never
+    applies them (table/mod.rs:156-166; README lists delete as
+    unimplemented) — this is the Spark-native completion of that gap.
 
-    The reference *detects* delete files but never applies them
-    (table/mod.rs:156-166; README lists delete as unimplemented) — this is
-    the Spark-native completion of that gap. Plan:
+    ``mode`` (default: the table property ``write.delete.mode``, else
+    copy-on-write):
 
-    1. two-level pruning selects only files that MAY contain matching rows —
-       files whose stats exclude the predicate are carried over untouched
-       (no read, no write, metadata-only);
-    2. one distributed job rewrites just the matched files with
-       ``predicate IS NOT TRUE`` (NULL predicate rows are kept, SQL DELETE
-       semantics);
-    3. one Rewrite commit swaps (untouched + rewritten) atomically.
+    * ``copy-on-write`` — rewrite only the files that MAY contain matching
+      rows (two-level pruning carries the rest over untouched), one atomic
+      Rewrite commit. Best for bulk deletes / read-heavy tables.
+    * ``merge-on-read`` — write a tiny position-delete file
+      (file_path, pos) and commit it as metadata; scans anti-join it away.
+      At 100 TB this is the only sane cost model for selective deletes:
+      work scales with rows deleted, not bytes resident. ``compact()``
+      materializes the deletes back into pure data files.
     """
     from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
-    from iceberg_rust_custom_spark.table.scan import plan_files
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
 
     md = table.metadata
     snap = md.snapshot_for_ref()
     if snap is None:
         return table
+    mode = mode or md.properties.get("write.delete.mode", "copy-on-write")
     expr = parse_predicate(predicate) if isinstance(predicate, str) else predicate
-    all_files = plan_files(md, snap)
     matched = plan_files(md, snap, expr)
     if not matched:
         return table
+
+    if mode == "merge-on-read":
+        return _delete_merge_on_read(table, expr, matched)
+
+    all_files = plan_files(md, snap)
+    if plan_delete_files(md, snap):
+        # pending position deletes + full-set rewrite would resurrect rows
+        # in carried-over files; materialize them first (one-time cost,
+        # exactly what scheduled maintenance would have done)
+        table = compact(table)
+        md = table.metadata
+        snap = md.snapshot_for_ref()
+        all_files = plan_files(md, snap)
+        matched = plan_files(md, snap, expr)
+        if not matched:
+            return table
     matched_paths = {f.file_path for f in matched}
     untouched = [f for f in all_files if f.file_path not in matched_paths]
 
@@ -105,6 +132,54 @@ def delete_where(table: Table, predicate) -> Table:
     data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(kept, md, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
+    return table
+
+
+def _delete_merge_on_read(table: Table, expr, matched) -> Table:
+    """Write (file_path, pos) rows for predicate-matching rows of the
+    pruned candidate files; commit as a content=1 append. One narrow scan
+    of candidates, no data rewrite."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+
+    md = table.metadata
+    spark = table.spark
+    schema = md.current_schema().spark_schema()
+    src = spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    hits = (
+        src.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        )
+        .filter(f"coalesce(({expr.sql()}), false)")
+        .select("file_path", "pos")
+    )
+    out_dir = os.path.join(md.location, "data", "pos-deletes-" + _uuid.uuid4().hex[:12])
+    # deletes are tiny; a single sorted file keeps the scan-side join cheap
+    hits.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
+    files = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, name)
+        pf = _pq.ParquetFile(path)
+        if pf.metadata.num_rows == 0:
+            continue
+        files.append(
+            DataFile(
+                file_path=path,
+                record_count=pf.metadata.num_rows,
+                file_size_in_bytes=os.path.getsize(path),
+                content=1,
+                schema_id=md.current_schema_id,
+            )
+        )
+    if not files:
+        return table  # predicate matched file stats but no actual rows
+    table.metadata = table.new_transaction().append_deletes(files).commit()
     return table
 
 
@@ -122,12 +197,19 @@ def merge_upsert(table: Table, source, key_cols: list[str]) -> Table:
     sides on the key, or bucket the table, to make it co-located.
     """
     from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
-    from iceberg_rust_custom_spark.table.scan import plan_files
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
 
     md = table.metadata
     snap = md.snapshot_for_ref()
     if snap is None:
         return table.append(source)
+    if plan_delete_files(md, snap):
+        # materialize pending position deletes before the copy-on-write
+        # merge (its full-set Rewrite would otherwise drop them and
+        # resurrect deleted rows in carried-over files)
+        table = compact(table)
+        md = table.metadata
+        snap = md.snapshot_for_ref()
 
     k = key_cols[0]
     bounds = source.selectExpr(f"min({k}) AS lo", f"max({k}) AS hi").first()

@@ -141,6 +141,8 @@ def plan_files(
                 )
                 if not may_match(part_pred, pb):
                     continue  # exact partition-tuple skip
+            if df.content != 0:
+                continue  # position-delete files: plan_delete_files
             if predicate is not None:
                 fb = FileBounds(
                     df.lower_bounds, df.upper_bounds, df.null_value_counts, df.value_counts, schema
@@ -148,6 +150,21 @@ def plan_files(
                 if not may_match(predicate, fb):
                     continue  # file-level stats skip
             out.append(df)
+    return out
+
+
+def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> list[DataFile]:
+    """All live position-delete files (content=1). Never pruned by the scan
+    predicate — a delete must suppress its row no matter what the query
+    filters on. Delete files are metadata-scale (path+pos pairs), so
+    reading them all is cheap."""
+    if snapshot is None:
+        return []
+    out = []
+    for row in read_manifest_list(snapshot.manifest_list):
+        for entry in read_manifest(row["manifest_path"]):
+            if entry.status != STATUS_DELETED and entry.data_file.content == 1:
+                out.append(entry.data_file)
     return out
 
 
@@ -168,13 +185,19 @@ def scan_to_dataframe(
     if use_snapshot_schema and snapshot is not None:
         schema = metadata.schemas.get(snapshot.schema_id, schema)
     files = plan_files(metadata, snapshot, predicate)
+    deletes = plan_delete_files(metadata, snapshot)
     spark_schema = schema.spark_schema()
+    lineage = bool(deletes) and bool(files)
     if not files:
         df = spark.createDataFrame([], spark_schema)
     elif len(metadata.schemas) > 1:
-        df = _read_with_field_id_resolution(spark, metadata, schema, files)
+        df = _read_with_field_id_resolution(spark, metadata, schema, files, lineage=lineage)
     else:
         df = spark.read.schema(spark_schema).parquet(*[f.file_path for f in files])
+        if lineage:
+            df = _with_lineage(df)
+    if lineage:
+        df = _apply_position_deletes(spark, df, deletes)
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
@@ -182,7 +205,33 @@ def scan_to_dataframe(
     return df
 
 
-def _read_with_field_id_resolution(spark, metadata, schema, files):
+def _with_lineage(df: DataFrame) -> DataFrame:
+    """Expose (file, row-position) via Spark's hidden _metadata columns —
+    the engine-native row address position deletes key on."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("_metadata.file_path").alias("_sg_file"),
+        F.col("_metadata.row_index").alias("_sg_pos"),
+        "*",
+    )
+
+
+def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> DataFrame:
+    """Merge-on-read: LEFT ANTI join the data stream against the (file, pos)
+    delete set. Delete files are tiny next to data, so the build side
+    broadcasts (capped — beyond 64 MB of delete files fall back to a
+    shuffle join rather than risk driver/executor memory)."""
+    from pyspark.sql import functions as F
+
+    del_df = spark.read.parquet(*[d.file_path for d in deletes]).select("file_path", "pos")
+    if sum(d.file_size_in_bytes for d in deletes) < 64 * 1024 * 1024:
+        del_df = F.broadcast(del_df)
+    cond = (df["_sg_file"] == del_df["file_path"]) & (df["_sg_pos"] == del_df["pos"])
+    return df.join(del_df, cond, "left_anti").drop("_sg_file", "_sg_pos")
+
+
+def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool = False):
     """Evolved tables: resolve columns by FIELD ID — a file written before
     ``rename_column(a→b)`` physically stores ``a``; reading it under the
     current schema must surface those values as ``b`` (and a later *new*
@@ -220,6 +269,11 @@ def _read_with_field_id_resolution(spark, metadata, schema, files):
                     exprs.append(F.lit(None).cast(type_to_spark(f.field_type)).alias(f.name))
                 else:
                     exprs.append(F.col(wf.name).cast(type_to_spark(f.field_type)).alias(f.name))
+            if lineage:
+                exprs = [
+                    F.col("_metadata.file_path").alias("_sg_file"),
+                    F.col("_metadata.row_index").alias("_sg_pos"),
+                ] + exprs
             parts.append(df.select(*exprs))
         else:
             # legacy: no write-schema recorded → coalesce over historical names
@@ -241,6 +295,11 @@ def _read_with_field_id_resolution(spark, metadata, schema, files):
                 cols = [F.col(name).cast(target_type) for name, _ in variants]
                 exprs.append((cols[0] if len(cols) == 1 else F.coalesce(*cols)).alias(f.name))
             df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+            if lineage:
+                exprs = [
+                    F.col("_metadata.file_path").alias("_sg_file"),
+                    F.col("_metadata.row_index").alias("_sg_pos"),
+                ] + exprs
             parts.append(df.select(*exprs))
 
     out = parts[0]

@@ -63,10 +63,20 @@ class Transaction:
         self._rewrite: list[DataFile] | None = None
         self._extra_updates: list[dict] = []
         self._summary_extra: dict = {}
+        self._operation = "append"
 
     # ------------------------------------------------------------ operations
     def append(self, files: list[DataFile]) -> "Transaction":
         self._appends.extend(files)
+        return self
+
+    def append_deletes(self, files: list[DataFile]) -> "Transaction":
+        """Add position-delete files (content=1) — merge-on-read DELETE.
+        Routed through the same manifest machinery as data appends, but the
+        snapshot operation is 'delete' so downstream consumers (incremental
+        MV refresh's appends-only gate) treat it as a row-changing commit."""
+        self._appends.extend(files)
+        self._operation = "delete"
         return self
 
     def append_with_lineage(self, files: list[DataFile], refresh_state: dict) -> "Transaction":
@@ -185,7 +195,7 @@ class Transaction:
             else:
                 manifest_rows = self._build_append_manifests(metadata, parent, meta_dir, snap_id, seq)
                 summary = {
-                    "operation": "append",
+                    "operation": self._operation,
                     "added-data-files": str(len(self._appends)),
                     **self._summary_extra,
                 }

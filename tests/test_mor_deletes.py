@@ -1,0 +1,122 @@
+"""Merge-on-read position deletes.
+
+The reference only *detects* delete files and never applies them
+(table/mod.rs:156-166; README.md:22-46 lists delete as unimplemented). Here
+DELETE has two modes: copy-on-write (rewrite matched files) and
+merge-on-read (write (file_path, pos) tombstones; scans anti-join them
+away) — the latter is the scale path: delete cost tracks rows deleted, not
+bytes resident."""
+
+import pytest
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import compact, delete_where, merge_upsert
+from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path))
+
+
+@pytest.fixture()
+def t(eng, spark):
+    eng.sql("CREATE TABLE ns.d (id BIGINT, grp STRING, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.d")
+    rows = [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(100)]
+    t.append(spark.createDataFrame(rows, "id long, grp string, v double"))
+    t.append(spark.createDataFrame([(100 + i, "late", 0.0) for i in range(10)], "id long, grp string, v double"))
+    return t
+
+
+def _datafiles(t):
+    return plan_files(t.metadata, t.metadata.snapshot_for_ref())
+
+
+def test_mor_delete_hides_rows_without_rewriting_data(t):
+    before = {f.file_path for f in _datafiles(t)}
+    delete_where(t, "grp = 'odd'", mode="merge-on-read")
+    assert t.scan().count() == 60
+    assert t.scan().where("grp = 'odd'").count() == 0
+    after = {f.file_path for f in _datafiles(t)}
+    assert after == before  # no data file rewritten
+    assert len(plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())) >= 1
+    snap = t.metadata.snapshot_for_ref()
+    assert snap.summary["operation"] == "delete"
+
+
+def test_mor_deletes_accumulate(t):
+    delete_where(t, "id < 10", mode="merge-on-read")
+    delete_where(t, "id >= 90 and id < 100", mode="merge-on-read")
+    assert t.scan().count() == 90
+    assert t.scan().selectExpr("min(id) AS m").first().m == 10
+
+
+def test_mor_matches_cow_result(eng, spark):
+    rows = [(i, float(i)) for i in range(50)]
+    for name, mode in (("ns.c1", "copy-on-write"), ("ns.c2", "merge-on-read")):
+        eng.sql(f"CREATE TABLE {name.replace('ns.', 'ns.')} (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+        tt = eng.load_table(name)
+        tt.append(spark.createDataFrame(rows, "id long, v double"))
+        delete_where(tt, "id < 17", mode=mode)
+    a = {r.id for r in eng.load_table("ns.c1").scan().collect()}
+    b = {r.id for r in eng.load_table("ns.c2").scan().collect()}
+    assert a == b and len(a) == 33
+
+
+def test_time_travel_sees_pre_delete_rows(t):
+    pre = t.metadata.current_snapshot_id
+    delete_where(t, "grp = 'late'", mode="merge-on-read")
+    assert t.scan().count() == 100
+    assert t.scan(snapshot_id=pre).count() == 110  # old snapshot: no deletes
+
+
+def test_compact_materializes_deletes(t):
+    delete_where(t, "grp = 'even'", mode="merge-on-read")
+    assert t.scan().count() == 60
+    compact(t)
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+    assert t.scan().count() == 60
+    assert t.scan().where("grp = 'even'").count() == 0
+
+
+def test_cow_delete_after_mor_does_not_resurrect(t):
+    delete_where(t, "id < 20", mode="merge-on-read")
+    delete_where(t, "grp = 'late'", mode="copy-on-write")
+    assert t.scan().count() == 80
+    assert t.scan().where("id < 20").count() == 0
+
+
+def test_merge_upsert_respects_pending_deletes(t, eng, spark):
+    delete_where(t, "id < 50", mode="merge-on-read")
+    src = spark.createDataFrame([(200, "new", 1.0), (60, "odd", -60.0)], "id long, grp string, v double")
+    merge_upsert(t, src, ["id"])
+    assert t.scan().where("id < 50").count() == 0  # deleted rows stay gone
+    got = {r.id: r.v for r in t.scan().where("id in (60, 200)").collect()}
+    assert got == {60: -60.0, 200: 1.0}
+    assert t.scan().count() == 61  # 50..109 (60 rows) + id=200, with 60 updated
+
+
+def test_noop_when_no_rows_match(t):
+    n_snaps = len(t.metadata.snapshots)
+    delete_where(t, "id = 99999", mode="merge-on-read")
+    assert len(t.metadata.snapshots) == n_snaps  # no commit for zero hits
+    assert t.scan().count() == 110
+
+
+def test_scan_predicate_composes_with_deletes(t):
+    delete_where(t, "id >= 100", mode="merge-on-read")
+    assert t.scan("grp = 'late'").count() == 0
+    assert t.scan("id < 5").count() == 5
+
+
+def test_table_property_selects_mode(eng, spark):
+    eng.sql("CREATE TABLE ns.p (id BIGINT) STORED AS ICEBERG")
+    tt = eng.load_table("ns.p")
+    tt.metadata = tt.new_transaction().set_properties({"write.delete.mode": "merge-on-read"}).commit()
+    tt.append(spark.createDataFrame([(i,) for i in range(20)], "id long"))
+    before = {f.file_path for f in _datafiles(tt)}
+    eng.sql("DELETE FROM ns.p WHERE id < 5")
+    tt.refresh()
+    assert {f.file_path for f in plan_files(tt.metadata, tt.metadata.snapshot_for_ref())} == before
+    assert tt.scan().count() == 15
