@@ -105,3 +105,41 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio(payload: bytes, duration_ms: int | None, fake: bool = False) -> dict:
+    """Stub decoder. Real impl: soundfile/librosa. fake=True → deterministic
+    pseudo-decode (byte-length-derived) so the pipeline shape is testable."""
+    if not fake:
+        raise NotImplementedError("audio decoding requires an audio library not present in this container")
+    n = len(payload or b"")
+    d = max(int(duration_ms or 0), 1)
+    return {"n_bytes": n, "byte_rate": n / d}
+
+
+def extract_audio_features(df: DataFrame, frame_ms: int = 20, fake: bool = True) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: one row per
+    media with frame count and a payload-derived level. Arrow-batched
+    mapInPandas — the real-decoder swap point; frame math stays identical.
+    Planning-only projections (no payload) let Catalyst drop the binary
+    column from scans that never decode."""
+    out_schema = "media_id long, n_bytes long, n_frames long, byte_rate double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_audio(p, d, fake=fake)
+                for p, d in zip(pdf["payload"], pdf["duration_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series([f["n_bytes"] for f in feats], dtype="int64"),
+                    "n_frames": (
+                        pdf["duration_ms"].fillna(0).astype("int64") + frame_ms - 1
+                    ) // frame_ms,
+                    "byte_rate": pd.Series([f["byte_rate"] for f in feats], dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "payload", "duration_ms").mapInPandas(op, out_schema)

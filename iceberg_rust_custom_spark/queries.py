@@ -1773,3 +1773,70 @@ def iceberg_mor_delete(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
     )
+
+
+@q(
+    "iceberg_mor_merge_upsert",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderstatus, o_totalprice AS price FROM orders WHERE o_orderkey % 100 <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders WHERE o_orderkey % 100 = 0
+    ) GROUP BY o_orderstatus
+    """,
+)
+def iceberg_mor_merge_upsert(spark, sf_dir):
+    """Merge-on-read MERGE: matched rows are tombstoned (position deletes),
+    the source appends — no target file rewritten; merge cost tracks source
+    size, the streaming-upsert cost model at 100 TB. Same post-merge state
+    as the copy-on-write flavor."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import merge_upsert
+
+    tag = hashlib.md5(f"{sf_dir}:mormrg".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_mormrg"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_mormrg", df.schema)
+        t.append(df)
+        src = df.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        merge_upsert(t, src, ["o_orderkey"], mode="merge-on-read")
+    return (
+        eng.load_table("rt.orders_mormrg")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(CEIL(((doc_id % 10 + 1) * 1000) / 20.0) AS BIGINT) AS n_frames,
+           octet_length(encode(text)) / CAST((doc_id % 10 + 1) * 1000 AS DOUBLE) AS byte_rate
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio-modality plumbing: binary payload + duration metadata through
+    Arrow-batched mapInPandas (decode stubbed — deterministic byte-derived
+    fake, exactly reproducible in SQL over the utf-8 payload)."""
+    from iceberg_rust_custom_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
+    )
+    return M.extract_audio_features(media, frame_ms=20, fake=True)

@@ -135,30 +135,16 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
     return table
 
 
-def _delete_merge_on_read(table: Table, expr, matched) -> Table:
-    """Write (file_path, pos) rows for predicate-matching rows of the
-    pruned candidate files; commit as a content=1 append. One narrow scan
-    of candidates, no data rewrite."""
+def _write_position_deletes(table: Table, hits) -> list:
+    """Write a (file_path, pos) DataFrame as position-delete parquet and
+    return the content=1 DataFile entries. Deletes are tiny next to data;
+    one sorted file keeps the scan-side broadcast join cheap."""
     import pyarrow.parquet as _pq
-    from pyspark.sql import functions as F
 
     from iceberg_rust_custom_spark.metadata.manifest import DataFile
 
     md = table.metadata
-    spark = table.spark
-    schema = md.current_schema().spark_schema()
-    src = spark.read.schema(schema).parquet(*[f.file_path for f in matched])
-    hits = (
-        src.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-            "*",
-        )
-        .filter(f"coalesce(({expr.sql()}), false)")
-        .select("file_path", "pos")
-    )
     out_dir = os.path.join(md.location, "data", "pos-deletes-" + _uuid.uuid4().hex[:12])
-    # deletes are tiny; a single sorted file keeps the scan-side join cheap
     hits.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
     files = []
     for name in sorted(os.listdir(out_dir)):
@@ -177,24 +163,50 @@ def _delete_merge_on_read(table: Table, expr, matched) -> Table:
                 schema_id=md.current_schema_id,
             )
         )
+    return files
+
+
+def _delete_merge_on_read(table: Table, expr, matched) -> Table:
+    """Write (file_path, pos) rows for predicate-matching rows of the
+    pruned candidate files; commit as a content=1 append. One narrow scan
+    of candidates, no data rewrite."""
+    from pyspark.sql import functions as F
+
+    md = table.metadata
+    schema = md.current_schema().spark_schema()
+    src = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    hits = (
+        src.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        )
+        .filter(f"coalesce(({expr.sql()}), false)")
+        .select("file_path", "pos")
+    )
+    files = _write_position_deletes(table, hits)
     if not files:
         return table  # predicate matched file stats but no actual rows
     table.metadata = table.new_transaction().append_deletes(files).commit()
     return table
 
 
-def merge_upsert(table: Table, source, key_cols: list[str]) -> Table:
-    """MERGE/upsert, copy-on-write: delete-matching + insert-all-source
-    (WHEN MATCHED THEN UPDATE (full row) / WHEN NOT MATCHED THEN INSERT).
+def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = None) -> Table:
+    """MERGE/upsert: delete-matching + insert-all-source (WHEN MATCHED THEN
+    UPDATE (full row) / WHEN NOT MATCHED THEN INSERT). Beyond the reference
+    (no row-level ops there).
 
-    Beyond the reference (no row-level ops there). Scale shape:
-    1. the source's key range prunes target files via file stats — files
-       that cannot contain matched keys carry over untouched;
-    2. one distributed job: matched files LEFT ANTI JOIN source keys
-       (drop rows being upserted) UNION the full source;
-    3. one atomic Rewrite commit.
-    The anti join shuffles on the key — at cluster scale pre-partition both
-    sides on the key, or bucket the table, to make it co-located.
+    ``mode`` (default: table property ``write.merge.mode``, else
+    copy-on-write):
+
+    * ``copy-on-write`` — key-range pruning picks candidate files; one job
+      rewrites them (matched LEFT ANTI source keys, UNION source); one
+      atomic Rewrite. Best when merges touch a large fraction of files.
+    * ``merge-on-read`` — position-delete tombstones for matched rows +
+      plain append of the source; NO data file rewritten. Merge cost
+      tracks source size, not target size — the streaming-upsert cost
+      model at 100 TB. Scans pay one broadcast anti-join until
+      ``compact()`` folds the tombstones in.
     """
     from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
     from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
@@ -203,6 +215,9 @@ def merge_upsert(table: Table, source, key_cols: list[str]) -> Table:
     snap = md.snapshot_for_ref()
     if snap is None:
         return table.append(source)
+    mode = mode or md.properties.get("write.merge.mode", "copy-on-write")
+    if mode == "merge-on-read":
+        return _merge_upsert_mor(table, source, key_cols)
     if plan_delete_files(md, snap):
         # materialize pending position deletes before the copy-on-write
         # merge (its full-set Rewrite would otherwise drop them and
@@ -240,6 +255,51 @@ def merge_upsert(table: Table, source, key_cols: list[str]) -> Table:
     return table
 
 
+def _merge_upsert_mor(table: Table, source, key_cols: list[str]) -> Table:
+    """Merge-on-read MERGE: tombstone matched target rows, append the
+    source. The matched-row scan reads only key-range-pruned files and only
+    the key columns + row lineage — at scale that's a narrow columnar scan,
+    not a rewrite."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    k = key_cols[0]
+    bounds = source.selectExpr(f"min({k}) AS lo", f"max({k}) AS hi").first()
+    if bounds.lo is None:
+        return table
+    try:
+        pred = parse_predicate(f"{k} >= {bounds.lo!r} and {k} <= {bounds.hi!r}")
+        matched = plan_files(md, snap, pred)
+    except Exception:
+        matched = plan_files(md, snap)
+
+    tx = table.new_transaction()
+    if matched:
+        schema = md.current_schema().spark_schema()
+        tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+        hits = (
+            tgt.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                *key_cols,
+            )
+            .join(F.broadcast(source.select(*key_cols).distinct()), on=key_cols, how="left_semi")
+            .select("file_path", "pos")
+        )
+        del_files = _write_position_deletes(table, hits)
+        if del_files:
+            tx.append_deletes(del_files)
+    data_dir = os.path.join(md.location, "data", "merge-" + _uuid.uuid4().hex[:12])
+    tx.append(write_partitioned(source, md, data_dir))
+    tx.set_operation("overwrite")  # rows changed: not a pure append
+    table.metadata = tx.commit()
+    return table
+
+
 def expire_snapshots(
     table: Table, older_than_ms: int | None = None, keep_last: int = 1
 ) -> Table:
@@ -261,3 +321,51 @@ def expire_snapshots(
         return table
     table.metadata = table.new_transaction().remove_snapshots(to_remove).commit()
     return table
+
+
+def remove_orphan_files(table: Table, older_than_ms: int | None = None, dry_run: bool = False) -> list[str]:
+    """Delete files under the table location referenced by NO snapshot —
+    debris from failed writes or interrupted commits. The reference has no
+    orphan cleanup (its maintenance surface stops at Rewrite,
+    operation.rs:68-81).
+
+    Safety: only files strictly older than ``older_than_ms`` (default: 1h
+    ago) are candidates, so in-flight writes that haven't committed yet are
+    never swept. Returns the removed (or, with dry_run, would-remove)
+    paths."""
+    import time as _time
+
+    from iceberg_rust_custom_spark.metadata.manifest import read_manifest, read_manifest_list
+
+    md = table.metadata
+    cutoff = older_than_ms if older_than_ms is not None else int(_time.time() * 1000) - 3_600_000
+
+    referenced: set[str] = set()
+    for snap in md.snapshots.values():
+        referenced.add(os.path.abspath(snap.manifest_list))
+        for row in read_manifest_list(snap.manifest_list):
+            referenced.add(os.path.abspath(row["manifest_path"]))
+            for e in read_manifest(row["manifest_path"]):
+                referenced.add(os.path.abspath(e.data_file.file_path))
+
+    removed = []
+    data_root = os.path.join(md.location, "data")
+    for root, _dirs, names in os.walk(data_root):
+        for name in names:
+            path = os.path.abspath(os.path.join(root, name))
+            if path in referenced:
+                continue
+            if os.path.getmtime(path) * 1000 >= cutoff:
+                continue
+            removed.append(path)
+            if not dry_run:
+                os.remove(path)
+    if not dry_run:
+        # sweep now-empty data subdirectories
+        for root, dirs, names in os.walk(data_root, topdown=False):
+            if root != data_root and not dirs and not names:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return removed

@@ -88,6 +88,13 @@ class Transaction:
         self._summary_extra["refresh-state"] = refresh_state
         return self
 
+    def set_operation(self, op: str) -> "Transaction":
+        """Override the snapshot summary operation for append-shaped commits
+        (e.g. merge-on-read MERGE = deletes + appends in one snapshot →
+        'overwrite', so append-only consumers know rows changed)."""
+        self._operation = op
+        return self
+
     def rewrite(self, files: list[DataFile]) -> "Transaction":
         """Replace the entire visible file set (compaction / overwrite)."""
         self._rewrite = list(files)

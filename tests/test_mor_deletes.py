@@ -120,3 +120,61 @@ def test_table_property_selects_mode(eng, spark):
     tt.refresh()
     assert {f.file_path for f in plan_files(tt.metadata, tt.metadata.snapshot_for_ref())} == before
     assert tt.scan().count() == 15
+
+
+def test_merge_upsert_mor_no_rewrite(t, spark):
+    before = {f.file_path for f in _datafiles(t)}
+    src = spark.createDataFrame(
+        [(0, "upd", -1.0), (500, "new", 5.0)], "id long, grp string, v double"
+    )
+    merge_upsert(t, src, ["id"], mode="merge-on-read")
+    after = {f.file_path for f in _datafiles(t)}
+    assert before < after  # old files all kept, source file(s) added
+    got = {r.id: r.v for r in t.scan().where("id in (0, 500)").collect()}
+    assert got == {0: -1.0, 500: 5.0}
+    assert t.scan().count() == 111  # 110 + 1 inserted
+    snap = t.metadata.snapshot_for_ref()
+    assert snap.summary["operation"] == "overwrite"
+    assert len(plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())) == 1
+
+
+def test_merge_upsert_mor_then_compact(t, spark):
+    src = spark.createDataFrame([(i, "upd", -float(i)) for i in range(5)], "id long, grp string, v double")
+    merge_upsert(t, src, ["id"], mode="merge-on-read")
+    compact(t)
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+    got = {r.id: r.v for r in t.scan().where("id < 5").collect()}
+    assert got == {i: -float(i) for i in range(5)}
+    assert t.scan().count() == 110
+
+
+def test_remove_orphan_files(t, tmp_path):
+    import os
+
+    from iceberg_rust_custom_spark.table.maintenance import remove_orphan_files
+
+    orphan = os.path.join(t.metadata.location, "data", "stray", "leftover.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    n_rows = t.scan().count()
+    # dry run lists, removes nothing
+    listed = remove_orphan_files(t, older_than_ms=int(1e18), dry_run=True)
+    assert orphan in listed and os.path.exists(orphan)
+    removed = remove_orphan_files(t, older_than_ms=int(1e18))
+    assert orphan in removed and not os.path.exists(orphan)
+    assert not os.path.exists(os.path.dirname(orphan))  # empty dir swept
+    assert t.scan().count() == n_rows  # live data untouched
+
+
+def test_remove_orphan_respects_age_cutoff(t):
+    import os
+
+    from iceberg_rust_custom_spark.table.maintenance import remove_orphan_files
+
+    orphan = os.path.join(t.metadata.location, "data", "fresh.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"in-flight write")
+    # default cutoff (1h ago): a just-written file is never swept
+    removed = remove_orphan_files(t)
+    assert removed == [] and os.path.exists(orphan)
