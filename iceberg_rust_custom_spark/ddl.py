@@ -16,7 +16,16 @@ as DataFusion extension planners (datafusion_iceberg/src/planner.rs:55-244):
 * ``REFRESH MATERIALIZED VIEW name`` — the reference's
   ``refresh_materialized_view('…')`` UDF (planner.rs:371-447) as a statement.
 * ``DELETE FROM name WHERE …`` — beyond the reference (its README marks
-  delete unimplemented); copy-on-write via table.maintenance.delete_where.
+  delete unimplemented); mode picked by ``write.delete.mode``
+  (copy-on-write | merge-on-read) via table.maintenance.delete_where.
+* ``UPDATE name SET col = expr, … WHERE …`` — copy-on-write row-level
+  update with pruned rewrite (beyond the reference).
+* ``OPTIMIZE name`` — compaction job; ``VACUUM name [RETAIN n HOURS]`` —
+  snapshot expiry + orphan-file sweep (beyond the reference).
+* ``ALTER TABLE name SET TBLPROPERTIES (…) | UNSET TBLPROPERTIES (…) |
+  ADD COLUMN c t | RENAME COLUMN a TO b | DROP COLUMN c |
+  ALTER COLUMN c TYPE t | SET PARTITION SPEC (…) |
+  ADD PARTITION FIELD …`` — schema + partition evolution as SQL.
 * ``DROP TABLE|VIEW [IF EXISTS] name``.
 
 Anything that doesn't match falls through to the relational front door
@@ -99,6 +108,36 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(?P<rest>.+?);?\s*$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_CLAUSES = {
+    "set_props": re.compile(r"^SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
+    "unset_props": re.compile(r"^UNSET\s+TBLPROPERTIES\s*\((?P<ks>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
+    "add_col": re.compile(r"^ADD\s+COLUMNS?\s*\(?\s*(?P<name>\w+)\s+(?P<type>[\w()<>, ]+?)\s*\)?\s*$", re.IGNORECASE),
+    "rename_col": re.compile(r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$", re.IGNORECASE),
+    "drop_col": re.compile(r"^DROP\s+COLUMNS?\s*\(?\s*(?P<name>\w+)\s*\)?\s*$", re.IGNORECASE),
+    "widen_col": re.compile(r"^ALTER\s+COLUMN\s+(?P<name>\w+)\s+TYPE\s+(?P<type>[\w()<>, ]+?)\s*$", re.IGNORECASE),
+    "set_spec": re.compile(r"^SET\s+PARTITION\s+SPEC\s*\((?P<parts>.*)\)\s*$", re.IGNORECASE | re.DOTALL),
+    "add_part": re.compile(r"^ADD\s+PARTITION\s+FIELD\s+(?P<part>.+?)\s*$", re.IGNORECASE),
+}
+_PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+
+# SQL type spellings → Iceberg type names used by the schema system
+_SQL_TYPE_ALIASES = {"bigint": "long", "integer": "int", "real": "float", "varchar": "string", "text": "string"}
+
+
+def _iceberg_type(sql_type: str) -> str:
+    t = sql_type.strip().lower()
+    return _SQL_TYPE_ALIASES.get(t, t)
 
 
 def try_execute(engine, query: str) -> DataFrame | None:
@@ -168,4 +207,103 @@ def try_execute(engine, query: str) -> DataFrame | None:
         engine.drop(name)
         return spark.range(0)
 
+    m = _UPDATE_RE.match(query)
+    if m:
+        from iceberg_rust_custom_spark.table.maintenance import update_where
+
+        assignments = {}
+        for item in _split_top_level(m.group("sets")):
+            col, _, expr = item.partition("=")
+            if not expr:
+                raise ValueError(f"cannot parse SET clause: {item!r}")
+            assignments[col.strip()] = expr.strip()
+        update_where(engine.load_table(m.group(1)), assignments, m.group("pred").strip())
+        return spark.range(1)
+
+    m = _OPTIMIZE_RE.match(query)
+    if m:
+        from iceberg_rust_custom_spark.table.maintenance import compact
+
+        compact(engine.load_table(m.group(1)))
+        return spark.range(1)
+
+    m = _VACUUM_RE.match(query)
+    if m:
+        import time as _time
+
+        from iceberg_rust_custom_spark.table.maintenance import (
+            expire_snapshots,
+            remove_orphan_files,
+        )
+
+        t = engine.load_table(m.group(1))
+        hours = int(m.group(2)) if m.group(2) else 0
+        # RETAIN 0 (default) = sweep everything unreferenced NOW: nudge the
+        # cutoff past clock granularity so just-written orphans qualify
+        cutoff = int(_time.time() * 1000) - hours * 3_600_000 + (1500 if hours == 0 else 0)
+        expire_snapshots(t, older_than_ms=cutoff)
+        remove_orphan_files(t, older_than_ms=cutoff)
+        return spark.range(1)
+
+    m = _ALTER_RE.match(query)
+    if m:
+        return _execute_alter(engine, spark, m.group(1), m.group("rest").strip())
+
     return None
+
+
+def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
+    """ALTER TABLE clauses: properties, schema evolution (add/rename/drop/
+    widen — field-id-resolved reads keep old files readable), partition
+    evolution (SET PARTITION SPEC replaces, ADD PARTITION FIELD extends)."""
+    t = engine.load_table(name)
+
+    m = _ALTER_CLAUSES["set_props"].match(rest)
+    if m:
+        updates = dict(_PROP_KV_RE.findall(m.group("kv")))
+        if not updates:
+            raise ValueError(f"cannot parse TBLPROPERTIES: {rest!r}")
+        t.metadata = t.new_transaction().set_properties(updates).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["unset_props"].match(rest)
+    if m:
+        keys = re.findall(r"'([^']+)'", m.group("ks"))
+        t.metadata = t.new_transaction().remove_properties(keys).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["rename_col"].match(rest)
+    if m:
+        t.update_schema().rename_column(m.group("old"), m.group("new")).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["widen_col"].match(rest)
+    if m:
+        t.update_schema().widen_column(m.group("name"), _iceberg_type(m.group("type"))).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["set_spec"].match(rest)
+    if m:
+        t.update_partition_spec(*_split_top_level(m.group("parts")))
+        return spark.range(1)
+    m = _ALTER_CLAUSES["add_part"].match(rest)
+    if m:
+        # normalize existing fields (incl. bucket[n]/truncate[n]) to SQL form
+        existing = []
+        for f in t.metadata.default_spec().fields:
+            src = t.metadata.current_schema().field_by_id(f.source_id).name
+            tn = f.transform.name
+            if tn == "identity":
+                existing.append(src)
+            elif tn.startswith(("bucket[", "truncate[")):
+                kind, n = tn.split("[")
+                existing.append(f"{kind}({n.rstrip(']')}, {src})")
+            else:
+                existing.append(f"{tn}({src})")
+        t.update_partition_spec(*existing, m.group("part").strip())
+        return spark.range(1)
+    m = _ALTER_CLAUSES["drop_col"].match(rest)
+    if m:
+        t.update_schema().drop_column(m.group("name")).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["add_col"].match(rest)
+    if m:
+        t.update_schema().add_column(m.group("name"), _iceberg_type(m.group("type"))).commit()
+        return spark.range(1)
+    raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")

@@ -369,3 +369,57 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None, dry_run:
                 except OSError:
                     pass
     return removed
+
+
+def update_where(table: Table, assignments: dict, predicate) -> Table:
+    """Row-level UPDATE (SET col = expr for rows matching the predicate),
+    copy-on-write. Beyond the reference (no row-level ops there).
+
+    Scale shape mirrors delete_where: two-level pruning picks only files
+    that MAY contain matching rows; those rewrite with the assignments
+    applied conditionally; everything else carries over untouched in the
+    same atomic Rewrite commit. Assignments/predicate are full Spark SQL
+    expressions — pruning degrades gracefully (all files) when the
+    predicate escapes the stats mini-language."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    if plan_delete_files(md, snap):
+        table = compact(table)  # materialize pending MoR deletes first
+        md = table.metadata
+        snap = md.snapshot_for_ref()
+
+    pred_sql = predicate.sql() if hasattr(predicate, "sql") else str(predicate)
+    all_files = plan_files(md, snap)
+    try:
+        matched = plan_files(md, snap, parse_predicate(pred_sql))
+    except Exception:
+        matched = list(all_files)  # unprunable predicate → rewrite all
+    if not matched:
+        return table
+    matched_paths = {f.file_path for f in matched}
+    untouched = [f for f in all_files if f.file_path not in matched_paths]
+
+    schema = md.current_schema().spark_schema()
+    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    cond = F.expr(f"coalesce(({pred_sql}), false)")
+    updated = df.select(
+        *[
+            (
+                F.when(cond, F.expr(assignments[f.name]).cast(f.dataType)).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    data_dir = os.path.join(md.location, "data", "update-" + _uuid.uuid4().hex[:12])
+    new_files = write_partitioned(updated, md, data_dir)
+    table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
+    return table

@@ -94,3 +94,86 @@ def test_drop_and_if_exists(eng):
     eng.sql("DROP TABLE IF EXISTS ns.tmp")  # no error
     with pytest.raises(Exception):
         eng.sql("DROP TABLE ns.tmp")
+
+
+# --------------------------------------------------- row-level + maintenance DDL
+def test_update_statement(eng, spark):
+    eng.sql("CREATE TABLE ns.u (id BIGINT, status STRING, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.u")
+    t.append(spark.createDataFrame([(i, "open", float(i)) for i in range(10)], "id long, status string, v double"))
+    eng.sql("UPDATE ns.u SET status = 'closed', v = v * 10 WHERE id >= 7")
+    rows = {r.id: (r.status, r.v) for r in eng.load_table("ns.u").scan().collect()}
+    assert rows[6] == ("open", 6.0)
+    assert rows[7] == ("closed", 70.0)
+    assert rows[9] == ("closed", 90.0)
+    assert len(rows) == 10
+
+
+def test_update_prunes_untouched_files(eng, spark):
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    eng.sql("CREATE TABLE ns.u2 (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.u2")
+    t.append(spark.createDataFrame([(i, 0.0) for i in range(100)], "id long, v double"))
+    t.append(spark.createDataFrame([(i, 0.0) for i in range(1000, 1100)], "id long, v double"))
+    before = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+    eng.sql("UPDATE ns.u2 SET v = 1.0 WHERE id >= 1000")
+    t.refresh()
+    after = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+    assert before & after  # low-id file(s) carried over untouched
+    assert t.scan().where("v = 1.0").count() == 100
+
+
+def test_optimize_and_vacuum(eng, spark):
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    eng.sql("CREATE TABLE ns.o (id BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.o")
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    assert len(plan_files(t.metadata, t.metadata.snapshot_for_ref())) >= 5
+    eng.sql("OPTIMIZE ns.o")
+    t.refresh()
+    assert len(plan_files(t.metadata, t.metadata.snapshot_for_ref())) == 1
+    assert t.scan().count() == 5
+    # orphan + old snapshots swept
+    orphan = os.path.join(t.metadata.location, "data", "junk.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    eng.sql("VACUUM ns.o")
+    t.refresh()
+    assert not os.path.exists(orphan)
+    assert len(t.metadata.snapshots) == 1
+    assert t.scan().count() == 5
+
+
+def test_alter_properties_and_schema(eng, spark):
+    eng.sql("CREATE TABLE ns.a (id INT, name STRING) STORED AS ICEBERG")
+    eng.sql("ALTER TABLE ns.a SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    t = eng.load_table("ns.a")
+    assert t.metadata.properties["write.delete.mode"] == "merge-on-read"
+    eng.sql("ALTER TABLE ns.a UNSET TBLPROPERTIES ('write.delete.mode')")
+    assert "write.delete.mode" not in eng.load_table("ns.a").metadata.properties
+
+    t.append(spark.createDataFrame([(1, "x")], "id long, name string"))
+    eng.sql("ALTER TABLE ns.a ADD COLUMN score double")
+    eng.sql("ALTER TABLE ns.a RENAME COLUMN name TO label")
+    eng.sql("ALTER TABLE ns.a ALTER COLUMN id TYPE bigint")
+    t = eng.load_table("ns.a")
+    assert [f.name for f in t.metadata.current_schema().fields] == ["id", "label", "score"]
+    row = t.scan().first()
+    assert (row.id, row.label, row.score) == (1, "x", None)
+    eng.sql("ALTER TABLE ns.a DROP COLUMN score")
+    assert [f.name for f in eng.load_table("ns.a").metadata.current_schema().fields] == ["id", "label"]
+
+
+def test_alter_partition_spec(eng, spark):
+    eng.sql("CREATE TABLE ns.ap (id BIGINT, d DATE) STORED AS ICEBERG")
+    eng.sql("ALTER TABLE ns.ap SET PARTITION SPEC (month(d))")
+    t = eng.load_table("ns.ap")
+    assert [f.name for f in t.metadata.default_spec().fields] == ["d_month"]
+    eng.sql("ALTER TABLE ns.ap ADD PARTITION FIELD bucket(4, id)")
+    t = eng.load_table("ns.ap")
+    assert [f.name for f in t.metadata.default_spec().fields] == ["d_month", "id_bucket"]
+    # shared field kept its identity across the evolution
+    assert t.metadata.default_spec().spec_id == 2
