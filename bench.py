@@ -37,11 +37,14 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "multimodal_image_features",
+    "document_chunking",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_pruned_scan",
     "iceberg_delete_where",
     "iceberg_merge_upsert",
+    "iceberg_mor_delete",
+    "iceberg_incremental_mv_refresh",
 ]
 
 

@@ -306,3 +306,36 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+MANIFEST_ENTRY_SPARK_SCHEMA = (
+    "status int, snapshot_id long, sequence_number long, content int, "
+    "file_path string, file_format string, partition string, "
+    "record_count long, file_size_in_bytes long, column_sizes string, "
+    "value_counts string, null_value_counts string, "
+    "lower_bounds string, upper_bounds string, schema_id int"
+)
+
+
+def files_df(spark: SparkSession, metadata: TableMetadata, snapshot: Snapshot | None) -> DataFrame:
+    """The snapshot's live file entries as a DataFrame read directly from
+    the manifest parquets — the distributed planning path.
+
+    Driver-side ``plan_files`` walks manifests in Python, which is right for
+    thousands of files; at 100 TB (10^5-10^6 files) the manifest tree itself
+    is data, and this scan — a parquet read Spark distributes like any
+    other — replaces the walk. Stats columns (partition, bounds, counts)
+    come through as JSON for SQL-side filtering. SURVEY §1.7: 'design the
+    manifest store as Spark-readable from day one'."""
+    from pyspark.sql import functions as F
+
+    if snapshot is None:
+        return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
+    paths = [r["manifest_path"] for r in read_manifest_list(snapshot.manifest_list)]
+    if not paths:
+        return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
+    return (
+        spark.read.schema(MANIFEST_ENTRY_SPARK_SCHEMA)
+        .parquet(*paths)
+        .where(F.col("status") != STATUS_DELETED)
+    )

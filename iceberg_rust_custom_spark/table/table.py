@@ -183,14 +183,23 @@ class Table:
         )
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """Live data files as a DataFrame, read distributed from the
+        manifest parquets (never materialized on the driver — the metadata
+        table stays queryable when the file count is itself big data)."""
+        from iceberg_rust_custom_spark.table.scan import files_df
+
         snap = self._resolve_snapshot(snapshot_id)
-        files = plan_files(self.metadata, snap)
-        rows = [
-            (f.file_path, str(f.partition), f.record_count, f.file_size_in_bytes) for f in files
-        ]
-        return self.spark.createDataFrame(
-            rows, "file_path string, partition string, record_count long, file_size_in_bytes long"
+        return files_df(self.spark, self.metadata, snap).where("content = 0").select(
+            "file_path", "partition", "record_count", "file_size_in_bytes"
         )
+
+    def entries(self, snapshot_id: int | None = None) -> DataFrame:
+        """Full manifest-entry metadata table (all content types, stats as
+        JSON columns) — the distributed planning surface."""
+        from iceberg_rust_custom_spark.table.scan import files_df
+
+        snap = self._resolve_snapshot(snapshot_id)
+        return files_df(self.spark, self.metadata, snap)
 
     def history(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -178,3 +178,31 @@ def test_branches_and_tags(engine, spark):
     assert tag_rows == {1}
     kinds = {name: r.ref_type for name, r in t.refs().items()}
     assert kinds["v1"] == "tag" and kinds["dev"] == "branch"
+
+
+def test_files_df_matches_driver_planning(engine, spark):
+    """Distributed manifest scan (files_df) and driver-side plan_files see
+    the same live file set — the scale path is interchangeable."""
+    from iceberg_rust_custom_spark.table.scan import files_df, plan_files
+
+    engine.sql(
+        "CREATE TABLE ns.fdf (id BIGINT, d DATE) STORED AS ICEBERG PARTITIONED BY (month(d))"
+    )
+    t = engine.load_table("ns.fdf")
+    import datetime as dt
+
+    for m in (1, 2, 3):
+        t.append(
+            spark.createDataFrame(
+                [(i, dt.date(2021, m, 1 + i % 27)) for i in range(20)], "id long, d date"
+            )
+        )
+    snap = t.metadata.snapshot_for_ref()
+    driver_side = sorted(f.file_path for f in plan_files(t.metadata, snap))
+    distributed = sorted(
+        r.file_path for r in files_df(spark, t.metadata, snap).where("content = 0").collect()
+    )
+    assert driver_side == distributed
+    # metadata tables expose the same info without driver materialization
+    assert t.files().count() == len(driver_side)
+    assert t.entries().selectExpr("sum(record_count) AS n").first().n == 60
