@@ -1840,3 +1840,38 @@ def multimodal_audio_features(spark, sf_dir):
         ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
     )
     return M.extract_audio_features(media, frame_ms=20, fake=True)
+
+
+@q(
+    "iceberg_cdc_changes",
+    """
+    SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_cdc_changes(spark, sf_dir):
+    """CDC changelog scan: every append surfaces as 'insert' rows, every
+    merge-on-read tombstone as 'delete' rows with full row content —
+    feeds incremental consumers without re-reading the table (beyond the
+    reference: no CDC there)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    tag = hashlib.md5(f"{sf_dir}:cdc".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_cdc"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_cdc", df.schema)
+        t.append(df)
+        delete_where(t, "o_orderstatus = 'F'", mode="merge-on-read")
+    return (
+        eng.load_table("rt.orders_cdc")
+        .changes(0)
+        .select("o_orderkey", "o_orderstatus", "_change_type")
+    )

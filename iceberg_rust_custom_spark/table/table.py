@@ -151,6 +151,69 @@ class Table:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*[f.file_path for f in files])
 
+    def changes(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
+        """CDC read: the row-level changes committed in
+        (from, to] as data rows plus a ``_change_type`` column
+        ('insert' | 'delete'). Appends yield inserts; merge-on-read
+        position deletes yield the deleted rows' full content. Feeds
+        incremental consumers (downstream MVs, stream backfills) without
+        re-reading the table.
+
+        Overwrite commits (compaction, copy-on-write delete/update, CoW
+        merge) do not record row-level lineage — a range containing one
+        raises rather than emit a wrong changelog."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.manifest import read_manifest, read_manifest_list
+
+        end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
+        for s in self.metadata.snapshots.values():
+            if from_sequence_number < s.sequence_number <= end:
+                if s.summary.get("operation") not in ("append", "delete"):
+                    raise ValueError(
+                        f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} — "
+                        "row-level changelog is only defined across append/delete commits"
+                    )
+        schema = self.metadata.current_schema().spark_schema()
+        inserts = self.incremental_scan(from_sequence_number, end).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+        snap = self.metadata.snapshot_for_ref()
+        del_files = []
+        if snap is not None:
+            for row in read_manifest_list(snap.manifest_list):
+                for e in read_manifest(row["manifest_path"]):
+                    if (
+                        e.data_file.content == 1
+                        and from_sequence_number < e.sequence_number <= end
+                    ):
+                        del_files.append(e.data_file.file_path)
+        if not del_files:
+            return inserts
+        tombs = self.spark.read.parquet(*del_files).select("file_path", "pos")
+        # only the data files the tombstones reference need reading
+        touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
+        victims = (
+            self.spark.read.schema(schema)
+            .parquet(*touched)
+            .select(
+                F.col("_metadata.file_path").alias("_sg_file"),
+                F.col("_metadata.row_index").alias("_sg_pos"),
+                "*",
+            )
+        )
+        deleted = (
+            victims.join(
+                F.broadcast(tombs),
+                (victims["_sg_file"] == tombs["file_path"]) & (victims["_sg_pos"] == tombs["pos"]),
+                "inner",
+            )
+            .drop("_sg_file", "_sg_pos", "file_path", "pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        return inserts.unionByName(deleted)
+
     # ----------------------------------------------------------------- write
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
         data_dir = os.path.join(self.metadata.location, "data", _uuid.uuid4().hex[:12])

@@ -178,3 +178,37 @@ def test_remove_orphan_respects_age_cutoff(t):
     # default cutoff (1h ago): a just-written file is never swept
     removed = remove_orphan_files(t)
     assert removed == [] and os.path.exists(orphan)
+
+
+# ------------------------------------------------------------------- CDC
+def test_changes_inserts_and_deletes(eng, spark):
+    eng.sql("CREATE TABLE ns.cdc (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.cdc")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))  # seq 1
+    s1 = t.metadata.last_sequence_number
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))  # seq 2
+    delete_where(t, "id = 1", mode="merge-on-read")  # seq 3
+
+    all_changes = {(r.id, r._change_type) for r in t.changes(0).collect()}
+    assert all_changes == {(1, "insert"), (2, "insert"), (3, "insert"), (1, "delete")}
+    since_s1 = {(r.id, r._change_type) for r in t.changes(s1).collect()}
+    assert since_s1 == {(3, "insert"), (1, "delete")}
+    # deleted row carries full content
+    row = [r for r in t.changes(s1).collect() if r._change_type == "delete"][0]
+    assert (row.id, row.v) == (1, "a")
+
+
+def test_changes_rejects_overwrite_ranges(eng, spark):
+    eng.sql("CREATE TABLE ns.cdc2 (id BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.cdc2")
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    s1 = t.metadata.last_sequence_number
+    delete_where(t, "id = 1", mode="copy-on-write")  # overwrite commit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changelog"):
+        t.changes(s1)
+    # but a later pure-append window is fine again
+    s2 = t.metadata.last_sequence_number
+    t.append(spark.createDataFrame([(9,)], "id long"))
+    assert {(r.id, r._change_type) for r in t.changes(s2).collect()} == {(9, "insert")}
