@@ -164,19 +164,37 @@ def write_partitioned(
 
     # sort order (stored by the reference, applied by us → tighter min/max)
     order = metadata.sort_orders.get(metadata.default_sort_order_id)
+    order_cols = []
     if order and order.fields:
-        cols = []
         for sf in order.fields:
             c = F.col(schema.field_by_id(sf.source_id).name)
             c = c.desc() if sf.direction == "desc" else c.asc()
-            cols.append(c)
-        if pnames:
-            out = out.repartition(*[F.col(p) for p in pnames]).sortWithinPartitions(*cols)
-        else:
-            out = out.sortWithinPartitions(*cols)
-    elif pnames:
-        # co-locate rows of one partition in few tasks → few files per partition
+            order_cols.append(c)
+
+    # write.distribution-mode (Iceberg-style knob):
+    #   hash  — shuffle on partition transforms: few files per partition
+    #           (default for partitioned tables)
+    #   range — repartitionByRange on partition + sort columns: files get
+    #           tight, non-overlapping min/max → stats pruning approaches
+    #           partition-level selectivity even on unpartitioned tables
+    #   none  — no shuffle: fastest ingest, more small files (compact later)
+    dist = metadata.properties.get(
+        "write.distribution-mode", "hash" if pnames else "none"
+    )
+    if dist == "range":
+        range_cols = [F.col(p) for p in pnames] + order_cols
+        if range_cols:
+            # optional explicit task count (else AQE sizes the shuffle)
+            n = metadata.properties.get("write.range-partitions")
+            out = (
+                out.repartitionByRange(int(n), *range_cols)
+                if n
+                else out.repartitionByRange(*range_cols)
+            )
+    elif dist == "hash" and pnames:
         out = out.repartition(*[F.col(p) for p in pnames])
+    if order_cols:
+        out = out.sortWithinPartitions(*order_cols)
 
     # ~512 MB roll-over: estimate rows per file from the plan's size stats when
     # available; fall back to a generous constant (AQE keeps tasks balanced).
@@ -190,6 +208,11 @@ def write_partitioned(
         .option("compression", codec)
         .option("maxRecordsPerFile", str(max_records))
     )
+    # passthrough writer options, e.g.
+    # write.spark.option.parquet.bloom.filter.enabled#o_custkey = true
+    for k, v in metadata.properties.items():
+        if k.startswith("write.spark.option."):
+            writer = writer.option(k[len("write.spark.option."):], v)
     if pnames:
         writer = writer.partitionBy(*pnames)
     writer.parquet(data_dir)

@@ -206,3 +206,34 @@ def test_files_df_matches_driver_planning(engine, spark):
     # metadata tables expose the same info without driver materialization
     assert t.files().count() == len(driver_side)
     assert t.entries().selectExpr("sum(record_count) AS n").first().n == 60
+
+
+def test_range_distribution_clusters_files_for_pruning(engine, spark):
+    """write.distribution-mode=range + sort order → files carry disjoint
+    key ranges, so stats pruning hits ~1 file for a point/range query even
+    on an UNPARTITIONED table."""
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    t = engine.create_table(
+        "ns.rng",
+        spark.createDataFrame([(0, 0.0)], "id long, v double").schema,
+        sort_by=["id"],
+        properties={"write.distribution-mode": "range", "write.range-partitions": "8"},
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(1000)], "id long, v double"))
+    snap = t.metadata.snapshot_for_ref()
+    n_files = len(plan_files(t.metadata, snap))
+    assert n_files > 1  # range shuffle spread the write across tasks
+    pruned = t.count_planned_files("id >= 10 and id < 50")
+    assert pruned == 1, f"expected 1 of {n_files} files, planned {pruned}"
+    assert t.scan("id >= 10 and id < 50").count() == 40
+
+
+def test_writer_option_passthrough(engine, spark, tmp_path):
+    t = engine.create_table(
+        "ns.wopt",
+        spark.createDataFrame([(0,)], "id long").schema,
+        properties={"write.spark.option.parquet.bloom.filter.enabled#id": "true"},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(100)], "id long"))
+    assert t.scan().count() == 100  # option accepted by the parquet writer
