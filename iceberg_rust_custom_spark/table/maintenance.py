@@ -423,3 +423,78 @@ def update_where(table: Table, assignments: dict, predicate) -> Table:
     new_files = write_partitioned(updated, md, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
     return table
+
+
+def rewrite_manifests(table: Table) -> Table:
+    """Manifest compaction: re-chunk all live manifest entries into
+    sqrt-law-sized manifests (4 + sqrt(N) entries each) without touching
+    data files. The reference declares this operation and leaves it
+    unimplemented (RewriteManifests, operation.rs:68-81).
+
+    Run after many appends: scan planning cost tracks manifest count, and
+    metadata-only commits keep it O(sqrt(N)). No-op when already balanced."""
+    import os as _os
+    import uuid as _uuid2
+
+    from iceberg_rust_custom_spark.metadata.manifest import (
+        ManifestEntry,
+        read_manifest,
+        read_manifest_list,
+        write_manifest,
+        write_manifest_list,
+    )
+    from iceberg_rust_custom_spark.metadata.snapshot import Snapshot, generate_snapshot_id
+    from iceberg_rust_custom_spark.table.transaction import _manifest_size_limit
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    rows = read_manifest_list(snap.manifest_list)
+    by_spec: dict[int, list] = {}
+    total = 0
+    for r in rows:
+        entries = [e for e in read_manifest(r["manifest_path"]) if e.status != 2]
+        by_spec.setdefault(r.get("partition_spec_id", 0), []).extend(entries)
+        total += len(entries)
+    limit = _manifest_size_limit(total)
+    import math as _math
+
+    target_manifests = max(1, _math.ceil(total / max(limit, 1)))
+    if len(rows) <= target_manifests:
+        return table  # already balanced
+
+    seq = md.last_sequence_number + 1
+    snap_id = generate_snapshot_id()
+    meta_dir = _os.path.join(md.location, "metadata")
+    new_rows = []
+    for spec_id, entries in by_spec.items():
+        carried = [ManifestEntry(1, e.snapshot_id, e.sequence_number, e.data_file) for e in entries]
+        for start in range(0, len(carried), max(limit, 1)):
+            chunk = carried[start : start + max(limit, 1)]
+            path = _os.path.join(meta_dir, f"manifest-{_uuid2.uuid4().hex[:12]}.parquet")
+            new_rows.append(write_manifest(path, chunk, spec_id))
+    ml_path = _os.path.join(meta_dir, f"snap-{snap_id}.manifest-list.parquet")
+    write_manifest_list(ml_path, new_rows)
+    snapshot = Snapshot(
+        snapshot_id=snap_id,
+        sequence_number=seq,
+        timestamp_ms=int(__import__("time").time() * 1000),
+        manifest_list=ml_path,
+        summary={"operation": "replace", "manifests-replaced": str(len(rows))},
+        schema_id=md.current_schema_id,
+        parent_snapshot_id=snap.snapshot_id,
+    )
+    tx = table.new_transaction()
+    tx._extra_updates.insert(0, {"action": "add-snapshot", "snapshot": snapshot.to_dict()})
+    tx._extra_updates.append(
+        {
+            "action": "set-snapshot-ref",
+            "ref-name": "main",
+            "reference": __import__(
+                "iceberg_rust_custom_spark.metadata.snapshot", fromlist=["SnapshotReference"]
+            ).SnapshotReference(snap_id).to_dict(),
+        }
+    )
+    table.metadata = tx.commit()
+    return table

@@ -169,7 +169,7 @@ class Table:
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
         for s in self.metadata.snapshots.values():
             if from_sequence_number < s.sequence_number <= end:
-                if s.summary.get("operation") not in ("append", "delete"):
+                if s.summary.get("operation") not in ("append", "delete", "replace"):
                     raise ValueError(
                         f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} — "
                         "row-level changelog is only defined across append/delete commits"

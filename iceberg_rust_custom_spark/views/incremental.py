@@ -97,7 +97,8 @@ def appends_only_since(metadata, last_snapshot_id: int) -> bool:
         return False  # expired or rewritten away — no anchor for a delta
     for s in metadata.snapshots.values():
         if s.sequence_number > last.sequence_number:
-            if s.summary.get("operation") != "append":
+            # 'replace' = rewrite-manifests: metadata-only, no row change
+            if s.summary.get("operation") not in ("append", "replace"):
                 return False
     return True
 

@@ -237,3 +237,75 @@ def test_writer_option_passthrough(engine, spark, tmp_path):
     )
     t.append(spark.createDataFrame([(i,) for i in range(100)], "id long"))
     assert t.scan().count() == 100  # option accepted by the parquet writer
+
+
+def test_rewrite_manifests_rebalances_metadata(engine, spark):
+    """Many appends → many manifests; rewrite_manifests re-chunks them to
+    sqrt-law size without touching data files or row visibility."""
+    from iceberg_rust_custom_spark.metadata.manifest import read_manifest_list
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_manifests
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    import os as _os
+    import uuid as _uuid
+
+    from iceberg_rust_custom_spark.metadata.manifest import (
+        ManifestEntry,
+        read_manifest,
+        write_manifest,
+        write_manifest_list,
+    )
+    from iceberg_rust_custom_spark.metadata.snapshot import Snapshot, SnapshotReference, generate_snapshot_id
+
+    t = engine.create_table("ns.rm", spark.createDataFrame([(0,)], "id long").schema)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i * 10 + j,) for j in range(5)], "id long").repartition(5))
+    # manufacture imbalance (the shape a bulk import or degraded writer
+    # leaves behind): one manifest per data file
+    snap = t.metadata.snapshot_for_ref()
+    entries = [
+        ManifestEntry(1, e.snapshot_id, e.sequence_number, e.data_file)
+        for r in read_manifest_list(snap.manifest_list)
+        for e in read_manifest(r["manifest_path"])
+        if e.status != 2
+    ]
+    meta_dir = _os.path.join(t.metadata.location, "metadata")
+    rows = []
+    for e in entries:
+        path = _os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
+        rows.append(write_manifest(path, [e]))
+    sid = generate_snapshot_id()
+    ml = _os.path.join(meta_dir, f"snap-{sid}.manifest-list.parquet")
+    write_manifest_list(ml, rows)
+    frag = Snapshot(
+        snapshot_id=sid,
+        sequence_number=t.metadata.last_sequence_number + 1,
+        timestamp_ms=snap.timestamp_ms + 1,
+        manifest_list=ml,
+        summary={"operation": "replace"},
+        schema_id=t.metadata.current_schema_id,
+        parent_snapshot_id=snap.snapshot_id,
+    )
+    tx = t.new_transaction()
+    tx._extra_updates.append({"action": "add-snapshot", "snapshot": frag.to_dict()})
+    tx._extra_updates.append(
+        {"action": "set-snapshot-ref", "ref-name": "main", "reference": SnapshotReference(sid).to_dict()}
+    )
+    t.metadata = tx.commit()
+    snap = t.metadata.snapshot_for_ref()
+    data_before = sorted(f.file_path for f in plan_files(t.metadata, snap))
+    n_manifests_before = len(read_manifest_list(snap.manifest_list))
+    assert n_manifests_before == len(data_before)  # fully fragmented
+
+    rewrite_manifests(t)
+    snap2 = t.metadata.snapshot_for_ref()
+    n_manifests_after = len(read_manifest_list(snap2.manifest_list))
+    data_after = sorted(f.file_path for f in plan_files(t.metadata, snap2))
+    assert data_after == data_before  # zero data movement
+    assert n_manifests_after < n_manifests_before
+    assert snap2.summary["operation"] == "replace"
+    assert t.scan().count() == 30
+    # metadata-only commit keeps incremental consumers valid
+    seq = t.metadata.last_sequence_number
+    t.append(spark.createDataFrame([(99,)], "id long"))
+    assert {r.id for r in t.changes(seq).collect()} == {99}
