@@ -1875,3 +1875,40 @@ def iceberg_cdc_changes(spark, sf_dir):
         .changes(0)
         .select("o_orderkey", "o_orderstatus", "_change_type")
     )
+
+
+@q(
+    "iceberg_equality_delete",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_equality_delete(spark, sf_dir):
+    """Equality delete (content=2): delete-by-key writes ONLY the key set —
+    no data file is read or rewritten; scans anti-join keys against older
+    data (re-inserted keys survive by sequence ordering). The streaming-CDC
+    tombstone primitive at 100 TB: cost is O(keys), not O(table)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    tag = hashlib.md5(f"{sf_dir}:eqdel".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_eq"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_eq", df.schema)
+        t.append(df)
+        delete_by_key(
+            t, df.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        )
+    return (
+        eng.load_table("rt.orders_eq")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

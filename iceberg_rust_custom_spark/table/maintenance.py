@@ -498,3 +498,55 @@ def rewrite_manifests(table: Table) -> Table:
     )
     table.metadata = tx.commit()
     return table
+
+
+def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Table:
+    """Equality delete (merge-on-read content=2): drop every row whose key
+    matches the given keys, WITHOUT reading a single data file — the write
+    is just the key set; scans anti-join it against data older than the
+    delete. The streaming-CDC tombstone primitive: delete cost is O(keys),
+    independent of table size. A later re-insert of the same key is visible
+    again (sequence-number ordering). ``compact()`` materializes.
+
+    ``keys``: a DataFrame whose columns are the key columns, or a list of
+    values for a single ``key_cols=[col]``."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import DataFrame as _DF
+
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+
+    md = table.metadata
+    if md.snapshot_for_ref() is None:
+        return table
+    if not isinstance(keys, _DF):
+        if not key_cols or len(key_cols) != 1:
+            raise ValueError("pass key_cols=[col] when keys is a list of values")
+        keys = table.spark.createDataFrame(
+            [(k,) for k in keys],
+            table.spark.createDataFrame([], md.current_schema().spark_schema())
+            .select(*key_cols)
+            .schema,
+        )
+    out_dir = os.path.join(md.location, "data", "eq-deletes-" + _uuid.uuid4().hex[:12])
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+    files = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, name)
+        pf = _pq.ParquetFile(path)
+        if pf.metadata.num_rows == 0:
+            continue
+        files.append(
+            DataFile(
+                file_path=path,
+                record_count=pf.metadata.num_rows,
+                file_size_in_bytes=os.path.getsize(path),
+                content=2,
+                schema_id=md.current_schema_id,
+            )
+        )
+    if not files:
+        return table
+    table.metadata = table.new_transaction().append_deletes(files).commit()
+    return table

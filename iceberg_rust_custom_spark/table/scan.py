@@ -153,18 +153,33 @@ def plan_files(
     return out
 
 
-def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> list[DataFile]:
-    """All live position-delete files (content=1). Never pruned by the scan
-    predicate — a delete must suppress its row no matter what the query
-    filters on. Delete files are metadata-scale (path+pos pairs), so
-    reading them all is cheap."""
+def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> list:
+    """All live delete-file manifest entries — position deletes (content=1)
+    and equality deletes (content=2), with their sequence numbers (equality
+    deletes only apply to data files with a STRICTLY OLDER sequence number,
+    so a re-inserted key survives). Never pruned by the scan predicate — a
+    delete must suppress its row no matter what the query filters on.
+    Delete files are metadata-scale, so reading them all is cheap."""
     if snapshot is None:
         return []
     out = []
     for row in read_manifest_list(snapshot.manifest_list):
         for entry in read_manifest(row["manifest_path"]):
-            if entry.status != STATUS_DELETED and entry.data_file.content == 1:
-                out.append(entry.data_file)
+            if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
+                out.append(entry)
+    return out
+
+
+def data_file_sequence_numbers(metadata: TableMetadata, snapshot: Snapshot | None) -> dict:
+    """file_path → sequence number for every live data file (needed to
+    order data against equality deletes)."""
+    if snapshot is None:
+        return {}
+    out = {}
+    for row in read_manifest_list(snapshot.manifest_list):
+        for entry in read_manifest(row["manifest_path"]):
+            if entry.status != STATUS_DELETED and entry.data_file.content == 0:
+                out[entry.data_file.file_path] = entry.sequence_number
     return out
 
 
@@ -197,7 +212,15 @@ def scan_to_dataframe(
         if lineage:
             df = _with_lineage(df)
     if lineage:
-        df = _apply_position_deletes(spark, df, deletes)
+        pos = [e.data_file for e in deletes if e.data_file.content == 1]
+        eq = [e for e in deletes if e.data_file.content == 2]
+        if eq:
+            df = _apply_equality_deletes(
+                spark, df, eq, data_file_sequence_numbers(metadata, snapshot)
+            )
+        if pos:
+            df = _apply_position_deletes(spark, df, pos)
+        df = df.drop("_sg_file", "_sg_pos")
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
@@ -228,7 +251,49 @@ def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> Da
     if sum(d.file_size_in_bytes for d in deletes) < 64 * 1024 * 1024:
         del_df = F.broadcast(del_df)
     cond = (df["_sg_file"] == del_df["file_path"]) & (df["_sg_pos"] == del_df["pos"])
-    return df.join(del_df, cond, "left_anti").drop("_sg_file", "_sg_pos")
+    return df.join(del_df, cond, "left_anti")
+
+
+def _apply_equality_deletes(spark, df: DataFrame, eq_entries: list, file_seqs: dict) -> DataFrame:
+    """Equality deletes (content=2): LEFT ANTI join on the delete file's key
+    columns, restricted to data rows whose file sequence number is STRICTLY
+    OLDER than the delete's — so re-inserting a deleted key resurrects it
+    (Iceberg v2 ordering). The delete file's own schema IS its key set;
+    files sharing a key set batch into one anti-join."""
+    from pyspark.sql import functions as F
+
+    seq_rows = [(p, s) for p, s in file_seqs.items()]
+    seq_df = F.broadcast(
+        spark.createDataFrame(seq_rows, "file_path string, _sg_dseq long")
+    )
+    # _metadata.file_path is a file: URI; manifest paths are plain — compare
+    # scheme-stripped forms
+    norm = F.regexp_replace(df["_sg_file"], "^file:/+", "/")
+    df = df.join(seq_df, norm == seq_df["file_path"], "left").drop("file_path")
+
+    by_keyset: dict[tuple, list] = {}
+    for e in eq_entries:
+        cols = tuple(sorted(spark.read.parquet(e.data_file.file_path).columns))
+        by_keyset.setdefault(cols, []).append(e)
+    for cols, entries in by_keyset.items():
+        parts = []
+        for e in entries:
+            parts.append(
+                spark.read.parquet(e.data_file.file_path)
+                .select(*cols)
+                .withColumn("_sg_eseq", F.lit(e.sequence_number))
+            )
+        eq_df = parts[0]
+        for p in parts[1:]:
+            eq_df = eq_df.unionByName(p)
+        eq_df = eq_df.select(*[F.col(c).alias(f"_sg_k_{c}") for c in cols], "_sg_eseq")
+        if sum(e.data_file.file_size_in_bytes for e in entries) < 64 * 1024 * 1024:
+            eq_df = F.broadcast(eq_df)
+        cond = eq_df["_sg_eseq"] > df["_sg_dseq"]
+        for c in cols:
+            cond = cond & df[c].eqNullSafe(eq_df[f"_sg_k_{c}"])
+        df = df.join(eq_df, cond, "left_anti")
+    return df.drop("_sg_dseq")
 
 
 def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool = False):

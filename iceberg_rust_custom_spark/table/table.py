@@ -184,10 +184,14 @@ class Table:
         if snap is not None:
             for row in read_manifest_list(snap.manifest_list):
                 for e in read_manifest(row["manifest_path"]):
-                    if (
-                        e.data_file.content == 1
-                        and from_sequence_number < e.sequence_number <= end
-                    ):
+                    if not (from_sequence_number < e.sequence_number <= end):
+                        continue
+                    if e.data_file.content == 2:
+                        raise ValueError(
+                            "range contains an equality delete — its row-level "
+                            "victims depend on full-table state; changelog not emitted"
+                        )
+                    if e.data_file.content == 1:
                         del_files.append(e.data_file.file_path)
         if not del_files:
             return inserts

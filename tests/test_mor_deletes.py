@@ -212,3 +212,67 @@ def test_changes_rejects_overwrite_ranges(eng, spark):
     s2 = t.metadata.last_sequence_number
     t.append(spark.createDataFrame([(9,)], "id long"))
     assert {(r.id, r._change_type) for r in t.changes(s2).collect()} == {(9, "insert")}
+
+
+# ------------------------------------------------------------ equality deletes
+def test_delete_by_key_hides_rows_without_any_scan(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    before = {f.file_path for f in _datafiles(t)}
+    delete_by_key(t, [1, 3, 5, 105], key_cols=["id"])
+    assert {f.file_path for f in _datafiles(t)} == before  # zero data files touched
+    assert t.scan().count() == 106
+    assert t.scan().where("id in (1, 3, 5, 105)").count() == 0
+
+
+def test_delete_by_key_reinsert_resurrects(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    delete_by_key(t, [7], key_cols=["id"])
+    assert t.scan().where("id = 7").count() == 0
+    # re-insert AFTER the delete: newer sequence number → visible
+    t.append(spark.createDataFrame([(7, "reborn", 77.0)], "id long, grp string, v double"))
+    rows = t.scan().where("id = 7").collect()
+    assert len(rows) == 1 and rows[0].grp == "reborn"
+
+
+def test_delete_by_key_composite_and_df_keys(eng, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    eng.sql("CREATE TABLE ns.ek (a BIGINT, b STRING, v DOUBLE) STORED AS ICEBERG")
+    tt = eng.load_table("ns.ek")
+    tt.append(spark.createDataFrame(
+        [(1, "x", 0.1), (1, "y", 0.2), (2, "x", 0.3)], "a long, b string, v double"))
+    delete_by_key(tt, spark.createDataFrame([(1, "x")], "a long, b string"))
+    got = {(r.a, r.b) for r in tt.scan().collect()}
+    assert got == {(1, "y"), (2, "x")}
+
+
+def test_equality_and_position_deletes_compose(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    delete_where(t, "grp = 'late'", mode="merge-on-read")  # position
+    delete_by_key(t, [0, 2], key_cols=["id"])  # equality
+    assert t.scan().count() == 98
+    assert t.scan().where("grp = 'late' or id in (0, 2)").count() == 0
+
+
+def test_compact_materializes_equality_deletes(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    delete_by_key(t, list(range(0, 50)), key_cols=["id"])
+    compact(t)
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+    assert t.scan().count() == 60
+    assert t.scan().selectExpr("min(id) AS m").first().m == 50
+
+
+def test_changes_rejects_equality_delete_ranges(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    s = t.metadata.last_sequence_number
+    delete_by_key(t, [1], key_cols=["id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="equality delete"):
+        t.changes(s)
