@@ -133,3 +133,28 @@ def test_maintain_compacts_after_small_appends(eng, spark):
     snap = t.metadata.current_snapshot_id
     maintain(t, min_small_files=8)  # now healthy → no new snapshot
     assert t.metadata.current_snapshot_id == snap
+
+
+def test_stream_upsert_to_table(eng, spark, tmp_path):
+    """CDC-style streaming upsert: later micro-batch records replace earlier
+    rows with the same key (equality-delete + append per batch)."""
+    from iceberg_rust_custom_spark.streaming.pipeline import stream_upsert_to_table
+
+    eng.sql("CREATE TABLE ns.su (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.su")
+    t.append(spark.createDataFrame([(i, 0.0) for i in range(10)], "id long, v double"))
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame([(5, 55.0), (20, 20.0)], "id long, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "b1"))
+    stream = (
+        spark.readStream.schema("id long, v double").parquet(str(src_dir) + "/*")
+    )
+    q = stream_upsert_to_table(t, stream, ["id"], str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = {r.id: r.v for r in eng.load_table("ns.su").scan().collect()}
+    assert got[5] == 55.0 and got[20] == 20.0 and got[0] == 0.0
+    assert len(got) == 11
