@@ -158,3 +158,46 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     per ~60k docs is fine, widen to two hashes at real scale)."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     return df.withColumn(out_col, F.expr(md5h32_sql(norm)))
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", top_k: int = 1000) -> DataFrame:
+    """Corpus vocabulary: top-k lowercase whitespace tokens by document
+    frequency-weighted count — the tokenizer-training / stopword-mining
+    primitive. One explode + one aggregate (map-side combine) + a top-k
+    (TakeOrderedAndProject, no full sort). Deterministic tie-break
+    (count desc, token asc) so results are engine-exact."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing ANY
+    word n-gram with the benchmark set — the standard eval-leakage guard in
+    training-data pipelines. Shape: shingle both sides, inner-join on the
+    (broadcastable) benchmark shingle set to find contaminated ids, anti-
+    join them away. Work scales with corpus shingles × benchmark-hit rate,
+    not corpus²."""
+    from iceberg_rust_custom_spark.operators.dedup import shingles
+
+    corpus_sh = shingles(df, id_col, text_col, shingle_n)
+    bench_sh = shingles(benchmark, id_col, text_col, shingle_n).select(
+        F.col("shingle").alias("b_shingle")
+    ).distinct()
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench_sh), corpus_sh["shingle"] == bench_sh["b_shingle"], "inner")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, on=id_col, how="left_anti")

@@ -1912,3 +1912,42 @@ def iceberg_equality_delete(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@q(
+    "vocabulary_topk",
+    f"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents
+      ) GROUP BY token
+    ) ORDER BY n DESC, token ASC LIMIT 500
+    """,
+)
+def vocabulary_topk(spark, sf_dir):
+    """Top-500 corpus tokens with counts (tokenizer/stopword mining):
+    explode + map-side-combined count + TakeOrderedAndProject top-k."""
+    return TX.vocabulary(_t(spark, sf_dir, "documents"), "text", top_k=500)
+
+
+@q(
+    "benchmark_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id % 50 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+      ) c WHERE c.shingle <> '' AND c.shingle IN (SELECT shingle FROM bench WHERE shingle <> '')
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Eval-leakage guard: drop corpus docs sharing any 3-gram with a
+    simulated benchmark set (every 50th doc); broadcast benchmark shingle
+    join → anti-join, never corpus²."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return TX.decontaminate(docs, bench, "doc_id", "text", shingle_n=3).select("doc_id")

@@ -192,3 +192,30 @@ def test_bucket_partitioned_table_roundtrip(spark, tmp_path):
     assert pruned < total, "bucket equality predicate must prune files"
     rows = t.scan("id = 42").collect()
     assert [(r.id, r.v) for r in rows] == [(42, "v42")]
+
+
+def test_vocabulary_deterministic_topk(spark):
+    from iceberg_rust_custom_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "B a d"), (3, "a")], "doc_id long, text string"
+    )
+    out = TX.vocabulary(df, "text", top_k=3).collect()
+    assert [(r.token, r.n) for r in out] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from iceberg_rust_custom_spark.operators import text as TX
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "completely different words here"),
+            (3, "quick brown fox elsewhere now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "a quick brown fox runs")], "doc_id long, text string")
+    kept = {r.doc_id for r in TX.decontaminate(corpus, bench, shingle_n=3).collect()}
+    # docs 1 and 3 share the 3-gram "quick brown fox" with the benchmark
+    assert kept == {2}
