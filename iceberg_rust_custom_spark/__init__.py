@@ -18,6 +18,29 @@ Two halves, mirroring the reference (see SURVEY.md):
 
 from iceberg_rust_custom_spark.engine import Engine
 from iceberg_rust_custom_spark.session import get_spark
+from iceberg_rust_custom_spark.table.maintenance import (
+    compact,
+    delete_by_key,
+    delete_where,
+    expire_snapshots,
+    maintain,
+    merge_upsert,
+    remove_orphan_files,
+    rewrite_manifests,
+    update_where,
+)
 
-__all__ = ["Engine", "get_spark"]
+__all__ = [
+    "Engine",
+    "get_spark",
+    "compact",
+    "delete_by_key",
+    "delete_where",
+    "expire_snapshots",
+    "maintain",
+    "merge_upsert",
+    "remove_orphan_files",
+    "rewrite_manifests",
+    "update_where",
+]
 __version__ = "0.1.0"
