@@ -130,6 +130,8 @@ _ALTER_CLAUSES = {
     "add_part": re.compile(r"^ADD\s+PARTITION\s+FIELD\s+(?P<part>.+?)\s*$", re.IGNORECASE),
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
 # SQL type spellings → Iceberg type names used by the schema system
 _SQL_TYPE_ALIASES = {"bigint": "long", "integer": "int", "real": "float", "varchar": "string", "text": "string"}
@@ -248,6 +250,38 @@ def try_execute(engine, query: str) -> DataFrame | None:
     m = _ALTER_RE.match(query)
     if m:
         return _execute_alter(engine, spark, m.group(1), m.group("rest").strip())
+
+    m = _SHOW_TABLES_RE.match(query)
+    if m:
+        ns = tuple(m.group(1).split(".")) if m.group(1) else None
+        namespaces = [ns] if ns else engine.catalog.list_namespaces()
+        rows = []
+        for n in namespaces:
+            for ident in engine.catalog.list_tabulars(n):
+                _, kind = engine.catalog.load(ident)
+                rows.append((".".join(ident.namespace), ident.name, kind))
+        return spark.createDataFrame(rows, "namespace string, name string, kind string")
+
+    m = _DESCRIBE_RE.match(query)
+    if m:
+        md = engine.load_table(m.group(1)).metadata
+        schema = md.current_schema()
+        part_by_source = {
+            schema.field_by_id(pf.source_id).name: pf.transform.name
+            for pf in md.default_spec().fields
+        }
+        rows = [
+            (
+                f.name,
+                f.field_type if isinstance(f.field_type, str) else "struct",
+                not f.required,
+                part_by_source.get(f.name),
+            )
+            for f in schema.fields
+        ]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable boolean, partition string"
+        )
 
     return None
 

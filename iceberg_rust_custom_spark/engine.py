@@ -112,6 +112,7 @@ class Engine:
         ddl_result = _ddl.try_execute(self, query)
         if ddl_result is not None:
             return ddl_result
+        query = self._resolve_time_travel(query)
         for rel in find_relations(query):
             ident = Identifier.parse(rel)
             if not self.catalog.tabular_exists(ident):
@@ -125,6 +126,42 @@ class Engine:
                 df = self.scan_materialized_view(rel)
             df.createOrReplaceTempView(transform_name(rel))
         return self.spark.sql(transform_relations(query))
+
+    _TT_RE = None  # compiled lazily below
+
+    def _resolve_time_travel(self, query: str):
+        """Rewrite ``FROM t FOR VERSION AS OF <snapshot_id>`` and
+        ``FOR SYSTEM_TIME AS OF '<timestamp>'`` (Iceberg-Spark SQL syntax)
+        into time-travel scans registered as uniquely-named temp views."""
+        import datetime as _dt
+        import re as _re
+
+        if Engine._TT_RE is None:
+            Engine._TT_RE = _re.compile(
+                r"\b(FROM|JOIN)\s+([\w.]+)\s+FOR\s+(VERSION|SYSTEM_TIME)\s+AS\s+OF\s+"
+                r"('[^']*'|\d+)",
+                _re.IGNORECASE,
+            )
+        counter = [0]
+
+        def sub(m: "_re.Match") -> str:
+            rel, kind, lit = m.group(2), m.group(3).upper(), m.group(4)
+            if not self.catalog.tabular_exists(Identifier.parse(rel)):
+                return m.group(0)
+            t = self.load_table(rel)
+            if kind == "VERSION":
+                df = t.scan(snapshot_id=int(lit))
+            else:
+                ts = _dt.datetime.fromisoformat(lit.strip("'"))
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                df = t.scan(as_of_timestamp_ms=int(ts.timestamp() * 1000))
+            alias = transform_name(rel) + f"__asof{counter[0]}"
+            counter[0] += 1
+            df.createOrReplaceTempView(alias)
+            return f"{m.group(1)} {alias}"
+
+        return Engine._TT_RE.sub(sub, query)
 
     # ----------------------------------------------------------------- views
     def _view_location(self, ident: Identifier) -> str:

@@ -177,3 +177,31 @@ def test_alter_partition_spec(eng, spark):
     assert [f.name for f in t.metadata.default_spec().fields] == ["d_month", "id_bucket"]
     # shared field kept its identity across the evolution
     assert t.metadata.default_spec().spec_id == 2
+
+
+def test_time_travel_sql_syntax(eng, spark):
+    eng.sql("CREATE TABLE ns.tt (id BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.tt")
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    v1 = t.metadata.current_snapshot_id
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.tt").first().n == 3
+    assert eng.sql(f"SELECT COUNT(*) AS n FROM ns.tt FOR VERSION AS OF {v1}").first().n == 2
+    import datetime as dt
+
+    ts = dt.datetime.fromtimestamp(
+        t.metadata.snapshot_by_id(v1).timestamp_ms / 1000, dt.timezone.utc
+    ).isoformat()
+    q = f"SELECT COUNT(*) AS n FROM ns.tt FOR SYSTEM_TIME AS OF '{ts}'"
+    assert eng.sql(q).first().n == 2
+
+
+def test_show_tables_and_describe(eng, spark):
+    eng.sql("CREATE TABLE ns.s1 (id BIGINT, d DATE) STORED AS ICEBERG PARTITIONED BY (month(d))")
+    eng.sql("CREATE TABLE other.s2 (x INT) STORED AS ICEBERG")
+    all_tables = {(r.namespace, r.name) for r in eng.sql("SHOW TABLES").collect()}
+    assert {("ns", "s1"), ("other", "s2")} <= all_tables
+    in_ns = {r.name for r in eng.sql("SHOW TABLES IN ns").collect()}
+    assert in_ns == {"s1"}
+    desc = {r.col_name: (r.data_type, r.partition) for r in eng.sql("DESCRIBE ns.s1").collect()}
+    assert desc == {"id": ("long", None), "d": ("date", "month")}
