@@ -371,16 +371,24 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None, dry_run:
     return removed
 
 
-def update_where(table: Table, assignments: dict, predicate) -> Table:
-    """Row-level UPDATE (SET col = expr for rows matching the predicate),
-    copy-on-write. Beyond the reference (no row-level ops there).
+def update_where(table: Table, assignments: dict, predicate, mode: str | None = None) -> Table:
+    """Row-level UPDATE (SET col = expr for rows matching the predicate).
+    Beyond the reference (no row-level ops there).
 
-    Scale shape mirrors delete_where: two-level pruning picks only files
-    that MAY contain matching rows; those rewrite with the assignments
-    applied conditionally; everything else carries over untouched in the
-    same atomic Rewrite commit. Assignments/predicate are full Spark SQL
-    expressions — pruning degrades gracefully (all files) when the
-    predicate escapes the stats mini-language."""
+    ``mode`` (default: table property ``write.update.mode``, else
+    copy-on-write):
+
+    * ``copy-on-write`` — two-level pruning picks only files that MAY
+      contain matching rows; those rewrite with the assignments applied
+      conditionally; everything else carries over untouched in one atomic
+      Rewrite commit.
+    * ``merge-on-read`` — position-tombstone the matching rows and append
+      their updated versions; NO file rewritten. Update cost tracks rows
+      changed, not bytes resident.
+
+    Assignments/predicate are full Spark SQL expressions — pruning degrades
+    gracefully (all files) when the predicate escapes the stats
+    mini-language."""
     from pyspark.sql import functions as F
 
     from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
@@ -390,6 +398,9 @@ def update_where(table: Table, assignments: dict, predicate) -> Table:
     snap = md.snapshot_for_ref()
     if snap is None:
         return table
+    mode = mode or md.properties.get("write.update.mode", "copy-on-write")
+    if mode == "merge-on-read":
+        return _update_merge_on_read(table, assignments, predicate)
     if plan_delete_files(md, snap):
         table = compact(table)  # materialize pending MoR deletes first
         md = table.metadata
@@ -549,4 +560,61 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
     if not files:
         return table
     table.metadata = table.new_transaction().append_deletes(files).commit()
+    return table
+
+
+def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
+    """MoR UPDATE: one narrow scan of pruned candidates finds matching rows,
+    which become position tombstones AND (transformed) appended rows in the
+    same atomic commit."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_files, scan_to_dataframe
+
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    pred_sql = predicate.sql() if hasattr(predicate, "sql") else str(predicate)
+    try:
+        matched = plan_files(md, snap, parse_predicate(pred_sql))
+    except Exception:
+        matched = plan_files(md, snap)
+    if not matched:
+        return table
+
+    schema = md.current_schema().spark_schema()
+    src = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    hits = src.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    ).filter(f"coalesce(({pred_sql}), false)")
+    del_files = _write_position_deletes(table, hits)
+    if not del_files:
+        return table
+    # the APPEND side must come from a real scan (pending deletes applied):
+    # tombstoning an already-deleted physical row is harmless, but appending
+    # its updated version would resurrect it
+    try:
+        scan_pred = parse_predicate(pred_sql)
+    except Exception:
+        scan_pred = None
+    live = scan_to_dataframe(table.spark, md, snap, scan_pred).filter(
+        f"coalesce(({pred_sql}), false)"
+    )
+    new_rows = live.select(
+        *[
+            (
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    data_dir = os.path.join(md.location, "data", "update-" + _uuid.uuid4().hex[:12])
+    tx = table.new_transaction()
+    tx.append_deletes(del_files)
+    tx.append(write_partitioned(new_rows, md, data_dir))
+    tx.set_operation("overwrite")
+    table.metadata = tx.commit()
     return table

@@ -276,3 +276,26 @@ def test_changes_rejects_equality_delete_ranges(t, spark):
 
     with _pytest.raises(ValueError, match="equality delete"):
         t.changes(s)
+
+
+# --------------------------------------------------------------- MoR UPDATE
+def test_update_mor_no_rewrite(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    before = {f.file_path for f in _datafiles(t)}
+    update_where(t, {"v": "v + 1000"}, "id < 3", mode="merge-on-read")
+    after = {f.file_path for f in _datafiles(t)}
+    assert before < after  # originals kept, updated rows appended
+    got = {r.id: r.v for r in t.scan().where("id < 3").collect()}
+    assert got == {0: 1000.0, 1: 1001.0, 2: 1002.0}
+    assert t.scan().count() == 110
+
+
+def test_update_mor_does_not_resurrect_deleted_rows(t, spark):
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    delete_where(t, "id = 1", mode="merge-on-read")
+    update_where(t, {"v": "0.0 - v"}, "id < 3", mode="merge-on-read")
+    got = {r.id: r.v for r in t.scan().where("id < 3").collect()}
+    assert got == {0: -0.0, 2: -2.0}  # id=1 stays deleted
+    assert t.scan().count() == 109
