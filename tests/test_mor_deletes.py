@@ -299,3 +299,48 @@ def test_update_mor_does_not_resurrect_deleted_rows(t, spark):
     got = {r.id: r.v for r in t.scan().where("id < 3").collect()}
     assert got == {0: -0.0, 2: -2.0}  # id=1 stays deleted
     assert t.scan().count() == 109
+
+
+# ------------------------------------------------- property: model equivalence
+def test_random_op_sequences_match_dict_model(eng, spark):
+    """Run randomized append / delete_by_key / delete_where(MoR) /
+    merge_upsert(MoR) sequences and compare the table against a plain
+    Python dict model after every op. Catches sequence-ordering bugs the
+    single-scenario tests can't."""
+    import random
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    rng = random.Random(42)
+    eng.sql("CREATE TABLE ns.model (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    tt = eng.load_table("ns.model")
+    model: dict[int, float] = {}
+    next_id = 0
+
+    for step in range(14):
+        op = rng.choice(["append", "append", "eq_delete", "pos_delete", "merge"])
+        if op == "append" or not model:
+            rows = [(next_id + i, float(step)) for i in range(rng.randint(1, 5))]
+            next_id += len(rows)
+            tt.append(spark.createDataFrame(rows, "id long, v double"))
+            model.update({i: v for i, v in rows})
+        elif op == "eq_delete":
+            keys = rng.sample(sorted(model), k=min(3, len(model)))
+            delete_by_key(tt, keys, key_cols=["id"])
+            for k in keys:
+                model.pop(k, None)
+        elif op == "pos_delete":
+            cut = rng.choice(sorted(model))
+            delete_where(tt, f"id = {cut}", mode="merge-on-read")
+            model.pop(cut, None)
+        else:
+            keys = rng.sample(sorted(model), k=min(2, len(model)))
+            src = spark.createDataFrame([(k, -float(step)) for k in keys], "id long, v double")
+            merge_upsert(tt, src, ["id"], mode="merge-on-read")
+            model.update({k: -float(step) for k in keys})
+        got = {r.id: r.v for r in tt.scan().collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+
+    compact(tt)
+    got = {r.id: r.v for r in tt.scan().collect()}
+    assert got == model
