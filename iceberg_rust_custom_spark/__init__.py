@@ -28,6 +28,7 @@ from iceberg_rust_custom_spark.table.maintenance import (
     remove_orphan_files,
     rewrite_manifests,
     update_where,
+    zorder,
 )
 
 __all__ = [
@@ -42,5 +43,6 @@ __all__ = [
     "remove_orphan_files",
     "rewrite_manifests",
     "update_where",
+    "zorder",
 ]
 __version__ = "0.1.0"

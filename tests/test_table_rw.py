@@ -309,3 +309,28 @@ def test_rewrite_manifests_rebalances_metadata(engine, spark):
     seq = t.metadata.last_sequence_number
     t.append(spark.createDataFrame([(99,)], "id long"))
     assert {r.id for r in t.changes(seq).collect()} == {99}
+
+
+def test_zorder_prunes_on_every_dimension(engine, spark):
+    """After z-ordering on (x, y), a selective predicate on EITHER column
+    plans a small fraction of files — lexicographic sort can only do this
+    for its leading column."""
+    import random
+
+    from iceberg_rust_custom_spark.table.maintenance import zorder
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(20_000)]
+    t = engine.create_table("ns.z", spark.createDataFrame([(0, 0)], "x long, y long").schema)
+    t.append(spark.createDataFrame(rows, "x long, y long").repartition(8))
+
+    zorder(t, ["x", "y"], target_file_size_bytes=15_000)
+    n_files = len(plan_files(t.metadata, t.metadata.snapshot_for_ref()))
+    assert n_files >= 4, f"need several files to demonstrate pruning, got {n_files}"
+    px = t.count_planned_files("x >= 0 and x < 100")
+    py = t.count_planned_files("y >= 0 and y < 100")
+    assert px < n_files and py < n_files, (px, py, n_files)
+    # correctness preserved
+    assert t.scan().count() == 20_000
+    assert t.scan("x < 100").count() == sum(1 for x, y in rows if x < 100)
