@@ -112,7 +112,9 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]+)\))?\s*;?\s*$", re.IGNORECASE
+)
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$", re.IGNORECASE
 )
@@ -224,9 +226,13 @@ def try_execute(engine, query: str) -> DataFrame | None:
 
     m = _OPTIMIZE_RE.match(query)
     if m:
-        from iceberg_rust_custom_spark.table.maintenance import compact
+        from iceberg_rust_custom_spark.table.maintenance import compact, zorder
 
-        compact(engine.load_table(m.group(1)))
+        if m.group("zcols"):
+            cols = [c.strip() for c in m.group("zcols").split(",")]
+            zorder(engine.load_table(m.group(1)), cols)
+        else:
+            compact(engine.load_table(m.group(1)))
         return spark.range(1)
 
     m = _VACUUM_RE.match(query)

@@ -205,3 +205,20 @@ def test_show_tables_and_describe(eng, spark):
     assert in_ns == {"s1"}
     desc = {r.col_name: (r.data_type, r.partition) for r in eng.sql("DESCRIBE ns.s1").collect()}
     assert desc == {"id": ("long", None), "d": ("date", "month")}
+
+
+def test_optimize_zorder_by(eng, spark):
+    import random
+
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    rng = random.Random(3)
+    eng.sql("CREATE TABLE ns.zo (x BIGINT, y BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.zo")
+    t.append(spark.createDataFrame(
+        [(rng.randrange(100), rng.randrange(100)) for _ in range(5000)], "x long, y long"
+    ).repartition(6))
+    eng.sql("OPTIMIZE ns.zo ZORDER BY (x, y)")
+    t.refresh()
+    assert t.scan().count() == 5000
+    assert t.scan().where("x < 10").count() > 0
