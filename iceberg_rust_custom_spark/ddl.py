@@ -5,14 +5,15 @@ as DataFusion extension planners (datafusion_iceberg/src/planner.rs:55-244):
   STORED AS ICEBERG [PARTITIONED BY (month(col), bucket(16, col), …)]
   [LOCATION 'path']`` — planner.rs:77-168; transform strings parsed like the
   reference's regex ``parse_transform`` (planner.rs:451-499).
-* ``CREATE EXTERNAL TABLE name (col type, …) STORED AS CSV LOCATION 'path'``
-  — the CSV source used by the reference's TPC-H loader
-  (datafusion_iceberg/examples/insert_csv.rs:46-73); registers a Spark
-  csv-backed temp view (header=false, explicit schema).
+* ``CREATE EXTERNAL TABLE name (col type, …) STORED AS CSV|JSON LOCATION
+  'path'`` — the CSV source used by the reference's TPC-H loader
+  (datafusion_iceberg/examples/insert_csv.rs:46-73), plus JSONL; registers
+  a Spark file-backed temp view with the explicit schema.
 * ``CREATE [MATERIALIZED] VIEW name AS select …`` — planner.rs:170-244
   (reference maps CREATE VIEW to a *materialized* view; we support both and
   default plain ``CREATE VIEW`` to a logical view, ``MATERIALIZED`` opt-in).
-* ``INSERT INTO name select|VALUES …`` — table.rs:216-236 + 517-572.
+* ``INSERT INTO|OVERWRITE name select|VALUES …`` — table.rs:216-236 +
+  517-572 (OVERWRITE = atomic Rewrite, beyond the reference).
 * ``REFRESH MATERIALIZED VIEW name`` — the reference's
   ``refresh_materialized_view('…')`` UDF (planner.rs:371-447) as a statement.
 * ``DELETE FROM name WHERE …`` — beyond the reference (its README marks
@@ -85,7 +86,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 _CREATE_TABLE_RE = re.compile(
     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"STORED\s+AS\s+(?P<fmt>ICEBERG|CSV)\s*"
+    r"STORED\s+AS\s+(?P<fmt>ICEBERG|CSV|JSON)\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -95,7 +96,7 @@ _CREATE_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(?P<body>(?:SELECT|VALUES|WITH)\b.+?);?\s*$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+([\w.]+)\s+(?P<body>(?:SELECT|VALUES|WITH)\b.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _REFRESH_RE = re.compile(
@@ -157,11 +158,12 @@ def try_execute(engine, query: str) -> DataFrame | None:
             return spark.range(0)
         schema = T.StructType.fromDDL(m.group("cols"))
         fmt = m.group("fmt").upper()
-        if fmt == "CSV":
+        if fmt in ("CSV", "JSON"):
             loc = m.group("loc")
             if not loc:
-                raise ValueError("STORED AS CSV requires LOCATION '<path>'")
-            df = spark.read.schema(schema).csv(loc, header=False)
+                raise ValueError(f"STORED AS {fmt} requires LOCATION '<path>'")
+            reader = spark.read.schema(schema)
+            df = reader.csv(loc, header=False) if fmt == "CSV" else reader.json(loc)
             df.createOrReplaceTempView(name.replace(".", "__"))
             return df
         partition_by = [parse_transform(p) for p in _split_top_level(m.group("parts") or "")]
@@ -181,14 +183,17 @@ def try_execute(engine, query: str) -> DataFrame | None:
 
     m = _INSERT_RE.match(query)
     if m:
-        name, body = m.group(1), m.group("body").strip()
+        name, body = m.group(2), m.group("body").strip()
         table = engine.load_table(name)
         if body.upper().startswith("VALUES"):
             cols = ", ".join(f.name for f in table.metadata.current_schema().spark_schema().fields)
             df = spark.sql(f"SELECT * FROM ({body}) AS _ins({cols})")
         else:
             df = engine.sql(body)
-        table.append(df)
+        if m.group("mode").upper() == "OVERWRITE":
+            table.overwrite(df)
+        else:
+            table.append(df)
         return spark.range(1)
 
     m = _REFRESH_RE.match(query)

@@ -304,11 +304,33 @@ def expire_snapshots(
     table: Table, older_than_ms: int | None = None, keep_last: int = 1
 ) -> Table:
     """Drop old snapshots (and their unreferenced manifests) from metadata.
-    Data files still referenced by surviving snapshots are kept."""
+    Data files still referenced by surviving snapshots are kept.
+
+    Branch retention policies (SnapshotReference.min_snapshots_to_keep /
+    max_snapshot_age_ms — snapshot.rs:242-281; the reference stores them
+    but never enforces them) protect each ref's ancestry chain: at least N
+    ancestors, plus every ancestor younger than the age bound."""
+    import time as _time
+
     md = table.metadata
     snaps = sorted(md.snapshots.values(), key=lambda s: s.timestamp_ms)
     current = md.snapshot_for_ref()
-    protected = {r.snapshot_id for r in md.refs.values()}
+    now_ms = int(_time.time() * 1000)
+    protected = set()
+    for r in md.refs.values():
+        n_keep = r.min_snapshots_to_keep or 1
+        age_ms = r.max_snapshot_age_ms
+        sid = r.snapshot_id
+        kept = 0
+        while sid is not None and sid in md.snapshots:
+            s = md.snapshots[sid]
+            within_age = age_ms is not None and s.timestamp_ms >= now_ms - age_ms
+            if kept < n_keep or within_age:
+                protected.add(sid)
+                kept += 1
+                sid = s.parent_snapshot_id
+            else:
+                break
     if current:
         protected.add(current.snapshot_id)
     keep = {s.snapshot_id for s in snaps[-keep_last:]} | protected

@@ -222,3 +222,19 @@ def test_optimize_zorder_by(eng, spark):
     t.refresh()
     assert t.scan().count() == 5000
     assert t.scan().where("x < 10").count() > 0
+
+
+def test_insert_overwrite(eng, spark):
+    eng.sql("CREATE TABLE ns.io (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.io VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT OVERWRITE ns.io VALUES (9, 'z')")
+    assert [(r.k, r.v) for r in eng.sql("SELECT * FROM ns.io").collect()] == [(9, "z")]
+
+
+def test_json_external_table(eng, spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n{"id": 3, "tag": "x"}\n')
+    df = eng.sql(f"CREATE EXTERNAL TABLE jsrc (id BIGINT, tag STRING) STORED AS JSON LOCATION '{p}'")
+    assert df.count() == 3
+    out = spark.sql("SELECT tag, COUNT(*) AS n FROM jsrc GROUP BY tag ORDER BY tag").collect()
+    assert [(r.tag, r.n) for r in out] == [("x", 2), ("y", 1)]

@@ -334,3 +334,30 @@ def test_zorder_prunes_on_every_dimension(engine, spark):
     # correctness preserved
     assert t.scan().count() == 20_000
     assert t.scan("x < 100").count() == sum(1 for x, y in rows if x < 100)
+
+
+def test_expire_honors_branch_retention(engine, spark):
+    from iceberg_rust_custom_spark.metadata.snapshot import SnapshotReference
+    from iceberg_rust_custom_spark.table.maintenance import expire_snapshots
+
+    t = engine.create_table("ns.ret", spark.createDataFrame([(0,)], "id long").schema)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    head = t.metadata.current_snapshot_id
+    # main branch demands 3 ancestors kept
+    t.metadata = (
+        t.new_transaction()
+        .set_ref("main", head)  # refresh ref with retention
+        .commit()
+    )
+    refs = dict(t.metadata.refs)
+    refs["main"] = SnapshotReference(head, "branch", min_snapshots_to_keep=3)
+    t.metadata = t.metadata.__class__(**{**t.metadata.__dict__, "refs": refs})
+    expire_snapshots(t, keep_last=1)
+    chain = []
+    sid = head
+    while sid is not None and sid in t.metadata.snapshots:
+        chain.append(sid)
+        sid = t.metadata.snapshots[sid].parent_snapshot_id
+    assert len(chain) >= 3  # retention protected the ancestry
+    assert t.scan().count() == 5
