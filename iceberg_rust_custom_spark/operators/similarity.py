@@ -153,3 +153,47 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 quantization: (id, lo, hi, q: array<int>) with
+    q[i] = round((x[i]-lo)/(hi-lo) * 255) - 128. The 4× memory/IO shrink
+    step before ANN indexing at scale. Pure array expressions (no UDF) —
+    whole-stage codegen over the flat float arrays."""
+    v = F.col(vec_col)
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = F.when(hi != lo, (hi - lo)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: (F.round((x - lo) / scale * 255) - 128).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        lo.cast("double").alias("lo"),
+        hi.cast("double").alias("hi"),
+        q.alias("q"),
+    )
+
+
+def random_projection(
+    df: DataFrame, out_dim: int, vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64, seed: int = 11
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each vector
+    onto ``out_dim`` fixed pseudo-random ±1 directions (deterministic seed →
+    reproducible across runs/executors). Broadcast-free: the projection
+    matrix is baked into the plan as literals; each output component is one
+    codegen'd aggregate over the array — no shuffle, no UDF."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(out_dim)]
+    inv = 1.0 / (out_dim ** 0.5)
+    comps = []
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(w) for w in plane])
+        comps.append(
+            (F.aggregate(F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+                         F.lit(0.0), lambda acc, x: acc + x) * inv).alias(f"p_{j}")
+        )
+    out = df.select(F.col(id_col), F.array(*[c for c in comps]).alias("projected"))
+    return out

@@ -1951,3 +1951,29 @@ def benchmark_decontamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     return TX.decontaminate(docs, bench, "doc_id", "text", shingle_n=3).select("doc_id")
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CAST(list_max(embedding) AS DOUBLE) AS hi,
+           list_transform(embedding, x -> CAST(round(
+             (x - list_min(embedding)) /
+             (CASE WHEN list_max(embedding) <> list_min(embedding)
+                   THEN list_max(embedding) - list_min(embedding) ELSE 1.0 END) * 255) - 128 AS INT)) AS q
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector int8 quantization (4× footprint shrink before ANN) —
+    pure array expressions, value-exact against the SQL oracle."""
+    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@q("embedding_random_projection")  # rows-only: float matmul across engines
+def embedding_random_projection(spark, sf_dir):
+    """JL random projection 64→16 dims: ±1 plane matmul as codegen'd array
+    aggregates, deterministic seed, zero shuffle."""
+    return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
