@@ -201,3 +201,32 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, on=id_col, how="left_anti")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> DataFrame:
+    """Deterministic sampling: keep rows whose key hashes into the lowest
+    ``rate`` fraction of 32-bit space. Unlike ``df.sample()``, the result is
+    reproducible across runs, engines, partitionings and cluster sizes —
+    the property training-data curation actually needs (re-running the
+    pipeline yields the same corpus). Optional salt decorrelates repeated
+    draws. No shuffle: a codegen'd filter at scan speed."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * 4294967296)
+    h = md5h32_sql(f"concat(cast({key_col} AS STRING), '{salt}')")
+    return df.where(F.expr(f"{h} < {threshold}"))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict, default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
+    languages, keep all rare ones): each stratum gets its own keep-rate,
+    applied with the same engine-reproducible hash rule."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+
+    h = md5h32_sql(f"cast({key_col} AS STRING)")
+    expr = F.lit(int(default_rate * 4294967296))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == value, F.lit(int(rate * 4294967296))).otherwise(expr)
+    return df.where(F.expr(h) < expr)

@@ -1977,3 +1977,20 @@ def embedding_random_projection(spark, sf_dir):
     """JL random projection 64→16 dims: ±1 plane matmul as codegen'd array
     aggregates, deterministic seed, zero shuffle."""
     return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
+@q(
+    "deterministic_hash_sample",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE {{H}} < 1288490188
+    """.replace("{H}", "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(concat(cast(doc_id AS VARCHAR), 's1')), {i}, 1)) - 1) * CAST({16 ** (8 - i)} AS BIGINT)"
+        for i in range(1, 9)
+    ) + ")"),
+)
+def deterministic_hash_sample(spark, sf_dir):
+    """30% reproducible sample of documents by key hash — same corpus on
+    every run, engine, and partitioning (df.sample() guarantees none of
+    those). Scan-speed filter, no shuffle."""
+    return TX.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="s1").select("doc_id")

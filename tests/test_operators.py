@@ -219,3 +219,28 @@ def test_decontaminate_drops_overlapping_docs(spark):
     kept = {r.doc_id for r in TX.decontaminate(corpus, bench, shingle_n=3).collect()}
     # docs 1 and 3 share the 3-gram "quick brown fox" with the benchmark
     assert kept == {2}
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from iceberg_rust_custom_spark.operators import text as TX
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = {r.k for r in TX.hash_sample(df, "k", 0.25).collect()}
+    b = {r.k for r in TX.hash_sample(df.repartition(13), "k", 0.25).collect()}
+    assert a == b  # partitioning-independent
+    assert 0.20 < len(a) / 2000 < 0.30
+    # monotone: a smaller rate selects a subset of a larger one
+    c = {r.k for r in TX.hash_sample(df, "k", 0.10).collect()}
+    assert c <= a
+
+
+def test_stratified_hash_sample(spark):
+    from iceberg_rust_custom_spark.operators import text as TX
+
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = TX.stratified_hash_sample(df, "k", "lang", {"en": 0.1, "rare": 1.0})
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts["rare"] == 1000
+    assert 50 < counts["en"] < 200
