@@ -215,6 +215,120 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every node of an undirected edge list with the minimum node id
+    reachable from it: ``(node, component)``.
+
+    This is the missing half of pair-producing dedup (minhash_lsh_pairs /
+    simhash_neardup_pairs give EDGES; corpus curation needs CLUSTERS with one
+    canonical doc each — A~B and B~C must collapse to one cluster even though
+    A~C was never emitted).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) — converges in
+    O(log²  n) rounds on any graph (O(log n) in practice), unlike naive
+    min-label propagation whose round count is the graph DIAMETER (a 10^6-doc
+    near-dup chain would need 10^6 shuffles; this needs ~20).
+
+    Scale shape per round: one groupBy(node) shuffle + an in-group array
+    expansion (stays in codegen — no UDF). Lineage is truncated every round
+    with ``localCheckpoint`` so the plan doesn't grow with iterations. Max
+    in-group width is the node's CURRENT degree; large-star routes high-degree
+    mass to component minima, which is exactly the skew mitigation the paper
+    proves. Convergence = (count, hash-sum) checksum of the edge set stable.
+    """
+    F_u, F_v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        )
+        .where(F_u != F_v)
+        .distinct()
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # undirected neighborhoods; for each u connect every LARGER neighbor
+        # to min(Γ(u) ∪ {u})
+        sym = e.select("u", "v").union(e.select(F_v.alias("u"), F_u.alias("v")))
+        return (
+            sym.groupBy("u")
+            .agg(F.collect_set("v").alias("ns"))
+            .select(
+                F.least(F.array_min("ns"), F_u).alias("m"),
+                F.explode(F.expr("filter(ns, x -> x > u)")).alias("big"),
+            )
+            .where(F.col("big") != F.col("m"))
+            .select(F.col("big").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # edges oriented larger→smaller; connect u and all its smaller
+        # neighbors to the minimum of the group
+        return (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .groupBy("u")
+            .agg(F.collect_set("v").alias("ns"))
+            .select(
+                F.array_min("ns").alias("m"),
+                F.explode(F.expr("array_append(ns, u)")).alias("n"),
+            )
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (node, component-min) — a star per component
+    roots = edges.select(F_v.alias("node"), F_v.alias("component")).distinct()
+    return edges.select(F_u.alias("node"), F_v.alias("component")).union(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign EVERY document a duplicate-cluster id (min doc id of its
+    connected component; singletons are their own cluster) and flag the one
+    canonical doc to keep: ``(id, cluster_id, is_canonical)``.
+
+    ``df.where('is_canonical')`` is the deduplicated corpus. The components
+    DataFrame is tiny relative to the corpus (only docs appearing in a pair),
+    so the final join broadcasts."""
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    return (
+        df.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

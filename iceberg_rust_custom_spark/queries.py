@@ -1053,6 +1053,40 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     """
 
 
+def _cc_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    # DuckDB replays the clustering as min-reachable-id over the LSH pair
+    # graph: a recursive CTE seeds every doc with its own id and propagates
+    # labels across (undirected) edges; MIN per node = the component id the
+    # large-star/small-star algorithm converges to.
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_oracle(num_hashes, bands)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, MIN(lbl) AS cluster_id, u = MIN(lbl) AS is_canonical
+    FROM reach GROUP BY u
+    """
+
+
+@q("fuzzy_dedup_clusters", _cc_oracle(16, 8))
+def fuzzy_dedup_clusters(spark, sf_dir):
+    """End-to-end fuzzy dedup: LSH candidate pairs → connected components
+    (alternating large-star/small-star, O(log n) rounds) → every doc labeled
+    with its cluster's min id + a canonical-keep flag. A~B and B~C collapse
+    into one cluster even when A~C was never emitted as a pair — the step
+    pair-based dedup misses. `WHERE is_canonical` is the deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
+    return D.dedup_clusters(docs, "doc_id", pairs)
+
+
 @q("minhash_lsh_pairs", _lsh_oracle(16, 8))
 def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=8)

@@ -46,6 +46,42 @@ def test_minhash_lsh_finds_neardups(docs):
         assert found >= 0.5, f"LSH recall too low: {found}"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) must collapse to one component even
+    though 1-4 never appears as a pair; a disjoint pair (10-11) stays its
+    own component."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (11, 10)], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in D.dedup_clusters(df, "doc_id", pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
+
+
+def test_fuzzy_dedup_matches_jaccard_transitivity(docs):
+    """Every high-Jaccard pair must land in the same final cluster."""
+    jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
+    clusters = {r.doc_id: r.cluster_id for r in D.dedup_clusters(docs, "doc_id", pairs).collect()}
+    for r in jac.collect():
+        if (r.id_a, r.id_b) in {(p.id_a, p.id_b) for p in pairs.collect()}:
+            assert clusters[r.id_a] == clusters[r.id_b]
+
+
 def test_simhash_close_for_neardups(docs):
     fp = D.simhash(docs, "doc_id", "text")
     assert fp.count() == docs.where(F.length("text") > 0).count()
