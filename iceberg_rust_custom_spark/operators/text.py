@@ -78,6 +78,116 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 — public):
+    per document, the fraction of duplicate lines, the fraction of characters
+    in duplicate lines, the character share of the single most frequent word
+    n-gram (n=2..4), and the character share of all repeated n-grams
+    (n=5..8), plus a pass/fail flag against the published thresholds.
+
+    Variant notes (documented, engine-portable): n-gram character mass is
+    ``count * length(gram)`` over ``length(text)`` — overlapping spans are
+    counted per occurrence rather than de-overlapped (the common open
+    reproduction), and fractions are clamped to 1.
+
+    Scale shape: ONE explode per branch (lines; all n-gram orders are
+    stacked into a single explode), shuffles keyed by (doc, token-group) then
+    doc — partial aggregation absorbs the fan-out map-side. No UDFs.
+    """
+    c = F.col(text_col)
+    top_ns, dup_ns = sorted(GOPHER_TOP_NGRAM_MAX), sorted(GOPHER_DUP_NGRAM_MAX)
+    all_ns = top_ns + dup_ns
+
+    base = df.select(F.col(id_col), F.length(c).alias("_chars"), c.alias("_t"))
+
+    # ---- duplicate-line signals -----------------------------------------
+    lines = F.filter(
+        F.transform(F.split(F.col("_t"), "\n"), lambda x: F.trim(x)), lambda x: x != F.lit("")
+    )
+    line_counts = (
+        base.select(id_col, F.explode(lines).alias("_line"))
+        .groupBy(id_col, "_line")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    dup = F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))
+    line_stats = line_counts.groupBy(id_col).agg(
+        (F.sum(dup) / F.sum("_cnt")).alias("_dlf"),
+        (
+            F.sum(dup * F.length("_line"))
+            / F.sum(F.col("_cnt") * F.length("_line"))
+        ).alias("_dlcf"),
+    )
+
+    # ---- n-gram signals: one explode for every order --------------------
+    toks = tokens(F.lower(F.col("_t")))
+
+    # NB: F.transform feeds (element, index) to ANY two-parameter lambda, so
+    # `lambda x, n=n:` silently receives the array index as n — single-arg
+    # closures from factories are the only safe way to bind the loop var.
+    def _gram(n):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = []
+    for n in all_ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), _gram(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        gram_arrays.append(F.transform(grams, _tag(n)))
+    gram_counts = (
+        base.select(id_col, "_chars", F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"))
+        .select(id_col, "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
+        .groupBy(id_col, "_n", "_gram")
+        .agg(F.count("*").alias("_cnt"), F.first("_chars").alias("_chars"))
+    )
+    mass = F.col("_cnt") * F.length("_gram")
+    per_n = gram_counts.groupBy(id_col, "_n").agg(
+        (F.max(mass) / F.first("_chars")).alias("_top"),
+        (F.sum(F.when(F.col("_cnt") >= 2, mass).otherwise(F.lit(0))) / F.first("_chars")).alias(
+            "_dup"
+        ),
+    )
+    wide = per_n.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("_n") == n, F.col("_top"))).alias(f"_top_{n}") for n in top_ns],
+        *[F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup_{n}") for n in dup_ns],
+    )
+
+    out = (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(wide, id_col, "left")
+    )
+    frac = lambda col: F.round(F.least(F.coalesce(col, F.lit(0.0)), F.lit(1.0)), 6)
+    passing = (F.coalesce(F.col("_dlf"), F.lit(0.0)) <= 0.30) & (
+        F.coalesce(F.col("_dlcf"), F.lit(0.0)) <= 0.20
+    )
+    for n in top_ns:
+        passing = passing & (
+            F.least(F.coalesce(F.col(f"_top_{n}"), F.lit(0.0)), F.lit(1.0))
+            <= GOPHER_TOP_NGRAM_MAX[n]
+        )
+    for n in dup_ns:
+        passing = passing & (
+            F.least(F.coalesce(F.col(f"_dup_{n}"), F.lit(0.0)), F.lit(1.0))
+            <= GOPHER_DUP_NGRAM_MAX[n]
+        )
+    return out.select(
+        F.col(id_col),
+        frac(F.col("_dlf")).alias("rep_dup_line_frac"),
+        frac(F.col("_dlcf")).alias("rep_dup_line_char_frac"),
+        *[frac(F.col(f"_top_{n}")).alias(f"rep_top_{n}gram_frac") for n in top_ns],
+        *[frac(F.col(f"_dup_{n}")).alias(f"rep_dup_{n}gram_frac") for n in dup_ns],
+        passing.alias("gopher_repetition_pass"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """n-gram/stopword-heuristic language ID over {en,de,fr,es,zh}:
     CJK characters → zh, else the language with the highest stopword hit

@@ -1087,6 +1087,93 @@ def fuzzy_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(docs, "doc_id", pairs)
 
 
+def _repetition_oracle() -> str:
+    from iceberg_rust_custom_spark.operators.text import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    top_ns, dup_ns = sorted(GOPHER_TOP_NGRAM_MAX), sorted(GOPHER_DUP_NGRAM_MAX)
+
+    def gram_sql(n: int) -> str:
+        terms = " || ' ' || ".join(f"{_TOKS_SQL}[i+{k}]" for k in range(n))
+        return (
+            f"SELECT doc_id, {n} AS n, unnest(list_transform("
+            f"generate_series(1, greatest(len({_TOKS_SQL}) - {n - 1}, 0)), i -> {terms.replace('[i+0]', '[i]')})) AS gram "
+            f"FROM documents"
+        )
+
+    grams = "\n      UNION ALL\n      ".join(gram_sql(n) for n in top_ns + dup_ns)
+    top_cols = ",\n             ".join(
+        f"MAX(CASE WHEN n = {n} THEN topmass END) AS top_{n}" for n in top_ns
+    )
+    dup_cols = ",\n             ".join(
+        f"MAX(CASE WHEN n = {n} THEN dupmass END) AS dup_{n}" for n in dup_ns
+    )
+    top_out = ",\n           ".join(
+        f"ROUND(LEAST(COALESCE(top_{n} / chars, 0), 1), 6) AS rep_top_{n}gram_frac" for n in top_ns
+    )
+    dup_out = ",\n           ".join(
+        f"ROUND(LEAST(COALESCE(dup_{n} / chars, 0), 1), 6) AS rep_dup_{n}gram_frac" for n in dup_ns
+    )
+    passing = " AND ".join(
+        ["COALESCE(dlf, 0) <= 0.30", "COALESCE(dlcf, 0) <= 0.20"]
+        + [
+            f"LEAST(COALESCE(top_{n} / chars, 0), 1) <= {GOPHER_TOP_NGRAM_MAX[n]}"
+            for n in top_ns
+        ]
+        + [
+            f"LEAST(COALESCE(dup_{n} / chars, 0), 1) <= {GOPHER_DUP_NGRAM_MAX[n]}"
+            for n in dup_ns
+        ]
+    )
+    return f"""
+    WITH line_counts AS (
+      SELECT doc_id, line, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS line
+        FROM documents
+      ) GROUP BY doc_id, line
+    ), line_stats AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt) AS dlf,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)::DOUBLE
+               / SUM(cnt * length(line)) AS dlcf
+      FROM line_counts GROUP BY doc_id
+    ), gram_counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM (
+      {grams}
+      ) GROUP BY doc_id, n, gram
+    ), per_n AS (
+      SELECT doc_id, n, MAX(cnt * length(gram)) AS topmass,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dupmass
+      FROM gram_counts GROUP BY doc_id, n
+    ), wide AS (
+      SELECT doc_id,
+             {top_cols},
+             {dup_cols}
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(LEAST(COALESCE(dlf, 0), 1), 6) AS rep_dup_line_frac,
+           ROUND(LEAST(COALESCE(dlcf, 0), 1), 6) AS rep_dup_line_char_frac,
+           {top_out},
+           {dup_out},
+           ({passing}) AS gopher_repetition_pass
+    FROM (SELECT doc_id, length(text)::DOUBLE AS chars FROM documents) d
+    LEFT JOIN line_stats USING (doc_id)
+    LEFT JOIN wide USING (doc_id)
+    """
+
+
+@q("gopher_repetition_signals", _repetition_oracle())
+def gopher_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021): duplicate-line fractions
+    and repeated-n-gram character shares per document, with the published
+    pass thresholds. The step between raw text and trainable corpus that
+    length/punct features alone don't cover."""
+    return TX.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id")
+
+
 @q("minhash_lsh_pairs", _lsh_oracle(16, 8))
 def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=8)

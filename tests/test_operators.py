@@ -82,6 +82,30 @@ def test_fuzzy_dedup_matches_jaccard_transitivity(docs):
             assert clusters[r.id_a] == clusters[r.id_b]
 
 
+def test_repetition_signals_flags_repetitive_doc(spark):
+    # long enough that no single n-gram holds >16% of the characters
+    clean = " ".join(f"word{i} item{i}" for i in range(40))
+    spam = "\n".join(["buy cheap pills now"] * 20)
+    df = spark.createDataFrame([(1, clean), (2, spam)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.repetition_signals(df, "doc_id").collect()}
+    assert out[1].gopher_repetition_pass
+    assert not out[2].gopher_repetition_pass
+    assert out[2].rep_dup_line_frac == 1.0
+    assert out[2].rep_dup_line_char_frac == 1.0
+    assert out[2].rep_dup_5gram_frac > 0.5
+    assert out[1].rep_dup_line_frac == 0.0
+
+
+def test_repetition_signals_empty_and_short_docs(spark):
+    df = spark.createDataFrame([(1, ""), (2, "hi"), (3, "one two three")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.repetition_signals(df, "doc_id").collect()}
+    # no lines / not enough tokens for any n-gram order → all zero, pass
+    for i in (1, 2):
+        assert out[i].gopher_repetition_pass
+        assert out[i].rep_dup_5gram_frac == 0.0
+    assert out[3].rep_top_2gram_frac > 0.0  # "one two", "two three" distinct
+
+
 def test_simhash_close_for_neardups(docs):
     fp = D.simhash(docs, "doc_id", "text")
     assert fp.count() == docs.where(F.length("text") > 0).count()
