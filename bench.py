@@ -26,6 +26,11 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "correlated_subquery",
     "rollup_flag_status",
+    # TPC-H analogue representatives (3-table top-k, 5-table LIKE-filtered
+    # profit rollup, IN-over-HAVING fan-in)
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_volume_customers",
     # event-time
     "tumbling_windows",
     "session_windows_gaps_islands",
@@ -33,6 +38,8 @@ HEADLINE = [
     # LLM-pipeline
     "exact_dedup",
     "minhash_lsh_pairs",
+    "fuzzy_dedup_clusters",
+    "gopher_repetition_signals",
     "simhash_fingerprints",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",

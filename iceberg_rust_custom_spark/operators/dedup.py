@@ -220,6 +220,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    driver_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every node of an undirected edge list with the minimum node id
     reachable from it: ``(node, component)``.
@@ -241,6 +242,15 @@ def connected_components(
     in-group width is the node's CURRENT degree; large-star routes high-degree
     mass to component minima, which is exactly the skew mitigation the paper
     proves. Convergence = (count, hash-sum) checksum of the edge set stable.
+
+    Hybrid finish: once the (monotonically non-growing) edge set fits under
+    ``driver_finish_edges``, the remainder is solved with an exact driver-side
+    union-find (one collect, O(E α(E))) instead of paying ~3 more cluster
+    round-trips — same results, and the standard head-distributed /
+    tail-local split for iterative graph algorithms. Near-dup graphs are tiny
+    relative to the corpus, so dedup workloads usually take this path on the
+    first round; a 100 TB corpus with a pathological duplicate graph still
+    converges through the star rounds.
     """
     F_u, F_v = F.col("u"), F.col("v")
     edges = (
@@ -291,8 +301,35 @@ def connected_components(
             .distinct()
         )
 
+    def _driver_union_find(e: DataFrame) -> DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = e.collect()
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                # union-by-min keeps every root the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r[0], r[1])}
+        out = [(x, find(x)) for x in sorted(nodes)]
+        spark = e.sparkSession
+        schema = e.select(F_u.alias("node"), F_v.alias("component")).schema
+        return spark.createDataFrame(out, schema)
+
+    edges = edges.localCheckpoint()
     prev = None
     for _ in range(max_iterations):
+        if edges.count() <= driver_finish_edges:
+            return _driver_union_find(edges)
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _checksum(edges)
         if cur == prev:

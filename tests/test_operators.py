@@ -57,6 +57,22 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_distributed_rounds(spark):
+    """Force the large-star/small-star path (driver_finish_edges=0) and
+    check it agrees with the union-find fast path."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i + 1, i) for i in range(1, 30)]  # a 30-node chain
+    edges += [(rng.randint(100, 140), rng.randint(100, 140)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    stars = {(r.node, r.component) for r in D.connected_components(pairs, driver_finish_edges=0).collect()}
+    uf = {(r.node, r.component) for r in D.connected_components(pairs).collect()}
+    assert stars == uf
+    assert {c for n, c in stars if n < 100} == {1}
+
+
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(pairs).count() == 0
