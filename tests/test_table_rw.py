@@ -143,6 +143,58 @@ def test_sql_catalog_cas(tmp_path):
     assert cat.load(ident)[0] == "/tmp/v1.json"
 
 
+def test_glue_catalog_cas(tmp_path):
+    from iceberg_rust_custom_spark.catalog.glue_catalog import FakeGlueClient, GlueCatalog
+
+    cat = GlueCatalog(FakeGlueClient())
+    ident = Identifier.parse("ns.t1")
+    cat.register(ident, "/tmp/v0.json")
+    assert cat.load(ident) == ("/tmp/v0.json", "table")
+    assert cat.list_tabulars(("ns",)) == [ident]
+    cat.swap(ident, "/tmp/v0.json", "/tmp/v1.json")
+    with pytest.raises(CommitFailed):
+        cat.swap(ident, "/tmp/v0.json", "/tmp/v2.json")
+    assert cat.load(ident)[0] == "/tmp/v1.json"
+    cat.drop(ident)
+    assert not cat.tabular_exists(ident)
+
+
+def test_glue_catalog_version_id_race(tmp_path):
+    """A writer that read version N loses to one that committed N+1 in
+    between — the Glue-side ConcurrentModificationException surfaces as
+    CommitFailed (lib.rs:617-659 semantics)."""
+    from iceberg_rust_custom_spark.catalog.glue_catalog import FakeGlueClient, GlueCatalog
+
+    client = FakeGlueClient()
+    cat = GlueCatalog(client)
+    ident = Identifier.parse("ns.t2")
+    cat.register(ident, "/tmp/v0.json")
+    # simulate a concurrent update that bumps VersionId but keeps the pointer
+    t = client.get_table(DatabaseName="ns", Name="t2")["Table"]
+    client.update_table(DatabaseName="ns", TableInput={"Name": "t2", "Parameters": t["Parameters"]})
+    stale = dict(t)  # version read before the concurrent update
+    with pytest.raises(Exception):
+        client.update_table(
+            DatabaseName="ns",
+            TableInput={"Name": "t2", "Parameters": t["Parameters"]},
+            VersionId=stale["VersionId"],
+        )
+    # the catalog path re-reads, so its swap still succeeds
+    cat.swap(ident, "/tmp/v0.json", "/tmp/v1.json")
+    assert cat.load(ident)[0] == "/tmp/v1.json"
+
+
+def test_glue_catalog_engine_roundtrip(spark, tmp_path):
+    from iceberg_rust_custom_spark.catalog.glue_catalog import FakeGlueClient, GlueCatalog
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, catalog=GlueCatalog(FakeGlueClient()), warehouse=str(tmp_path / "wh"))
+    t = eng.create_table("glue_ns.orders", ORDERS_SCHEMA)
+    t.append(_orders_df(spark, ROWS_BATCH1))
+    t.append(_orders_df(spark, ROWS_BATCH2))
+    assert eng.load_table("glue_ns.orders").scan().count() == len(ROWS_BATCH1) + len(ROWS_BATCH2)
+
+
 def test_schema_evolution(engine, spark):
     t = engine.create_table("test.orders7", ORDERS_SCHEMA)
     t.append(_orders_df(spark, ROWS_BATCH1))
