@@ -2137,6 +2137,69 @@ def _tpch_views(spark, sf_dir, *names):
 
 
 @q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, s.s_suppkey
+    FROM part p
+    JOIN ps ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.supplycost = (
+        SELECT MIN(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part within a region, via a
+    correlated scalar subquery (Catalyst decorrelates it to an aggregate +
+    self-join). No partsupp table in the synthetic schema, so the
+    part-supplier cost relation is derived from lineitem
+    (MIN(l_extendedprice/l_quantity) per (partkey, suppkey)) — double
+    division is IEEE-identical across engines, so the equality predicate on
+    supplycost is portable. Evidence for the reference's arbitrary
+    multi-relation SQL surface (datafusion-iceberg-sql/src/context.rs:55-58).
+    At scale: part/supplier/nation/region are all dim-sized (broadcast);
+    only the ps derivation shuffles lineitem once on (partkey, suppkey)."""
+    _tpch_views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS supplycost
+          FROM _tpch_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, s.s_suppkey
+        FROM _tpch_part p
+        JOIN ps ON p.p_partkey = ps.l_partkey
+        JOIN _tpch_supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN _tpch_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN _tpch_region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+          AND ps.supplycost = (
+            SELECT MIN(ps2.supplycost)
+            FROM ps ps2
+            JOIN _tpch_supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+            JOIN _tpch_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN _tpch_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20
+        """
+    )
+
+
+@q(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
@@ -2202,6 +2265,53 @@ def q4_order_priority(spark, sf_dir):
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         GROUP BY o_orderpriority
         """
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue from local-supplier orders (customer and supplier
+    share a nation) per nation of one region. 6-table join tree: lineitem is
+    the only fact; supplier/nation/region broadcast, and the
+    customer⋈orders side is filtered by the order-date range before the
+    fact join. The c_nationkey = s_nationkey equality rides on the join
+    rather than a post-filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -2405,6 +2515,85 @@ def q10_returned_items(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+@q(
+    "q11_important_stock",
+    """
+    SELECT l.l_partkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS part_value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+    GROUP BY l.l_partkey
+    HAVING CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE) >
+      0.001 * (SELECT CAST(SUM(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+               FROM lineitem l2
+               JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+               JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+               WHERE n2.n_name = 'NATION_5')
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value share within one nation's suppliers,
+    kept only when above a fraction of the nation total — an ungrouped
+    scalar subquery feeding a HAVING threshold. The threshold comparison is
+    done on exact DECIMAL(38,10) sums cast to double (identical in both
+    engines); the 0.001 multiplier stays in double space. At scale the
+    nation filter broadcasts through supplier and prunes lineitem before
+    the single groupBy shuffle; the total is a second pass over the same
+    pruned fact (Catalyst reuses the exchange when possible)."""
+    _tpch_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS part_value
+        FROM _tpch_lineitem l
+        JOIN _tpch_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN _tpch_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_5'
+        GROUP BY l.l_partkey
+        HAVING CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE) >
+          0.001 * (SELECT CAST(SUM(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                   FROM _tpch_lineitem l2
+                   JOIN _tpch_supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                   JOIN _tpch_nation n2 ON s2.s_nationkey = n2.n_nationkey
+                   WHERE n2.n_name = 'NATION_5')
+        """
+    )
+
+
+@q(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-aggregation pivot of order priority
+    counts (l_shipmode is absent; l_returnflag stands in as the mode
+    column). The CASE arms run inside the partial aggregate, so the join
+    output never materializes a wide intermediate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
 
 
