@@ -895,6 +895,165 @@ def asof_join_last_signup(spark, sf_dir):
     return out.select("event_id", F.col("r_ts").alias("signup_ts"))
 
 
+@q(
+    "interval_join_purchases_after_signup",
+    """
+    SELECT i.event_id AS signup_id,
+           COUNT(p.event_id) AS purchases,
+           CAST(ROUND(SUM(CAST(COALESCE(p.value, 0) AS DECIMAL(38,10))), 4) AS DOUBLE) AS purchase_value
+    FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+          FROM events WHERE event_type = 'signup') i
+    LEFT JOIN (SELECT event_id, ts AS pts, value FROM events WHERE event_type = 'purchase') p
+      ON p.pts >= i.start_ts AND p.pts <= i.end_ts
+    GROUP BY i.event_id
+    """,
+)
+def interval_join_purchases_after_signup(spark, sf_dir):
+    """Keyless interval join (operators/rangejoin.py): every purchase — by
+    ANY user — within 2 hours of each signup. No equi-key exists, so a
+    naive plan is a cartesian nested-loop; the operator's bucket-explode
+    strategy turns it into one hash-shuffled equi-join on the time bucket.
+    The DuckDB oracle runs the plain BETWEEN theta join."""
+    from iceberg_rust_custom_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    intervals = (
+        e.where("event_type = 'signup'")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    points = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("pts"), F.col("value").alias("p_value")
+    )
+    joined = interval_join(points, intervals, "pts", "start_ts", "end_ts", bucket_seconds=7200, how="inner")
+    counts = joined.groupBy("signup_id").agg(
+        F.count("p_id").alias("purchases"),
+        _dsum(F.coalesce(F.col("p_value"), F.lit(0))).alias("purchase_value"),
+    )
+    # LEFT semantics of the oracle: signups with zero purchases keep a row
+    return (
+        intervals.select("signup_id")
+        .join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce(F.col("purchases"), F.lit(0)).alias("purchases"),
+            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+@q(
+    "timeseries_downsample_gapfill",
+    """
+    WITH sparse AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '6 hours', ts) AS bucket,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type IN ('error', 'signup')
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM sparse GROUP BY 1
+    ), dense AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+      FROM spans
+    )
+    SELECT d.event_type, strftime(d.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(s.n, 0) AS n, COALESCE(s.sum_value, 0.0) AS sum_value
+    FROM dense d LEFT JOIN sparse s ON d.event_type = s.event_type AND d.bucket = s.bucket
+    """,
+)
+def timeseries_downsample_gapfill(spark, sf_dir):
+    """Hypertable-style rollup (operators/timeseries.py): 6-hour downsample
+    per event type, then gap-fill so every bucket between a type's first
+    and last observation exists (missing buckets → 0). The dense axis is
+    generated distributed via sequence()+explode — no driver loop."""
+    from iceberg_rust_custom_spark.operators.timeseries import downsample, gap_fill
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isin("error", "signup"))
+    sparse = downsample(
+        e,
+        "ts",
+        6 * 3600,
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "sum_value": _dsum(F.col("value"))},
+    )
+    dense = gap_fill(
+        sparse, "bucket", 6 * 3600, ["event_type"], fill={"n": 0, "sum_value": 0.0}
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "sum_value",
+    )
+
+
+@q(
+    "skew_salted_join_nation_revenue",
+    """
+    SELECT s.s_nationkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def skew_salted_join_nation_revenue(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): lineitem rows take a
+    deterministic salt, supplier replicates 16×, the join key becomes
+    (suppkey, salt) — a hot supplier's rows spread over 16 reducers. The
+    oracle is the PLAIN join: salting must be row-identical."""
+    from iceberg_rust_custom_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, on=["l_suppkey"], n_salts=16)
+    return joined.groupBy("s_nationkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@q(
+    "skew_salted_agg_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg_returnflag(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py): l_returnflag has
+    only 3 values — exactly the single-hot-group shape AQE cannot split.
+    Partials aggregate on (flag, salt) across 32 reducers, the final
+    merge touches 3×32 rows. Oracle is the plain GROUP BY."""
+    from iceberg_rust_custom_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        ["l_returnflag"],
+        sums={"sum_qty": F.col("l_quantity").cast("decimal(38,10)")},
+        counts="n",
+        mins={"min_price": F.col("l_extendedprice")},
+        maxs={"max_price": F.col("l_extendedprice")},
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty"), 4).cast("double").alias("sum_qty"),
+        "n",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
 # =========================================================================
 # text analysis (beyond-reference)
 # =========================================================================

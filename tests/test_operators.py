@@ -320,3 +320,83 @@ def test_stratified_hash_sample(spark):
     counts = {r.lang: r["count"] for r in got}
     assert counts["rare"] == 1000
     assert 50 < counts["en"] < 200
+
+
+# ---- rangejoin / timeseries / skew ----
+
+
+def test_interval_join_matches_nested_loop(spark):
+    from iceberg_rust_custom_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(100)], "p_id long, x double")
+    ivs = spark.createDataFrame(
+        [(1, 10.0, 25.5), (2, 90.0, 300.0), (3, -5.0, 3.0), (4, 40.25, 40.75)],
+        "iv_id long, lo double, hi double",
+    )
+    got = interval_join(pts, ivs, "x", "lo", "hi", bucket_seconds=7).collect()
+    expected = {
+        (p, i)
+        for p in range(100)
+        for i, lo, hi in [(1, 10.0, 25.5), (2, 90.0, 300.0), (3, -5.0, 3.0), (4, 40.25, 40.75)]
+        if lo <= p <= hi
+    }
+    assert {(r.p_id, r.iv_id) for r in got} == expected
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    from iceberg_rust_custom_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 50.0)], "p_id long, x double")
+    ivs = spark.createDataFrame([(1, 0.0, 10.0)], "iv_id long, lo double, hi double")
+    out = interval_join(pts, ivs, "x", "lo", "hi", bucket_seconds=4, how="left")
+    rows = {r.p_id: r.iv_id for r in out.collect()}
+    assert rows == {1: 1, 2: None}
+
+
+def test_interval_join_rejects_column_collision(spark):
+    from iceberg_rust_custom_spark.operators.rangejoin import interval_join
+
+    df = spark.createDataFrame([(1, 2.0)], "p_id long, x double")
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(df, df, "x", "x", "x")
+
+
+def test_gap_fill_locf(spark):
+    from iceberg_rust_custom_spark.operators.timeseries import downsample, gap_fill
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 5.0),  # gap at hours 1-2
+        ("b", "2024-01-01 00:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sparse = downsample(df, "ts", 3600, ["g"], {"s": F.sum("v"), "n": F.count(F.lit(1))})
+    dense = gap_fill(sparse, "bucket", 3600, ["g"], fill={"n": 0}, locf_cols=["s"])
+    a = {r.bucket.hour: (r.n, r.s) for r in dense.where("g = 'a'").collect()}
+    assert a == {0: (1, 1.0), 1: (0, 1.0), 2: (0, 1.0), 3: (1, 5.0)}  # locf carries 1.0
+    assert dense.where("g = 'b'").count() == 1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from iceberg_rust_custom_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey", "l_quantity")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    salted = salted_join(li, s, on=["l_suppkey"], n_salts=8)
+    plain = li.join(s, on=["l_suppkey"])
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.groupBy("s_nationkey").agg(F.sum("l_quantity")).collect()}
+    b = {tuple(r) for r in plain.groupBy("s_nationkey").agg(F.sum("l_quantity")).collect()}
+    assert a == b
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from iceberg_rust_custom_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="salt the other side"):
+        salted_join(df, df.select(F.col("k")), on=["k"], how="full")
