@@ -31,10 +31,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q9_product_profit",
     "q18_large_volume_customers",
-    # event-time
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    # event-time / time-series
     "tumbling_windows",
     "session_windows_gaps_islands",
     "asof_join_last_signup",
+    "interval_join_purchases_after_signup",
+    "timeseries_downsample_gapfill",
     # LLM-pipeline
     "exact_dedup",
     "minhash_lsh_pairs",

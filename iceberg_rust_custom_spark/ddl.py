@@ -5,9 +5,10 @@ as DataFusion extension planners (datafusion_iceberg/src/planner.rs:55-244):
   STORED AS ICEBERG [PARTITIONED BY (month(col), bucket(16, col), …)]
   [LOCATION 'path']`` — planner.rs:77-168; transform strings parsed like the
   reference's regex ``parse_transform`` (planner.rs:451-499).
-* ``CREATE EXTERNAL TABLE name (col type, …) STORED AS CSV|JSON LOCATION
-  'path'`` — the CSV source used by the reference's TPC-H loader
-  (datafusion_iceberg/examples/insert_csv.rs:46-73), plus JSONL; registers
+* ``CREATE EXTERNAL TABLE name (col type, …) STORED AS CSV|JSON|ORC
+  LOCATION 'path'`` — the CSV source used by the reference's TPC-H loader
+  (datafusion_iceberg/examples/insert_csv.rs:46-73), plus JSONL and ORC
+  (a format the reference only enumerates, manifest.rs:295-304); registers
   a Spark file-backed temp view with the explicit schema.
 * ``CREATE [MATERIALIZED] VIEW name AS select …`` — planner.rs:170-244
   (reference maps CREATE VIEW to a *materialized* view; we support both and
@@ -86,7 +87,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 _CREATE_TABLE_RE = re.compile(
     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"STORED\s+AS\s+(?P<fmt>ICEBERG|CSV|JSON)\s*"
+    r"STORED\s+AS\s+(?P<fmt>ICEBERG|CSV|JSON|ORC)\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -158,12 +159,16 @@ def try_execute(engine, query: str) -> DataFrame | None:
             return spark.range(0)
         schema = T.StructType.fromDDL(m.group("cols"))
         fmt = m.group("fmt").upper()
-        if fmt in ("CSV", "JSON"):
+        if fmt in ("CSV", "JSON", "ORC"):
             loc = m.group("loc")
             if not loc:
                 raise ValueError(f"STORED AS {fmt} requires LOCATION '<path>'")
             reader = spark.read.schema(schema)
-            df = reader.csv(loc, header=False) if fmt == "CSV" else reader.json(loc)
+            df = (
+                reader.csv(loc, header=False)
+                if fmt == "CSV"
+                else reader.json(loc) if fmt == "JSON" else reader.orc(loc)
+            )
             df.createOrReplaceTempView(name.replace(".", "__"))
             return df
         partition_by = [parse_transform(p) for p in _split_top_level(m.group("parts") or "")]

@@ -43,3 +43,15 @@ def read_memory(spark: SparkSession, rows: list, schema: T.StructType | str) -> 
     """In-memory batch source (reference: ctx.read_batch(RecordBatch),
     examples/dataframe.rs:71-82)."""
     return spark.createDataFrame(rows, _schema(schema))
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """ORC source. The reference declares ORC only as a file-format enum
+    variant and cannot read it (manifest.rs:295-304, arrow/read.rs:29-43);
+    Spark's native vectorized ORC reader makes it a first-class source
+    here. Schema optional: ORC files embed their schema exactly (unlike
+    CSV/JSON there is no inference pass over the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(_schema(schema))
+    return reader.orc(path)

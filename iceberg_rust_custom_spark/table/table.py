@@ -107,6 +107,41 @@ class Table:
     def refs(self) -> dict:
         return dict(self.metadata.refs)
 
+    def fast_forward(self, from_branch: str, to_branch: str = MAIN_BRANCH) -> "Table":
+        """Write-audit-publish: move ``to_branch`` (default main) up to
+        ``from_branch``'s head. Only a true fast-forward is allowed — the
+        target's current snapshot must be an ancestor of the source head,
+        so publishing never discards commits. The typical WAP flow:
+        ``create_branch('audit')`` → append/validate on the branch →
+        ``fast_forward('audit')`` publishes atomically (one CAS commit),
+        with readers of main never seeing unaudited data."""
+        src = self.metadata.snapshot_for_ref(from_branch)
+        if src is None:
+            raise ValueError(f"branch {from_branch!r} has no snapshot")
+        dst = self.metadata.snapshot_for_ref(to_branch)
+        if dst is not None:
+            cur, ok = src, False
+            while cur is not None:
+                if cur.snapshot_id == dst.snapshot_id:
+                    ok = True
+                    break
+                cur = (
+                    self.metadata.snapshots.get(cur.parent_snapshot_id)
+                    if cur.parent_snapshot_id is not None
+                    else None
+                )
+            if not ok:
+                raise ValueError(
+                    f"{to_branch!r} @ {dst.snapshot_id} is not an ancestor of "
+                    f"{from_branch!r} @ {src.snapshot_id}: not a fast-forward"
+                )
+            if dst.snapshot_id == src.snapshot_id:
+                return self
+        self.metadata = self.new_transaction(to_branch).set_ref(
+            to_branch, src.snapshot_id, "branch"
+        ).commit()
+        return self
+
     # ------------------------------------------------------------------ read
     def _resolve_snapshot(
         self,
@@ -267,6 +302,27 @@ class Table:
 
         snap = self._resolve_snapshot(snapshot_id)
         return files_df(self.spark, self.metadata, snap)
+
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition rollup of the live files (Iceberg's `partitions`
+        metadata table): file/record counts and byte totals per partition
+        tuple. Computed distributed over the manifest parquets — at 100 TB
+        the partition count is itself large, so this never collects."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.table.scan import files_df
+
+        snap = self._resolve_snapshot(snapshot_id)
+        return (
+            files_df(self.spark, self.metadata, snap)
+            .where("content = 0")
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
+            )
+        )
 
     def history(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -413,3 +413,35 @@ def test_expire_honors_branch_retention(engine, spark):
         sid = t.metadata.snapshots[sid].parent_snapshot_id
     assert len(chain) >= 3  # retention protected the ancestry
     assert t.scan().count() == 5
+
+
+def test_partitions_metadata_table(engine, spark):
+    """Iceberg `partitions` metadata table: per-partition file/row rollup."""
+    t = engine.create_table("ns.pmt", ORDERS_SCHEMA, partition_by=[("date", "month")])
+    df = spark.createDataFrame(ROWS_BATCH1, "id long, customer_id long, product_id long, date date, amount int")
+    t.append(df)
+    parts = {r.partition: (r.file_count, r.record_count) for r in t.partitions().collect()}
+    assert len(parts) == 2  # 2020-01 and 2020-02
+    assert sum(rc for _, rc in parts.values()) == len(ROWS_BATCH1)
+    assert all(fc >= 1 for fc, _ in parts.values())
+
+
+def test_wap_fast_forward(engine, spark):
+    """Write-audit-publish: stage on a branch, validate, fast-forward main."""
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(0, (NestedField(1, "id", "long", False),))
+    t = engine.create_table("ns.wap", schema)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(2,)], "id long"), branch="audit")
+    # main unchanged while audit holds the new data
+    assert t.scan().count() == 1
+    assert t.scan(branch="audit").count() == 2
+    t.fast_forward("audit")
+    assert t.scan().count() == 2  # published
+
+    # diverge: append to main, then audit is no longer a descendant
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("audit")
