@@ -155,7 +155,10 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
                 return any(may_match(Comparison(expr.column, "=", v), bounds) for v in lit)
             lit = _coerce(lit, lo if lo is not None else hi)
             if op == "=":
-                return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+                if not ((lo is None or lo <= lit) and (hi is None or lit <= hi)):
+                    return False
+                excl = getattr(bounds, "bloom_excludes", None)
+                return not (excl is not None and excl(expr.column, lit))
             if op == "!=":
                 if lo is not None and hi is not None and lo == hi == lit:
                     nulls = bounds.null_count(expr.column)
@@ -179,9 +182,39 @@ class FileBounds:
     """Adapter exposing lower/upper/null_count/value_count per column, with
     values decoded according to the table schema."""
 
-    def __init__(self, lower: dict, upper: dict, nulls: dict, counts: dict, schema: Schema | None):
+    def __init__(
+        self,
+        lower: dict,
+        upper: dict,
+        nulls: dict,
+        counts: dict,
+        schema: Schema | None,
+        blooms: dict | None = None,
+    ):
         self._lower, self._upper, self._nulls, self._counts = lower, upper, nulls, counts
         self._types = {f.name: f.field_type for f in schema.fields} if schema else {}
+        self._blooms = blooms or {}
+
+    def bloom_excludes(self, col: str, value) -> bool:
+        """True iff the file's bloom sketch proves `col = value` matches
+        nothing in this file (functions/bloom.py; conservative on any
+        missing/unsupported piece)."""
+        words = self._blooms.get(col)
+        t = self._types.get(col)
+        if not words or not isinstance(t, str):
+            return False
+        from iceberg_rust_custom_spark.functions.bloom import (
+            bloom_may_contain,
+            value_hash_python,
+        )
+
+        try:
+            h = value_hash_python(value, t)
+        except (TypeError, ValueError):
+            return False
+        if h is None:
+            return False
+        return not bloom_may_contain(words, h, len(words) * 64)
 
     def _decode(self, col: str, v):
         t = self._types.get(col)

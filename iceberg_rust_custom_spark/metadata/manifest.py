@@ -77,6 +77,9 @@ class DataFile:
     upper_bounds: dict = field(default_factory=dict)
     content: int = 0  # 0 = data
     schema_id: int = -1  # schema the file was written under (-1 = unknown/legacy)
+    # column name -> list of int64 words: per-file bloom filter for
+    # planning-time equality skipping (beyond the reference; functions/bloom.py)
+    bloom_filters: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -104,6 +107,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("lower_bounds", pa.string()),
         ("upper_bounds", pa.string()),
         ("schema_id", pa.int32()),
+        ("bloom_filters", pa.string()),  # JSON {col: [int64 words]}, nullable
     ]
 )
 
@@ -153,6 +157,7 @@ def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) ->
         rows["lower_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.lower_bounds.items()}))
         rows["upper_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.upper_bounds.items()}))
         rows["schema_id"].append(df.schema_id)
+        rows["bloom_filters"].append(json.dumps(df.bloom_filters) if df.bloom_filters else None)
         if e.status == STATUS_ADDED:
             added_files += 1
             added_rows += df.record_count
@@ -207,6 +212,7 @@ def read_manifest(path: str) -> list[ManifestEntry]:
             upper_bounds=json.loads(row["upper_bounds"]),
             content=row["content"],
             schema_id=row.get("schema_id", -1) if row.get("schema_id") is not None else -1,
+            bloom_filters=json.loads(row["bloom_filters"]) if row.get("bloom_filters") else {},
         )
         out.append(ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df))
     return out

@@ -9,7 +9,7 @@ At 100 TB these run at full scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
@@ -282,6 +282,90 @@ def vocabulary(df: DataFrame, text_col: str = "text", top_k: int = 1000) -> Data
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance/keyword
+    primitive for corpus curation and quality-weighted sampling.
+
+    Shape (scale-conscious): one explode + groupBy(doc, term) with map-side
+    combine (shuffle ∝ distinct doc-term pairs), a tiny groupBy(term) for
+    document frequency, and a broadcast of the scalar corpus size. The
+    per-doc top-k rank orders by integer (tf DESC, term ASC) so results are
+    engine-exact; tfidf itself is rounded to 4 dp to absorb libm ln ulps.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 document scoring for a fixed term set (Robertson/Spärck Jones,
+    public formula) — retrieval-style relevance ranking over the corpus.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score  = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Shape: the query-term tf aggregate only keeps matching tokens (filter
+    before shuffle), doc lengths are a per-row projection, avgdl/N are
+    broadcast scalars. Deterministic top-k: (rounded score DESC, id ASC).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = tokens(F.lower(F.col(text_col)))
+    dl = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    contrib = (idf * F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
 

@@ -1445,7 +1445,7 @@ def embedding_lsh_candidates(spark, sf_dir):
 # =========================================================================
 
 
-def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = ""):
+def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = "", properties=None):
     """Create (once per session+sf) an engine table from a source parquet and
     return it. Warehouse lives under /tmp keyed by (sf_dir, source)."""
     import hashlib
@@ -1459,7 +1459,7 @@ def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = "
     name = f"rt.{source}"
     if not eng.table_exists(name):
         df = _t(spark, sf_dir, source)
-        t = eng.create_table(name, df.schema, partition_by=partition_by)
+        t = eng.create_table(name, df.schema, partition_by=partition_by, properties=properties)
         t.append(df)
     return eng.load_table(name)
 
@@ -1497,6 +1497,32 @@ def iceberg_pruned_scan(spark, sf_dir):
     t = _roundtrip_table(spark, sf_dir, "lineitem", partition_by=[("l_shipdate", "month")])
     return t.scan("l_shipdate >= '1998-06-01'").select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+
+
+@q(
+    "iceberg_bloom_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_custkey = 37
+    """,
+)
+def iceberg_bloom_point_lookup(spark, sf_dir):
+    """Point lookup through per-file bloom sketches (beyond-reference
+    pruning level: min/max bounds can't skip interleaved high-cardinality
+    keys, the manifest bloom can — functions/bloom.py). Result must equal
+    the plain SQL filter exactly; the bloom only removes files."""
+    t = _roundtrip_table(
+        spark,
+        sf_dir,
+        "orders",
+        key="bloom",
+        properties={"write.metadata.bloom-filter-columns": "o_custkey"},
+    )
+    return t.scan("o_custkey = 37").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
 
 
@@ -2208,6 +2234,57 @@ def vocabulary_topk(spark, sf_dir):
     """Top-500 corpus tokens with counts (tokenizer/stopword mining):
     explode + map-side-combined count + TakeOrderedAndProject top-k."""
     return TX.vocabulary(_t(spark, sf_dir, "documents"), "text", top_k=500)
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      ) GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, doc_freq,
+           round(tf * ln(n_docs / doc_freq), 4) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms; integer-deterministic rank order,
+    4-dp rounding absorbs libm ln ulps across engines."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", top_k=5)
+
+
+@q(
+    "bm25_scores",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      ) WHERE term IN ('hash', 'merge', 'spark', 'table')
+      GROUP BY doc_id, term
+    ), dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    """,
+)
+def bm25_scores(spark, sf_dir):
+    """BM25 top-50 docs for a fixed query-term set (k1=1.2, b=0.75);
+    filter-before-shuffle tf aggregate, broadcast df/avgdl scalars."""
+    return TX.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "table", "hash", "merge"], "doc_id", "text"
+    )
 
 
 @q(

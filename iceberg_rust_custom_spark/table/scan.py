@@ -145,7 +145,12 @@ def plan_files(
                 continue  # position-delete files: plan_delete_files
             if predicate is not None:
                 fb = FileBounds(
-                    df.lower_bounds, df.upper_bounds, df.null_value_counts, df.value_counts, schema
+                    df.lower_bounds,
+                    df.upper_bounds,
+                    df.null_value_counts,
+                    df.value_counts,
+                    schema,
+                    blooms=df.bloom_filters,
                 )
                 if not may_match(predicate, fb):
                     continue  # file-level stats skip

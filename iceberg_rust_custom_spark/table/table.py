@@ -324,6 +324,43 @@ class Table:
             )
         )
 
+    def manifests(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `manifests` metadata table (Iceberg parity): one row per
+        manifest in the selected snapshot's manifest list, with file/row
+        counts and partition FieldSummary bounds as JSON. The manifest list
+        is a single small parquet — read it with Spark so the surface stays
+        uniform with files()/entries()."""
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None:
+            return self.spark.createDataFrame(
+                [], "manifest_path string, partition_spec_id int, content int, "
+                "sequence_number long, min_sequence_number long, added_files_count int, "
+                "existing_files_count int, deleted_files_count int, added_rows_count long, "
+                "existing_rows_count long, partition_summaries string",
+            )
+        return self.spark.read.parquet(snap.manifest_list).withColumnRenamed(
+            "partitions", "partition_summaries"
+        )
+
+    def refs_df(self) -> DataFrame:
+        """The `refs` metadata table: branches and tags with retention."""
+        rows = [
+            (
+                name,
+                ref.ref_type,
+                ref.snapshot_id,
+                ref.min_snapshots_to_keep,
+                ref.max_snapshot_age_ms,
+                ref.max_ref_age_ms,
+            )
+            for name, ref in self.metadata.refs.items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, min_snapshots_to_keep int, "
+            "max_snapshot_age_ms long, max_ref_age_ms long",
+        )
+
     def history(self) -> DataFrame:
         return self.spark.createDataFrame(
             [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log],

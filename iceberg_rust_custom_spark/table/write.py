@@ -232,6 +232,39 @@ def write_partitioned(
                 paths.append((os.path.join(dirpath, fn), partition))
 
     with ThreadPoolExecutor(max_workers=16) as pool:
-        return list(
+        datafiles = list(
             pool.map(lambda t: collect_datafile_stats(t[0], schema, t[1], schema.schema_id), paths)
         )
+
+    # optional per-file bloom sketches for planning-time equality skipping
+    # (beyond the reference — functions/bloom.py). One extra narrow Spark
+    # pass over only the bloom columns of the just-written files.
+    bloom_cols = [
+        c.strip()
+        for c in metadata.properties.get("write.metadata.bloom-filter-columns", "").split(",")
+        if c.strip()
+    ]
+    if bloom_cols and datafiles:
+        from iceberg_rust_custom_spark.functions.bloom import (
+            DEFAULT_BLOOM_BITS,
+            compute_file_blooms,
+            supports_bloom,
+        )
+
+        cols_types = {}
+        by_name = {f.name: f for f in schema.fields}
+        for c in bloom_cols:
+            f_ = by_name.get(c)
+            if f_ is not None:
+                tname = _iceberg_type_name(f_.field_type)
+                if supports_bloom(tname):
+                    cols_types[c] = tname
+        if cols_types:
+            m_bits = int(
+                metadata.properties.get("write.metadata.bloom-filter-bits", DEFAULT_BLOOM_BITS)
+            )
+            read_back = df.sparkSession.read.parquet(*[d.file_path for d in datafiles])
+            blooms = compute_file_blooms(read_back, cols_types, m_bits)
+            for d in datafiles:
+                d.bloom_filters = blooms.get(os.path.abspath(d.file_path), {})
+    return datafiles

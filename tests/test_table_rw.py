@@ -426,6 +426,74 @@ def test_partitions_metadata_table(engine, spark):
     assert all(fc >= 1 for fc, _ in parts.values())
 
 
+def test_manifests_and_refs_metadata_tables(engine, spark):
+    """Iceberg `manifests` / `refs` metadata tables."""
+    t = engine.create_table("ns.mmt", ORDERS_SCHEMA, partition_by=[("date", "month")])
+    df = spark.createDataFrame(ROWS_BATCH1, "id long, customer_id long, product_id long, date date, amount int")
+    t.append(df)
+    t.create_tag("v1")
+    m = t.manifests().collect()
+    assert len(m) >= 1
+    assert sum(r.added_files_count for r in m) >= 1
+    assert all(r.manifest_path for r in m)
+    # partition FieldSummary bounds travel with each manifest row
+    import json
+
+    summaries = json.loads(m[0].partition_summaries)
+    assert summaries and all({"lower", "upper"} <= set(v) for v in summaries.values())
+    refs = {r.name: r for r in t.refs_df().collect()}
+    assert refs["main"].type == "branch"
+    assert refs["v1"].type == "tag"
+    assert refs["v1"].snapshot_id == t.metadata.current_snapshot_id
+
+
+def test_bloom_filter_file_skipping(engine, spark):
+    """Per-file bloom sketches prune `col = v` point lookups that min/max
+    bounds cannot (interleaved keys make every file's range span the whole
+    space), while never skipping a file that does contain the key."""
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(
+        0,
+        (
+            NestedField(1, "k", "long", True),
+            NestedField(2, "name", "string", True),
+        ),
+    )
+    t = engine.create_table(
+        "ns.bloomed",
+        schema,
+        properties={
+            "write.metadata.bloom-filter-columns": "k,name",
+            "write.range-partitions": "4",
+            "write.distribution-mode": "none",
+        },
+    )
+    # two appends with interleaved key ranges: min/max overlap completely
+    t.append(spark.createDataFrame([(i, f"u{i}") for i in range(0, 2000, 2)], "k long, name string"))
+    t.append(spark.createDataFrame([(i, f"u{i}") for i in range(1, 2000, 2)], "k long, name string"))
+    total = t.count_planned_files()
+    assert total >= 2
+    # every file's [min,max] contains 999 — only the bloom can skip here
+    planned_hit = t.count_planned_files("k = 999")
+    assert planned_hit < total
+    assert t.scan("k = 999").count() == 1  # correctness: the key is found
+    # absent key: bloom prunes everything (false positives possible but
+    # vanishingly unlikely to hit all files)
+    planned_miss = t.count_planned_files("k = 1000001")
+    assert planned_miss < total
+    assert t.scan("k = 1000001").count() == 0
+    # string column probe: exact row survives, absent value prunes
+    assert t.scan("name = 'u999'").count() == 1
+    assert t.count_planned_files("name = 'zz_nobody'") < total
+    # blooms survive the manifest round-trip
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    snap = t.metadata.snapshot_for_ref()
+    dfs = plan_files(t.metadata, snap, None)
+    assert all(set(d.bloom_filters) == {"k", "name"} for d in dfs)
+
+
 def test_wap_fast_forward(engine, spark):
     """Write-audit-publish: stage on a branch, validate, fast-forward main."""
     from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
