@@ -45,6 +45,8 @@ HEADLINE = [
     "fuzzy_dedup_clusters",
     "gopher_repetition_signals",
     "simhash_fingerprints",
+    "tfidf_top_terms",
+    "bm25_scores",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "multimodal_image_features",
@@ -52,6 +54,7 @@ HEADLINE = [
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_pruned_scan",
+    "iceberg_bloom_point_lookup",
     "iceberg_delete_where",
     "iceberg_merge_upsert",
     "iceberg_mor_delete",
