@@ -26,6 +26,7 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "correlated_subquery",
     "rollup_flag_status",
+    "bucketed_join_revenue_by_nation",
     # TPC-H analogue representatives (3-table top-k, 5-table LIKE-filtered
     # profit rollup, IN-over-HAVING fan-in)
     "q3_shipping_priority",

@@ -993,6 +993,41 @@ def timeseries_downsample_gapfill(spark, sf_dir):
 
 
 @q(
+    "bucketed_join_revenue_by_nation",
+    """
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def bucketed_join_revenue_by_nation(spark, sf_dir):
+    """Co-located join via Spark native bucketing: both sides bucketed on
+    the key at write time, so the join itself plans with ZERO Exchange
+    (operators/bucketed.py; the shuffle is paid once at write, amortized
+    over every later join). Result must equal the plain shuffle join."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    tag = hashlib.md5(f"{sf_dir}:bucketed".encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "iceberg_rust_custom_spark_cache", tag)
+    specs = (("orders", "o_custkey"), ("customer", "c_custkey"))
+    names = {}
+    for src, key in specs:
+        tbl = f"bkt_{src}_{tag}"
+        names[src] = tbl
+        if not spark.catalog.tableExists(tbl):
+            df = _t(spark, sf_dir, src).withColumnRenamed(key, "custkey")
+            write_bucketed(df, tbl, "custkey", n_buckets=16, path=os.path.join(base, tbl))
+    j = bucketed_join(spark, names["orders"], names["customer"], on="custkey")
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue")
+    )
+
+
+@q(
     "skew_salted_join_nation_revenue",
     """
     SELECT s.s_nationkey,

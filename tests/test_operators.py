@@ -400,3 +400,31 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="salt the other side"):
         salted_join(df, df.select(F.col("k")), on=["k"], how="full")
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → the join plans with zero
+    Exchange operators; results identical to a plain shuffle join."""
+    from iceberg_rust_custom_spark.operators.bucketed import (
+        bucketed_join,
+        count_join_exchanges,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_nationkey")
+    left = orders.withColumnRenamed("o_custkey", "custkey")
+    right = cust.withColumnRenamed("c_custkey", "custkey")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    write_bucketed(left, "bkt_orders", "custkey", n_buckets=8, path=str(tmp_path / "bkt_orders"))
+    write_bucketed(right, "bkt_customer", "custkey", n_buckets=8, path=str(tmp_path / "bkt_customer"))
+    joined = bucketed_join(spark, "bkt_orders", "bkt_customer", on="custkey")
+    assert count_join_exchanges(joined) == 0
+    plain = left.join(right, on="custkey")
+    assert joined.count() == plain.count()
+    assert count_join_exchanges(plain) >= 1  # the shuffle the bucketing removed
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
