@@ -42,6 +42,7 @@ HEADLINE = [
     "timeseries_downsample_gapfill",
     # LLM-pipeline
     "exact_dedup",
+    "line_level_dedup",
     "minhash_lsh_pairs",
     "fuzzy_dedup_clusters",
     "gopher_repetition_signals",
@@ -72,6 +73,7 @@ def main():
     # warm-up (untimed): JVM + codegen + parquet footers, the Arrow
     # collect path, and Python worker spin-up on every core
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(8).toPandas()
     spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 

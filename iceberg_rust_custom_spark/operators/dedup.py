@@ -44,6 +44,55 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """C4-style line-level exact dedup: split every document into lines,
+    keep only the globally-first occurrence of each distinct non-empty
+    trimmed line (first = smallest ``(id, line position)``), and reassemble
+    each document's surviving lines in their original order. Documents that
+    lose every line are dropped. Returns ``(id, out_col, n_lines_kept)``.
+
+    Scale shape: one shuffle keyed by the line text (the winner-per-line
+    window; Spark plans a single window Exchange — at 100 TB the key is the
+    raw line, whose fan-out is bounded by line frequency, and hot lines like
+    boilerplate headers concentrate on one key but only need the top-1 row,
+    which the window's running row_number discards early), then one shuffle
+    keyed by doc id for reassembly (collect_list + array_sort keeps the
+    in-doc order deterministic without relying on collect order). No UDFs —
+    split/posexplode/array_join stay in codegen.
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(out_col),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows: distinct word n-grams per document. Built from
     slice/concat_ws over the token array — no UDF."""

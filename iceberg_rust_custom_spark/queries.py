@@ -795,6 +795,66 @@ def array_map_struct_ops(spark, sf_dir):
     )
 
 
+@q(
+    "higher_order_array_functions",
+    """
+    WITH arrs AS (
+      SELECT l_orderkey, list_sort(list(CAST(floor(l_quantity) AS INT))) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_large,
+           CAST(list_sum(list_transform(qtys, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS sum_sq,
+           qtys[1] AS min_qty
+    FROM arrs
+    """,
+)
+def higher_order_array_functions(spark, sf_dir):
+    """Lambda higher-order functions over array columns (filter / aggregate
+    / transform / element_at) — the SQL-surface evidence that nested-array
+    pipelines stay in codegen, no UDF (reference delegates the equivalent
+    DataFusion array functions wholesale, context.rs:57)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.floor("l_quantity").cast("int"))).alias("qtys")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size(F.filter("qtys", lambda x: x > F.lit(25))).alias("n_large"),
+        F.aggregate(
+            "qtys", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x
+        ).alias("sum_sq"),
+        F.element_at("qtys", 1).alias("min_qty"),
+    )
+
+
+@q(
+    "unpivot_metrics",
+    """
+    SELECT metric, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total
+    FROM (
+      SELECT 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (wide → long reshaping) then per-metric aggregate; the
+    inverse of pivot_status_by_flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.unpivot(
+        ["l_orderkey"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return up.groupBy("metric").agg(
+        F.count("*").alias("n"), _dsum(F.col("value")).alias("total")
+    )
+
+
 # =========================================================================
 # event-time windows (batch; beyond-reference — SURVEY §2.4)
 # =========================================================================
@@ -1197,6 +1257,45 @@ def token_counts(spark, sf_dir):
 )
 def exact_dedup(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "line_level_dedup",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             'source: ' || source || chr(10) || 'lang: ' || lang || chr(10) || text AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, t.i AS pos, trim(l[t.i]) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs) d,
+           UNNEST(generate_series(1, len(d.l))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines WHERE line <> ''
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+           COUNT(*) AS n_lines_kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def line_level_dedup(spark, sf_dir):
+    """C4-style cross-corpus line dedup (dedup.py::line_dedup). The corpus
+    is documents prefixed with boilerplate header lines (source/lang) so
+    repeated lines actually exist: every header line survives only in the
+    first document that carries it."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return D.line_dedup(d, "doc_id", "text")
 
 
 def _minhash_oracle(num_hashes: int = 16) -> str:

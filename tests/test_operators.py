@@ -35,6 +35,39 @@ def test_exact_dedup_finds_planted(spark, docs):
     assert out.where(F.col("dup_count") == 2).count() == 10
 
 
+def test_line_dedup_keeps_first_occurrence(spark):
+    """Duplicate lines survive only in the lowest-(doc_id, pos) document;
+    in-doc line order is preserved; empty lines are dropped; documents that
+    lose every line disappear."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\n\n  "),
+            (3, "shared line"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in D.line_dedup(corpus, "doc_id", "text").collect()}
+    assert rows[1].text_dedup == "alpha\nshared line\nbeta"
+    assert rows[1].n_lines_kept == 3
+    assert rows[2].text_dedup == "gamma"  # shared line lost, empties dropped
+    assert rows[2].n_lines_kept == 1
+    assert 3 not in rows  # every line was a duplicate
+
+
+def test_line_dedup_idempotent(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], ["doc_id", "text"]
+    )
+    once = D.line_dedup(corpus, "doc_id", "text")
+    again = D.line_dedup(
+        once.select("doc_id", F.col("text_dedup").alias("text")), "doc_id", "text"
+    )
+    assert sorted(
+        (r.doc_id, r.text_dedup) for r in again.collect()
+    ) == sorted((r.doc_id, r.text_dedup) for r in once.collect())
+
+
 def test_minhash_lsh_finds_neardups(docs):
     """Near-dup pairs found by LSH must include high-Jaccard pairs."""
     jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
