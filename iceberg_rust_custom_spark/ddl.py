@@ -114,6 +114,20 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?:\((?P<subq>.+)\)|(?P<src>[\w.]+))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<cond>.+?)\s*"
+    r"(?P<whens>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_MATCHED_UPDATE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", re.IGNORECASE
+)
+_WHEN_MATCHED_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_WHEN_NOT_MATCHED_INSERT_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]+)\))?\s*;?\s*$", re.IGNORECASE
 )
@@ -234,6 +248,10 @@ def try_execute(engine, query: str) -> DataFrame | None:
         update_where(engine.load_table(m.group(1)), assignments, m.group("pred").strip())
         return spark.range(1)
 
+    m = _MERGE_RE.match(query)
+    if m:
+        return _execute_merge(engine, spark, m)
+
     m = _OPTIMIZE_RE.match(query)
     if m:
         from iceberg_rust_custom_spark.table.maintenance import compact, zorder
@@ -300,6 +318,73 @@ def try_execute(engine, query: str) -> DataFrame | None:
         )
 
     return None
+
+
+def _merge_key_cols(cond: str) -> list[str]:
+    """Parse the ON condition into merge key columns. Supported shape: a
+    conjunction of equality predicates ``t.k = s.k`` where both sides name
+    the SAME column (the upsert-key contract of merge_upsert); any alias
+    prefix is accepted and stripped."""
+    keys = []
+    for conj in re.split(r"\s+AND\s+", cond.strip(), flags=re.IGNORECASE):
+        mm = re.match(r"^\s*([\w.]+)\s*=\s*([\w.]+)\s*$", conj)
+        if not mm:
+            raise ValueError(f"MERGE ON supports only equality conjunctions, got: {conj!r}")
+        left, right = (s.rsplit(".", 1)[-1] for s in mm.groups())
+        if left != right:
+            raise ValueError(
+                f"MERGE ON requires the same column name on both sides, got: {conj!r}"
+            )
+        keys.append(left)
+    if not keys:
+        raise ValueError("MERGE requires at least one ON key")
+    return keys
+
+
+def _execute_merge(engine, spark, m) -> DataFrame:
+    """MERGE INTO — the SQL front door over the row-level merge primitives
+    (maintenance.py::merge_upsert / delete_by_key). Supported forms:
+
+    * ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+      full-row upsert (either clause order).
+    * ``WHEN MATCHED THEN DELETE`` (alone) — delete target rows whose keys
+      appear in the source (O(source) equality-delete).
+    * ``WHEN NOT MATCHED THEN INSERT *`` (alone) — insert-only: append the
+      source rows whose keys are absent from the target.
+
+    The reference has no row-level ops at all (README.md:22-46 leaves
+    delete unimplemented); this surface goes beyond it deliberately.
+    """
+    target = m.group("target")
+    table = engine.load_table(target)
+    whens = m.group("whens")
+    has_update = bool(_WHEN_MATCHED_UPDATE_RE.search(whens))
+    has_delete = bool(_WHEN_MATCHED_DELETE_RE.search(whens))
+    has_insert = bool(_WHEN_NOT_MATCHED_INSERT_RE.search(whens))
+    if has_update and has_delete:
+        raise ValueError("MERGE supports either UPDATE SET * or DELETE in WHEN MATCHED, not both")
+    if not (has_update or has_delete or has_insert):
+        raise ValueError(f"unsupported MERGE WHEN clauses: {whens!r}")
+
+    key_cols = _merge_key_cols(m.group("cond"))
+    if m.group("subq"):
+        source = engine.sql(m.group("subq").strip())
+    else:
+        source = engine.sql(f"SELECT * FROM {m.group('src')}")
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key, merge_upsert
+
+    if has_update and has_insert:
+        merge_upsert(table, source, key_cols)
+    elif has_delete:
+        delete_by_key(table, source.select(*key_cols).distinct(), key_cols)
+    elif has_insert:  # insert-only: drop source rows whose key already exists
+        existing = table.to_df().select(*key_cols).distinct()
+        table.append(source.join(existing, on=key_cols, how="left_anti"))
+    else:  # UPDATE SET * alone: upsert restricted to already-present keys
+        existing = table.to_df().select(*key_cols).distinct()
+        merge_upsert(table, source.join(existing, on=key_cols, how="left_semi"), key_cols)
+    return spark.range(1)
 
 
 def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:

@@ -254,3 +254,50 @@ def test_orc_external_table(eng, spark, tmp_path):
     assert out is not None
     got = eng.sql("SELECT COUNT(*) AS n FROM ns.orc_ext").first().n
     assert got == 2
+
+
+def test_merge_into_upsert(eng):
+    eng.sql("CREATE TABLE ns.m (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.m VALUES (1, 'old'), (2, 'old')")
+    eng.sql("CREATE TABLE ns.msrc (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.msrc VALUES (2, 'new'), (3, 'new')")
+    eng.sql(
+        "MERGE INTO ns.m AS t USING ns.msrc AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = {(r.k, r.v) for r in eng.load_table("ns.m").to_df().collect()}
+    assert out == {(1, "old"), (2, "new"), (3, "new")}
+
+
+def test_merge_into_subquery_source_and_delete(eng):
+    eng.sql("CREATE TABLE ns.m2 (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.m2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.sql(
+        "MERGE INTO ns.m2 t USING (SELECT k, v FROM ns.m2 WHERE k > 1) s "
+        "ON t.k = s.k WHEN MATCHED THEN DELETE"
+    )
+    out = {(r.k, r.v) for r in eng.load_table("ns.m2").to_df().collect()}
+    assert out == {(1, "a")}
+
+
+def test_merge_into_insert_only(eng):
+    eng.sql("CREATE TABLE ns.m3 (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.m3 VALUES (1, 'keep')")
+    eng.sql("CREATE TABLE ns.m3s (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.m3s VALUES (1, 'clobber'), (2, 'fresh')")
+    eng.sql(
+        "MERGE INTO ns.m3 USING ns.m3s s ON m3.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = {(r.k, r.v) for r in eng.load_table("ns.m3").to_df().collect()}
+    assert out == {(1, "keep"), (2, "fresh")}  # matched row untouched
+
+
+def test_merge_into_rejects_unsupported(eng):
+    eng.sql("CREATE TABLE ns.m4 (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("CREATE TABLE ns.m4s (k BIGINT, v STRING) STORED AS ICEBERG")
+    with pytest.raises(ValueError, match="equality conjunctions"):
+        eng.sql(
+            "MERGE INTO ns.m4 t USING ns.m4s s ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
