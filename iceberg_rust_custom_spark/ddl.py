@@ -146,6 +146,10 @@ _ALTER_CLAUSES = {
     "widen_col": re.compile(r"^ALTER\s+COLUMN\s+(?P<name>\w+)\s+TYPE\s+(?P<type>[\w()<>, ]+?)\s*$", re.IGNORECASE),
     "set_spec": re.compile(r"^SET\s+PARTITION\s+SPEC\s*\((?P<parts>.*)\)\s*$", re.IGNORECASE | re.DOTALL),
     "add_part": re.compile(r"^ADD\s+PARTITION\s+FIELD\s+(?P<part>.+?)\s*$", re.IGNORECASE),
+    "write_ordered": re.compile(
+        r"^WRITE\s+ORDERED\s+BY\s*\(?(?P<order>[^()]+?)\)?\s*$", re.IGNORECASE
+    ),
+    "write_unordered": re.compile(r"^WRITE\s+UNORDERED\s*$", re.IGNORECASE),
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
@@ -432,6 +436,40 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
             else:
                 existing.append(f"{tn}({src})")
         t.update_partition_spec(*existing, m.group("part").strip())
+        return spark.range(1)
+    m = _ALTER_CLAUSES["write_ordered"].match(rest)
+    if m:
+        from iceberg_rust_custom_spark.metadata.sort import SortField, SortOrder
+
+        schema = t.metadata.current_schema()
+        fields = []
+        for item in _split_top_level(m.group("order")):
+            im = re.match(
+                r"^\s*(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                item,
+                re.IGNORECASE,
+            )
+            if not im:
+                raise ValueError(f"cannot parse WRITE ORDERED BY item: {item!r}")
+            direction = (im.group(2) or "asc").lower()
+            null_default = "nulls-first" if direction == "asc" else "nulls-last"
+            fields.append(
+                SortField(
+                    source_id=schema.field_by_name(im.group(1)).field_id,
+                    direction=direction,
+                    null_order=f"nulls-{im.group(3).lower()}" if im.group(3) else null_default,
+                )
+            )
+        next_id = max(t.metadata.sort_orders, default=0) + 1
+        t.metadata = (
+            t.new_transaction().update_sort_order(SortOrder(next_id, tuple(fields))).commit()
+        )
+        return spark.range(1)
+    m = _ALTER_CLAUSES["write_unordered"].match(rest)
+    if m:
+        from iceberg_rust_custom_spark.metadata.sort import SortOrder
+
+        t.metadata = t.new_transaction().update_sort_order(SortOrder(0, ())).commit()
         return spark.range(1)
     m = _ALTER_CLAUSES["drop_col"].match(rest)
     if m:

@@ -114,6 +114,8 @@ class Engine:
             return ddl_result
         query = self._resolve_time_travel(query)
         for rel in find_relations(query):
+            if self._register_metadata_table(rel):
+                continue
             ident = Identifier.parse(rel)
             if not self.catalog.tabular_exists(ident):
                 continue
@@ -126,6 +128,25 @@ class Engine:
                 df = self.scan_materialized_view(rel)
             df.createOrReplaceTempView(transform_name(rel))
         return self.spark.sql(transform_relations(query))
+
+    _META_TABLES = ("files", "entries", "partitions", "manifests", "refs", "snapshots", "history")
+
+    def _register_metadata_table(self, rel: str) -> bool:
+        """SQL access to metadata tables: ``SELECT … FROM ns.t.files`` (same
+        inspection surface Spark's Iceberg integration exposes; the
+        reference only reaches manifests through the Rust API). Registers
+        the metadata DataFrame as the relation's temp view."""
+        parts = rel.split(".")
+        if len(parts) < 3 or parts[-1].lower() not in self._META_TABLES:
+            return False
+        base = Identifier.parse(".".join(parts[:-1]))
+        if not self.catalog.tabular_exists(base):
+            return False
+        t = self.load_table(".".join(parts[:-1]))
+        kind = parts[-1].lower()
+        df = getattr(t, "refs_df" if kind == "refs" else kind)()
+        df.createOrReplaceTempView(transform_name(rel))
+        return True
 
     _TT_RE = None  # compiled lazily below
 

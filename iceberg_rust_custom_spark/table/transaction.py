@@ -134,6 +134,15 @@ class Transaction:
         self._extra_updates.append({"action": "set-default-spec", "spec-id": spec.spec_id})
         return self
 
+    def update_sort_order(self, order) -> "Transaction":
+        """Register a new sort order and make it the write default (the
+        reference stores sort orders — sort.rs:17-68 — but has no API to
+        change them). Applies to subsequent writes only; existing files
+        keep their layout until compaction rewrites them."""
+        self._extra_updates.append({"action": "add-sort-order", "sort-order": order.to_dict()})
+        self._extra_updates.append({"action": "set-default-sort-order", "order-id": order.order_id})
+        return self
+
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Transaction":
         self._extra_updates.append(
             {

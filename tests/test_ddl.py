@@ -301,3 +301,37 @@ def test_merge_into_rejects_unsupported(eng):
             "MERGE INTO ns.m4 t USING ns.m4s s ON t.k > s.k "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_alter_write_ordered_by(eng, spark):
+    eng.sql("CREATE TABLE ns.so (k BIGINT, v BIGINT) STORED AS ICEBERG")
+    eng.sql("ALTER TABLE ns.so WRITE ORDERED BY (v DESC, k)")
+    t = eng.load_table("ns.so")
+    order = t.metadata.sort_orders[t.metadata.default_sort_order_id]
+    assert [(f.source_id, f.direction) for f in order.fields] == [(2, "desc"), (1, "asc")]
+    # rows inside every written file must be v-descending
+    eng.sql("INSERT INTO ns.so SELECT id AS k, (id * 37) % 100 AS v FROM range(100)")
+    import pyarrow.parquet as pq
+
+    paths = [r.file_path for r in eng.load_table("ns.so").files().collect()]
+    assert paths
+    for f in paths:
+        vs = pq.read_table(f).column("v").to_pylist()
+        assert vs == sorted(vs, reverse=True)
+    eng.sql("ALTER TABLE ns.so WRITE UNORDERED")
+    assert eng.load_table("ns.so").metadata.default_sort_order_id == 0
+
+
+def test_metadata_tables_via_sql(eng, spark):
+    eng.sql("CREATE TABLE ns.meta (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.meta VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT INTO ns.meta VALUES (3, 'c')")
+    files = eng.sql("SELECT file_path, record_count FROM ns.meta.files").collect()
+    assert len(files) >= 2 and sum(r.record_count for r in files) == 3
+    snaps = eng.sql("SELECT COUNT(*) AS n FROM ns.meta.snapshots").first()
+    assert snaps.n == 2
+    joined = eng.sql(
+        "SELECT COUNT(*) AS n FROM ns.meta.files f JOIN ns.meta.entries e "
+        "ON f.file_path = e.file_path"
+    ).first()
+    assert joined.n == len(files)
