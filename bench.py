@@ -61,6 +61,7 @@ HEADLINE = [
     "iceberg_merge_upsert",
     "iceberg_mor_delete",
     "iceberg_incremental_mv_refresh",
+    "iceberg_incremental_mv_join",
 ]
 
 

@@ -2181,6 +2181,48 @@ def iceberg_incremental_mv_refresh(spark, sf_dir):
 
 
 @q(
+    "iceberg_incremental_mv_join",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def iceberg_incremental_mv_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance (engine.py::_incremental_join_refresh):
+    the MV is an orders⋈customer join built over half the orders and half
+    the customers; the rest of both tables lands later and refresh applies
+    the delta-join identity ΔA⋈B_new ∪ A_old⋈ΔB as an APPEND. The oracle is
+    the full recompute — they must agree exactly."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:incjoinmv".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_j"):
+        odf = _t(spark, sf_dir, "orders")
+        cdf = _t(spark, sf_dir, "customer")
+        to = eng.create_table("rt.ord_j", odf.schema)
+        tc = eng.create_table("rt.cust_j", cdf.schema)
+        to.append(odf.where(F.col("o_orderkey") % 2 == 0))
+        tc.append(cdf.where(F.col("c_custkey") % 2 == 0))
+        eng.create_materialized_view(
+            "rt.ord_cust_mv",
+            "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
+            "FROM rt.ord_j o JOIN rt.cust_j c ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_totalprice > 100000",
+        )
+        to.append(odf.where(F.col("o_orderkey") % 2 == 1))
+        tc.append(cdf.where(F.col("c_custkey") % 2 == 1))
+        mode = eng.refresh_materialized_view("rt.ord_cust_mv")
+        assert mode == "incremental-join", mode
+    return eng.scan_materialized_view("rt.ord_cust_mv")
+
+
+@q(
     "iceberg_mor_delete",
     """
     SELECT l_returnflag, COUNT(*) AS n,

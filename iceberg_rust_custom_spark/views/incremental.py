@@ -45,14 +45,31 @@ _FORBIDDEN_RE = re.compile(
     r"\b(join|union|intersect|except|distinct|over|limit|order\s+by|having)\b|\(\s*select\b",
     re.IGNORECASE,
 )
+# join views: the same exclusions minus the single inner JOIN itself
+_FORBIDDEN_NONJOIN_RE = re.compile(
+    r"\b(union|intersect|except|distinct|over|limit|order\s+by|having|group\s+by"
+    r"|left|right|full|cross|outer|semi|anti)\b|\(\s*select\b",
+    re.IGNORECASE,
+)
+_AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|var\w*)\s*\(", re.IGNORECASE)
+_JOIN_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 @dataclass(frozen=True)
 class IncrementalPlan:
-    mode: str  # "append" | "aggregate"
+    mode: str  # "append" | "aggregate" | "join"
     relation: str
     group_keys: tuple = ()
     merge_ops: dict = field(default_factory=dict)  # output column -> sum|min|max
+    relation_b: str | None = None  # second source of a "join" view
 
 
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
@@ -63,6 +80,19 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
     from iceberg_rust_custom_spark.ddl import _split_top_level
 
     if _FORBIDDEN_RE.search(sql):
+        jm = _JOIN_SHAPE_RE.match(sql.strip())
+        if (
+            jm
+            and not _FORBIDDEN_NONJOIN_RE.search(sql)
+            and not _AGG_CALL_RE.search(jm.group("select"))
+            and jm.group("rel_a").lower() != jm.group("rel_b").lower()
+            and not re.search(  # exactly two relations: no JOIN in the tail
+                r"\bJOIN\b", jm.group("cond") + (jm.group("where") or ""), re.IGNORECASE
+            )
+        ):
+            # two-relation inner equi/theta join, select-project-filter only:
+            # maintainable via the delta-join identity (see join refresh)
+            return IncrementalPlan("join", jm.group("rel_a"), relation_b=jm.group("rel_b"))
         return None
     m = _SHAPE_RE.match(sql.strip())
     if not m:

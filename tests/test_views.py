@@ -173,7 +173,78 @@ def test_classifier_shapes():
     assert p.mode == "aggregate" and p.group_keys == ("k",)
     assert p.merge_ops == {"s": "sum", "n": "sum"}
     assert classify_view_sql("SELECT k, AVG(v) AS a FROM ns.t GROUP BY k") is None
-    assert classify_view_sql("SELECT a FROM t1 JOIN t2 ON t1.k = t2.k") is None
+    p = classify_view_sql("SELECT a FROM t1 JOIN t2 ON t1.k = t2.k")
+    assert p.mode == "join" and (p.relation, p.relation_b) == ("t1", "t2")
     assert classify_view_sql("SELECT DISTINCT a FROM t") is None
     assert classify_view_sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY s") is None
     assert classify_view_sql("SELECT upper(k), SUM(v) AS s FROM t GROUP BY upper(k)") is None
+
+
+def test_incremental_join_refresh(engine, spark):
+    """Two-table inner-join view: after appends to BOTH sources, refresh
+    runs the delta-join identity (ΔA⋈B_new ∪ A_old⋈ΔB) and APPENDS the
+    delta — storage is never rewritten, and the result matches a full
+    recompute exactly."""
+    import pyspark.sql.types as T
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    ords_schema = T.StructType(
+        [
+            T.StructField("oid", T.LongType(), False),
+            T.StructField("cid", T.LongType(), True),
+            T.StructField("amt", T.LongType(), True),
+        ]
+    )
+    c = engine.create_table("test.cust", cust_schema)
+    o = engine.create_table("test.ords", ords_schema)
+    c.append(spark.createDataFrame([(1, "ann"), (2, "bob")], cust_schema))
+    o.append(spark.createDataFrame([(10, 1, 5), (11, 2, 7)], ords_schema))
+    engine.create_materialized_view(
+        "test.join_mv",
+        "SELECT o.oid, c.name, o.amt FROM test.ords o JOIN test.cust c ON o.cid = c.cid "
+        "WHERE o.amt > 1",
+    )
+    assert _rows(engine, "test.join_mv") == {(10, "ann", 5), (11, "bob", 7)}
+
+    # appends on both sides: a new customer with a new order, and a new
+    # order for an OLD customer (exercises the A_old ⋈ ΔB term)
+    c.append(spark.createDataFrame([(3, "cal")], cust_schema))
+    o.append(spark.createDataFrame([(12, 3, 9), (13, 1, 2), (14, 2, 1)], ords_schema))
+    assert engine.refresh_materialized_view("test.join_mv") == "incremental-join"
+    assert _rows(engine, "test.join_mv") == {
+        (10, "ann", 5),
+        (11, "bob", 7),
+        (12, "cal", 9),
+        (13, "ann", 2),  # old customer × new order
+    }
+    storage = engine.load_table("test.join_mv__storage")
+    assert storage.metadata.snapshot_for_ref().summary["operation"] == "append"
+
+    # a delete on one source breaks the appends-only gate → full refresh
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    delete_where(engine.load_table("test.ords"), "oid = 13")
+    assert engine.refresh_materialized_view("test.join_mv") == "full"
+    assert _rows(engine, "test.join_mv") == {(10, "ann", 5), (11, "bob", 7), (12, "cal", 9)}
+
+
+def test_classify_join_view_shapes():
+    from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+    p = classify_view_sql(
+        "SELECT a.x, b.y FROM ns.a a JOIN ns.b b ON a.k = b.k WHERE a.x > 0"
+    )
+    assert p is not None and p.mode == "join" and (p.relation, p.relation_b) == ("ns.a", "ns.b")
+    # rejected: outer join, aggregates, self-join, three relations
+    assert classify_view_sql("SELECT * FROM ns.a a LEFT JOIN ns.b b ON a.k = b.k") is None
+    assert classify_view_sql("SELECT SUM(a.x) AS s FROM ns.a a JOIN ns.b b ON a.k = b.k") is None
+    assert classify_view_sql("SELECT a1.x FROM ns.a a1 JOIN ns.a a2 ON a1.k = a2.k") is None
+    assert (
+        classify_view_sql("SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k JOIN ns.c c ON b.j = c.j")
+        is None
+    )
