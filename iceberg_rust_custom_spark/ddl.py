@@ -150,6 +150,12 @@ _ALTER_CLAUSES = {
         r"^WRITE\s+ORDERED\s+BY\s*\(?(?P<order>[^()]+?)\)?\s*$", re.IGNORECASE
     ),
     "write_unordered": re.compile(r"^WRITE\s+UNORDERED\s*$", re.IGNORECASE),
+    "create_ref": re.compile(
+        r"^CREATE\s+(?P<kind>BRANCH|TAG)\s+(?P<ref>\w+)"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(?P<snap>\d+))?\s*$",
+        re.IGNORECASE,
+    ),
+    "drop_ref": re.compile(r"^DROP\s+(?:BRANCH|TAG)\s+(?P<ref>\w+)\s*$", re.IGNORECASE),
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
@@ -470,6 +476,18 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
         from iceberg_rust_custom_spark.metadata.sort import SortOrder
 
         t.metadata = t.new_transaction().update_sort_order(SortOrder(0, ())).commit()
+        return spark.range(1)
+    m = _ALTER_CLAUSES["create_ref"].match(rest)
+    if m:
+        snap = int(m.group("snap")) if m.group("snap") else None
+        if m.group("kind").upper() == "BRANCH":
+            t.create_branch(m.group("ref"), snap)
+        else:
+            t.create_tag(m.group("ref"), snap)
+        return spark.range(1)
+    m = _ALTER_CLAUSES["drop_ref"].match(rest)
+    if m:
+        t.drop_ref(m.group("ref"))
         return spark.range(1)
     m = _ALTER_CLAUSES["drop_col"].match(rest)
     if m:

@@ -137,14 +137,18 @@ class Engine:
         reference only reaches manifests through the Rust API). Registers
         the metadata DataFrame as the relation's temp view."""
         parts = rel.split(".")
-        if len(parts) < 3 or parts[-1].lower() not in self._META_TABLES:
+        leaf = parts[-1].lower()
+        is_ref_read = leaf.startswith(("branch_", "tag_"))
+        if len(parts) < 3 or (leaf not in self._META_TABLES and not is_ref_read):
             return False
         base = Identifier.parse(".".join(parts[:-1]))
         if not self.catalog.tabular_exists(base):
             return False
         t = self.load_table(".".join(parts[:-1]))
-        kind = parts[-1].lower()
-        df = getattr(t, "refs_df" if kind == "refs" else kind)()
+        if is_ref_read:  # branch/tag read: SELECT … FROM ns.t.branch_dev
+            df = t.scan(branch=leaf.split("_", 1)[1])
+        else:
+            df = getattr(t, "refs_df" if leaf == "refs" else leaf)()
         df.createOrReplaceTempView(transform_name(rel))
         return True
 

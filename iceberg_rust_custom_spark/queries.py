@@ -3176,22 +3176,34 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """,
 )
 def q18_large_volume_customers(spark, sf_dir):
-    """TPC-H Q18: IN over a HAVING subquery (exact decimal threshold)."""
-    _tpch_views(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, c.c_name, o.o_orderkey,
-               DATE_FORMAT(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
-               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
-        FROM _tpch_customer c JOIN _tpch_orders o ON c.c_custkey = o.o_custkey
-        JOIN _tpch_lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderkey IN (
-          SELECT l_orderkey FROM _tpch_lineitem GROUP BY l_orderkey
-          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    """TPC-H Q18 (IN over a HAVING subquery), planned single-pass: the
+    oracle's correlated shape scans lineitem twice (once for the HAVING
+    subquery, once joined); here the per-order aggregate is computed ONCE —
+    both the threshold and the output sum fall out of the same groupBy —
+    and the >250 survivors (a tiny set) broadcast into orders and customer.
+    One lineitem shuffle, zero extra lineitem passes; at 100 TB the second
+    fact-table scan is the difference that matters."""
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,10)")), 4)
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_thresh"),
+    )
+    big = sums.where(F.col("_thresh") > 250).drop("_thresh")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
         )
-        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-        """
     )
 
 

@@ -107,6 +107,15 @@ class Table:
     def refs(self) -> dict:
         return dict(self.metadata.refs)
 
+    def drop_ref(self, name: str) -> "Table":
+        """Remove a branch or tag pointer (snapshots stay until expiry)."""
+        if name not in self.metadata.refs:
+            raise ValueError(f"no such ref: {name!r}")
+        tx = self.new_transaction()
+        tx._extra_updates.append({"action": "remove-snapshot-ref", "ref-name": name})
+        self.metadata = tx.commit()
+        return self
+
     def fast_forward(self, from_branch: str, to_branch: str = MAIN_BRANCH) -> "Table":
         """Write-audit-publish: move ``to_branch`` (default main) up to
         ``from_branch``'s head. Only a true fast-forward is allowed — the

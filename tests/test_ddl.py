@@ -335,3 +335,19 @@ def test_metadata_tables_via_sql(eng, spark):
         "ON f.file_path = e.file_path"
     ).first()
     assert joined.n == len(files)
+
+
+def test_branch_tag_ddl_and_branch_read(eng):
+    eng.sql("CREATE TABLE ns.br (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.br VALUES (1, 'main1')")
+    eng.sql("ALTER TABLE ns.br CREATE TAG v1")
+    eng.sql("ALTER TABLE ns.br CREATE BRANCH dev")
+    t = eng.load_table("ns.br")
+    assert set(t.refs()) == {"main", "v1", "dev"}
+    # appends to the branch are invisible on main, visible via .branch_dev
+    t.append(eng.spark.createDataFrame([(2, "dev1")], "k long, v string"), branch="dev")
+    assert eng.sql("SELECT * FROM ns.br").count() == 1
+    assert {r.v for r in eng.sql("SELECT * FROM ns.br.branch_dev").collect()} == {"main1", "dev1"}
+    assert eng.sql("SELECT * FROM ns.br.tag_v1").count() == 1
+    eng.sql("ALTER TABLE ns.br DROP BRANCH dev")
+    assert set(eng.load_table("ns.br").refs()) == {"main", "v1"}
