@@ -413,6 +413,41 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> Dat
     return df.where(F.expr(f"{h} < {threshold}"))
 
 
+def training_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    ``shard`` (which output file group it belongs to) and a ``pos`` (its
+    serving order within the shard). Assignment and order depend only on
+    (key, salt) — identical across runs, engines, partitionings, and
+    cluster sizes, so a training job is exactly reproducible and any shard
+    can be re-materialized independently. Changing ``salt`` re-mixes the
+    corpus for a new epoch ordering without touching the data.
+
+    Scale shape: shard = hash % n is a scan-speed projection; pos is a
+    row_number window keyed by shard — ONE shuffle whose fan-in per
+    partition is corpus/n_shards, exactly the file-sized unit the export
+    writer wants (partitionBy(shard) then writes each group sorted)."""
+    from pyspark.sql import Window
+
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard_h = md5h32_sql(f"concat(cast({key_col} AS STRING), 'shard{salt}')")
+    mix_h = md5h32_sql(f"concat(cast({key_col} AS STRING), 'mix{salt}')")
+    w = Window.partitionBy("shard").orderBy("_mix", key_col)
+    return (
+        df.withColumn("shard", F.expr(f"{shard_h} % {n_shards}").cast("int"))
+        .withColumn("_mix", F.expr(mix_h))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_mix")
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict, default_rate: float = 0.0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
     languages, keep all rare ones): each stratum gets its own keep-rate,

@@ -2529,6 +2529,32 @@ def deterministic_hash_sample(spark, sf_dir):
     return TX.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="s1").select("doc_id")
 
 
+_SHARD_H = md5h32_sql("concat(cast(doc_id AS STRING), 'shardep1')")
+_MIX_H = md5h32_sql("concat(cast(doc_id AS STRING), 'mixep1')")
+
+
+@q(
+    "training_shard_assignment",
+    f"""
+    SELECT doc_id,
+           CAST({_SHARD_H} % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST({_SHARD_H} % 8 AS INT)
+             ORDER BY {_MIX_H}, doc_id) AS INT) AS pos
+    FROM documents
+    """,
+)
+def training_shard_assignment(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards
+    (text.py::training_shards): (shard, pos) depend only on (doc_id, salt),
+    so the training order is bit-reproducible on any engine or cluster
+    size; re-salting re-mixes the corpus per epoch with zero data
+    movement."""
+    return TX.training_shards(_t(spark, sf_dir, "documents"), "doc_id", 8, salt="ep1").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 # =========================================================================
 # TPC-H analogue suite (Q3-Q22 shapes adapted to the synthetic schema).
 # The reference answers arbitrary multi-relation SQL through DataFusion

@@ -461,3 +461,26 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     assert count_join_exchanges(plain) >= 1  # the shuffle the bucketing removed
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_training_shards_deterministic_across_partitionings(docs):
+    """(shard, pos) must be identical regardless of input partitioning —
+    the reproducible-training-order contract."""
+    a = TX.training_shards(docs, "doc_id", 4, salt="e0")
+    b = TX.training_shards(docs.repartition(17), "doc_id", 4, salt="e0")
+    ra = {(r.doc_id, r.shard, r.pos) for r in a.select("doc_id", "shard", "pos").collect()}
+    rb = {(r.doc_id, r.shard, r.pos) for r in b.select("doc_id", "shard", "pos").collect()}
+    assert ra == rb
+    # every shard's positions are a contiguous 1..k sequence
+    import collections
+
+    per = collections.defaultdict(list)
+    for _, s, p in ra:
+        per[s].append(p)
+    assert set(per) <= set(range(4))
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different salt re-mixes the order
+    c = TX.training_shards(docs, "doc_id", 4, salt="e1")
+    rc = {(r.doc_id, r.shard, r.pos) for r in c.select("doc_id", "shard", "pos").collect()}
+    assert rc != ra
