@@ -448,6 +448,40 @@ def training_shards(
     )
 
 
+def pack_training_sequences(
+    df: DataFrame,
+    shard_col: str,
+    pos_col: str,
+    token_col: str,
+    max_tokens: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    (shard, pos) order and cut into fixed-size training sequences of
+    ``max_tokens``. Each doc gets its byte-exact placement: the token
+    offset where it starts within the shard stream (``start_offset``) and
+    the sequence it starts in (``seq_index`` = start_offset div max_tokens
+    — docs crossing a boundary continue into the next sequence, standard
+    GPT-style packing). Deterministic given the (shard, pos) order, so the
+    pairing with ``training_shards`` yields a bit-reproducible token
+    stream.
+
+    Scale shape: one running-sum window per shard — a single shuffle keyed
+    by shard, the same partitioning the shard writer already needs."""
+    from pyspark.sql import Window
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(F.col(token_col).cast("long")).over(w)
+    return df.withColumn("start_offset", end - F.col(token_col)).withColumn(
+        "seq_index", F.floor(F.col("start_offset") / max_tokens).cast("long")
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict, default_rate: float = 0.0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
     languages, keep all rare ones): each stratum gets its own keep-rate,

@@ -2555,6 +2555,42 @@ def training_shard_assignment(spark, sf_dir):
     )
 
 
+@q(
+    "sequence_packing",
+    f"""
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST({_SHARD_H} % 8 AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST({_SHARD_H} % 8 AS INT)
+               ORDER BY {_MIX_H}, doc_id) AS INT) AS pos,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, pos, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+             AS start_offset,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048)
+             AS BIGINT) AS seq_index
+    FROM sharded
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing (text.py::pack_training_sequences)
+    composed with the deterministic shard shuffle: every document's exact
+    token offset and 2048-token sequence index in the training stream,
+    reproducible on any cluster."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = TX.training_shards(d, "doc_id", 8, salt="ep1").withColumn(
+        "n_tokens", TX.token_count(F.col("text"))
+    )
+    return TX.pack_training_sequences(sharded, "shard", "pos", "n_tokens", 2048).select(
+        "doc_id", "shard", "pos", "n_tokens", "start_offset", "seq_index"
+    )
+
+
 # =========================================================================
 # TPC-H analogue suite (Q3-Q22 shapes adapted to the synthetic schema).
 # The reference answers arbitrary multi-relation SQL through DataFusion

@@ -484,3 +484,22 @@ def test_training_shards_deterministic_across_partitionings(docs):
     c = TX.training_shards(docs, "doc_id", 4, salt="e1")
     rc = {(r.doc_id, r.shard, r.pos) for r in c.select("doc_id", "shard", "pos").collect()}
     assert rc != ra
+
+
+def test_pack_training_sequences_offsets(spark):
+    """Offsets are the running token total in (shard, pos) order; sequence
+    index is the 10-token chunk a doc STARTS in (boundary-crossing docs
+    keep their start chunk)."""
+    rows = [  # (doc, shard, pos, tokens)
+        (1, 0, 1, 4),
+        (2, 0, 2, 8),   # starts at 4 → crosses the 10-token boundary
+        (3, 0, 3, 3),   # starts at 12 → seq 1
+        (4, 1, 1, 25),  # own shard: starts at 0, spans seqs 0-2
+        (5, 1, 2, 1),   # starts at 25 → seq 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "pos", "n_tokens"])
+    out = {
+        r.doc_id: (r.start_offset, r.seq_index)
+        for r in TX.pack_training_sequences(df, "shard", "pos", "n_tokens", 10).collect()
+    }
+    assert out == {1: (0, 0), 2: (4, 0), 3: (12, 1), 4: (0, 0), 5: (25, 2)}
