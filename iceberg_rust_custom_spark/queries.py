@@ -475,6 +475,49 @@ def window_lag_lead(spark, sf_dir):
 
 
 @q(
+    "latest_row_per_key",
+    """
+    SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_row_per_key(spark, sf_dir):
+    """QUALIFY-style latest-snapshot-per-key (SCD type-1 read): one window
+    shuffle on the key; the running row_number lets Spark discard losers
+    early instead of materializing per-key groups."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
+    )
+
+
+@q(
+    "lateral_view_explode",
+    """
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def lateral_view_explode(spark, sf_dir):
+    """Row-generating LATERAL VIEW explode (SQL front): one row per token —
+    the generator path of the relational surface (DataFusion's unnest in
+    the reference registry, context.rs:57)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 50")
+    d.createOrReplaceTempView("_docs_lv")
+    return spark.sql(
+        "SELECT doc_id, token FROM _docs_lv "
+        "LATERAL VIEW explode(filter(split(lower(text), '\\\\s+'), t -> t != '')) AS token"
+    )
+
+
+@q(
     "topk_global",
     """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
