@@ -1,0 +1,99 @@
+"""Mergeable-sketch aggregates: HLL distinct counting and KLL quantiles.
+
+The scale story for COUNT(DISTINCT) and exact percentiles is bad: both
+need a full shuffle of the distinct values / the whole column. Mergeable
+sketches replace them with bounded-size state that composes under union —
+the same algebraic property that makes partial aggregation, incremental
+maintenance, and cross-partition rollups cheap:
+
+* per-partition sketch → one small shuffle of fixed-size binaries,
+* old sketch ∪ delta sketch == sketch of the union (incremental MV shape
+  for approx-distinct metrics: maintain the SKETCH column, estimate at
+  read time),
+* per-day sketches roll up to month/year without touching raw data.
+
+Built on Spark's Apache DataSketches bindings (hll_sketch_agg /
+hll_union_agg, kll_sketch_agg_* / kll_sketch_merge_*) — JVM-side,
+whole-stage-codegen aggregates, no UDFs. The reference exposes
+DataFusion's approx_distinct/approx_percentile the same delegated way
+(datafusion-iceberg-sql/src/context.rs:58); sketch *mergeability across
+snapshots* is beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partials(
+    df: DataFrame, group_cols: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col``: (group_cols…, hll_sketch).
+    This is the stored/partial form — keep it in a metrics table and merge
+    later instead of re-scanning raw data."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll_sketch")
+    )
+
+
+def hll_merge_estimate(
+    partials: DataFrame, group_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Union per-group sketches (e.g. per-day partials rolled up to the
+    coarser ``group_cols``) and estimate: (group_cols…, approx_distinct)."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias(out_col)
+    )
+
+
+def incremental_distinct(
+    stored: DataFrame, delta_partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold a delta's sketches into stored ones WITHOUT re-reading history:
+    sketch(A ∪ Δ) == union(sketch(A), sketch(Δ)). Returns the new stored
+    form — the approx-distinct analogue of partial-aggregate MV merge."""
+    return (
+        stored.unionByName(delta_partials)
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
+    )
+
+
+def kll_quantile_partials(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-group KLL quantile sketch over a double column."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("kll_sketch")
+    )
+
+
+def kll_merge_quantiles(
+    partials: DataFrame, group_cols: list[str], quantiles: list[float]
+) -> DataFrame:
+    """Merge per-group KLL sketches to the coarser grouping and read out
+    quantiles: (group_cols…, q_<fraction>…)."""
+    # kll_sketch_merge_double is a binary scalar (no aggregate form in
+    # Spark's API): fold the group's sketches pairwise. Sketch count per
+    # group = the coarser-rollup fan-in (days per month), driver-safe.
+    merged = (
+        partials.groupBy(*group_cols)
+        .agg(F.collect_list("kll_sketch").alias("_sks"))
+        .withColumn(
+            "kll_sketch",
+            F.aggregate(
+                F.slice("_sks", 2, F.greatest(F.size("_sks") - 1, F.lit(0))),
+                F.element_at("_sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
+        )
+        .drop("_sks")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("kll_sketch", F.lit(q)).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)

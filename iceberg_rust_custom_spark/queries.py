@@ -1867,6 +1867,19 @@ def approx_aggregates(spark, sf_dir):
     )
 
 
+@q("mergeable_sketch_rollup")  # rows-only: DataSketches binaries are engine-specific
+def mergeable_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (operators/sketches.py): per-(flag, status)
+    HLL partials union up to per-flag distinct-part estimates WITHOUT
+    re-scanning raw data — the algebra that makes incremental and
+    hierarchical distinct counting O(sketch) instead of O(data)."""
+    from iceberg_rust_custom_spark.operators import sketches as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    partials = SK.hll_partials(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    return SK.hll_merge_estimate(partials, ["l_returnflag"])
+
+
 # =========================================================================
 # §2.2 time travel + incremental read through the engine
 # =========================================================================

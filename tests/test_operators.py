@@ -503,3 +503,47 @@ def test_pack_training_sequences_offsets(spark):
         for r in TX.pack_training_sequences(df, "shard", "pos", "n_tokens", 10).collect()
     }
     assert out == {1: (0, 0), 2: (4, 0), 3: (12, 1), 4: (0, 0), 5: (25, 2)}
+
+
+def test_hll_sketch_mergeability(spark, sf_dir):
+    """sketch(A ∪ B) must equal union(sketch(A), sketch(B)) — the property
+    that makes incremental/rollup distinct counting sound — and the
+    estimate must be near-exact at these cardinalities."""
+    from iceberg_rust_custom_spark.operators import sketches as SK
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    whole = SK.hll_partials(li, ["l_returnflag"], "l_partkey")
+    half_a = SK.hll_partials(li.where("l_orderkey % 2 = 0"), ["l_returnflag"], "l_partkey")
+    half_b = SK.hll_partials(li.where("l_orderkey % 2 = 1"), ["l_returnflag"], "l_partkey")
+    merged = SK.incremental_distinct(half_a, half_b, ["l_returnflag"])
+    est_whole = {
+        r.l_returnflag: r.approx_distinct
+        for r in SK.hll_merge_estimate(whole, ["l_returnflag"]).collect()
+    }
+    est_merged = {
+        r.l_returnflag: r.approx_distinct
+        for r in SK.hll_merge_estimate(merged, ["l_returnflag"]).collect()
+    }
+    assert est_whole == est_merged  # deterministic sketch: exact equality
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est_whole[k] - n) <= max(2, 0.05 * n)
+
+
+def test_kll_quantile_rollup(spark, sf_dir):
+    from iceberg_rust_custom_spark.operators import sketches as SK
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_flag = SK.kll_quantile_partials(li, ["l_returnflag"], "l_extendedprice")
+    # roll per-flag sketches up to a single global quantile set
+    global_q = SK.kll_merge_quantiles(
+        per_flag.withColumn("_all", F.lit(1)), ["_all"], [0.5, 0.9]
+    ).first()
+    exact = li.approxQuantile("l_extendedprice", [0.5, 0.9], 0.0)
+    assert abs(global_q.q_0_5 - exact[0]) / exact[0] < 0.05
+    assert abs(global_q.q_0_9 - exact[1]) / exact[1] < 0.05
