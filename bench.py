@@ -53,6 +53,8 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "multimodal_image_features",
     "document_chunking",
+    "corpus_curation",
+    "training_shard_assignment",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_pruned_scan",

@@ -3473,3 +3473,58 @@ def q22_idle_customers(spark, sf_dir):
         GROUP BY c.c_mktsegment
         """
     )
+
+
+# =========================================================================
+# end-to-end corpus curation: composition of the verified filter stages
+# =========================================================================
+
+ORACLES["corpus_curation"] = f"""
+    WITH q AS ({ORACLES["text_quality_features"]}),
+         r AS ({ORACLES["gopher_repetition_signals"]}),
+         l AS ({ORACLES["language_id_heuristic"]}),
+         dd AS ({ORACLES["exact_dedup"]})
+    SELECT q.doc_id, q.q_tokens, r.gopher_repetition_pass, l.lang_pred,
+           (dd.doc_id IS NOT NULL) AS is_canonical,
+           (q.q_tokens >= 20 AND r.gopher_repetition_pass
+            AND dd.doc_id IS NOT NULL AND l.lang_pred = l.lang) AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id JOIN l ON q.doc_id = l.doc_id
+    LEFT JOIN dd ON q.doc_id = dd.doc_id
+"""
+
+
+@q("corpus_curation")
+def corpus_curation(spark, sf_dir):
+    """The full curation funnel in ONE declarative plan: quality features ⋈
+    repetition filters ⋈ language-ID ⋈ exact-dedup canonical flags → a
+    per-document keep decision (min length AND Gopher repetition pass AND
+    canonical copy AND language agrees with the source label). Each stage is
+    independently oracle-verified; this query verifies their COMPOSITION —
+    Catalyst fuses the four scans into one pass over documents plus the
+    dedup aggregate, which is how a 100 TB curation job should run: one
+    read, many signals."""
+    d = _t(spark, sf_dir, "documents")
+    q_ = TX.quality_features(d.select("doc_id", "text")).select("doc_id", "q_tokens")
+    r = TX.repetition_signals(d, "doc_id").select("doc_id", "gopher_repetition_pass")
+    lid = TX.language_id(d).select("doc_id", "lang", "lang_pred")
+    can = D.exact_dedup(d, "doc_id", "text").select("doc_id").withColumn(
+        "_can", F.lit(True)
+    )
+    return (
+        q_.join(r, "doc_id")
+        .join(lid, "doc_id")
+        .join(can, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q_tokens",
+            "gopher_repetition_pass",
+            "lang_pred",
+            F.coalesce(F.col("_can"), F.lit(False)).alias("is_canonical"),
+            (
+                (F.col("q_tokens") >= 20)
+                & F.col("gopher_repetition_pass")
+                & F.coalesce(F.col("_can"), F.lit(False))
+                & (F.col("lang_pred") == F.col("lang"))
+            ).alias("keep"),
+        )
+    )
