@@ -159,6 +159,11 @@ _ALTER_CLAUSES = {
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
+_CREATE_NS_RE = re.compile(
+    r"^\s*CREATE\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
 # SQL type spellings → Iceberg type names used by the schema system
@@ -294,6 +299,19 @@ def try_execute(engine, query: str) -> DataFrame | None:
     m = _ALTER_RE.match(query)
     if m:
         return _execute_alter(engine, spark, m.group(1), m.group("rest").strip())
+
+    m = _CREATE_NS_RE.match(query)
+    if m:
+        ns = tuple(m.group(2).split("."))
+        if m.group(1) and ns in engine.catalog.list_namespaces():
+            return spark.range(0)
+        engine.catalog.create_namespace(ns)
+        return spark.range(1)
+
+    m = _SHOW_NS_RE.match(query)
+    if m:
+        rows = [(".".join(ns),) for ns in engine.catalog.list_namespaces()]
+        return spark.createDataFrame(rows or [], "namespace string")
 
     m = _SHOW_TABLES_RE.match(query)
     if m:

@@ -351,3 +351,11 @@ def test_branch_tag_ddl_and_branch_read(eng):
     assert eng.sql("SELECT * FROM ns.br.tag_v1").count() == 1
     eng.sql("ALTER TABLE ns.br DROP BRANCH dev")
     assert set(eng.load_table("ns.br").refs()) == {"main", "v1"}
+
+
+def test_namespace_ddl(eng):
+    eng.sql("CREATE NAMESPACE analytics.daily")
+    assert ("analytics", "daily") in eng.catalog.list_namespaces()
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS analytics.daily")  # no error
+    names = {r.namespace for r in eng.sql("SHOW NAMESPACES").collect()}
+    assert "analytics.daily" in names
