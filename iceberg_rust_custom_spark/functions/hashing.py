@@ -32,14 +32,19 @@ def md5h32_sql(inner: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def md5h32_spark_sql(inner: str) -> str:
+    """Spark-only spelling of the SAME hash: one md5 per row, hex-parsed
+    with ``conv`` (value-identical to the polynomial — unit-asserted).
+    The 8-term polynomial re-evaluates ``md5(inner)`` per term under
+    Spark's codegen (no common-subexpression elimination across the
+    instr/substr tree), an 8× hot-path tax; DuckDB CSEs it fine, so the
+    oracle keeps the portable polynomial."""
+    return f"CAST(conv(substr(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def md5h32(col_expr: str) -> Column:
-    """Spark Column version of md5h32_sql (still pure JVM expressions)."""
-    return F.expr(md5h32_sql(col_expr))
-
-
-def stable_token_hash(col: Column) -> Column:
-    """Hash a token column → 32-bit int, JVM-side."""
-    return F.expr(md5h32_sql("__token__")).alias("h")  # placeholder; prefer md5h32
+    """Spark Column version of the 32-bit md5 hash (single-md5 fast form)."""
+    return F.expr(md5h32_spark_sql(col_expr))
 
 
 # Affine re-hash family for minhash: h_i(x) = (a_i * x + b_i) mod p.

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from iceberg_rust_custom_spark.functions.hashing import (
     MERSENNE_31,
     affine_hash_sql,
-    md5h32_sql,
+    md5h32_spark_sql,
     minhash_params,
 )
 from iceberg_rust_custom_spark.operators.text import tokens
@@ -37,7 +37,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest id per identical (whitespace-normalized) text."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     return (
-        ensure_min_parallelism(df).withColumn("_h", F.expr(md5h32_sql(norm)))
+        ensure_min_parallelism(df).withColumn("_h", F.expr(md5h32_spark_sql(norm)))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("_h")
@@ -143,7 +143,7 @@ def minhash_signature(
     """(id, mh_0..mh_{k-1}): k-permutation MinHash over word shingles.
     One explode + one aggregate (map-side combine makes the min cheap)."""
     sh = shingles(df, id_col, text_col, shingle_n)
-    h = F.expr(md5h32_sql("shingle"))
+    h = F.expr(md5h32_spark_sql("shingle"))
     hashed = sh.select(id_col, h.alias("h0"))
     aggs = [
         F.min(F.expr(affine_hash_sql("h0", a, b))).alias(f"mh_{i}")
@@ -211,7 +211,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     is column expressions (stays in codegen)."""
     toks = tokens(F.lower(F.col(text_col)))
     exploded = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    h = F.expr(md5h32_sql("tok"))
+    h = F.expr(md5h32_spark_sql("tok"))
     hashed = exploded.select(id_col, h.alias("th"))
     bit_sums = [
         F.sum(

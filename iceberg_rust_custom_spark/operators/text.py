@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -267,7 +267,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     text (rolling-hash-equivalent content id; collision-checked at 32 bits
     per ~60k docs is fine, widen to two hashes at real scale)."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
-    return df.withColumn(out_col, F.expr(md5h32_sql(norm)))
+    return df.withColumn(out_col, F.expr(md5h32_spark_sql(norm)))
 
 
 def vocabulary(df: DataFrame, text_col: str = "text", top_k: int = 1000) -> DataFrame:
@@ -404,12 +404,12 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> Dat
     the property training-data curation actually needs (re-running the
     pipeline yields the same corpus). Optional salt decorrelates repeated
     draws. No shuffle: a codegen'd filter at scan speed."""
-    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
 
     if not (0.0 <= rate <= 1.0):
         raise ValueError("rate must be in [0, 1]")
     threshold = int(rate * 4294967296)
-    h = md5h32_sql(f"concat(cast({key_col} AS STRING), '{salt}')")
+    h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), '{salt}')")
     return df.where(F.expr(f"{h} < {threshold}"))
 
 
@@ -433,12 +433,12 @@ def training_shards(
     writer wants (partitionBy(shard) then writes each group sorted)."""
     from pyspark.sql import Window
 
-    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    shard_h = md5h32_sql(f"concat(cast({key_col} AS STRING), 'shard{salt}')")
-    mix_h = md5h32_sql(f"concat(cast({key_col} AS STRING), 'mix{salt}')")
+    shard_h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), 'shard{salt}')")
+    mix_h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), 'mix{salt}')")
     w = Window.partitionBy("shard").orderBy("_mix", key_col)
     return (
         df.withColumn("shard", F.expr(f"{shard_h} % {n_shards}").cast("int"))
@@ -486,9 +486,9 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: 
     """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
     languages, keep all rare ones): each stratum gets its own keep-rate,
     applied with the same engine-reproducible hash rule."""
-    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
 
-    h = md5h32_sql(f"cast({key_col} AS STRING)")
+    h = md5h32_spark_sql(f"cast({key_col} AS STRING)")
     expr = F.lit(int(default_rate * 4294967296))
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == value, F.lit(int(rate * 4294967296))).otherwise(expr)
