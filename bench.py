@@ -58,6 +58,7 @@ HEADLINE = [
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_pruned_scan",
+    "iceberg_clustered_scan",
     "iceberg_bloom_point_lookup",
     "iceberg_delete_where",
     "iceberg_merge_upsert",

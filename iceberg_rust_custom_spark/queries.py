@@ -1622,7 +1622,9 @@ def embedding_lsh_candidates(spark, sf_dir):
 # =========================================================================
 
 
-def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = "", properties=None):
+def _roundtrip_table(
+    spark, sf_dir, source: str, partition_by=None, key: str = "", properties=None, sort_by=None
+):
     """Create (once per session+sf) an engine table from a source parquet and
     return it. Warehouse lives under /tmp keyed by (sf_dir, source)."""
     import hashlib
@@ -1636,7 +1638,9 @@ def _roundtrip_table(spark, sf_dir, source: str, partition_by=None, key: str = "
     name = f"rt.{source}"
     if not eng.table_exists(name):
         df = _t(spark, sf_dir, source)
-        t = eng.create_table(name, df.schema, partition_by=partition_by, properties=properties)
+        t = eng.create_table(
+            name, df.schema, partition_by=partition_by, properties=properties, sort_by=sort_by
+        )
         t.append(df)
     return eng.load_table(name)
 
@@ -1674,6 +1678,40 @@ def iceberg_pruned_scan(spark, sf_dir):
     t = _roundtrip_table(spark, sf_dir, "lineitem", partition_by=[("l_shipdate", "month")])
     return t.scan("l_shipdate >= '1998-06-01'").select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+
+
+@q(
+    "iceberg_clustered_scan",
+    """
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+    FROM lineitem WHERE l_shipdate >= DATE '1998-06-01' AND l_shipdate < DATE '1998-08-01'
+    """,
+)
+def iceberg_clustered_scan(spark, sf_dir):
+    """Range-predicate scan over an UNPARTITIONED table clustered by sort
+    order (write.distribution-mode=range + ORDER BY l_shipdate at write):
+    files carry tight non-overlapping min/max, so file-stats pruning alone
+    approaches partition-level selectivity — the clustering payoff of the
+    sort orders the reference stores but never applies (sort.rs:17-68)."""
+    t = _roundtrip_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        key="clustered",
+        properties={"write.distribution-mode": "range", "write.range-partitions": "8"},
+        sort_by=["l_shipdate"],
+    )
+    n_all = t.count_planned_files()
+    pred = "l_shipdate >= '1998-06-01' AND l_shipdate < '1998-08-01'"
+    assert t.count_planned_files(pred) < n_all, "clustered scan should prune files"
+    return t.scan(pred).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
     )
 
 
@@ -3504,15 +3542,18 @@ def corpus_curation(spark, sf_dir):
     dedup aggregate, which is how a 100 TB curation job should run: one
     read, many signals."""
     d = _t(spark, sf_dir, "documents")
-    q_ = TX.quality_features(d.select("doc_id", "text")).select("doc_id", "q_tokens")
+    # quality + language-ID are per-row projections: CHAIN them so both
+    # families come out of one documents scan with zero joins; only the
+    # aggregate-shaped signals (repetition, dedup) need their own passes
+    base = TX.language_id(TX.quality_features(d.select("doc_id", "lang", "text"))).select(
+        "doc_id", "lang", "lang_pred", "q_tokens"
+    )
     r = TX.repetition_signals(d, "doc_id").select("doc_id", "gopher_repetition_pass")
-    lid = TX.language_id(d).select("doc_id", "lang", "lang_pred")
     can = D.exact_dedup(d, "doc_id", "text").select("doc_id").withColumn(
         "_can", F.lit(True)
     )
     return (
-        q_.join(r, "doc_id")
-        .join(lid, "doc_id")
+        base.join(r, "doc_id")
         .join(can, "doc_id", "left")
         .select(
             "doc_id",
