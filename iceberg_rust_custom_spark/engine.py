@@ -76,6 +76,37 @@ class Engine:
         self.catalog.register(ident, path, kind="table")
         return Table(self.catalog, ident, md, self.spark)
 
+    def import_table(self, name: str, metadata_json_path: str, location: str | None = None) -> Table:
+        """Import a real (spec v2, Avro-manifest) Iceberg table written by
+        another engine: converts all snapshots' Avro manifests into our
+        native Parquet manifests (metadata/iceberg_interop.py) and registers
+        the table, so scans / pruning / time travel / incremental reads work
+        over it. Data files are referenced in place, not copied.
+
+        Interop counterpart of the reference's Trino round-trip
+        (datafusion_iceberg/tests/integration_trino.rs:70-467)."""
+        from iceberg_rust_custom_spark.metadata.iceberg_interop import import_iceberg_table
+
+        ident = Identifier.parse(name)
+        location = location or os.path.join(
+            self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
+        )
+        meta_dir = os.path.join(location, "metadata")
+        md = import_iceberg_table(metadata_json_path, meta_dir)
+        path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
+        with open(path, "w") as f:
+            f.write(md.to_json())
+        self.catalog.register(ident, path, kind="table")
+        return Table(self.catalog, ident, md, self.spark)
+
+    def export_table(self, name: str, out_dir: str, snapshot_id: int | None = None) -> str:
+        """Export a table's (current) snapshot as spec v2 Avro manifests +
+        manifest list + metadata.json readable by external Iceberg engines.
+        Returns the metadata.json path."""
+        from iceberg_rust_custom_spark.metadata.iceberg_interop import export_snapshot
+
+        return export_snapshot(self.load_table(name).metadata, out_dir, snapshot_id)
+
     def load_table(self, name: str) -> Table:
         ident = Identifier.parse(name)
         location, kind = self.catalog.load(ident)
@@ -141,12 +172,18 @@ class Engine:
         is_ref_read = leaf.startswith(("branch_", "tag_"))
         if len(parts) < 3 or (leaf not in self._META_TABLES and not is_ref_read):
             return False
+        # A real table named e.g. ns.t.files wins over the metadata-table
+        # interpretation (otherwise it would be silently shadowed).
+        if self.catalog.tabular_exists(Identifier.parse(rel)):
+            return False
         base = Identifier.parse(".".join(parts[:-1]))
         if not self.catalog.tabular_exists(base):
             return False
         t = self.load_table(".".join(parts[:-1]))
         if is_ref_read:  # branch/tag read: SELECT … FROM ns.t.branch_dev
-            df = t.scan(branch=leaf.split("_", 1)[1])
+            # Ref names are case-sensitive: derive from the original-case
+            # leaf; the lowercased copy is only for prefix detection.
+            df = t.scan(branch=parts[-1].split("_", 1)[1])
         else:
             df = getattr(t, "refs_df" if leaf == "refs" else leaf)()
         df.createOrReplaceTempView(transform_name(rel))

@@ -370,6 +370,11 @@ def parse_predicate(text: str) -> Expr:
             return float(val) if "." in val else int(val)
         if kind == "str":
             return val[1:-1].replace("''", "'")
+        # ANSI typed literals: TIMESTAMP '…' / DATE '…' — the type prefix is
+        # informational (string literals are coerced against the schema at
+        # evaluation time anyway).
+        if kind == "ident" and val.upper() in ("TIMESTAMP", "DATE") and peek()[0] == "str":
+            return take()[1][1:-1].replace("''", "'")
         raise ValueError(f"expected literal, got {val!r}")
 
     def parse_atom():

@@ -1,0 +1,621 @@
+"""Spec-compliant Iceberg binary metadata interop (Avro manifests).
+
+Our engine stores manifests as Parquet+JSON (metadata/manifest.py — a
+deliberate divergence so pruning itself is Spark-readable at scale). Real
+Iceberg tables store manifests and manifest lists as **Avro** — the
+reference writes them via apache-avro (iceberg-rust/src/table/manifest.rs:
+107-392, manifest_list.rs:53-104) and proves interop against Trino
+(datafusion_iceberg/tests/integration_trino.rs:70-467). This module closes
+that gap both ways:
+
+* ``import_iceberg_table(metadata_json)`` — read a real Iceberg v2 table
+  (spec metadata.json + Avro manifest list + Avro manifests) and convert
+  every snapshot into our native representation, so all our scan paths
+  (pruning, time travel, incremental read) work over imported tables.
+* ``export_snapshot(metadata, out_dir)`` — write the current snapshot as
+  spec v2 Avro manifests + manifest list + metadata.json that external
+  engines can read.
+
+Avro schemas mirror the v2 schemas the reference embeds
+(iceberg-rust-spec/src/spec/manifest.rs:750-1330 data_file/manifest_entry,
+manifest_list.rs:517-645 manifest_file), including the int-keyed stats maps
+encoded as arrays of key/value records and the file-metadata keys
+("schema", "partition-spec", "partition-spec-id", "format-version",
+"content" — manifest.rs:125-170). Column bounds use the spec's binary
+single-value serialization (values.rs:86-110, 408-446: little-endian
+numerics, UTF-8 strings, big-endian unscaled decimals).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import datetime as _dt
+import decimal as _decimal
+
+from iceberg_rust_custom_spark.metadata.avro_codec import read_ocf, write_ocf
+from iceberg_rust_custom_spark.metadata.manifest import (
+    STATUS_ADDED,
+    DataFile,
+    ManifestEntry,
+    read_manifest,
+    write_manifest,
+    write_manifest_list,
+    read_manifest_list,
+)
+from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
+from iceberg_rust_custom_spark.metadata.schema import Schema
+from iceberg_rust_custom_spark.metadata.snapshot import Snapshot
+from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH = _dt.datetime(1970, 1, 1)
+_EPOCH_TZ = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+# ---------------------------------------------------------------------------
+# binary single-value serialization (values.rs:86-110 / 408-446)
+# ---------------------------------------------------------------------------
+
+
+def serialize_single_value(v, iceberg_type: str) -> bytes | None:
+    if v is None:
+        return None
+    t = iceberg_type
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t == "int":
+        return struct.pack("<i", int(v))
+    if t == "long" or t == "time":
+        return struct.pack("<q", int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "date":
+        days = (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+        return struct.pack("<i", days)
+    if t in ("timestamp", "timestamptz"):
+        return struct.pack("<q", _ts_to_micros(v))
+    if t == "string":
+        return str(v).encode("utf-8")
+    if t == "uuid":
+        import uuid as _uuid
+
+        u = v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v))
+        return u.int.to_bytes(16, "big")
+    if t == "binary" or t.startswith("fixed"):
+        return bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+    if t.startswith("decimal"):
+        d = _decimal.Decimal(v) if not isinstance(v, _decimal.Decimal) else v
+        scale = int(t.rstrip(")").split(",")[1])
+        unscaled = int(d.scaleb(scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # minimal two's-complement
+        return unscaled.to_bytes(n, "big", signed=True)
+    raise ValueError(f"cannot serialize {t!r}")
+
+
+def deserialize_single_value(b: bytes, iceberg_type: str):
+    if b is None:
+        return None
+    t = iceberg_type
+    if t == "boolean":
+        return b != b"\x00"
+    if t == "int":
+        return struct.unpack("<i", b)[0]
+    if t in ("long", "time"):
+        return struct.unpack("<q", b)[0]
+    if t == "float":
+        return struct.unpack("<f", b)[0]
+    if t == "double":
+        return struct.unpack("<d", b)[0]
+    if t == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=struct.unpack("<i", b)[0])
+    if t == "timestamp":
+        return _EPOCH + _dt.timedelta(microseconds=struct.unpack("<q", b)[0])
+    if t == "timestamptz":
+        return _EPOCH_TZ + _dt.timedelta(microseconds=struct.unpack("<q", b)[0])
+    if t == "string":
+        return b.decode("utf-8")
+    if t == "uuid":
+        import uuid as _uuid
+
+        return str(_uuid.UUID(int=int.from_bytes(b, "big")))
+    if t == "binary" or t.startswith("fixed"):
+        return bytes(b)
+    if t.startswith("decimal"):
+        scale = int(t.rstrip(")").split(",")[1])
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-scale)
+    raise ValueError(f"cannot deserialize {t!r}")
+
+
+def _ts_to_micros(v) -> int:
+    if isinstance(v, _dt.datetime):
+        base = _EPOCH_TZ if v.tzinfo is not None else _EPOCH
+        return int((v - base) / _dt.timedelta(microseconds=1))
+    if isinstance(v, str):
+        return _ts_to_micros(_dt.datetime.fromisoformat(v))
+    return int(v)
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas (v2) — mirror of manifest.rs:750-1330 / manifest_list.rs:517-645
+# ---------------------------------------------------------------------------
+
+
+def _kv_map(name: str, key_id: int, value_id: int, value_type: str) -> dict:
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+def manifest_list_schema_v2() -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {
+                "name": "partitions",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "element-id": 508,
+                        "items": {
+                            "type": "record",
+                            "name": "r508",
+                            "fields": [
+                                {"name": "contains_null", "type": "boolean", "field-id": 509},
+                                {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518, "default": None},
+                                {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510, "default": None},
+                                {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511, "default": None},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+                "field-id": 507,
+            },
+            {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 519},
+        ],
+    }
+
+
+_AVRO_PRIMITIVE = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "int",  # days since epoch (avro_schema_datatype, manifest.rs:375-392)
+    "time": "long",
+    "timestamp": "long",
+    "timestamptz": "long",
+    "string": "string",
+    "uuid": "string",
+    "binary": "bytes",
+}
+
+
+def _partition_avro_type(result_type: str) -> str:
+    if result_type in _AVRO_PRIMITIVE:
+        return _AVRO_PRIMITIVE[result_type]
+    if result_type.startswith("decimal") or result_type.startswith("fixed"):
+        return "bytes"
+    raise ValueError(f"unsupported partition result type {result_type!r}")
+
+
+def partition_record_schema(schema: Schema, spec: PartitionSpec) -> dict:
+    """Avro record ``r102`` for a spec's partition tuple
+    (partition_value_schema, manifest.rs:341-373)."""
+    fields = []
+    for pf in spec.fields:
+        src_type = schema.field_by_id(pf.source_id).field_type
+        rt = pf.transform.result_type(src_type if isinstance(src_type, str) else "string")
+        if rt is None or pf.transform.name == "void":
+            continue
+        fields.append(
+            {
+                "name": pf.name,
+                "type": ["null", _partition_avro_type(rt)],
+                "field-id": pf.field_id,
+                "default": None,
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def manifest_entry_schema_v2(partition_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "column_sizes", "type": ["null", _kv_map("k117_v118", 117, 118, "long")], "default": None, "field-id": 108},
+            {"name": "value_counts", "type": ["null", _kv_map("k119_v120", 119, 120, "long")], "default": None, "field-id": 109},
+            {"name": "null_value_counts", "type": ["null", _kv_map("k121_v122", 121, 122, "long")], "default": None, "field-id": 110},
+            {"name": "lower_bounds", "type": ["null", _kv_map("k126_v127", 126, 127, "bytes")], "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": ["null", _kv_map("k129_v130", 129, 130, "bytes")], "default": None, "field-id": 128},
+            {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
+            {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": None, "field-id": 132},
+            {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int", "element-id": 136}], "default": None, "field-id": 135},
+            {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# value conversions between our dataclasses and Avro generic records
+# ---------------------------------------------------------------------------
+
+
+def _partition_value_to_avro(v, result_type: str):
+    if v is None:
+        return None
+    if result_type == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        return (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+    if result_type in ("timestamp", "timestamptz"):
+        return _ts_to_micros(v)
+    if result_type.startswith("decimal"):
+        return serialize_single_value(v, result_type)
+    return v
+
+
+def _partition_value_from_avro(v, result_type: str):
+    if v is None:
+        return None
+    if result_type == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=int(v))
+    if result_type == "timestamp":
+        return _EPOCH + _dt.timedelta(microseconds=int(v))
+    if result_type == "timestamptz":
+        return _EPOCH_TZ + _dt.timedelta(microseconds=int(v))
+    if result_type.startswith("decimal"):
+        return deserialize_single_value(v, result_type)
+    return v
+
+
+def _spec_result_types(schema: Schema, spec: PartitionSpec) -> dict[str, str]:
+    out = {}
+    for pf in spec.fields:
+        if pf.transform.name == "void":
+            continue
+        src_type = schema.field_by_id(pf.source_id).field_type
+        out[pf.name] = pf.transform.result_type(src_type if isinstance(src_type, str) else "string")
+    return out
+
+
+def _kv_list(d: dict | None) -> list[dict] | None:
+    if not d:
+        return None
+    return [{"key": k, "value": v} for k, v in sorted(d.items())]
+
+
+def _bounds_decoded(bounds: dict, schema: Schema) -> dict:
+    """Our in-memory bounds may carry JSON-encoded values (hex bytes, ISO
+    dates) when loaded from Parquet manifests; decode against the schema."""
+    from iceberg_rust_custom_spark.metadata.manifest import decode_value
+
+    out = {}
+    for name, v in bounds.items():
+        try:
+            t = schema.field_by_name(name).field_type
+        except KeyError:
+            continue
+        if isinstance(t, str):
+            out[name] = decode_value(v, t)
+    return out
+
+
+def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec) -> dict:
+    df = e.data_file
+    name_to_id = {f.name: f.field_id for f in schema.fields}
+    rts = _spec_result_types(schema, spec)
+
+    def _ser_bounds(bounds: dict) -> list[dict] | None:
+        dec = _bounds_decoded(bounds, schema)
+        out = []
+        for name, v in sorted(dec.items()):
+            t = schema.field_by_name(name).field_type
+            b = serialize_single_value(v, t)
+            if b is not None:
+                out.append({"key": name_to_id[name], "value": b})
+        return out or None
+
+    return {
+        "status": e.status,
+        "snapshot_id": e.snapshot_id,
+        "sequence_number": e.sequence_number,
+        "data_file": {
+            "content": df.content,
+            "file_path": df.file_path,
+            "file_format": df.file_format.upper(),
+            "partition": {
+                name: _partition_value_to_avro(df.partition.get(name), rt)
+                for name, rt in rts.items()
+            },
+            "record_count": df.record_count,
+            "file_size_in_bytes": df.file_size_in_bytes,
+            "column_sizes": _kv_list({name_to_id[k]: v for k, v in df.column_sizes.items() if k in name_to_id}),
+            "value_counts": _kv_list({name_to_id[k]: v for k, v in df.value_counts.items() if k in name_to_id}),
+            "null_value_counts": _kv_list({name_to_id[k]: v for k, v in df.null_value_counts.items() if k in name_to_id}),
+            "lower_bounds": _ser_bounds(df.lower_bounds),
+            "upper_bounds": _ser_bounds(df.upper_bounds),
+            "key_metadata": None,
+            "split_offsets": None,
+            "equality_ids": None,
+            "sort_order_id": None,
+        },
+    }
+
+
+def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> ManifestEntry:
+    d = rec["data_file"]
+    id_to_name = {f.field_id: f.name for f in schema.fields}
+    rts = _spec_result_types(schema, spec)
+
+    def _de_kv(lst):
+        if not lst:
+            return {}
+        return {id_to_name[kv["key"]]: kv["value"] for kv in lst if kv["key"] in id_to_name}
+
+    def _de_bounds(lst):
+        out = {}
+        for kv in lst or ():
+            name = id_to_name.get(kv["key"])
+            if name is None:
+                continue
+            t = schema.field_by_name(name).field_type
+            if isinstance(t, str):
+                out[name] = deserialize_single_value(kv["value"], t)
+        return out
+
+    partition = {
+        name: _partition_value_from_avro(d.get("partition", {}).get(name), rt)
+        for name, rt in rts.items()
+    }
+    df = DataFile(
+        file_path=d["file_path"],
+        file_format=d["file_format"].lower(),
+        partition=partition,
+        record_count=d["record_count"],
+        file_size_in_bytes=d["file_size_in_bytes"],
+        column_sizes=_de_kv(d.get("column_sizes")),
+        value_counts=_de_kv(d.get("value_counts")),
+        null_value_counts=_de_kv(d.get("null_value_counts")),
+        lower_bounds=_de_bounds(d.get("lower_bounds")),
+        upper_bounds=_de_bounds(d.get("upper_bounds")),
+        content=d.get("content", 0),
+        schema_id=schema.schema_id,
+    )
+    return ManifestEntry(
+        status=rec.get("status", STATUS_ADDED),
+        snapshot_id=rec.get("snapshot_id") or 0,
+        sequence_number=rec.get("sequence_number") or 0,
+        data_file=df,
+    )
+
+
+# ---------------------------------------------------------------------------
+# export: our snapshot -> spec v2 Avro + metadata.json
+# ---------------------------------------------------------------------------
+
+
+def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | None = None) -> str:
+    """Write the (current) snapshot as a spec v2 Iceberg table under
+    ``out_dir`` (Avro manifests + manifest list + metadata/v1.metadata.json).
+    Data files are referenced in place, not copied. Returns the
+    metadata.json path."""
+    snap = (
+        metadata.snapshot_by_id(snapshot_id)
+        if snapshot_id is not None
+        else metadata.snapshot_for_ref()
+    )
+    if snap is None:
+        raise ValueError("table has no snapshot to export")
+    schema = metadata.schemas.get(snap.schema_id) or metadata.current_schema()
+    meta_dir = os.path.join(out_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    ml_rows = read_manifest_list(snap.manifest_list)
+    out_entries = []
+    for i, row in enumerate(ml_rows):
+        spec = metadata.partition_specs.get(row.get("partition_spec_id", 0), metadata.default_spec())
+        entries = read_manifest(row["manifest_path"])
+        part_schema = partition_record_schema(schema, spec)
+        avro_schema = manifest_entry_schema_v2(part_schema)
+        path = os.path.join(meta_dir, f"manifest-{snap.snapshot_id}-{i}.avro")
+        write_ocf(
+            path,
+            avro_schema,
+            [manifest_entry_to_avro(e, schema, spec) for e in entries],
+            metadata={
+                "format-version": "2",
+                "schema": json.dumps(schema.to_dict()),
+                "schema-id": str(schema.schema_id),
+                "partition-spec": json.dumps([f.to_dict() for f in spec.fields]),
+                "partition-spec-id": str(spec.spec_id),
+                "content": "data",
+            },
+        )
+        summaries = json.loads(row.get("partitions") or "{}")
+        rts = _spec_result_types(schema, spec)
+        parts = []
+        for pf in spec.fields:
+            s = summaries.get(pf.name)
+            rt = rts.get(pf.name)
+            if s is None or rt is None:
+                parts.append({"contains_null": True, "contains_nan": None, "lower_bound": None, "upper_bound": None})
+                continue
+            from iceberg_rust_custom_spark.metadata.manifest import decode_value
+
+            lo = decode_value(s.get("lower"), rt) if isinstance(rt, str) else s.get("lower")
+            hi = decode_value(s.get("upper"), rt) if isinstance(rt, str) else s.get("upper")
+            parts.append(
+                {
+                    "contains_null": bool(s.get("contains_null")),
+                    "contains_nan": None,
+                    "lower_bound": serialize_single_value(lo, rt) if lo is not None else None,
+                    "upper_bound": serialize_single_value(hi, rt) if hi is not None else None,
+                }
+            )
+        out_entries.append(
+            {
+                "manifest_path": path,
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": spec.spec_id,
+                "content": row.get("content", 0),
+                "sequence_number": row.get("sequence_number", 0),
+                "min_sequence_number": row.get("min_sequence_number", 0),
+                "added_snapshot_id": snap.snapshot_id,
+                "added_files_count": row.get("added_files_count", 0),
+                "existing_files_count": row.get("existing_files_count", 0),
+                "deleted_files_count": row.get("deleted_files_count", 0),
+                "added_rows_count": row.get("added_rows_count", 0),
+                "existing_rows_count": row.get("existing_rows_count", 0),
+                "deleted_rows_count": 0,
+                "partitions": parts or None,
+                "key_metadata": None,
+            }
+        )
+
+    ml_path = os.path.join(meta_dir, f"snap-{snap.snapshot_id}.avro")
+    write_ocf(ml_path, manifest_list_schema_v2(), out_entries, metadata={"format-version": "2"})
+
+    md = metadata.to_dict()
+    md["location"] = out_dir
+    snap_d = snap.to_dict()
+    snap_d["manifest-list"] = ml_path
+    snap_d.setdefault("summary", {}).setdefault("operation", "append")
+    md["snapshots"] = [snap_d]
+    md["current-snapshot-id"] = snap.snapshot_id
+    md["snapshot-log"] = [{"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap.snapshot_id}]
+    md["metadata-log"] = []
+    md["refs"] = {"main": {"snapshot-id": snap.snapshot_id, "type": "branch"}}
+    md["last-partition-id"] = max(
+        (pf.field_id for s in metadata.partition_specs.values() for pf in s.fields), default=999
+    )
+    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(md, f, indent=1)
+    return md_path
+
+
+# ---------------------------------------------------------------------------
+# import: real Iceberg v2 table -> our native representation
+# ---------------------------------------------------------------------------
+
+
+def import_iceberg_table(metadata_json_path: str, target_metadata_dir: str) -> TableMetadata:
+    """Convert a spec v2 Iceberg table into our native metadata layout
+    (Parquet manifests under ``target_metadata_dir``). All snapshots are
+    converted, so time travel and incremental reads work over the import.
+    Avro manifests shared between snapshots are converted once."""
+    with open(metadata_json_path) as f:
+        raw = json.load(f)
+    if raw.get("format-version") != 2:
+        raise ValueError(f"only format-version 2 supported, got {raw.get('format-version')!r}")
+    md = TableMetadata.from_dict(raw)
+    os.makedirs(target_metadata_dir, exist_ok=True)
+
+    converted: dict[str, tuple[str, dict]] = {}  # avro manifest path -> (parquet path, ml row)
+    new_snaps = {}
+    for snap in md.snapshots.values():
+        schema = md.schemas.get(snap.schema_id) or md.current_schema()
+        _, _, ml_records = read_ocf(_resolve(snap.manifest_list, metadata_json_path, raw))
+        ml_rows = []
+        for rec in ml_records:
+            src = rec["manifest_path"]
+            if src not in converted:
+                spec = md.partition_specs.get(rec.get("partition_spec_id", 0), md.default_spec())
+                m_schema, m_meta, m_records = read_ocf(_resolve(src, metadata_json_path, raw))
+                entries = [avro_to_manifest_entry(r, schema, spec) for r in m_records]
+                # spec v2 inheritance: null snapshot_id/sequence_number inherit
+                # from the manifest-list entry (spec "sequence number inheritance")
+                for e in entries:
+                    if not e.snapshot_id:
+                        e.snapshot_id = rec.get("added_snapshot_id") or snap.snapshot_id
+                    if not e.sequence_number:
+                        e.sequence_number = rec.get("sequence_number") or snap.sequence_number
+                dst = os.path.join(
+                    target_metadata_dir, f"imported-{len(converted)}-{os.path.basename(src)}.parquet"
+                )
+                row = write_manifest(dst, entries, spec_id=spec.spec_id)
+                row["sequence_number"] = rec.get("sequence_number", row["sequence_number"])
+                row["min_sequence_number"] = rec.get("min_sequence_number", row["min_sequence_number"])
+                row["content"] = rec.get("content", 0)
+                converted[src] = (dst, row)
+            ml_rows.append(converted[src][1])
+        ml_path = os.path.join(target_metadata_dir, f"imported-snap-{snap.snapshot_id}.parquet")
+        write_manifest_list(ml_path, ml_rows)
+        new_snaps[snap.snapshot_id] = Snapshot(
+            snapshot_id=snap.snapshot_id,
+            sequence_number=snap.sequence_number,
+            timestamp_ms=snap.timestamp_ms,
+            manifest_list=ml_path,
+            summary=snap.summary,
+            schema_id=snap.schema_id,
+            parent_snapshot_id=snap.parent_snapshot_id,
+        )
+    from dataclasses import replace
+
+    return replace(md, snapshots=new_snaps)
+
+
+def _resolve(path: str, metadata_json_path: str, raw_md: dict) -> str:
+    """Manifest paths inside real tables are absolute URIs under the table
+    location; support relocated fixtures by retrying relative to the
+    metadata dir."""
+    if os.path.exists(path):
+        return path
+    loc = raw_md.get("location", "").rstrip("/")
+    if loc and path.startswith(loc + "/"):
+        rel = path[len(loc) + 1 :]
+        cand = os.path.join(os.path.dirname(os.path.dirname(metadata_json_path)), rel)
+        if os.path.exists(cand):
+            return cand
+    for scheme in ("file://",):
+        if path.startswith(scheme) and os.path.exists(path[len(scheme) :]):
+            return path[len(scheme) :]
+    raise FileNotFoundError(path)

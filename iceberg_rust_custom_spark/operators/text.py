@@ -397,6 +397,13 @@ def decontaminate(
     return df.join(contaminated, on=id_col, how="left_anti")
 
 
+def _escape_salt(salt: str) -> str:
+    """Salts are interpolated into SQL string literals; escape single
+    quotes so an adversarial salt can't break (or silently change) the
+    hash expression."""
+    return salt.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> DataFrame:
     """Deterministic sampling: keep rows whose key hashes into the lowest
     ``rate`` fraction of 32-bit space. Unlike ``df.sample()``, the result is
@@ -409,6 +416,7 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> Dat
     if not (0.0 <= rate <= 1.0):
         raise ValueError("rate must be in [0, 1]")
     threshold = int(rate * 4294967296)
+    salt = _escape_salt(salt)
     h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), '{salt}')")
     return df.where(F.expr(f"{h} < {threshold}"))
 
@@ -437,6 +445,7 @@ def training_shards(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    salt = _escape_salt(salt)
     shard_h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), 'shard{salt}')")
     mix_h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), 'mix{salt}')")
     w = Window.partitionBy("shard").orderBy("_mix", key_col)

@@ -731,15 +731,24 @@ def string_functions(spark, sf_dir):
     )
 
 
+def _d6(col_expr) -> F.Column:
+    """Engine-portable scale-6 rounding of a scalar double: route through
+    DECIMAL(38,10) so Spark and DuckDB round the same decimal value rather
+    than each rounding the raw binary double (which can leave
+    representation-level hash differences while comparing numerically
+    equal) — same rationale as _dsum above."""
+    return F.round(col_expr.cast("decimal(38,10)"), 6).cast("double")
+
+
 @q(
     "math_functions",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(ABS(l_discount - 0.05), 6) AS d1,
-           ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
-           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
-           ROUND(LN(l_extendedprice), 6) AS price_ln,
-           FLOOR(l_quantity / 7) AS qty_div,
+           CAST(ROUND(CAST(ABS(l_discount - 0.05) AS DECIMAL(38,10)), 6) AS DOUBLE) AS d1,
+           CAST(ROUND(CAST(POWER(l_quantity, 2) AS DECIMAL(38,10)), 6) AS DOUBLE) AS qty_sq,
+           CAST(ROUND(CAST(SQRT(l_extendedprice) AS DECIMAL(38,10)), 6) AS DOUBLE) AS price_sqrt,
+           CAST(ROUND(CAST(LN(l_extendedprice) AS DECIMAL(38,10)), 6) AS DOUBLE) AS price_ln,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div,
            CAST(l_quantity AS BIGINT) % 5 AS qty_mod
     FROM lineitem
     """,
@@ -749,10 +758,10 @@ def math_functions(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("d1"),
-        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        _d6(F.abs(F.col("l_discount") - 0.05)).alias("d1"),
+        _d6(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
+        _d6(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        _d6(F.log("l_extendedprice")).alias("price_ln"),
         F.floor(F.col("l_quantity") / 7).alias("qty_div"),
         (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
     )
@@ -823,13 +832,29 @@ def json_extraction(spark, sf_dir):
     "array_map_struct_ops",
     """
     SELECT l_orderkey,
-           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
            COUNT(*) AS n_lines,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def array_map_struct_ops(spark, sf_dir):
+    """Array agg gate. The array is emitted as a canonical comma-joined
+    string because the driver's canonicalizer can't sort/hash list-typed
+    pandas columns (round-1 driver err: `unhashable type: 'list'`); the
+    raw-array variant stays under pytest via array_map_struct_ops_raw."""
+    li = _t(spark, sf_dir, "lineitem")
+    return array_map_struct_ops_raw(spark, sf_dir).select(
+        "l_orderkey",
+        F.array_join("flags", ",").alias("flags"),
+        "n_lines",
+        "total_qty",
+    )
+
+
+def array_map_struct_ops_raw(spark, sf_dir):
+    """Unregistered raw-array variant (pytest-only): keeps coverage of the
+    native array<string> output type that the driver gate can't hash."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
@@ -950,13 +975,13 @@ def sliding_windows(spark, sf_dir):
     "session_windows_gaps_islands",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM marked)
     SELECT user_id, session_idx, COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
@@ -966,7 +991,14 @@ def sliding_windows(spark, sf_dir):
 def session_windows_gaps_islands(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # Both windows MUST share the (ts, event_id) total order: with duplicate
+    # ts per user, a ROWS running sum over a nondeterministic tie order can
+    # split sessions differently run-to-run (driver-red in round 1).
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     marked = e.withColumn(
         "new_session",
         F.when(
@@ -1666,6 +1698,47 @@ def iceberg_roundtrip_partitioned_agg(spark, sf_dir):
 
 
 @q(
+    "iceberg_avro_interop_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_avro_interop_roundtrip(spark, sf_dir):
+    """Spec-v2 binary-metadata interop gate: write orders into a partitioned
+    engine table, EXPORT it as real Iceberg Avro manifests + manifest list
+    + metadata.json (metadata/iceberg_interop.py, mirroring
+    iceberg-rust/src/table/manifest.rs:107-392 / manifest_list.rs:53-104),
+    IMPORT that exported table back (Avro → native manifests), and answer a
+    pruned aggregate over the *imported* table. Value-exact vs SQL over the
+    original parquet proves the entire Avro round trip preserves rows,
+    partition tuples, and prunable stats."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:avro_interop".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_imported"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders", df.schema, partition_by=[("o_orderdate", "month")])
+        t.append(df)
+        md_path = eng.export_table("rt.orders", os.path.join(wh, "exported"))
+        eng.import_table("rt.orders_imported", md_path)
+    t2 = eng.load_table("rt.orders_imported")
+    assert t2.count_planned_files("o_orderdate >= '1997-01-01'") < t2.count_planned_files()
+    return (
+        t2.scan("o_orderdate >= '1997-01-01'")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+@q(
     "iceberg_pruned_scan",
     """
     SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
@@ -2143,7 +2216,7 @@ def iceberg_merge_upsert(spark, sf_dir):
     f"""
     WITH fp AS ({_simhash_oracle(32)})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -2586,17 +2659,20 @@ def benchmark_decontamination(spark, sf_dir):
     SELECT vec_id,
            CAST(list_min(embedding) AS DOUBLE) AS lo,
            CAST(list_max(embedding) AS DOUBLE) AS hi,
-           list_transform(embedding, x -> CAST(round(
+           array_to_string(list_transform(embedding, x -> CAST(round(
              (x - list_min(embedding)) /
              (CASE WHEN list_max(embedding) <> list_min(embedding)
-                   THEN list_max(embedding) - list_min(embedding) ELSE 1.0 END) * 255) - 128 AS INT)) AS q
+                   THEN list_max(embedding) - list_min(embedding) ELSE 1.0 END) * 255) - 128 AS INT)), ',') AS q
     FROM embeddings
     """,
 )
 def embedding_quantize_int8(spark, sf_dir):
     """Per-vector int8 quantization (4× footprint shrink before ANN) —
-    pure array expressions, value-exact against the SQL oracle."""
-    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    pure array expressions, value-exact against the SQL oracle. The gate
+    emits the quantized vector as a comma-joined string (the driver's
+    canonicalizer can't hash list columns); pytest covers the raw array."""
+    out = S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", "lo", "hi", F.array_join("q", ",").alias("q"))
 
 
 @q("embedding_random_projection")  # rows-only: float matmul across engines
@@ -2916,7 +2992,7 @@ def q6_revenue_forecast(spark, sf_dir):
            CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             YEAR(l.l_shipdate) AS l_year, l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(YEAR(l.l_shipdate) AS INT) AS l_year, l.l_extendedprice * (1 - l.l_discount) AS volume
       FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2961,7 +3037,7 @@ def q7_volume_shipping(spark, sf_dir):
            CAST(ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
            / CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) AS DOUBLE) AS mkt_share
     FROM (
-      SELECT YEAR(o.o_orderdate) AS o_year, l.l_extendedprice * (1 - l.l_discount) AS volume, n1.n_name AS nation
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year, l.l_extendedprice * (1 - l.l_discount) AS volume, n1.n_name AS nation
       FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2988,7 +3064,7 @@ def q8_market_share(spark, sf_dir):
                CAST(ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
                / CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) AS DOUBLE) AS mkt_share
         FROM (
-          SELECT YEAR(o.o_orderdate) AS o_year, l.l_extendedprice * (1 - l.l_discount) AS volume, n1.n_name AS nation
+          SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year, l.l_extendedprice * (1 - l.l_discount) AS volume, n1.n_name AS nation
           FROM _tpch_part p JOIN _tpch_lineitem l ON p.p_partkey = l.l_partkey
           JOIN _tpch_supplier s ON s.s_suppkey = l.l_suppkey
           JOIN _tpch_orders o ON o.o_orderkey = l.l_orderkey
@@ -3009,7 +3085,7 @@ def q8_market_share(spark, sf_dir):
     SELECT nation, o_year,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS profit
     FROM (
-      SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+      SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
              l.l_extendedprice, l.l_discount, p.p_retailprice, l.l_quantity
       FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -3137,8 +3213,8 @@ def q11_important_stock(spark, sf_dir):
     "q12_priority_by_returnflag",
     """
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l.l_returnflag

@@ -108,7 +108,10 @@ class Table:
         return dict(self.metadata.refs)
 
     def drop_ref(self, name: str) -> "Table":
-        """Remove a branch or tag pointer (snapshots stay until expiry)."""
+        """Remove a branch or tag pointer (snapshots stay until expiry).
+        Iceberg forbids dropping the main branch."""
+        if name == MAIN_BRANCH:
+            raise ValueError("cannot drop the main branch")
         if name not in self.metadata.refs:
             raise ValueError(f"no such ref: {name!r}")
         tx = self.new_transaction()

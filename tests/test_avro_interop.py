@@ -1,0 +1,160 @@
+"""Spec-compliant Avro metadata interop (metadata/avro_codec.py +
+metadata/iceberg_interop.py).
+
+The reference's interop evidence is the Trino round-trip
+(datafusion_iceberg/tests/integration_trino.rs:70-467); offline we verify
+(a) our Avro OCF codec against the *independent JVM Avro implementation*
+shipped in Spark's jars, and (b) a full export→import round-trip that
+preserves rows, stats-based pruning, and bounds values.
+"""
+
+import datetime as dt
+import decimal
+import glob
+import os
+
+import pytest
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.metadata.avro_codec import read_ocf, write_ocf
+from iceberg_rust_custom_spark.metadata.iceberg_interop import (
+    deserialize_single_value,
+    export_snapshot,
+    import_iceberg_table,
+    serialize_single_value,
+)
+
+
+def test_single_value_serialization_roundtrip():
+    cases = [
+        (True, "boolean"),
+        (False, "boolean"),
+        (-123, "int"),
+        (2**40, "long"),
+        (1.5, "float"),
+        (-2.25, "double"),
+        (dt.date(2023, 6, 15), "date"),
+        (dt.datetime(2023, 6, 15, 12, 30, 45, 123456), "timestamp"),
+        ("héllo", "string"),
+        (b"\x00\x01\xff", "binary"),
+        (decimal.Decimal("123.4500"), "decimal(10,4)"),
+        (decimal.Decimal("-0.0001"), "decimal(10,4)"),
+    ]
+    for v, t in cases:
+        assert deserialize_single_value(serialize_single_value(v, t), t) == v, (v, t)
+
+
+def test_single_value_spec_encodings():
+    # spec: little-endian numerics, UTF-8 strings, big-endian unscaled decimal
+    assert serialize_single_value(1, "int") == b"\x01\x00\x00\x00"
+    assert serialize_single_value(dt.date(1970, 1, 2), "date") == b"\x01\x00\x00\x00"
+    assert serialize_single_value("ab", "string") == b"ab"
+    assert serialize_single_value(decimal.Decimal("1.00"), "decimal(9,2)") == b"\x64"
+    assert (
+        serialize_single_value(dt.datetime(1970, 1, 1, 0, 0, 1), "timestamp")
+        == (10**6).to_bytes(8, "little")
+    )
+
+
+def test_ocf_roundtrip_and_jvm_cross_read(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "kv", "type": {"type": "map", "values": "long"}},
+            {"name": "blob", "type": "bytes"},
+        ],
+    }
+    recs = [
+        {"id": 1, "name": "a", "tags": ["x", "y"], "kv": {"k": 2}, "blob": b"\x00\x01"},
+        {"id": -7, "name": None, "tags": [], "kv": {}, "blob": b""},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_ocf(p, schema, recs, metadata={"k1": "v1"}, codec=codec)
+        s, meta, out = read_ocf(p)
+        assert out == recs
+        assert meta["k1"] == b"v1"
+        # independent implementation: JVM Avro (avro-1.x jar in Spark)
+        jvm = spark._jvm
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        rows = []
+        while rdr.hasNext():
+            rows.append(rdr.next())
+        assert len(rows) == 2
+        assert rows[0].get("id") == 1 and str(rows[0].get("name")) == "a"
+        assert rows[1].get("id") == -7 and rows[1].get("name") is None
+
+
+@pytest.fixture()
+def exported_table(spark, tmp_path, sf_dir):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE ns.orders (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP) STORED AS ICEBERG "
+        "PARTITIONED BY (month(o_orderdate))"
+    )
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    eng.insert("ns.orders", src)
+    md_path = eng.export_table("ns.orders", str(tmp_path / "exported"))
+    return eng, md_path
+
+
+def test_export_is_jvm_readable_spec_v2(spark, exported_table, tmp_path):
+    _, md_path = exported_table
+    exp_dir = os.path.dirname(os.path.dirname(md_path))
+    jvm = spark._jvm
+    (ml,) = glob.glob(exp_dir + "/metadata/snap-*.avro")
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ml), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    ml_rows = []
+    while rdr.hasNext():
+        ml_rows.append(rdr.next())
+    assert ml_rows, "empty manifest list"
+    for r in ml_rows:
+        assert os.path.exists(str(r.get("manifest_path")))
+        assert r.get("added_files_count") >= 0
+    # manifest entries decode with the independent reader, carry bounds
+    mf = str(ml_rows[0].get("manifest_path"))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mf), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while rdr.hasNext():
+        e = rdr.next()
+        d = e.get("data_file")
+        assert str(d.get("file_format")) == "PARQUET"
+        assert d.get("record_count") > 0
+        assert d.get("lower_bounds") is not None
+        n += 1
+    assert n > 0
+    # file metadata keys per manifest.rs:125-170
+    from iceberg_rust_custom_spark.metadata.avro_codec import read_ocf as _read
+
+    _, meta, _ = _read(mf)
+    for k in ("schema", "partition-spec", "partition-spec-id", "format-version", "content"):
+        assert k in meta, k
+
+
+def test_import_roundtrip_preserves_rows_and_pruning(spark, exported_table, tmp_path):
+    eng, md_path = exported_table
+    t2 = eng.import_table("ns.orders_imported", md_path)
+    orig = eng.load_table("ns.orders")
+    assert t2.scan().count() == orig.scan().count()
+    pred = "o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-07-01'"
+    assert t2.count_planned_files(pred) < t2.count_planned_files()
+    assert t2.count_planned_files(pred) == orig.count_planned_files(pred)
+    a = orig.scan(pred).orderBy("o_orderkey").collect()
+    b = t2.scan(pred).orderBy("o_orderkey").collect()
+    assert a == b
+    # imported table is SQL-visible through the engine
+    n = eng.sql("SELECT COUNT(*) AS n FROM ns.orders_imported").first().n
+    assert n == orig.scan().count()

@@ -547,3 +547,59 @@ def test_kll_quantile_rollup(spark, sf_dir):
     exact = li.approxQuantile("l_extendedprice", [0.5, 0.9], 0.0)
     assert abs(global_q.q_0_5 - exact[0]) / exact[0] < 0.05
     assert abs(global_q.q_0_9 - exact[1]) / exact[1] < 0.05
+
+
+def test_md5h32_conv_matches_polynomial(spark):
+    """The single-md5 conv() fast form and the portable 8-term polynomial
+    must be value-identical (the oracle uses the polynomial, Spark hot
+    paths use conv) — assert exact equality over a varied sample so any
+    future conv/instr divergence fails fast (ADVICE r1)."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql, md5h32_sql
+
+    samples = ["", "a", "hello world", "héllo", "0", "x" * 1000, "'; DROP--", "\t\n"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    both = df.selectExpr(
+        f"{md5h32_spark_sql('s')} AS fast", f"{md5h32_sql('s')} AS portable"
+    )
+    rows = both.collect()
+    assert all(r.fast == r.portable for r in rows), rows
+
+
+def test_salt_with_quote_is_safe(spark):
+    """A salt containing quotes/backslashes must not break (or silently
+    alter) the generated SQL (ADVICE r1)."""
+    from iceberg_rust_custom_spark.operators import text as TX
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    n_plain = TX.hash_sample(df, "k", 0.5, salt="ab").count()
+    n_quote = TX.hash_sample(df, "k", 0.5, salt="a'b").count()
+    assert 0 < n_plain < 200 and 0 < n_quote < 200
+    sh = TX.training_shards(df, "k", 4, salt="a'\\b")
+    assert sh.count() == 200 and sh.select("shard").distinct().count() == 4
+
+
+def test_drop_main_branch_forbidden(spark, tmp_path):
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ns.t (id BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.t VALUES (1), (2)")
+    t = eng.load_table("ns.t")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="main"):
+        t.drop_ref("main")
+
+
+def test_mixed_case_branch_sql_read(spark, tmp_path):
+    """Branch names are case-sensitive; SELECT ... FROM ns.t.branch_Dev
+    must resolve the ref 'Dev' (ADVICE r1: leaf was lowercased)."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ns.t (id BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.t VALUES (1), (2)")
+    eng.load_table("ns.t").create_branch("Dev")
+    eng.sql("INSERT INTO ns.t VALUES (3)")  # main advances; Dev stays at 2 rows
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.t.branch_Dev").first().n == 2
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.t").first().n == 3
