@@ -155,12 +155,76 @@ def murmur3_32_long_expr(v: Column) -> Column:
     return h
 
 
+def _murmur3_np(mat):
+    """Vectorized murmur3_x86_32(seed=0) over a (k, L) uint8 matrix of
+    same-length byte strings → (k,) uint32. numpy uint32 arithmetic wraps
+    mod 2^32, so the reference algorithm transcribes directly; the loop is
+    over the L/4 blocks (tiny), each step vectorized over all k rows."""
+    import numpy as np
+
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    k_rows, L = mat.shape
+    h = np.zeros(k_rows, dtype=np.uint32)
+    nblocks = L // 4
+    if nblocks:
+        blocks = mat[:, : nblocks * 4].reshape(k_rows, nblocks, 4).astype(np.uint32)
+        words = blocks[:, :, 0] | (blocks[:, :, 1] << 8) | (blocks[:, :, 2] << 16) | (blocks[:, :, 3] << 24)
+        for i in range(nblocks):
+            k = words[:, i] * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    tail = L % 4
+    if tail:
+        k1 = np.zeros(k_rows, dtype=np.uint32)
+        base = nblocks * 4
+        if tail >= 3:
+            k1 ^= mat[:, base + 2].astype(np.uint32) << np.uint32(16)
+        if tail >= 2:
+            k1 ^= mat[:, base + 1].astype(np.uint32) << np.uint32(8)
+        k1 ^= mat[:, base].astype(np.uint32)
+        k1 = k1 * c1
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        k1 = k1 * c2
+        h ^= k1
+    h ^= np.uint32(L)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 def _bucket_string_udf(n: int):
+    """String-key bucket transform as an Arrow-batched pandas UDF with the
+    murmur3 math numpy-vectorized (rows grouped by byte length → one
+    (k, L) uint8 matrix each → _murmur3_np). No per-row Python in the hash;
+    the only per-row step is pandas' C-level utf-8 encode."""
+    import numpy as np
+
     @F.pandas_udf("int")
     def _bucket(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: None if v is None else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
-        ).astype("Int32")
+        mask = s.notna()
+        out = np.full(len(s), -1, dtype=np.int64)
+        if mask.any():
+            enc = s[mask].astype(str).str.encode("utf-8")
+            lengths = enc.str.len().to_numpy()
+            idx = np.arange(len(s))[mask.to_numpy()]
+            for L in np.unique(lengths):
+                sel = lengths == L
+                if L == 0:
+                    out[idx[sel]] = (murmur3_32(b"") & 0x7FFFFFFF) % n
+                    continue
+                packed = b"".join(enc.to_numpy()[sel])
+                mat = np.frombuffer(packed, dtype=np.uint8).reshape(-1, int(L))
+                h = _murmur3_np(mat).astype(np.int64) & 0x7FFFFFFF
+                out[idx[sel]] = h % n
+        res = pd.Series(out).astype("Int32")
+        res[~mask.to_numpy()] = None
+        return res
 
     return _bucket
 

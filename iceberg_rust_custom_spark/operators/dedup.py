@@ -179,19 +179,41 @@ def minhash_lsh_pairs(
     return _bucket_pairs(stacked, id_col)
 
 
-def _bucket_pairs(stacked: DataFrame, id_col: str) -> DataFrame:
+MAX_LSH_BUCKET = 10_000  # pairs per bucket capped at ~5·10^7
+
+
+def _bucket_pairs(stacked: DataFrame, id_col: str, max_bucket: int | None = None) -> DataFrame:
     """(id, band_idx, band_sig) → distinct candidate pairs, by grouping per
     LSH bucket and expanding in-bucket combinations with array expressions.
 
     One shuffle (the groupBy), and the signature pipeline runs ONCE — a
     self-join would execute it twice (no exchange reuse across the
-    broadcast/probe sides). Bucket sizes are small by LSH design, so the
-    in-bucket O(b²) expansion is bounded; a pathological hot bucket shows up
-    as one fat group and should be salted/capped upstream, not joined."""
-    return (
+    broadcast/probe sides). Bucket sizes are small by LSH design; a
+    degenerate signature (e.g. empty/constant docs at corpus scale) would
+    make one O(b²) group explode, so buckets over ``max_bucket`` ids are
+    DROPPED (their members are near-identical boilerplate
+    that exact dedup or a constant-doc filter should have removed; emitting
+    b² pairs for them is never the intent)."""
+    if max_bucket is None:
+        max_bucket = MAX_LSH_BUCKET  # module-level so deployments can tune it
+    buckets = (
         stacked.groupBy("band_idx", "band_sig")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
+    )
+    # Overflow accounting: a lazy companion aggregate attached to the
+    # result as `_lsh_overflow` — evaluating it (e.g. in a validation job
+    # or test) reports how many buckets the cap dropped and the largest
+    # bucket seen. The cap itself costs nothing extra: it's the WHERE below,
+    # in the same job. (An eager count here would re-run the whole
+    # signature pipeline; an Observation trips a toPyRow assertion under
+    # this plan shape in Spark 4.1.)
+    overflow_stats = buckets.agg(
+        F.sum((F.size("ids") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.max(F.size("ids")).alias("max_bucket_size"),
+    )
+    out = (
+        buckets.where(F.size("ids") <= max_bucket)
         .select(
             F.explode(
                 F.expr(
@@ -203,6 +225,8 @@ def _bucket_pairs(stacked: DataFrame, id_col: str) -> DataFrame:
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    out._lsh_overflow = overflow_stats
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -416,17 +440,27 @@ def dedup_clusters(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 1_000_000,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, as a block-nested-loop: the corpus
-    matrix is broadcast once, and each Arrow batch of rows is multiplied
-    against it with one BLAS matmul inside ``mapInPandas`` (≈100× faster than
-    per-pair Catalyst lambda expressions — dense linear algebra is the one
-    hot path where the vectorized-pandas route beats built-ins).
+    """All pairs with cosine ≥ threshold. Two exact tiers, auto-routed by
+    corpus size:
 
-    Scale note: broadcasting the corpus bounds this to ~10^6 vectors; beyond
-    that use similarity.cosine_lsh_candidates (bucketed join, no broadcast)
-    to generate candidates and verify only those.
+    * ``n ≤ max_broadcast_rows``: block-nested-loop — the corpus matrix is
+      broadcast once and each Arrow batch is multiplied against it with one
+      BLAS matmul inside ``mapInPandas`` (dense linear algebra is the one
+      hot path where the vectorized-pandas route beats built-ins).
+    * larger corpora: **blocked all-pairs** (_embedding_neardup_blocked) —
+      no driver collect, no corpus broadcast: rows are routed to block-pair
+      groups and each group does one BLAS matmul under ``applyInPandas``.
+      Exactly the same output, distributed O(N²/B²) tasks.
+
+    For sub-quadratic *approximate* matching at extreme scale use
+    similarity.cosine_lsh_candidates to generate candidates instead.
     """
     import numpy as np
     import pandas as pd
@@ -434,6 +468,8 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    if src.count() > max_broadcast_rows:
+        return _embedding_neardup_blocked(src, df.schema[id_col].dataType, threshold, n_blocks)
     pdf = src.toPandas()
     ids_all = pdf["_id"].to_numpy()
     mat_all = np.vstack(pdf["_v"].to_numpy())
@@ -468,3 +504,70 @@ def embedding_neardup_pairs(
 
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     return src.repartition(n_parts).mapInPandas(gen, out_schema)
+
+
+def _embedding_neardup_blocked(
+    src: DataFrame, id_type, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Exact distributed all-pairs cosine without any driver collect or
+    corpus broadcast.
+
+    Every row gets a deterministic block ``b = md5h32(id) % B``; a row is
+    replicated to the B block-pair groups it participates in
+    (``(min(b,k), max(b,k))`` for k in 0..B-1), so an unordered pair of rows
+    meets in EXACTLY one group. One shuffle of N·B rows into B·(B+1)/2
+    groups; each group multiplies its two sides with one BLAS matmul under
+    ``applyInPandas``. Group memory is ~2N/B vectors — pick B so a block
+    fits an executor; task count B² spreads across the cluster."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+    blk = F.expr(f"{md5h32_spark_sql('cast(_id AS STRING)')} % {n_blocks}").cast("int")
+    exploded = (
+        src.withColumn("_blk", blk)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "_id",
+            "_v",
+            "_blk",
+            F.least("_blk", "_k").alias("_bi"),
+            F.greatest("_blk", "_k").alias("_bj"),
+        )
+    )
+
+    def compute(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        ids = pdf["_id"].to_numpy()
+        mat = np.vstack(pdf["_v"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if bi == bj:
+                sims = (mat @ mat.T) / np.outer(norms, norms)
+                mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+                ii, jj = np.nonzero(mask)
+                return pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
+                )
+            side_i = pdf["_blk"].to_numpy() == bi
+            ai, mi, ni = ids[side_i], mat[side_i], norms[side_i]
+            aj, mj, nj = ids[~side_i], mat[~side_i], norms[~side_i]
+            if len(ai) == 0 or len(aj) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = (mi @ mj.T) / np.outer(ni, nj)
+            mask = sims >= threshold
+            ii, jj = np.nonzero(mask)
+            a, b = ai[ii], aj[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], 6)})
+
+    return exploded.groupBy("_bi", "_bj").applyInPandas(compute, out_schema)

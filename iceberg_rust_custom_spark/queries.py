@@ -1606,6 +1606,26 @@ def embedding_neardup_pairs(spark, sf_dir):
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.3)
 
 
+@q(
+    "embedding_neardup_pairs_blocked",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def embedding_neardup_pairs_blocked(spark, sf_dir):
+    """The 100-TB tier of exact all-pairs cosine: max_broadcast_rows=0
+    forces the blocked applyInPandas path (no driver toPandas of the
+    corpus, no broadcast) — hash-matched against the same all-pairs
+    oracle as the broadcast tier."""
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, max_broadcast_rows=0, n_blocks=8,
+    )
+
+
 # =========================================================================
 # similarity search (beyond-reference)
 # =========================================================================

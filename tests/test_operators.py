@@ -603,3 +603,92 @@ def test_mixed_case_branch_sql_read(spark, tmp_path):
     eng.sql("INSERT INTO ns.t VALUES (3)")  # main advances; Dev stays at 2 rows
     assert eng.sql("SELECT COUNT(*) AS n FROM ns.t.branch_Dev").first().n == 2
     assert eng.sql("SELECT COUNT(*) AS n FROM ns.t").first().n == 3
+
+
+def test_vectorized_string_murmur3_matches_reference():
+    """_murmur3_np (numpy-vectorized) must equal the scalar murmur3_32 on
+    varied lengths (covers 0-3 byte tails and multi-block strings), and the
+    Iceberg spec's published bucket test vector (Appendix B: murmur3 of
+    UTF-8 'iceberg' = 1210000089; values.rs:297-301 semantics)."""
+    import numpy as np
+
+    from iceberg_rust_custom_spark.metadata.transforms import _murmur3_np, murmur3_32
+
+    assert murmur3_32("iceberg".encode()) & 0xFFFFFFFF == 1210000089
+    samples = [b"", b"a", b"ab", b"abc", b"abcd", b"abcde", "héllo wörld".encode(), b"x" * 37]
+    for s in samples:
+        if not s:
+            continue
+        mat = np.frombuffer(s, dtype=np.uint8).reshape(1, -1)
+        assert int(_murmur3_np(mat)[0]) == murmur3_32(s), s
+
+
+def test_string_bucket_udf_vectorized(spark):
+    from iceberg_rust_custom_spark.metadata.transforms import _bucket_string_udf, bucket_python
+
+    vals = ["iceberg", "", None, "a", "héllo wörld", "x" * 37, "same-len-1", "same-len-2"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r.s: r.b for r in df.select("s", _bucket_string_udf(16)("s").alias("b")).collect()}
+    for v in vals:
+        assert got[v] == (None if v is None else bucket_python(v, 16)), v
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Adversarial constant-text corpus: every doc lands in one LSH bucket.
+    With the cap, pair output is bounded (dropped bucket) instead of O(n²),
+    and the attached Observation reports the drop."""
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    # drive through the public API with a small cap via monkeypatch
+    import iceberg_rust_custom_spark.operators.dedup as dd
+
+    old = dd.MAX_LSH_BUCKET
+    dd.MAX_LSH_BUCKET = 10
+    try:
+        pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+        rows = pairs.collect()
+        assert rows == []  # the one degenerate bucket was dropped, not exploded
+        m = pairs._lsh_overflow.first()
+        assert m.n_dropped_buckets >= 1
+        assert m.max_bucket_size == n
+    finally:
+        dd.MAX_LSH_BUCKET = old
+    # normal corpora under the cap are unaffected (cap >> bucket sizes)
+    varied = spark.createDataFrame(
+        [(i, f"document number {i} with distinct content {i*7}") for i in range(30)]
+        + [(1000, "near duplicate pair text alpha"), (1001, "near duplicate pair text alpha")],
+        ["doc_id", "text"],
+    )
+    got = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(varied, "doc_id", "text").collect()}
+    assert (1000, 1001) in got
+
+
+def test_embedding_neardup_blocked_matches_broadcast(spark):
+    """The blocked (no-driver-collect) tier must return exactly the
+    broadcast tier's pairs."""
+    import random
+
+    from iceberg_rust_custom_spark.operators import dedup as D
+
+    random.seed(7)
+    rows = []
+    for i in range(80):
+        base = [random.gauss(0, 1) for _ in range(16)]
+        rows.append((i, base))
+        if i % 10 == 0:  # plant near-duplicates
+            rows.append((1000 + i, [x + random.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, max_broadcast_rows=0, n_blocks=4
+        ).collect()
+    }
+    assert a == b and len(a) >= 8
