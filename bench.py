@@ -51,12 +51,14 @@ HEADLINE = [
     "bm25_scores",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_blocked",
     "multimodal_image_features",
     "document_chunking",
     "corpus_curation",
     "training_shard_assignment",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
+    "iceberg_avro_interop_roundtrip",
     "iceberg_pruned_scan",
     "iceberg_clustered_scan",
     "iceberg_bloom_point_lookup",
@@ -84,9 +86,21 @@ def main():
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Queries whose FIRST run performs a one-time table materialization
+    # (e.g. the bucketed-table write): run once untimed (cold, reported
+    # separately under "setup"), then time the steady-state run — so
+    # round-over-round bench deltas compare the operator, not the cache
+    # state of /tmp.
+    COLD_SETUP = {"bucketed_join_revenue_by_nation"}
+
     timings = {}
+    setup = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        if name in COLD_SETUP:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            setup[name + "_cold"] = round(time.time() - t0, 3)
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -101,6 +115,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "setup": setup,
                 "sf": sf,
             }
         )

@@ -1,0 +1,185 @@
+"""Object-store abstraction for catalog commits: put-if-absent CAS.
+
+The reference commits through ``object_store``'s ``copy_if_not_exists`` on
+any backend (iceberg-file-catalog/src/lib.rs:306-361). The equivalent
+primitive here is ``put_if_absent``: whoever creates the next pointer
+version first wins; the loser gets ``CommitFailed`` and retries on fresh
+metadata. ``ObjectStoreCatalog`` implements the same pointer protocol as
+FileCatalog over any ``ObjectStore``, so an S3/GCS backend (conditional PUT
+``If-None-Match: *``) is a subclass + config change, not a redesign.
+
+``InMemoryObjectStore`` is the conditional-put test double (S3-semantics:
+atomic create-if-absent, last-write-loses on conflict).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+
+
+class AlreadyExists(Exception):
+    """put_if_absent target already present (conditional PUT failed)."""
+
+
+class ObjectStore:
+    """Minimal store surface a catalog commit needs."""
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+    def delete_prefix(self, prefix: str) -> None:
+        raise NotImplementedError
+
+
+class InMemoryObjectStore(ObjectStore):
+    """Conditional-put double with S3 semantics (atomic under a lock)."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        with self._lock:
+            if key in self._objects:
+                raise AlreadyExists(key)
+            self._objects[key] = bytes(data)
+
+    def get(self, key: str) -> bytes:
+        return self._objects[key]
+
+    def list(self, prefix: str) -> list[str]:
+        return sorted(k for k in self._objects if k.startswith(prefix))
+
+    def delete_prefix(self, prefix: str) -> None:
+        with self._lock:
+            for k in [k for k in self._objects if k.startswith(prefix)]:
+                del self._objects[k]
+
+
+class LocalFSObjectStore(ObjectStore):
+    """Filesystem impl of the same surface (O_EXCL = put-if-absent)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise AlreadyExists(key) from None
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+
+    def get(self, key: str) -> bytes:
+        with open(self._path(key), "rb") as f:
+            return f.read()
+
+    def list(self, prefix: str) -> list[str]:
+        base = self._path(prefix)
+        out = []
+        for dirpath, _dirs, files in os.walk(os.path.dirname(base) or self.root):
+            for fname in files:
+                full = os.path.join(dirpath, fname)
+                key = os.path.relpath(full, self.root)
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+    def delete_prefix(self, prefix: str) -> None:
+        for key in self.list(prefix):
+            os.remove(self._path(key))
+
+
+class ObjectStoreCatalog(Catalog):
+    """FileCatalog's pointer protocol over any ObjectStore: each commit
+    creates ``<ns>/<name>/pointer.v{N}.json`` with put-if-absent; version
+    N+1's creator wins the CAS race (lib.rs:306-361 analogue)."""
+
+    def __init__(self, store: ObjectStore, warehouse: str | None = None):
+        self.store = store
+        self.warehouse = warehouse
+
+    def _prefix(self, identifier: Identifier) -> str:
+        return "/".join(("_catalog", *identifier.namespace, identifier.name)) + "/"
+
+    def create_namespace(self, namespace: tuple) -> None:
+        pass  # namespaces are implicit prefixes on object stores
+
+    def list_namespaces(self) -> list[tuple]:
+        seen = set()
+        for key in self.store.list("_catalog/"):
+            parts = key.split("/")
+            if len(parts) >= 3:
+                seen.add(tuple(parts[1:-2]))
+        return sorted(p for p in seen if p)
+
+    def list_tabulars(self, namespace: tuple) -> list[Identifier]:
+        prefix = "/".join(("_catalog", *namespace)) + "/"
+        names = set()
+        for key in self.store.list(prefix):
+            rest = key[len(prefix) :].split("/")
+            if len(rest) == 2 and rest[1].startswith("pointer.v"):
+                names.add(rest[0])
+        return [Identifier(namespace, n) for n in sorted(names)]
+
+    def tabular_exists(self, identifier: Identifier) -> bool:
+        return bool(self.store.list(self._prefix(identifier) + "pointer.v"))
+
+    def _versions(self, identifier: Identifier) -> list[int]:
+        prefix = self._prefix(identifier) + "pointer.v"
+        return sorted(
+            int(k[len(prefix) : -len(".json")]) for k in self.store.list(prefix) if k.endswith(".json")
+        )
+
+    def register(self, identifier: Identifier, metadata_location: str, kind: str = "table") -> None:
+        payload = json.dumps({"metadata_location": metadata_location, "kind": kind}).encode()
+        try:
+            self.store.put_if_absent(self._prefix(identifier) + "pointer.v0.json", payload)
+        except AlreadyExists:
+            raise CommitFailed(f"{identifier} already exists") from None
+
+    def load(self, identifier: Identifier) -> tuple[str, str]:
+        versions = self._versions(identifier)
+        if not versions:
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        payload = json.loads(self.store.get(self._prefix(identifier) + f"pointer.v{versions[-1]}.json"))
+        return payload["metadata_location"], payload.get("kind", "table")
+
+    def swap(self, identifier: Identifier, expected_location: str, new_location: str) -> None:
+        versions = self._versions(identifier)
+        if not versions:
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        current, kind = self.load(identifier)
+        if current != expected_location:
+            raise CommitFailed(f"{identifier}: expected {expected_location}, found {current}")
+        payload = json.dumps({"metadata_location": new_location, "kind": kind}).encode()
+        try:
+            self.store.put_if_absent(
+                self._prefix(identifier) + f"pointer.v{versions[-1] + 1}.json", payload
+            )
+        except AlreadyExists:
+            raise CommitFailed(
+                f"{identifier}: concurrent commit won version {versions[-1] + 1}"
+            ) from None
+
+    def drop(self, identifier: Identifier) -> None:
+        if not self.tabular_exists(identifier):
+            raise FileNotFoundError(f"no such tabular: {identifier}")
+        self.store.delete_prefix(self._prefix(identifier))

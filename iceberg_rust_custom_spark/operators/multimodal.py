@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas transforms.
 
-The decode step is STUBBED (no image/audio libs in this container): decoders
-raise NotImplementedError unless ``fake=True``, which substitutes a
-deterministic fake decode so the Spark-side plumbing — schema, partitioning,
-mapInPandas batch shape — is real and testable end-to-end. Swapping in a
-real decoder is a one-function change per modality.
+Decode tiers (resolved at runtime, per payload):
+
+1. **Optional libraries** — Pillow for images, soundfile for audio, probed
+   once with an import-try; handles compressed formats (JPEG/PNG/FLAC/OGG)
+   when the deployment installs them.
+2. **Built-in pure-Python decoders** — uncompressed BMP (24/32-bit) via
+   numpy and RIFF/WAV PCM via the stdlib ``wave`` module. These are REAL
+   decodes (actual pixels / samples), dependency-free, so the pipeline is
+   genuinely functional in this container.
+3. ``fake=True`` — deterministic pseudo-decode derived from payload bytes,
+   for plumbing tests and payloads in formats neither tier handles.
+
+Without a matching tier and without fake, decoders raise
+NotImplementedError (honest failure, never silent garbage).
 
 Scale notes: binary payloads dominate memory → we size Arrow batches via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` at the pipeline layer and
@@ -15,12 +24,32 @@ Catalyst prunes the binary column out of scans that don't decode.
 
 from __future__ import annotations
 
+import io
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+# Probed lazily inside executors (the driver's import result is not
+# shipped with the closure; each worker probes once per interpreter).
+_LIBS: dict = {}
+
+
+def _lib(name: str):
+    if name not in _LIBS:
+        _LIBS[name] = _try_import(name)
+    return _LIBS[name]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -35,12 +64,55 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Real decode of uncompressed 24/32-bit BMP (pure numpy, public
+    BITMAPINFOHEADER layout). Returns None if not a BMP this handles."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = ((width * (bpp // 8) + 3) // 4) * 4
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : width * (bpp // 8)]
+    px = rows.reshape(h, width, bpp // 8)[:, :, :3]  # BGR(A) → 3 channels
+    return {"px_mean": float(px.mean()), "n_bytes": len(payload), "width": width, "height": h}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Stub decoder. Real impl: PIL/turbojpeg. fake=True → deterministic
-    pseudo-decode derived from payload bytes (testable plumbing)."""
-    if not fake:
-        raise NotImplementedError("image decoding requires an image library not present in this container")
+    """Image decode: Pillow when importable, else the built-in BMP decoder,
+    else fake (if requested), else NotImplementedError."""
     n = len(payload or b"")
+    pil = _lib("PIL")
+    if pil is not None and n:
+        try:
+            from PIL import Image
+            import numpy as np
+
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            return {"px_mean": float(arr.mean()), "n_bytes": n, "width": img.width, "height": img.height}
+        except Exception:
+            pass  # not a PIL-decodable payload; fall through
+    bmp = _decode_bmp(payload or b"")
+    if bmp is not None:
+        return bmp
+    if not fake:
+        raise NotImplementedError(
+            "payload is not a decodable format (built-in: BMP; install Pillow for compressed formats)"
+        )
     return {"px_mean": (sum(payload[:64]) / max(1, min(n, 64))) if n else 0.0, "n_bytes": n}
 
 
@@ -64,19 +136,73 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
 
 
+def _encode_bmp(px) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as an uncompressed 24-bit BMP."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes | None:
+    """Real nearest-neighbour resize for uncompressed BMP payloads (pure
+    numpy). None if the payload isn't a decodable BMP."""
+    import numpy as np
+
+    d = _decode_bmp(payload)
+    if d is None:
+        return None
+    h0, w0 = d["height"], d["width"]
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    stride = ((w0 * (bpp // 8) + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h0, offset=data_off)
+    px = rows.reshape(h0, stride)[:, : w0 * (bpp // 8)].reshape(h0, w0, bpp // 8)[:, :, :3]
+    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return _encode_bmp(np.ascontiguousarray(px[yi][:, xi]))
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize stub: passes payloads through mapInPandas with the real batch
-    shape; the fake path tags the payload with the target size."""
+    """Resize via mapInPandas: Pillow when importable, built-in BMP
+    nearest-neighbour otherwise; non-decodable payloads pass through
+    unchanged when ``fake`` (plumbing mode) else raise."""
     out_schema = "media_id long, payload binary, width int, height int"
+
+    def _resize_one(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        pil = _lib("PIL")
+        if pil is not None:
+            try:
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(p)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "BMP")
+                return buf.getvalue()
+            except Exception:
+                pass
+        out = resize_bmp(p, width, height)
+        if out is not None:
+            return out
+        if not fake:
+            raise NotImplementedError("payload is not a resizable format (built-in: BMP)")
+        return p
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("resize requires an image library")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
+                    "payload": pdf["payload"].map(_resize_one),
                     "width": width,
                     "height": height,
                 }
@@ -107,12 +233,70 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _decode_wav(payload: bytes) -> dict | None:
+    """Real decode of RIFF/WAV PCM via the stdlib ``wave`` module: sample
+    rate, frame count, true duration and RMS level. None if not WAV."""
+    import wave
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nframes, width, chans = (
+                w.getframerate(), w.getnframes(), w.getsampwidth(), w.getnchannels()
+            )
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "n_samples": nframes,
+        "n_channels": chans,
+        "duration_ms": int(nframes * 1000 / max(rate, 1)),
+        "rms": rms,
+    }
+
+
 def decode_audio(payload: bytes, duration_ms: int | None, fake: bool = False) -> dict:
-    """Stub decoder. Real impl: soundfile/librosa. fake=True → deterministic
-    pseudo-decode (byte-length-derived) so the pipeline shape is testable."""
-    if not fake:
-        raise NotImplementedError("audio decoding requires an audio library not present in this container")
+    """Audio decode: soundfile when importable, else the built-in WAV
+    decoder, else fake (if requested), else NotImplementedError. Returns at
+    least {n_bytes, byte_rate}; real decodes add rate/samples/rms."""
     n = len(payload or b"")
+    sf = _lib("soundfile")
+    if sf is not None and n:
+        try:
+            import numpy as np
+
+            data, rate = sf.read(io.BytesIO(payload))
+            dur = int(len(data) * 1000 / max(rate, 1))
+            return {
+                "n_bytes": n,
+                "sample_rate": rate,
+                "n_samples": len(data),
+                "duration_ms": dur,
+                "rms": float(np.sqrt((np.asarray(data, dtype=np.float64) ** 2).mean())) if len(data) else 0.0,
+                "byte_rate": n / max(dur, 1),
+            }
+        except Exception:
+            pass
+    wav = _decode_wav(payload or b"")
+    if wav is not None:
+        wav["byte_rate"] = n / max(wav["duration_ms"], 1)
+        return wav
+    if not fake:
+        raise NotImplementedError(
+            "payload is not a decodable format (built-in: WAV PCM; install soundfile for compressed formats)"
+        )
     d = max(int(duration_ms or 0), 1)
     return {"n_bytes": n, "byte_rate": n / d}
 
