@@ -87,11 +87,13 @@ def main():
     sf = float(m.group(1)) if m else None
 
     # Queries whose FIRST run performs a one-time table materialization
-    # (e.g. the bucketed-table write): run once untimed (cold, reported
-    # separately under "setup"), then time the steady-state run — so
-    # round-over-round bench deltas compare the operator, not the cache
-    # state of /tmp.
-    COLD_SETUP = {"bucketed_join_revenue_by_nation"}
+    # (bucketed-table write, iceberg engine-table builds): run once untimed
+    # (cold, reported separately under "setup"), then time the steady-state
+    # run — so round-over-round bench deltas compare the operator, not the
+    # cache state of /tmp.
+    COLD_SETUP = {"bucketed_join_revenue_by_nation"} | {
+        n for n in HEADLINE if n.startswith("iceberg_")
+    }
 
     timings = {}
     setup = {}

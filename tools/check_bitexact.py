@@ -48,9 +48,19 @@ def check(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         return [f"canonicalize error (driver would err too): {e}"]
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver-gate dtype semantics (calibrated on CORRECTNESS_r01): integer
+        # widths are interchangeable (int32 rnk vs int64 rank hashed equal) and
+        # datetime64[ns] vs [us] compare by value (asof_join was green), but
+        # int-vs-float is a REAL hash mismatch (1 vs 1.0 — math_functions was
+        # red). Normalize the compatible families; flag the rest.
         if str(av.dtype) != str(bv.dtype):
-            problems.append(f"col {c}: dtype spark={av.dtype} oracle={bv.dtype}")
-            continue
+            if av.dtype.kind == "i" and bv.dtype.kind == "i":
+                av, bv = av.astype("int64"), bv.astype("int64")
+            elif str(av.dtype).startswith("datetime64") and str(bv.dtype).startswith("datetime64"):
+                av, bv = av.astype("datetime64[us]"), bv.astype("datetime64[us]")
+            else:
+                problems.append(f"col {c}: dtype spark={av.dtype} oracle={bv.dtype}")
+                continue
         if av.dtype.kind == "f":
             x, y = av.to_numpy(), bv.to_numpy()
             nan_same = np.array_equal(np.isnan(x), np.isnan(y))
