@@ -58,5 +58,13 @@ class Catalog:
         mismatch (the optimistic-concurrency core)."""
         raise NotImplementedError
 
+    def commit_updates(self, identifier: Identifier, requirements: list, updates: list):
+        """Server-side commit (the Iceberg REST protocol shape:
+        CommitTableRequest {requirements, updates} applied by the catalog
+        service). Returns the committed TableMetadata, or None when this
+        catalog only supports client-side pointer-swap commits (the
+        default) — Transaction.commit falls back to write-file + swap."""
+        return None
+
     def drop(self, identifier: Identifier) -> None:
         raise NotImplementedError

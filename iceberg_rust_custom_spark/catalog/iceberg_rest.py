@@ -1,0 +1,296 @@
+"""Iceberg REST catalog protocol (the public spec's resource shapes) —
+HTTP client + in-process service.
+
+The reference ships a production client generated from the official
+OpenAPI document (iceberg-rest-catalog/, 3,195 LoC). This module speaks the
+same protocol over stdlib HTTP for the routes an engine needs:
+
+* ``GET  /v1/config``                                    → CatalogConfig
+* ``GET/POST /v1/namespaces``                            → list / create
+* ``GET  /v1/namespaces/{ns}/tables``                    → list tables
+* ``POST /v1/namespaces/{ns}/register``                  → register existing
+  table by metadata-location (RegisterTableRequest)
+* ``GET/HEAD /v1/namespaces/{ns}/tables/{t}``            → LoadTableResult
+  {metadata-location, metadata}
+* ``POST /v1/namespaces/{ns}/tables/{t}``                → CommitTableRequest
+  {requirements, updates} — applied SERVER-side with the same
+  check_requirements / apply_updates engine the local commit path uses,
+  returning 409 on a failed requirement (optimistic concurrency)
+* ``DELETE /v1/namespaces/{ns}/tables/{t}``
+
+Namespaces are encoded in URLs with the spec's unit separator ("%1F"
+joining levels). Metadata documents live in the warehouse (shared storage,
+as with a real REST catalog over an object store); the service returns
+``metadata-location`` and clients read the JSON from storage.
+
+The key difference from catalog/rest_catalog.py (pointer-CAS over HTTP):
+here the COMMIT is a first-class protocol operation the server validates,
+which is what the actual Iceberg REST spec does — so `Transaction.commit`
+routes through ``commit_updates`` instead of write-file-then-swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+import uuid as _uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+from iceberg_rust_custom_spark.metadata.table_metadata import CommitConflict, TableMetadata
+
+NS_SEP = "\x1f"  # the spec's multipart namespace separator (%1F)
+
+
+def _ns_encode(namespace: tuple) -> str:
+    return urllib.parse.quote(NS_SEP.join(namespace), safe="")
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class IcebergRestCatalog(Catalog):
+    """Catalog client speaking the Iceberg REST protocol. Commits are
+    delegated to the service via ``commit_updates`` (CommitTableRequest);
+    ``swap`` is intentionally unsupported — the protocol has no pointer-CAS
+    operation, commits carry requirements instead."""
+
+    def __init__(self, uri: str, warehouse: str | None = None, timeout: float = 10.0):
+        self.uri = uri.rstrip("/")
+        self.timeout = timeout
+        cfg = self._call("GET", "/v1/config")
+        self.warehouse = warehouse or cfg.get("defaults", {}).get("warehouse")
+
+    def _call(self, method: str, path: str, body: dict | None = None) -> dict:
+        req = urllib.request.Request(
+            self.uri + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                data = resp.read()
+                return json.loads(data) if data else {}
+        except urllib.error.HTTPError as e:
+            payload = e.read().decode() or "{}"
+            try:
+                msg = json.loads(payload).get("error", {}).get("message", payload)
+            except json.JSONDecodeError:
+                msg = payload
+            if e.code == 409:
+                raise CommitFailed(msg) from None
+            if e.code == 404:
+                raise FileNotFoundError(msg) from None
+            raise RuntimeError(f"HTTP {e.code}: {msg}") from None
+
+    def create_namespace(self, namespace: tuple) -> None:
+        self._call("POST", "/v1/namespaces", {"namespace": list(namespace)})
+
+    def list_namespaces(self) -> list[tuple]:
+        out = self._call("GET", "/v1/namespaces")
+        return [tuple(ns) for ns in out.get("namespaces", [])]
+
+    def list_tabulars(self, namespace: tuple) -> list[Identifier]:
+        out = self._call("GET", f"/v1/namespaces/{_ns_encode(namespace)}/tables")
+        return [
+            Identifier(tuple(t["namespace"]), t["name"]) for t in out.get("identifiers", [])
+        ]
+
+    def tabular_exists(self, identifier: Identifier) -> bool:
+        try:
+            self._call("GET", self._table_path(identifier))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _table_path(self, identifier: Identifier) -> str:
+        return f"/v1/namespaces/{_ns_encode(identifier.namespace)}/tables/{urllib.parse.quote(identifier.name, safe='')}"
+
+    def register(self, identifier: Identifier, metadata_location: str, kind: str = "table") -> None:
+        self._call(
+            "POST",
+            f"/v1/namespaces/{_ns_encode(identifier.namespace)}/register",
+            {"name": identifier.name, "metadata-location": metadata_location, "kind": kind},
+        )
+
+    def load(self, identifier: Identifier) -> tuple[str, str]:
+        out = self._call("GET", self._table_path(identifier))
+        return out["metadata-location"], out.get("kind", "table")
+
+    def swap(self, identifier: Identifier, expected_location: str, new_location: str) -> None:
+        raise NotImplementedError(
+            "the Iceberg REST protocol has no pointer CAS; commits go through commit_updates"
+        )
+
+    def commit_updates(self, identifier: Identifier, requirements: list, updates: list):
+        out = self._call(
+            "POST",
+            self._table_path(identifier),
+            {
+                "identifier": {"namespace": list(identifier.namespace), "name": identifier.name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+        return TableMetadata.from_dict(out["metadata"])
+
+    def drop(self, identifier: Identifier) -> None:
+        self._call("DELETE", self._table_path(identifier))
+
+
+# ---------------------------------------------------------------------------
+# service
+# ---------------------------------------------------------------------------
+
+
+class IcebergRestCatalogServer:
+    """In-process catalog service implementing the protocol above. Metadata
+    documents are JSON files under the warehouse (the object-store role);
+    the service holds the authoritative name → metadata-location mapping
+    and applies commits atomically under a per-table lock."""
+
+    def __init__(self, warehouse: str, host: str = "127.0.0.1", port: int = 0):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._tables: dict[tuple, dict] = {}  # (ns..., name) -> {location, kind}
+        self._namespaces: set[tuple] = set()
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code: int, payload: dict | None = None):
+                body = json.dumps(payload or {}).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(body)
+
+            def _err(self, code: int, message: str):
+                self._send(code, {"error": {"message": message, "code": code}})
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n)) if n else {}
+
+            def _route(self):
+                parts = [urllib.parse.unquote(p) for p in self.path.split("?")[0].split("/") if p]
+                try:
+                    server._dispatch(self, parts)
+                except CommitFailed as e:
+                    self._err(409, str(e))
+                except FileNotFoundError as e:
+                    self._err(404, str(e))
+                except Exception as e:  # pragma: no cover - defensive
+                    self._err(500, f"{type(e).__name__}: {e}")
+
+            do_GET = do_POST = do_DELETE = do_HEAD = _route
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def uri(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+
+    # ------------------------------------------------------------- dispatch
+    def _dispatch(self, h, parts: list[str]) -> None:
+        method = h.command
+        if parts == ["v1", "config"]:
+            h._send(200, {"defaults": {"warehouse": self.warehouse}, "overrides": {}})
+            return
+        if parts == ["v1", "namespaces"]:
+            if method == "POST":
+                ns = tuple(h._body()["namespace"])
+                with self._lock:
+                    self._namespaces.add(ns)
+                h._send(200, {"namespace": list(ns), "properties": {}})
+            else:
+                h._send(200, {"namespaces": [list(n) for n in sorted(self._namespaces)]})
+            return
+        if len(parts) >= 3 and parts[:2] == ["v1", "namespaces"]:
+            ns = tuple(parts[2].split(NS_SEP))
+            rest = parts[3:]
+            if rest == ["register"] and method == "POST":
+                body = h._body()
+                key = (*ns, body["name"])
+                with self._lock:
+                    if key in self._tables:
+                        raise CommitFailed(f"{'.'.join(key)} already exists")
+                    self._namespaces.add(ns)
+                    self._tables[key] = {
+                        "location": body["metadata-location"],
+                        "kind": body.get("kind", "table"),
+                    }
+                h._send(200, {"metadata-location": body["metadata-location"]})
+                return
+            if rest == ["tables"] and method == "GET":
+                with self._lock:
+                    idents = [
+                        {"namespace": list(k[:-1]), "name": k[-1]}
+                        for k in sorted(self._tables)
+                        if k[:-1] == ns
+                    ]
+                h._send(200, {"identifiers": idents})
+                return
+            if len(rest) == 2 and rest[0] == "tables":
+                key = (*ns, rest[1])
+                if method in ("GET", "HEAD"):
+                    with self._lock:
+                        entry = self._tables.get(key)
+                    if entry is None:
+                        raise FileNotFoundError(f"no such table: {'.'.join(key)}")
+                    payload = {"metadata-location": entry["location"], "kind": entry["kind"]}
+                    if method == "GET":
+                        with open(entry["location"]) as f:
+                            payload["metadata"] = json.load(f)
+                    h._send(200, payload)
+                    return
+                if method == "DELETE":
+                    with self._lock:
+                        if key not in self._tables:
+                            raise FileNotFoundError(f"no such table: {'.'.join(key)}")
+                        del self._tables[key]
+                    h._send(204)
+                    return
+                if method == "POST":  # CommitTableRequest
+                    body = h._body()
+                    h._send(200, self._commit(key, body["requirements"], body["updates"]))
+                    return
+        raise FileNotFoundError(f"no route: {h.command} {'/'.join(parts)}")
+
+    def _commit(self, key: tuple, requirements: list, updates: list) -> dict:
+        with self._lock:
+            entry = self._tables.get(key)
+            if entry is None:
+                raise FileNotFoundError(f"no such table: {'.'.join(key)}")
+            with open(entry["location"]) as f:
+                current = TableMetadata.from_json(f.read())
+            try:
+                current.check_requirements(requirements)
+            except CommitConflict as e:
+                raise CommitFailed(str(e)) from None
+            new_metadata = current.apply_updates(updates)
+            meta_dir = os.path.join(new_metadata.location, "metadata")
+            os.makedirs(meta_dir, exist_ok=True)
+            new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
+            with open(new_path, "w") as f:
+                f.write(new_metadata.to_json())
+            entry["location"] = new_path
+        return {"metadata-location": new_path, "metadata": new_metadata.to_dict()}

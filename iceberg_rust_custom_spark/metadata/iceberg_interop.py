@@ -134,7 +134,10 @@ def deserialize_single_value(b: bytes, iceberg_type: str):
 def _ts_to_micros(v) -> int:
     if isinstance(v, _dt.datetime):
         base = _EPOCH_TZ if v.tzinfo is not None else _EPOCH
-        return int((v - base) / _dt.timedelta(microseconds=1))
+        d = v - base
+        # integer arithmetic: timedelta / timedelta(microseconds=1) goes
+        # through float and loses sub-µs precision beyond 2^53 µs (~285 y)
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
     if isinstance(v, str):
         return _ts_to_micros(_dt.datetime.fromisoformat(v))
     return int(v)

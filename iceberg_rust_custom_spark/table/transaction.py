@@ -240,22 +240,29 @@ class Transaction:
         if not updates:
             return metadata
 
-        # Requirements were derived from the base this transaction planned
-        # against; they must hold on the *current* catalog state at commit
-        # time (commit.rs:53-184). Load fresh, check, apply, CAS.
-        current_location, _ = self.catalog.load(self.identifier)
-        with open(current_location) as f:
-            current = TableMetadata.from_json(f.read())
-        current.check_requirements(requirements)
-        new_metadata = current.apply_updates(updates)
+        # REST-protocol catalogs apply {requirements, updates} server-side
+        # (CommitTableRequest); pointer catalogs return None and take the
+        # classic load-fresh → check → apply → CAS path below.
+        committed = self.catalog.commit_updates(self.identifier, requirements, updates)
+        if committed is not None:
+            new_metadata = committed
+        else:
+            # Requirements were derived from the base this transaction
+            # planned against; they must hold on the *current* catalog state
+            # at commit time (commit.rs:53-184). Load fresh, check, apply, CAS.
+            current_location, _ = self.catalog.load(self.identifier)
+            with open(current_location) as f:
+                current = TableMetadata.from_json(f.read())
+            current.check_requirements(requirements)
+            new_metadata = current.apply_updates(updates)
 
-        # write v{N}.metadata.json and CAS the catalog pointer
-        meta_dir = os.path.join(new_metadata.location, "metadata")
-        os.makedirs(meta_dir, exist_ok=True)
-        new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
-        with open(new_path, "w") as f:
-            f.write(new_metadata.to_json())
-        self.catalog.swap(self.identifier, current_location, new_path)
+            # write v{N}.metadata.json and CAS the catalog pointer
+            meta_dir = os.path.join(new_metadata.location, "metadata")
+            os.makedirs(meta_dir, exist_ok=True)
+            new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
+            with open(new_path, "w") as f:
+                f.write(new_metadata.to_json())
+            self.catalog.swap(self.identifier, current_location, new_path)
 
         if self._rewrite is not None:
             self._delete_replaced_files(metadata)

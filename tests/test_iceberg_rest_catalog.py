@@ -1,0 +1,102 @@
+"""Iceberg REST protocol catalog (catalog/iceberg_rest.py): real HTTP
+client + service, with server-side CommitTableRequest application — the
+protocol the reference's generated client speaks (iceberg-rest-catalog/).
+"""
+
+import threading
+
+import pytest
+
+from iceberg_rust_custom_spark.catalog.base import CommitFailed, Identifier
+from iceberg_rust_custom_spark.catalog.iceberg_rest import (
+    IcebergRestCatalog,
+    IcebergRestCatalogServer,
+)
+
+
+@pytest.fixture()
+def service(tmp_path):
+    server = IcebergRestCatalogServer(str(tmp_path / "wh"))
+    yield server
+    server.close()
+
+
+def test_config_and_namespaces(service):
+    cat = IcebergRestCatalog(service.uri)
+    assert cat.warehouse == service.warehouse  # discovered via GET /v1/config
+    cat.create_namespace(("a", "b"))
+    assert ("a", "b") in cat.list_namespaces()
+
+
+def test_engine_lifecycle_over_rest_protocol(spark, service, sf_dir):
+    """create → insert ×2 → scan → branch → DELETE, all committed through
+    POST CommitTableRequest (no client-side pointer swap anywhere)."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    cat = IcebergRestCatalog(service.uri)
+    eng = Engine(spark, catalog=cat)
+    eng.sql("CREATE TABLE ns.t (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.t VALUES (1, 1.5), (2, 2.5)")
+    eng.sql("INSERT INTO ns.t VALUES (3, 3.5)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.t").first().n == 3
+    t = eng.load_table("ns.t")
+    assert len(t.metadata.snapshots) == 2
+    eng.sql("DELETE FROM ns.t WHERE id = 2")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.t").first().n == 2
+    # loading through a SECOND client sees the committed state
+    eng2 = Engine(spark, catalog=IcebergRestCatalog(service.uri))
+    assert eng2.load_table("ns.t").scan().count() == 2
+
+
+def test_commit_conflict_maps_to_409(spark, service):
+    """A stale assert-ref-snapshot-id must come back as HTTP 409 →
+    CommitFailed; the engine's bounded retry then lands the append."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    cat = IcebergRestCatalog(service.uri)
+    eng = Engine(spark, catalog=cat)
+    eng.sql("CREATE TABLE ns.c (id BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.c VALUES (1)")
+    ident = Identifier.parse("ns.c")
+    # hand-roll a stale commit: requirement pins a snapshot that isn't head
+    with pytest.raises(CommitFailed):
+        cat.commit_updates(
+            ident,
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 12345}],
+            [{"action": "set-properties", "updates": {"k": "v"}}],
+        )
+    # a correct requirement commits fine
+    t = eng.load_table("ns.c")
+    head = t.metadata.snapshot_for_ref().snapshot_id
+    md = cat.commit_updates(
+        ident,
+        [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head}],
+        [{"action": "set-properties", "updates": {"k": "v"}}],
+    )
+    assert md.properties["k"] == "v"
+
+
+def test_concurrent_appends_one_writer_retries(spark, service):
+    """Two engines appending concurrently: the server's per-table lock +
+    requirement check forces one to retry; both rows land."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, catalog=IcebergRestCatalog(service.uri))
+    eng.sql("CREATE TABLE ns.r (id BIGINT) STORED AS ICEBERG")
+    errs = []
+
+    def insert(v):
+        try:
+            e = Engine(spark, catalog=IcebergRestCatalog(service.uri))
+            e.sql(f"INSERT INTO ns.r VALUES ({v})")
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=insert, args=(v,)) for v in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.r").first().n == 2
+    assert len(eng.load_table("ns.r").metadata.snapshots) == 2
