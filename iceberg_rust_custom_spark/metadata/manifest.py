@@ -195,27 +195,29 @@ def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) ->
     }
 
 
+def row_to_entry(row: dict) -> ManifestEntry:
+    """One manifest parquet row → ManifestEntry (shared by the driver walk
+    and the distributed planning path in table/scan.py)."""
+    df = DataFile(
+        file_path=row["file_path"],
+        file_format=row["file_format"],
+        partition=json.loads(row["partition"]),
+        record_count=row["record_count"],
+        file_size_in_bytes=row["file_size_in_bytes"],
+        column_sizes=json.loads(row["column_sizes"]),
+        value_counts=json.loads(row["value_counts"]),
+        null_value_counts=json.loads(row["null_value_counts"]),
+        lower_bounds=json.loads(row["lower_bounds"]),
+        upper_bounds=json.loads(row["upper_bounds"]),
+        content=row["content"],
+        schema_id=row.get("schema_id", -1) if row.get("schema_id") is not None else -1,
+        bloom_filters=json.loads(row["bloom_filters"]) if row.get("bloom_filters") else {},
+    )
+    return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
+
+
 def read_manifest(path: str) -> list[ManifestEntry]:
-    t = pq.read_table(path)
-    out = []
-    for row in t.to_pylist():
-        df = DataFile(
-            file_path=row["file_path"],
-            file_format=row["file_format"],
-            partition=json.loads(row["partition"]),
-            record_count=row["record_count"],
-            file_size_in_bytes=row["file_size_in_bytes"],
-            column_sizes=json.loads(row["column_sizes"]),
-            value_counts=json.loads(row["value_counts"]),
-            null_value_counts=json.loads(row["null_value_counts"]),
-            lower_bounds=json.loads(row["lower_bounds"]),
-            upper_bounds=json.loads(row["upper_bounds"]),
-            content=row["content"],
-            schema_id=row.get("schema_id", -1) if row.get("schema_id") is not None else -1,
-            bloom_filters=json.loads(row["bloom_filters"]) if row.get("bloom_filters") else {},
-        )
-        out.append(ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df))
-    return out
+    return [row_to_entry(row) for row in pq.read_table(path).to_pylist()]
 
 
 def write_manifest_list(path: str, manifest_rows: list[dict]) -> None:

@@ -124,38 +124,149 @@ def plan_files(
             if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
                 continue  # manifest-level skip
         for entry in read_manifest(row["manifest_path"]):
-            if entry.status == STATUS_DELETED:
-                continue
-            if sequence_number_range is not None:
-                start, end = sequence_number_range
-                if not (start < entry.sequence_number <= end):
-                    continue
-            df = entry.data_file
-            if part_pred is not None and df.partition:
-                pb = _PartitionBounds(
-                    {
-                        k: {"lower": v, "upper": v, "contains_null": v is None}
-                        for k, v in df.partition.items()
-                    },
-                    result_types,
-                )
-                if not may_match(part_pred, pb):
-                    continue  # exact partition-tuple skip
-            if df.content != 0:
-                continue  # position-delete files: plan_delete_files
-            if predicate is not None:
-                fb = FileBounds(
-                    df.lower_bounds,
-                    df.upper_bounds,
-                    df.null_value_counts,
-                    df.value_counts,
-                    schema,
-                    blooms=df.bloom_filters,
-                )
-                if not may_match(predicate, fb):
-                    continue  # file-level stats skip
-            out.append(df)
+            if _entry_survives(
+                entry, predicate, part_pred, result_types, schema, sequence_number_range
+            ):
+                out.append(entry.data_file)
     return out
+
+
+def _entry_survives(
+    entry,
+    predicate,
+    part_pred,
+    result_types: dict,
+    schema: Schema,
+    sequence_number_range: tuple[int, int] | None,
+) -> bool:
+    """Per-entry prune decision, shared verbatim by the driver walk
+    (plan_files) and the distributed planner (plan_files_distributed) so
+    the two paths cannot drift."""
+    if entry.status == STATUS_DELETED:
+        return False
+    if sequence_number_range is not None:
+        start, end = sequence_number_range
+        if not (start < entry.sequence_number <= end):
+            return False
+    df = entry.data_file
+    if part_pred is not None and df.partition:
+        pb = _PartitionBounds(
+            {k: {"lower": v, "upper": v, "contains_null": v is None} for k, v in df.partition.items()},
+            result_types,
+        )
+        if not may_match(part_pred, pb):
+            return False  # exact partition-tuple skip
+    if df.content != 0:
+        return False  # position-delete files: plan_delete_files
+    if predicate is not None:
+        fb = FileBounds(
+            df.lower_bounds,
+            df.upper_bounds,
+            df.null_value_counts,
+            df.value_counts,
+            schema,
+            blooms=df.bloom_filters,
+        )
+        if not may_match(predicate, fb):
+            return False  # file-level stats skip
+    return True
+
+
+#: above this many live files in a snapshot, scan planning itself becomes a
+#: Spark job over the manifest parquets instead of a driver walk
+DISTRIBUTED_PLANNING_THRESHOLD = 100_000
+
+
+def plan_files_distributed(
+    spark: SparkSession,
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    predicate: Expr | None = None,
+    sequence_number_range: tuple[int, int] | None = None,
+) -> list[DataFile]:
+    """The 100 TB planning path: manifest-LIST pruning stays on the driver
+    (one tiny file), but the per-entry file-level prune — the part that is
+    O(live files) — runs as a Spark job over the manifest parquets with
+    ``mapInPandas``, evaluating the SAME ``_entry_survives`` decision the
+    driver walk uses (no semantic drift). Only surviving entries are
+    collected; with real pruning that result is orders of magnitude smaller
+    than the manifest tree. At 10^6 files the driver walk deserializes
+    every entry in Python on one core; this spreads it across the cluster.
+    """
+    import pandas as pd
+
+    from iceberg_rust_custom_spark.metadata.manifest import row_to_entry
+
+    if snapshot is None:
+        return []
+    schema = metadata.schemas.get(snapshot.schema_id, metadata.current_schema())
+
+    # driver side: manifest-level prune, grouped by partition spec (each
+    # manifest decodes partition tuples with its own spec)
+    groups: dict[int, list[str]] = {}
+    per_spec: dict[int, tuple[dict, object]] = {}
+    for row in read_manifest_list(snapshot.manifest_list):
+        spec_id = row.get("partition_spec_id", metadata.default_spec_id)
+        if spec_id not in per_spec:
+            spec = metadata.partition_specs.get(spec_id, metadata.default_spec())
+            result_types = {}
+            for pf in spec.fields:
+                try:
+                    src = schema.field_by_id(pf.source_id)
+                except KeyError:
+                    continue
+                tname = src.field_type if isinstance(src.field_type, str) else "string"
+                result_types[pf.name] = pf.transform.result_type(tname)
+            part_pred = (
+                project_to_partition(predicate, schema, spec) if predicate is not None else None
+            )
+            per_spec[spec_id] = (result_types, part_pred)
+        result_types, part_pred = per_spec[spec_id]
+        if sequence_number_range is not None:
+            start, end = sequence_number_range
+            if row["sequence_number"] <= start or row["min_sequence_number"] > end:
+                continue
+        if part_pred is not None and row.get("partitions"):
+            summaries = json.loads(row["partitions"])
+            if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
+                continue
+        groups.setdefault(spec_id, []).append(row["manifest_path"])
+
+    schema_cols = MANIFEST_ENTRY_SPARK_SCHEMA + ", bloom_filters string"
+    out: list[DataFile] = []
+    for spec_id, paths in groups.items():
+        result_types, part_pred = per_spec[spec_id]
+
+        def prune(batches, _rt=result_types, _pp=part_pred):
+            for pdf in batches:
+                keep = [
+                    i
+                    for i, row in enumerate(pdf.to_dict("records"))
+                    if _entry_survives(
+                        row_to_entry(row), predicate, _pp, _rt, schema, sequence_number_range
+                    )
+                ]
+                yield pdf.iloc[keep] if keep else pdf.iloc[0:0]
+
+        pruned = (
+            spark.read.schema(schema_cols)
+            .parquet(*paths)
+            .mapInPandas(prune, schema_cols)
+            .collect()
+        )
+        out.extend(row_to_entry(r.asDict()).data_file for r in pruned)
+    return out
+
+
+def snapshot_live_file_count(snapshot: Snapshot | None) -> int:
+    """Live-file estimate from manifest-list counters alone (no manifest
+    reads) — the routing signal between driver and distributed planning."""
+    if snapshot is None:
+        return 0
+    return sum(
+        r.get("added_files_count", 0) + r.get("existing_files_count", 0)
+        for r in read_manifest_list(snapshot.manifest_list)
+    )
 
 
 def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> list:
@@ -204,7 +315,10 @@ def scan_to_dataframe(
     schema = metadata.current_schema()
     if use_snapshot_schema and snapshot is not None:
         schema = metadata.schemas.get(snapshot.schema_id, schema)
-    files = plan_files(metadata, snapshot, predicate)
+    if snapshot_live_file_count(snapshot) > DISTRIBUTED_PLANNING_THRESHOLD:
+        files = plan_files_distributed(spark, metadata, snapshot, predicate)
+    else:
+        files = plan_files(metadata, snapshot, predicate)
     deletes = plan_delete_files(metadata, snapshot)
     spark_schema = schema.spark_schema()
     lineage = bool(deletes) and bool(files)

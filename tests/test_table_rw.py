@@ -513,3 +513,44 @@ def test_wap_fast_forward(engine, spark):
     t.append(spark.createDataFrame([(3,)], "id long"))
     with pytest.raises(ValueError, match="not a fast-forward"):
         t.fast_forward("audit")
+
+
+def test_distributed_planning_matches_driver_walk(spark, tmp_path, sf_dir):
+    """plan_files_distributed (the 100 TB mapInPandas planner) must return
+    exactly the driver walk's file set for a spread of predicates, over a
+    partitioned table with stats + a second spec (partition evolution)."""
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.table.scan import plan_files, plan_files_distributed
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    eng.sql(
+        "CREATE TABLE ns.dp (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP) STORED AS ICEBERG PARTITIONED BY (month(o_orderdate))"
+    )
+    eng.insert("ns.dp", src.limit(800))
+    t = eng.load_table("ns.dp")
+    t.update_partition_spec("bucket(4, o_custkey)")
+    eng.insert("ns.dp", src.limit(1000))
+    t = eng.load_table("ns.dp")
+    preds = [
+        None,
+        "o_orderdate >= TIMESTAMP '1997-06-01'",
+        "o_orderdate >= TIMESTAMP '1997-06-01' AND o_totalprice > 100000",
+        "o_custkey = 7",
+        "o_orderkey IN (1, 2, 3)",
+        "o_totalprice < 0",
+    ]
+    snap = t.metadata.snapshot_for_ref()
+    for p in preds:
+        expr = parse_predicate(p) if p else None
+        a = sorted(f.file_path for f in plan_files(t.metadata, snap, expr))
+        b = sorted(f.file_path for f in plan_files_distributed(spark, t.metadata, snap, expr))
+        assert a == b, (p, len(a), len(b))
+    # sanity: at least one predicate actually pruned
+    full = len(plan_files(t.metadata, snap, None))
+    pruned = len(plan_files(t.metadata, snap, parse_predicate(preds[1])))
+    assert 0 < pruned < full
