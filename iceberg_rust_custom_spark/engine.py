@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from iceberg_rust_custom_spark.catalog.base import Catalog, Identifier
+from iceberg_rust_custom_spark.io.fileio import FileIO
 from iceberg_rust_custom_spark.catalog.file_catalog import FileCatalog
 from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
 from iceberg_rust_custom_spark.metadata.schema import Schema
@@ -69,10 +70,8 @@ class Engine:
         )
         md = TableMetadata.new(location, schema, spec, sort_order, properties)
         meta_dir = os.path.join(location, "metadata")
-        os.makedirs(meta_dir, exist_ok=True)
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
-        with open(path, "w") as f:
-            f.write(md.to_json())
+        FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="table")
         return Table(self.catalog, ident, md, self.spark)
 
@@ -94,8 +93,7 @@ class Engine:
         meta_dir = os.path.join(location, "metadata")
         md = import_iceberg_table(metadata_json_path, meta_dir)
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
-        with open(path, "w") as f:
-            f.write(md.to_json())
+        FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="table")
         return Table(self.catalog, ident, md, self.spark)
 
@@ -112,8 +110,7 @@ class Engine:
         location, kind = self.catalog.load(ident)
         if kind != "table":
             raise ValueError(f"{name} is a {kind}, not a table")
-        with open(location) as f:
-            md = TableMetadata.from_json(f.read())
+        md = TableMetadata.from_json(FileIO.read_text(location))
         return Table(self.catalog, ident, md, self.spark)
 
     def drop(self, name: str) -> None:
@@ -233,18 +230,15 @@ class Engine:
         ident = Identifier.parse(name)
         location = self._view_location(ident)
         md = ViewMetadata.new(location, sql)
-        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
-        with open(path, "w") as f:
-            f.write(md.to_json())
+        FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="view")
         return View(name, md)
 
     def scan_view(self, name: str) -> DataFrame:
         ident = Identifier.parse(name)
         location, kind = self.catalog.load(ident)
-        with open(location) as f:
-            md = ViewMetadata.from_json(f.read())
+        md = ViewMetadata.from_json(FileIO.read_text(location))
         return self.sql(md.current_sql())
 
     def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
@@ -257,10 +251,8 @@ class Engine:
         self.create_table(storage_name, Schema.from_spark(result_schema))
         location = self._view_location(ident)
         md = ViewMetadata.new(location, sql, storage_table=storage_name)
-        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
-        with open(path, "w") as f:
-            f.write(md.to_json())
+        FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="materialized-view")
         mv = MaterializedView(name, md)
         self.refresh_materialized_view(name)
@@ -268,8 +260,7 @@ class Engine:
 
     def _load_view_metadata(self, name: str) -> ViewMetadata:
         location, _ = self.catalog.load(Identifier.parse(name))
-        with open(location) as f:
-            return ViewMetadata.from_json(f.read())
+        return ViewMetadata.from_json(FileIO.read_text(location))
 
     def scan_materialized_view(self, name: str) -> DataFrame:
         md = self._load_view_metadata(name)

@@ -1,0 +1,154 @@
+"""FileIO: scheme-dispatched metadata storage.
+
+The reference routes ALL metadata IO through the ``object_store`` crate, so
+any backend (local FS, S3, GCS) is a config change
+(iceberg-rust/src/table/manifest.rs uses the store handle; commits via
+copy_if_not_exists, iceberg-file-catalog/src/lib.rs:306-361). This module
+plays that role for the engine's metadata plane: every metadata.json,
+manifest parquet, manifest-list and Avro file read/write goes through
+``FileIO``, dispatched on the path's scheme.
+
+Built-in schemes:
+
+* (no scheme) / ``file://`` — local filesystem, atomic tmp+rename writes;
+* ``mem://`` — in-process store (tests; also the S3-semantics double).
+
+An S3/GCS backend is ``FileIO.register("s3", impl)`` away — the engine
+code never touches ``open()`` for metadata directly. DATA files are read
+and written by Spark itself, which already handles object-store URLs
+(s3a://…) natively on a real cluster; this module deliberately covers only
+the metadata plane the engine owns.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+from urllib.parse import urlparse
+
+
+class _LocalScheme:
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._strip(path), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = self._strip(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def delete(self, path: str) -> None:
+        os.remove(self._strip(path))
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        return path[len("file://") :] if path.startswith("file://") else path
+
+
+class _MemScheme:
+    """In-process byte store (mem://bucket/key…)."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def read_bytes(self, path: str) -> bytes:
+        try:
+            return self._objects[path]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[path] = bytes(data)
+
+    def exists(self, path: str) -> bool:
+        return path in self._objects
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            try:
+                del self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+
+class FileIO:
+    _schemes: dict[str, object] = {}
+
+    @classmethod
+    def register(cls, scheme: str, impl) -> None:
+        cls._schemes[scheme] = impl
+
+    @classmethod
+    def _impl(cls, path: str):
+        scheme = urlparse(path).scheme if "://" in path else ""
+        if scheme in ("", "file"):
+            return cls._schemes[""]
+        try:
+            return cls._schemes[scheme]
+        except KeyError:
+            raise ValueError(
+                f"no FileIO backend registered for scheme {scheme!r} ({path}); "
+                f"FileIO.register({scheme!r}, impl) to add one"
+            ) from None
+
+    # ------------------------------------------------------------- byte API
+    @classmethod
+    def read_bytes(cls, path: str) -> bytes:
+        return cls._impl(path).read_bytes(path)
+
+    @classmethod
+    def write_bytes(cls, path: str, data: bytes) -> None:
+        cls._impl(path).write_bytes(path, data)
+
+    @classmethod
+    def read_text(cls, path: str) -> str:
+        return cls.read_bytes(path).decode("utf-8")
+
+    @classmethod
+    def write_text(cls, path: str, text: str) -> None:
+        cls.write_bytes(path, text.encode("utf-8"))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return cls._impl(path).exists(path)
+
+    @classmethod
+    def delete(cls, path: str) -> None:
+        cls._impl(path).delete(path)
+
+    # --------------------------------------------------------- parquet API
+    @classmethod
+    def pq_read_table(cls, path: str):
+        import pyarrow.parquet as pq
+
+        impl = cls._impl(path)
+        if isinstance(impl, _LocalScheme):
+            return pq.read_table(_LocalScheme._strip(path))
+        return pq.read_table(io.BytesIO(impl.read_bytes(path)))
+
+    @classmethod
+    def pq_write_table(cls, table, path: str, **kwargs) -> None:
+        import pyarrow.parquet as pq
+
+        impl = cls._impl(path)
+        if isinstance(impl, _LocalScheme):
+            p = _LocalScheme._strip(path)
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+            pq.write_table(table, p, **kwargs)
+            return
+        buf = io.BytesIO()
+        pq.write_table(table, buf, **kwargs)
+        impl.write_bytes(path, buf.getvalue())
+
+
+FileIO.register("", _LocalScheme())
+FileIO.register("mem", _MemScheme())

@@ -23,9 +23,10 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import struct
 import zlib
+
+from iceberg_rust_custom_spark.io.fileio import FileIO
 
 MAGIC = b"Obj\x01"
 
@@ -271,17 +272,12 @@ def write_ocf(
         _write_long(out, len(payload))
         out.write(payload)
         out.write(sync)
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(out.getvalue())
-    os.replace(tmp, path)
+    FileIO.write_bytes(path, out.getvalue())
 
 
 def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list]:
     """Read an Avro OCF → (writer_schema, file_metadata, records)."""
-    with open(path, "rb") as f:
-        buf = io.BytesIO(f.read())
+    buf = io.BytesIO(FileIO.read_bytes(path))
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta = read_datum(buf, {"type": "map", "values": "bytes"})

@@ -34,6 +34,7 @@ import struct
 import datetime as _dt
 import decimal as _decimal
 
+from iceberg_rust_custom_spark.io.fileio import FileIO
 from iceberg_rust_custom_spark.metadata.avro_codec import read_ocf, write_ocf
 from iceberg_rust_custom_spark.metadata.manifest import (
     STATUS_ADDED,
@@ -540,8 +541,7 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         (pf.field_id for s in metadata.partition_specs.values() for pf in s.fields), default=999
     )
     md_path = os.path.join(meta_dir, "v1.metadata.json")
-    with open(md_path, "w") as f:
-        json.dump(md, f, indent=1)
+    FileIO.write_text(md_path, json.dumps(md, indent=1))
     return md_path
 
 
@@ -555,8 +555,7 @@ def import_iceberg_table(metadata_json_path: str, target_metadata_dir: str) -> T
     (Parquet manifests under ``target_metadata_dir``). All snapshots are
     converted, so time travel and incremental reads work over the import.
     Avro manifests shared between snapshots are converted once."""
-    with open(metadata_json_path) as f:
-        raw = json.load(f)
+    raw = json.loads(FileIO.read_text(metadata_json_path))
     if raw.get("format-version") != 2:
         raise ValueError(f"only format-version 2 supported, got {raw.get('format-version')!r}")
     md = TableMetadata.from_dict(raw)

@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from iceberg_rust_custom_spark.io.fileio import FileIO
+
 STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
@@ -177,7 +179,7 @@ def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) ->
                     s["lower"] = pval
                 if s["upper"] is None or pval > s["upper"]:
                     s["upper"] = pval
-    pq.write_table(pa.table(rows, schema=MANIFEST_SCHEMA), path, compression="zstd")
+    FileIO.pq_write_table(pa.table(rows, schema=MANIFEST_SCHEMA), path, compression="zstd")
     return {
         "manifest_path": path,
         "partition_spec_id": spec_id,
@@ -217,13 +219,13 @@ def row_to_entry(row: dict) -> ManifestEntry:
 
 
 def read_manifest(path: str) -> list[ManifestEntry]:
-    return [row_to_entry(row) for row in pq.read_table(path).to_pylist()]
+    return [row_to_entry(row) for row in FileIO.pq_read_table(path).to_pylist()]
 
 
 def write_manifest_list(path: str, manifest_rows: list[dict]) -> None:
     cols = {name: [r.get(name) for r in manifest_rows] for name in MANIFEST_LIST_SCHEMA.names}
-    pq.write_table(pa.table(cols, schema=MANIFEST_LIST_SCHEMA), path, compression="zstd")
+    FileIO.pq_write_table(pa.table(cols, schema=MANIFEST_LIST_SCHEMA), path, compression="zstd")
 
 
 def read_manifest_list(path: str) -> list[dict]:
-    return pq.read_table(path).to_pylist()
+    return FileIO.pq_read_table(path).to_pylist()

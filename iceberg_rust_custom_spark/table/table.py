@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iceberg_rust_custom_spark.catalog.base import Catalog, Identifier
 from iceberg_rust_custom_spark.metadata.expressions import Expr, parse_predicate
 from iceberg_rust_custom_spark.metadata.snapshot import MAIN_BRANCH, Snapshot
+from iceberg_rust_custom_spark.io.fileio import FileIO
 from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
 from iceberg_rust_custom_spark.table.scan import plan_files, scan_to_dataframe
 from iceberg_rust_custom_spark.table.transaction import Transaction
@@ -30,8 +31,7 @@ class Table:
     # ------------------------------------------------------------- lifecycle
     def refresh(self) -> "Table":
         location, _ = self.catalog.load(self.identifier)
-        with open(location) as f:
-            self.metadata = TableMetadata.from_json(f.read())
+        self.metadata = TableMetadata.from_json(FileIO.read_text(location))
         return self
 
     def update_schema(self):

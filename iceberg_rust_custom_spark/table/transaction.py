@@ -43,6 +43,7 @@ from iceberg_rust_custom_spark.metadata.snapshot import (
     SnapshotReference,
     generate_snapshot_id,
 )
+from iceberg_rust_custom_spark.io.fileio import FileIO
 from iceberg_rust_custom_spark.metadata.table_metadata import CommitConflict, TableMetadata
 
 MIN_DATAFILES_PER_MANIFEST = 4  # reference: operation.rs:34
@@ -170,8 +171,7 @@ class Transaction:
                 last_err = e
                 # refresh and retry: appends are re-routable onto any base
                 location, _ = self.catalog.load(self.identifier)
-                with open(location) as f:
-                    metadata = TableMetadata.from_json(f.read())
+                metadata = TableMetadata.from_json(FileIO.read_text(location))
                 if self._rewrite is not None:
                     # rewrites replace specific files; retrying blindly could
                     # drop concurrent appends → surface the conflict
@@ -196,7 +196,8 @@ class Transaction:
             seq = metadata.last_sequence_number + 1
             snap_id = generate_snapshot_id()
             meta_dir = os.path.join(metadata.location, "metadata")
-            os.makedirs(meta_dir, exist_ok=True)
+            if "://" not in meta_dir:  # non-local schemes create on write (FileIO)
+                os.makedirs(meta_dir, exist_ok=True)
 
             if self._rewrite is not None:
                 manifest_rows = self._build_rewrite_manifests(metadata, meta_dir, snap_id, seq)
@@ -251,17 +252,14 @@ class Transaction:
             # planned against; they must hold on the *current* catalog state
             # at commit time (commit.rs:53-184). Load fresh, check, apply, CAS.
             current_location, _ = self.catalog.load(self.identifier)
-            with open(current_location) as f:
-                current = TableMetadata.from_json(f.read())
+            current = TableMetadata.from_json(FileIO.read_text(current_location))
             current.check_requirements(requirements)
             new_metadata = current.apply_updates(updates)
 
             # write v{N}.metadata.json and CAS the catalog pointer
             meta_dir = os.path.join(new_metadata.location, "metadata")
-            os.makedirs(meta_dir, exist_ok=True)
             new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
-            with open(new_path, "w") as f:
-                f.write(new_metadata.to_json())
+            FileIO.write_text(new_path, new_metadata.to_json())
             self.catalog.swap(self.identifier, current_location, new_path)
 
         if self._rewrite is not None:
