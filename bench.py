@@ -48,6 +48,7 @@ HEADLINE = [
     "gopher_repetition_signals",
     "simhash_fingerprints",
     "tfidf_top_terms",
+    "cms_frequent_terms",
     "bm25_scores",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",

@@ -97,3 +97,78 @@ def kll_merge_quantiles(
         for q in quantiles
     ]
     return merged.select(*group_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, cross-engine verifiable)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_table(
+    df: DataFrame, token_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of a token stream as a (d, bucket, cnt) DataFrame —
+    ``depth × width`` counters total, independent of corpus size.
+
+    Counters are SUMS, so the sketch is mergeable by addition across
+    partitions, shards, and snapshots (union two sketches = union the
+    frames + re-sum), the same algebra HLL/KLL ride. Unlike library
+    sketches, every hash here is the engine's md5-affine family
+    (functions/hashing.py) — DETERMINISTIC and SQL-expressible, so a CMS
+    built by Spark and one built by the DuckDB oracle agree cell-for-cell
+    (the driver gate can hash-match a sketch, not just eyeball it).
+    """
+    from iceberg_rust_custom_spark.functions.hashing import (
+        affine_hash_sql,
+        md5h32_spark_sql,
+        minhash_params,
+    )
+
+    h0 = md5h32_spark_sql(token_col)
+    rows = []
+    for d, (a, b) in enumerate(minhash_params(depth, seed=0xC0FFEE)):
+        rows.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(f"{affine_hash_sql(h0, a, b)} % {width}").cast("int").alias("bucket"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*rows)).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, terms: DataFrame, term_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Point-estimate term frequencies from a CMS: for each term, min over
+    its depth counters (the classic CMS upper-bound estimate). The sketch
+    side is depth×width rows → broadcast; the join never touches raw data."""
+    from iceberg_rust_custom_spark.functions.hashing import (
+        affine_hash_sql,
+        md5h32_spark_sql,
+        minhash_params,
+    )
+
+    h0 = md5h32_spark_sql(term_col)
+    rows = []
+    for d, (a, b) in enumerate(minhash_params(depth, seed=0xC0FFEE)):
+        rows.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(f"{affine_hash_sql(h0, a, b)} % {width}").cast("int").alias("bucket"),
+            )
+        )
+    probes = terms.select(
+        F.col(term_col), F.explode(F.array(*rows)).alias("db")
+    ).select(term_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

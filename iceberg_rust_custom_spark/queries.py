@@ -2599,6 +2599,60 @@ def vocabulary_topk(spark, sf_dir):
     return TX.vocabulary(_t(spark, sf_dir, "documents"), "text", top_k=500)
 
 
+_CMS_PARAMS = minhash_params(4, seed=0xC0FFEE)
+_CMS_H = md5h32_sql("term")
+_CMS_SKETCH_SQL = "\n      UNION ALL ".join(
+    f"SELECT {d} AS d, CAST({affine_hash_sql(_CMS_H, a, b)} % 256 AS INT) AS bucket, COUNT(*) AS cnt "
+    f"FROM toks GROUP BY 1, 2"
+    for d, (a, b) in enumerate(_CMS_PARAMS)
+)
+_CMS_PROBES_SQL = "\n      UNION ALL ".join(
+    f"SELECT term, exact_n, {d} AS d, CAST({affine_hash_sql(_CMS_H, a, b)} % 256 AS INT) AS bucket FROM exact"
+    for d, (a, b) in enumerate(_CMS_PARAMS)
+)
+
+
+@q(
+    "cms_frequent_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+      FROM documents),
+    exact AS (
+      SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term
+      ORDER BY exact_n DESC, term LIMIT 20),
+    cms AS (
+      {_CMS_SKETCH_SQL}),
+    probes AS (
+      {_CMS_PROBES_SQL})
+    SELECT term, exact_n, MIN(COALESCE(cnt, 0)) AS cms_count
+    FROM probes LEFT JOIN cms USING (d, bucket)
+    GROUP BY term, exact_n
+    """,
+)
+def cms_frequent_terms(spark, sf_dir):
+    """Count-min sketch heavy hitters, EXACTLY verified: the CMS counters
+    use the engine's md5-affine hash family, so Spark's sketch and the
+    DuckDB oracle's agree cell-for-cell — the driver hash-matches a SKETCH
+    estimate, not just an exact aggregate (operators/sketches.py:cms_table).
+    Scale shape: the sketch is depth*width counters regardless of corpus
+    size, mergeable by addition across shards/snapshots; estimation is a
+    broadcast join against 1024 rows."""
+    from iceberg_rust_custom_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+    sketch = SK.cms_table(toks, "term")
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(20)
+    )
+    est = SK.cms_estimate(sketch, exact.select("term"), "term")
+    return exact.join(est, "term").select("term", "exact_n", F.col("cms_count"))
+
+
 @q(
     "tfidf_top_terms",
     f"""

@@ -762,3 +762,35 @@ def test_undecodable_payload_raises_without_fake():
     with _pytest.raises(NotImplementedError):
         M.decode_audio(b"OggS not really", 100)
     assert M.decode_image(b"junk", fake=True)["n_bytes"] == 4
+
+
+def test_cms_sketch_merge_and_bounds(spark, docs):
+    """Count-min: (a) sketch(A ∪ B) == sketch(A) + sketch(B) cell-for-cell
+    (mergeable by addition); (b) estimates upper-bound exact counts and are
+    tight for heavy hitters at this sketch size."""
+    from iceberg_rust_custom_spark.operators import sketches as SK
+    from iceberg_rust_custom_spark.operators.text import tokens
+
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    a = toks.where(F.crc32(F.col("term")) % 2 == 0)
+    b = toks.where(F.crc32(F.col("term")) % 2 == 1)
+    whole = {(r.d, r.bucket): r.cnt for r in SK.cms_table(toks, "term").collect()}
+    pa = {(r.d, r.bucket): r.cnt for r in SK.cms_table(a, "term").collect()}
+    pb = {(r.d, r.bucket): r.cnt for r in SK.cms_table(b, "term").collect()}
+    merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == whole
+    exact = dict(
+        toks.groupBy("term").agg(F.count("*").alias("n")).orderBy(F.desc("n"), F.asc("term")).limit(10).collect()
+    )
+    est = {
+        r.term: r.cms_count
+        for r in SK.cms_estimate(
+            SK.cms_table(toks, "term"),
+            spark.createDataFrame([(t,) for t in exact], ["term"]),
+            "term",
+        ).collect()
+    }
+    total = toks.count()
+    for t, n in exact.items():
+        assert est[t] >= n  # CMS never underestimates
+        assert est[t] - n <= total * (4 / 256)  # within the ε·N guarantee
