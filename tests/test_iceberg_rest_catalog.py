@@ -100,3 +100,22 @@ def test_concurrent_appends_one_writer_retries(spark, service):
     assert not errs
     assert eng.sql("SELECT COUNT(*) AS n FROM ns.r").first().n == 2
     assert len(eng.load_table("ns.r").metadata.snapshots) == 2
+
+
+def test_views_and_mv_over_rest_protocol(spark, service, sf_dir):
+    """Views and materialized views (incl. refresh with lineage commits)
+    work unchanged over the REST-protocol catalog."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, catalog=IcebergRestCatalog(service.uri))
+    eng.sql("CREATE TABLE ns.src (k BIGINT, amt DOUBLE) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.src VALUES (1, 10.0), (1, 5.0), (2, 7.0)")
+    eng.sql("CREATE VIEW ns.v AS SELECT k, SUM(amt) AS total FROM ns.src GROUP BY k")
+    assert {(r.k, r.total) for r in eng.sql("SELECT * FROM ns.v").collect()} == {(1, 15.0), (2, 7.0)}
+    eng.sql("CREATE MATERIALIZED VIEW ns.mv AS SELECT k, SUM(amt) AS total FROM ns.src GROUP BY k")
+    assert eng.materialized_view_freshness("ns.mv")["ns.src"] == "fresh"
+    eng.sql("INSERT INTO ns.src VALUES (2, 3.0)")
+    assert eng.materialized_view_freshness("ns.mv")["ns.src"] == "outdated"
+    eng.sql("REFRESH MATERIALIZED VIEW ns.mv")
+    got = {(r.k, r.total) for r in eng.sql("SELECT * FROM ns.mv").collect()}
+    assert got == {(1, 15.0), (2, 10.0)}
