@@ -105,7 +105,8 @@ class IcebergRestCatalog(Catalog):
 
     def tabular_exists(self, identifier: Identifier) -> bool:
         try:
-            self._call("GET", self._table_path(identifier))
+            # HEAD: existence probe without shipping the metadata document
+            self._call("HEAD", self._table_path(identifier))
             return True
         except FileNotFoundError:
             return False

@@ -91,7 +91,7 @@ class Engine:
             self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
         )
         meta_dir = os.path.join(location, "metadata")
-        md = import_iceberg_table(metadata_json_path, meta_dir)
+        md = import_iceberg_table(metadata_json_path, meta_dir, location=location)
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
         FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="table")

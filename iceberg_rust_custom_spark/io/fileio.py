@@ -44,6 +44,9 @@ class _LocalScheme:
     def exists(self, path: str) -> bool:
         return os.path.exists(self._strip(path))
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._strip(path))
+
     def delete(self, path: str) -> None:
         os.remove(self._strip(path))
 
@@ -71,6 +74,9 @@ class _MemScheme:
 
     def exists(self, path: str) -> bool:
         return path in self._objects
+
+    def size(self, path: str) -> int:
+        return len(self.read_bytes(path))
 
     def delete(self, path: str) -> None:
         with self._lock:
@@ -120,6 +126,10 @@ class FileIO:
     @classmethod
     def exists(cls, path: str) -> bool:
         return cls._impl(path).exists(path)
+
+    @classmethod
+    def size(cls, path: str) -> int:
+        return cls._impl(path).size(path)
 
     @classmethod
     def delete(cls, path: str) -> None:

@@ -460,13 +460,22 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         raise ValueError("table has no snapshot to export")
     schema = metadata.schemas.get(snap.schema_id) or metadata.current_schema()
     meta_dir = os.path.join(out_dir, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+    if "://" not in meta_dir:
+        os.makedirs(meta_dir, exist_ok=True)
 
     ml_rows = read_manifest_list(snap.manifest_list)
     out_entries = []
     for i, row in enumerate(ml_rows):
         spec = metadata.partition_specs.get(row.get("partition_spec_id", 0), metadata.default_spec())
         entries = read_manifest(row["manifest_path"])
+        if any(e.data_file.content != 0 for e in entries):
+            # The export writes DATA manifests ("content": "data"); emitting
+            # delete entries under that label would make external engines
+            # resurrect deleted rows. Materialize deletes first.
+            raise ValueError(
+                "snapshot contains merge-on-read delete files; run compact() "
+                "to materialize deletes before exporting"
+            )
         part_schema = partition_record_schema(schema, spec)
         avro_schema = manifest_entry_schema_v2(part_schema)
         path = os.path.join(meta_dir, f"manifest-{snap.snapshot_id}-{i}.avro")
@@ -507,7 +516,7 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         out_entries.append(
             {
                 "manifest_path": path,
-                "manifest_length": os.path.getsize(path),
+                "manifest_length": FileIO.size(path),
                 "partition_spec_id": spec.spec_id,
                 "content": row.get("content", 0),
                 "sequence_number": row.get("sequence_number", 0),
@@ -550,16 +559,23 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
 # ---------------------------------------------------------------------------
 
 
-def import_iceberg_table(metadata_json_path: str, target_metadata_dir: str) -> TableMetadata:
+def import_iceberg_table(
+    metadata_json_path: str, target_metadata_dir: str, location: str | None = None
+) -> TableMetadata:
     """Convert a spec v2 Iceberg table into our native metadata layout
     (Parquet manifests under ``target_metadata_dir``). All snapshots are
     converted, so time travel and incremental reads work over the import.
-    Avro manifests shared between snapshots are converted once."""
+    Avro manifests shared between snapshots are converted once.
+
+    ``location`` rehomes the imported table (future commits write data and
+    metadata there, not into the source/export directory); existing data
+    files are still referenced in place by absolute path."""
     raw = json.loads(FileIO.read_text(metadata_json_path))
     if raw.get("format-version") != 2:
         raise ValueError(f"only format-version 2 supported, got {raw.get('format-version')!r}")
     md = TableMetadata.from_dict(raw)
-    os.makedirs(target_metadata_dir, exist_ok=True)
+    if "://" not in target_metadata_dir:
+        os.makedirs(target_metadata_dir, exist_ok=True)
 
     converted: dict[str, tuple[str, dict]] = {}  # avro manifest path -> (parquet path, ml row)
     new_snaps = {}
@@ -602,20 +618,20 @@ def import_iceberg_table(metadata_json_path: str, target_metadata_dir: str) -> T
         )
     from dataclasses import replace
 
-    return replace(md, snapshots=new_snaps)
+    return replace(md, snapshots=new_snaps, location=location or md.location)
 
 
 def _resolve(path: str, metadata_json_path: str, raw_md: dict) -> str:
     """Manifest paths inside real tables are absolute URIs under the table
     location; support relocated fixtures by retrying relative to the
     metadata dir."""
-    if os.path.exists(path):
+    if FileIO.exists(path):
         return path
     loc = raw_md.get("location", "").rstrip("/")
     if loc and path.startswith(loc + "/"):
         rel = path[len(loc) + 1 :]
         cand = os.path.join(os.path.dirname(os.path.dirname(metadata_json_path)), rel)
-        if os.path.exists(cand):
+        if FileIO.exists(cand):
             return cand
     for scheme in ("file://",):
         if path.startswith(scheme) and os.path.exists(path[len(scheme) :]):

@@ -468,7 +468,9 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    if src.count() > max_broadcast_rows:
+    # routing probe: limit(n+1).count() lets Spark stop scanning once the
+    # threshold is exceeded instead of counting the whole corpus
+    if src.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         return _embedding_neardup_blocked(src, df.schema[id_col].dataType, threshold, n_blocks)
     pdf = src.toPandas()
     ids_all = pdf["_id"].to_numpy()

@@ -184,9 +184,11 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
             try:
                 from PIL import Image
 
-                img = Image.open(io.BytesIO(p)).resize((width, height))
+                src_img = Image.open(io.BytesIO(p))
+                fmt = src_img.format  # .resize() returns an Image with format=None
+                img = src_img.resize((width, height))
                 buf = io.BytesIO()
-                img.save(buf, format=img.format or "BMP")
+                img.save(buf, format=fmt or "BMP")
                 return buf.getvalue()
             except Exception:
                 pass

@@ -107,6 +107,28 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def _cms_buckets(col: str, depth: int, width: int):
+    """array<struct<d, bucket>> of a value's CMS coordinates — the ONE place
+    the hash family (md5-affine, seed 0xC0FFEE) is defined, shared by sketch
+    build and probe so they cannot drift apart."""
+    from iceberg_rust_custom_spark.functions.hashing import (
+        affine_hash_sql,
+        md5h32_spark_sql,
+        minhash_params,
+    )
+
+    h0 = md5h32_spark_sql(col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(f"{affine_hash_sql(h0, a, b)} % {width}").cast("int").alias("bucket"),
+            )
+            for d, (a, b) in enumerate(minhash_params(depth, seed=0xC0FFEE))
+        ]
+    )
+
+
 def cms_table(
     df: DataFrame, token_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
@@ -121,23 +143,8 @@ def cms_table(
     built by Spark and one built by the DuckDB oracle agree cell-for-cell
     (the driver gate can hash-match a sketch, not just eyeball it).
     """
-    from iceberg_rust_custom_spark.functions.hashing import (
-        affine_hash_sql,
-        md5h32_spark_sql,
-        minhash_params,
-    )
-
-    h0 = md5h32_spark_sql(token_col)
-    rows = []
-    for d, (a, b) in enumerate(minhash_params(depth, seed=0xC0FFEE)):
-        rows.append(
-            F.struct(
-                F.lit(d).alias("d"),
-                F.expr(f"{affine_hash_sql(h0, a, b)} % {width}").cast("int").alias("bucket"),
-            )
-        )
     return (
-        df.select(F.explode(F.array(*rows)).alias("db"))
+        df.select(F.explode(_cms_buckets(token_col, depth, width)).alias("db"))
         .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -149,23 +156,8 @@ def cms_estimate(
     """Point-estimate term frequencies from a CMS: for each term, min over
     its depth counters (the classic CMS upper-bound estimate). The sketch
     side is depth×width rows → broadcast; the join never touches raw data."""
-    from iceberg_rust_custom_spark.functions.hashing import (
-        affine_hash_sql,
-        md5h32_spark_sql,
-        minhash_params,
-    )
-
-    h0 = md5h32_spark_sql(term_col)
-    rows = []
-    for d, (a, b) in enumerate(minhash_params(depth, seed=0xC0FFEE)):
-        rows.append(
-            F.struct(
-                F.lit(d).alias("d"),
-                F.expr(f"{affine_hash_sql(h0, a, b)} % {width}").cast("int").alias("bucket"),
-            )
-        )
     probes = terms.select(
-        F.col(term_col), F.explode(F.array(*rows)).alias("db")
+        F.col(term_col), F.explode(_cms_buckets(term_col, depth, width)).alias("db")
     ).select(term_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")

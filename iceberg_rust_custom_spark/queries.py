@@ -843,7 +843,6 @@ def array_map_struct_ops(spark, sf_dir):
     string because the driver's canonicalizer can't sort/hash list-typed
     pandas columns (round-1 driver err: `unhashable type: 'list'`); the
     raw-array variant stays under pytest via array_map_struct_ops_raw."""
-    li = _t(spark, sf_dir, "lineitem")
     return array_map_struct_ops_raw(spark, sf_dir).select(
         "l_orderkey",
         F.array_join("flags", ",").alias("flags"),
