@@ -71,9 +71,16 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
 
 def _read_bytes(buf: io.BytesIO) -> bytes:
     n = _read_long(buf)
+    return _read_exact(buf, n)
+
+
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """read(n) that raises on truncation — a corrupt/truncated Avro file
+    must fail loudly, not yield short fixed values or a False boolean at
+    EOF (ADVICE r2)."""
     b = buf.read(n)
     if len(b) != n:
-        raise EOFError("short read")
+        raise EOFError(f"short read: wanted {n} bytes, got {len(b)}")
     return b
 
 
@@ -167,19 +174,19 @@ def read_datum(buf: io.BytesIO, schema, named: dict | None = None):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "union":

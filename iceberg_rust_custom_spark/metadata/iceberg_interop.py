@@ -433,10 +433,13 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
         content=d.get("content", 0),
         schema_id=schema.schema_id,
     )
+    # snapshot_id / sequence_number stay None when absent — 0 is a legal
+    # explicit value another engine may write, and v2 inheritance must only
+    # fill true nulls (ADVICE r2: `or 0` clobbered explicit zeros)
     return ManifestEntry(
         status=rec.get("status", STATUS_ADDED),
-        snapshot_id=rec.get("snapshot_id") or 0,
-        sequence_number=rec.get("sequence_number") or 0,
+        snapshot_id=rec.get("snapshot_id"),
+        sequence_number=rec.get("sequence_number"),
         data_file=df,
     )
 
@@ -589,13 +592,24 @@ def import_iceberg_table(
                 spec = md.partition_specs.get(rec.get("partition_spec_id", 0), md.default_spec())
                 m_schema, m_meta, m_records = read_ocf(_resolve(src, metadata_json_path, raw))
                 entries = [avro_to_manifest_entry(r, schema, spec) for r in m_records]
-                # spec v2 inheritance: null snapshot_id/sequence_number inherit
-                # from the manifest-list entry (spec "sequence number inheritance")
+                # spec v2 inheritance: a NULL snapshot_id inherits the
+                # manifest-list entry's added_snapshot_id; a NULL
+                # sequence_number inherits only on ADDED entries (EXISTING /
+                # DELETED must carry explicit values per spec — inheritance
+                # is for entries written in the same commit). Explicit 0s
+                # are preserved (ADVICE r2).
                 for e in entries:
-                    if not e.snapshot_id:
-                        e.snapshot_id = rec.get("added_snapshot_id") or snap.snapshot_id
-                    if not e.sequence_number:
-                        e.sequence_number = rec.get("sequence_number") or snap.sequence_number
+                    if e.snapshot_id is None:
+                        e.snapshot_id = rec.get("added_snapshot_id", snap.snapshot_id)
+                    if e.sequence_number is None:
+                        if e.status == STATUS_ADDED:
+                            e.sequence_number = rec.get("sequence_number", snap.sequence_number)
+                        else:
+                            raise ValueError(
+                                f"manifest entry for {e.data_file.file_path} has status "
+                                f"{e.status} but no explicit sequence_number (spec v2 "
+                                "inheritance only applies to ADDED entries)"
+                            )
                 dst = os.path.join(
                     target_metadata_dir, f"imported-{len(converted)}-{os.path.basename(src)}.parquet"
                 )

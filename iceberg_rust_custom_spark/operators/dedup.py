@@ -20,8 +20,12 @@ functions/hashing.py) so the DuckDB oracle can replay results exactly.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from iceberg_rust_custom_spark.functions.hashing import (
     MERSENNE_31,
@@ -159,10 +163,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
+    on_overflow: str = "warn",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 LSH band.
     The self-join is keyed by (band_idx, band_signature) — the LSH bucket —
-    so work scales with bucket sizes, not N²."""
+    so work scales with bucket sizes, not N².
+
+    Buckets larger than ``max_bucket`` (default ``MAX_LSH_BUCKET``) are
+    dropped; ``on_overflow`` controls visibility — see ``_bucket_pairs``."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = []
@@ -176,13 +185,15 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_sig")) for b in range(len(band_cols))])
         ).alias("bs"),
     ).select(id_col, "bs.band_idx", "bs.band_sig")
-    return _bucket_pairs(stacked, id_col)
+    return _bucket_pairs(stacked, id_col, max_bucket, on_overflow)
 
 
 MAX_LSH_BUCKET = 10_000  # pairs per bucket capped at ~5·10^7
 
 
-def _bucket_pairs(stacked: DataFrame, id_col: str, max_bucket: int | None = None) -> DataFrame:
+def _bucket_pairs(
+    stacked: DataFrame, id_col: str, max_bucket: int | None = None, on_overflow: str = "warn"
+) -> DataFrame:
     """(id, band_idx, band_sig) → distinct candidate pairs, by grouping per
     LSH bucket and expanding in-bucket combinations with array expressions.
 
@@ -191,9 +202,24 @@ def _bucket_pairs(stacked: DataFrame, id_col: str, max_bucket: int | None = None
     broadcast/probe sides). Bucket sizes are small by LSH design; a
     degenerate signature (e.g. empty/constant docs at corpus scale) would
     make one O(b²) group explode, so buckets over ``max_bucket`` ids are
-    DROPPED (their members are near-identical boilerplate
-    that exact dedup or a constant-doc filter should have removed; emitting
-    b² pairs for them is never the intent)."""
+    DROPPED (their members are near-identical boilerplate that exact dedup
+    or a constant-doc filter should have removed; emitting b² pairs for
+    them is never the intent).
+
+    A dropped bucket means real candidate pairs are silently omitted, so the
+    drop must be *visible* (ADVICE r2). ``on_overflow``:
+
+    * ``"warn"`` (default) — the bucket aggregate is persisted and a tiny
+      eager aggregate checks for overflow NOW, emitting a
+      ``RuntimeWarning`` + log line if any bucket was dropped. The pair
+      expansion reuses the persisted buckets, so total compute is unchanged
+      (the signature pipeline still runs once).
+    * ``"error"`` — same check, raises ``ValueError`` instead of warning.
+    * ``"lazy"`` — no eager job; overflow stats are only available through
+      the ``_lsh_overflow`` companion DataFrame (one extra evaluation).
+
+    In every mode the result carries ``_lsh_overflow``: a 1-row DataFrame
+    ``(n_dropped_buckets, max_bucket_size)`` for explicit accounting."""
     if max_bucket is None:
         max_bucket = MAX_LSH_BUCKET  # module-level so deployments can tune it
     buckets = (
@@ -201,17 +227,34 @@ def _bucket_pairs(stacked: DataFrame, id_col: str, max_bucket: int | None = None
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    # Overflow accounting: a lazy companion aggregate attached to the
-    # result as `_lsh_overflow` — evaluating it (e.g. in a validation job
-    # or test) reports how many buckets the cap dropped and the largest
-    # bucket seen. The cap itself costs nothing extra: it's the WHERE below,
-    # in the same job. (An eager count here would re-run the whole
-    # signature pipeline; an Observation trips a toPyRow assertion under
-    # this plan shape in Spark 4.1.)
-    overflow_stats = buckets.agg(
-        F.sum((F.size("ids") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+    overflow_agg = [
+        F.coalesce(F.sum((F.size("ids") > max_bucket).cast("long")), F.lit(0)).alias(
+            "n_dropped_buckets"
+        ),
         F.max(F.size("ids")).alias("max_bucket_size"),
-    )
+    ]
+    if on_overflow in ("warn", "error"):
+        buckets = buckets.persist()
+        row = buckets.agg(*overflow_agg).first()
+        n_dropped = row["n_dropped_buckets"] or 0
+        if n_dropped:
+            msg = (
+                f"LSH bucket cap dropped {n_dropped} bucket(s) larger than "
+                f"{max_bucket} ids (largest seen: {row['max_bucket_size']}); "
+                "near-duplicate pairs inside them are NOT emitted. Raise "
+                "max_bucket or remove degenerate (empty/boilerplate) "
+                "documents upstream."
+            )
+            if on_overflow == "error":
+                buckets.unpersist()
+                raise ValueError(msg)
+            import warnings as _warnings
+
+            _warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            _log.warning(msg)
+    elif on_overflow != "lazy":
+        raise ValueError(f"on_overflow must be 'warn', 'error' or 'lazy', got {on_overflow!r}")
+    overflow_stats = buckets.agg(*overflow_agg)
     out = (
         buckets.where(F.size("ids") <= max_bucket)
         .select(
@@ -254,7 +297,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    on_overflow: str = "warn",
 ) -> DataFrame:
     """Pairs of documents whose SimHash fingerprints are within
     ``max_hamming`` bits.
@@ -276,7 +325,7 @@ def simhash_neardup_pairs(
     stacked = fp.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
         id_col, "bs.band_idx", "bs.band_sig"
     )
-    cand = _bucket_pairs(stacked, id_col)
+    cand = _bucket_pairs(stacked, id_col, max_bucket, on_overflow)
     fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"))
     fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"))
     return (
@@ -446,14 +495,19 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     max_broadcast_rows: int = 1_000_000,
     n_blocks: int = 16,
+    max_broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold. Two exact tiers, auto-routed by
-    corpus size:
+    corpus size **in bytes** (rows × dim × 8 — a row count alone is
+    dim-blind: 1M rows is ~0.5 GB at dim 64 but 12-32 GB at production
+    embedding dims 1536-4096, which would OOM the driver and every
+    executor):
 
-    * ``n ≤ max_broadcast_rows``: block-nested-loop — the corpus matrix is
-      broadcast once and each Arrow batch is multiplied against it with one
-      BLAS matmul inside ``mapInPandas`` (dense linear algebra is the one
-      hot path where the vectorized-pandas route beats built-ins).
+    * corpus matrix ≤ ``max_broadcast_bytes`` (and ≤ ``max_broadcast_rows``):
+      block-nested-loop — the corpus matrix is broadcast once and each Arrow
+      batch is multiplied against it with one BLAS matmul inside
+      ``mapInPandas`` (dense linear algebra is the one hot path where the
+      vectorized-pandas route beats built-ins).
     * larger corpora: **blocked all-pairs** (_embedding_neardup_blocked) —
       no driver collect, no corpus broadcast: rows are routed to block-pair
       groups and each group does one BLAS matmul under ``applyInPandas``.
@@ -468,9 +522,16 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    # routing probe: limit(n+1).count() lets Spark stop scanning once the
-    # threshold is exceeded instead of counting the whole corpus
-    if src.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+    # byte-budget routing: probe the vector dim from one row, convert the
+    # byte budget into a row cap, then limit(cap+1).count() lets Spark stop
+    # scanning once the cap is exceeded instead of counting the whole corpus
+    probe = src.select(F.size("_v").alias("d")).first()
+    if probe is None:  # empty corpus → empty pairs, either tier works
+        dim = 1
+    else:
+        dim = max(1, probe["d"] or 1)
+    row_cap = min(max_broadcast_rows, max(1, max_broadcast_bytes // (dim * 8)))
+    if src.limit(row_cap + 1).count() > row_cap:
         return _embedding_neardup_blocked(src, df.schema[id_col].dataType, threshold, n_blocks)
     pdf = src.toPandas()
     ids_all = pdf["_id"].to_numpy()

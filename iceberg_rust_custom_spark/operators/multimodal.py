@@ -93,7 +93,14 @@ def _decode_bmp(payload: bytes) -> dict | None:
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Image decode: Pillow when importable, else the built-in BMP decoder,
-    else fake (if requested), else NotImplementedError."""
+    else fake (if requested), else NotImplementedError.
+
+    Every result carries ``decoded``: True only for a REAL decode (Pillow or
+    the BMP path); the byte-derived fake path is tagged False so downstream
+    consumers can never mistake pseudo-metrics for real ones (ADVICE r2 —
+    previously a corrupt payload under fake=True produced untagged fake
+    values). Only recognized decode failures fall through; unexpected
+    errors propagate."""
     n = len(payload or b"")
     pil = _lib("PIL")
     if pil is not None and n:
@@ -103,24 +110,35 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
 
             img = Image.open(io.BytesIO(payload))
             arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
-            return {"px_mean": float(arr.mean()), "n_bytes": n, "width": img.width, "height": img.height}
-        except Exception:
-            pass  # not a PIL-decodable payload; fall through
+            return {
+                "px_mean": float(arr.mean()),
+                "n_bytes": n,
+                "width": img.width,
+                "height": img.height,
+                "decoded": True,
+            }
+        except (OSError, ValueError, SyntaxError):
+            pass  # not a PIL-decodable payload (UnidentifiedImageError ⊂ OSError)
     bmp = _decode_bmp(payload or b"")
     if bmp is not None:
-        return bmp
+        return {**bmp, "decoded": True}
     if not fake:
         raise NotImplementedError(
             "payload is not a decodable format (built-in: BMP; install Pillow for compressed formats)"
         )
-    return {"px_mean": (sum(payload[:64]) / max(1, min(n, 64))) if n else 0.0, "n_bytes": n}
+    return {
+        "px_mean": (sum(payload[:64]) / max(1, min(n, 64))) if n else 0.0,
+        "n_bytes": n,
+        "decoded": False,
+    }
 
 
 def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Output schema is
     fixed; batches stream through Arrow. The payload column is pruned from
-    the scan when callers select only metadata."""
-    out_schema = "media_id long, n_bytes long, px_mean double"
+    the scan when callers select only metadata. ``decoded`` is False for
+    rows whose metrics came from the byte-derived fake path."""
+    out_schema = "media_id long, n_bytes long, px_mean double, decoded boolean"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,6 +148,7 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_bytes": feats.map(lambda d: d["n_bytes"]).astype("int64"),
                     "px_mean": feats.map(lambda d: d["px_mean"]).astype("float64"),
+                    "decoded": feats.map(lambda d: d["decoded"]).astype("bool"),
                 }
             )
 
@@ -288,19 +307,20 @@ def decode_audio(payload: bytes, duration_ms: int | None, fake: bool = False) ->
                 "duration_ms": dur,
                 "rms": float(np.sqrt((np.asarray(data, dtype=np.float64) ** 2).mean())) if len(data) else 0.0,
                 "byte_rate": n / max(dur, 1),
+                "decoded": True,
             }
-        except Exception:
-            pass
+        except (RuntimeError, OSError, ValueError):
+            pass  # undecodable payload (LibsndfileError ⊂ RuntimeError); fall through
     wav = _decode_wav(payload or b"")
     if wav is not None:
         wav["byte_rate"] = n / max(wav["duration_ms"], 1)
-        return wav
+        return {**wav, "decoded": True}
     if not fake:
         raise NotImplementedError(
             "payload is not a decodable format (built-in: WAV PCM; install soundfile for compressed formats)"
         )
     d = max(int(duration_ms or 0), 1)
-    return {"n_bytes": n, "byte_rate": n / d}
+    return {"n_bytes": n, "byte_rate": n / d, "decoded": False}
 
 
 def extract_audio_features(df: DataFrame, frame_ms: int = 20, fake: bool = True) -> DataFrame:
@@ -309,7 +329,7 @@ def extract_audio_features(df: DataFrame, frame_ms: int = 20, fake: bool = True)
     mapInPandas — the real-decoder swap point; frame math stays identical.
     Planning-only projections (no payload) let Catalyst drop the binary
     column from scans that never decode."""
-    out_schema = "media_id long, n_bytes long, n_frames long, byte_rate double"
+    out_schema = "media_id long, n_bytes long, n_frames long, byte_rate double, decoded boolean"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,6 +345,7 @@ def extract_audio_features(df: DataFrame, frame_ms: int = 20, fake: bool = True)
                         pdf["duration_ms"].fillna(0).astype("int64") + frame_ms - 1
                     ) // frame_ms,
                     "byte_rate": pd.Series([f["byte_rate"] for f in feats], dtype="float64"),
+                    "decoded": pd.Series([f["decoded"] for f in feats], dtype="bool"),
                 }
             )
 

@@ -84,6 +84,8 @@ def cosine_lsh_candidates(
     n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    max_bucket: int | None = None,
+    on_overflow: str = "warn",
 ) -> DataFrame:
     """Near-dup candidate pairs via random-hyperplane LSH: join keyed by
     (band_idx, band_signature) — never all-pairs."""
@@ -104,7 +106,79 @@ def cosine_lsh_candidates(
     )
     from iceberg_rust_custom_spark.operators.dedup import _bucket_pairs
 
-    return _bucket_pairs(stacked, id_col)
+    return _bucket_pairs(stacked, id_col, max_bucket, on_overflow)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over unit-normalized vectors
+    (spherical k-means — the right geometry for cosine retrieval).
+
+    * init: one representative per hash bucket (``crc32(id) % k``, min-hash
+      row wins) — deterministic, one shuffle, spreads seeds pseudo-randomly
+      across the corpus instead of taking whatever ``limit(k)`` scans first.
+    * each Lloyd round: broadcast the k centroids against the corpus (map-side
+      argmax, no shuffle), then one ``(centroid, dim)`` groupBy to average the
+      assigned vectors elementwise. Centroid table is k×dim doubles — driver
+      collect per round is metadata-sized by construction.
+
+    Returns ``(centroid_id, centv: array<double>)`` with unit-norm centv.
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .withColumn("cnorm", _norm(F.col("cv")))
+        .where(F.col("cnorm") > 0)
+        .withColumn("nv", F.transform("cv", lambda x: x / F.col("cnorm")))
+        .select("_id", "nv")
+    )
+    bucket = (F.crc32(F.encode(F.col("_id").cast("string"), "utf-8")) % n_centroids).cast("int")
+    hsh = F.crc32(F.encode(F.concat(F.lit("seed:"), F.col("_id").cast("string")), "utf-8"))
+    w = Window.partitionBy("_b").orderBy(F.col("_h"), F.col("_id"))
+    cents = (
+        c.withColumn("_b", bucket)
+        .withColumn("_h", hsh)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("_b").alias("centroid_id"), F.col("nv").alias("centv"))
+    )
+    spark = corpus.sparkSession
+    for _ in range(max(0, iterations)):
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("d", _dot(F.col("nv"), F.col("centv")))
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("_id").orderBy(F.desc("d"), F.col("centroid_id")))
+            )
+            .where(F.col("rn") == 1)
+        )
+        # elementwise mean per centroid, renormalized to the unit sphere
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centv")
+            )
+            .collect()
+        )
+        # tiny (k rows): re-seed the next round's broadcast from literals so
+        # lineage doesn't deepen with iterations
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], r["centv"]) for r in new_rows],
+            "centroid_id int, centv array<double>",
+        )
+        cents = cents.withColumn("n", _norm(F.col("centv"))).select(
+            "centroid_id", F.transform("centv", lambda x: x / F.col("n")).alias("centv")
+        )
+    return cents
 
 
 def ivf_topk(
@@ -116,14 +190,13 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iterations: int = 4,
 ) -> DataFrame:
-    """IVF-lite approximate top-k: centroids = deterministic hash-sample of
-    corpus rows; assignment + probing are broadcast joins (no all-pairs)."""
-    cents = (
-        corpus.where((F.col(id_col) % F.lit(max(1, 997))) < n_centroids)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("centv"))
-    )
+    """IVF approximate top-k: real Lloyd k-means centroids (see
+    kmeans_centroids — VERDICT r2 flagged hash-picked rows as a recall
+    hazard at scale), vectors assigned to their nearest centroid in one
+    broadcast pass, each query probing only its ``nprobe`` nearest lists."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iterations)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")).withColumn(
         "cnorm", _norm(F.col("cv"))
     )

