@@ -267,6 +267,8 @@ def manifest_entry_schema_v2(partition_schema: dict) -> dict:
             {"name": "column_sizes", "type": ["null", _kv_map("k117_v118", 117, 118, "long")], "default": None, "field-id": 108},
             {"name": "value_counts", "type": ["null", _kv_map("k119_v120", 119, 120, "long")], "default": None, "field-id": 109},
             {"name": "null_value_counts", "type": ["null", _kv_map("k121_v122", 121, 122, "long")], "default": None, "field-id": 110},
+            {"name": "nan_value_counts", "type": ["null", _kv_map("k138_v139", 138, 139, "long")], "default": None, "field-id": 137},
+            {"name": "distinct_counts", "type": ["null", _kv_map("k123_v124", 123, 124, "long")], "default": None, "field-id": 111},
             {"name": "lower_bounds", "type": ["null", _kv_map("k126_v127", 126, 127, "bytes")], "default": None, "field-id": 125},
             {"name": "upper_bounds", "type": ["null", _kv_map("k129_v130", 129, 130, "bytes")], "default": None, "field-id": 128},
             {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
@@ -384,12 +386,14 @@ def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec
             "column_sizes": _kv_list({name_to_id[k]: v for k, v in df.column_sizes.items() if k in name_to_id}),
             "value_counts": _kv_list({name_to_id[k]: v for k, v in df.value_counts.items() if k in name_to_id}),
             "null_value_counts": _kv_list({name_to_id[k]: v for k, v in df.null_value_counts.items() if k in name_to_id}),
+            "nan_value_counts": _kv_list({name_to_id[k]: v for k, v in df.nan_value_counts.items() if k in name_to_id}),
+            "distinct_counts": _kv_list({name_to_id[k]: v for k, v in df.distinct_counts.items() if k in name_to_id}),
             "lower_bounds": _ser_bounds(df.lower_bounds),
             "upper_bounds": _ser_bounds(df.upper_bounds),
             "key_metadata": None,
-            "split_offsets": None,
-            "equality_ids": None,
-            "sort_order_id": None,
+            "split_offsets": list(df.split_offsets) if df.split_offsets else None,
+            "equality_ids": list(df.equality_ids) if df.equality_ids else None,
+            "sort_order_id": df.sort_order_id,
         },
     }
 
@@ -428,8 +432,13 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
         column_sizes=_de_kv(d.get("column_sizes")),
         value_counts=_de_kv(d.get("value_counts")),
         null_value_counts=_de_kv(d.get("null_value_counts")),
+        nan_value_counts=_de_kv(d.get("nan_value_counts")),
+        distinct_counts=_de_kv(d.get("distinct_counts")),
         lower_bounds=_de_bounds(d.get("lower_bounds")),
         upper_bounds=_de_bounds(d.get("upper_bounds")),
+        split_offsets=list(d["split_offsets"]) if d.get("split_offsets") else None,
+        sort_order_id=d.get("sort_order_id"),
+        equality_ids=list(d["equality_ids"]) if d.get("equality_ids") else None,
         content=d.get("content", 0),
         schema_id=schema.schema_id,
     )
@@ -465,6 +474,12 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
     meta_dir = os.path.join(out_dir, "metadata")
     if "://" not in meta_dir:
         os.makedirs(meta_dir, exist_ok=True)
+
+    if snap.manifest_list.endswith(".avro"):
+        # Avro-native table (write.metadata.format=avro): manifests and the
+        # manifest list are ALREADY spec-v2 Avro on disk — zero-copy export,
+        # just emit a spec metadata.json referencing them in place.
+        return _export_metadata_json(metadata, snap, snap.manifest_list, out_dir, meta_dir)
 
     ml_rows = read_manifest_list(snap.manifest_list)
     out_entries = []
@@ -538,8 +553,12 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
 
     ml_path = os.path.join(meta_dir, f"snap-{snap.snapshot_id}.avro")
     write_ocf(ml_path, manifest_list_schema_v2(), out_entries, metadata={"format-version": "2"})
+    return _export_metadata_json(metadata, snap, ml_path, out_dir, meta_dir)
 
+
+def _export_metadata_json(metadata: TableMetadata, snap, ml_path: str, out_dir: str, meta_dir: str) -> str:
     md = metadata.to_dict()
+    md["format-version"] = 2
     md["location"] = out_dir
     snap_d = snap.to_dict()
     snap_d["manifest-list"] = ml_path

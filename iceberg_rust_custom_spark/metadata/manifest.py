@@ -65,7 +65,7 @@ def decode_value(v, type_name: str):
 @dataclass
 class DataFile:
     """One data file with its per-column statistics
-    (manifest.rs:478-517 minus unused fields)."""
+    (manifest.rs:478-517)."""
 
     file_path: str
     file_format: str = "parquet"
@@ -82,6 +82,18 @@ class DataFile:
     # column name -> list of int64 words: per-file bloom filter for
     # planning-time equality skipping (beyond the reference; functions/bloom.py)
     bloom_filters: dict = field(default_factory=dict)
+    # NaN counts per float/double column (manifest.rs:478-517 nan_value_counts)
+    # — required for IsNan pruning and NaN-safe bound use on float corpora
+    nan_value_counts: dict = field(default_factory=dict)
+    # approximate NDV per column (manifest.rs distinct_counts) — CBO-grade
+    # stats, collected at write when write.metadata.distinct-counts is on
+    distinct_counts: dict = field(default_factory=dict)
+    # byte offsets of row-group starts, ascending (split planning hints)
+    split_offsets: list | None = None
+    # sort order the file was written under (None = unsorted)
+    sort_order_id: int | None = None
+    # equality-delete key field ids (content=2 files only)
+    equality_ids: list | None = None
 
 
 @dataclass
@@ -110,6 +122,11 @@ MANIFEST_SCHEMA = pa.schema(
         ("upper_bounds", pa.string()),
         ("schema_id", pa.int32()),
         ("bloom_filters", pa.string()),  # JSON {col: [int64 words]}, nullable
+        ("nan_value_counts", pa.string()),  # JSON {col: count}, nullable
+        ("distinct_counts", pa.string()),  # JSON {col: approx NDV}, nullable
+        ("split_offsets", pa.string()),  # JSON [long], nullable
+        ("sort_order_id", pa.int32()),  # nullable
+        ("equality_ids", pa.string()),  # JSON [int], nullable
     ]
 )
 
@@ -120,23 +137,69 @@ MANIFEST_LIST_SCHEMA = pa.schema(
         ("content", pa.int32()),
         ("sequence_number", pa.int64()),
         ("min_sequence_number", pa.int64()),
+        ("added_snapshot_id", pa.int64()),  # snapshot that added this manifest
         ("added_files_count", pa.int32()),
         ("existing_files_count", pa.int32()),
         ("deleted_files_count", pa.int32()),
         ("added_rows_count", pa.int64()),
         ("existing_rows_count", pa.int64()),
-        ("partitions", pa.string()),  # JSON list of FieldSummary dicts
+        ("partitions", pa.string()),  # JSON dict of FieldSummary per partition name
     ]
 )
 
 
-def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) -> dict:
-    """Write manifest parquet; return a manifest-list row (dict) with
-    FieldSummary bounds per partition field (manifest.rs update_partitions).
-    ``spec_id`` records which partition spec the entries' partition tuples
-    were written under (manifest_list.rs:26-59) — scan planning decodes and
-    prunes each manifest with its own spec after partition evolution."""
-    rows = {name: [] for name in MANIFEST_SCHEMA.names}
+def entry_to_row(e: ManifestEntry) -> dict:
+    """ManifestEntry → one manifest parquet row (inverse of row_to_entry;
+    shared with the distributed avro planning path in table/scan.py)."""
+    df = e.data_file
+    return {
+        "status": e.status,
+        "snapshot_id": e.snapshot_id,
+        "sequence_number": e.sequence_number,
+        "content": df.content,
+        "file_path": df.file_path,
+        "file_format": df.file_format,
+        "partition": json.dumps({k: encode_value(v) for k, v in df.partition.items()}),
+        "record_count": df.record_count,
+        "file_size_in_bytes": df.file_size_in_bytes,
+        "column_sizes": json.dumps(df.column_sizes),
+        "value_counts": json.dumps(df.value_counts),
+        "null_value_counts": json.dumps(df.null_value_counts),
+        "lower_bounds": json.dumps({k: encode_value(v) for k, v in df.lower_bounds.items()}),
+        "upper_bounds": json.dumps({k: encode_value(v) for k, v in df.upper_bounds.items()}),
+        "schema_id": df.schema_id,
+        "bloom_filters": json.dumps(df.bloom_filters) if df.bloom_filters else None,
+        "nan_value_counts": json.dumps(df.nan_value_counts) if df.nan_value_counts else None,
+        "distinct_counts": json.dumps(df.distinct_counts) if df.distinct_counts else None,
+        "split_offsets": json.dumps(df.split_offsets) if df.split_offsets else None,
+        "sort_order_id": df.sort_order_id,
+        "equality_ids": json.dumps(df.equality_ids) if df.equality_ids else None,
+    }
+
+
+def write_manifest(
+    path: str,
+    entries: list[ManifestEntry],
+    spec_id: int = 0,
+    schema=None,
+    spec=None,
+) -> dict:
+    """Write a manifest; return a manifest-list row (dict) with FieldSummary
+    bounds per partition field (manifest.rs update_partitions). ``spec_id``
+    records which partition spec the entries' partition tuples were written
+    under (manifest_list.rs:26-59) — scan planning decodes and prunes each
+    manifest with its own spec after partition evolution.
+
+    Format dispatch on extension: ``.avro`` → spec-v2 Avro OCF (externally
+    readable live; needs schema+spec for binary bounds), else Parquet+JSON
+    (Spark-readable pruning)."""
+    if path.endswith(".avro"):
+        from iceberg_rust_custom_spark.metadata.avro_manifest import write_manifest_avro
+
+        return write_manifest_avro(path, entries, spec_id, schema, spec)
+    import math as _math
+
+    rows = {name: [] for name in MANIFEST_SCHEMA.names if name}
     summaries: dict[str, dict] = {}
     added_files = existing_files = deleted_files = 0
     added_rows = existing_rows = 0
@@ -144,22 +207,8 @@ def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) ->
     max_seq = 0
     for e in entries:
         df = e.data_file
-        rows["status"].append(e.status)
-        rows["snapshot_id"].append(e.snapshot_id)
-        rows["sequence_number"].append(e.sequence_number)
-        rows["content"].append(df.content)
-        rows["file_path"].append(df.file_path)
-        rows["file_format"].append(df.file_format)
-        rows["partition"].append(json.dumps({k: encode_value(v) for k, v in df.partition.items()}))
-        rows["record_count"].append(df.record_count)
-        rows["file_size_in_bytes"].append(df.file_size_in_bytes)
-        rows["column_sizes"].append(json.dumps(df.column_sizes))
-        rows["value_counts"].append(json.dumps(df.value_counts))
-        rows["null_value_counts"].append(json.dumps(df.null_value_counts))
-        rows["lower_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.lower_bounds.items()}))
-        rows["upper_bounds"].append(json.dumps({k: encode_value(v) for k, v in df.upper_bounds.items()}))
-        rows["schema_id"].append(df.schema_id)
-        rows["bloom_filters"].append(json.dumps(df.bloom_filters) if df.bloom_filters else None)
+        for k, v in entry_to_row(e).items():
+            rows[k].append(v)
         if e.status == STATUS_ADDED:
             added_files += 1
             added_rows += df.record_count
@@ -171,9 +220,13 @@ def write_manifest(path: str, entries: list[ManifestEntry], spec_id: int = 0) ->
         min_seq = e.sequence_number if min_seq is None else min(min_seq, e.sequence_number)
         max_seq = max(max_seq, e.sequence_number)
         for pname, pval in df.partition.items():
-            s = summaries.setdefault(pname, {"contains_null": False, "lower": None, "upper": None})
+            s = summaries.setdefault(
+                pname, {"contains_null": False, "contains_nan": False, "lower": None, "upper": None}
+            )
             if pval is None:
                 s["contains_null"] = True
+            elif isinstance(pval, float) and _math.isnan(pval):
+                s["contains_nan"] = True
             else:
                 if s["lower"] is None or pval < s["lower"]:
                     s["lower"] = pval
@@ -214,18 +267,36 @@ def row_to_entry(row: dict) -> ManifestEntry:
         content=row["content"],
         schema_id=row.get("schema_id", -1) if row.get("schema_id") is not None else -1,
         bloom_filters=json.loads(row["bloom_filters"]) if row.get("bloom_filters") else {},
+        nan_value_counts=json.loads(row["nan_value_counts"]) if row.get("nan_value_counts") else {},
+        distinct_counts=json.loads(row["distinct_counts"]) if row.get("distinct_counts") else {},
+        split_offsets=json.loads(row["split_offsets"]) if row.get("split_offsets") else None,
+        sort_order_id=row.get("sort_order_id"),
+        equality_ids=json.loads(row["equality_ids"]) if row.get("equality_ids") else None,
     )
     return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
 
 
-def read_manifest(path: str) -> list[ManifestEntry]:
+def read_manifest(path: str, ml_row: dict | None = None) -> list[ManifestEntry]:
+    if path.endswith(".avro"):
+        from iceberg_rust_custom_spark.metadata.avro_manifest import read_manifest_avro
+
+        return read_manifest_avro(path, ml_row)
     return [row_to_entry(row) for row in FileIO.pq_read_table(path).to_pylist()]
 
 
-def write_manifest_list(path: str, manifest_rows: list[dict]) -> None:
+def write_manifest_list(path: str, manifest_rows: list[dict], schema=None, specs=None) -> None:
+    if path.endswith(".avro"):
+        from iceberg_rust_custom_spark.metadata.avro_manifest import write_manifest_list_avro
+
+        write_manifest_list_avro(path, manifest_rows, schema, specs or {})
+        return
     cols = {name: [r.get(name) for r in manifest_rows] for name in MANIFEST_LIST_SCHEMA.names}
     FileIO.pq_write_table(pa.table(cols, schema=MANIFEST_LIST_SCHEMA), path, compression="zstd")
 
 
 def read_manifest_list(path: str) -> list[dict]:
+    if path.endswith(".avro"):
+        from iceberg_rust_custom_spark.metadata.avro_manifest import read_manifest_list_avro
+
+        return read_manifest_list_avro(path)
     return FileIO.pq_read_table(path).to_pylist()

@@ -497,18 +497,37 @@ def rewrite_manifests(table: Table) -> Table:
     if len(rows) <= target_manifests:
         return table  # already balanced
 
+    from iceberg_rust_custom_spark.metadata.avro_manifest import manifest_ext
+
+    ext = manifest_ext(md.properties)
     seq = md.last_sequence_number + 1
     snap_id = generate_snapshot_id()
     meta_dir = _os.path.join(md.location, "metadata")
+    schema = md.current_schema()
     new_rows = []
     for spec_id, entries in by_spec.items():
-        carried = [ManifestEntry(1, e.snapshot_id, e.sequence_number, e.data_file) for e in entries]
-        for start in range(0, len(carried), max(limit, 1)):
-            chunk = carried[start : start + max(limit, 1)]
-            path = _os.path.join(meta_dir, f"manifest-{_uuid2.uuid4().hex[:12]}.parquet")
-            new_rows.append(write_manifest(path, chunk, spec_id))
-    ml_path = _os.path.join(meta_dir, f"snap-{snap_id}.manifest-list.parquet")
-    write_manifest_list(ml_path, new_rows)
+        spec = md.partition_specs.get(spec_id, md.default_spec())
+        if ext == ".avro":
+            content_groups = [
+                g
+                for g in (
+                    [e for e in entries if e.data_file.content == 0],
+                    [e for e in entries if e.data_file.content != 0],
+                )
+                if g
+            ]
+        else:
+            content_groups = [entries]
+        for group in content_groups:
+            carried = [ManifestEntry(1, e.snapshot_id, e.sequence_number, e.data_file) for e in group]
+            for start in range(0, len(carried), max(limit, 1)):
+                chunk = carried[start : start + max(limit, 1)]
+                path = _os.path.join(meta_dir, f"manifest-{_uuid2.uuid4().hex[:12]}{ext}")
+                row = write_manifest(path, chunk, spec_id, schema, spec)
+                row["added_snapshot_id"] = snap_id
+                new_rows.append(row)
+    ml_path = _os.path.join(meta_dir, f"snap-{snap_id}.manifest-list{ext}")
+    write_manifest_list(ml_path, new_rows, schema=schema, specs=md.partition_specs)
     snapshot = Snapshot(
         snapshot_id=snap_id,
         sequence_number=seq,

@@ -127,7 +127,7 @@ def plan_files(
             summaries = json.loads(row["partitions"])
             if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
                 continue  # manifest-level skip
-        for entry in read_manifest(row["manifest_path"]):
+        for entry in read_manifest(row["manifest_path"], row):
             if _entry_survives(
                 entry, predicate, part_pred, result_types, schema, sequence_number_range
             ):
@@ -243,6 +243,8 @@ def plan_files_distributed(
     out: list[DataFile] = []
     for spec_id, paths in groups.items():
         result_types, part_pred = per_spec[spec_id]
+        pq_paths = [p for p in paths if not p.endswith(".avro")]
+        avro_paths = [p for p in paths if p.endswith(".avro")]
 
         def prune(batches, _rt=result_types, _pp=part_pred):
             for pdf in batches:
@@ -255,13 +257,42 @@ def plan_files_distributed(
                 ]
                 yield pdf.iloc[keep] if keep else pdf.iloc[0:0]
 
-        pruned = (
-            spark.read.schema(schema_cols)
-            .parquet(*paths)
-            .mapInPandas(prune, schema_cols)
-            .collect()
-        )
-        out.extend(row_to_entry(r.asDict()).data_file for r in pruned)
+        if pq_paths:
+            pruned = (
+                spark.read.schema(schema_cols)
+                .parquet(*pq_paths)
+                .mapInPandas(prune, schema_cols)
+                .collect()
+            )
+            out.extend(row_to_entry(r.asDict()).data_file for r in pruned)
+        if avro_paths:
+            # Avro manifests (write.metadata.format=avro): Spark ships no
+            # spark-avro module here, but the manifests are self-describing
+            # and our pure-Python OCF reader runs fine inside executors —
+            # fan the PATHS out and decode+prune per task.
+            from iceberg_rust_custom_spark.metadata.manifest import entry_to_row, read_manifest
+
+            names = [c.split(" ")[0] for c in schema_cols.split(", ")]
+
+            def prune_avro(batches, _rt=result_types, _pp=part_pred):
+                for pdf in batches:
+                    rows = []
+                    for p in pdf["manifest_path"]:
+                        for e in read_manifest(p):
+                            if _entry_survives(
+                                e, predicate, _pp, _rt, schema, sequence_number_range
+                            ):
+                                r = entry_to_row(e)
+                                rows.append([r.get(n) for n in names])
+                    yield pd.DataFrame(rows, columns=names)
+
+            pruned = (
+                spark.createDataFrame([(p,) for p in avro_paths], "manifest_path string")
+                .repartition(min(len(avro_paths), 256))
+                .mapInPandas(prune_avro, schema_cols)
+                .collect()
+            )
+            out.extend(row_to_entry(r.asDict()).data_file for r in pruned)
     return out
 
 
@@ -292,7 +323,7 @@ def plan_delete_files(
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = []
     for row in ml_rows:
-        for entry in read_manifest(row["manifest_path"]):
+        for entry in read_manifest(row["manifest_path"], row):
             if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
                 out.append(entry)
     return out
@@ -309,7 +340,7 @@ def data_file_sequence_numbers(
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = {}
     for row in ml_rows:
-        for entry in read_manifest(row["manifest_path"]):
+        for entry in read_manifest(row["manifest_path"], row):
             if entry.status != STATUS_DELETED and entry.data_file.content == 0:
                 out[entry.data_file.file_path] = entry.sequence_number
     return out
@@ -536,8 +567,35 @@ def files_df(spark: SparkSession, metadata: TableMetadata, snapshot: Snapshot | 
     paths = [r["manifest_path"] for r in read_manifest_list(snapshot.manifest_list)]
     if not paths:
         return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
-    return (
-        spark.read.schema(MANIFEST_ENTRY_SPARK_SCHEMA)
-        .parquet(*paths)
-        .where(F.col("status") != STATUS_DELETED)
-    )
+    avro_paths = [p for p in paths if p.endswith(".avro")]
+    pq_paths = [p for p in paths if not p.endswith(".avro")]
+    parts = []
+    if pq_paths:
+        parts.append(spark.read.schema(MANIFEST_ENTRY_SPARK_SCHEMA).parquet(*pq_paths))
+    if avro_paths:
+        # self-describing Avro manifests decoded by the pure-Python OCF
+        # reader inside executor tasks (no spark-avro needed)
+        from iceberg_rust_custom_spark.metadata.manifest import entry_to_row, read_manifest
+
+        names = [c.split(" ")[0] for c in MANIFEST_ENTRY_SPARK_SCHEMA.split(", ")]
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for p in pdf["manifest_path"]:
+                    for e in read_manifest(p):
+                        r = entry_to_row(e)
+                        rows.append([r.get(n) for n in names])
+                yield pd.DataFrame(rows, columns=names)
+
+        parts.append(
+            spark.createDataFrame([(p,) for p in avro_paths], "manifest_path string")
+            .repartition(min(len(avro_paths), 256))
+            .mapInPandas(decode, MANIFEST_ENTRY_SPARK_SCHEMA)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("status") != STATUS_DELETED)

@@ -217,8 +217,16 @@ class Transaction:
                     **self._summary_extra,
                 }
 
-            ml_path = os.path.join(meta_dir, f"snap-{snap_id}.manifest-list.parquet")
-            write_manifest_list(ml_path, manifest_rows)
+            from iceberg_rust_custom_spark.metadata.avro_manifest import manifest_ext
+
+            ext = manifest_ext(metadata.properties)
+            ml_path = os.path.join(meta_dir, f"snap-{snap_id}.manifest-list{ext}")
+            write_manifest_list(
+                ml_path,
+                manifest_rows,
+                schema=metadata.current_schema(),
+                specs=metadata.partition_specs,
+            )
             snapshot = Snapshot(
                 snapshot_id=snap_id,
                 sequence_number=seq,
@@ -268,64 +276,99 @@ class Transaction:
 
     # -------------------------------------------------------------- builders
     def _build_append_manifests(self, metadata, parent, meta_dir, snap_id, seq) -> list[dict]:
+        from iceberg_rust_custom_spark.metadata.avro_manifest import manifest_ext
+
         existing_rows = read_manifest_list(parent.manifest_list) if parent else []
         total_files = sum(
             r["added_files_count"] + r["existing_files_count"] for r in existing_rows
         ) + len(self._appends)
         limit = _manifest_size_limit(total_files)
 
-        new_entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._appends]
-        rows: list[dict] = []
+        ext = manifest_ext(metadata.properties)
+        spec_id = metadata.default_spec_id
+        schema = metadata.current_schema()
+        spec = metadata.default_spec()
 
-        # best-fit: merge into the smallest existing manifest if it stays
-        # within the sqrt-law limit; otherwise start new manifest(s).
+        new_entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._appends]
+        if ext == ".avro":
+            # spec v2: data and delete files live in SEPARATE manifests
+            # (manifest.rs:125-170 "content" file metadata) — split; Parquet
+            # manifests keep one mixed stream (engine-native, content is a
+            # per-entry column there)
+            groups = [
+                g
+                for g in (
+                    [e for e in new_entries if e.data_file.content == 0],
+                    [e for e in new_entries if e.data_file.content != 0],
+                )
+                if g
+            ]
+        else:
+            groups = [new_entries] if new_entries else []
+
+        rows: list[dict] = []
+        consumed: list[dict] = []
+
+        def _write(entries, path):
+            row = write_manifest(path, entries, spec_id, schema, spec)
+            row["added_snapshot_id"] = snap_id
+            return row
+
+        # best-fit: merge into the smallest existing same-spec manifest if it
+        # stays within the sqrt-law limit; otherwise start new manifest(s).
         # Only same-spec manifests are merge candidates — a manifest's
         # partition tuples are decoded with ONE spec at scan time, so mixing
         # specs inside a manifest would corrupt pruning after evolution.
-        spec_id = metadata.default_spec_id
-        merge_target = None
-        candidates = [
-            r for r in existing_rows if r.get("partition_spec_id", 0) == spec_id
-        ]
-        if candidates:
-            smallest = min(candidates, key=lambda r: r["added_files_count"] + r["existing_files_count"])
-            if (
-                smallest["added_files_count"] + smallest["existing_files_count"] + len(new_entries)
-                <= limit
-            ):
-                merge_target = smallest
-        for r in existing_rows:
-            if r is merge_target:
-                continue
-            rows.append(r)
-
-        if merge_target is not None:
-            carried = [
-                ManifestEntry(STATUS_EXISTING, e.snapshot_id, e.sequence_number, e.data_file)
-                for e in read_manifest(merge_target["manifest_path"])
-                if e.status != 2
-            ]
-            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, carried + new_entries, spec_id))
-        else:
-            for chunk_start in range(0, len(new_entries), max(limit, 1)):
-                chunk = new_entries[chunk_start : chunk_start + max(limit, 1)]
-                path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-                rows.append(write_manifest(path, chunk, spec_id))
+        candidates = [r for r in existing_rows if r.get("partition_spec_id", 0) == spec_id]
+        for group in groups:
+            is_data = group[0].data_file.content == 0
+            merged = False
+            if is_data and candidates:
+                smallest = min(
+                    candidates, key=lambda r: r["added_files_count"] + r["existing_files_count"]
+                )
+                if (
+                    smallest["added_files_count"] + smallest["existing_files_count"] + len(group)
+                    <= limit
+                ):
+                    carried = [
+                        ManifestEntry(STATUS_EXISTING, e.snapshot_id, e.sequence_number, e.data_file)
+                        for e in read_manifest(smallest["manifest_path"], smallest)
+                        if e.status != 2
+                    ]
+                    # an avro data manifest cannot absorb carried deletes
+                    if ext != ".avro" or all(e.data_file.content == 0 for e in carried):
+                        consumed.append(smallest)
+                        candidates = [r for r in candidates if r is not smallest]
+                        path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}{ext}")
+                        rows.append(_write(carried + group, path))
+                        merged = True
+            if not merged:
+                for chunk_start in range(0, len(group), max(limit, 1)):
+                    chunk = group[chunk_start : chunk_start + max(limit, 1)]
+                    path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}{ext}")
+                    rows.append(_write(chunk, path))
+        rows.extend(r for r in existing_rows if not any(r is c for c in consumed))
         return rows
 
     def _build_rewrite_manifests(self, metadata, meta_dir, snap_id, seq) -> list[dict]:
+        from iceberg_rust_custom_spark.metadata.avro_manifest import manifest_ext
+
+        ext = manifest_ext(metadata.properties)
+        spec_id = metadata.default_spec_id
+        schema = metadata.current_schema()
+        spec = metadata.default_spec()
         entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._rewrite or []]
         limit = _manifest_size_limit(len(entries))
-        spec_id = metadata.default_spec_id
         rows = []
-        for chunk_start in range(0, len(entries), max(limit, 1)):
-            chunk = entries[chunk_start : chunk_start + max(limit, 1)]
-            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, chunk, spec_id))
-        if not entries:
-            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}.parquet")
-            rows.append(write_manifest(path, [], spec_id))
+        chunks = [
+            entries[start : start + max(limit, 1)] for start in range(0, len(entries), max(limit, 1))
+        ] or [[]]
+        for chunk in chunks:
+            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}{ext}")
+            row = write_manifest(path, chunk, spec_id, schema, spec)
+            row["added_snapshot_id"] = snap_id
+            rows.append(row)
         return rows
 
     def _delete_replaced_files(self, old_metadata: TableMetadata) -> None:
