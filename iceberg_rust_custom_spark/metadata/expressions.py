@@ -76,6 +76,20 @@ class IsNull(Expr):
 
 
 @dataclass(frozen=True)
+class IsNan(Expr):
+    """isnan(col) / NOT isnan(col) — prunable once files carry
+    nan_value_counts (reference: manifest.rs:478-517; FieldSummary
+    contains_nan, manifest_list.rs:74-85)."""
+
+    column: str
+    negated: bool = False
+
+    def sql(self) -> str:
+        # valid in both Spark SQL and DuckDB
+        return f"({'NOT ' if self.negated else ''}isnan({self.column}))"
+
+
+@dataclass(frozen=True)
 class Comparison(Expr):
     column: str
     op: str  # = != < <= > >= in
@@ -122,6 +136,13 @@ def _coerce(lit, bound):
     return lit
 
 
+def _get(bounds, attr: str, col: str):
+    """Optional-capability probe: bounds adapters that predate a statistic
+    (e.g. nan_count) simply report unknown."""
+    f = getattr(bounds, attr, None)
+    return f(col) if callable(f) else None
+
+
 def may_match(expr: Expr, bounds: "FileBounds") -> bool:
     """Conservative containment test against [lower, upper] + null counts."""
     if isinstance(expr, AlwaysTrue):
@@ -134,7 +155,25 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
         child = expr.child
         if isinstance(child, IsNull):
             return may_match(IsNull(child.column, not child.negated), bounds)
+        if isinstance(child, IsNan):
+            return may_match(IsNan(child.column, not child.negated), bounds)
         return True  # conservative
+    if isinstance(expr, IsNan):
+        nans = _get(bounds, "nan_count", expr.column)
+        if expr.negated:  # NOT isnan: only non-null, non-NaN values match
+            total = bounds.value_count(expr.column)
+            nulls = bounds.null_count(expr.column)
+            if (
+                nans is not None
+                and total is not None
+                and total > 0
+                and nans + (nulls or 0) >= total
+            ):
+                return False
+            return True
+        if nans is not None:
+            return nans > 0
+        return True  # unknown NaN count → conservative
     if isinstance(expr, IsNull):
         nulls = bounds.null_count(expr.column)
         total = bounds.value_count(expr.column)
@@ -146,9 +185,25 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
             return nulls > 0
         return True
     if isinstance(expr, Comparison):
+        # NaN awareness on float columns (Spark and DuckDB both order NaN
+        # ABOVE every number): bounds exclude NaN, so a file that may hold
+        # NaN can match any ">"-type predicate regardless of its upper
+        # bound; conversely a file of only NaN/null can never match
+        # "<"/"<="/"="/IN.
+        nan_possible = nan_only = False
+        isf = getattr(bounds, "is_float", None)
+        if callable(isf) and isf(expr.column):
+            nans = _get(bounds, "nan_count", expr.column)
+            nan_possible = nans is None or nans > 0
+            if nans:
+                total = bounds.value_count(expr.column)
+                nulls = bounds.null_count(expr.column)
+                nan_only = total is not None and nans + (nulls or 0) >= total
+        if nan_only and expr.op in ("<", "<=", "=", "in"):
+            return False
         lo, hi = bounds.lower(expr.column), bounds.upper(expr.column)
         if lo is None and hi is None:
-            return True
+            return True if not nan_only else expr.op in (">", ">=", "!=")
         op, lit = expr.op, expr.literal
         try:
             if op == "in":
@@ -169,9 +224,9 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
             if op == "<=":
                 return lo is None or lo <= lit
             if op == ">":
-                return hi is None or hi > lit
+                return nan_possible or hi is None or hi > lit
             if op == ">=":
-                return hi is None or hi >= lit
+                return nan_possible or hi is None or hi >= lit
         except TypeError:
             return True
         return True
@@ -190,10 +245,12 @@ class FileBounds:
         counts: dict,
         schema: Schema | None,
         blooms: dict | None = None,
+        nans: dict | None = None,
     ):
         self._lower, self._upper, self._nulls, self._counts = lower, upper, nulls, counts
         self._types = {f.name: f.field_type for f in schema.fields} if schema else {}
         self._blooms = blooms or {}
+        self._nans = nans or {}
 
     def bloom_excludes(self, col: str, value) -> bool:
         """True iff the file's bloom sketch proves `col = value` matches
@@ -218,7 +275,12 @@ class FileBounds:
 
     def _decode(self, col: str, v):
         t = self._types.get(col)
-        return decode_value(v, t) if isinstance(t, str) else v
+        out = decode_value(v, t) if isinstance(t, str) else v
+        # a NaN bound is spec-undefined ordering — treat as unknown rather
+        # than let Python's always-False NaN comparisons wrongly prune
+        if isinstance(out, float) and out != out:
+            return None
+        return out
 
     def lower(self, col):
         return self._decode(col, self._lower.get(col))
@@ -231,6 +293,12 @@ class FileBounds:
 
     def value_count(self, col):
         return self._counts.get(col)
+
+    def nan_count(self, col):
+        return self._nans.get(col)
+
+    def is_float(self, col):
+        return self._types.get(col) in ("float", "double")
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +332,15 @@ def project_to_partition(expr: Expr, schema: Schema, spec: PartitionSpec) -> Exp
             out = None
             for pf in pfs:
                 p = IsNull(pf.name, e.negated)
+                out = And(out, p) if out else p
+            return out
+        if isinstance(e, IsNan):
+            # only identity preserves NaN-ness into the partition value
+            out = None
+            for pf in by_source.get(e.column, []):
+                if pf.transform.name != "identity":
+                    continue
+                p = IsNan(pf.name, e.negated)
                 out = And(out, p) if out else p
             return out
         if isinstance(e, Comparison):
@@ -386,6 +463,12 @@ def parse_predicate(text: str) -> Expr:
             return node
         if kind != "ident":
             raise ValueError(f"expected column name, got {val!r}")
+        if val.lower() == "isnan" and peek()[0] == "lpar":
+            take()
+            k2, col2 = take()
+            if k2 != "ident" or take()[0] != "rpar":
+                raise ValueError("expected isnan(column)")
+            return IsNan(col2)
         col = val
         kind2, val2 = take()
         if kind2 == "op":

@@ -593,9 +593,10 @@ def import_iceberg_table(
     metadata there, not into the source/export directory); existing data
     files are still referenced in place by absolute path."""
     raw = json.loads(FileIO.read_text(metadata_json_path))
-    if raw.get("format-version") != 2:
-        raise ValueError(f"only format-version 2 supported, got {raw.get('format-version')!r}")
-    md = TableMetadata.from_dict(raw)
+    fv = raw.get("format-version")
+    if fv not in (1, 2):
+        raise ValueError(f"only format-version 1/2 supported, got {fv!r}")
+    md = TableMetadata.from_dict(raw)  # v1 docs are normalized on load
     if "://" not in target_metadata_dir:
         os.makedirs(target_metadata_dir, exist_ok=True)
 
@@ -621,7 +622,9 @@ def import_iceberg_table(
                     if e.snapshot_id is None:
                         e.snapshot_id = rec.get("added_snapshot_id", snap.snapshot_id)
                     if e.sequence_number is None:
-                        if e.status == STATUS_ADDED:
+                        if fv == 1:
+                            e.sequence_number = 0  # v1 has no sequence numbers
+                        elif e.status == STATUS_ADDED:
                             e.sequence_number = rec.get("sequence_number", snap.sequence_number)
                         else:
                             raise ValueError(

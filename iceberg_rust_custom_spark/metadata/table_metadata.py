@@ -107,7 +107,13 @@ class TableMetadata:
     # ---------------------------------------------------------------- serde
     def to_dict(self) -> dict:
         return {
-            "format-version": self.format_version,
+            # upgrade-on-write: v1 tables are normalized to the v2 model at
+            # load (table_metadata.rs:357-744 reads both; we write only v2)
+            "format-version": max(2, self.format_version),
+            "last-partition-id": max(
+                (pf.field_id for s in self.partition_specs.values() for pf in s.fields),
+                default=999,
+            ),
             "table-uuid": self.table_uuid,
             "location": self.location,
             "last-sequence-number": self.last_sequence_number,
@@ -132,6 +138,8 @@ class TableMetadata:
         fv = d.get("format-version")
         if fv not in (1, 2):
             raise ValueError(f"unsupported format version: {fv!r}")
+        if fv == 1:
+            d = _normalize_v1(d)
         schemas = {s["schema-id"]: Schema.from_dict(s) for s in d["schemas"]}
         current_schema_id = d["current-schema-id"]
         if current_schema_id not in schemas:
@@ -263,6 +271,55 @@ class TableMetadata:
                 raise CommitConflict("table already exists")
             else:
                 raise ValueError(f"unknown requirement {rtype!r}")
+
+
+def _normalize_v1(d: dict) -> dict:
+    """Rewrite a format-version-1 metadata document into the v2 shape this
+    model stores (reference reads both: table_metadata.rs:357-744,
+    schema.rs:106-145). v1 singulars — ``schema`` / ``partition-spec`` —
+    become the v2 lists; missing ids are assigned (field ids sequentially,
+    partition field ids from 1000); v1 snapshots default sequence-number 0.
+    Writes always emit v2 (upgrade-on-write)."""
+    d = dict(d)
+    if "schemas" not in d:
+        sch = dict(d.get("schema") or {})
+        sch.setdefault("schema-id", 0)
+        next_id = 1
+        fields = []
+        for f in sch.get("fields", ()):
+            f = dict(f)
+            if "id" not in f:
+                f["id"] = next_id
+            next_id = max(next_id, f["id"] + 1)
+            fields.append(f)
+        sch["fields"] = fields
+        d["schemas"] = [sch]
+        d.setdefault("current-schema-id", sch["schema-id"])
+    if "partition-specs" not in d:
+        pfields = []
+        for i, pf in enumerate(d.get("partition-spec") or ()):
+            pf = dict(pf)
+            pf.setdefault("field-id", 1000 + i)
+            pfields.append(pf)
+        d["partition-specs"] = [{"spec-id": 0, "fields": pfields}]
+        d.setdefault("default-spec-id", 0)
+    if "sort-orders" not in d:
+        d["sort-orders"] = [{"order-id": 0, "fields": []}]
+        d.setdefault("default-sort-order-id", 0)
+    snaps = []
+    for s in d.get("snapshots", ()):
+        s = dict(s)
+        if "manifest-list" not in s:
+            raise ValueError(
+                "v1 snapshot lists manifests directly (no manifest-list); "
+                "rewrite with a manifest list before import"
+            )
+        s.setdefault("sequence-number", 0)
+        s.setdefault("schema-id", d.get("current-schema-id", 0))
+        snaps.append(s)
+    d["snapshots"] = snaps
+    d.setdefault("last-sequence-number", 0)
+    return d
 
 
 class CommitConflict(Exception):

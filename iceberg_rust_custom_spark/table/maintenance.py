@@ -589,6 +589,13 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
         pf = _pq.ParquetFile(path)
         if pf.metadata.num_rows == 0:
             continue
+        schema_now = md.current_schema()
+        eq_ids = []
+        for c in keys.columns:
+            try:
+                eq_ids.append(schema_now.field_by_name(c).field_id)
+            except KeyError:
+                pass
         files.append(
             DataFile(
                 file_path=path,
@@ -596,6 +603,8 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
                 file_size_in_bytes=os.path.getsize(path),
                 content=2,
                 schema_id=md.current_schema_id,
+                # spec: equality_ids names the delete's key field ids
+                equality_ids=eq_ids or None,
             )
         )
     if not files:

@@ -52,23 +52,37 @@ class _PartitionBounds:
         self._s = summaries
         self._types = result_types
 
+    @staticmethod
+    def _nan_guard(v):
+        # NaN bounds are unusable for range pruning (always-False compares)
+        return None if isinstance(v, float) and v != v else v
+
     def lower(self, col):
         from iceberg_rust_custom_spark.metadata.manifest import decode_value
 
         s = self._s.get(col)
-        return decode_value(s["lower"], self._types.get(col, "string")) if s else None
+        return self._nan_guard(decode_value(s["lower"], self._types.get(col, "string"))) if s else None
 
     def upper(self, col):
         from iceberg_rust_custom_spark.metadata.manifest import decode_value
 
         s = self._s.get(col)
-        return decode_value(s["upper"], self._types.get(col, "string")) if s else None
+        return self._nan_guard(decode_value(s["upper"], self._types.get(col, "string"))) if s else None
 
     def null_count(self, col):
         s = self._s.get(col)
         if s is None:
             return None
         return 1 if s.get("contains_null") else 0
+
+    def nan_count(self, col):
+        s = self._s.get(col)
+        if s is None or s.get("contains_nan") is None:
+            return None
+        return 1 if s.get("contains_nan") else 0
+
+    def is_float(self, col):
+        return self._types.get(col) in ("float", "double")
 
     def value_count(self, col):
         return None
@@ -155,7 +169,15 @@ def _entry_survives(
     df = entry.data_file
     if part_pred is not None and df.partition:
         pb = _PartitionBounds(
-            {k: {"lower": v, "upper": v, "contains_null": v is None} for k, v in df.partition.items()},
+            {
+                k: {
+                    "lower": v,
+                    "upper": v,
+                    "contains_null": v is None,
+                    "contains_nan": isinstance(v, float) and v != v,
+                }
+                for k, v in df.partition.items()
+            },
             result_types,
         )
         if not may_match(part_pred, pb):
@@ -170,6 +192,7 @@ def _entry_survives(
             df.value_counts,
             schema,
             blooms=df.bloom_filters,
+            nans=df.nan_value_counts,
         )
         if not may_match(predicate, fb):
             return False  # file-level stats skip

@@ -61,14 +61,23 @@ def _parse_partition_path_value(raw: str, type_name: str):
     return v
 
 
-def collect_datafile_stats(path: str, schema: Schema, partition: dict, schema_id: int = -1) -> DataFile:
+def collect_datafile_stats(
+    path: str, schema: Schema, partition: dict, schema_id: int = -1, sort_order_id: int | None = None
+) -> DataFile:
     """Read one Parquet footer → DataFile with min/max/null-count per column,
-    merged across row groups (reference: file_format/parquet.rs:59-235)."""
+    merged across row groups (reference: file_format/parquet.rs:59-235),
+    plus split_offsets (row-group start offsets — split planning hints,
+    manifest.rs:478-517)."""
     meta = pq.ParquetFile(path).metadata
     names = [f.name for f in schema.fields]
     lower, upper, nulls, counts, sizes = {}, {}, {}, {}, {}
+    split_offsets: list[int] = []
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
+        if group.num_columns:
+            col0 = group.column(0)
+            off = col0.dictionary_page_offset
+            split_offsets.append(off if off is not None else col0.data_page_offset)
         for ci in range(group.num_columns):
             col = group.column(ci)
             name = col.path_in_schema.split(".")[0]
@@ -94,6 +103,12 @@ def collect_datafile_stats(path: str, schema: Schema, partition: dict, schema_id
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                     except UnicodeDecodeError:
                         pass
+                # NaN bounds are spec-undefined (nan_value_counts carries NaN
+                # info instead) — drop them rather than record unusable stats
+                if isinstance(mn, float) and mn != mn:
+                    mn = None
+                if isinstance(mx, float) and mx != mx:
+                    mx = None
                 if name not in lower or (mn is not None and lower[name] is not None and mn < lower[name]):
                     lower[name] = mn
                 if name not in upper or (mx is not None and upper[name] is not None and mx > upper[name]):
@@ -109,6 +124,8 @@ def collect_datafile_stats(path: str, schema: Schema, partition: dict, schema_id
         null_value_counts=nulls,
         lower_bounds=lower,
         upper_bounds=upper,
+        split_offsets=split_offsets or None,
+        sort_order_id=sort_order_id,
     )
 
 
@@ -231,10 +248,66 @@ def write_partitioned(
             if fn.endswith(".parquet"):
                 paths.append((os.path.join(dirpath, fn), partition))
 
+    file_sort_order = metadata.default_sort_order_id if order_cols else None
     with ThreadPoolExecutor(max_workers=16) as pool:
         datafiles = list(
-            pool.map(lambda t: collect_datafile_stats(t[0], schema, t[1], schema.schema_id), paths)
+            pool.map(
+                lambda t: collect_datafile_stats(
+                    t[0], schema, t[1], schema.schema_id, sort_order_id=file_sort_order
+                ),
+                paths,
+            )
         )
+    # Spark's committer can emit 0-row part files (empty first partition);
+    # they are pure manifest overhead — drop file and entry both
+    empties = [d.file_path for d in datafiles if d.record_count == 0]
+    datafiles = [d for d in datafiles if d.record_count > 0]
+    for p in empties:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+    # NaN counts (float/double; on by default — required for IsNan pruning
+    # and NaN-safe bound use, manifest.rs:478-517 nan_value_counts) and
+    # optional approx-NDV (distinct_counts — CBO-grade stats). Parquet
+    # footers carry neither, so both come from ONE narrow Spark pass over
+    # only the needed columns of the just-written files, grouped per file.
+    float_cols = [f.name for f in schema.fields if f.field_type in ("float", "double")]
+    nan_prop = metadata.properties.get("write.metadata.nan-counts", "auto")
+    collect_nans = bool(float_cols) and nan_prop in ("auto", "true")
+    ndv_on = metadata.properties.get("write.metadata.distinct-counts", "false") == "true"
+    prim_cols = [f.name for f in schema.fields if isinstance(f.field_type, str)]
+    if datafiles and (collect_nans or ndv_on):
+        import re as _re
+
+        aggs, sel = [], set()
+        if collect_nans:
+            for c in float_cols:
+                aggs.append(F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan__{c}"))
+                sel.add(c)
+        if ndv_on:
+            for c in prim_cols:
+                aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__ndv__{c}"))
+                sel.add(c)
+        stat_rows = (
+            df.sparkSession.read.parquet(*[d.file_path for d in datafiles])
+            .select(F.col("_metadata.file_path").alias("__file"), *sorted(sel))
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()
+        )
+        by_file = {_re.sub("^file:/+", "/", r["__file"]): r for r in stat_rows}
+        for d in datafiles:
+            r = by_file.get(os.path.abspath(d.file_path))
+            if r is None:
+                continue
+            if collect_nans:
+                d.nan_value_counts = {c: r[f"__nan__{c}"] or 0 for c in float_cols}
+            if ndv_on:
+                d.distinct_counts = {
+                    c: r[f"__ndv__{c}"] for c in prim_cols if r[f"__ndv__{c}"] is not None
+                }
 
     # optional per-file bloom sketches for planning-time equality skipping
     # (beyond the reference — functions/bloom.py). One extra narrow Spark

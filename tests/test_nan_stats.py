@@ -1,0 +1,145 @@
+"""NaN statistics + IsNan pruning and DataFile stats completion.
+
+Round-2 verdict items 3 and 7: the reference tracks per-file
+nan_value_counts (iceberg-rust-spec/src/spec/manifest.rs:478-517) and
+per-partition contains_nan (manifest_list.rs:74-85); without them, float
+corpora (embeddings!) can neither prune isnan predicates nor trust min/max
+bounds on NaN-bearing columns. Also: split_offsets, sort_order_id and
+opt-in distinct_counts now populate DataFile."""
+
+import math
+
+import pytest
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.metadata.expressions import IsNan, Not, parse_predicate
+from iceberg_rust_custom_spark.metadata.manifest import read_manifest, read_manifest_list
+from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+from iceberg_rust_custom_spark.table.scan import plan_files
+
+SCH = Schema(
+    0,
+    (
+        NestedField(1, "id", "long", True),
+        NestedField(2, "category", "string", True),
+        NestedField(3, "score", "double", True),
+    ),
+)
+
+# category 'n' rows are all-NaN, 'a'/'b' rows are clean — identity
+# partitioning on category isolates NaN rows into their own files
+ROWS = (
+    [(i, "a", float(i)) for i in range(1, 6)]
+    + [(i, "b", float(i) * 100.0) for i in range(6, 11)]
+    + [(i, "n", float("nan")) for i in range(11, 16)]
+)
+
+
+@pytest.fixture()
+def nan_table(spark, tmp_path, request):
+    fmt = getattr(request, "param", "parquet")
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t = eng.create_table(
+        "test.nan_scores",
+        SCH,
+        partition_by=[("category", "identity")],
+        properties={"write.metadata.format": fmt},
+    )
+    t.append(spark.createDataFrame(ROWS, SCH.spark_schema()))
+    return t
+
+
+@pytest.mark.parametrize("nan_table", ["parquet", "avro"], indirect=True)
+def test_nan_value_counts_collected(nan_table):
+    files = plan_files(nan_table.metadata, nan_table.metadata.snapshot_for_ref())
+    by_cat = {f.partition["category"]: f for f in files}
+    assert by_cat["n"].nan_value_counts["score"] == 5
+    assert by_cat["a"].nan_value_counts["score"] == 0
+
+
+def test_isnan_pruning(nan_table):
+    all_files = nan_table.count_planned_files()
+    assert all_files >= 3
+    # isnan(score): only the NaN file survives
+    assert nan_table.count_planned_files("isnan(score)") == 1
+    got = sorted(r["id"] for r in nan_table.scan("isnan(score)").collect())
+    assert got == list(range(11, 16))
+    # NOT isnan(score): the all-NaN file is pruned
+    assert nan_table.count_planned_files("not isnan(score)") == all_files - 1
+    got = sorted(r["id"] for r in nan_table.scan("not isnan(score)").collect())
+    assert got == list(range(1, 11))
+
+
+def test_range_predicate_correct_with_nan_files(nan_table):
+    # a range predicate must neither crash on nor wrongly include/exclude
+    # rows because of NaN bounds in the all-NaN file
+    # Spark (and DuckDB) order NaN ABOVE every number, so the NaN rows
+    # match "> 100" — and the all-NaN file must NOT be pruned
+    got = sorted(r["id"] for r in nan_table.scan("score > 100").collect())
+    expect = sorted(i for i, c, s in ROWS if math.isnan(s) or s > 100)
+    assert got == expect
+    # conversely "<" can never match NaN: the all-NaN file is pruned via
+    # nan_count == value_count, and results are exact
+    all_files = nan_table.count_planned_files()
+    assert nan_table.count_planned_files("score < 3") < all_files
+    got = sorted(r["id"] for r in nan_table.scan("score < 3").collect())
+    assert got == sorted(i for i, c, s in ROWS if not math.isnan(s) and s < 3)
+
+
+def test_contains_nan_in_field_summaries(nan_table):
+    rows = read_manifest_list(nan_table.metadata.snapshot_for_ref().manifest_list)
+    import json
+
+    summaries = [json.loads(r["partitions"]) for r in rows if r.get("partitions")]
+    assert summaries  # identity partition on a string col: contains_nan False
+    assert any(s.get("category", {}).get("contains_nan") is False for s in summaries)
+
+
+def test_parse_isnan_predicate():
+    assert parse_predicate("isnan(score)") == IsNan("score")
+    assert parse_predicate("NOT isnan(score)") == Not(IsNan("score"))
+    assert parse_predicate("isnan(score) AND id > 3").sql().startswith("((isnan(score))")
+
+
+def test_split_offsets_and_sort_order(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh2"))
+    t = eng.create_table("test.sorted", SCH, sort_by=["id"])
+    t.append(spark.createDataFrame(ROWS, SCH.spark_schema()))
+    files = plan_files(t.metadata, t.metadata.snapshot_for_ref())
+    for f in files:
+        assert f.split_offsets, "split_offsets missing"
+        assert f.split_offsets == sorted(f.split_offsets)
+        assert f.split_offsets[0] >= 4  # after PAR1 magic
+        assert f.sort_order_id == t.metadata.default_sort_order_id
+
+
+def test_distinct_counts_opt_in(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh3"))
+    t = eng.create_table(
+        "test.ndv", SCH, properties={"write.metadata.distinct-counts": "true"}
+    )
+    t.append(spark.createDataFrame(ROWS, SCH.spark_schema()))
+    files = plan_files(t.metadata, t.metadata.snapshot_for_ref())
+    total_ids = sum(f.distinct_counts.get("id", 0) for f in files)
+    assert total_ids == len(ROWS)  # unique ids; approx NDV exact at this size
+    for f in files:
+        assert "category" in f.distinct_counts
+
+
+def test_stats_roundtrip_through_avro(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh4"))
+    t = eng.create_table(
+        "test.avro_stats",
+        SCH,
+        sort_by=["id"],
+        properties={
+            "write.metadata.format": "avro",
+            "write.metadata.distinct-counts": "true",
+        },
+    )
+    t.append(spark.createDataFrame(ROWS, SCH.spark_schema()))
+    rows = read_manifest_list(t.metadata.snapshot_for_ref().manifest_list)
+    ents = [e for r in rows for e in read_manifest(r["manifest_path"], r)]
+    f = ents[0].data_file
+    assert f.nan_value_counts and f.split_offsets and f.distinct_counts
+    assert f.sort_order_id == t.metadata.default_sort_order_id
