@@ -207,16 +207,19 @@ def _bucket_pairs(
     them is never the intent).
 
     A dropped bucket means real candidate pairs are silently omitted, so the
-    drop must be *visible* (ADVICE r2). ``on_overflow``:
+    drop must be *visible* (ADVICE r2) — without costing the hot path
+    anything (the r2 eager-check design ran an extra job AND leaked a
+    persist() per call, which compounded across a session). ``on_overflow``:
 
-    * ``"warn"`` (default) — the bucket aggregate is persisted and a tiny
-      eager aggregate checks for overflow NOW, emitting a
-      ``RuntimeWarning`` + log line if any bucket was dropped. The pair
-      expansion reuses the persisted buckets, so total compute is unchanged
-      (the signature pipeline still runs once).
-    * ``"error"`` — same check, raises ``ValueError`` instead of warning.
-    * ``"lazy"`` — no eager job; overflow stats are only available through
-      the ``_lsh_overflow`` companion DataFrame (one extra evaluation).
+    * ``"warn"`` (default) — a Spark ``Observation`` rides the caller's own
+      action: overflow counters are computed inside the SAME job that
+      expands pairs (zero extra jobs, nothing persisted); a daemon thread
+      parks on the observation and emits a ``RuntimeWarning`` + log line
+      the moment the caller's first action completes with dropped buckets.
+    * ``"error"`` — a synchronous pre-check job (the signature pipeline
+      runs once extra — use only when a hard stop is worth 2× cost);
+      raises ``ValueError`` on overflow before returning.
+    * ``"lazy"`` — no instrumentation beyond the companion DataFrame.
 
     In every mode the result carries ``_lsh_overflow``: a 1-row DataFrame
     ``(n_dropped_buckets, max_bucket_size)`` for explicit accounting."""
@@ -233,25 +236,44 @@ def _bucket_pairs(
         ),
         F.max(F.size("ids")).alias("max_bucket_size"),
     ]
-    if on_overflow in ("warn", "error"):
-        buckets = buckets.persist()
-        row = buckets.agg(*overflow_agg).first()
-        n_dropped = row["n_dropped_buckets"] or 0
-        if n_dropped:
-            msg = (
-                f"LSH bucket cap dropped {n_dropped} bucket(s) larger than "
-                f"{max_bucket} ids (largest seen: {row['max_bucket_size']}); "
-                "near-duplicate pairs inside them are NOT emitted. Raise "
-                "max_bucket or remove degenerate (empty/boilerplate) "
-                "documents upstream."
-            )
-            if on_overflow == "error":
-                buckets.unpersist()
-                raise ValueError(msg)
-            import warnings as _warnings
 
-            _warnings.warn(msg, RuntimeWarning, stacklevel=3)
-            _log.warning(msg)
+    def _overflow_msg(n_dropped, largest):
+        return (
+            f"LSH bucket cap dropped {n_dropped} bucket(s) larger than "
+            f"{max_bucket} ids (largest seen: {largest}); "
+            "near-duplicate pairs inside them are NOT emitted. Raise "
+            "max_bucket or remove degenerate (empty/boilerplate) "
+            "documents upstream."
+        )
+
+    if on_overflow == "warn":
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        buckets = buckets.observe(obs, *overflow_agg)
+
+        def _watch():
+            try:
+                m = obs.get  # blocks until the caller's first action completes
+            except Exception:
+                import traceback, sys
+                traceback.print_exc(file=sys.stderr)
+                return
+            if m.get("n_dropped_buckets"):
+                import warnings as _warnings
+
+                msg = _overflow_msg(m["n_dropped_buckets"], m.get("max_bucket_size"))
+                _warnings.warn(msg, RuntimeWarning)
+                _log.warning(msg)
+
+        import threading as _threading
+
+        _watcher = _threading.Thread(target=_watch, daemon=True)
+        _watcher.start()
+    elif on_overflow == "error":
+        row = buckets.agg(*overflow_agg).first()
+        if row["n_dropped_buckets"]:
+            raise ValueError(_overflow_msg(row["n_dropped_buckets"], row["max_bucket_size"]))
     elif on_overflow != "lazy":
         raise ValueError(f"on_overflow must be 'warn', 'error' or 'lazy', got {on_overflow!r}")
     overflow_stats = buckets.agg(*overflow_agg)
@@ -269,6 +291,8 @@ def _bucket_pairs(
         .distinct()
     )
     out._lsh_overflow = overflow_stats
+    if on_overflow == "warn":
+        out._lsh_overflow_watcher = _watcher  # tests/join points can wait on it
     return out
 
 

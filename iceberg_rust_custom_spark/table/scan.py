@@ -88,12 +88,24 @@ class _PartitionBounds:
         return None
 
 
+def _cached_entries(cache: dict | None, path: str, row: dict):
+    """One manifest read per scan even when planning, delete detection and
+    sequence mapping all walk the same manifests (r2 bench regression: the
+    MoR scan path deserialized every manifest up to three times)."""
+    if cache is None:
+        return read_manifest(path, row)
+    if path not in cache:
+        cache[path] = read_manifest(path, row)
+    return cache[path]
+
+
 def plan_files(
     metadata: TableMetadata,
     snapshot: Snapshot | None,
     predicate: Expr | None = None,
     sequence_number_range: tuple[int, int] | None = None,
     ml_rows: list[dict] | None = None,
+    entry_cache: dict | None = None,
 ) -> list[DataFile]:
     """Two-level pruned data-file listing. ``sequence_number_range=(start,end]``
     gives incremental reads (reference: table/mod.rs:120-144). ``ml_rows``
@@ -141,7 +153,7 @@ def plan_files(
             summaries = json.loads(row["partitions"])
             if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
                 continue  # manifest-level skip
-        for entry in read_manifest(row["manifest_path"], row):
+        for entry in _cached_entries(entry_cache, row["manifest_path"], row):
             if _entry_survives(
                 entry, predicate, part_pred, result_types, schema, sequence_number_range
             ):
@@ -332,7 +344,10 @@ def snapshot_live_file_count(snapshot: Snapshot | None, ml_rows: list[dict] | No
 
 
 def plan_delete_files(
-    metadata: TableMetadata, snapshot: Snapshot | None, ml_rows: list[dict] | None = None
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    ml_rows: list[dict] | None = None,
+    entry_cache: dict | None = None,
 ) -> list:
     """All live delete-file manifest entries — position deletes (content=1)
     and equality deletes (content=2), with their sequence numbers (equality
@@ -346,14 +361,18 @@ def plan_delete_files(
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = []
     for row in ml_rows:
-        for entry in read_manifest(row["manifest_path"], row):
-            if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
-                out.append(entry)
+        if row.get("content", 0) == 1 or not row["manifest_path"].endswith(".avro"):
+            for entry in _cached_entries(entry_cache, row["manifest_path"], row):
+                if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
+                    out.append(entry)
     return out
 
 
 def data_file_sequence_numbers(
-    metadata: TableMetadata, snapshot: Snapshot | None, ml_rows: list[dict] | None = None
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    ml_rows: list[dict] | None = None,
+    entry_cache: dict | None = None,
 ) -> dict:
     """file_path → sequence number for every live data file (needed to
     order data against equality deletes)."""
@@ -363,7 +382,7 @@ def data_file_sequence_numbers(
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = {}
     for row in ml_rows:
-        for entry in read_manifest(row["manifest_path"], row):
+        for entry in _cached_entries(entry_cache, row["manifest_path"], row):
             if entry.status != STATUS_DELETED and entry.data_file.content == 0:
                 out[entry.data_file.file_path] = entry.sequence_number
     return out
@@ -385,13 +404,15 @@ def scan_to_dataframe(
     schema = metadata.current_schema()
     if use_snapshot_schema and snapshot is not None:
         schema = metadata.schemas.get(snapshot.schema_id, schema)
-    # one manifest-list read serves routing + planning + delete detection
+    # one manifest-list read serves routing + planning + delete detection,
+    # and one entry cache means each manifest is deserialized at most once
     ml_rows = read_manifest_list(snapshot.manifest_list) if snapshot is not None else []
+    entry_cache: dict = {}
     if snapshot_live_file_count(snapshot, ml_rows) > DISTRIBUTED_PLANNING_THRESHOLD:
         files = plan_files_distributed(spark, metadata, snapshot, predicate, ml_rows=ml_rows)
     else:
-        files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows)
-    deletes = plan_delete_files(metadata, snapshot, ml_rows=ml_rows)
+        files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows, entry_cache=entry_cache)
+    deletes = plan_delete_files(metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache)
     spark_schema = schema.spark_schema()
     lineage = bool(deletes) and bool(files)
     if not files:
@@ -407,7 +428,13 @@ def scan_to_dataframe(
         eq = [e for e in deletes if e.data_file.content == 2]
         if eq:
             df = _apply_equality_deletes(
-                spark, df, eq, data_file_sequence_numbers(metadata, snapshot, ml_rows=ml_rows)
+                spark,
+                df,
+                eq,
+                data_file_sequence_numbers(
+                    metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
+                ),
+                schema=schema,
             )
         if pos:
             df = _apply_position_deletes(spark, df, pos)
@@ -438,20 +465,28 @@ def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> Da
     shuffle join rather than risk driver/executor memory)."""
     from pyspark.sql import functions as F
 
-    del_df = spark.read.parquet(*[d.file_path for d in deletes]).select("file_path", "pos")
+    # explicit schema: spec position-delete layout — avoids a blocking
+    # footer-inference job on every MoR scan
+    del_df = spark.read.schema("file_path string, pos long").parquet(
+        *[d.file_path for d in deletes]
+    ).select("file_path", "pos")
     if sum(d.file_size_in_bytes for d in deletes) < 64 * 1024 * 1024:
         del_df = F.broadcast(del_df)
     cond = (df["_sg_file"] == del_df["file_path"]) & (df["_sg_pos"] == del_df["pos"])
     return df.join(del_df, cond, "left_anti")
 
 
-def _apply_equality_deletes(spark, df: DataFrame, eq_entries: list, file_seqs: dict) -> DataFrame:
+def _apply_equality_deletes(
+    spark, df: DataFrame, eq_entries: list, file_seqs: dict, schema: Schema | None = None
+) -> DataFrame:
     """Equality deletes (content=2): LEFT ANTI join on the delete file's key
     columns, restricted to data rows whose file sequence number is STRICTLY
     OLDER than the delete's — so re-inserting a deleted key resurrects it
-    (Iceberg v2 ordering). The delete file's own schema IS its key set;
-    files sharing a key set batch into one anti-join."""
+    (Iceberg v2 ordering). The delete file's equality_ids (or, for legacy
+    files, its own schema) IS its key set; files sharing a key set batch
+    into one anti-join."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     seq_rows = [(p, s) for p, s in file_seqs.items()]
     seq_df = F.broadcast(
@@ -462,15 +497,31 @@ def _apply_equality_deletes(spark, df: DataFrame, eq_entries: list, file_seqs: d
     norm = F.regexp_replace(df["_sg_file"], "^file:/+", "/")
     df = df.join(seq_df, norm == seq_df["file_path"], "left").drop("file_path")
 
+    id_to_name = {f.field_id: f.name for f in schema.fields} if schema else {}
+
+    def _key_cols(e) -> tuple:
+        # equality_ids avoid any file read; legacy files fall back to a
+        # driver-side pyarrow footer read (no blocking JVM inference job)
+        ids = e.data_file.equality_ids
+        if ids and all(i in id_to_name for i in ids):
+            return tuple(sorted(id_to_name[i] for i in ids))
+        import pyarrow.parquet as _pq
+
+        return tuple(sorted(_pq.ParquetFile(e.data_file.file_path).schema_arrow.names))
+
     by_keyset: dict[tuple, list] = {}
     for e in eq_entries:
-        cols = tuple(sorted(spark.read.parquet(e.data_file.file_path).columns))
-        by_keyset.setdefault(cols, []).append(e)
+        by_keyset.setdefault(_key_cols(e), []).append(e)
+    name_to_field = {f.name: f for f in schema.fields} if schema else {}
     for cols, entries in by_keyset.items():
+        read_schema = None
+        if all(c in name_to_field for c in cols):
+            read_schema = T.StructType([name_to_field[c].spark_field() for c in cols])
         parts = []
         for e in entries:
+            rdr = spark.read.schema(read_schema) if read_schema is not None else spark.read
             parts.append(
-                spark.read.parquet(e.data_file.file_path)
+                rdr.parquet(e.data_file.file_path)
                 .select(*cols)
                 .withColumn("_sg_eseq", F.lit(e.sequence_number))
             )

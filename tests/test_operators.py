@@ -692,10 +692,14 @@ def test_lsh_hot_bucket_cap(spark):
 
     import iceberg_rust_custom_spark.operators.dedup as dd
 
-    # the cap is a public parameter now (ADVICE r2) and the drop warns eagerly
+    # the cap is a public parameter (ADVICE r2); the drop warns via a Spark
+    # Observation riding the caller's own action — no extra job, no persist
+    # (the r2 eager check leaked a persist() per call and cost a full extra
+    # signature-pipeline job)
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
     with _pytest.warns(RuntimeWarning, match="bucket\\(s\\) larger than 10"):
-        pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
-    rows = pairs.collect()
+        rows = pairs.collect()
+        pairs._lsh_overflow_watcher.join(timeout=60)
     assert rows == []  # the one degenerate bucket was dropped, not exploded
     m = pairs._lsh_overflow.first()
     assert m.n_dropped_buckets >= 1
