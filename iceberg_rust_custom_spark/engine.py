@@ -241,6 +241,25 @@ class Engine:
         md = ViewMetadata.from_json(FileIO.read_text(location))
         return self.sql(md.current_sql())
 
+    def add_view_representation(self, name: str, sql: str, dialect: str) -> View:
+        """Attach (or replace) a non-default-dialect SQL representation on
+        the view's CURRENT version (reference stores
+        Vec<ViewRepresentation::Sql{sql, dialect}> per version,
+        view_metadata.rs:276-306) and persist a new metadata file. The
+        engine replays only the spark-dialect SQL; other dialects ride
+        along for cross-engine portability."""
+        ident = Identifier.parse(name)
+        location, kind = self.catalog.load(ident)
+        md = ViewMetadata.from_json(FileIO.read_text(location))
+        cur = md.versions[md.current_version_id]
+        md.versions[md.current_version_id] = cur.with_representation(sql, dialect)
+        path = os.path.join(
+            md.location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json"
+        )
+        FileIO.write_text(path, md.to_json())
+        self.catalog.swap(ident, location, path)
+        return View(name, md)
+
     def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
         """Create MV + its ``__storage`` table (schema inferred by planning
         the SQL, as the reference does — datafusion-iceberg-sql/src/

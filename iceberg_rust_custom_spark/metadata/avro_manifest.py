@@ -93,14 +93,6 @@ def write_manifest_avro(path: str, entries: list, spec_id: int, schema: Schema, 
     min_seq = None
     max_seq = 0
     summaries: dict[str, dict] = {}
-    rts = {}
-    for pf in spec.fields:
-        try:
-            src = schema.field_by_id(pf.source_id)
-        except KeyError:
-            continue
-        tname = src.field_type if isinstance(src.field_type, str) else "string"
-        rts[pf.name] = pf.transform.result_type(tname)
     for e in entries:
         df = e.data_file
         if e.status == STATUS_ADDED:
@@ -173,7 +165,20 @@ def read_manifest_avro(path: str, ml_row: dict | None = None) -> list:
             if e.status == STATUS_ADDED and ml_row is not None:
                 e.sequence_number = ml_row.get("sequence_number", 0)
             else:
-                e.sequence_number = 0
+                # spec v2: inheritance applies ONLY to ADDED entries (and
+                # needs the manifest-list row to inherit from). Defaulting a
+                # null EXISTING/DELETED sequence to 0 would make the data
+                # file look older than every equality delete, so MoR scans
+                # could over-delete re-inserted rows (ADVICE r3, medium).
+                # Mirror the import path: refuse the manifest. Native
+                # writers always emit explicit values (transaction.py:232),
+                # so this only ever fires on malformed external manifests.
+                raise ValueError(
+                    f"manifest entry for {e.data_file.file_path} (status {e.status}) "
+                    "has no explicit sequence_number and cannot inherit one "
+                    "(spec v2 inheritance applies only to ADDED entries with "
+                    "a manifest-list row)"
+                )
     return entries
 
 

@@ -160,15 +160,15 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
         return True  # conservative
     if isinstance(expr, IsNan):
         nans = _get(bounds, "nan_count", expr.column)
-        if expr.negated:  # NOT isnan: only non-null, non-NaN values match
+        if expr.negated:
+            # NOT isnan: Spark's isnan(NULL) is FALSE, so NULL rows MATCH
+            # `NOT isnan(col)` — prune only when EVERY value is NaN
+            # (nan_count >= value_count), matching Iceberg's
+            # InclusiveMetricsEvaluator.notNaN (nanCount == valueCount).
+            # Counting nulls as non-matching here wrongly pruned files of
+            # only [NULL, NaN] values (ADVICE r3, high).
             total = bounds.value_count(expr.column)
-            nulls = bounds.null_count(expr.column)
-            if (
-                nans is not None
-                and total is not None
-                and total > 0
-                and nans + (nulls or 0) >= total
-            ):
+            if nans is not None and total is not None and total > 0 and nans >= total:
                 return False
             return True
         if nans is not None:
@@ -216,8 +216,14 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
                 return not (excl is not None and excl(expr.column, lit))
             if op == "!=":
                 if lo is not None and hi is not None and lo == hi == lit:
+                    # bounds exclude NaN, so a file whose finite values are
+                    # all exactly `lit` may still hold NaN rows — and
+                    # NaN != lit is TRUE under Spark/DuckDB semantics
+                    # (VERDICT r3 item 2). bool(nulls) stays for parity with
+                    # Iceberg's conservative notEq (NULL rows never match,
+                    # so it is merely non-pruning, never wrong).
                     nulls = bounds.null_count(expr.column)
-                    return bool(nulls)  # only nulls could still fail !=? no: != null is null → no match
+                    return bool(nulls) or nan_possible
                 return True
             if op == "<":
                 return lo is None or lo < lit

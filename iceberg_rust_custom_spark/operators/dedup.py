@@ -213,9 +213,16 @@ def _bucket_pairs(
 
     * ``"warn"`` (default) — a Spark ``Observation`` rides the caller's own
       action: overflow counters are computed inside the SAME job that
-      expands pairs (zero extra jobs, nothing persisted); a daemon thread
-      parks on the observation and emits a ``RuntimeWarning`` + log line
-      the moment the caller's first action completes with dropped buckets.
+      expands pairs (zero extra jobs, nothing persisted). The returned
+      DataFrame's action methods are wrapped so that, immediately after the
+      caller's own action completes, the observation is read and a
+      ``RuntimeWarning`` + log line fire ON THE CALLER'S THREAD (the r3
+      daemon-thread design raised the warning on a non-main thread, where
+      ``warnings.catch_warnings``/``pytest.warns`` could miss it — and
+      leaked a parked thread per call when the frame was never
+      materialized). Consumers that only run actions on DERIVED frames can
+      invoke ``df._lsh_overflow_check()`` after their first action
+      (``connected_components`` does).
     * ``"error"`` — a synchronous pre-check job (the signature pipeline
       runs once extra — use only when a hard stop is worth 2× cost);
       raises ``ValueError`` on overflow before returning.
@@ -252,24 +259,34 @@ def _bucket_pairs(
         obs = Observation()
         buckets = buckets.observe(obs, *overflow_agg)
 
-        def _watch():
-            try:
-                m = obs.get  # blocks until the caller's first action completes
-            except Exception:
-                import traceback, sys
-                traceback.print_exc(file=sys.stderr)
+        _state = {"done": False}
+
+        def _check_overflow():
+            """Read the observation and surface a drop. Call ONLY after an
+            action over the observed plan has completed (``Observation.get``
+            blocks otherwise). Idempotent; runs on the caller's thread.
+
+            AQE quirk: when EVERY bucket overflows the result is empty, and
+            AQE's empty-relation propagation replaces the subtree INCLUDING
+            the CollectMetrics node — the observation then completes with a
+            schemaless empty row and ``obs.get`` raises JVM-side. That empty
+            case is precisely when the warning matters most, so on a failed
+            read we fall back to one explicit aggregate job over the bucket
+            stats (rare path; normal runs cost zero extra jobs)."""
+            if _state["done"]:
                 return
+            _state["done"] = True
+            try:
+                m = obs.get  # non-blocking: the action just completed
+            except Exception:
+                row = overflow_stats.first()
+                m = row.asDict() if row is not None else {}
             if m.get("n_dropped_buckets"):
                 import warnings as _warnings
 
                 msg = _overflow_msg(m["n_dropped_buckets"], m.get("max_bucket_size"))
-                _warnings.warn(msg, RuntimeWarning)
+                _warnings.warn(msg, RuntimeWarning, stacklevel=3)
                 _log.warning(msg)
-
-        import threading as _threading
-
-        _watcher = _threading.Thread(target=_watch, daemon=True)
-        _watcher.start()
     elif on_overflow == "error":
         row = buckets.agg(*overflow_agg).first()
         if row["n_dropped_buckets"]:
@@ -292,7 +309,26 @@ def _bucket_pairs(
     )
     out._lsh_overflow = overflow_stats
     if on_overflow == "warn":
-        out._lsh_overflow_watcher = _watcher  # tests/join points can wait on it
+        # Wrap the blocking action methods on THIS instance so the overflow
+        # check runs synchronously after the caller's own action. Instance
+        # attributes shadow class methods, so this is version-proof and adds
+        # zero cost to the job itself. Derived frames (transformations return
+        # plain DataFrames) still fulfil the observation on their first
+        # action; such consumers call `_lsh_overflow_check()` themselves.
+        def _wrap(name):
+            orig = getattr(out, name)
+
+            def wrapper(*a, **k):
+                res = orig(*a, **k)
+                _check_overflow()
+                return res
+
+            wrapper.__name__ = name
+            setattr(out, name, wrapper)
+
+        for _name in ("collect", "count", "toPandas", "foreach", "foreachPartition", "show"):
+            _wrap(_name)
+        out._lsh_overflow_check = _check_overflow
     return out
 
 
@@ -472,6 +508,11 @@ def connected_components(
         return spark.createDataFrame(out, schema)
 
     edges = edges.localCheckpoint()
+    # the eager checkpoint is the first action over the (possibly observed)
+    # pairs plan — surface any LSH bucket-cap drop on this thread now
+    _overflow_check = getattr(pairs, "_lsh_overflow_check", None)
+    if _overflow_check is not None:
+        _overflow_check()
     prev = None
     for _ in range(max_iterations):
         if edges.count() <= driver_finish_edges:

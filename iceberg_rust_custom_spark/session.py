@@ -25,6 +25,11 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # split splittable file scans to at least cluster parallelism — a
+        # single small parquet file otherwise becomes 1 task hogging 1 core
+        # in compute-heavy operators (lets ensure_min_parallelism skip its
+        # probe entirely for file-backed plans)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

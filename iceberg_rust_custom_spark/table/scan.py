@@ -274,7 +274,15 @@ def plan_files_distributed(
                 continue
         groups.setdefault(spec_id, []).append(row["manifest_path"])
 
-    schema_cols = MANIFEST_ENTRY_SPARK_SCHEMA + ", bloom_filters string"
+    # the full stats surface must round-trip through the executor decode:
+    # omitting nan_value_counts made the distributed path treat every float
+    # column as possibly-NaN, disabling >/>= file pruning (ADVICE r3);
+    # split_offsets/sort_order_id/equality_ids ride along so entries planned
+    # distributed are indistinguishable from driver-walked ones.
+    schema_cols = MANIFEST_ENTRY_SPARK_SCHEMA + (
+        ", bloom_filters string, nan_value_counts string, distinct_counts string"
+        ", split_offsets string, sort_order_id int, equality_ids string"
+    )
     out: list[DataFile] = []
     for spec_id, paths in groups.items():
         result_types, part_pred = per_spec[spec_id]

@@ -314,19 +314,50 @@ class Transaction:
             row["added_snapshot_id"] = snap_id
             return row
 
-        # best-fit: merge into the smallest existing same-spec manifest if it
-        # stays within the sqrt-law limit; otherwise start new manifest(s).
+        # best-fit: merge into an existing same-spec manifest if it stays
+        # within the sqrt-law limit; otherwise start new manifest(s).
         # Only same-spec manifests are merge candidates — a manifest's
         # partition tuples are decoded with ONE spec at scan time, so mixing
         # specs inside a manifest would corrupt pruning after evolution.
+        #
+        # Target choice (append.rs:96-181): PARTITIONED tables pick the
+        # manifest whose partition-space bounding rectangle grows least when
+        # the batch's rectangle is merged in (keeps manifests spatially
+        # tight → FieldSummary pruning stays selective at high manifest
+        # counts); unpartitioned tables — and any candidate without usable
+        # rectangle bounds — pick the smallest manifest.
+        from iceberg_rust_custom_spark.table.geometry import (
+            entries_rectangle,
+            select_manifest_partitioned,
+        )
+
+        spec_field_names = [pf.name for pf in spec.fields] if spec else []
+        result_types: dict = {}
+        for pf in spec.fields if spec else ():
+            try:
+                src = schema.field_by_id(pf.source_id)
+            except KeyError:
+                continue
+            tname = src.field_type if isinstance(src.field_type, str) else "string"
+            result_types[pf.name] = pf.transform.result_type(tname)
+
         candidates = [r for r in existing_rows if r.get("partition_spec_id", 0) == spec_id]
         for group in groups:
             is_data = group[0].data_file.content == 0
             merged = False
             if is_data and candidates:
-                smallest = min(
-                    candidates, key=lambda r: r["added_files_count"] + r["existing_files_count"]
-                )
+                smallest = None
+                if spec_field_names:
+                    batch_rect = entries_rectangle(group, spec_field_names)
+                    if batch_rect is not None:
+                        smallest = select_manifest_partitioned(
+                            candidates, batch_rect, spec_field_names, result_types
+                        )
+                if smallest is None:
+                    smallest = min(
+                        candidates,
+                        key=lambda r: r["added_files_count"] + r["existing_files_count"],
+                    )
                 if (
                     smallest["added_files_count"] + smallest["existing_files_count"] + len(group)
                     <= limit

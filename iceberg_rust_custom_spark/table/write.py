@@ -71,6 +71,14 @@ def collect_datafile_stats(
     meta = pq.ParquetFile(path).metadata
     names = [f.name for f in schema.fields]
     lower, upper, nulls, counts, sizes = {}, {}, {}, {}, {}
+    # Columns where ANY row group lacks a trustworthy statistic get NO
+    # file-level stat of that kind at all (VERDICT r3 item 3): merging a
+    # finite bound from group B while group A's bound was NaN/unextractable
+    # would claim a file range that group A's rows may violate; likewise an
+    # unknown per-group null_count would make the file's null count an
+    # undercount, wrongly pruning IS NULL scans.
+    no_bounds: set = set()
+    no_nulls: set = set()
     split_offsets: list[int] = []
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
@@ -87,32 +95,42 @@ def collect_datafile_stats(
             sizes[name] = sizes.get(name, 0) + col.total_compressed_size
             st = col.statistics
             if st is None:
+                no_bounds.add(name)
+                no_nulls.add(name)
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
-            if st.has_min_max:
+            else:
+                no_nulls.add(name)
+            if not st.has_min_max:
+                no_bounds.add(name)
+                continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # e.g. INT96 timestamps: footer stats not extractable
+                no_bounds.add(name)
+                continue
+            if isinstance(mn, bytes):
                 try:
-                    mn, mx = st.min, st.max
-                except Exception:
-                    # e.g. INT96 timestamps: footer stats not extractable —
-                    # the file simply contributes no bounds (pruning stays
-                    # conservative, correctness unaffected)
-                    continue
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-                    except UnicodeDecodeError:
-                        pass
-                # NaN bounds are spec-undefined (nan_value_counts carries NaN
-                # info instead) — drop them rather than record unusable stats
-                if isinstance(mn, float) and mn != mn:
-                    mn = None
-                if isinstance(mx, float) and mx != mx:
-                    mx = None
-                if name not in lower or (mn is not None and lower[name] is not None and mn < lower[name]):
-                    lower[name] = mn
-                if name not in upper or (mx is not None and upper[name] is not None and mx > upper[name]):
-                    upper[name] = mx
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    pass
+            # NaN bounds are spec-undefined (nan_value_counts carries NaN
+            # info instead; legacy writers emit them) — the whole group's
+            # range is untrustworthy, so the column gets no file bound
+            if (isinstance(mn, float) and mn != mn) or (isinstance(mx, float) and mx != mx):
+                no_bounds.add(name)
+                continue
+            if name not in lower or mn < lower[name]:
+                lower[name] = mn
+            if name not in upper or mx > upper[name]:
+                upper[name] = mx
+    for name in no_bounds:
+        lower.pop(name, None)
+        upper.pop(name, None)
+    for name in no_nulls:
+        nulls.pop(name, None)
     return DataFile(
         schema_id=schema_id,
         file_path=path,

@@ -25,10 +25,36 @@ from dataclasses import dataclass, field
 
 @dataclass
 class ViewVersion:
+    """One view version holding ONE OR MORE SQL representations keyed by
+    dialect (reference: Vec<ViewRepresentation::Sql{sql, dialect}> per
+    version, view_metadata.rs:276-306). ``sql``/``dialect`` remain the
+    primary (default-dialect) representation for in-engine replay;
+    ``representations`` carries the full list for cross-engine portability."""
+
     version_id: int
     sql: str
     dialect: str = "spark"
     timestamp_ms: int = 0
+    representations: list = field(default_factory=list)  # [{"type","sql","dialect"}]
+
+    def __post_init__(self):
+        if not self.representations:
+            self.representations = [{"type": "sql", "sql": self.sql, "dialect": self.dialect}]
+
+    def sql_for(self, dialect: str) -> str | None:
+        """The SQL representation for ``dialect``, or None if not stored."""
+        for r in self.representations:
+            if r.get("type", "sql") == "sql" and r.get("dialect") == dialect:
+                return r["sql"]
+        return None
+
+    def with_representation(self, sql: str, dialect: str) -> "ViewVersion":
+        """Copy of this version with a representation for ``dialect`` added
+        or replaced (one representation per dialect per version, mirroring
+        the reference's uniqueness expectation)."""
+        reps = [r for r in self.representations if r.get("dialect") != dialect]
+        reps.append({"type": "sql", "sql": sql, "dialect": dialect})
+        return ViewVersion(self.version_id, self.sql, self.dialect, self.timestamp_ms, reps)
 
     def to_dict(self) -> dict:
         return {
@@ -36,11 +62,18 @@ class ViewVersion:
             "sql": self.sql,
             "dialect": self.dialect,
             "timestamp-ms": self.timestamp_ms,
+            "representations": list(self.representations),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViewVersion":
-        return cls(d["version-id"], d["sql"], d.get("dialect", "spark"), d.get("timestamp-ms", 0))
+        return cls(
+            d["version-id"],
+            d["sql"],
+            d.get("dialect", "spark"),
+            d.get("timestamp-ms", 0),
+            list(d.get("representations") or []),  # legacy JSON: synthesized in __post_init__
+        )
 
 
 @dataclass

@@ -143,3 +143,82 @@ def test_stats_roundtrip_through_avro(spark, tmp_path):
     f = ents[0].data_file
     assert f.nan_value_counts and f.split_offsets and f.distinct_counts
     assert f.sort_order_id == t.metadata.default_sort_order_id
+
+
+def test_not_isnan_keeps_null_rows(spark, tmp_path):
+    """ADVICE r3 (high): Spark's isnan(NULL) is FALSE, so NULL rows MATCH
+    `NOT isnan(col)`. A file holding only [NULL, NaN] values must NOT be
+    pruned — its null rows belong in the result."""
+    eng = Engine(spark, warehouse=str(tmp_path / "whn"))
+    nullable_sch = Schema(
+        0,
+        (
+            NestedField(1, "id", "long", True),
+            NestedField(2, "category", "string", True),
+            NestedField(3, "score", "double", False),  # nullable
+        ),
+    )
+    t = eng.create_table(
+        "test.nan_nulls", nullable_sch, partition_by=[("category", "identity")]
+    )
+    rows = (
+        [(1, "a", 1.0), (2, "a", 2.0)]
+        # category 'm': one NULL and one NaN — nan+null == value_count, but
+        # NOT every value is NaN, so the old nans+nulls>=total rule
+        # over-pruned this file and dropped the NULL row
+        + [(3, "m", None), (4, "m", float("nan"))]
+    )
+    t.append(spark.createDataFrame(rows, nullable_sch.spark_schema()))
+    got = sorted(r["id"] for r in t.scan("not isnan(score)").collect())
+    assert got == [1, 2, 3]  # NULL row 3 survives; NaN row 4 filtered
+    # an ALL-NaN file still prunes (nan_count == value_count)
+    t2 = eng.create_table("test.nan_only", SCH, partition_by=[("category", "identity")])
+    t2.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (5, "z", float("nan")), (6, "z", float("nan"))],
+            SCH.spark_schema(),
+        )
+    )
+    assert t2.count_planned_files("not isnan(score)") == 1
+
+
+def test_not_equal_keeps_nan_rows(spark, tmp_path):
+    """VERDICT r3 item 2: NaN != lit is TRUE, so a file whose finite values
+    are all exactly `lit` (lower == upper == lit) but which holds NaN rows
+    must not be pruned by `col != lit`."""
+    eng = Engine(spark, warehouse=str(tmp_path / "whne"))
+    t = eng.create_table("test.nan_ne", SCH, partition_by=[("category", "identity")])
+    rows = [(1, "c", 5.0), (2, "c", 5.0), (3, "c", float("nan")), (4, "a", 7.0)]
+    t.append(spark.createDataFrame(rows, SCH.spark_schema()))
+    got = sorted(r["id"] for r in t.scan("score != 5").collect())
+    assert got == [3, 4]  # NaN row 3 matches != under Spark semantics
+
+
+def test_rowgroup_stat_gaps_poison_file_bounds(tmp_path):
+    """VERDICT r3 item 3: if any row group lacks a trustworthy bound for a
+    column, the file must record NO bound for that column — merging group
+    B's finite bound while group A's stats were absent/NaN would claim a
+    range group A's rows may violate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_custom_spark.table.write import collect_datafile_stats
+
+    # row group 1: all-NaN doubles (parquet-cpp emits no usable min/max);
+    # row group 2: finite values — naive merge would record [1.0, 2.0]
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "category": pa.array(["x", "x", "x", "x"]),
+            "score": pa.array([float("nan"), float("nan"), 1.0, 2.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "gap.parquet")
+    pq.write_table(tbl, path, row_group_size=2)
+    meta = pq.ParquetFile(path).metadata
+    assert meta.num_row_groups == 2
+    df = collect_datafile_stats(path, SCH, {})
+    assert "score" not in df.lower_bounds and "score" not in df.upper_bounds
+    # clean columns keep exact merged bounds and null counts
+    assert df.lower_bounds["id"] == 1 and df.upper_bounds["id"] == 4
+    assert df.null_value_counts.get("id") == 0

@@ -698,8 +698,7 @@ def test_lsh_hot_bucket_cap(spark):
     # signature-pipeline job)
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
     with _pytest.warns(RuntimeWarning, match="bucket\\(s\\) larger than 10"):
-        rows = pairs.collect()
-        pairs._lsh_overflow_watcher.join(timeout=60)
+        rows = pairs.collect()  # warning fires synchronously on this thread
     assert rows == []  # the one degenerate bucket was dropped, not exploded
     m = pairs._lsh_overflow.first()
     assert m.n_dropped_buckets >= 1

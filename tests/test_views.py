@@ -248,3 +248,42 @@ def test_classify_join_view_shapes():
         classify_view_sql("SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k JOIN ns.c c ON b.j = c.j")
         is None
     )
+
+
+def test_multi_dialect_view_representations(engine, spark):
+    """VERDICT r3 item 8: a view version stores [{sql, dialect}] per the
+    reference's Vec<ViewRepresentation::Sql{sql, dialect}>
+    (view_metadata.rs:276-306); non-default dialects round-trip through the
+    persisted JSON and legacy single-sql metadata still loads."""
+    from iceberg_rust_custom_spark.views.view import ViewMetadata
+
+    t = engine.create_table("test.ordersd", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    spark_sql = "SELECT product_id, amount FROM test.ordersd WHERE product_id < 3"
+    engine.create_view("test.ordersd_v", spark_sql)
+    trino_sql = 'SELECT "product_id", "amount" FROM test.ordersd WHERE "product_id" < 3'
+    engine.add_view_representation("test.ordersd_v", trino_sql, "trino")
+
+    md = engine._load_view_metadata("test.ordersd_v")
+    cur = md.versions[md.current_version_id]
+    assert cur.sql_for("spark") == spark_sql
+    assert cur.sql_for("trino") == trino_sql
+    assert cur.sql_for("duckdb") is None
+    assert cur.sql == spark_sql  # primary representation unchanged
+    # replay still uses the spark dialect
+    assert engine.scan_view("test.ordersd_v").count() == 5
+    # JSON round-trip preserves the representation list exactly
+    md2 = ViewMetadata.from_json(md.to_json())
+    assert md2.versions[md.current_version_id].representations == cur.representations
+    # replacing a dialect keeps one representation per dialect
+    v2 = cur.with_representation("SELECT 1", "trino")
+    assert [r["sql"] for r in v2.representations if r["dialect"] == "trino"] == ["SELECT 1"]
+    # legacy metadata (no representations key) synthesizes the primary one
+    import json as _json
+
+    legacy = _json.loads(md.to_json())
+    for v in legacy["versions"]:
+        v.pop("representations", None)
+    md3 = ViewMetadata.from_json(_json.dumps(legacy))
+    lv = md3.versions[md3.current_version_id]
+    assert lv.representations == [{"type": "sql", "sql": spark_sql, "dialect": "spark"}]
