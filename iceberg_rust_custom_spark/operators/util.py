@@ -11,25 +11,21 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     compute-heavy operator). At real scale inputs already carry hundreds of
     partitions and this is a no-op — no extra shuffle.
 
-    The probe avoids ``df.rdd`` (VERDICT r2/r3: the Python RDD wrapper
-    materializes the physical plan AND sets up Python serialization on
-    every operator call):
+    The probe avoids ``df.rdd`` (VERDICT r2/r3): the Python RDD wrapper
+    materializes the physical plan AND sets up Python serializers on every
+    operator call. Instead it reads the JVM-side lazy
+    ``queryExecution.toRdd`` partition count — no Python RDD creation, and
+    the lazy val is shared with any later action on the same frame.
 
-    * file-backed plans (``inputFiles`` non-empty) return unchanged — the
-      session sets ``spark.sql.files.minPartitionNum`` so Spark itself
-      splits splittable formats (parquet/csv) to cluster parallelism; a
-      repartition here would only add a shuffle. (Non-splittable inputs
-      such as gzip CSV keep their file count; callers feeding those into
-      compute-heavy ops should repartition explicitly.)
-    * in-memory / shuffled plans probe the JVM-side lazy
-      ``queryExecution.toRdd`` partition count — no Python RDD creation,
-      and the lazy val is shared with any later action on the same frame.
+    File splitting alone can NOT replace this guard: a small parquet file
+    (one row group) is unsplittable below ``openCostInBytes``, so a 600 KB
+    documents file scans as ONE task no matter what
+    ``spark.sql.files.minPartitionNum`` says — the repartition is what
+    spreads the downstream compute.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:
-        if df.inputFiles():
-            return df
         n = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
         return df  # connect-mode or exotic plan: leave as-is
