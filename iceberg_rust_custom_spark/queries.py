@@ -1442,6 +1442,90 @@ def _cc_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     """
 
 
+def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    return f"""
+    WITH cand AS ({_lsh_oracle(num_hashes, bands)}),
+    sh2 AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh2 WHERE shingle <> '' GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh2 a ON a.doc_id = c.id_a
+      JOIN sh2 b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      WHERE a.shingle <> ''
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= {threshold}
+    """
+
+
+@q("lsh_verified_pairs", _lsh_verified_oracle(16, 8, 0.5))
+def lsh_verified_pairs(spark, sf_dir):
+    """Two-stage fuzzy dedup (the 100 TB production shape): LSH candidate
+    generation, then EXACT n-gram Jaccard computed only on the candidate
+    set — banding false positives removed, corpus never all-pairs joined."""
+    return D.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+def _incremental_minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN({affine_hash_sql('h0', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def banded(src: str, out_id: str) -> str:
+        selects = []
+        for b in range(bands):
+            cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+            sig = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            selects.append(f"SELECT doc_id AS {out_id}, {b} AS band_idx, {sig} AS band_sig FROM {src}")
+        return "\nUNION ALL\n".join(selects)
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {md5h32_sql('shingle')} AS h0 FROM sh WHERE shingle <> ''
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ), corpus_sig AS (
+      SELECT * FROM sig WHERE doc_id % 5 <> 0
+    ), new_sig AS (
+      SELECT * FROM sig WHERE doc_id % 5 = 0
+    ), nb AS (
+      {banded('new_sig', 'new_id')}
+    ), cb AS (
+      {banded('corpus_sig', 'corpus_id')}
+    )
+    SELECT DISTINCT nb.new_id, cb.corpus_id
+    FROM nb JOIN cb ON nb.band_idx = cb.band_idx AND nb.band_sig = cb.band_sig
+    """
+
+
+@q("incremental_minhash_dedup", _incremental_minhash_oracle(16, 8))
+def incremental_minhash_dedup(spark, sf_dir):
+    """Daily-ingest dedup: a new batch (doc_id % 5 = 0) checked against the
+    STORED signatures of the standing corpus (doc_id % 5 != 0) — the corpus
+    text is never re-read or re-hashed; only the (band, signature) buckets
+    that collide are joined. At 100 TB this is the difference between
+    O(|batch|) per ingest and a full-corpus re-signature."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_sigs = D.minhash_signature(
+        docs.where(F.col("doc_id") % 5 != 0), "doc_id", "text", num_hashes=16
+    )
+    return D.incremental_minhash_pairs(
+        corpus_sigs, docs.where(F.col("doc_id") % 5 == 0), "doc_id", "text", num_hashes=16, bands=8
+    )
+
+
 @q("fuzzy_dedup_clusters", _cc_oracle(16, 8))
 def fuzzy_dedup_clusters(spark, sf_dir):
     """End-to-end fuzzy dedup: LSH candidate pairs → connected components
@@ -1664,6 +1748,21 @@ def ivf_topk_approx(spark, sf_dir):
 @q("embedding_lsh_candidates")  # LSH bucketing: rows-only check
 def embedding_lsh_candidates(spark, sf_dir):
     return S.cosine_lsh_candidates(_t(spark, sf_dir, "embeddings"), n_planes=16, bands=4, dim=64)
+
+
+@q("semantic_dedup")  # k-means cells bound the search: rows-only check, like IVF
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: k-means-partition the
+    embedding space, near-dup pairs only within cells (O(N²/k) quadratic
+    work), connected components → (id, cluster_id, is_canonical)."""
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        n_centroids=16,
+        iterations=2,
+    )
 
 
 # =========================================================================

@@ -885,3 +885,80 @@ def test_cms_sketch_merge_and_bounds(spark, docs):
     for t, n in exact.items():
         assert est[t] >= n  # CMS never underestimates
         assert est[t] - n <= total * (4 / 256)  # within the ε·N guarantee
+
+
+def test_lsh_verified_pairs_precision(spark):
+    """Two-stage fuzzy dedup: every emitted pair carries its TRUE n-gram
+    Jaccard ≥ threshold (banding false positives removed); a real near-dup
+    pair survives both stages."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely different text about database storage engines"),
+            (4, "yet another unrelated document mentioning spark and parquet"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = D.lsh_verified_pairs(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    assert (1, 2) in rows
+    assert all(j >= 0.5 for j in rows.values())
+    # exact stage agrees with ngram_jaccard_pairs on the shared pair
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert rows[(1, 2)] == exact[(1, 2)]
+
+
+def test_incremental_minhash_pairs(spark):
+    """New batch deduped against stored corpus signatures: a batch doc that
+    duplicates a corpus doc is flagged; a fresh doc is not. The corpus text
+    never re-read — only its signature table."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different text about database storage engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "entirely novel content never seen before in the corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signature(corpus, "doc_id", "text", num_hashes=16)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in D.incremental_minhash_pairs(sigs, batch, "doc_id", "text", 16, 8).collect()
+    }
+    assert (100, 1) in got
+    assert not any(n == 101 for n, _ in got)
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark):
+    """Planted exact-duplicate embeddings collapse to one canonical row even
+    though the search ran only within k-means cells."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    rows.append((1000, list(rows[5][1])))  # exact duplicate of id 5
+    rows.append((1001, [x * 1.001 for x in rows[5][1]]))  # near-duplicate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cluster_id, r.is_canonical) for r in S.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.999, n_centroids=4, iterations=2
+    ).collect()}
+    assert len(got) == 62  # every row labeled
+    assert got[5] == (5, True)
+    assert got[1000] == (5, False)
+    assert got[1001] == (5, False)
+    # an arbitrary non-duplicate stays its own canonical cluster
+    assert got[7] == (7, True)
