@@ -962,3 +962,45 @@ def test_semantic_dedup_collapses_planted_duplicates(spark):
     assert got[1001] == (5, False)
     # an arbitrary non-duplicate stays its own canonical cluster
     assert got[7] == (7, True)
+
+
+def test_incremental_dedup_pipeline_over_iceberg(spark, tmp_path, sf_dir):
+    """End-to-end daily-ingest shape: documents and their MinHash signatures
+    live in Iceberg tables; each new batch is read via snapshot-range
+    incremental scan, checked against the STORED signature table (corpus
+    text never re-read), and its own signatures appended back — signatures
+    are computed once per document EVER."""
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.metadata.schema import Schema
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0).limit(20)
+    dup_src = base.limit(2).collect()  # two corpus docs duplicated into the batch
+    dup_rows = [(r["doc_id"] + 1_000_000, r["text"]) for r in dup_src]
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t_docs = eng.create_table("ing.docs", Schema.from_spark(docs.schema))
+    t_docs.append(base)
+    seq0 = t_docs.metadata.last_sequence_number
+
+    sigs0 = D.minhash_signature(t_docs.scan(), "doc_id", "text", num_hashes=16)
+    t_sigs = eng.create_table("ing.sigs", Schema.from_spark(sigs0.schema))
+    t_sigs.append(sigs0)
+
+    # day 2: new batch lands in the docs table
+    t_docs.append(spark.createDataFrame(batch.collect() + dup_rows, docs.schema))
+
+    # incremental scan yields ONLY the new batch
+    new_docs = t_docs.incremental_scan(seq0)
+    assert new_docs.count() == 20 + len(dup_rows)
+
+    hits = D.incremental_minhash_pairs(
+        t_sigs.scan(), new_docs, "doc_id", "text", num_hashes=16, bands=8
+    )
+    got = {(r.new_id, r.corpus_id) for r in hits.collect()}
+    for src in dup_src:
+        assert (src["doc_id"] + 1_000_000, src["doc_id"]) in got
+    # the batch's signatures append back for the next ingest
+    t_sigs.append(D.minhash_signature(new_docs, "doc_id", "text", num_hashes=16))
+    assert t_sigs.scan().count() == sigs0.count() + 20 + len(dup_rows)
