@@ -52,6 +52,9 @@ HEADLINE = [
     "line_level_dedup",
     "minhash_lsh_pairs",
     "fuzzy_dedup_clusters",
+    "lsh_verified_pairs",
+    "incremental_minhash_dedup",
+    "semantic_dedup",
     "gopher_repetition_signals",
     "simhash_fingerprints",
     "tfidf_top_terms",
