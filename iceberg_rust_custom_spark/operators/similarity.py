@@ -166,6 +166,10 @@ def kmeans_centroids(
     # scan/normalize once, reuse per round; spread the BLAS work when the
     # source arrives under-partitioned (single small parquet file)
     cached = ensure_min_parallelism(c.select("nv")).persist()
+    try:
+        n_parts = cached._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n_parts = 0
     for _ in range(iterations):
         C = np.asarray([v for _, v in cent_rows], dtype=np.float64)
 
@@ -190,9 +194,42 @@ def kmeans_centroids(
                 {"ci": nz, "sv": list(sums[nz]), "n": cnts[nz]}
             )
 
-        partials = cached.mapInPandas(
-            partial_sums, "ci int, sv array<double>, n long"
-        ).collect()
+        partials_df = cached.mapInPandas(partial_sums, "ci int, sv array<double>, n long")
+        if n_parts > 256:
+            # treeAggregate depth-2: on very wide clusters the driver would
+            # otherwise collect k rows PER PARTITION (k × 10^4 × dim doubles
+            # at production scale). One tiny shuffle of the k×P partial rows
+            # into ≤64 groups, combined executor-side, bounds the collect
+            # at k×64 rows regardless of cluster width.
+            def combine(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                acc_s: dict = {}
+                acc_n: dict = {}
+                for pdf in batches:
+                    for ci, sv, n0 in zip(pdf["ci"], pdf["sv"], pdf["n"]):
+                        v = _np.asarray(sv)
+                        if ci in acc_s:
+                            acc_s[ci] = acc_s[ci] + v
+                            acc_n[ci] += int(n0)
+                        else:
+                            acc_s[ci] = v
+                            acc_n[ci] = int(n0)
+                if acc_s:  # empty partitions yield nothing (an empty frame's
+                    # sv column would default to float64 dtype → Arrow error)
+                    yield _pd.DataFrame(
+                        {
+                            "ci": [int(ci) for ci in acc_s],
+                            "sv": [acc_s[ci].tolist() for ci in acc_s],
+                            "n": [acc_n[ci] for ci in acc_s],
+                        }
+                    )
+
+            partials_df = partials_df.repartition(64, "ci").mapInPandas(
+                combine, "ci int, sv array<double>, n long"
+            )
+        partials = partials_df.collect()
         acc: dict = {}
         for r in partials:
             s, n0 = acc.get(r["ci"], (None, 0))

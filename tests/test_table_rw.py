@@ -554,3 +554,9 @@ def test_distributed_planning_matches_driver_walk(spark, tmp_path, sf_dir):
     full = len(plan_files(t.metadata, snap, None))
     pruned = len(plan_files(t.metadata, snap, parse_predicate(preds[1])))
     assert 0 < pruned < full
+    # float upper-bound pruning must fire in BOTH paths (ADVICE r3: the
+    # distributed decode dropped nan_value_counts, leaving nan_possible
+    # unknown and disabling every >/>= prune on float columns)
+    expr = parse_predicate("o_totalprice > 999999999.0")
+    assert plan_files(t.metadata, snap, expr) == []
+    assert plan_files_distributed(spark, t.metadata, snap, expr) == []
