@@ -60,17 +60,18 @@ def line_dedup(
     each document's surviving lines in their original order. Documents that
     lose every line are dropped. Returns ``(id, out_col, n_lines_kept)``.
 
-    Scale shape: one shuffle keyed by the line text (the winner-per-line
-    window; Spark plans a single window Exchange — at 100 TB the key is the
-    raw line, whose fan-out is bounded by line frequency, and hot lines like
-    boilerplate headers concentrate on one key but only need the top-1 row,
-    which the window's running row_number discards early), then one shuffle
-    keyed by doc id for reassembly (collect_list + array_sort keeps the
-    in-doc order deterministic without relying on collect order). No UDFs —
-    split/posexplode/array_join stay in codegen.
+    Scale shape: one hash-aggregate keyed by the line text — the winner is
+    a struct MIN, so the partial (map-side) aggregation collapses every
+    partition's occurrences of a line to ONE candidate row before the
+    shuffle. This matters precisely on the data the operator targets: a
+    boilerplate line repeated 10^8 times across a 100 TB corpus shuffles
+    once per map partition, not once per occurrence (a row_number window
+    keyed by line — the r3 shape — moved every duplicate to a single
+    reducer). Then one shuffle keyed by doc id for reassembly
+    (collect_list + array_sort keeps the in-doc order deterministic without
+    relying on collect order). No UDFs — split/posexplode/array_join stay
+    in codegen.
     """
-    from pyspark.sql import Window
-
     lines = (
         ensure_min_parallelism(df)
         .select(
@@ -80,8 +81,12 @@ def line_dedup(
         .withColumn("line", F.trim("line"))
         .where(F.col("line") != "")
     )
-    w = Window.partitionBy("line").orderBy(id_col, "pos")
-    kept = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # struct min = lexicographic (id, pos): the globally-first occurrence
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col), F.col("_w.pos").alias("pos"), "line")
+    )
     return (
         kept.groupBy(id_col)
         .agg(

@@ -55,11 +55,32 @@ def cosine_topk(
         id_col,
         F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return _grouped_topk(scored, query_id_col, id_col, k)
+
+
+def _grouped_topk(scored: DataFrame, group_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact top-k per group over a corpus-sized input, skew-proof.
+
+    A single row_number window partitioned by the group key funnels the
+    WHOLE corpus into |groups| reducers — with a handful of queries that is
+    a handful of tasks doing all the work. Two levels fix the parallelism
+    without changing results: a salted pre-window keeps (group, salt)
+    granularity (|groups|×S parallel reducers, each emitting ≤ k rows),
+    then the exact window runs on the ≤ |groups|×S×k survivors. The global
+    top-k is always contained in the union of salted top-ks. Everything
+    stays in whole-stage codegen; ordering (cosine desc, id asc) and
+    therefore output is identical to the single-window plan."""
+    S = 64
+    salt = (F.crc32(F.encode(F.col(id_col).cast("string"), "utf-8")) % S).cast("int")
+    w1 = Window.partitionBy(group_col, "_s").orderBy(F.desc("cosine"), F.col(id_col))
+    w2 = Window.partitionBy(group_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("_s", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(group_col, id_col, "cosine", "rank")
     )
 
 
@@ -145,13 +166,16 @@ def kmeans_centroids(
     )
     bucket = (F.crc32(F.encode(F.col("_id").cast("string"), "utf-8")) % n_centroids).cast("int")
     hsh = F.crc32(F.encode(F.concat(F.lit("seed:"), F.col("_id").cast("string")), "utf-8"))
-    w = Window.partitionBy("_b").orderBy(F.col("_h"), F.col("_id"))
+    # min_by with map-side partial aggregation: only k×num_partitions rows
+    # shuffle. (A row_number window partitioned by _b would shuffle the WHOLE
+    # corpus into k partitions — guaranteed skew at scale.) The (hash, id)
+    # struct ordering picks the same winner the old window orderBy did.
     cents = (
         c.withColumn("_b", bucket)
         .withColumn("_h", hsh)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col("_b").alias("centroid_id"), F.col("nv").alias("centv"))
+        .groupBy("_b")
+        .agg(F.min_by("nv", F.struct("_h", "_id")).alias("centv"))
+        .select(F.col("_b").alias("centroid_id"), "centv")
     )
     spark = corpus.sparkSession
     if max(0, iterations) == 0:
@@ -269,13 +293,22 @@ def ivf_topk(
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")).withColumn(
         "cnorm", _norm(F.col("cv"))
     )
-    # assign each vector to its nearest centroid (broadcast the centroids)
+    # assign each vector to its nearest centroid (broadcast the centroids).
+    # max_by with map-side partial aggregation: each partition reduces its
+    # N_part×k probe rows to N_part before the shuffle — a row_number
+    # window here would shuffle all N×k rows (each carrying the vector).
+    # Ordering struct (d, -centroid_id): nearest first, lowest id on ties.
     assigned = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("d", _dot(F.col("cv"), F.col("centv")) / (F.col("cnorm") * _norm(F.col("centv"))))
-        .withColumn("rn", F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("d"), F.col("centroid_id"))))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cv", "cnorm", "centroid_id")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("cv", "cnorm", "centroid_id"),
+                F.struct(F.col("d"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("_w")
+        )
+        .select(id_col, "_w.cv", "_w.cnorm", "_w.centroid_id")
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")).withColumn(
         "qnorm", _norm(F.col("qv"))
@@ -293,8 +326,7 @@ def ivf_topk(
         id_col,
         F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _grouped_topk(scored, query_id_col, id_col, k)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
