@@ -84,6 +84,11 @@ def _grouped_topk(scored: DataFrame, group_col: str, id_col: str, k: int) -> Dat
     )
 
 
+# literal-expression signature tier cap: n_planes × dim cells beyond this
+# switch cosine_lsh_candidates to the closure-matrix BLAS tier
+MAX_LITERAL_PLANE_CELLS = 16384
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from an LCG
     (reproducible in any engine; no numpy RNG state)."""
@@ -109,14 +114,50 @@ def cosine_lsh_candidates(
     on_overflow: str = "warn",
 ) -> DataFrame:
     """Near-dup candidate pairs via random-hyperplane LSH: join keyed by
-    (band_idx, band_signature) — never all-pairs."""
+    (band_idx, band_signature) — never all-pairs.
+
+    Signature tiers (same bits either way — the planes are a shared
+    deterministic LCG): literal-array codegen expressions up to
+    ``n_planes × dim ≤ 16384`` plan literals; above that (production
+    embedding dims 1536-4096) one mapInPandas pass with the plane matrix
+    in the task closure — a single BLAS matmul per Arrow batch instead of
+    a megabyte-scale expression tree."""
     planes = random_hyperplanes(dim, n_planes)
     v = F.col(vec_col).cast("array<double>")
-    sign_bits = []
-    for p_idx, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        sign_bits.append(F.when(_dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p_idx}"))
-    sig = ensure_min_parallelism(corpus).select(F.col(id_col), *sign_bits)
+    if n_planes * dim <= MAX_LITERAL_PLANE_CELLS:
+        sign_bits = []
+        for p_idx, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            sign_bits.append(
+                F.when(_dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p_idx}")
+            )
+        sig = ensure_min_parallelism(corpus).select(F.col(id_col), *sign_bits)
+    else:
+        import numpy as np
+
+        P = np.asarray(planes, dtype=np.float64)
+        id_field = corpus.schema[id_col].dataType.simpleString()
+        out_ddl = f"{id_col} {id_field}, " + ", ".join(f"b{i} string" for i in range(n_planes))
+
+        def sign(batches, _P=P):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.stack(pdf["_v"].to_numpy())
+                bits = (X @ _P.T) >= 0  # rows × planes
+                out = {id_col: pdf["_id"]}
+                for i in range(_P.shape[0]):
+                    out[f"b{i}"] = _np.where(bits[:, i], "1", "0")
+                yield _pd.DataFrame(out)
+
+        sig = (
+            ensure_min_parallelism(corpus)
+            .select(F.col(id_col).alias("_id"), v.alias("_v"))
+            .mapInPandas(sign, out_ddl)
+        )
     rows_per_band = n_planes // bands
     band_structs = []
     for b in range(bands):

@@ -1004,3 +1004,25 @@ def test_incremental_dedup_pipeline_over_iceberg(spark, tmp_path, sf_dir):
     # the batch's signatures append back for the next ingest
     t_sigs.append(D.minhash_signature(new_docs, "doc_id", "text", num_hashes=16))
     assert t_sigs.scan().count() == sigs0.count() + 20 + len(dup_rows)
+
+
+def test_cosine_lsh_signature_tiers_identical(emb):
+    """The literal-expression and closure-matrix BLAS signature tiers must
+    produce identical candidate pairs (the hyperplanes are a shared
+    deterministic LCG; only the evaluation strategy differs)."""
+    import unittest.mock as mock
+
+    a = sorted(
+        (r.id_a, r.id_b)
+        for r in S.cosine_lsh_candidates(
+            emb, n_planes=16, bands=4, dim=64, on_overflow="lazy"
+        ).collect()
+    )
+    with mock.patch.object(S, "MAX_LITERAL_PLANE_CELLS", 0):  # force BLAS tier
+        b = sorted(
+            (r.id_a, r.id_b)
+            for r in S.cosine_lsh_candidates(
+                emb, n_planes=16, bands=4, dim=64, on_overflow="lazy"
+            ).collect()
+        )
+    assert a == b and a
