@@ -395,23 +395,46 @@ def random_projection(
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project each vector
     onto ``out_dim`` fixed pseudo-random ±1 directions (deterministic seed →
-    reproducible across runs/executors). Broadcast-free: the projection
-    matrix is baked into the plan as literals; each output component is one
-    codegen'd aggregate over the array — no shuffle, no UDF."""
+    reproducible across runs/executors). Two tiers sharing the same
+    projection matrix: up to ``out_dim × dim ≤ MAX_LITERAL_PLANE_CELLS``
+    the matrix is baked into the plan as literals (no shuffle, no UDF, all
+    codegen); above that — production dims — it ships in the task closure
+    and one BLAS matmul per Arrow batch produces identical components."""
     import random as _random
 
     rng = _random.Random(seed)
     planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(out_dim)]
     inv = 1.0 / (out_dim ** 0.5)
-    comps = []
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(w) for w in plane])
-        comps.append(
-            (F.aggregate(F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-                         F.lit(0.0), lambda acc, x: acc + x) * inv).alias(f"p_{j}")
-        )
-    out = df.select(F.col(id_col), F.array(*[c for c in comps]).alias("projected"))
-    return out
+    if out_dim * dim <= MAX_LITERAL_PLANE_CELLS:
+        comps = []
+        for j, plane in enumerate(planes):
+            arr = F.array(*[F.lit(w) for w in plane])
+            comps.append(
+                (F.aggregate(F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+                             F.lit(0.0), lambda acc, x: acc + x) * inv).alias(f"p_{j}")
+            )
+        return df.select(F.col(id_col), F.array(*[c for c in comps]).alias("projected"))
+
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def project(batches, _P=P, _inv=inv):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["_v"].to_numpy())
+            Y = (X @ _P.T) * _inv
+            yield _pd.DataFrame({id_col: pdf["_id"], "projected": list(Y)})
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(project, f"{id_col} {id_field}, projected array<double>")
+    )
 
 
 def semantic_dedup(

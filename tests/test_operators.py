@@ -1026,3 +1026,16 @@ def test_cosine_lsh_signature_tiers_identical(emb):
             ).collect()
         )
     assert a == b and a
+
+
+def test_random_projection_tiers_identical(emb):
+    """Literal-matrix and BLAS JL projection tiers agree to float tolerance."""
+    import unittest.mock as mock
+
+    a = {r.vec_id: r.projected for r in S.random_projection(emb, 8, dim=64).collect()}
+    with mock.patch.object(S, "MAX_LITERAL_PLANE_CELLS", 0):
+        b = {r.vec_id: r.projected for r in S.random_projection(emb, 8, dim=64).collect()}
+    assert a.keys() == b.keys() and a
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert abs(x - y) < 1e-9
