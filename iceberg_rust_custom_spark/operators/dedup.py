@@ -102,10 +102,10 @@ def line_dedup(
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows: distinct word n-grams per document. Built from
-    slice/concat_ws over the token array — no UDF."""
-    toks = tokens(F.lower(F.col(text_col)))
+def shingle_array(text_col, n: int = 3):
+    """Column expression: distinct word n-grams of a text column as an
+    array (no explode — usable per-row, e.g. in streaming maps)."""
+    toks = tokens(F.lower(text_col if not isinstance(text_col, str) else F.col(text_col)))
     # guard: Spark's sequence(1, 0) would DESCEND; docs with < n tokens get
     # an empty shingle set (same as the oracle's generate_series(1, 0) = [])
     sh = F.when(
@@ -115,10 +115,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.filter(F.array_distinct(sh), lambda s: s != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams per document. Built from
+    slice/concat_ws over the token array — no UDF."""
     return (
         ensure_min_parallelism(df)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.col("shingle") != "")
+        .select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle"))
     )
 
 
@@ -144,6 +149,34 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
     )
+
+
+def minhash_signature_columns(text_col, num_hashes: int = 16, shingle_n: int = 3) -> list:
+    """Per-ROW MinHash signature expressions — ``mh_i = MIN over shingles
+    of affine_i(md5h32(shingle))`` computed entirely inside one row's array
+    (no explode, no groupBy). Value-identical to :func:`minhash_signature`
+    (same shingle set, same hash family; asserted in tests), but usable as
+    a stateless map — which is what a STREAMING near-dup pipeline needs
+    (a streaming groupBy(id) aggregate would drag in watermark/output-mode
+    state for what is logically a per-row computation). Docs with no
+    shingles yield NULL mh_0 (the batch pipeline emits no row for them —
+    filter ``mh_0 IS NOT NULL`` for parity)."""
+    from iceberg_rust_custom_spark.functions.hashing import MERSENNE_31, minhash_params
+
+    sh = shingle_array(text_col, shingle_n)
+    # single-md5 fast form, Column-spelled (value-identical to md5h32_spark_sql)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    def _affine(a: int, b: int):
+        # closure factory: default-arg binding would change the lambda's
+        # arity as seen by PySpark's higher-order-function introspection
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
+
+    cols = []
+    for i, (a, b) in enumerate(minhash_params(num_hashes)):
+        cols.append(F.array_min(F.transform(hashes, _affine(a, b))).alias(f"mh_{i}"))
+    return cols
 
 
 def minhash_signature(

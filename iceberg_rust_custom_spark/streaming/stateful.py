@@ -76,3 +76,78 @@ def running_aggregate_stream(events: DataFrame, key_col: str, value_col: str) ->
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def neardup_stream(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: emits candidate
+    ``(id_a, id_b)`` pairs AS DOCUMENTS ARRIVE — each incoming doc is
+    checked against every earlier doc sharing an LSH band bucket, without
+    ever re-reading the history (its signatures live in the state store).
+    The streaming twin of the batch
+    ``operators.dedup.minhash_lsh_pairs`` / ``incremental_minhash_pairs``.
+
+    Shape: signatures are per-row array expressions
+    (``minhash_signature_columns`` — no shuffle, no aggregate, so the
+    stream needs no watermark for this stage), banded and exploded, then
+    ``applyInPandasWithState`` keyed by (band_idx, band_signature) — the
+    bucket id — with state = the bucket's member ids, capped at
+    ``max_bucket`` (overflow members are dropped from state, mirroring the
+    batch hot-bucket cap). Bucket keys are high-cardinality, so state
+    spreads across executors.
+
+    A pair that collides in several bands (or re-arrives) is emitted once
+    per collision — downstream consumers dedupe with ``.dropDuplicates()``
+    per sink batch, mirroring the batch operator's ``.distinct()``."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.operators.dedup import minhash_signature_columns
+
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"), *minhash_signature_columns(F.col(text_col), num_hashes, shingle_n)
+    ).where(F.col("mh_0").isNotNull())
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("_", *cols).alias("band_sig"))
+        )
+    stacked = sig.select("_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "_id", "bs.band_idx", "bs.band_sig"
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (stored,) = state.get if state.exists else ([],)
+        stored = list(stored)
+        new = sorted({int(x) for pdf in pdfs for x in pdf["_id"]} - set(stored))
+        pairs = []
+        for nid in new:
+            for sid in stored:
+                lo, hi = (sid, nid) if sid < nid else (nid, sid)
+                pairs.append((lo, hi))
+        for i, nid in enumerate(new):
+            for mid in new[i + 1 :]:
+                pairs.append((nid, mid))
+        if len(stored) < max_bucket:
+            stored = (stored + new)[:max_bucket]
+        state.update((stored,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    return stacked.groupBy("band_idx", "band_sig").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

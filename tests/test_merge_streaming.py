@@ -158,3 +158,66 @@ def test_stream_upsert_to_table(eng, spark, tmp_path):
     got = {r.id: r.v for r in eng.load_table("ns.su").scan().collect()}
     assert got[5] == 55.0 and got[20] == 20.0 and got[0] == 0.0
     assert len(got) == 11
+
+
+def test_minhash_signature_columns_match_batch(spark):
+    """The per-row signature expressions must equal the explode+groupBy
+    batch pipeline value-for-value (same shingles, same hash family)."""
+    from iceberg_rust_custom_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    batch = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+             for r in D.minhash_signature(docs, "doc_id", "text", 8).collect()}
+    rowwise = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+               for r in docs.select("doc_id", *D.minhash_signature_columns(F.col("text"), 8))
+               .where(F.col("mh_0").isNotNull()).collect()}
+    assert batch == rowwise and batch
+
+
+def test_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup detection == batch minhash_lsh_pairs
+    (as a pair SET; the stream emits per band collision, downstream
+    dropDuplicates mirrors the batch .distinct())."""
+    from iceberg_rust_custom_spark.operators import dedup as D
+    from iceberg_rust_custom_spark.streaming.stateful import neardup_stream
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different text about database storage engines"),
+    ]
+    rows2 = [
+        (3, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (4, "unrelated content mentioning spark parquet and arrow formats"),
+        (5, "completely different text about database storage engines"),  # dup of 2
+    ]
+    src_dir = tmp_path / "nd_src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    out = neardup_stream(stream, "doc_id", "text", num_hashes=16, bands=8)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.id_a, r.id_b) for r in spark.sql("SELECT * FROM neardup_out").collect()}
+    batch = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(batch, "doc_id", "text", 16, 8, on_overflow="lazy").collect()
+    }
+    assert got == want
+    assert (1, 3) in got and (2, 5) in got
