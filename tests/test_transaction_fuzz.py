@@ -1,0 +1,92 @@
+"""Randomized transaction-sequence property test: a table driven through a
+random mix of appends, copy-on-write and merge-on-read deletes/updates,
+upserts, compactions and snapshot expiry must always scan equal to a plain
+in-memory model of the same operations. This is the reference's
+transaction-correctness surface (table/transaction/: Append/Rewrite +
+commit protocol) exercised as one stateful invariant instead of per-op
+examples."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+from iceberg_rust_custom_spark.table.maintenance import (
+    compact,
+    delete_where,
+    expire_snapshots,
+    merge_upsert,
+    update_where,
+)
+
+SCH = Schema(
+    0,
+    (
+        NestedField(1, "id", "long", True),
+        NestedField(2, "k", "int", True),
+        NestedField(3, "v", "int", True),
+    ),
+)
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 5), st.integers(0, 3)),
+    st.tuples(st.just("delete"), st.integers(0, 3), st.sampled_from(["cow", "mor"])),
+    st.tuples(st.just("update"), st.integers(0, 3), st.sampled_from(["cow", "mor"])),
+    st.tuples(st.just("upsert"), st.integers(0, 3), st.integers(0, 99)),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("expire")),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op, min_size=3, max_size=8))
+def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    eng = Engine(spark, warehouse=str(tmp / "wh"))
+    t = eng.create_table("fz.t", SCH)
+    model: dict[int, tuple[int, int]] = {}  # id -> (k, v)
+    next_id = 0
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            _, n, k = op
+            rows = [(next_id + i, k, (next_id + i) * 10) for i in range(n)]
+            next_id += n
+            t.append(spark.createDataFrame(rows, SCH.spark_schema()))
+            for i, kk, vv in rows:
+                model[i] = (kk, vv)
+        elif kind == "delete":
+            _, k, mode = op
+            t = delete_where(t, f"k = {k}", mode=mode)
+            model = {i: kv for i, kv in model.items() if kv[0] != k}
+        elif kind == "update":
+            _, k, mode = op
+            t = update_where(t, {"v": F.col("v") + 1}, f"k = {k}", mode=mode)
+            model = {i: (kk, vv + 1 if kk == k else vv) for i, (kk, vv) in model.items()}
+        elif kind == "upsert":
+            _, k, v = op
+            # upsert half the ids currently in group k (update) + one new id (insert)
+            ids = sorted(i for i, (kk, _) in model.items() if kk == k)[:2]
+            src_rows = [(i, k, v) for i in ids] + [(next_id, k, v)]
+            for i, kk, vv in src_rows:
+                model[i] = (kk, vv)
+            next_id += 1
+            t = merge_upsert(t, spark.createDataFrame(src_rows, SCH.spark_schema()), ["id"])
+        elif kind == "compact":
+            t = compact(t)
+        elif kind == "expire":
+            t = expire_snapshots(t, keep_last=1)
+
+        got = {(r.id, r.k, r.v) for r in t.scan().collect()}
+        want = {(i, kk, vv) for i, (kk, vv) in model.items()}
+        assert got == want, (op, ops)
+
+    eng.drop("fz.t")
