@@ -18,10 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def dedup_stream(events: DataFrame, key_col: str, id_col: str) -> DataFrame:
+def dedup_stream(
+    events: DataFrame, key_col: str, id_col: str, state_ttl_minutes: int | None = None
+) -> DataFrame:
     """Exactly-once-per-id pass-through: drops rows whose ``id_col`` was
     already seen for this ``key_col`` group. State = the per-group set of
-    seen ids (bounded by ProcessingTimeTimeout in production configs).
+    seen ids.
+
+    ``state_ttl_minutes`` bounds state for unbounded runs: a group idle
+    that long is evicted (ProcessingTimeTimeout) — ids older than the TTL
+    can then repeat, the standard dedup-window trade. Without it state
+    grows with distinct keys forever.
 
     Batch oracle: ``df.dropDuplicates([id_col])`` over the same input —
     that's exactly what tests assert.
@@ -31,6 +38,9 @@ def dedup_stream(events: DataFrame, key_col: str, id_col: str) -> DataFrame:
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         (seen,) = state.get if state.exists else ([],)
         seen_set = set(seen)
         for pdf in pdfs:
@@ -41,13 +51,19 @@ def dedup_stream(events: DataFrame, key_col: str, id_col: str) -> DataFrame:
             if len(fresh):
                 yield fresh
         state.update((list(seen_set),))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="seen array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -86,6 +102,7 @@ def neardup_stream(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection: emits candidate
     ``(id_a, id_b)`` pairs AS DOCUMENTS ARRIVE — each incoming doc is
@@ -101,7 +118,9 @@ def neardup_stream(
     bucket id — with state = the bucket's member ids, capped at
     ``max_bucket`` (overflow members are dropped from state, mirroring the
     batch hot-bucket cap). Bucket keys are high-cardinality, so state
-    spreads across executors.
+    spreads across executors; ``state_ttl_minutes`` evicts buckets idle
+    that long (ProcessingTimeTimeout) so unbounded runs hold a sliding
+    near-dup window instead of the whole corpus history.
 
     A pair that collides in several bands (or re-arrives) is emitted once
     per collision — downstream consumers dedupe with ``.dropDuplicates()``
@@ -127,6 +146,9 @@ def neardup_stream(
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         (stored,) = state.get if state.exists else ([],)
         stored = list(stored)
         new = sorted({int(x) for pdf in pdfs for x in pdf["_id"]} - set(stored))
@@ -141,6 +163,8 @@ def neardup_stream(
         if len(stored) < max_bucket:
             stored = (stored + new)[:max_bucket]
         state.update((stored,))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
@@ -149,5 +173,9 @@ def neardup_stream(
         outputStructType="id_a long, id_b long",
         stateStructType="ids array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
