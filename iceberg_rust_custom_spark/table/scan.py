@@ -416,7 +416,17 @@ def scan_to_dataframe(
     # and one entry cache means each manifest is deserialized at most once
     ml_rows = read_manifest_list(snapshot.manifest_list) if snapshot is not None else []
     entry_cache: dict = {}
-    if snapshot_live_file_count(snapshot, ml_rows) > DISTRIBUTED_PLANNING_THRESHOLD:
+    # read.planning-mode: auto (default; route by live-file count), or pin
+    # driver / distributed — metadata-heavy tables under the threshold can
+    # still opt into the mapInPandas planner, and latency-critical readers
+    # of huge tables with selective manifest pruning can pin the driver walk
+    mode = metadata.properties.get("read.planning-mode", "auto")
+    distributed = (
+        mode == "distributed"
+        if mode in ("driver", "distributed")
+        else snapshot_live_file_count(snapshot, ml_rows) > DISTRIBUTED_PLANNING_THRESHOLD
+    )
+    if distributed:
         files = plan_files_distributed(spark, metadata, snapshot, predicate, ml_rows=ml_rows)
     else:
         files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows, entry_cache=entry_cache)

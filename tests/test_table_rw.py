@@ -560,3 +560,20 @@ def test_distributed_planning_matches_driver_walk(spark, tmp_path, sf_dir):
     expr = parse_predicate("o_totalprice > 999999999.0")
     assert plan_files(t.metadata, snap, expr) == []
     assert plan_files_distributed(spark, t.metadata, snap, expr) == []
+
+
+def test_planning_mode_property(spark, tmp_path):
+    """read.planning-mode pins the planner: 'distributed' routes a tiny
+    table through plan_files_distributed (same result set as the driver
+    walk); 'driver'/'auto' keep the driver path."""
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    sch = Schema(0, (NestedField(1, "id", "long", True),))
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t = eng.create_table(
+        "pm.t", sch, properties={"read.planning-mode": "distributed"}
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(10)], sch.spark_schema()))
+    assert sorted(r.id for r in t.scan().collect()) == list(range(10))
+    assert t.scan("id >= 5").count() == 5
