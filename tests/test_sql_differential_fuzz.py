@@ -93,3 +93,66 @@ def test_generated_sql_matches_duckdb(engines, q):
     got = sorted(tuple(r) for r in spark.sql(q).collect())
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want, q
+
+
+# --------------------------------------------------------------------------
+# Same idea aimed at the ICEBERG scan/pruning stack: random predicates
+# against an engine-written month-partitioned table must return exactly
+# DuckDB's answer over the source parquet. Every predicate exercises
+# manifest-level FieldSummary pruning + file-level stats pruning + the
+# residual Spark filter; wrong-answer pruning bugs (the r3 NaN class) live
+# exactly here.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iceberg_orders(spark, tmp_path_factory):
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.metadata.schema import Schema
+
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    eng = Engine(spark, warehouse=str(tmp_path_factory.mktemp("fuzzwh")))
+    t = eng.create_table(
+        "fz.orders", Schema.from_spark(src.schema), partition_by=[("o_orderdate", "month")]
+    )
+    # three appends → several manifests/files, so pruning has real fan-out
+    t.append(src.where("o_orderkey % 3 = 0"))
+    t.append(src.where("o_orderkey % 3 = 1"))
+    t.append(src.where("o_orderkey % 3 = 2"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    return t, con
+
+
+_ts = st.sampled_from(
+    ["1995-01-01", "1996-06-15", "1997-03-01", "1997-11-30", "1998-08-01"]
+)
+
+
+@st.composite
+def _scan_predicate(draw):
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        return f"o_orderdate {draw(_cmp)} TIMESTAMP '{draw(_ts)} 00:00:00'"
+    if kind == 1:
+        return f"o_orderkey {draw(_cmp)} {draw(_intlit)}"
+    if kind == 2:
+        return f"o_orderstatus {draw(_cmp)} '{draw(st.sampled_from(['O', 'F', 'P']))}'"
+    if kind == 3:
+        a = f"o_orderdate {draw(_cmp)} TIMESTAMP '{draw(_ts)} 00:00:00'"
+        b = f"o_custkey {draw(_cmp)} {draw(_intlit)}"
+        return f"{a} {draw(st.sampled_from(['AND', 'OR']))} {b}"
+    return f"o_orderkey IN ({draw(_intlit)}, {draw(_intlit)}, {draw(_intlit)})"
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=_scan_predicate())
+def test_iceberg_scan_pruning_matches_duckdb(iceberg_orders, pred):
+    t, con = iceberg_orders
+    got = sorted(r.o_orderkey for r in t.scan(pred).select("o_orderkey").collect())
+    want = sorted(r[0] for r in con.execute(f"SELECT o_orderkey FROM orders WHERE {pred}").fetchall())
+    assert got == want, pred
