@@ -43,7 +43,31 @@ def _select(draw):
     join = draw(st.booleans())
     src = "orders JOIN customer ON o_custkey = c_custkey" if join else "orders"
     pred = draw(st.one_of(st.just(""), _predicate()))
-    if draw(st.booleans()):  # aggregate shape
+    shape = draw(st.integers(0, 4))
+    if shape == 2:  # window over a unique order key → deterministic
+        wf = draw(
+            st.sampled_from(
+                [
+                    "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)",
+                    "RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey)",
+                    "SUM(o_custkey) OVER (PARTITION BY o_orderstatus)",
+                    "LAG(o_orderkey, 1) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)",
+                ]
+            )
+        )
+        return f"SELECT o_orderkey, {wf} AS w FROM {src}{pred}"
+    if shape == 3:  # set ops over deterministic key sets
+        op = draw(st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]))
+        pa, pb = draw(_predicate()), draw(_predicate())
+        return (
+            f"SELECT o_orderkey FROM orders{pa} {op} SELECT o_orderkey FROM orders{pb}"
+        )
+    if shape == 4:  # CASE projection
+        return (
+            "SELECT o_orderkey, CASE WHEN o_custkey % 2 = 0 THEN 'even' "
+            f"WHEN o_custkey % 3 = 0 THEN 'tri' ELSE 'other' END AS bucket FROM {src}{pred}"
+        )
+    if shape == 0:  # aggregate shape
         g = draw(st.sampled_from(STR_COLS + (["c_mktsegment"] if join else [])))
         aggs = draw(
             st.lists(
