@@ -1,6 +1,6 @@
 """Randomized transaction-sequence property test: a table driven through a
 random mix of appends, copy-on-write and merge-on-read deletes/updates,
-upserts, compactions and snapshot expiry must always scan equal to a plain
+upserts, compactions, snapshot expiry and partition evolution must always scan equal to a plain
 in-memory model of the same operations. This is the reference's
 transaction-correctness surface (table/transaction/: Append/Rewrite +
 commit protocol) exercised as one stateful invariant instead of per-op
@@ -37,6 +37,7 @@ _op = st.one_of(
     st.tuples(st.just("upsert"), st.integers(0, 3), st.integers(0, 99)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("expire")),
+    st.tuples(st.just("evolve"), st.sampled_from(["k", "bucket(4, id)", "truncate(2, k)"])),
 )
 
 
@@ -69,7 +70,7 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             model = {i: kv for i, kv in model.items() if kv[0] != k}
         elif kind == "update":
             _, k, mode = op
-            t = update_where(t, {"v": F.col("v") + 1}, f"k = {k}", mode=mode)
+            t = update_where(t, {"v": "v + 1"}, f"k = {k}", mode=mode)
             model = {i: (kk, vv + 1 if kk == k else vv) for i, (kk, vv) in model.items()}
         elif kind == "upsert":
             _, k, v = op
@@ -84,6 +85,10 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             t = compact(t)
         elif kind == "expire":
             t = expire_snapshots(t, keep_last=1)
+        elif kind == "evolve":
+            # partition evolution mid-sequence: new writes use the new
+            # spec, old files stay readable — results must not change
+            t = t.update_partition_spec(op[1])
 
         got = {(r.id, r.k, r.v) for r in t.scan().collect()}
         want = {(i, kk, vv) for i, (kk, vv) in model.items()}
