@@ -47,11 +47,13 @@ _op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-@given(ops=st.lists(_op, min_size=3, max_size=8))
-def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+@given(ops=st.lists(_op, min_size=3, max_size=8), fmt=st.sampled_from(["parquet", "avro"]))
+def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
     tmp = tmp_path_factory.mktemp("fuzz")
     eng = Engine(spark, warehouse=str(tmp / "wh"))
-    t = eng.create_table("fz.t", SCH)
+    # both metadata formats (native parquet manifests and live spec-v2
+    # Avro) must agree with the model through every op sequence
+    t = eng.create_table("fz.t", SCH, properties={"write.metadata.format": fmt})
     model: dict[int, tuple[int, int]] = {}  # id -> (k, v)
     next_id = 0
 
