@@ -49,6 +49,22 @@ class GlueCatalog(Catalog):
     def __init__(self, client):
         self.client = client
 
+    @classmethod
+    def connect(cls, region_name: str | None = None, **boto3_client_kwargs) -> "GlueCatalog":
+        """Real AWS wiring: build over ``boto3.client('glue')`` when boto3
+        is importable (credentials resolve through the standard AWS chain),
+        else fall back to the in-process :class:`FakeGlueClient`. The rest
+        of the catalog is identical either way — the fake speaks the same
+        public API subset including version-id CAS semantics."""
+        try:
+            import boto3  # noqa: PLC0415 - optional dependency by design
+
+            if region_name is not None:
+                boto3_client_kwargs["region_name"] = region_name
+            return cls(boto3.client("glue", **boto3_client_kwargs))
+        except ImportError:
+            return cls(FakeGlueClient())
+
     # -- namespaces -------------------------------------------------------
 
     def create_namespace(self, namespace: tuple) -> None:

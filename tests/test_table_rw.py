@@ -577,3 +577,22 @@ def test_planning_mode_property(spark, tmp_path):
     t.append(spark.createDataFrame([(i,) for i in range(10)], sch.spark_schema()))
     assert sorted(r.id for r in t.scan().collect()) == list(range(10))
     assert t.scan("id >= 5").count() == 5
+
+
+def test_glue_catalog_connect_fallback():
+    """GlueCatalog.connect() wires boto3.client('glue') when importable and
+    falls back to the in-process fake otherwise (this sandbox has no
+    boto3, so the fallback path is what executes here)."""
+    from iceberg_rust_custom_spark.catalog.glue_catalog import FakeGlueClient, GlueCatalog
+
+    cat = GlueCatalog.connect()
+    try:
+        import boto3  # noqa: F401
+
+        assert not isinstance(cat.client, FakeGlueClient)
+    except ImportError:
+        assert isinstance(cat.client, FakeGlueClient)
+    ident = Identifier.parse("ns.ct")
+    cat2 = GlueCatalog(FakeGlueClient())
+    cat2.register(ident, "/tmp/v0.json")
+    assert cat2.load(ident)[0] == "/tmp/v0.json"
