@@ -183,3 +183,62 @@ class ObjectStoreCatalog(Catalog):
         if not self.tabular_exists(identifier):
             raise FileNotFoundError(f"no such tabular: {identifier}")
         self.store.delete_prefix(self._prefix(identifier))
+
+
+class S3ObjectStore(ObjectStore):
+    """Real S3 (or any S3-compatible endpoint): put-if-absent via the
+    conditional write header ``If-None-Match: *`` — S3 returns HTTP 412
+    PreconditionFailed when the key exists, which is exactly the
+    copy_if_not_exists CAS the commit protocol needs (no lock service, no
+    DynamoDB table). Construct with a ``boto3.client('s3')`` (pass a
+    stubbed/botocore client in tests; region/credentials resolve through
+    the standard AWS chain)."""
+
+    def __init__(self, client, bucket: str, prefix: str = ""):
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+
+    def _key(self, key: str) -> str:
+        return f"{self.prefix}/{key}".strip("/")
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket, Key=self._key(key), Body=data, IfNoneMatch="*"
+            )
+        except Exception as e:  # noqa: BLE001 - classified by code below
+            resp = getattr(e, "response", None) or {}
+            code = resp.get("Error", {}).get("Code", type(e).__name__)
+            status = resp.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict") or status == 412:
+                raise AlreadyExists(key) from e
+            raise
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self.client.get_object(Bucket=self.bucket, Key=self._key(key))[
+                "Body"
+            ].read()
+        except Exception as e:  # noqa: BLE001
+            code = (getattr(e, "response", None) or {}).get("Error", {}).get("Code")
+            if code in ("NoSuchKey", "404"):
+                raise KeyError(key) from e
+            raise
+
+    def list(self, prefix: str) -> list[str]:
+        out: list[str] = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        strip = (self.prefix + "/") if self.prefix else ""
+        for page in paginator.paginate(Bucket=self.bucket, Prefix=self._key(prefix)):
+            for obj in page.get("Contents", []) or []:
+                k = obj["Key"]
+                out.append(k[len(strip):] if strip and k.startswith(strip) else k)
+        return sorted(out)
+
+    def delete_prefix(self, prefix: str) -> None:
+        keys = [{"Key": self._key(k)} for k in self.list(prefix)]
+        for i in range(0, len(keys), 1000):  # S3 delete_objects batch limit
+            self.client.delete_objects(
+                Bucket=self.bucket, Delete={"Objects": keys[i : i + 1000]}
+            )

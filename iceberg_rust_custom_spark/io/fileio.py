@@ -162,3 +162,61 @@ class FileIO:
 
 FileIO.register("", _LocalScheme())
 FileIO.register("mem", _MemScheme())
+
+
+class _S3Scheme:
+    """s3:// metadata backend over a boto3 S3 client — registered on demand
+    with :func:`register_s3` (boto3 is an optional dependency; data files
+    keep going through Spark's own s3a:// support)."""
+
+    def __init__(self, client):
+        self.client = client
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        u = urlparse(path)
+        return u.netloc, u.path.lstrip("/")
+
+    def read_bytes(self, path: str) -> bytes:
+        bucket, key = self._split(path)
+        try:
+            return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except Exception as e:  # noqa: BLE001
+            code = (getattr(e, "response", None) or {}).get("Error", {}).get("Code")
+            if code in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from e
+            raise
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self.client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception as e:  # noqa: BLE001
+            code = (getattr(e, "response", None) or {}).get("Error", {}).get("Code")
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
+
+    def size(self, path: str) -> int:
+        bucket, key = self._split(path)
+        return int(self.client.head_object(Bucket=bucket, Key=key)["ContentLength"])
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._split(path)
+        self.client.delete_object(Bucket=bucket, Key=key)
+
+
+def register_s3(client=None, **boto3_client_kwargs) -> None:
+    """Route ``s3://`` metadata IO through a boto3 S3 client (built via the
+    standard AWS chain when not passed). One call makes every metadata.json,
+    manifest, manifest-list and Avro interop file live on S3."""
+    if client is None:
+        import boto3  # noqa: PLC0415 - optional dependency by design
+
+        client = boto3.client("s3", **boto3_client_kwargs)
+    FileIO.register("s3", _S3Scheme(client))

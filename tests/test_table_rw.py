@@ -580,17 +580,19 @@ def test_planning_mode_property(spark, tmp_path):
 
 
 def test_glue_catalog_connect_fallback():
-    """GlueCatalog.connect() wires boto3.client('glue') when importable and
-    falls back to the in-process fake otherwise (this sandbox has no
-    boto3, so the fallback path is what executes here)."""
+    """GlueCatalog.connect() wires boto3.client('glue') when importable
+    (a real botocore client object, no network needed to construct) and
+    falls back to the in-process fake otherwise."""
     from iceberg_rust_custom_spark.catalog.glue_catalog import FakeGlueClient, GlueCatalog
 
-    cat = GlueCatalog.connect()
     try:
         import boto3  # noqa: F401
 
+        cat = GlueCatalog.connect(region_name="us-east-1")
         assert not isinstance(cat.client, FakeGlueClient)
+        assert hasattr(cat.client, "get_table") and hasattr(cat.client, "update_table")
     except ImportError:
+        cat = GlueCatalog.connect()
         assert isinstance(cat.client, FakeGlueClient)
     ident = Identifier.parse("ns.ct")
     cat2 = GlueCatalog(FakeGlueClient())
