@@ -104,3 +104,47 @@ def test_register_s3_routes_scheme():
         assert isinstance(FileIO._impl("s3://bkt/k"), _S3Scheme)
     finally:
         FileIO._schemes.pop("s3", None)
+
+
+def test_glue_catalog_real_client_version_cas():
+    """GlueCatalog over a REAL (stubbed) boto3 Glue client: swap reads the
+    table, then issues UpdateTable conditioned on the read VersionId; a
+    ConcurrentModificationException surfaces as CommitFailed."""
+    from iceberg_rust_custom_spark.catalog.base import CommitFailed, Identifier
+    from iceberg_rust_custom_spark.catalog.glue_catalog import GlueCatalog
+
+    c = boto3.client(
+        "glue", region_name="us-east-1", aws_access_key_id="x", aws_secret_access_key="y"
+    )
+    table = {
+        "Name": "t",
+        "VersionId": "7",
+        "Parameters": {"metadata_location": "/wh/v0.json", "iceberg_kind": "table"},
+    }
+    with Stubber(c) as stub:
+        stub.add_response("get_table", {"Table": table}, {"DatabaseName": "ns", "Name": "t"})
+        stub.add_response(
+            "update_table",
+            {},
+            {
+                "DatabaseName": "ns",
+                "TableInput": {
+                    "Name": "t",
+                    "Parameters": {
+                        "metadata_location": "/wh/v1.json",
+                        "previous_metadata_location": "/wh/v0.json",
+                        "iceberg_kind": "table",
+                    },
+                },
+                "VersionId": "7",
+            },
+        )
+        GlueCatalog(c).swap(Identifier.parse("ns.t"), "/wh/v0.json", "/wh/v1.json")
+        stub.assert_no_pending_responses()
+        # concurrent committer: conditioned update rejected
+        stub.add_response("get_table", {"Table": table}, {"DatabaseName": "ns", "Name": "t"})
+        stub.add_client_error(
+            "update_table", service_error_code="ConcurrentModificationException"
+        )
+        with pytest.raises(CommitFailed):
+            GlueCatalog(c).swap(Identifier.parse("ns.t"), "/wh/v0.json", "/wh/v2.json")
