@@ -69,7 +69,7 @@ class Engine:
             self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
         )
         md = TableMetadata.new(location, schema, spec, sort_order, properties)
-        meta_dir = os.path.join(location, "metadata")
+        meta_dir = md.metadata_dir()
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
         FileIO.write_text(path, md.to_json())
         self.catalog.register(ident, path, kind="table")

@@ -82,6 +82,25 @@ class TableMetadata:
     def current_schema(self) -> Schema:
         return self.schemas[self.current_schema_id]
 
+    def metadata_dir(self) -> str:
+        """Directory for metadata.json / manifests / manifest lists — the
+        Iceberg ``write.metadata.path`` property when set, else
+        ``<location>/metadata``. Lets the metadata plane live on a
+        different store than the data (e.g. metadata on s3:// via FileIO
+        while Spark writes data files locally or via s3a://)."""
+        import os as _os
+
+        return self.properties.get("write.metadata.path") or _os.path.join(
+            self.location, "metadata"
+        )
+
+    def data_dir(self) -> str:
+        """Root directory for new data files — the Iceberg
+        ``write.data.path`` property when set, else ``<location>/data``."""
+        import os as _os
+
+        return self.properties.get("write.data.path") or _os.path.join(self.location, "data")
+
     def default_spec(self) -> PartitionSpec:
         return self.partition_specs[self.default_spec_id]
 

@@ -502,7 +502,7 @@ def rewrite_manifests(table: Table) -> Table:
     ext = manifest_ext(md.properties)
     seq = md.last_sequence_number + 1
     snap_id = generate_snapshot_id()
-    meta_dir = _os.path.join(md.location, "metadata")
+    meta_dir = md.metadata_dir()
     schema = md.current_schema()
     new_rows = []
     for spec_id, entries in by_spec.items():

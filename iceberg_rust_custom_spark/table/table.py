@@ -267,13 +267,13 @@ class Table:
 
     # ----------------------------------------------------------------- write
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
-        data_dir = os.path.join(self.metadata.location, "data", _uuid.uuid4().hex[:12])
+        data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         files = write_partitioned(df, self.metadata, data_dir)
         self.metadata = self.new_transaction(branch).append(files).commit()
         return self
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
-        data_dir = os.path.join(self.metadata.location, "data", _uuid.uuid4().hex[:12])
+        data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         files = write_partitioned(df, self.metadata, data_dir)
         self.metadata = self.new_transaction(branch).rewrite(files).commit()
         return self

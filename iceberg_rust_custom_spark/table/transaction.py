@@ -6,11 +6,11 @@ Mirrors the reference's transaction machinery
 * ``Append`` — routes new DataFiles into manifests. The reference balances
   manifests toward ``4 + sqrt(total_files)`` entries each, picking the
   best-fit manifest by partition-bounds growth (operation.rs:34,592-610;
-  append.rs:96-181). We reproduce the sqrt-law sizing with a simpler
-  fewest-entries best-fit (partition-rectangle geometry is overkill for
-  Parquet-manifest metadata that Spark can also prune by FieldSummary);
-  the observable behavior — O(sqrt(N)) manifests, bounded manifest size —
-  matches.
+  append.rs:96-181). Round 4 reproduces both: the sqrt-law sizing AND the
+  partition-rectangle least-growth target selection (table/geometry.py ↔
+  util/mod.rs:14-134) on partitioned tables, with smallest-manifest
+  fallback for unpartitioned tables or non-subtractable partition types
+  (append.rs:143-181).
 * ``Rewrite`` — replaces the whole file set (compaction / overwrite-all;
   operation.rs:378-552): all old snapshots removed, replaced files
   physically deleted after a successful commit (table/mod.rs:216-269).
@@ -195,7 +195,7 @@ class Transaction:
         if self._appends or self._rewrite is not None:
             seq = metadata.last_sequence_number + 1
             snap_id = generate_snapshot_id()
-            meta_dir = os.path.join(metadata.location, "metadata")
+            meta_dir = metadata.metadata_dir()
             if "://" not in meta_dir:  # non-local schemes create on write (FileIO)
                 os.makedirs(meta_dir, exist_ok=True)
 
@@ -265,7 +265,7 @@ class Transaction:
             new_metadata = current.apply_updates(updates)
 
             # write v{N}.metadata.json and CAS the catalog pointer
-            meta_dir = os.path.join(new_metadata.location, "metadata")
+            meta_dir = new_metadata.metadata_dir()
             new_path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
             FileIO.write_text(new_path, new_metadata.to_json())
             self.catalog.swap(self.identifier, current_location, new_path)
