@@ -169,3 +169,40 @@ def test_engine_with_metadata_on_s3(spark, s3, tmp_path):
         assert t2.count_planned_files("k = 7") < t2.count_planned_files()
     finally:
         FileIO._schemes.pop("s3", None)
+
+
+def test_full_cloud_shape_catalog_and_metadata_on_s3(spark, s3, tmp_path):
+    """The complete cloud-lakehouse wiring on moto: catalog pointers commit
+    through S3 conditional PUT (ObjectStoreCatalog over S3ObjectStore),
+    table location + metadata on s3://, data files local (stand-in for
+    s3a:// on a real cluster). Append, reload, prune, CAS conflict."""
+    from iceberg_rust_custom_spark.catalog.object_store import ObjectStoreCatalog
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.io.fileio import FileIO, register_s3
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    register_s3(client=s3)
+    try:
+        cat = ObjectStoreCatalog(S3ObjectStore(s3, "warehouse", "catalog"))
+        eng = Engine(spark, catalog=cat, warehouse="s3://warehouse/tables")
+        sch = Schema(
+            0, (NestedField(1, "id", "long", True), NestedField(2, "k", "int", True))
+        )
+        t = eng.create_table(
+            "cloud.t",
+            sch,
+            partition_by=[("k", "identity")],
+            properties={"write.data.path": str(tmp_path / "data")},
+        )
+        t.append(spark.createDataFrame([(i, i % 2) for i in range(10)], sch.spark_schema()))
+        t2 = eng.load_table("cloud.t")
+        assert t2.scan().count() == 10
+        assert t2.scan("k = 1").count() == 5
+        assert t2.metadata.location.startswith("s3://warehouse/")
+        # a second writer with a stale pointer retries its CAS and lands
+        stale = eng.load_table("cloud.t")
+        t2.append(spark.createDataFrame([(100, 0)], sch.spark_schema()))
+        stale.append(spark.createDataFrame([(101, 1)], sch.spark_schema()))
+        assert eng.load_table("cloud.t").scan().count() == 12
+    finally:
+        FileIO._schemes.pop("s3", None)
