@@ -412,10 +412,12 @@ class Transaction:
                     for e in read_manifest(row["manifest_path"]):
                         p = e.data_file.file_path
                         if p not in keep and os.path.exists(p):
-                            os.remove(p)
-                    if os.path.exists(row["manifest_path"]):
-                        os.remove(row["manifest_path"])
-                if os.path.exists(snap.manifest_list):
-                    os.remove(snap.manifest_list)
+                            os.remove(p)  # data files: written by Spark, local/s3a
+                    # manifests/manifest lists go through FileIO so cleanup
+                    # also reaches s3://-hosted metadata (write.metadata.path)
+                    if FileIO.exists(row["manifest_path"]):
+                        FileIO.delete(row["manifest_path"])
+                if FileIO.exists(snap.manifest_list):
+                    FileIO.delete(snap.manifest_list)
             except FileNotFoundError:
                 pass
