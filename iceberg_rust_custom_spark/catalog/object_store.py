@@ -76,16 +76,23 @@ class LocalFSObjectStore(ObjectStore):
         return os.path.join(self.root, key)
 
     def put_if_absent(self, key: str, data: bytes) -> None:
+        # Stage the payload in a private temp file, then publish with
+        # os.link: the link either atomically exposes the FULLY-WRITTEN
+        # file or fails with FileExistsError. A bare O_CREAT|O_EXCL +
+        # write is NOT enough — a concurrent reader can list the pointer
+        # between create and write and see an empty object, which is a
+        # torn read no real object store exhibits.
         path = self._path(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             raise AlreadyExists(key) from None
-        try:
-            os.write(fd, data)
         finally:
-            os.close(fd)
+            os.unlink(tmp)
 
     def get(self, key: str) -> bytes:
         with open(self._path(key), "rb") as f:
