@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from iceberg_rust_custom_spark.metadata.schema import Schema
@@ -56,7 +57,9 @@ class PartitionSpec:
         reuse: dict | None = None,
     ) -> "PartitionSpec":
         """specs: (source_column_name, transform_name) pairs, e.g.
-        ("l_shipdate", "month") or ("l_partkey", "bucket[16]").
+        ("l_shipdate", "month") or ("l_partkey", "bucket[16]"); a bare
+        string is accepted as shorthand — "col" means identity and
+        "month(col)" the DDL transform syntax.
 
         ``reuse`` maps (source_id, transform_name) → existing PartitionField;
         evolution passes it so a field shared with a prior spec keeps its
@@ -65,7 +68,13 @@ class PartitionSpec:
         ``first_field_id`` up."""
         fields = []
         next_id = first_field_id
-        for col, tname in specs:
+        for spec in specs:
+            if isinstance(spec, str):
+                # bare column name → identity; "month(col)" → (col, month)
+                m = re.fullmatch(r"(\w+)\((\w+)\)", spec.strip())
+                col, tname = (m.group(2), m.group(1)) if m else (spec.strip(), "identity")
+            else:
+                col, tname = spec
             src = schema.field_by_name(col)
             t = Transform(tname)
             prior = (reuse or {}).get((src.field_id, tname))
