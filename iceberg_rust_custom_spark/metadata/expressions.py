@@ -41,6 +41,15 @@ class AlwaysTrue(Expr):
 
 
 @dataclass(frozen=True)
+class AlwaysFalse(Expr):
+    """Matches nothing — e.g. the runtime join filter of an EMPTY dimension
+    (no fact file can join; the scan plans zero files)."""
+
+    def sql(self) -> str:
+        return "FALSE"
+
+
+@dataclass(frozen=True)
 class And(Expr):
     left: Expr
     right: Expr
@@ -147,6 +156,8 @@ def may_match(expr: Expr, bounds: "FileBounds") -> bool:
     """Conservative containment test against [lower, upper] + null counts."""
     if isinstance(expr, AlwaysTrue):
         return True
+    if isinstance(expr, AlwaysFalse):
+        return False
     if isinstance(expr, And):
         return may_match(expr.left, bounds) and may_match(expr.right, bounds)
     if isinstance(expr, Or):
@@ -323,6 +334,8 @@ def project_to_partition(expr: Expr, schema: Schema, spec: PartitionSpec) -> Exp
         by_source.setdefault(src_name, []).append(pf)
 
     def proj(e: Expr) -> Expr | None:
+        if isinstance(e, AlwaysFalse):
+            return e  # matches nothing in row space ⇒ nothing in partition space
         if isinstance(e, And):
             l, r = proj(e.left), proj(e.right)
             if l and r:

@@ -1933,6 +1933,48 @@ def iceberg_bloom_point_lookup(spark, sf_dir):
 
 
 @q(
+    "iceberg_runtime_filtered_join",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 1000 AND 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_runtime_filtered_join(spark, sf_dir):
+    """Runtime join-key file pruning (DPP analogue, table/runtime_filter.py):
+    the filtered customer dim is probed for its ACTUAL c_custkey set, the
+    custkey-clustered orders fact plans only the files whose stats overlap
+    it, and the join result must equal the plain SQL join — the reference's
+    PruningPredicate mechanism (pruning_statistics.rs:32-218) driven from
+    the dim side of a join."""
+    t = _roundtrip_table(
+        spark,
+        sf_dir,
+        "orders",
+        key="rtfilter",
+        properties={"write.distribution-mode": "range", "write.range-partitions": "8"},
+        sort_by=["o_custkey"],
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 1000 AND 3000")
+        .select("c_custkey")
+    )
+    from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+
+    assert t.count_planned_files(
+        join_key_predicate(dim, {"o_custkey": "c_custkey"})
+    ) < t.count_planned_files(), "runtime filter should prune clustered fact files"
+    return (
+        t.join_scan(dim, {"o_custkey": "c_custkey"})
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q(
     "iceberg_materialized_view",
     """
     SELECT o_orderstatus, COUNT(*) AS n,

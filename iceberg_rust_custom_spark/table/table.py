@@ -187,6 +187,65 @@ class Table:
     def to_df(self, **kwargs) -> DataFrame:
         return self.scan(**kwargs)
 
+    def join_scan(
+        self,
+        dim_df: DataFrame,
+        on,
+        how: str = "inner",
+        predicate=None,
+        columns: list[str] | None = None,
+        max_keys: int | None = None,
+        broadcast_dim: bool | None = None,
+    ) -> DataFrame:
+        """Scan this table joined with ``dim_df``, pruning this table's
+        files by the dim side's ACTUAL join-key values first (runtime
+        filtering / dynamic-partition-pruning analogue —
+        ``table/runtime_filter.py``). ``on`` is a column name, list of
+        names, or ``{fact_col: dim_col}``.
+
+        Only inner/semi shapes are accepted: the runtime filter removes
+        fact rows without join partners, which changes outer/anti results.
+        ``broadcast_dim`` defaults to True — a dim worth probing is a dim
+        worth broadcasting; pass False for large dims and let AQE decide."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.expressions import And
+        from iceberg_rust_custom_spark.table.runtime_filter import (
+            DEFAULT_MAX_KEYS,
+            join_key_predicate,
+            _normalize_on,
+        )
+
+        if how not in ("inner", "semi", "left_semi", "leftsemi"):
+            raise ValueError(
+                f"join_scan supports inner/semi joins only (runtime file pruning "
+                f"is unsound for {how!r}: it drops rows without join partners)"
+            )
+        pairs = _normalize_on(on)
+        key_pred = join_key_predicate(
+            dim_df, pairs, max_keys=max_keys if max_keys is not None else DEFAULT_MAX_KEYS
+        )
+        if predicate is not None:
+            if isinstance(predicate, str):
+                predicate = parse_predicate(predicate)
+            key_pred = And(predicate, key_pred)
+        fact = self.scan(key_pred)
+        dim = F.broadcast(dim_df) if broadcast_dim is not False else dim_df
+        spark_how = "left_semi" if how in ("semi", "left_semi", "leftsemi") else how
+        if all(fc == dc for fc, dc in pairs):
+            # name join: Spark coalesces the key columns, no ambiguity
+            out = fact.join(dim, [fc for fc, _ in pairs], spark_how)
+        else:
+            cond = None
+            for fc, dc in pairs:
+                c = fact[fc] == dim[dc]
+                cond = c if cond is None else (cond & c)
+            out = fact.join(dim, cond, spark_how)
+            if spark_how == "inner":
+                for _, dc in pairs:  # key columns are equal by the join — keep fact's
+                    out = out.drop(dim[dc])
+        return out.select(*columns) if columns else out
+
     def incremental_scan(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
         """Rows appended in (from, to] — the reference's snapshot-range read
         (table/mod.rs:120-144), used for MV delta detection."""

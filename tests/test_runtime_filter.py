@@ -1,0 +1,100 @@
+"""Runtime join-key file pruning (table/runtime_filter.py, Table.join_scan).
+
+The invariant under test: join_scan(dim, on=...) returns EXACTLY the rows of
+scan().join(dim, on) for inner/semi shapes, while planning strictly fewer
+files when the dim's key range is selective.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.metadata.expressions import (
+    AlwaysFalse,
+    Comparison,
+    may_match,
+)
+from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+
+
+@pytest.fixture(scope="module")
+def fact_table(spark, tmp_path_factory):
+    """Orders-like fact clustered on custkey so files carry tight key
+    ranges — the shape where a runtime filter pays."""
+    eng = Engine(spark, warehouse=str(tmp_path_factory.mktemp("rfwh")))
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("o_id"),
+        (F.col("id") % 500).alias("custkey"),
+        (F.col("id") * 7 % 1000).cast("double").alias("price"),
+    )
+    t = eng.create_table(
+        "rf.orders",
+        df.schema,
+        properties={"write.distribution-mode": "range", "write.range-partitions": "8"},
+        sort_by=["custkey"],
+    )
+    t.append(df)
+    return t
+
+
+def test_in_set_predicate_prunes_and_matches(spark, fact_table):
+    dim = spark.createDataFrame([(3,), (7,), (490,)], "custkey int")
+    pred = join_key_predicate(dim, "custkey")
+    assert isinstance(pred, Comparison) and pred.op == "in"
+    assert fact_table.count_planned_files(pred) < fact_table.count_planned_files()
+
+    got = fact_table.join_scan(dim, "custkey").select("o_id", "custkey", "price")
+    want = fact_table.scan().join(F.broadcast(dim), "custkey").select("o_id", "custkey", "price")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_range_predicate_above_max_keys(spark, fact_table):
+    # cardinality above max_keys → BETWEEN min/max shape, still prunes a
+    # clustered fact when the dim covers a narrow band
+    dim = spark.range(0, 60).select(F.col("id").cast("int").alias("custkey"))
+    pred = join_key_predicate(dim, "custkey", max_keys=10)
+    assert not isinstance(pred, Comparison)  # And(>=, <=)
+    assert fact_table.count_planned_files(pred) < fact_table.count_planned_files()
+    got = fact_table.join_scan(dim, "custkey", max_keys=10)
+    assert got.count() == fact_table.scan().join(dim, "custkey").count()
+
+
+def test_semi_join_and_column_mapping(spark, fact_table):
+    dim = spark.createDataFrame([(11, "x"), (13, "y")], "c_custkey int, seg string")
+    got = fact_table.join_scan(dim, {"custkey": "c_custkey"}, how="semi")
+    want = fact_table.scan().where(F.col("custkey").isin(11, 13))
+    assert sorted(r.o_id for r in got.collect()) == sorted(r.o_id for r in want.collect())
+    assert got.columns == fact_table.scan().columns  # semi keeps fact schema
+
+
+def test_empty_dim_plans_zero_files(spark, fact_table):
+    empty = spark.createDataFrame([], "custkey int")
+    assert isinstance(join_key_predicate(empty, "custkey"), AlwaysFalse)
+    assert fact_table.count_planned_files(join_key_predicate(empty, "custkey")) == 0
+    assert fact_table.join_scan(empty, "custkey").count() == 0
+
+
+def test_all_null_keys_match_nothing(spark, fact_table):
+    dim = spark.createDataFrame([(None,), (None,)], "custkey int")
+    assert isinstance(join_key_predicate(dim, "custkey"), AlwaysFalse)
+
+
+def test_null_keys_ignored_in_probe(spark, fact_table):
+    dim = spark.createDataFrame([(5,), (None,)], "custkey int")
+    pred = join_key_predicate(dim, "custkey")
+    assert pred == Comparison("custkey", "in", (5,))
+    got = fact_table.join_scan(dim, "custkey")
+    # inner equi-join: the NULL dim row matches nothing
+    assert got.select("custkey").distinct().collect() == [
+        fact_table.spark.createDataFrame([(5,)], "custkey int").collect()[0]
+    ]
+
+
+def test_outer_join_rejected(spark, fact_table):
+    dim = spark.createDataFrame([(1,)], "custkey int")
+    with pytest.raises(ValueError, match="unsound"):
+        fact_table.join_scan(dim, "custkey", how="left")
+
+
+def test_always_false_prunes_everything():
+    assert may_match(AlwaysFalse(), None) is False
