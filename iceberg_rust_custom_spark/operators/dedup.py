@@ -680,23 +680,41 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Assign EVERY document a duplicate-cluster id (min doc id of its
     connected component; singletons are their own cluster) and flag the one
     canonical doc to keep: ``(id, cluster_id, is_canonical)``.
 
+    Canonical selection: with no ``score_col`` the cluster minimum id (free —
+    the component label IS the min id). With ``score_col`` the cluster's
+    HIGHEST-scoring doc wins, ties broken by min id — the curation choice
+    when near-dup clusters mix a full document with its truncated or
+    boilerplate-wrapped variants and "keep the first id seen" would keep the
+    worst one. Deterministic regardless of partitioning.
+
     ``df.where('is_canonical')`` is the deduplicated corpus. The components
     DataFrame is tiny relative to the corpus (only docs appearing in a pair),
-    so the final join broadcasts."""
+    so the label join broadcasts; score-based selection adds one
+    row_number window partitioned by cluster_id (a single sort shuffle —
+    singleton clusters dominate real corpora, so partitions stay balanced)."""
     comp = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
-    return (
-        df.select(id_col)
+    cols = [id_col] if score_col is None else [id_col, score_col]
+    labeled = (
+        df.select(*cols)
         .join(F.broadcast(comp), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    if score_col is None:
+        return labeled.select(
+            id_col, "cluster_id", (F.col(id_col) == F.col("cluster_id")).alias("is_canonical")
         )
-        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return labeled.select(
+        id_col, "cluster_id", (F.row_number().over(w) == 1).alias("is_canonical")
     )
 
 

@@ -1538,6 +1538,44 @@ def fuzzy_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(docs, "doc_id", pairs)
 
 
+def _cc_keep_best_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    # same recursive-CTE clustering; canonical = longest text, tie → min id
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_oracle(num_hashes, bands)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    lab AS (
+      SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT l.doc_id, l.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.cluster_id
+             ORDER BY LENGTH(d.text) DESC, l.doc_id ASC
+           ) = 1 AS is_canonical
+    FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+    """
+
+
+@q("fuzzy_dedup_keep_best", _cc_keep_best_oracle(16, 8))
+def fuzzy_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: same LSH → connected-components clustering as
+    fuzzy_dedup_clusters, but the canonical doc kept per cluster is the
+    HIGHEST-QUALITY one (longest text here; any score column works), not
+    the smallest id — near-dup clusters usually mix a full document with
+    truncated variants, and min-id would keep an arbitrary one."""
+    docs = _t(spark, sf_dir, "documents").withColumn("quality", F.length("text"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
+    return D.dedup_clusters(docs, "doc_id", pairs, score_col="quality")
+
+
 def _repetition_oracle() -> str:
     from iceberg_rust_custom_spark.operators.text import (
         GOPHER_DUP_NGRAM_MAX,

@@ -121,6 +121,25 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     }
 
 
+def test_dedup_clusters_keep_best_by_score(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 1), (6, 2)], ["doc_id", "q"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in D.dedup_clusters(df, "doc_id", pairs, score_col="q").collect()
+    }
+    assert out == {
+        1: (1, False),  # cluster {1,2,3}: best q=30 held by 2 and 3 → min id 2
+        2: (1, True),
+        3: (1, False),
+        4: (4, True),  # singleton
+        5: (5, False),  # cluster {5,6}: 6 has the higher score
+        6: (5, True),
+    }
+
+
 def test_fuzzy_dedup_matches_jaccard_transitivity(docs):
     """Every high-Jaccard pair must land in the same final cluster."""
     jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
