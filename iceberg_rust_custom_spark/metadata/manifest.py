@@ -20,6 +20,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import json
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -193,6 +194,7 @@ def write_manifest(
     Format dispatch on extension: ``.avro`` → spec-v2 Avro OCF (externally
     readable live; needs schema+spec for binary bounds), else Parquet+JSON
     (Spark-readable pruning)."""
+    _manifest_cache_invalidate(path)
     if path.endswith(".avro"):
         from iceberg_rust_custom_spark.metadata.avro_manifest import write_manifest_avro
 
@@ -276,12 +278,53 @@ def row_to_entry(row: dict) -> ManifestEntry:
     return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
 
 
+# Committed manifests are write-once (uuid-suffixed names, transaction.py:374),
+# so a path-keyed cache is sound across scans and snapshots: planning a table
+# N times deserializes each manifest once per process instead of once per
+# scan, and on s3:// metadata (io/fileio.py::register_s3) it turns repeat
+# planning GETs into memory hits. Avro entries inherit sequence numbers from
+# their manifest-list row (spec v2), so that inheritance input is part of the
+# key. Bounded by total cached ENTRIES, not manifest count — a 100k-file
+# manifest is one entry-budget unit, not one slot among 512 small ones.
+_MANIFEST_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
+_MANIFEST_CACHE_MAX_ENTRIES = 250_000
+_manifest_cache_entries = 0
+
+
+def clear_manifest_cache() -> None:
+    global _manifest_cache_entries
+    _MANIFEST_CACHE.clear()
+    _manifest_cache_entries = 0
+
+
+def _manifest_cache_invalidate(path: str) -> None:
+    """Drop any cached reads of ``path`` — called by every manifest WRITE so
+    a rewritten path (e.g. exporting twice into one directory) can never
+    serve stale entries."""
+    global _manifest_cache_entries
+    for key in [k for k in _MANIFEST_CACHE if k[0] == path]:
+        _manifest_cache_entries -= len(_MANIFEST_CACHE.pop(key))
+
+
 def read_manifest(path: str, ml_row: dict | None = None) -> list[ManifestEntry]:
+    global _manifest_cache_entries
+    key = (path, ml_row.get("sequence_number") if ml_row else None)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        _MANIFEST_CACHE.move_to_end(key)
+        return list(hit)
     if path.endswith(".avro"):
         from iceberg_rust_custom_spark.metadata.avro_manifest import read_manifest_avro
 
-        return read_manifest_avro(path, ml_row)
-    return [row_to_entry(row) for row in FileIO.pq_read_table(path).to_pylist()]
+        entries = read_manifest_avro(path, ml_row)
+    else:
+        entries = [row_to_entry(row) for row in FileIO.pq_read_table(path).to_pylist()]
+    _MANIFEST_CACHE[key] = entries
+    _manifest_cache_entries += len(entries)
+    while _manifest_cache_entries > _MANIFEST_CACHE_MAX_ENTRIES and len(_MANIFEST_CACHE) > 1:
+        _, old = _MANIFEST_CACHE.popitem(last=False)
+        _manifest_cache_entries -= len(old)
+    return list(entries)
 
 
 def write_manifest_list(path: str, manifest_rows: list[dict], schema=None, specs=None) -> None:
