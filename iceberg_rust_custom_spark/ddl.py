@@ -156,6 +156,11 @@ _ALTER_CLAUSES = {
         re.IGNORECASE,
     ),
     "drop_ref": re.compile(r"^DROP\s+(?:BRANCH|TAG)\s+(?P<ref>\w+)\s*$", re.IGNORECASE),
+    "rollback": re.compile(
+        r"^ROLLBACK\s+TO\s+(?:VERSION\s+(?P<snap>\d+)|TIMESTAMP\s+'(?P<ts>[^']+)')\s*$",
+        re.IGNORECASE,
+    ),
+    "set_version": re.compile(r"^SET\s+CURRENT\s+VERSION\s+(?P<snap>\d+)\s*$", re.IGNORECASE),
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
@@ -506,6 +511,22 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
     m = _ALTER_CLAUSES["drop_ref"].match(rest)
     if m:
         t.drop_ref(m.group("ref"))
+        return spark.range(1)
+    m = _ALTER_CLAUSES["rollback"].match(rest)
+    if m:
+        if m.group("snap"):
+            t.rollback_to(int(m.group("snap")))
+        else:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(m.group("ts"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            t.rollback_to(timestamp_ms=int(ts.timestamp() * 1000))
+        return spark.range(1)
+    m = _ALTER_CLAUSES["set_version"].match(rest)
+    if m:
+        t.set_current_snapshot(int(m.group("snap")))
         return spark.range(1)
     m = _ALTER_CLAUSES["drop_col"].match(rest)
     if m:

@@ -154,6 +154,52 @@ class Table:
         ).commit()
         return self
 
+    def rollback_to(self, snapshot_id: int | None = None, *, timestamp_ms: int | None = None,
+                    branch: str = MAIN_BRANCH) -> "Table":
+        """Move ``branch`` back to an ANCESTOR snapshot (metadata-only, one
+        CAS commit — no data rewritten; the abandoned snapshots stay
+        readable by id until expiry, so a rollback is itself reversible
+        with ``set_current_snapshot``). Pass ``timestamp_ms`` to roll back
+        to the last snapshot at or before a wall-clock instant. The
+        ancestry check distinguishes rollback from arbitrary pointer moves:
+        rolling back can only UNDO commits, never graft unrelated history."""
+        if (snapshot_id is None) == (timestamp_ms is None):
+            raise ValueError("pass exactly one of snapshot_id / timestamp_ms")
+        if timestamp_ms is not None:
+            snap = self.metadata.snapshot_as_of(timestamp_ms)
+            if snap is None:
+                raise ValueError(f"no snapshot at or before {timestamp_ms}")
+            snapshot_id = snap.snapshot_id
+        elif snapshot_id not in self.metadata.snapshots:
+            raise ValueError(f"no such snapshot: {snapshot_id}")
+        head = self.metadata.snapshot_for_ref(branch)
+        cur = head
+        while cur is not None and cur.snapshot_id != snapshot_id:
+            cur = (
+                self.metadata.snapshots.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if cur is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of {branch!r} @ "
+                f"{head.snapshot_id if head else None}: use set_current_snapshot "
+                "to move to unrelated history"
+            )
+        if head is not None and head.snapshot_id == snapshot_id:
+            return self
+        self.metadata = self.new_transaction(branch).set_ref(branch, snapshot_id, "branch").commit()
+        return self
+
+    def set_current_snapshot(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> "Table":
+        """Point ``branch`` at ANY existing snapshot (cherry-pick-style
+        pointer move; no ancestry requirement — e.g. jump main onto an
+        audit branch's head, or undo a rollback)."""
+        if snapshot_id not in self.metadata.snapshots:
+            raise ValueError(f"no such snapshot: {snapshot_id}")
+        self.metadata = self.new_transaction(branch).set_ref(branch, snapshot_id, "branch").commit()
+        return self
+
     # ------------------------------------------------------------------ read
     def _resolve_snapshot(
         self,

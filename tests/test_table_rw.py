@@ -515,6 +515,54 @@ def test_wap_fast_forward(engine, spark):
         t.fast_forward("audit")
 
 
+def test_rollback_and_set_current_snapshot(engine, spark):
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(0, (NestedField(1, "id", "long", False),))
+    t = engine.create_table("ns.rollback", schema)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    s1 = t.metadata.snapshot_for_ref().snapshot_id
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    s3 = t.metadata.snapshot_for_ref().snapshot_id
+    assert t.scan().count() == 3
+
+    t.rollback_to(s1)  # metadata-only: back to one row
+    assert t.scan().count() == 1
+    # abandoned snapshots stay readable by id, so the rollback is reversible
+    assert t.scan(snapshot_id=s3).count() == 3
+    t.set_current_snapshot(s3)
+    assert t.scan().count() == 3
+
+    # rolling back to a non-ancestor must be rejected
+    t.create_branch("side", snapshot_id=s1)
+    t.append(spark.createDataFrame([(99,)], "id long"), branch="side")
+    side_head = t.metadata.refs["side"].snapshot_id
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to(side_head)
+    with pytest.raises(ValueError, match="no such snapshot"):
+        t.rollback_to(123456789)
+
+    # timestamp form: everything committed so far is <= now
+    t.rollback_to(timestamp_ms=t.metadata.snapshots[s1].timestamp_ms)
+    assert t.scan().count() == 1
+
+
+def test_rollback_ddl(engine, spark):
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(0, (NestedField(1, "id", "long", False),))
+    t = engine.create_table("ns.rbddl", schema)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    v1 = t.metadata.snapshot_for_ref().snapshot_id
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    v2 = t.metadata.snapshot_for_ref().snapshot_id
+    engine.sql(f"ALTER TABLE ns.rbddl ROLLBACK TO VERSION {v1}")
+    assert engine.load_table("ns.rbddl").scan().count() == 1
+    engine.sql(f"ALTER TABLE ns.rbddl SET CURRENT VERSION {v2}")
+    assert engine.load_table("ns.rbddl").scan().count() == 2
+
+
 def test_distributed_planning_matches_driver_walk(spark, tmp_path, sf_dir):
     """plan_files_distributed (the 100 TB mapInPandas planner) must return
     exactly the driver walk's file set for a spread of predicates, over a
