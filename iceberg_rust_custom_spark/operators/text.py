@@ -491,6 +491,40 @@ def pack_training_sequences(
     )
 
 
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    score_col: str | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Cap each group (source domain, site, feed…) to at most ``k`` rows,
+    keeping the top-``score_col`` ones (ties and no-score → smallest id) —
+    the anti-domination step of a training mix: one crawl-heavy domain must
+    not drown the corpus. Output = surviving input rows + ``quota_rank``.
+
+    Skew-proof like ``similarity._grouped_topk``: a naive per-group window
+    funnels a 100 TB corpus into |groups| reducer tasks, and web corpora
+    have exactly the hot groups (one domain = billions of docs) that makes
+    that a straggler. A salted pre-window caps each (group, salt) slice to
+    k first — |groups|×S parallel reducers emitting ≤ k rows each — and the
+    exact window ranks only the ≤ |groups|×S×k survivors. Deterministic
+    ordering ⇒ output identical to the single-window plan."""
+    order = ([F.col(score_col).desc()] if score_col else []) + [F.col(id_col).asc()]
+    salt = (F.crc32(F.encode(F.col(id_col).cast("string"), "utf-8")) % salt_buckets).cast("int")
+    w1 = Window.partitionBy(group_col, "_s").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_s", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("quota_rank", F.row_number().over(w2))
+        .where(F.col("quota_rank") <= k)
+        .drop("_s", "_r1")
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict, default_rate: float = 0.0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
     languages, keep all rare ones): each stratum gets its own keep-rate,

@@ -2955,6 +2955,27 @@ def deterministic_hash_sample(spark, sf_dir):
     return TX.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="s1").select("doc_id")
 
 
+@q(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source, quota_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS INT) AS quota_rank
+      FROM documents
+    ) WHERE quota_rank <= 40
+    """,
+)
+def source_quota_cap(spark, sf_dir):
+    """Anti-domination curation: cap every source domain to its 40 longest
+    documents (text.py::quota_cap). Skew-proof two-level top-k — a hot
+    crawl domain becomes |salt| parallel reducers, not one straggler task."""
+    return TX.quota_cap(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", 40, score_col="n_chars"
+    ).select("doc_id", "source", "quota_rank")
+
+
 _SHARD_H = md5h32_sql("concat(cast(doc_id AS STRING), 'shardep1')")
 _MIX_H = md5h32_sql("concat(cast(doc_id AS STRING), 'mixep1')")
 

@@ -121,6 +121,26 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     }
 
 
+def test_quota_cap_binds_and_matches_plain_window(spark):
+    from iceberg_rust_custom_spark.operators.text import quota_cap
+    from pyspark.sql import Window
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),  # 3 hot groups
+        (F.col("id") * 37 % 101).alias("score"),
+    )
+    got = quota_cap(df, "source", "doc_id", 5, score_col="score")
+    assert got.count() == 15  # cap binds: 3 groups × 5
+    # salted two-level plan must equal the plain single-window top-k
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    want = df.withColumn("quota_rank", F.row_number().over(w)).where("quota_rank <= 5")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # no score: smallest ids win deterministically
+    got2 = quota_cap(df, "source", "doc_id", 2)
+    assert sorted(r.doc_id for r in got2.collect()) == [0, 1, 2, 3, 4, 5]
+
+
 def test_dedup_clusters_keep_best_by_score(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 30), (3, 30), (4, 5), (5, 1), (6, 2)], ["doc_id", "q"]
