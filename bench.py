@@ -67,6 +67,8 @@ HEADLINE = [
     "document_chunking",
     "corpus_curation",
     "training_shard_assignment",
+    "fuzzy_dedup_keep_best",
+    "source_quota_cap",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
@@ -78,6 +80,7 @@ HEADLINE = [
     "iceberg_mor_delete",
     "iceberg_incremental_mv_refresh",
     "iceberg_incremental_mv_join",
+    "iceberg_runtime_filtered_join",
 ]
 
 

@@ -491,6 +491,57 @@ def pack_training_sequences(
     )
 
 
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy (Wenzek et al. 2020): score
+    every document by the average negative log-likelihood of its character
+    ``n``-grams under an add-one-smoothed unigram-of-n-grams model trained
+    on a REFERENCE corpus (``ref_df``, default: the corpus itself). Natural
+    prose in the reference's language scores low; gibberish, boilerplate
+    soup, and other-language text score high — threshold on ``nll`` the way
+    CCNet thresholds KenLM perplexity. Returns ``(id, n_grams, nll)``.
+
+    Scale shape: the model IS a DataFrame — reference n-gram counts from
+    one map-side-combined groupBy, joined to document n-grams as a
+    broadcast (char n-gram vocab is bounded by charset^n, ~10^4-10^5 rows
+    regardless of corpus size), scalar normalizers (total count, vocab
+    size) ride a broadcast 1-row cross join; scoring is one groupBy(id).
+    Everything in codegen — no Python model object, no UDF, and the
+    trained counts can be persisted and reused as a plain table."""
+    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    grams_expr = (
+        f"CASE WHEN length({norm}) >= {n} THEN "
+        f"transform(sequence(1, length({norm}) - {n - 1}), i -> substring({norm}, i, {n})) "
+        f"ELSE array() END"
+    )
+    ref = ref_df if ref_df is not None else df
+    ref_grams = ref.select(F.explode(F.expr(grams_expr)).alias("g"))
+    counts = ref_grams.groupBy("g").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("_N"), F.count("*").alias("_V")
+    )  # total grams, vocab size
+    doc_grams = df.select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
+    scored = (
+        doc_grams.join(F.broadcast(counts), "g", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (-F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("_N") + F.col("_V")))).alias(
+                "_nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.round(F.avg("_nll"), 6).alias("nll"),
+    )
+
+
 def quota_cap(
     df: DataFrame,
     group_col: str,

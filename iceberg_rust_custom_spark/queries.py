@@ -2955,6 +2955,45 @@ def deterministic_hash_sample(spark, sf_dir):
     return TX.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="s1").select("doc_id")
 
 
+def _ngram_lm_oracle(n: int = 3) -> str:
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    grams = (
+        f"list_transform(generate_series(1, greatest(length({norm}) - {n - 1}, 0)), "
+        f"i -> substr({norm}, i, {n}))"
+    )
+    return f"""
+    WITH ref_grams AS (
+      SELECT unnest({grams}) AS g FROM documents WHERE lang = 'en'
+    ),
+    counts AS (
+      SELECT g, COUNT(*) AS c FROM ref_grams GROUP BY g
+    ),
+    stats AS (
+      SELECT SUM(c) AS _N, COUNT(*) AS _V FROM counts
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest({grams}) AS g FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+           ROUND(AVG(-LN((COALESCE(c.c, 0) + 1) * 1.0 / (s._N + s._V))), 6) AS nll
+    FROM doc_grams d
+    LEFT JOIN counts c USING (g)
+    CROSS JOIN stats s
+    GROUP BY doc_id
+    """
+
+
+@q("ngram_lm_quality", _ngram_lm_oracle(3))
+def ngram_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scores: every document's avg negative
+    log-likelihood of char trigrams under an add-one model trained on the
+    English slice (text.py::ngram_lm_scores) — the perplexity-filter stage
+    of a curation pipeline, as pure DataFrame ops (the trained model is a
+    broadcastable counts table, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ngram_lm_scores(docs, "doc_id", "text", ref_df=docs.where("lang = 'en'"))
+
+
 @q(
     "source_quota_cap",
     """

@@ -121,6 +121,25 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     }
 
 
+def test_ngram_lm_scores_separate_prose_from_gibberish(spark):
+    from iceberg_rust_custom_spark.operators.text import ngram_lm_scores
+
+    prose = "the quick brown fox jumps over the lazy dog and then runs home again"
+    ref = spark.createDataFrame(
+        [(i, prose) for i in range(5)] + [(9, "she said the dog ran over the brown hill")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "the brown dog runs over the hill"), (2, "zxq vvk jjw qqpz xkcd zzyy")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.nll for r in ngram_lm_scores(docs, "doc_id", "text", ref_df=ref).collect()}
+    assert out[1] < out[2], "reference-like prose must score lower nll than gibberish"
+    # shorter than n chars → no grams → row absent, not a crash
+    tiny = spark.createDataFrame([(3, "ab")], ["doc_id", "text"])
+    assert ngram_lm_scores(tiny, "doc_id", "text", ref_df=ref).count() == 0
+
+
 def test_quota_cap_binds_and_matches_plain_window(spark):
     from iceberg_rust_custom_spark.operators.text import quota_cap
     from pyspark.sql import Window
