@@ -69,6 +69,7 @@ HEADLINE = [
     "training_shard_assignment",
     "fuzzy_dedup_keep_best",
     "source_quota_cap",
+    "ngram_lm_quality",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
