@@ -134,6 +134,11 @@ _OPTIMIZE_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$", re.IGNORECASE
 )
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+COMPUTE\s+STATISTICS)?(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(?P<rest>.+?);?\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -282,6 +287,11 @@ def try_execute(engine, query: str) -> DataFrame | None:
         else:
             compact(engine.load_table(m.group(1)))
         return spark.range(1)
+
+    m = _ANALYZE_RE.match(query)
+    if m:
+        cols = [c.strip() for c in m.group("cols").split(",")] if m.group("cols") else None
+        return engine.load_table(m.group(1)).analyze(cols).statistics_df()
 
     m = _VACUUM_RE.match(query)
     if m:

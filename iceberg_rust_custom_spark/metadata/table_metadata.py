@@ -49,6 +49,12 @@ class TableMetadata:
     snapshot_log: tuple = ()  # ({"timestamp-ms", "snapshot-id"}, ...)
     metadata_log: tuple = ()
     refs: dict = field(default_factory=dict)  # name -> SnapshotReference
+    # Iceberg spec `statistics` field: [{snapshot-id, statistics-path,
+    # file-size-in-bytes, blob-metadata: [{type, snapshot-id,
+    # sequence-number, fields, properties}]}] — one entry per analyzed
+    # snapshot (ANALYZE TABLE / Table.analyze); beyond the reference, which
+    # has no statistics support.
+    statistics: tuple = ()
 
     # ------------------------------------------------------------------ new
     @classmethod
@@ -150,6 +156,7 @@ class TableMetadata:
             "snapshot-log": list(self.snapshot_log),
             "metadata-log": list(self.metadata_log),
             "refs": {k: v.to_dict() for k, v in self.refs.items()},
+            "statistics": list(self.statistics),
         }
 
     @classmethod
@@ -182,6 +189,7 @@ class TableMetadata:
             snapshot_log=tuple(d.get("snapshot-log", ())),
             metadata_log=tuple(d.get("metadata-log", ())),
             refs={k: SnapshotReference.from_dict(v) for k, v in d.get("refs", {}).items()},
+            statistics=tuple(d.get("statistics", ())),
         )
 
     def to_json(self) -> str:
@@ -261,6 +269,20 @@ class TableMetadata:
                 md = replace(md, location=u["location"])
             elif action == "assign-uuid":
                 md = replace(md, table_uuid=u["uuid"])
+            elif action == "set-statistics":
+                # spec: replaces any existing entry for the same snapshot
+                entry = u["statistics"]
+                kept = tuple(
+                    s for s in md.statistics if s["snapshot-id"] != entry["snapshot-id"]
+                )
+                md = replace(md, statistics=kept + (entry,))
+            elif action == "remove-statistics":
+                md = replace(
+                    md,
+                    statistics=tuple(
+                        s for s in md.statistics if s["snapshot-id"] != u["snapshot-id"]
+                    ),
+                )
             else:
                 raise ValueError(f"unknown update action {action!r}")
         return md

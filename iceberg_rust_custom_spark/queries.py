@@ -2012,6 +2012,46 @@ def iceberg_runtime_filtered_join(spark, sf_dir):
     )
 
 
+@q("iceberg_table_statistics")  # rows-only: NDV estimates are sketch-approximate by design
+def iceberg_table_statistics(spark, sf_dir):
+    """ANALYZE TABLE → spec-shaped statistics entry with mergeable HLL NDV
+    blobs (table/statistics.py; beyond reference — no statistics support
+    there). Incremental on appends: the second analyze sketches only the
+    delta and unions blobs. Returned frame = the statistics metadata table;
+    a hard assert checks every estimate lands within HLL error of exact."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:stats".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_stats"):
+        df = _t(spark, sf_dir, "orders")
+        half = df.where("o_orderkey % 2 = 0")
+        t = eng.create_table("rt.orders_stats", df.schema)
+        t.append(half)
+        t.analyze(["o_orderkey", "o_custkey", "o_orderstatus"])
+        t.append(df.where("o_orderkey % 2 = 1"))
+        t.analyze(["o_orderkey", "o_custkey", "o_orderstatus"])  # incremental blob merge
+    t = eng.load_table("rt.orders_stats")
+    stats = {r.column: r.ndv for r in t.statistics_df().collect()}
+    exact = {
+        r["c"]: r["n"]
+        for r in _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "stack(3, 'o_orderkey', count(distinct o_orderkey), "
+            "'o_custkey', count(distinct o_custkey), "
+            "'o_orderstatus', count(distinct o_orderstatus)) AS (c, n)"
+        )
+        .collect()
+    }
+    for c, n in exact.items():
+        assert abs(stats[c] - n) <= max(3, n * 0.09), (c, stats[c], n)
+    return t.statistics_df().orderBy("column")
+
+
 @q(
     "iceberg_materialized_view",
     """

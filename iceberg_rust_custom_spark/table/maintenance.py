@@ -341,7 +341,11 @@ def expire_snapshots(
     ]
     if not to_remove:
         return table
-    table.metadata = table.new_transaction().remove_snapshots(to_remove).commit()
+    tx = table.new_transaction().remove_snapshots(to_remove)
+    for sid in to_remove:  # drop statistics entries pointing at expired snapshots
+        if any(e["snapshot-id"] == sid for e in md.statistics):
+            tx._extra_updates.append({"action": "remove-statistics", "snapshot-id": sid})
+    table.metadata = tx.commit()
     return table
 
 

@@ -459,6 +459,20 @@ class Table:
             "partitions", "partition_summaries"
         )
 
+    def analyze(self, columns: list[str] | None = None) -> "Table":
+        """Compute/refresh per-column NDV statistics (mergeable HLL blobs;
+        incremental over appends — table/statistics.py)."""
+        from iceberg_rust_custom_spark.table.statistics import analyze
+
+        return analyze(self, columns)
+
+    def statistics_df(self) -> DataFrame:
+        """The `statistics` metadata table: (column, ndv, snapshot_id,
+        sequence_number) from the latest analyzed snapshot."""
+        from iceberg_rust_custom_spark.table.statistics import table_statistics
+
+        return table_statistics(self)
+
     def refs_df(self) -> DataFrame:
         """The `refs` metadata table: branches and tags with retention."""
         rows = [
