@@ -576,6 +576,56 @@ def quota_cap(
     )
 
 
+def training_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict,
+    token_budget: int,
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assemble a training mix to TARGET WEIGHTS under a token budget:
+    group ``g`` gets ``token_budget · w_g / Σw`` tokens, satisfied by
+    deterministically sampling its documents at rate
+    ``min(1, budget_g / available_g)``. Groups without a weight drop out.
+    Output = surviving rows + ``mix_rate``.
+
+    This is the "mixture" step of every LLM data recipe (e.g. oversample
+    curated sources, downweight raw crawl). Availability is measured from
+    the data (``sum(token_col)`` per group; row count when None), the rate
+    arithmetic runs INSIDE the plan (one broadcast-joined per-group row —
+    no driver collect, rates stay consistent with the exact data the job
+    read), and the keep decision is the engine-reproducible hash rule of
+    ``hash_sample`` — the same corpus on any cluster size, every rerun.
+    Expected sampled tokens land within sampling noise of the budget;
+    a group with fewer tokens than its budget is taken whole (rate 1) —
+    detect under-supplied groups by ``mix_rate = 1``."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
+
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    total_w = float(sum(weights.values()))
+    measure = F.sum(token_col) if token_col else F.count("*")
+    budget_for = F.create_map(
+        *[x for g, w in sorted(weights.items()) for x in (F.lit(g), F.lit(token_budget * w / total_w))]
+    )
+    rates = (
+        df.groupBy(group_col)
+        .agg(measure.cast("double").alias("_avail"))
+        # raw ratio FIRST, null-filter, THEN clamp: least() skips nulls, so
+        # least(1.0, null) would silently give unweighted groups rate 1.0
+        .select(group_col, (budget_for[F.col(group_col)] / F.col("_avail")).alias("_raw"))
+        .where(F.col("_raw").isNotNull())
+        .select(group_col, F.least(F.lit(1.0), F.col("_raw")).alias("mix_rate"))
+    )
+    h = md5h32_spark_sql(f"concat(cast({key_col} AS STRING), '{_escape_salt(salt)}')")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(F.expr(h) < F.floor(F.col("mix_rate") * F.lit(4294967296.0)).cast("long"))
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict, default_rate: float = 0.0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
     languages, keep all rare ones): each stratum gets its own keep-rate,

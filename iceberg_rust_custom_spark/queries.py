@@ -3034,6 +3034,44 @@ def ngram_lm_quality(spark, sf_dir):
     return TX.ngram_lm_scores(docs, "doc_id", "text", ref_df=docs.where("lang = 'en'"))
 
 
+_MIX_WEIGHTS = {"en": 0.6, "de": 0.2, "fr": 0.2}
+_MIX_BUDGET = 6000
+
+
+def _training_mix_oracle() -> str:
+    h = md5h32_sql("concat(cast(doc_id AS STRING), 'mix1')")
+    wmap = " ".join(
+        f"WHEN '{g}' THEN {_MIX_BUDGET} * {w!r} / {float(sum(_MIX_WEIGHTS.values()))!r}"
+        for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH avail AS (
+      SELECT lang, CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) AS a
+      FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, LEAST(1.0, (CASE lang {wmap} END) / a) AS mix_rate
+      FROM avail WHERE (CASE lang {wmap} END) IS NOT NULL
+    )
+    SELECT d.doc_id, d.lang, ROUND(r.mix_rate, 6) AS mix_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {h} < CAST(FLOOR(r.mix_rate * 4294967296.0) AS BIGINT)
+    """
+
+
+@q("training_mix_assembly", _training_mix_oracle())
+def training_mix_assembly(spark, sf_dir):
+    """Token-budgeted training mix (text.py::training_mix): 60/20/20
+    en/de/fr target weights under a 6k-token budget; per-group rates are
+    computed inside the plan from measured token supply and rows are kept
+    by the reproducible hash rule — same corpus on any cluster size."""
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
+    out = TX.training_mix(
+        docs, "doc_id", "lang", _MIX_WEIGHTS, _MIX_BUDGET, token_col="n_tokens", salt="mix1"
+    )
+    return out.select("doc_id", "lang", F.round("mix_rate", 6).alias("mix_rate"))
+
+
 @q(
     "source_quota_cap",
     """

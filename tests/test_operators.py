@@ -121,6 +121,30 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     }
 
 
+def test_training_mix_hits_budget_and_drops_unweighted(spark):
+    from iceberg_rust_custom_spark.operators.text import training_mix
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web").when(F.col("id") % 3 == 1, "wiki").otherwise("junk").alias("src"),
+        F.lit(100).alias("n_tokens"),  # 1000 docs × 100 tokens per source
+    )
+    out = training_mix(df, "doc_id", "src", {"wiki": 3.0, "web": 1.0}, 40_000, token_col="n_tokens")
+    by = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+    assert "junk" not in by  # no weight → dropped entirely
+    # budgets: wiki 30k tokens → rate .3 of 1000 docs; web 10k → rate .1
+    assert abs(by["wiki"] - 300) < 60 and abs(by["web"] - 100) < 40, by
+    # under-supplied group is taken whole at rate 1
+    out2 = training_mix(df, "doc_id", "src", {"wiki": 1.0}, 10**9, token_col="n_tokens")
+    assert out2.count() == 1000 and out2.select("mix_rate").first()[0] == 1.0
+    # reproducible: same inputs → identical corpus
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in training_mix(
+        df.repartition(7), "doc_id", "src", {"wiki": 3.0, "web": 1.0}, 40_000, token_col="n_tokens"
+    ).collect())
+    assert a == b
+
+
 def test_ngram_lm_scores_separate_prose_from_gibberish(spark):
     from iceberg_rust_custom_spark.operators.text import ngram_lm_scores
 
