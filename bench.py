@@ -70,6 +70,7 @@ HEADLINE = [
     "fuzzy_dedup_keep_best",
     "source_quota_cap",
     "ngram_lm_quality",
+    "training_mix_assembly",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
