@@ -43,7 +43,29 @@ def _select(draw):
     join = draw(st.booleans())
     src = "orders JOIN customer ON o_custkey = c_custkey" if join else "orders"
     pred = draw(st.one_of(st.just(""), _predicate()))
-    shape = draw(st.integers(0, 4))
+    shape = draw(st.integers(0, 7))
+    if shape == 5:  # IN / NOT IN subquery (semi/anti through the optimizer)
+        neg = draw(st.sampled_from(["", "NOT "]))
+        k = draw(st.integers(0, 25))
+        return (
+            f"SELECT o_orderkey FROM orders{pred}"
+            f"{' AND' if pred else ' WHERE'} o_custkey {neg}IN "
+            f"(SELECT c_custkey FROM customer WHERE c_nationkey < {k})"
+        )
+    if shape == 6:  # correlated [NOT] EXISTS
+        neg = draw(st.sampled_from(["", "NOT "]))
+        k = draw(st.integers(0, 25))
+        return (
+            f"SELECT o_orderkey FROM orders o WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            f"AND c.c_nationkey < {k})"
+        )
+    if shape == 7:  # LEFT JOIN null handling
+        k = draw(st.integers(0, 25))
+        return (
+            "SELECT o_orderkey, COALESCE(c_nationkey, -1) AS nk FROM orders "
+            f"LEFT JOIN customer ON o_custkey = c_custkey AND c_nationkey < {k}"
+        )
     if shape == 2:  # window over a unique order key → deterministic
         wf = draw(
             st.sampled_from(
@@ -180,3 +202,50 @@ def test_iceberg_scan_pruning_matches_duckdb(iceberg_orders, pred):
     got = sorted(r.o_orderkey for r in t.scan(pred).select("o_orderkey").collect())
     want = sorted(r[0] for r in con.execute(f"SELECT o_orderkey FROM orders WHERE {pred}").fetchall())
     assert got == want, pred
+
+
+# --------------------------------------------------------------------------
+# Runtime join-key file pruning (table/runtime_filter.py): for RANDOM dim
+# key sets, Table.join_scan over the engine table must return exactly the
+# plain SQL join's rows — through BOTH probe shapes (IN-set under max_keys,
+# min/max range above it) and combined with a random extra predicate.
+# --------------------------------------------------------------------------
+
+
+@st.composite
+def _dim_spec(draw):
+    lo = draw(st.integers(0, 1400))
+    width = draw(st.integers(1, 300))
+    step = draw(st.sampled_from([1, 3, 7]))
+    max_keys = draw(st.sampled_from([4, 10_000]))  # force range / IN-set paths
+    pred = draw(st.one_of(st.just(None), st.just("o_orderkey > 1500")))
+    return lo, lo + width, step, max_keys, pred
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=_dim_spec())
+def test_join_scan_matches_plain_join(iceberg_orders, spec):
+    lo, hi, step, max_keys, pred = spec
+    t, con = iceberg_orders
+    spark = t.spark
+    keys = list(range(lo, hi, step))
+    dim = spark.createDataFrame([(k,) for k in keys], "o_custkey bigint")
+    got = sorted(
+        r.o_orderkey
+        for r in t.join_scan(dim, "o_custkey", predicate=pred, max_keys=max_keys)
+        .select("o_orderkey")
+        .collect()
+    )
+    extra = f" AND {pred}" if pred else ""
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            f"({', '.join(map(str, keys))}){extra}"
+        ).fetchall()
+    )
+    assert got == want, spec
