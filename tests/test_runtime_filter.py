@@ -98,3 +98,23 @@ def test_outer_join_rejected(spark, fact_table):
 
 def test_always_false_prunes_everything():
     assert may_match(AlwaysFalse(), None) is False
+
+
+def test_join_scan_applies_mor_deletes(spark, tmp_path):
+    """Runtime-filtered scans go through the same delete-applying read path:
+    rows tombstoned by a merge-on-read delete must not resurface."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 50).alias("custkey")
+    )
+    t = eng.create_table(
+        "rf.mor", df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append(df)
+    delete_where(t, "o_id >= 500")
+    dim = spark.createDataFrame([(7,), (9,)], "custkey bigint")
+    got = sorted(r.o_id for r in t.join_scan(dim, "custkey").collect())
+    want = sorted(i for i in range(500) if i % 50 in (7, 9))
+    assert got == want
