@@ -108,8 +108,16 @@ def write_manifest_avro(path: str, entries: list, spec_id: int, schema: Schema, 
         max_seq = max(max_seq, seq)
         for pname, pval in df.partition.items():
             s = summaries.setdefault(
-                pname, {"contains_null": False, "contains_nan": False, "lower": None, "upper": None}
+                pname,
+                {
+                    "contains_null": False,
+                    "contains_nan": False,
+                    "lower": None,
+                    "upper": None,
+                    "_present": 0,
+                },
             )
+            s["_present"] += 1
             if pval is None:
                 s["contains_null"] = True
             elif isinstance(pval, float) and _math.isnan(pval):
@@ -119,6 +127,13 @@ def write_manifest_avro(path: str, entries: list, spec_id: int, schema: Schema, 
                     s["lower"] = pval
                 if s["upper"] is None or pval > s["upper"]:
                     s["upper"] = pval
+    # fields absent from any entry (older-spec file) get NO summary — see
+    # the identical guard in manifest.py::write_manifest (fuzz catch, r4)
+    summaries = {
+        k: {kk: vv for kk, vv in v.items() if kk != "_present"}
+        for k, v in summaries.items()
+        if v["_present"] == len(entries)
+    }
     return {
         "manifest_path": path,
         "manifest_length": FileIO.size(path),

@@ -223,8 +223,16 @@ def write_manifest(
         max_seq = max(max_seq, e.sequence_number)
         for pname, pval in df.partition.items():
             s = summaries.setdefault(
-                pname, {"contains_null": False, "contains_nan": False, "lower": None, "upper": None}
+                pname,
+                {
+                    "contains_null": False,
+                    "contains_nan": False,
+                    "lower": None,
+                    "upper": None,
+                    "_present": 0,
+                },
             )
+            s["_present"] += 1
             if pval is None:
                 s["contains_null"] = True
             elif isinstance(pval, float) and _math.isnan(pval):
@@ -234,6 +242,14 @@ def write_manifest(
                     s["lower"] = pval
                 if s["upper"] is None or pval > s["upper"]:
                     s["upper"] = pval
+    # a field missing from ANY entry's partition tuple (file written under
+    # an older spec) has unknown extent — emitting bounds from the other
+    # entries would let manifest pruning drop that file (fuzz catch, r4)
+    summaries = {
+        k: {kk: vv for kk, vv in v.items() if kk != "_present"}
+        for k, v in summaries.items()
+        if v["_present"] == len(entries)
+    }
     FileIO.pq_write_table(pa.table(rows, schema=MANIFEST_SCHEMA), path, compression="zstd")
     return {
         "manifest_path": path,

@@ -54,6 +54,24 @@ def _manifest_size_limit(total_files: int) -> int:
     return MIN_DATAFILES_PER_MANIFEST + int(math.isqrt(max(total_files, 0)))
 
 
+def _infer_spec_id(data_file: DataFile, metadata: TableMetadata) -> int:
+    """The partition spec a data file's partition tuple was written under,
+    inferred from its key set (DataFile does not store a spec id; the
+    manifest-list row does, which is why rewrites must regroup). Prefers
+    the default spec on ties; unmatched key sets fall back to the default
+    spec — safe because write_manifest drops FieldSummary bounds for any
+    field not present in EVERY entry."""
+    keys = frozenset(data_file.partition.keys())
+    default_id = metadata.default_spec_id
+    default_spec = metadata.partition_specs.get(default_id)
+    if default_spec is not None and keys == frozenset(pf.name for pf in default_spec.fields):
+        return default_id
+    for sid in sorted(metadata.partition_specs):
+        if keys == frozenset(pf.name for pf in metadata.partition_specs[sid].fields):
+            return sid
+    return default_id
+
+
 class Transaction:
     def __init__(self, catalog: Catalog, identifier: Identifier, metadata: TableMetadata, branch: str = MAIN_BRANCH):
         self.catalog = catalog
@@ -386,20 +404,30 @@ class Transaction:
         from iceberg_rust_custom_spark.metadata.avro_manifest import manifest_ext
 
         ext = manifest_ext(metadata.properties)
-        spec_id = metadata.default_spec_id
         schema = metadata.current_schema()
-        spec = metadata.default_spec()
         entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._rewrite or []]
+        # A manifest's partition tuples are decoded with ONE spec at scan
+        # time, so a rewrite that carries files written under an OLDER spec
+        # (CoW delete/update/merge keep untouched files) must keep them in
+        # manifests of THEIR spec: mixing specs let write_manifest build a
+        # FieldSummary claiming bounds an old-spec file never had, and
+        # manifest-level pruning then dropped it (fuzz catch, round 4).
+        by_spec: dict[int, list] = {}
+        for e in entries:
+            by_spec.setdefault(_infer_spec_id(e.data_file, metadata), []).append(e)
         limit = _manifest_size_limit(len(entries))
         rows = []
-        chunks = [
-            entries[start : start + max(limit, 1)] for start in range(0, len(entries), max(limit, 1))
-        ] or [[]]
-        for chunk in chunks:
-            path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}{ext}")
-            row = write_manifest(path, chunk, spec_id, schema, spec)
-            row["added_snapshot_id"] = snap_id
-            rows.append(row)
+        for sid in sorted(by_spec) or [metadata.default_spec_id]:
+            group = by_spec.get(sid, [])
+            spec = metadata.partition_specs.get(sid, metadata.default_spec())
+            chunks = [
+                group[start : start + max(limit, 1)] for start in range(0, len(group), max(limit, 1))
+            ] or [[]]
+            for chunk in chunks:
+                path = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex[:12]}{ext}")
+                row = write_manifest(path, chunk, sid, schema, spec)
+                row["added_snapshot_id"] = snap_id
+                rows.append(row)
         return rows
 
     def _delete_replaced_files(self, old_metadata: TableMetadata) -> None:

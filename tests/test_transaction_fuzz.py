@@ -41,6 +41,29 @@ _op = st.one_of(
 )
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "avro"])
+def test_cow_rewrite_after_partition_evolution_keeps_old_spec_files(
+    spark, tmp_path_factory, fmt
+):
+    """Pinned fuzz catch (r4 falsifying example): a CoW merge after
+    partition evolution carried a spec-0 file into a spec-1 manifest whose
+    FieldSummary claimed bounds the old file never had, so manifest-level
+    pruning dropped it and the following CoW delete missed its rows.
+    Rewrites must group carried files into manifests of THEIR spec, and a
+    FieldSummary may not bound a field absent from any entry."""
+    from iceberg_rust_custom_spark.engine import Engine as _E
+
+    eng = _E(spark, warehouse=str(tmp_path_factory.mktemp("evofix") / "wh"))
+    t = eng.create_table("fz.evofix", SCH, properties={"write.metadata.format": fmt})
+    t.append(spark.createDataFrame([(0, 0, 0)], SCH.spark_schema()))
+    t = t.update_partition_spec("k")
+    t = merge_upsert(t, spark.createDataFrame([(1, 1, 0)], SCH.spark_schema()), ["id"])
+    assert t.count_planned_files("k = 0") == 1  # old-spec file must survive pruning
+    t = delete_where(t, "k = 0", mode="cow")
+    assert sorted((r.id, r.k, r.v) for r in t.scan().collect()) == [(1, 1, 0)]
+    eng.drop("fz.evofix")
+
+
 @pytest.mark.slow
 @settings(
     max_examples=8,
