@@ -106,6 +106,7 @@ def plan_files(
     sequence_number_range: tuple[int, int] | None = None,
     ml_rows: list[dict] | None = None,
     entry_cache: dict | None = None,
+    report: dict | None = None,
 ) -> list[DataFile]:
     """Two-level pruned data-file listing. ``sequence_number_range=(start,end]``
     gives incremental reads (reference: table/mod.rs:120-144). ``ml_rows``
@@ -141,6 +142,15 @@ def plan_files(
         return _spec_cache[spec_id]
 
     manifest_rows = ml_rows if ml_rows is not None else read_manifest_list(snapshot.manifest_list)
+    if report is not None:
+        report.update(
+            manifests_total=len(manifest_rows),
+            manifests_pruned=0,
+            files_scanned=0,
+            files_planned=0,
+            bytes_planned=0,
+            rows_planned=0,
+        )
     out: list[DataFile] = []
     for row in manifest_rows:
         result_types, part_pred = for_spec(row.get("partition_spec_id", metadata.default_spec_id))
@@ -148,16 +158,26 @@ def plan_files(
             start, end = sequence_number_range
             # whole manifest outside (start, end] → skip without opening it
             if row["sequence_number"] <= start or row["min_sequence_number"] > end:
+                if report is not None:
+                    report["manifests_pruned"] += 1
                 continue
         if part_pred is not None and row.get("partitions"):
             summaries = json.loads(row["partitions"])
             if summaries and not may_match(part_pred, _PartitionBounds(summaries, result_types)):
+                if report is not None:
+                    report["manifests_pruned"] += 1
                 continue  # manifest-level skip
         for entry in _cached_entries(entry_cache, row["manifest_path"], row):
+            if report is not None and entry.status != STATUS_DELETED and entry.data_file.content == 0:
+                report["files_scanned"] += 1
             if _entry_survives(
                 entry, predicate, part_pred, result_types, schema, sequence_number_range
             ):
                 out.append(entry.data_file)
+                if report is not None:
+                    report["files_planned"] += 1
+                    report["bytes_planned"] += entry.data_file.file_size_in_bytes
+                    report["rows_planned"] += entry.data_file.record_count
     return out
 
 

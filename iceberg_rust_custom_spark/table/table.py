@@ -498,6 +498,20 @@ class Table:
             "timestamp_ms long, snapshot_id long",
         )
 
+    def scan_report(self, predicate: Expr | str | None = None) -> dict:
+        """Pruning observability: what would a scan with this predicate
+        read? Returns {manifests_total, manifests_pruned (skipped by
+        FieldSummary before being opened), files_scanned (entries actually
+        evaluated), files_planned, bytes_planned, rows_planned} — the
+        ".explain for metadata" loop: check a predicate prunes BEFORE
+        running it on the cluster."""
+        if isinstance(predicate, str):
+            predicate = parse_predicate(predicate)
+        snap = self.metadata.snapshot_for_ref()
+        report: dict = {}
+        plan_files(self.metadata, snap, predicate, report=report)
+        return report
+
     def count_planned_files(self, predicate: Expr | str | None = None) -> int:
         """How many data files a scan with this predicate would read —
         the observable effect of two-level pruning (used by tests)."""

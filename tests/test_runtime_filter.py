@@ -100,6 +100,16 @@ def test_always_false_prunes_everything():
     assert may_match(AlwaysFalse(), None) is False
 
 
+def test_scan_report_counters(spark, fact_table):
+    rep_all = fact_table.scan_report()
+    assert rep_all["files_planned"] == rep_all["files_scanned"] > 1
+    assert rep_all["manifests_pruned"] == 0
+    assert rep_all["rows_planned"] == 20_000 and rep_all["bytes_planned"] > 0
+    rep = fact_table.scan_report("custkey < 50")
+    assert rep["files_planned"] < rep_all["files_planned"]
+    assert rep["rows_planned"] < rep_all["rows_planned"]
+
+
 def test_join_scan_applies_mor_deletes(spark, tmp_path):
     """Runtime-filtered scans go through the same delete-applying read path:
     rows tombstoned by a merge-on-read delete must not resurface."""
