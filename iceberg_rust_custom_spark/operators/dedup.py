@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -177,6 +177,72 @@ def minhash_signature_columns(text_col, num_hashes: int = 16, shingle_n: int = 3
     for i, (a, b) in enumerate(minhash_params(num_hashes)):
         cols.append(F.array_min(F.transform(hashes, _affine(a, b))).alias(f"mh_{i}"))
     return cols
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operation, relationally):
+    every MAXIMAL run of ≥ ``min_len`` consecutive tokens that also appears
+    in ANOTHER document, as ``(id, span_start, span_end, span_tokens)``
+    (1-based inclusive token positions). Downstream either drops the spans
+    (suffix-array-style cut) or filters docs by duplicated-token ratio.
+
+    Relational shape instead of a distributed suffix array: (1) slide an
+    L-token window over each doc → (id, pos, md5(gram)); (2) one
+    hash-aggregate finds grams seen in ≥2 distinct docs (map-side combine
+    collapses boilerplate before the shuffle — the 10^8-copy header costs
+    one row per map partition); (3) join back (broadcast when small);
+    (4) merge overlapping windows into maximal spans with one
+    cumulative-max gaps-islands window per doc. No UDFs; every stage is
+    codegen. Positions are data-determined, so results are identical on
+    any partitioning."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be ≥ 2 tokens")
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    grams_expr = (
+        f"CASE WHEN size({toks}) >= {L} THEN "
+        f"transform(sequence(1, size({toks}) - {L - 1}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice({toks}, i, {L}))) AS h)) "
+        f"ELSE array() END"
+    )
+    grams = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
+        .select(id_col, "g.pos", "g.h")
+    )
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = grams.join(dup_hashes, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_span", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    ).withColumn("span", F.sum("new_span").over(w))
+    return (
+        islands.groupBy(id_col, "span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_tokens"),
+        )
+    )
 
 
 def minhash_signature(

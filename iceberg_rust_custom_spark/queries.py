@@ -1564,6 +1564,51 @@ def _cc_keep_best_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     """
 
 
+def _dup_spans_oracle(L: int = 8) -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - {L - 1}, 0))) AS pos, t
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(t, pos, pos + {L - 1}), ' ')) AS h
+      FROM grams
+    ),
+    dups AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    hits AS (SELECT doc_id, pos FROM hashed JOIN dups USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN COALESCE(pos > MAX(pos + {L - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, TRUE)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {L - 1} AS INT) AS span_end,
+           CAST(MAX(pos) + {L - 1} - MIN(pos) + 1 AS INT) AS span_tokens
+    FROM sp GROUP BY doc_id, span
+    """
+
+
+@q("exact_substring_spans", _dup_spans_oracle(8))
+def exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022, relationally —
+    dedup.py::duplicate_spans): maximal ≥8-token runs appearing in more
+    than one document, as (doc, start, end) token ranges. The
+    cut-the-duplicated-bytes complement to document-level fuzzy dedup."""
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", min_len=8)
+
+
 @q("fuzzy_dedup_keep_best", _cc_keep_best_oracle(16, 8))
 def fuzzy_dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup: same LSH → connected-components clustering as

@@ -184,6 +184,26 @@ def test_quota_cap_binds_and_matches_plain_window(spark):
     assert sorted(r.doc_id for r in got2.collect()) == [0, 1, 2, 3, 4, 5]
 
 
+def test_duplicate_spans_finds_maximal_shared_runs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one two three {shared} tail1 tail2"),
+            (2, f"{shared} completely different ending here now"),
+            (3, "no overlap with anything else at all whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+           for r in D.duplicate_spans(df, "doc_id", "text", min_len=8).collect()}
+    # doc1: shared block occupies token positions 5..14; doc2: 1..10
+    assert out[1] == (5, 14, 10)
+    assert out[2] == (1, 10, 10)
+    assert 3 not in out
+    # below min_len → no spans
+    assert D.duplicate_spans(df, "doc_id", "text", min_len=11).count() == 0
+
+
 def test_dedup_clusters_keep_best_by_score(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 30), (3, 30), (4, 5), (5, 1), (6, 2)], ["doc_id", "q"]
