@@ -71,6 +71,7 @@ HEADLINE = [
     "source_quota_cap",
     "ngram_lm_quality",
     "training_mix_assembly",
+    "exact_substring_spans",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
