@@ -245,6 +245,57 @@ def duplicate_spans(
     )
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Remove every cross-document duplicated span found by
+    ``duplicate_spans`` from the text (the actual cut step of Lee et al.
+    2022): ``(id, out_col, n_tokens_kept, n_tokens_cut)``. Documents whose
+    every token is duplicated keep an empty string (filter on
+    ``n_tokens_kept`` downstream). Whitespace is normalized to single
+    spaces by reassembly.
+
+    Scale shape: spans expand to (id, pos) rows via sequence+explode (output
+    bounded by corpus token count), tokens LEFT ANTI join them on the exact
+    (id, pos) key — no range join — and one groupBy(id) reassembles in
+    order. All codegen."""
+    spans = duplicate_spans(df, id_col, text_col, min_len)
+    cut_positions = spans.select(
+        F.col(id_col),
+        F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"),
+    )
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(toks_expr)).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(cut_positions, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"), " "
+        ).alias(out_col),
+        F.count("*").cast("int").alias("n_tokens_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.expr(f"size({toks_expr})").cast("int").alias("_total")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+            (F.col("_total") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_tokens_cut"),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:

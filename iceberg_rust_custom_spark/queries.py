@@ -1609,6 +1609,42 @@ def exact_substring_spans(spark, sf_dir):
     return D.duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", min_len=8)
 
 
+def _cut_spans_oracle(L: int = 8) -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH spans AS ({_dup_spans_oracle(L)}),
+    cutpos AS (
+      SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos FROM spans
+    ),
+    toks AS (
+      SELECT doc_id, unnest(generate_series(1, len({toks}))) AS pos, {toks} AS t
+      FROM documents
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.t[tk.pos] AS tok
+      FROM toks tk ANTI JOIN cutpos c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+    ),
+    re AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_cut,
+             CAST(COUNT(*) AS INT) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(re.text_cut, '') AS text_cut,
+           COALESCE(re.n_tokens_kept, 0) AS n_tokens_kept,
+           CAST(len({toks}) - COALESCE(re.n_tokens_kept, 0) AS INT) AS n_tokens_cut
+    FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
+    """
+
+
+@q("exact_substring_cut", _cut_spans_oracle(8))
+def exact_substring_cut(spark, sf_dir):
+    """The cut step of exact-substring dedup: remove every cross-document
+    duplicated ≥8-token span from the text (dedup.py::cut_duplicate_spans)
+    and report kept/cut token counts per document."""
+    return D.cut_duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", min_len=8)
+
+
 @q("fuzzy_dedup_keep_best", _cc_keep_best_oracle(16, 8))
 def fuzzy_dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup: same LSH → connected-components clustering as

@@ -204,6 +204,19 @@ def test_duplicate_spans_finds_maximal_shared_runs(spark):
     assert D.duplicate_spans(df, "doc_id", "text", min_len=11).count() == 0
 
 
+def test_cut_duplicate_spans_removes_shared_block(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"intro {shared} outro"), (2, f"{shared}"), (3, "all original words here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.text_cut, r.n_tokens_kept, r.n_tokens_cut)
+           for r in D.cut_duplicate_spans(df, "doc_id", "text", min_len=8).collect()}
+    assert out[1] == ("intro outro", 2, 8)
+    assert out[2] == ("", 0, 8)  # fully duplicated doc survives as empty row
+    assert out[3] == ("all original words here", 4, 0)
+
+
 def test_dedup_clusters_keep_best_by_score(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 30), (3, 30), (4, 5), (5, 1), (6, 2)], ["doc_id", "q"]
