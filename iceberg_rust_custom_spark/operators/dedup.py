@@ -204,15 +204,19 @@ def duplicate_spans(
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be ≥ 2 tokens")
+    # tokenize ONCE into a column — inlining the split+filter into the
+    # per-gram lambda would re-tokenize the document for every window
+    # position (the O(len²) trap ngram_lm_scores hit)
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
     grams_expr = (
-        f"CASE WHEN size({toks}) >= {L} THEN "
-        f"transform(sequence(1, size({toks}) - {L - 1}), "
-        f"i -> struct(i AS pos, md5(concat_ws(' ', slice({toks}, i, {L}))) AS h)) "
+        f"CASE WHEN size(_tk) >= {L} THEN "
+        f"transform(sequence(1, size(_tk) - {L - 1}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(_tk, i, {L}))) AS h)) "
         f"ELSE array() END"
     )
     grams = (
         ensure_min_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _tk")
         .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
         .select(id_col, "g.pos", "g.h")
     )

@@ -15,6 +15,7 @@ from iceberg_rust_custom_spark.engine import Engine
 from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
 from iceberg_rust_custom_spark.table.maintenance import (
     compact,
+    delete_by_key,
     delete_where,
     expire_snapshots,
     merge_upsert,
@@ -35,6 +36,7 @@ _op = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 3), st.sampled_from(["cow", "mor"])),
     st.tuples(st.just("update"), st.integers(0, 3), st.sampled_from(["cow", "mor"])),
     st.tuples(st.just("upsert"), st.integers(0, 3), st.integers(0, 99)),
+    st.tuples(st.just("delete_key"), st.integers(0, 2)),  # equality delete on ids
     st.tuples(st.just("compact")),
     st.tuples(st.just("expire")),
     st.tuples(st.just("evolve"), st.sampled_from(["k", "bucket(4, id)", "truncate(2, k)"])),
@@ -97,6 +99,14 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
             _, k, mode = op
             t = update_where(t, {"v": "v + 1"}, f"k = {k}", mode=mode)
             model = {i: (kk, vv + 1 if kk == k else vv) for i, (kk, vv) in model.items()}
+        elif kind == "delete_key":
+            _, j = op
+            # equality-delete a couple of live ids (j-th slice), O(keys) write
+            ids = sorted(model)[j * 2 : j * 2 + 2]
+            if ids:
+                t = delete_by_key(t, ids, ["id"])
+                for i in ids:
+                    model.pop(i, None)
         elif kind == "upsert":
             _, k, v = op
             # upsert half the ids currently in group k (update) + one new id (insert)
