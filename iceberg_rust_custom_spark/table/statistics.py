@@ -84,6 +84,9 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
                 if s.summary.get("operation") != "append":
                     appends_only = False
                     break
+        # prev is an ANCESTOR of the head by construction (latest_statistics
+        # walks the ancestry), so after a rollback the abandoned entry can
+        # never seed the merge — its blobs count rows the table dropped
         if appends_only and set(cols) <= prev_cols:
             from_seq = prev_seq
             tbl = FileIO.pq_read_table(prev["statistics-path"])
@@ -156,14 +159,21 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
 
 
 def latest_statistics(table: Table) -> dict | None:
-    """The statistics entry for the most recent still-existing analyzed
-    snapshot (by sequence number)."""
-    live = []
-    for e in table.metadata.statistics:
-        s = table.metadata.snapshots.get(e["snapshot-id"])
-        if s is not None:
-            live.append((s.sequence_number, e))
-    return max(live, key=lambda t: t[0])[1] if live else None
+    """The statistics entry of the nearest ANALYZED ancestor of the current
+    head (walking parents) — after a rollback the abandoned branch's entry
+    still exists but does not describe data the table now holds, so it is
+    never returned."""
+    by_snap = {e["snapshot-id"]: e for e in table.metadata.statistics}
+    cur = table.metadata.snapshot_for_ref()
+    while cur is not None:
+        if cur.snapshot_id in by_snap:
+            return by_snap[cur.snapshot_id]
+        cur = (
+            table.metadata.snapshots.get(cur.parent_snapshot_id)
+            if cur.parent_snapshot_id is not None
+            else None
+        )
+    return None
 
 
 def table_statistics(table: Table) -> DataFrame:

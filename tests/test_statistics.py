@@ -93,6 +93,20 @@ def test_expire_drops_statistics_entries(engine, spark):
     assert latest_statistics(t) is not None  # current snapshot's entry survives
 
 
+def test_rollback_forces_full_recompute(engine, spark):
+    """After a rollback, the analyzed snapshot is off the current ancestry —
+    incremental blob reuse would count rows the table no longer holds."""
+    t = engine.create_table("ns.stats_rb", _mkdf(spark, 0, 500).schema)
+    t.append(_mkdf(spark, 0, 500))
+    s1 = t.metadata.snapshot_for_ref().snapshot_id
+    t.append(_mkdf(spark, 500, 2000))
+    t.analyze(["id"])
+    t.rollback_to(s1)
+    t.analyze(["id"])
+    stats = {r.column: r.ndv for r in t.statistics_df().collect()}
+    assert abs(stats["id"] - 500) <= 500 * 0.09, stats["id"]  # not ~2000
+
+
 def test_analyze_ddl(engine, spark):
     df = _mkdf(spark, 0, 500)
     engine.create_table("ns.stats_ddl", df.schema).append(df)
