@@ -117,6 +117,9 @@ def main():
     full_driver = plan_files(md, snap)
     out["driver_full_s"] = round(time.time() - t0, 2)
     t0 = time.time()
+    plan_files(md, snap)
+    out["driver_full_cached_s"] = round(time.time() - t0, 2)  # manifest cache hit
+    t0 = time.time()
     pruned_driver = plan_files(md, snap, pred)
     out["driver_pruned_s"] = round(time.time() - t0, 2)
     t0 = time.time()
