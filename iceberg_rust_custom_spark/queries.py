@@ -4082,6 +4082,65 @@ ORACLES["corpus_curation"] = f"""
 """
 
 
+ORACLES["corpus_curation_v2"] = f"""
+    WITH v1 AS ({ORACLES["corpus_curation"]}),
+         lm AS ({_ngram_lm_oracle(3)}),
+         pool AS (
+           SELECT v1.doc_id, d.source, d.n_chars
+           FROM v1 JOIN lm ON lm.doc_id = v1.doc_id
+           JOIN documents d ON d.doc_id = v1.doc_id
+           WHERE v1.keep AND lm.nll <= 5.40
+         ),
+         quota AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) AS INT) AS quota_rank
+           FROM pool
+         )
+    SELECT v1.doc_id, v1.keep AS keep_v1,
+           COALESCE(lm.nll <= 5.40, FALSE) AS lm_pass,
+           quota.quota_rank,
+           COALESCE(quota.quota_rank <= 30, FALSE) AS keep_v2
+    FROM v1
+    LEFT JOIN lm ON lm.doc_id = v1.doc_id
+    LEFT JOIN quota ON quota.doc_id = v1.doc_id
+"""
+
+
+@q("corpus_curation_v2")
+def corpus_curation_v2(spark, sf_dir):
+    """Round-4 curation funnel: the verified v1 keep decision (quality ⋈
+    repetition ⋈ lang-ID ⋈ dedup-canonical) narrowed by the LM perplexity
+    filter (ngram_lm_scores, nll ≤ 5.40) and a per-source anti-domination
+    quota (quota_cap top-30 by length) — the three stages every production
+    recipe chains after the cheap filters. Verifies the COMPOSITION of all
+    seven independently-verified operators in one plan."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = corpus_curation(spark, sf_dir).select("doc_id", F.col("keep").alias("keep_v1"))
+    lm = TX.ngram_lm_scores(d, "doc_id", "text", ref_df=d.where("lang = 'en'")).select(
+        "doc_id", (F.col("nll") <= 5.40).alias("lm_pass")
+    )
+    pool = (
+        v1.where("keep_v1")
+        .join(lm.where("lm_pass"), "doc_id")
+        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+    quota = TX.quota_cap(pool, "source", "doc_id", 10**9, score_col="n_chars").select(
+        "doc_id", "quota_rank"
+    )
+    return (
+        v1.join(lm, "doc_id", "left")
+        .join(quota, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_v1",
+            F.coalesce("lm_pass", F.lit(False)).alias("lm_pass"),
+            "quota_rank",
+            F.coalesce(F.col("quota_rank") <= 30, F.lit(False)).alias("keep_v2"),
+        )
+    )
+
+
 @q("corpus_curation")
 def corpus_curation(spark, sf_dir):
     """The full curation funnel in ONE declarative plan: quality features ⋈
