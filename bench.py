@@ -72,6 +72,7 @@ HEADLINE = [
     "ngram_lm_quality",
     "training_mix_assembly",
     "exact_substring_spans",
+    "corpus_curation_v2",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
