@@ -175,6 +175,7 @@ _CREATE_NS_RE = re.compile(
 )
 _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
 # SQL type spellings → Iceberg type names used by the schema system
 _SQL_TYPE_ALIASES = {"bigint": "long", "integer": "int", "real": "float", "varchar": "string", "text": "string"}
@@ -359,6 +360,41 @@ def try_execute(engine, query: str) -> DataFrame | None:
         return spark.createDataFrame(
             rows, "col_name string, data_type string, nullable boolean, partition string"
         )
+
+    m = _SHOW_CREATE_RE.match(query)
+    if m:
+        md = engine.load_table(m.group(1)).metadata
+        schema = md.current_schema()
+        sql_types = {"long": "BIGINT", "timestamptz": "TIMESTAMP", "timestamp": "TIMESTAMP_NTZ"}
+
+        def _sql_type(t):
+            if not isinstance(t, str):
+                return "STRUCT"
+            return sql_types.get(t, t.upper())
+
+        cols = ",\n  ".join(
+            f"{f.name} {_sql_type(f.field_type)}{' NOT NULL' if f.required else ''}"
+            for f in schema.fields
+        )
+        stmt = f"CREATE TABLE {m.group(1)} (\n  {cols}\n) STORED AS ICEBERG"
+        parts = []
+        for pf in md.default_spec().fields:
+            src = schema.field_by_id(pf.source_id).name
+            tn = pf.transform.name
+            if tn == "identity":
+                parts.append(src)
+            elif tn.startswith(("bucket[", "truncate[")):
+                kind, n = tn.split("[")
+                parts.append(f"{kind}({n.rstrip(']')}, {src})")
+            else:
+                parts.append(f"{tn}({src})")
+        if parts:
+            stmt += f"\nPARTITIONED BY ({', '.join(parts)})"
+        if md.properties:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(md.properties.items()))
+            stmt += f"\nTBLPROPERTIES ({kv})"
+        stmt += f"\nLOCATION '{md.location}'"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
     return None
 

@@ -359,3 +359,18 @@ def test_namespace_ddl(eng):
     eng.sql("CREATE NAMESPACE IF NOT EXISTS analytics.daily")  # no error
     names = {r.namespace for r in eng.sql("SHOW NAMESPACES").collect()}
     assert "analytics.daily" in names
+
+
+def test_show_create_table(eng):
+    eng.sql(
+        "CREATE TABLE ns.sct (id BIGINT, name STRING, ts TIMESTAMP) "
+        "STORED AS ICEBERG PARTITIONED BY (month(ts), bucket(4, id))"
+    )
+    stmt = eng.sql("SHOW CREATE TABLE ns.sct").first().createtab_stmt
+    assert "CREATE TABLE ns.sct" in stmt
+    assert "id BIGINT" in stmt and "name STRING" in stmt
+    assert "PARTITIONED BY (month(ts), bucket(4, id))" in stmt
+    assert "LOCATION '" in stmt
+    # round trip: the emitted DDL is itself accepted
+    eng.sql(stmt.replace("ns.sct", "ns.sct2").split("\nTBLPROPERTIES")[0].split("\nLOCATION")[0])
+    assert eng.table_exists("ns.sct2")
