@@ -176,6 +176,7 @@ _CREATE_NS_RE = re.compile(
 _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
 # SQL type spellings → Iceberg type names used by the schema system
 _SQL_TYPE_ALIASES = {"bigint": "long", "integer": "int", "real": "float", "varchar": "string", "text": "string"}
@@ -239,6 +240,14 @@ def try_execute(engine, query: str) -> DataFrame | None:
             table.overwrite(df)
         else:
             table.append(df)
+        return spark.range(1)
+
+    m = _TRUNCATE_RE.match(query)
+    if m:
+        # overwrite-with-nothing: one atomic Rewrite commit; replaced data
+        # files are physically cleaned, history stays time-travelable
+        t = engine.load_table(m.group(1))
+        t.metadata = t.new_transaction().rewrite([]).commit()
         return spark.range(1)
 
     m = _REFRESH_RE.match(query)

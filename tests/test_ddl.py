@@ -374,3 +374,14 @@ def test_show_create_table(eng):
     # round trip: the emitted DDL is itself accepted
     eng.sql(stmt.replace("ns.sct", "ns.sct2").split("\nTBLPROPERTIES")[0].split("\nLOCATION")[0])
     assert eng.table_exists("ns.sct2")
+
+
+def test_truncate_table(eng):
+    eng.sql("CREATE TABLE ns.tr (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.tr VALUES (1, 'a'), (2, 'b')")
+    assert eng.sql("SELECT * FROM ns.tr").count() == 2
+    eng.sql("TRUNCATE TABLE ns.tr")
+    assert eng.sql("SELECT * FROM ns.tr").count() == 0
+    # still writable after truncate
+    eng.sql("INSERT INTO ns.tr VALUES (3, 'c')")
+    assert eng.sql("SELECT * FROM ns.tr").count() == 1
