@@ -51,6 +51,46 @@ def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: 
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row pairs with
+    right rows of the same key whose timestamp lands in
+    ``[left_time, left_time + upper]`` (e.g. purchases within an hour of a
+    signup). BOTH sides carry watermarks and the join condition bounds the
+    time difference in BOTH directions — that is what lets Spark evict
+    buffered state instead of holding every row forever; an unbounded
+    stream-stream join is a memory leak at 100 TB/day ingest rates.
+    Batch-equivalent: the same condition as a plain join (the pytest
+    oracle)."""
+    lt, rt = f"__l_{left_time}", f"__r_{right_time}"
+    l = left.withColumnRenamed(left_time, lt)
+    r = right.withColumnRenamed(right_time, rt)
+    if dict(l.dtypes).get(lt) == "timestamp_ntz":
+        l = l.withColumn(lt, F.col(lt).cast("timestamp"))
+    if dict(r.dtypes).get(rt) == "timestamp_ntz":
+        r = r.withColumn(rt, F.col(rt).cast("timestamp"))
+    l = l.withWatermark(lt, watermark)
+    r = r.withWatermark(rt, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
+    )
+    return (
+        l.join(r, cond)
+        .drop(r[key_col])
+        .withColumnRenamed(lt, left_time)
+        .withColumnRenamed(rt, f"right_{right_time}")
+    )
+
+
 def stream_append_to_table(table, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
     """Streaming sink into an engine table: each micro-batch appends through
     the normal write path (partitioned write + footer stats + ACID commit),
@@ -69,10 +109,13 @@ def stream_append_to_table(table, stream_df: DataFrame, checkpoint_dir: str, tri
     return writer.start()
 
 
-def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str = "stream_out") -> DataFrame:
-    """Drive a bounded source to completion synchronously (test harness)."""
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str = "stream_out", output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded source to completion synchronously (test harness).
+    ``output_mode``: "complete" for aggregations, "append" for joins/maps."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -381,6 +381,46 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert got.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same condition as a
+    batch join over identical data."""
+    import datetime as dt
+
+    from iceberg_rust_custom_spark.streaming.pipeline import (
+        interval_join_streams,
+        run_stream_to_memory,
+    )
+
+    base = dt.datetime(2024, 3, 1, 8, 0)
+    signups = [(u, base + dt.timedelta(minutes=13 * u)) for u in range(1, 9)]
+    purchases = [
+        (u, base + dt.timedelta(minutes=13 * u + off), float(u * 10 + off))
+        for u in range(1, 9)
+        for off in (5, 45, 90)  # 90 min is outside the 1 hour bound
+    ]
+    s_df = spark.createDataFrame(signups, "user_id long, ts timestamp")
+    p_df = spark.createDataFrame(purchases, "user_id long, ts timestamp, amount double")
+    s_path, p_path = str(tmp_path / "s"), str(tmp_path / "p")
+    s_df.write.parquet(s_path)
+    p_df.write.parquet(p_path)
+
+    s_stream = spark.readStream.schema(s_df.schema).parquet(s_path)
+    p_stream = spark.readStream.schema(p_df.schema).parquet(p_path)
+    joined = interval_join_streams(
+        s_stream, p_stream, "user_id", "ts", "ts", upper="1 hour", watermark="3 hours"
+    )
+    got = run_stream_to_memory(spark, joined, "ssj_out", output_mode="append")
+
+    batch = s_df.alias("s").join(
+        p_df.alias("p"),
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 hour")),
+    )
+    assert got.count() == batch.count() == 16  # 2 in-window purchases per user
+    assert got.agg(F.sum("amount")).first()[0] == batch.agg(F.sum("amount")).first()[0]
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 
