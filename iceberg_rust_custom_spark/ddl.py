@@ -122,9 +122,12 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_UPDATE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", re.IGNORECASE
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+\*",
+    re.IGNORECASE | re.DOTALL,
 )
-_WHEN_MATCHED_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_WHEN_MATCHED_DELETE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE", re.IGNORECASE | re.DOTALL
+)
 _WHEN_NOT_MATCHED_INSERT_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
@@ -439,6 +442,9 @@ def _execute_merge(engine, spark, m) -> DataFrame:
       appear in the source (O(source) equality-delete).
     * ``WHEN NOT MATCHED THEN INSERT *`` (alone) — insert-only: append the
       source rows whose keys are absent from the target.
+    * Any ``WHEN MATCHED`` clause accepts ``AND <condition>`` evaluated on
+      the TARGET row: only matched rows passing it are updated/deleted;
+      matched rows failing it are left untouched.
 
     The reference has no row-level ops at all (README.md:22-46 leaves
     delete unimplemented); this surface goes beyond it deliberately.
@@ -446,9 +452,13 @@ def _execute_merge(engine, spark, m) -> DataFrame:
     target = m.group("target")
     table = engine.load_table(target)
     whens = m.group("whens")
-    has_update = bool(_WHEN_MATCHED_UPDATE_RE.search(whens))
-    has_delete = bool(_WHEN_MATCHED_DELETE_RE.search(whens))
+    m_upd = _WHEN_MATCHED_UPDATE_RE.search(whens)
+    m_del = _WHEN_MATCHED_DELETE_RE.search(whens)
+    has_update, has_delete = bool(m_upd), bool(m_del)
     has_insert = bool(_WHEN_NOT_MATCHED_INSERT_RE.search(whens))
+    # optional WHEN MATCHED AND <cond>: the condition is evaluated on the
+    # TARGET row (restricting which matched rows are updated/deleted)
+    matched_cond = (m_upd and m_upd.group("cond")) or (m_del and m_del.group("cond"))
     if has_update and has_delete:
         raise ValueError("MERGE supports either UPDATE SET * or DELETE in WHEN MATCHED, not both")
     if not (has_update or has_delete or has_insert):
@@ -462,16 +472,34 @@ def _execute_merge(engine, spark, m) -> DataFrame:
 
     from iceberg_rust_custom_spark.table.maintenance import delete_by_key, merge_upsert
 
+    def _matched_keys():
+        """Target keys eligible for the WHEN MATCHED action (condition
+        applied on the target row when present)."""
+        t = table.to_df()
+        if matched_cond:
+            t = t.where(matched_cond)
+        return t.select(*key_cols).distinct()
+
     if has_update and has_insert:
-        merge_upsert(table, source, key_cols)
+        if matched_cond:
+            # update only matched rows passing cond; insert absent keys;
+            # matched rows FAILING cond are left untouched
+            upd = source.join(_matched_keys(), on=key_cols, how="left_semi")
+            all_keys = table.to_df().select(*key_cols).distinct()
+            ins = source.join(all_keys, on=key_cols, how="left_anti")
+            merge_upsert(table, upd.unionByName(ins), key_cols)
+        else:
+            merge_upsert(table, source, key_cols)
     elif has_delete:
-        delete_by_key(table, source.select(*key_cols).distinct(), key_cols)
+        keys = source.select(*key_cols).distinct()
+        if matched_cond:
+            keys = keys.join(_matched_keys(), on=key_cols, how="left_semi")
+        delete_by_key(table, keys, key_cols)
     elif has_insert:  # insert-only: drop source rows whose key already exists
         existing = table.to_df().select(*key_cols).distinct()
         table.append(source.join(existing, on=key_cols, how="left_anti"))
     else:  # UPDATE SET * alone: upsert restricted to already-present keys
-        existing = table.to_df().select(*key_cols).distinct()
-        merge_upsert(table, source.join(existing, on=key_cols, how="left_semi"), key_cols)
+        merge_upsert(table, source.join(_matched_keys(), on=key_cols, how="left_semi"), key_cols)
     return spark.range(1)
 
 

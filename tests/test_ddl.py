@@ -385,3 +385,28 @@ def test_truncate_table(eng):
     # still writable after truncate
     eng.sql("INSERT INTO ns.tr VALUES (3, 'c')")
     assert eng.sql("SELECT * FROM ns.tr").count() == 1
+
+
+def test_merge_matched_condition(eng, spark):
+    eng.sql("CREATE TABLE ns.mc (id BIGINT, status STRING, v BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.mc VALUES (1, 'open', 10), (2, 'locked', 20), (3, 'open', 30)")
+    spark.createDataFrame(
+        [(1, "src", 100), (2, "src", 200), (4, "src", 400)], "id long, status string, v long"
+    ).createOrReplaceTempView("mc_src")
+    # only matched rows with status='open' are updated; locked row untouched;
+    # absent key still inserted
+    eng.sql(
+        "MERGE INTO ns.mc USING mc_src ON ns.mc.id = mc_src.id "
+        "WHEN MATCHED AND status = 'open' THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.id: (r.status, r.v) for r in eng.load_table("ns.mc").scan().collect()}
+    assert rows == {1: ("src", 100), 2: ("locked", 20), 3: ("open", 30), 4: ("src", 400)}
+
+    # conditional delete: only open rows whose key appears in the source
+    spark.createDataFrame([(2,), (3,)], "id long").createOrReplaceTempView("mc_del")
+    eng.sql(
+        "MERGE INTO ns.mc USING mc_del ON ns.mc.id = mc_del.id "
+        "WHEN MATCHED AND status = 'open' THEN DELETE"
+    )
+    assert sorted(r.id for r in eng.load_table("ns.mc").scan().collect()) == [1, 2, 4]
