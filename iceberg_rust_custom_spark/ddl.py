@@ -131,6 +131,10 @@ _WHEN_MATCHED_DELETE_RE = re.compile(
 _WHEN_NOT_MATCHED_INSERT_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
+_WHEN_NOT_MATCHED_BY_SOURCE_DELETE_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE",
+    re.IGNORECASE | re.DOTALL,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]+)\))?\s*;?\s*$", re.IGNORECASE
 )
@@ -452,16 +456,18 @@ def _execute_merge(engine, spark, m) -> DataFrame:
     target = m.group("target")
     table = engine.load_table(target)
     whens = m.group("whens")
-    m_upd = _WHEN_MATCHED_UPDATE_RE.search(whens)
-    m_del = _WHEN_MATCHED_DELETE_RE.search(whens)
+    m_bysrc = _WHEN_NOT_MATCHED_BY_SOURCE_DELETE_RE.search(whens)
+    whens_rest = _WHEN_NOT_MATCHED_BY_SOURCE_DELETE_RE.sub("", whens)
+    m_upd = _WHEN_MATCHED_UPDATE_RE.search(whens_rest)
+    m_del = _WHEN_MATCHED_DELETE_RE.search(whens_rest)
     has_update, has_delete = bool(m_upd), bool(m_del)
-    has_insert = bool(_WHEN_NOT_MATCHED_INSERT_RE.search(whens))
+    has_insert = bool(_WHEN_NOT_MATCHED_INSERT_RE.search(whens_rest))
     # optional WHEN MATCHED AND <cond>: the condition is evaluated on the
     # TARGET row (restricting which matched rows are updated/deleted)
     matched_cond = (m_upd and m_upd.group("cond")) or (m_del and m_del.group("cond"))
     if has_update and has_delete:
         raise ValueError("MERGE supports either UPDATE SET * or DELETE in WHEN MATCHED, not both")
-    if not (has_update or has_delete or has_insert):
+    if not (has_update or has_delete or has_insert or m_bysrc):
         raise ValueError(f"unsupported MERGE WHEN clauses: {whens!r}")
 
     key_cols = _merge_key_cols(m.group("cond"))
@@ -498,8 +504,20 @@ def _execute_merge(engine, spark, m) -> DataFrame:
     elif has_insert:  # insert-only: drop source rows whose key already exists
         existing = table.to_df().select(*key_cols).distinct()
         table.append(source.join(existing, on=key_cols, how="left_anti"))
-    else:  # UPDATE SET * alone: upsert restricted to already-present keys
+    elif has_update:  # UPDATE SET * alone: upsert restricted to present keys
         merge_upsert(table, source.join(_matched_keys(), on=key_cols, how="left_semi"), key_cols)
+    if m_bysrc is not None:
+        # sync-merge: delete target rows whose key is ABSENT from the source
+        # (optionally restricted by a target-row condition). Key-disjoint
+        # from every WHEN MATCHED action, so sequential application equals
+        # the all-clauses-at-once SQL semantics.
+        t = table.refresh().to_df()
+        if m_bysrc.group("cond"):
+            t = t.where(m_bysrc.group("cond"))
+        gone = t.select(*key_cols).distinct().join(
+            source.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        delete_by_key(table, gone, key_cols)
     return spark.range(1)
 
 

@@ -410,3 +410,28 @@ def test_merge_matched_condition(eng, spark):
         "WHEN MATCHED AND status = 'open' THEN DELETE"
     )
     assert sorted(r.id for r in eng.load_table("ns.mc").scan().collect()) == [1, 2, 4]
+
+
+def test_merge_not_matched_by_source_delete(eng, spark):
+    eng.sql("CREATE TABLE ns.sync (id BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.sync VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.createDataFrame([(2, "B"), (4, "D")], "id long, v string").createOrReplaceTempView(
+        "sync_src"
+    )
+    # full sync: update present, insert new, delete vanished
+    eng.sql(
+        "MERGE INTO ns.sync USING sync_src ON ns.sync.id = sync_src.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    rows = {r.id: r.v for r in eng.load_table("ns.sync").scan().collect()}
+    assert rows == {2: "B", 4: "D"}
+
+    # by-source delete alone, with a target condition
+    eng.sql("INSERT INTO ns.sync VALUES (7, 'keepme'), (8, 'dropme')")
+    eng.sql(
+        "MERGE INTO ns.sync USING sync_src ON ns.sync.id = sync_src.id "
+        "WHEN NOT MATCHED BY SOURCE AND v = 'dropme' THEN DELETE"
+    )
+    assert sorted(r.id for r in eng.load_table("ns.sync").scan().collect()) == [2, 4, 7]
