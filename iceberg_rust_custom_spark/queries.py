@@ -4115,29 +4115,34 @@ def corpus_curation_v2(spark, sf_dir):
     quota (quota_cap top-30 by length) — the three stages every production
     recipe chains after the cheap filters. Verifies the COMPOSITION of all
     seven independently-verified operators in one plan."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     v1 = corpus_curation(spark, sf_dir).select("doc_id", F.col("keep").alias("keep_v1"))
     lm = TX.ngram_lm_scores(d, "doc_id", "text", ref_df=d.where("lang = 'en'")).select(
         "doc_id", (F.col("nll") <= 5.40).alias("lm_pass")
     )
-    pool = (
-        v1.where("keep_v1")
-        .join(lm.where("lm_pass"), "doc_id")
-        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
-    )
-    quota = TX.quota_cap(pool, "source", "doc_id", 10**9, score_col="n_chars").select(
-        "doc_id", "quota_rank"
-    )
-    return (
+    # each stage referenced ONCE (a pool-subset + re-join shape executed the
+    # v1 and LM subtrees twice — 29 s at sf0.1): rank every doc per source
+    # with passing docs first, so the rank restricted to the passing prefix
+    # IS the within-pool quota rank
+    joined = (
         v1.join(lm, "doc_id", "left")
-        .join(quota, "doc_id", "left")
-        .select(
-            "doc_id",
-            "keep_v1",
-            F.coalesce("lm_pass", F.lit(False)).alias("lm_pass"),
-            "quota_rank",
-            F.coalesce(F.col("quota_rank") <= 30, F.lit(False)).alias("keep_v2"),
-        )
+        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .withColumn("lm_pass", F.coalesce("lm_pass", F.lit(False)))
+        .withColumn("_pass", F.col("keep_v1") & F.col("lm_pass"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_pass").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "keep_v1",
+        "lm_pass",
+        F.when(F.col("_pass"), F.row_number().over(w)).alias("quota_rank"),
+        F.coalesce(
+            F.when(F.col("_pass"), F.row_number().over(w)) <= 30, F.lit(False)
+        ).alias("keep_v2"),
     )
 
 
