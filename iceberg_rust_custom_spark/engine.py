@@ -157,7 +157,18 @@ class Engine:
             df.createOrReplaceTempView(transform_name(rel))
         return self.spark.sql(transform_relations(query))
 
-    _META_TABLES = ("files", "entries", "partitions", "manifests", "refs", "snapshots", "history")
+    _META_TABLES = (
+        "files",
+        "entries",
+        "partitions",
+        "manifests",
+        "refs",
+        "snapshots",
+        "history",
+        "all_files",
+        "all_manifests",
+        "statistics",
+    )
 
     def _register_metadata_table(self, rel: str) -> bool:
         """SQL access to metadata tables: ``SELECT … FROM ns.t.files`` (same
@@ -182,7 +193,8 @@ class Engine:
             # leaf; the lowercased copy is only for prefix detection.
             df = t.scan(branch=parts[-1].split("_", 1)[1])
         else:
-            df = getattr(t, "refs_df" if leaf == "refs" else leaf)()
+            method = {"refs": "refs_df", "statistics": "statistics_df"}.get(leaf, leaf)
+            df = getattr(t, method)()
         df.createOrReplaceTempView(transform_name(rel))
         return True
 

@@ -662,7 +662,12 @@ MANIFEST_ENTRY_SPARK_SCHEMA = (
 )
 
 
-def files_df(spark: SparkSession, metadata: TableMetadata, snapshot: Snapshot | None) -> DataFrame:
+def files_df(
+    spark: SparkSession,
+    metadata: TableMetadata,
+    snapshot: Snapshot | None,
+    manifest_paths: list | None = None,
+) -> DataFrame:
     """The snapshot's live file entries as a DataFrame read directly from
     the manifest parquets — the distributed planning path.
 
@@ -674,9 +679,12 @@ def files_df(spark: SparkSession, metadata: TableMetadata, snapshot: Snapshot | 
     manifest store as Spark-readable from day one'."""
     from pyspark.sql import functions as F
 
-    if snapshot is None:
+    if manifest_paths is not None:
+        paths = list(manifest_paths)
+    elif snapshot is None:
         return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
-    paths = [r["manifest_path"] for r in read_manifest_list(snapshot.manifest_list)]
+    else:
+        paths = [r["manifest_path"] for r in read_manifest_list(snapshot.manifest_list)]
     if not paths:
         return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
     avro_paths = [p for p in paths if p.endswith(".avro")]

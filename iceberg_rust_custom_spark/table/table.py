@@ -459,6 +459,55 @@ class Table:
             "partitions", "partition_summaries"
         )
 
+    def all_files(self) -> DataFrame:
+        """The `all_files`/`all_data_files` metadata table: distinct data
+        files referenced by ANY snapshot (incl. ones no longer live on
+        main) — the input to retention/debugging queries. Distributed read
+        over the union of every snapshot's manifests."""
+        from iceberg_rust_custom_spark.metadata.manifest import read_manifest_list
+        from iceberg_rust_custom_spark.table.scan import files_df
+
+        paths: list[str] = []
+        seen: set[str] = set()
+        for s in self.metadata.snapshots.values():
+            for row in read_manifest_list(s.manifest_list):
+                p = row["manifest_path"]
+                if p not in seen:
+                    seen.add(p)
+                    paths.append(p)
+        return (
+            files_df(self.spark, self.metadata, None, manifest_paths=paths)
+            .where("content = 0 AND status != 2")
+            .select("file_path", "partition", "record_count", "file_size_in_bytes")
+            .distinct()
+        )
+
+    def all_manifests(self) -> DataFrame:
+        """The `all_manifests` metadata table: one row per (snapshot,
+        manifest) across the whole history."""
+        from iceberg_rust_custom_spark.metadata.manifest import read_manifest_list
+
+        rows = [
+            (
+                s.snapshot_id,
+                r["manifest_path"],
+                r.get("partition_spec_id", 0),
+                r.get("content", 0),
+                r.get("sequence_number", 0),
+                r.get("added_files_count", 0),
+                r.get("existing_files_count", 0),
+                r.get("deleted_files_count", 0),
+            )
+            for s in self.metadata.snapshots.values()
+            for r in read_manifest_list(s.manifest_list)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "reference_snapshot_id long, manifest_path string, partition_spec_id int, "
+            "content int, sequence_number long, added_files_count int, "
+            "existing_files_count int, deleted_files_count int",
+        )
+
     def analyze(self, columns: list[str] | None = None) -> "Table":
         """Compute/refresh per-column NDV statistics (mergeable HLL blobs;
         incremental over appends — table/statistics.py)."""

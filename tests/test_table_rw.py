@@ -646,3 +646,20 @@ def test_glue_catalog_connect_fallback():
     cat2 = GlueCatalog(FakeGlueClient())
     cat2.register(ident, "/tmp/v0.json")
     assert cat2.load(ident)[0] == "/tmp/v0.json"
+
+
+def test_all_files_and_all_manifests(engine, spark):
+    t = engine.create_table("ns.allf", ORDERS_SCHEMA)
+    t.append(_orders_df(spark, ROWS_BATCH1))
+    t.create_branch("audit")
+    # branch-only data: invisible to main's files(), visible in all_files()
+    t.append(_orders_df(spark, ROWS_BATCH2), branch="audit")
+    live = {r.file_path for r in t.files().collect()}
+    allf = {r.file_path for r in t.all_files().collect()}
+    assert live < allf, (live, allf)
+    am = t.all_manifests()
+    assert am.where("reference_snapshot_id IS NULL").count() == 0
+    assert am.select("manifest_path").distinct().count() >= 2
+    # SQL front door
+    assert engine.sql("SELECT * FROM ns.allf.all_files").count() == len(allf)
+    assert engine.sql("SELECT * FROM ns.allf.all_manifests").count() == am.count()
