@@ -164,3 +164,63 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL: cross-engine BIT-EXACT approximate distinct
+# ---------------------------------------------------------------------------
+
+def det_hll_sql(value_expr: str, lgk: int = 10) -> dict:
+    """SQL fragments (valid in BOTH Spark SQL and DuckDB) for a
+    deterministic HyperLogLog over md5-derived 32-bit hashes. Unlike
+    DataSketches HLL (whose estimate depends on engine internals), every
+    intermediate here is an INTEGER — register index, rank (via
+    ``length(bin(w))``), and the harmonic sum ``Σ 2^(B+1-M_j)`` computed in
+    BIGINT — so Spark and any ANSI engine produce the SAME estimate to the
+    last bit. One float division (+ ln in the linear-counting branch) at
+    the very end. Returns {"reg", "rho", "estimate"} fragments;
+    ``estimate`` expects columns ``_s`` (present-register harmonic sum) and
+    ``_p`` (present-register count)."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_sql
+
+    m = 1 << lgk
+    B = 32 - lgk
+    alpha = 0.7213 / (1 + 1.079 / m)  # inlined identically on both sides
+    h = md5h32_sql(value_expr)
+    reg = f"({h} % {m})"
+    w = f"CAST(floor({h} / {m}) AS BIGINT)"
+    rho = f"(CASE WHEN {w} = 0 THEN {B + 1} ELSE {B} - length(bin({w})) + 1 END)"
+    # single precomputed float numerator: alpha·m²·2^(B+1) — a python float
+    # repr parses as DOUBLE in both engines (a decimal literal would be
+    # DECIMAL in DuckDB and overflow the integer multiply)
+    num = float(alpha * m * m * (2 ** (B + 1)))
+    denom = f"(_s + ({m} - _p) * CAST({2 ** (B + 1)} AS BIGINT))"
+    est = (
+        f"CASE WHEN {num!r} / {denom} <= {2.5 * m!r} AND _p < {m} "
+        f"THEN ROUND({m} * LN({m} * 1.0 / ({m} - _p)), 4) "
+        f"ELSE ROUND({num!r} / {denom}, 4) END"
+    )
+    return {"reg": reg, "rho": rho, "estimate": est, "B": B, "m": m}
+
+
+def det_hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, lgk: int = 10
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group, deterministic across
+    engines, partitionings, and cluster sizes — the property that lets the
+    DuckDB oracle hash-match an *approximate* aggregate. Two map-side-
+    combined shuffles: (group, register) max-rank, then one row per group.
+    Standard HLL error ~1.04/√2^lgk (≈3.3% at lgk=10)."""
+    frags = det_hll_sql(f"CAST({value_col} AS STRING)", lgk)
+    B = frags["B"]
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .selectExpr(*group_cols, f"{frags['reg']} AS _reg", f"{frags['rho']} AS _rho")
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"CAST(pow(2, {B + 1} - _m) AS BIGINT)")).alias("_s"),
+        F.count("*").alias("_p"),
+    )
+    return per_group.selectExpr(*group_cols, f"{frags['estimate']} AS approx_distinct")

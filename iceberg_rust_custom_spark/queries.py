@@ -29,6 +29,7 @@ from iceberg_rust_custom_spark.functions.hashing import (
 )
 from iceberg_rust_custom_spark.operators import dedup as D
 from iceberg_rust_custom_spark.operators import similarity as S
+from iceberg_rust_custom_spark.operators import sketches as SK
 from iceberg_rust_custom_spark.operators import text as TX
 from iceberg_rust_custom_spark.operators import windows as WIN
 
@@ -2280,6 +2281,41 @@ def exists_subquery(spark, sf_dir):
           AND NOT EXISTS (SELECT 1 FROM _ex_lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
                           AND l2.l_quantity > 49 AND l2.l_discount >= 0.1)
         """
+    )
+
+
+def _det_hll_oracle(lgk: int = 10) -> str:
+    from iceberg_rust_custom_spark.operators.sketches import det_hll_sql
+
+    f = det_hll_sql("CAST(o_custkey AS STRING)", lgk)
+    return f"""
+    WITH hashed AS (
+      SELECT o_orderstatus, {f["reg"]} AS _reg, {f["rho"]} AS _rho
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    regs AS (
+      SELECT o_orderstatus, _reg, MAX(_rho) AS _m FROM hashed GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT o_orderstatus,
+             SUM(CAST(pow(2, {f["B"] + 1} - _m) AS BIGINT)) AS _s,
+             COUNT(*) AS _p
+      FROM regs GROUP BY 1
+    )
+    SELECT o_orderstatus, {f["estimate"]} AS approx_distinct FROM g
+    """
+
+
+@q("deterministic_hll_distinct", _det_hll_oracle(10))
+def deterministic_hll_distinct(spark, sf_dir):
+    """Approximate COUNT(DISTINCT) whose estimate is CROSS-ENGINE
+    BIT-EXACT (operators/sketches.py::det_hll_distinct): md5-derived
+    registers, integer rank and harmonic sum, one final division — so even
+    the approximate aggregate family hash-matches the DuckDB oracle
+    (DataSketches HLL estimates are engine-internal; this one is a pure
+    function of the data)."""
+    return SK.det_hll_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey", lgk=10
     )
 
 

@@ -121,6 +121,26 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     }
 
 
+def test_det_hll_accuracy_and_partition_independence(spark):
+    from iceberg_rust_custom_spark.operators.sketches import det_hll_distinct
+
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 7919).alias("v")  # 7919 distinct overall
+    )
+    out = {r.g: r.approx_distinct for r in det_hll_distinct(df, ["g"], "v", lgk=10).collect()}
+    for g in range(4):
+        exact = df.where(F.col("g") == g).select("v").distinct().count()
+        assert abs(out[g] - exact) <= exact * 0.1, (g, out[g], exact)
+    # bit-identical under any partitioning
+    out2 = {r.g: r.approx_distinct
+            for r in det_hll_distinct(df.repartition(13), ["g"], "v", lgk=10).collect()}
+    assert out == out2
+    # linear-counting branch: tiny cardinality is near-exact
+    tiny = spark.createDataFrame([(1, i % 5) for i in range(100)], "g int, v int")
+    est = det_hll_distinct(tiny, ["g"], "v", lgk=10).first().approx_distinct
+    assert abs(est - 5) < 1
+
+
 def test_training_mix_hits_budget_and_drops_unweighted(spark):
     from iceberg_rust_custom_spark.operators.text import training_mix
 
