@@ -73,6 +73,7 @@ HEADLINE = [
     "training_mix_assembly",
     "exact_substring_spans",
     "corpus_curation_v2",
+    "deterministic_hll_distinct",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
