@@ -211,11 +211,24 @@ def det_hll_distinct(
     DuckDB oracle hash-match an *approximate* aggregate. Two map-side-
     combined shuffles: (group, register) max-rank, then one row per group.
     Standard HLL error ~1.04/√2^lgk (≈3.3% at lgk=10)."""
+    from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
+
     frags = det_hll_sql(f"CAST({value_col} AS STRING)", lgk)
-    B = frags["B"]
+    B, m = frags["B"], frags["m"]
+    # hash ONCE into a column with the single-md5 Spark spelling — the
+    # portable polynomial inlined into reg AND rho would run md5 16× per
+    # row (hashing.py::md5h32_spark_sql rationale); the oracle keeps the
+    # portable fragments, values are identical
+    h = md5h32_spark_sql(f"CAST({value_col} AS STRING)")
     regs = (
         df.where(F.col(value_col).isNotNull())
-        .selectExpr(*group_cols, f"{frags['reg']} AS _reg", f"{frags['rho']} AS _rho")
+        .selectExpr(*group_cols, f"{h} AS _h")
+        .selectExpr(
+            *group_cols,
+            f"(_h % {m}) AS _reg",
+            f"(CASE WHEN CAST(floor(_h / {m}) AS BIGINT) = 0 THEN {B + 1} "
+            f"ELSE {B} - length(bin(CAST(floor(_h / {m}) AS BIGINT))) + 1 END) AS _rho",
+        )
         .groupBy(*group_cols, "_reg")
         .agg(F.max("_rho").alias("_m"))
     )
