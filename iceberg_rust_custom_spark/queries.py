@@ -3088,11 +3088,42 @@ def embedding_quantize_int8(spark, sf_dir):
     return out.select("vec_id", "lo", "hi", F.array_join("q", ",").alias("q"))
 
 
-@q("embedding_random_projection")  # rows-only: float matmul across engines
+def _jl_oracle(out_dim: int = 16, dim: int = 64, seed: int = 11) -> str:
+    # replicate the operator's seeded plane generation and spell the dot
+    # products as explicit LEFT-TO-RIGHT sums — the same fold order Spark's
+    # F.aggregate uses, so the doubles match bit-for-bit before rounding
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(out_dim)]
+    inv = 1.0 / (out_dim ** 0.5)
+    comps = []
+    for plane in planes:
+        terms = " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(plane))
+        comps.append(f"({terms}) * {inv!r}")
+    # long format (scalar columns): parallel unnests zip index and value
+    return f"""
+    WITH p AS (SELECT vec_id, [{', '.join(comps)}] AS proj FROM embeddings)
+    SELECT vec_id, unnest(generate_series(1, {out_dim})) AS j,
+           unnest(proj) AS component
+    FROM p
+    """
+
+
+@q("embedding_random_projection", _jl_oracle(16, 64, 11))
 def embedding_random_projection(spark, sf_dir):
     """JL random projection 64→16 dims: ±1 plane matmul as codegen'd array
-    aggregates, deterministic seed, zero shuffle."""
-    return S.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    aggregates, deterministic seed, zero shuffle. The seeded planes and
+    left-to-right fold make even this float computation ORACLE-EXACT —
+    DuckDB replays the identical arithmetic (long format: one row per
+    (vector, component))."""
+    out = S.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    # no rounding: the fold order is pinned on both sides, so the raw
+    # doubles are bit-identical (ROUND itself diverges at half-ulp
+    # midpoints: Spark HALF_UP vs DuckDB HALF_EVEN)
+    return out.select("vec_id", F.posexplode("projected")).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("j"), F.col("col").alias("component")
+    )
 
 
 @q(

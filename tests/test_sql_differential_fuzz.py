@@ -127,7 +127,7 @@ def engines(spark):
 
 
 @settings(
-    max_examples=120,
+    max_examples=500,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -192,7 +192,7 @@ def _scan_predicate(draw):
 
 
 @settings(
-    max_examples=50,
+    max_examples=250,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -223,7 +223,7 @@ def _dim_spec(draw):
 
 
 @settings(
-    max_examples=30,
+    max_examples=120,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

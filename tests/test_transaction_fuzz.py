@@ -68,7 +68,7 @@ def test_cow_rewrite_after_partition_evolution_keeps_old_spec_files(
 
 @pytest.mark.slow
 @settings(
-    max_examples=8,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
