@@ -121,6 +121,17 @@ class TableMetadata:
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         return self.snapshots[snapshot_id]
 
+    def ancestry(self, ref_name: str = MAIN_BRANCH):
+        """Yield snapshots from the ref's head up the parent chain (head
+        first). Stops at the first parent no longer retained in the
+        snapshot map (expired history)."""
+        snap = self.snapshot_for_ref(ref_name)
+        while snap is not None:
+            yield snap
+            if snap.parent_snapshot_id is None:
+                return
+            snap = self.snapshots.get(snap.parent_snapshot_id)
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
         """Time travel: latest snapshot at or before timestamp_ms."""
         best = None

@@ -91,19 +91,91 @@ def interval_join_streams(
     )
 
 
+SINK_ID_KEY = "streaming-sink-id"
+BATCH_ID_KEY = "streaming-batch-id"
+
+
+def _sink_id_for(checkpoint_dir: str) -> str:
+    """Stable identity for a streaming sink, derived from its checkpoint
+    location (Spark keys micro-batch ids to the checkpoint, so the
+    checkpoint IS the sink's identity across restarts)."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:16]
+
+
+def last_committed_batch_id(table, sink_id: str, branch: str = "main") -> int | None:
+    """Highest micro-batch id this sink has already committed to the
+    branch, read from snapshot summaries along the head's ancestry.
+    Micro-batches commit in order, so the FIRST matching snapshot on the
+    walk carries the max — the walk is O(commits since this sink's last
+    batch), not O(history)."""
+    for snap in table.metadata.ancestry(branch):
+        if snap.summary.get(SINK_ID_KEY) == sink_id:
+            try:
+                return int(snap.summary.get(BATCH_ID_KEY, ""))
+            except ValueError:
+                return None
+    return None
+
+
+def append_sink(table, checkpoint_dir: str):
+    """The ``foreachBatch`` callable behind :func:`stream_append_to_table`,
+    exposed so replay (same ``batch_id`` delivered twice — the at-least-once
+    contract) can be driven directly in tests."""
+    sink_id = _sink_id_for(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = table.refresh()
+        last = last_committed_batch_id(t, sink_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already committed
+        t.append(batch_df, summary={SINK_ID_KEY: sink_id, BATCH_ID_KEY: str(batch_id)})
+
+    return sink
+
+
+def upsert_sink(table, key_cols: list, checkpoint_dir: str):
+    """The ``foreachBatch`` callable behind :func:`stream_upsert_to_table`
+    (delete-by-key + append, replay-skipped by ``(sink-id, batch-id)``)."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    sink_id = _sink_id_for(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = table.refresh()
+        last = last_committed_batch_id(t, sink_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: the append commit already landed
+        # last write wins within the batch (stable: by arrival order column
+        # when present, else arbitrary-but-single row per key)
+        dedup = batch_df.dropDuplicates(key_cols)
+        delete_by_key(t, dedup.select(*key_cols))
+        table.refresh().append(dedup, summary={SINK_ID_KEY: sink_id, BATCH_ID_KEY: str(batch_id)})
+
+    return sink
+
+
 def stream_append_to_table(table, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
     """Streaming sink into an engine table: each micro-batch appends through
     the normal write path (partitioned write + footer stats + ACID commit),
     so a streaming ingest gets the same table semantics as batch. The
     checkpoint dir gives restart recovery; appends are atomic per batch.
-    Returns the StreamingQuery (caller awaits/stops)."""
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.refresh().append(batch_df)
-
-    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    Exactly-once: ``foreachBatch`` is at-least-once — a crash after the
+    table commit but before the checkpoint records the batch replays the
+    same ``batch_id`` on restart. Each commit therefore records
+    ``(sink-id, batch-id)`` in the snapshot summary (the Delta
+    txn appId/version pattern), and the sink skips any batch whose id is
+    ≤ the last one found on the branch's ancestry. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    writer = stream_df.writeStream.foreachBatch(append_sink(table, checkpoint_dir)).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -134,20 +206,13 @@ def stream_upsert_to_table(
     batches; within a batch, duplicates are reduced to the last by key
     first. This is the 100 TB streaming-upsert cost model: per-batch work
     tracks batch size, never table size; run ``compact()`` on a schedule to
-    fold tombstones in. Returns the StreamingQuery."""
-    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # last write wins within the batch (stable: by arrival order column
-        # when present, else arbitrary-but-single row per key)
-        dedup = batch_df.dropDuplicates(key_cols)
-        table.refresh()
-        delete_by_key(table, dedup.select(*key_cols))
-        table.refresh().append(dedup)
-
-    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    fold tombstones in. The delete-then-append pair is naturally idempotent,
+    but the sink still records/checks ``(sink-id, batch-id)`` like the
+    append sink so a replayed batch skips the redundant delete+append
+    commits entirely. Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(upsert_sink(table, key_cols, checkpoint_dir)).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

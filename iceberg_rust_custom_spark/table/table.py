@@ -371,10 +371,13 @@ class Table:
         return inserts.unionByName(deleted)
 
     # ----------------------------------------------------------------- write
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH, summary: dict | None = None) -> "Table":
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         files = write_partitioned(df, self.metadata, data_dir)
-        self.metadata = self.new_transaction(branch).append(files).commit()
+        tx = self.new_transaction(branch).append(files)
+        if summary:
+            tx.set_summary(summary)
+        self.metadata = tx.commit()
         return self
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":

@@ -107,6 +107,13 @@ class Transaction:
         self._summary_extra["refresh-state"] = refresh_state
         return self
 
+    def set_summary(self, extra: dict) -> "Transaction":
+        """Attach extra key/values to the snapshot summary (e.g. streaming
+        sink lineage — sink id + micro-batch id — for exactly-once replay
+        detection, the Delta-style txn appId/version pattern)."""
+        self._summary_extra.update(extra)
+        return self
+
     def set_operation(self, op: str) -> "Transaction":
         """Override the snapshot summary operation for append-shaped commits
         (e.g. merge-on-read MERGE = deletes + appends in one snapshot →

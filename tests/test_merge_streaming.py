@@ -221,3 +221,50 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 3) in got and (2, 5) in got
+
+
+def test_stream_append_replay_exactly_once(eng, spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the table commit but
+    before the checkpoint records the batch re-delivers the same batch_id
+    on restart. The sink must skip it — drive the sink callable directly
+    with a duplicate batch_id and assert no duplicate rows."""
+    from iceberg_rust_custom_spark.streaming.pipeline import append_sink, last_committed_batch_id, _sink_id_for
+
+    eng.sql("CREATE TABLE ns.eo (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.eo")
+    ckpt = str(tmp_path / "ckpt_eo")
+    sink = append_sink(t, ckpt)
+    b0 = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    b1 = spark.createDataFrame([(i, float(i)) for i in range(10, 15)], "id long, v double")
+
+    sink(b0, 0)
+    sink(b0, 0)  # replay of batch 0 (kill between commit and checkpoint)
+    sink(b1, 1)
+    sink(b1, 1)  # replay of batch 1
+    sink(b0, 0)  # stale replay far behind the head
+
+    t = eng.load_table("ns.eo")
+    assert t.scan().count() == 15
+    assert last_committed_batch_id(t, _sink_id_for(ckpt)) == 1
+    # lineage is recorded in the snapshot summary of each streaming commit
+    head = t.metadata.snapshot_for_ref()
+    assert head.summary["streaming-batch-id"] == "1"
+
+
+def test_stream_upsert_replay_exactly_once(eng, spark, tmp_path):
+    """Upsert sink replay: the duplicate batch is skipped entirely (no
+    redundant delete/append commits)."""
+    from iceberg_rust_custom_spark.streaming.pipeline import upsert_sink
+
+    eng.sql("CREATE TABLE ns.eu (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.eu")
+    t.append(spark.createDataFrame([(i, 0.0) for i in range(5)], "id long, v double"))
+    sink = upsert_sink(t, ["id"], str(tmp_path / "ckpt_eu"))
+    b0 = spark.createDataFrame([(2, 22.0), (7, 77.0)], "id long, v double")
+    sink(b0, 0)
+    n_snaps = len(eng.load_table("ns.eu").metadata.snapshots)
+    sink(b0, 0)  # replay: must not add any commit
+    t = eng.load_table("ns.eu")
+    assert len(t.metadata.snapshots) == n_snaps
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 22.0, 3: 0.0, 4: 0.0, 7: 77.0}
