@@ -93,7 +93,12 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?P<mat>MATERIALIZED\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(?P<sql>.+?);?\s*$",
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<mat>MATERIALIZED\s+)?VIEW\s+"
+    r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(?P<sql>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_VIEW_RE = re.compile(
+    r"^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(?P<sql>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -225,13 +230,24 @@ def try_execute(engine, query: str) -> DataFrame | None:
 
     m = _CREATE_VIEW_RE.match(query)
     if m:
-        name, view_sql = m.group(3), m.group("sql").strip()
-        if m.group(2) and engine.catalog.tabular_exists(Identifier.parse(name)):
+        name, view_sql = m.group(4), m.group("sql").strip()
+        exists = engine.catalog.tabular_exists(Identifier.parse(name))
+        if m.group(3) and exists:  # IF NOT EXISTS
+            return spark.range(0)
+        if m.group("replace") and exists:
+            # OR REPLACE over an existing view: new current version
+            # (max+1) + version-log entry; history stays readable
+            engine.alter_view_sql(name, view_sql)
             return spark.range(0)
         if m.group("mat"):
             engine.create_materialized_view(name, view_sql)
         else:
             engine.create_view(name, view_sql)
+        return spark.range(0)
+
+    m = _ALTER_VIEW_RE.match(query)
+    if m:
+        engine.alter_view_sql(m.group(1), m.group("sql").strip())
         return spark.range(0)
 
     m = _INSERT_RE.match(query)
@@ -251,10 +267,12 @@ def try_execute(engine, query: str) -> DataFrame | None:
 
     m = _TRUNCATE_RE.match(query)
     if m:
-        # overwrite-with-nothing: one atomic Rewrite commit; replaced data
-        # files are physically cleaned, history stays time-travelable
+        # overwrite-with-nothing, history-retaining: one atomic commit whose
+        # snapshot has no data files. Prior snapshots, branches/tags and
+        # their files stay intact (time travel works; expire/vacuum reclaim
+        # space later) — ADVICE r4.
         t = engine.load_table(m.group(1))
-        t.metadata = t.new_transaction().rewrite([]).commit()
+        t.metadata = t.new_transaction().rewrite([], retain_history=True).commit()
         return spark.range(1)
 
     m = _REFRESH_RE.match(query)

@@ -253,23 +253,48 @@ class Engine:
         md = ViewMetadata.from_json(FileIO.read_text(location))
         return self.sql(md.current_sql())
 
+    def _swap_view_metadata(self, ident: Identifier, location: str, md: ViewMetadata) -> None:
+        path = os.path.join(md.location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
+        FileIO.write_text(path, md.to_json())
+        self.catalog.swap(ident, location, path)
+
     def add_view_representation(self, name: str, sql: str, dialect: str) -> View:
-        """Attach (or replace) a non-default-dialect SQL representation on
-        the view's CURRENT version (reference stores
-        Vec<ViewRepresentation::Sql{sql, dialect}> per version,
-        view_metadata.rs:276-306) and persist a new metadata file. The
-        engine replays only the spark-dialect SQL; other dialects ride
-        along for cross-engine portability."""
+        """Attach a non-default-dialect SQL representation by creating a
+        NEW view version (``max+1``) that copies the current version's
+        representations plus this one, and appending to the version log —
+        versions are immutable once written (reference:
+        view/transaction/operation.rs:24-90 UpdateRepresentation;
+        view_metadata.rs:56-61). The engine replays only the spark-dialect
+        SQL; other dialects ride along for cross-engine portability."""
         ident = Identifier.parse(name)
         location, kind = self.catalog.load(ident)
         md = ViewMetadata.from_json(FileIO.read_text(location))
         cur = md.versions[md.current_version_id]
-        md.versions[md.current_version_id] = cur.with_representation(sql, dialect)
-        path = os.path.join(
-            md.location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json"
-        )
-        FileIO.write_text(path, md.to_json())
-        self.catalog.swap(ident, location, path)
+        md.new_version(cur.with_representation(sql, dialect))
+        self._swap_view_metadata(ident, location, md)
+        return View(name, md)
+
+    def alter_view_sql(self, name: str, sql: str, dialect: str = "spark") -> View:
+        """``ALTER VIEW … AS`` / ``CREATE OR REPLACE VIEW``: a NEW current
+        version with the new SQL (version id ``max+1``, version-log entry).
+        Prior versions stay readable for audit/rollback. Works for plain
+        and materialized views; an MV's next refresh sees
+        ``refresh-version-id != current_version_id`` and recomputes."""
+        from iceberg_rust_custom_spark.views.view import ViewVersion
+
+        ident = Identifier.parse(name)
+        location, kind = self.catalog.load(ident)
+        md = ViewMetadata.from_json(FileIO.read_text(location))
+        md.new_version(ViewVersion(0, sql, dialect))
+        if md.storage_table:
+            # an MV's new SQL may change the result schema; the storage
+            # table (derived data, rebuilt by refresh) must follow
+            new_schema = self.sql(sql).schema
+            storage = self.load_table(md.storage_table)
+            if storage.metadata.current_schema().spark_schema() != new_schema:
+                self.drop(md.storage_table)
+                self.create_table(md.storage_table, Schema.from_spark(new_schema))
+        self._swap_view_metadata(ident, location, md)
         return View(name, md)
 
     def create_materialized_view(self, name: str, sql: str) -> MaterializedView:

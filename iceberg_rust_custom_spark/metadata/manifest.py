@@ -95,6 +95,14 @@ class DataFile:
     sort_order_id: int | None = None
     # equality-delete key field ids (content=2 files only)
     equality_ids: list | None = None
+    # partition spec the file was written under. NOT serialized in the
+    # manifest (spec id lives on the manifest-list row, like the
+    # reference's manifest_list.rs:26-59); annotated at read time so CoW
+    # rewrites can regroup carried files into manifests of THEIR spec
+    # without inferring the spec from the partition key-name set (which is
+    # ambiguous for parameterized transforms: bucket[4] and bucket[8] over
+    # one column generate the same field name — ADVICE r4).
+    spec_id: int | None = None
 
 
 @dataclass
@@ -305,12 +313,14 @@ def row_to_entry(row: dict) -> ManifestEntry:
 _MANIFEST_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
 _MANIFEST_CACHE_MAX_ENTRIES = 250_000
 _manifest_cache_entries = 0
+_MANIFEST_CACHE_LOCK = __import__("threading").Lock()
 
 
 def clear_manifest_cache() -> None:
     global _manifest_cache_entries
-    _MANIFEST_CACHE.clear()
-    _manifest_cache_entries = 0
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE.clear()
+        _manifest_cache_entries = 0
 
 
 def _manifest_cache_invalidate(path: str) -> None:
@@ -318,29 +328,44 @@ def _manifest_cache_invalidate(path: str) -> None:
     a rewritten path (e.g. exporting twice into one directory) can never
     serve stale entries."""
     global _manifest_cache_entries
-    for key in [k for k in _MANIFEST_CACHE if k[0] == path]:
-        _manifest_cache_entries -= len(_MANIFEST_CACHE.pop(key))
+    with _MANIFEST_CACHE_LOCK:
+        for key in [k for k in _MANIFEST_CACHE if k[0] == path]:
+            _manifest_cache_entries -= len(_MANIFEST_CACHE.pop(key))
 
 
 def read_manifest(path: str, ml_row: dict | None = None) -> list[ManifestEntry]:
+    """Cached manifest read. Returns FRESH ManifestEntry wrappers on every
+    call (callers fix up snapshot/sequence inheritance in place, which must
+    not leak into the cache); the DataFile payloads ARE shared across
+    callers and must be treated as immutable (ADVICE r4)."""
     global _manifest_cache_entries
     key = (path, ml_row.get("sequence_number") if ml_row else None)
-    hit = _MANIFEST_CACHE.get(key)
+    with _MANIFEST_CACHE_LOCK:
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            _MANIFEST_CACHE.move_to_end(key)
     if hit is not None:
-        _MANIFEST_CACHE.move_to_end(key)
-        return list(hit)
+        return [ManifestEntry(e.status, e.snapshot_id, e.sequence_number, e.data_file) for e in hit]
     if path.endswith(".avro"):
         from iceberg_rust_custom_spark.metadata.avro_manifest import read_manifest_avro
 
         entries = read_manifest_avro(path, ml_row)
     else:
         entries = [row_to_entry(row) for row in FileIO.pq_read_table(path).to_pylist()]
-    _MANIFEST_CACHE[key] = entries
-    _manifest_cache_entries += len(entries)
-    while _manifest_cache_entries > _MANIFEST_CACHE_MAX_ENTRIES and len(_MANIFEST_CACHE) > 1:
-        _, old = _MANIFEST_CACHE.popitem(last=False)
-        _manifest_cache_entries -= len(old)
-    return list(entries)
+    # annotate the owning partition spec from the manifest-list row (fixed
+    # at manifest write, so identical for every reader of this path) — done
+    # once, before the entries become shared cache state
+    if ml_row is not None and ml_row.get("partition_spec_id") is not None:
+        sid = ml_row["partition_spec_id"]
+        for e in entries:
+            e.data_file.spec_id = sid
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE[key] = entries
+        _manifest_cache_entries += len(entries)
+        while _manifest_cache_entries > _MANIFEST_CACHE_MAX_ENTRIES and len(_MANIFEST_CACHE) > 1:
+            _, old = _MANIFEST_CACHE.popitem(last=False)
+            _manifest_cache_entries -= len(old)
+    return [ManifestEntry(e.status, e.snapshot_id, e.sequence_number, e.data_file) for e in entries]
 
 
 def write_manifest_list(path: str, manifest_rows: list[dict], schema=None, specs=None) -> None:

@@ -70,9 +70,20 @@ class PartitionSpec:
         next_id = first_field_id
         for spec in specs:
             if isinstance(spec, str):
-                # bare column name → identity; "month(col)" → (col, month)
-                m = re.fullmatch(r"(\w+)\((\w+)\)", spec.strip())
-                col, tname = (m.group(2), m.group(1)) if m else (spec.strip(), "identity")
+                # bare column name → identity; "month(col)" → (col, month);
+                # two-arg DDL forms "bucket(4, id)" / "truncate(2, k)" —
+                # exactly what SHOW CREATE TABLE emits — → (id, bucket[4])
+                s = spec.strip()
+                m = re.fullmatch(r"(\w+)\(\s*(\w+)\s*\)", s)
+                m2 = re.fullmatch(r"(\w+)\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
+                if m:
+                    col, tname = m.group(2), m.group(1)
+                elif m2:
+                    col, tname = m2.group(3), f"{m2.group(1)}[{m2.group(2)}]"
+                elif "(" in s:
+                    raise ValueError(f"unrecognized partition spec string: {s!r}")
+                else:
+                    col, tname = s, "identity"
             else:
                 col, tname = spec
             src = schema.field_by_name(col)

@@ -481,6 +481,18 @@ def scan_to_dataframe(
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
         df = df.select(*columns)
+    # Statistics feed into join planning (reference:
+    # datafusion_iceberg/src/statistics.rs:20-100): Spark estimates this
+    # relation by raw parquet bytes, which overshoots after MoR deletes or
+    # a selective residual predicate. When the manifest/NDV estimate fits
+    # the broadcast threshold but the raw bytes do not, hint broadcast —
+    # the decision Spark's estimator cannot make. No-op otherwise.
+    from iceberg_rust_custom_spark.table.plan_stats import broadcast_threshold, estimate_scan
+
+    _, est_bytes, raw_bytes = estimate_scan(metadata, snapshot, files, deletes, predicate)
+    thr = broadcast_threshold(spark)
+    if files and est_bytes <= thr < raw_bytes:
+        df = df.hint("broadcast")
     return df
 
 

@@ -71,14 +71,29 @@ class Table:
         names = [f.name for f in spec.fields]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate partition field names in new spec: {names}")
-        for other in md.partition_specs.values():
-            for pf in other.fields:
-                for nf in spec.fields:
-                    if nf.name == pf.name and nf.field_id != pf.field_id:
-                        raise ValueError(
-                            f"partition field name {nf.name!r} already used by spec "
-                            f"{other.spec_id} with a different transform"
-                        )
+        # A parameter-only evolution (bucket[4] → bucket[8] on one column)
+        # generates the same base field name for a DIFFERENT field. Naming
+        # must stay unambiguous — partition tuples are keyed by field name —
+        # so disambiguate the new field with its transform parameter
+        # (id_bucket → id_bucket_8) instead of refusing the evolution
+        # (ADVICE r4; rewrites regroup by the threaded spec_id, so file
+        # routing is exact either way).
+        import dataclasses as _dc
+
+        taken = {
+            (pf.name, pf.field_id) for s in md.partition_specs.values() for pf in s.fields
+        }
+        fixed = []
+        for nf in spec.fields:
+            clash = any(name == nf.name and fid != nf.field_id for name, fid in taken)
+            if clash:
+                param = nf.transform.name.split("[")[-1].rstrip("]")
+                candidate = f"{nf.name}_{param}" if param != nf.transform.name else f"{nf.name}_{nf.field_id}"
+                while any(name == candidate and fid != nf.field_id for name, fid in taken):
+                    candidate += "x"
+                nf = _dc.replace(nf, name=candidate)
+            fixed.append(nf)
+        spec = PartitionSpec(spec_id=spec.spec_id, fields=tuple(fixed))
         self.metadata = self.new_transaction().update_spec(spec).commit()
         return self
 

@@ -55,12 +55,20 @@ def _manifest_size_limit(total_files: int) -> int:
 
 
 def _infer_spec_id(data_file: DataFile, metadata: TableMetadata) -> int:
-    """The partition spec a data file's partition tuple was written under,
-    inferred from its key set (DataFile does not store a spec id; the
-    manifest-list row does, which is why rewrites must regroup). Prefers
-    the default spec on ties; unmatched key sets fall back to the default
-    spec — safe because write_manifest drops FieldSummary bounds for any
-    field not present in EVERY entry."""
+    """The partition spec a data file's partition tuple was written under.
+
+    The authoritative source is ``data_file.spec_id``, threaded from the
+    manifest-list row at read time (read_manifest) and stamped at write
+    time (write_partitioned) — key-set inference is ambiguous for
+    parameterized transforms (bucket[4] vs bucket[8] over one column
+    generate the same field name, so after a parameter-only evolution the
+    tie silently resolved to the wrong spec; ADVICE r4). Key-set matching
+    remains only as a fallback for externally constructed DataFiles.
+    Prefers the default spec on ties; unmatched key sets fall back to the
+    default spec — safe because write_manifest drops FieldSummary bounds
+    for any field not present in EVERY entry."""
+    if data_file.spec_id is not None and data_file.spec_id in metadata.partition_specs:
+        return data_file.spec_id
     keys = frozenset(data_file.partition.keys())
     default_id = metadata.default_spec_id
     default_spec = metadata.partition_specs.get(default_id)
@@ -80,6 +88,7 @@ class Transaction:
         self.branch = branch
         self._appends: list[DataFile] = []
         self._rewrite: list[DataFile] | None = None
+        self._retain_history = False
         self._extra_updates: list[dict] = []
         self._summary_extra: dict = {}
         self._operation = "append"
@@ -121,9 +130,18 @@ class Transaction:
         self._operation = op
         return self
 
-    def rewrite(self, files: list[DataFile]) -> "Transaction":
-        """Replace the entire visible file set (compaction / overwrite)."""
+    def rewrite(self, files: list[DataFile], retain_history: bool = False) -> "Transaction":
+        """Replace the entire visible file set (compaction / overwrite).
+
+        ``retain_history=False`` (the reference's behavior,
+        table/mod.rs:216-269): all prior snapshots are removed and their
+        data/manifest files physically deleted after the commit — use only
+        when no other branch/tag pins them. ``retain_history=True`` commits
+        a plain overwrite snapshot on top of the current head: prior
+        snapshots, refs and files stay intact (time travel keeps working;
+        expire_snapshots/vacuum reclaim space later)."""
         self._rewrite = list(files)
+        self._retain_history = retain_history
         return self
 
     def rewrite_with_lineage(self, files: list[DataFile], refresh_state: dict) -> "Transaction":
@@ -225,15 +243,23 @@ class Transaction:
                 os.makedirs(meta_dir, exist_ok=True)
 
             if self._rewrite is not None:
+                # Destructive rewrite would remove snapshots pinned by OTHER
+                # branches/tags and physically delete their data (dangling
+                # refs + data loss — ADVICE r4). If any other ref exists,
+                # fall back to history-retaining overwrite; ref-aware
+                # expire_snapshots reclaims space later.
+                if any(name != self.branch for name in metadata.refs):
+                    self._retain_history = True
                 manifest_rows = self._build_rewrite_manifests(metadata, meta_dir, snap_id, seq)
                 summary = {
                     "operation": "overwrite",
                     "added-data-files": str(len(self._rewrite)),
                     **self._summary_extra,
                 }
-                updates.append(
-                    {"action": "remove-snapshots", "snapshot-ids": list(metadata.snapshots.keys())}
-                )
+                if not self._retain_history:
+                    updates.append(
+                        {"action": "remove-snapshots", "snapshot-ids": list(metadata.snapshots.keys())}
+                    )
             else:
                 manifest_rows = self._build_append_manifests(metadata, parent, meta_dir, snap_id, seq)
                 summary = {
@@ -295,7 +321,7 @@ class Transaction:
             FileIO.write_text(new_path, new_metadata.to_json())
             self.catalog.swap(self.identifier, current_location, new_path)
 
-        if self._rewrite is not None:
+        if self._rewrite is not None and not self._retain_history:
             self._delete_replaced_files(metadata)
         return new_metadata
 

@@ -358,4 +358,9 @@ def write_partitioned(
             blooms = compute_file_blooms(read_back, cols_types, m_bits)
             for d in datafiles:
                 d.bloom_filters = blooms.get(os.path.abspath(d.file_path), {})
+    # new files are written under the table's default spec — record it so
+    # later CoW rewrites group them into same-spec manifests without
+    # inferring the spec from partition key names (ADVICE r4)
+    for d in datafiles:
+        d.spec_id = metadata.default_spec_id
     return datafiles

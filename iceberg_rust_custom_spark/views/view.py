@@ -84,14 +84,37 @@ class ViewMetadata:
     versions: dict  # version_id -> ViewVersion
     properties: dict = field(default_factory=dict)
     storage_table: str | None = None  # set for materialized views
+    # [{"timestamp-ms", "version-id"}, …] — every change of the current
+    # version appends here (reference: view_metadata.rs:56-61 version_log)
+    version_log: list = field(default_factory=list)
 
     @classmethod
     def new(cls, location: str, sql: str, storage_table: str | None = None) -> "ViewMetadata":
-        v = ViewVersion(1, sql, timestamp_ms=int(time.time() * 1000))
-        return cls(str(_uuid.uuid4()), location, 1, {1: v}, {}, storage_table)
+        ts = int(time.time() * 1000)
+        v = ViewVersion(1, sql, timestamp_ms=ts)
+        return cls(
+            str(_uuid.uuid4()), location, 1, {1: v}, {}, storage_table,
+            version_log=[{"timestamp-ms": ts, "version-id": 1}],
+        )
 
     def current_sql(self) -> str:
         return self.versions[self.current_version_id].sql
+
+    def new_version(self, version: "ViewVersion") -> "ViewVersion":
+        """Register a NEW current version with id max+1 and append to the
+        version log — view updates never mutate an existing version
+        (reference: view/transaction/operation.rs:24-90 UpdateRepresentation
+        builds a fresh ViewVersion; view_metadata.rs:56-61). ``version``'s
+        version_id/timestamp are overwritten."""
+        import dataclasses as _dc
+
+        vid = max(self.versions) + 1 if self.versions else 1
+        ts = int(time.time() * 1000)
+        v = _dc.replace(version, version_id=vid, timestamp_ms=ts)
+        self.versions[vid] = v
+        self.current_version_id = vid
+        self.version_log.append({"timestamp-ms": ts, "version-id": vid})
+        return v
 
     def to_json(self) -> str:
         return json.dumps(
@@ -101,6 +124,7 @@ class ViewMetadata:
                 "location": self.location,
                 "current-version-id": self.current_version_id,
                 "versions": [v.to_dict() for v in self.versions.values()],
+                "version-log": list(self.version_log),
                 "properties": self.properties,
                 "storage-table": self.storage_table,
             },
@@ -117,6 +141,7 @@ class ViewMetadata:
             versions={v["version-id"]: ViewVersion.from_dict(v) for v in d["versions"]},
             properties=d.get("properties", {}),
             storage_table=d.get("storage-table"),
+            version_log=list(d.get("version-log") or []),
         )
 
 

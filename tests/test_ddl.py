@@ -435,3 +435,40 @@ def test_merge_not_matched_by_source_delete(eng, spark):
         "WHEN NOT MATCHED BY SOURCE AND v = 'dropme' THEN DELETE"
     )
     assert sorted(r.id for r in eng.load_table("ns.sync").scan().collect()) == [2, 4, 7]
+
+
+def test_truncate_preserves_history_and_branches(eng, spark):
+    """TRUNCATE is a history-retaining overwrite: prior snapshots stay
+    time-travelable and other branches keep their data (ADVICE r4 — the
+    destructive rewrite used to delete files pinned by other refs)."""
+    eng.sql("CREATE TABLE ns.trh (k BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.trh VALUES (1, 'a'), (2, 'b')")
+    t = eng.load_table("ns.trh")
+    pre_snap = t.metadata.current_snapshot_id
+    t.create_branch("keepme")
+    eng.sql("TRUNCATE TABLE ns.trh")
+    t = eng.load_table("ns.trh")
+    assert t.scan().count() == 0
+    # time travel to the pre-truncate snapshot still sees the rows
+    assert t.scan(snapshot_id=pre_snap).count() == 2
+    # the branch created before the truncate is intact
+    assert t.scan(branch="keepme").count() == 2
+    # ancestry: truncate snapshot's parent is the pre-truncate head
+    assert t.metadata.snapshot_for_ref().parent_snapshot_id == pre_snap
+
+
+def test_destructive_rewrite_spares_other_refs(eng, spark):
+    """compact()/overwrite() are destructive only when no other ref pins
+    the history; with a live tag they fall back to a history-retaining
+    overwrite instead of deleting the tag's data files."""
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    eng.sql("CREATE TABLE ns.dro (k BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.dro")
+    t.append(spark.createDataFrame([(i,) for i in range(5)], "k long"))
+    t.append(spark.createDataFrame([(i,) for i in range(5, 10)], "k long"))
+    t.create_tag("pinned")
+    compact(t)
+    t = eng.load_table("ns.dro")
+    assert t.scan().count() == 10
+    assert t.scan(branch="pinned").count() == 10  # tag data not destroyed

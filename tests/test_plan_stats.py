@@ -1,0 +1,117 @@
+"""Plan-time statistics feed into join planning (reference:
+datafusion_iceberg/src/statistics.rs:20-100): a scan whose post-MoR-delete
+or post-predicate row estimate fits the broadcast threshold gets a
+broadcast hint even though its raw parquet bytes exceed it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def small_threshold(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+    yield 64 * 1024
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _mkwide(spark, n):
+    # ~100 bytes/row of incompressible-ish payload -> files well over 64 KB
+    return spark.range(n).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad1"),
+        F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mor_deleted_dim_broadcasts(eng, spark, small_threshold):
+    """Raw file bytes exceed the threshold, but after MoR-deleting ~99% of
+    rows the estimate fits — the scan must carry a broadcast hint so the
+    join is a BroadcastHashJoin, not SortMergeJoin."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    eng.sql("CREATE TABLE ns.dim (id BIGINT, pad1 STRING, pad2 STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.dim")
+    t.append(_mkwide(spark, 5000))
+    # raw bytes over threshold: the control join (no deletes) sort-merges
+    fact = spark.range(100000).select(F.col("id"))
+    raw_bytes = sum(
+        f.file_size_in_bytes
+        for f in __import__(
+            "iceberg_rust_custom_spark.table.scan", fromlist=["plan_files"]
+        ).plan_files(t.metadata, t.metadata.snapshot_for_ref())
+    )
+    assert raw_bytes > small_threshold
+    control = fact.join(t.scan().select("id", "pad1"), "id")
+    assert "BroadcastHashJoin" not in _plan(control)
+
+    delete_where(t, "id >= 50", mode="merge-on-read")  # 4950 of 5000 rows tombstoned
+    t = eng.load_table("ns.dim")
+    assert t.scan().count() == 50
+    joined = fact.join(t.scan().select("id", "pad1"), "id")
+    assert "BroadcastHashJoin" in _plan(joined)
+    # correctness unchanged by the hint
+    assert joined.count() == 50
+
+
+def test_selective_predicate_with_ndv_broadcasts(eng, spark, small_threshold):
+    """After ANALYZE, an equality predicate's 1/NDV selectivity shrinks the
+    estimate under the threshold although every file is planned (values
+    interleave so min/max pruning keeps all files)."""
+    from iceberg_rust_custom_spark.table.statistics import analyze
+
+    eng.sql("CREATE TABLE ns.dw (id BIGINT, grp BIGINT, pad1 STRING, pad2 STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.dw")
+    df = _mkwide(spark, 5000).withColumn("grp", F.col("id") % 7).select("id", "grp", "pad1", "pad2")
+    t.append(df)
+    analyze(t, ["grp"])
+    t = eng.load_table("ns.dw")
+
+    fact = spark.range(100000).select(F.col("id"))
+    control = fact.join(t.scan().select("id", "pad1"), "id")
+    assert "BroadcastHashJoin" not in _plan(control)
+
+    filtered = t.scan("grp = 3").select("id", "pad1")
+    joined = fact.join(filtered, "id")
+    assert "BroadcastHashJoin" in _plan(joined)
+    assert joined.count() == t.scan("grp = 3").count()
+
+
+def test_estimator_units():
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+    from iceberg_rust_custom_spark.table.plan_stats import estimate_scan, selectivity
+
+    files = [
+        DataFile(
+            file_path=f"/f{i}",
+            record_count=1000,
+            file_size_in_bytes=100_000,
+            lower_bounds={"v": 0},
+            upper_bounds={"v": 100},
+        )
+        for i in range(4)
+    ]
+    # range interpolation over the [0, 100] envelope
+    assert abs(selectivity(parse_predicate("v <= 25"), files, {}) - 0.25) < 1e-9
+    # equality via NDV; AND multiplies
+    assert abs(selectivity(parse_predicate("v = 5"), files, {"v": 50}) - 0.02) < 1e-9
+    assert (
+        abs(selectivity(parse_predicate("v = 5 AND v <= 25"), files, {"v": 50}) - 0.005)
+        < 1e-9
+    )
+    # IN scales by set size; OR adds
+    assert abs(selectivity(parse_predicate("v IN (1, 2, 3)"), files, {"v": 50}) - 0.06) < 1e-9
+    est_rows, est_bytes, raw_bytes = estimate_scan(None, None, files, [], None)
+    assert (est_rows, est_bytes, raw_bytes) == (4000, 400_000, 400_000)

@@ -287,3 +287,76 @@ def test_multi_dialect_view_representations(engine, spark):
     md3 = ViewMetadata.from_json(_json.dumps(legacy))
     lv = md3.versions[md3.current_version_id]
     assert lv.representations == [{"type": "sql", "sql": spark_sql, "dialect": "spark"}]
+
+
+def test_view_version_evolution(engine, spark):
+    """Updates create NEW view versions (max+1) + version-log entries;
+    existing versions are immutable (reference:
+    view/transaction/operation.rs:24-90, view_metadata.rs:56-61)."""
+    t = engine.create_table("test.ordersv", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    sql1 = "SELECT product_id, amount FROM test.ordersv WHERE product_id < 3"
+    engine.create_view("test.ordersv_v", sql1)
+    md = engine._load_view_metadata("test.ordersv_v")
+    assert md.current_version_id == 1
+    assert [e["version-id"] for e in md.version_log] == [1]
+
+    # update 1: add a dialect representation -> new version 2
+    engine.add_view_representation("test.ordersv_v", 'SELECT "product_id" FROM x', "trino")
+    md = engine._load_view_metadata("test.ordersv_v")
+    assert md.current_version_id == 2
+    assert [e["version-id"] for e in md.version_log] == [1, 2]
+    assert md.versions[1].sql_for("trino") is None  # v1 untouched
+    assert md.versions[2].sql_for("trino") is not None
+    assert md.versions[2].sql == sql1
+
+    # update 2: ALTER VIEW ... AS -> new version 3 with new SQL
+    sql3 = "SELECT product_id, amount FROM test.ordersv"
+    engine.sql(f"ALTER VIEW test.ordersv_v AS {sql3}")
+    md = engine._load_view_metadata("test.ordersv_v")
+    assert md.current_version_id == 3
+    assert [e["version-id"] for e in md.version_log] == [1, 2, 3]
+    assert md.versions[3].sql == sql3
+    assert md.versions[1].sql == sql1 and md.versions[2].sql == sql1
+    assert engine.scan_view("test.ordersv_v").count() == 6
+    # round-trip through JSON preserves the log
+    from iceberg_rust_custom_spark.views.view import ViewMetadata
+
+    md2 = ViewMetadata.from_json(md.to_json())
+    assert md2.version_log == md.version_log and len(md2.versions) == 3
+
+
+def test_create_or_replace_view(engine, spark):
+    t = engine.create_table("test.ordersr", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.sql("CREATE VIEW test.vr AS SELECT id FROM test.ordersr WHERE amount > 1")
+    assert engine.scan_view("test.vr").count() == 3
+    engine.sql("CREATE OR REPLACE VIEW test.vr AS SELECT id FROM test.ordersr")
+    md = engine._load_view_metadata("test.vr")
+    assert md.current_version_id == 2
+    assert engine.scan_view("test.vr").count() == 6
+    # plain CREATE over an existing view without OR REPLACE: new view from scratch is
+    # not silently applied — IF NOT EXISTS short-circuits
+    engine.sql("CREATE VIEW IF NOT EXISTS test.vr AS SELECT 1 AS x")
+    assert engine._load_view_metadata("test.vr").current_version_id == 2
+
+
+def test_alter_mv_sql_triggers_refresh(engine, spark):
+    """After ALTER of an MV's SQL, freshness reports the version outdated
+    and the next refresh recomputes under the NEW current version."""
+    t = engine.create_table("test.ordersm", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.sql(
+        "CREATE MATERIALIZED VIEW test.mv_alter AS "
+        "SELECT product_id, SUM(amount) AS s FROM test.ordersm GROUP BY product_id"
+    )
+    assert engine.scan_materialized_view("test.mv_alter").count() == 3
+    engine.sql(
+        "ALTER MATERIALIZED VIEW test.mv_alter AS "
+        "SELECT customer_id, SUM(amount) AS s FROM test.ordersm GROUP BY customer_id"
+    )
+    fresh = engine.materialized_view_freshness("test.mv_alter")
+    assert fresh.get("__version__") == "outdated"
+    assert engine.refresh_materialized_view("test.mv_alter")
+    got = {r.customer_id: r.s for r in engine.scan_materialized_view("test.mv_alter").collect()}
+    assert got == {1: 4, 2: 1, 3: 6}
