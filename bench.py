@@ -123,19 +123,82 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "setup": setup,
-                "sf": sf,
-            }
+    # Optional dedup-family scaling check (VERDICT r4 item 6): replicate the
+    # corpus ×N with deterministic per-variant perturbations (variant 0 =
+    # original; others append a variant token / nudge the embedding, so the
+    # LSH/verify/cluster load keeps realistic near-dup structure instead of
+    # N identical copies), run the dedup headliners, and report wall time
+    # per op. Sub-linear-in-N ops would hide behind the default run; this
+    # is the empirical backing for SCALE.md's O-claims. Off by default so
+    # the driver's bench contract is unchanged.
+    dedup_scale = {}
+    factor = int(os.environ.get("SPARK_GRAFT_DEDUP_SCALE", "0") or 0)
+    if factor > 1:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        scaled_dir = tempfile.mkdtemp(prefix="bench_dedup_scale_")
+        rep = spark.range(factor).withColumnRenamed("id", "_rep")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        (
+            docs.crossJoin(rep)
+            .withColumn("doc_id", F.col("doc_id") * factor + F.col("_rep"))
+            .withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" variant token "), F.col("_rep").cast("string"))
+                ),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .drop("_rep")
+            .write.mode("overwrite")
+            .parquet(f"{scaled_dir}/documents.parquet")
         )
-    )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (
+            emb.crossJoin(rep)
+            .withColumn("vec_id", F.col("vec_id") * factor + F.col("_rep"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x + F.col("_rep").cast("float") * F.lit(1e-3)).cast("float"),
+                ),
+            )
+            .drop("_rep")
+            .write.mode("overwrite")
+            .parquet(f"{scaled_dir}/embeddings.parquet")
+        )
+        for name in (
+            "minhash_lsh_pairs",
+            "fuzzy_dedup_clusters",
+            "exact_substring_spans",
+            "semantic_dedup",
+        ):
+            fn = QUERIES[name]
+            t0 = time.time()
+            n = fn(spark, scaled_dir).count()
+            dedup_scale[name] = round(time.time() - t0, 3)
+            print(
+                f"# {name}@x{factor}: {n} rows in {dedup_scale[name]:.2f}s",
+                file=sys.stderr,
+            )
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "setup": setup,
+        "sf": sf,
+    }
+    if dedup_scale:
+        out["dedup_scale"] = {"factor": factor, "queries": dedup_scale}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

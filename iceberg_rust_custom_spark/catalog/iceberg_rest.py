@@ -7,6 +7,10 @@ same protocol over stdlib HTTP for the routes an engine needs:
 
 * ``GET  /v1/config``                                    → CatalogConfig
 * ``GET/POST /v1/namespaces``                            → list / create
+  (list endpoints speak the spec's ``pageSize``/``pageToken`` pagination,
+  emitting ``next-page-token`` until drained)
+* ``GET/HEAD /v1/namespaces/{ns}``                       → namespace
+  exists / properties (404 + spec ErrorModel otherwise)
 * ``GET  /v1/namespaces/{ns}/tables``                    → list tables
 * ``POST /v1/namespaces/{ns}/register``                  → register existing
   table by metadata-location (RegisterTableRequest)
@@ -93,15 +97,38 @@ class IcebergRestCatalog(Catalog):
     def create_namespace(self, namespace: tuple) -> None:
         self._call("POST", "/v1/namespaces", {"namespace": list(namespace)})
 
-    def list_namespaces(self) -> list[tuple]:
-        out = self._call("GET", "/v1/namespaces")
-        return [tuple(ns) for ns in out.get("namespaces", [])]
+    def namespace_exists(self, namespace: tuple) -> bool:
+        """HEAD existence probe (spec: HEAD /v1/namespaces/{ns} → 204/404)."""
+        try:
+            self._call("HEAD", f"/v1/namespaces/{_ns_encode(namespace)}")
+            return True
+        except FileNotFoundError:
+            return False
 
-    def list_tabulars(self, namespace: tuple) -> list[Identifier]:
-        out = self._call("GET", f"/v1/namespaces/{_ns_encode(namespace)}/tables")
-        return [
-            Identifier(tuple(t["namespace"]), t["name"]) for t in out.get("identifiers", [])
-        ]
+    def _paged(self, path: str, key: str, page_size: int | None) -> list:
+        """Drain a paginated list endpoint (spec: opaque ``pageToken`` in
+        the request, ``next-page-token`` in the response until exhausted)."""
+        out, token = [], None
+        while True:
+            q = []
+            if page_size is not None:
+                q.append(f"pageSize={page_size}")
+            if token is not None:
+                q.append(f"pageToken={urllib.parse.quote(token, safe='')}")
+            resp = self._call("GET", path + ("?" + "&".join(q) if q else ""))
+            out.extend(resp.get(key, []))
+            token = resp.get("next-page-token")
+            if not token:
+                return out
+
+    def list_namespaces(self, page_size: int | None = None) -> list[tuple]:
+        return [tuple(ns) for ns in self._paged("/v1/namespaces", "namespaces", page_size)]
+
+    def list_tabulars(self, namespace: tuple, page_size: int | None = None) -> list[Identifier]:
+        rows = self._paged(
+            f"/v1/namespaces/{_ns_encode(namespace)}/tables", "identifiers", page_size
+        )
+        return [Identifier(tuple(t["namespace"]), t["name"]) for t in rows]
 
     def tabular_exists(self, identifier: Identifier) -> bool:
         try:
@@ -178,15 +205,30 @@ class IcebergRestCatalogServer:
                 if self.command != "HEAD":
                     self.wfile.write(body)
 
-            def _err(self, code: int, message: str):
-                self._send(code, {"error": {"message": message, "code": code}})
+            def _err(self, code: int, message: str, err_type: str | None = None):
+                # spec ErrorModel: {"error": {"message", "type", "code"}}
+                types = {404: "NoSuchTableException", 409: "CommitFailedException"}
+                self._send(
+                    code,
+                    {
+                        "error": {
+                            "message": message,
+                            "type": err_type or types.get(code, "InternalServerError"),
+                            "code": code,
+                        }
+                    },
+                )
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
                 return json.loads(self.rfile.read(n)) if n else {}
 
             def _route(self):
-                parts = [urllib.parse.unquote(p) for p in self.path.split("?")[0].split("/") if p]
+                split = urllib.parse.urlsplit(self.path)
+                parts = [urllib.parse.unquote(p) for p in split.path.split("/") if p]
+                self.query = {
+                    k: v[0] for k, v in urllib.parse.parse_qs(split.query).items()
+                }
                 try:
                     server._dispatch(self, parts)
                 except CommitFailed as e:
@@ -211,6 +253,30 @@ class IcebergRestCatalogServer:
         self._httpd.shutdown()
 
     # ------------------------------------------------------------- dispatch
+    @staticmethod
+    def _page(h, items: list, key: str, to_json) -> None:
+        """Apply ``pageSize``/``pageToken`` (opaque integer-offset token) to
+        a deterministic sorted listing; emit ``next-page-token`` while more
+        remain (spec pagination contract)."""
+        size = h.query.get("pageSize")
+        token = h.query.get("pageToken")
+        start = 0
+        if token is not None:
+            try:
+                start = max(0, int(token))
+            except ValueError:
+                start = 0
+        if size is None:
+            page, nxt = items[start:], None
+        else:
+            n = max(1, int(size))
+            page = items[start : start + n]
+            nxt = str(start + n) if start + n < len(items) else None
+        payload = {key: [to_json(x) for x in page]}
+        if nxt is not None:
+            payload["next-page-token"] = nxt
+        h._send(200, payload)
+
     def _dispatch(self, h, parts: list[str]) -> None:
         method = h.command
         if parts == ["v1", "config"]:
@@ -223,11 +289,23 @@ class IcebergRestCatalogServer:
                     self._namespaces.add(ns)
                 h._send(200, {"namespace": list(ns), "properties": {}})
             else:
-                h._send(200, {"namespaces": [list(n) for n in sorted(self._namespaces)]})
+                with self._lock:
+                    all_ns = sorted(self._namespaces)
+                self._page(h, all_ns, "namespaces", list)
             return
         if len(parts) >= 3 and parts[:2] == ["v1", "namespaces"]:
             ns = tuple(parts[2].split(NS_SEP))
             rest = parts[3:]
+            if not rest and method in ("GET", "HEAD"):
+                # namespace-exists probe / namespace properties
+                with self._lock:
+                    known = ns in self._namespaces or any(
+                        k[: len(ns)] == ns for k in self._tables
+                    )
+                if not known:
+                    raise FileNotFoundError(f"no such namespace: {'.'.join(ns)}")
+                h._send(200, {"namespace": list(ns), "properties": {}})
+                return
             if rest == ["register"] and method == "POST":
                 body = h._body()
                 key = (*ns, body["name"])
@@ -243,12 +321,13 @@ class IcebergRestCatalogServer:
                 return
             if rest == ["tables"] and method == "GET":
                 with self._lock:
-                    idents = [
-                        {"namespace": list(k[:-1]), "name": k[-1]}
-                        for k in sorted(self._tables)
-                        if k[:-1] == ns
-                    ]
-                h._send(200, {"identifiers": idents})
+                    keys = [k for k in sorted(self._tables) if k[:-1] == ns]
+                self._page(
+                    h,
+                    keys,
+                    "identifiers",
+                    lambda k: {"namespace": list(k[:-1]), "name": k[-1]},
+                )
                 return
             if len(rest) == 2 and rest[0] == "tables":
                 key = (*ns, rest[1])

@@ -4251,3 +4251,186 @@ def corpus_curation(spark, sf_dir):
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round 5: statistics-fed join planning, view versioning, history-retaining
+# TRUNCATE, exactly-once streaming ingest — each driver-gated vs the oracle
+# --------------------------------------------------------------------------
+
+
+@q(
+    "iceberg_stats_broadcast_join",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 50
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_stats_broadcast_join(spark, sf_dir):
+    """Plan-time statistics feed (reference:
+    datafusion_iceberg/src/statistics.rs:20-100): after MoR-deleting all
+    but 51 customers, raw parquet bytes still exceed a (lowered) broadcast
+    threshold but the manifest estimate does not — the scan must carry a
+    broadcast hint so the join is a BroadcastHashJoin. The assertion is
+    baked into the query; values must match the oracle exactly."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    tag = hashlib.md5(f"{sf_dir}:statsbcast".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.cust_sb"):
+        cdf = _t(spark, sf_dir, "customer")
+        t = eng.create_table("rt.cust_sb", cdf.schema)
+        t.append(cdf)
+        delete_where(t, "c_custkey > 50", mode="merge-on-read")
+    t = eng.load_table("rt.cust_sb")
+    raw_bytes = sum(
+        f.file_size_in_bytes
+        for f in __import__(
+            "iceberg_rust_custom_spark.table.scan", fromlist=["plan_files"]
+        ).plan_files(t.metadata, t.metadata.snapshot_for_ref())
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(max(1024, raw_bytes // 2)))
+    try:
+        dim = t.scan().select("c_custkey")
+        out = (
+            _t(spark, sf_dir, "orders")
+            .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, "stats-fed broadcast hint did not fire"
+        out.count()  # materialize under the lowered threshold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    return out
+
+
+@q(
+    "iceberg_view_versioning",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 50000
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_view_versioning(spark, sf_dir):
+    """View version evolution (reference:
+    view/transaction/operation.rs:24-90, view_metadata.rs:56-61):
+    CREATE OR REPLACE / ALTER VIEW create version max+1 with a version-log
+    entry; the scan replays the CURRENT version's SQL. The oracle is the
+    final (replaced) definition — stale replay would hash-mismatch."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:viewver".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_vv"):
+        odf = _t(spark, sf_dir, "orders")
+        eng.create_table("rt.ord_vv", odf.schema).append(odf)
+        eng.sql(
+            "CREATE VIEW rt.ord_view AS "
+            "SELECT o_orderstatus, COUNT(*) AS n FROM rt.ord_vv GROUP BY o_orderstatus"
+        )
+        eng.sql(
+            "CREATE OR REPLACE VIEW rt.ord_view AS "
+            "SELECT o_orderstatus, COUNT(*) AS n FROM rt.ord_vv "
+            "WHERE o_totalprice > 50000 GROUP BY o_orderstatus"
+        )
+    md = eng._load_view_metadata("rt.ord_view")
+    assert md.current_version_id == 2 and len(md.version_log) == 2, md.version_log
+    assert md.versions[1].sql != md.versions[2].sql  # v1 immutable
+    return eng.scan_view("rt.ord_view")
+
+
+@q(
+    "iceberg_truncate_time_travel",
+    """
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def iceberg_truncate_time_travel(spark, sf_dir):
+    """History-retaining TRUNCATE: the post-truncate table is empty, but
+    the pre-truncate snapshot stays time-travelable (no snapshot removal,
+    no physical deletion). The query returns the TIME-TRAVELED read, which
+    must equal the oracle over the original data — a destructive truncate
+    would return zero rows and fail the gate."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:trunctt".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.li_tr"):
+        df = _t(spark, sf_dir, "lineitem")
+        t = eng.create_table("rt.li_tr", df.schema)
+        t.append(df)
+        eng.sql("TRUNCATE TABLE rt.li_tr")
+    t = eng.load_table("rt.li_tr")
+    assert t.scan().count() == 0
+    head = t.metadata.snapshot_for_ref()
+    pre_snap = head.parent_snapshot_id
+    assert pre_snap is not None and pre_snap in t.metadata.snapshots
+    return (
+        t.scan(snapshot_id=pre_snap)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "iceberg_streaming_exactly_once",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_streaming_exactly_once(spark, sf_dir):
+    """Exactly-once streaming ingest: orders streamed into a table via the
+    foreachBatch append sink, then the WHOLE stream replayed from a reset
+    checkpoint (batch ids restart at 0, same sink id). Replayed batches
+    must be skipped via the (sink-id, batch-id) snapshot-summary lineage —
+    at-least-once duplication would double counts and fail the oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.streaming.pipeline import stream_append_to_table
+
+    tag = hashlib.md5(f"{sf_dir}:streameo".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_eo"):
+        odf = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.ord_eo", odf.schema)
+        stage = os.path.join(wh, "stream_src")
+        odf.write.mode("overwrite").parquet(stage)
+        ckpt = os.path.join(wh, "stream_ckpt")
+        for _ in range(2):  # second pass = full replay from reset checkpoint
+            shutil.rmtree(ckpt, ignore_errors=True)
+            stream = spark.readStream.schema(odf.schema).parquet(stage)
+            q_ = stream_append_to_table(eng.load_table("rt.ord_eo"), stream, ckpt)
+            q_.awaitTermination(600)
+    return (
+        eng.load_table("rt.ord_eo")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

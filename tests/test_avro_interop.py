@@ -158,3 +158,64 @@ def test_import_roundtrip_preserves_rows_and_pruning(spark, exported_table, tmp_
     # imported table is SQL-visible through the engine
     n = eng.sql("SELECT COUNT(*) AS n FROM ns.orders_imported").first().n
     assert n == orig.scan().count()
+
+
+def test_export_mor_table_with_delete_manifests(spark, tmp_path, sf_dir):
+    """A snapshot holding live position AND equality deletes exports as
+    spec v2 with separate delete manifests (content=1 rows, "content":
+    "deletes" header) instead of refusing (VERDICT r4 item 5); importing
+    the export APPLIES the deletes — no resurrected rows."""
+    from iceberg_rust_custom_spark.metadata.avro_codec import read_ocf
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key, delete_where
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ns.mex (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    t = eng.load_table("ns.mex")
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double"))
+    delete_where(t, "id >= 90", mode="merge-on-read")  # position deletes
+    delete_by_key(t, spark.createDataFrame([(5,), (6,)], "id long"))  # equality deletes
+    t = eng.load_table("ns.mex")
+    assert t.scan().count() == 88
+
+    md_path = eng.export_table("ns.mex", str(tmp_path / "exp_mor"))
+    exp_dir = os.path.dirname(os.path.dirname(md_path))
+
+    # manifest list carries content=1 rows pointing at "deletes" manifests
+    (ml,) = glob.glob(exp_dir + "/metadata/snap-*.avro")
+    _, _, ml_rows = read_ocf(ml)
+    by_content = {}
+    for r in ml_rows:
+        by_content.setdefault(r["content"], []).append(r)
+    assert by_content.get(0) and by_content.get(1)
+    for r in by_content[1]:
+        _, meta, entries = read_ocf(r["manifest_path"])
+        assert meta["content"] == b"deletes"
+        assert entries and all(e["data_file"]["content"] in (1, 2) for e in entries)
+        # delete manifests must never claim data content
+        eq = [e for e in entries if e["data_file"]["content"] == 2]
+        for e in eq:
+            assert e["data_file"]["equality_ids"], "equality delete without key ids"
+    for r in by_content[0]:
+        _, meta, entries = read_ocf(r["manifest_path"])
+        assert meta["content"] == b"data"
+        assert all(e["data_file"]["content"] == 0 for e in entries)
+
+    # JVM Avro cross-read of a delete manifest (independent implementation)
+    jvm = spark._jvm
+    mf = by_content[1][0]["manifest_path"]
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mf), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while rdr.hasNext():
+        e = rdr.next()
+        assert e.get("data_file").get("content") in (1, 2)
+        n += 1
+    assert n > 0
+
+    # import round-trip applies the deletes
+    t2 = eng.import_table("ns.mex_imported", md_path)
+    assert t2.scan().count() == 88
+    assert t2.scan("id = 5").count() == 0  # equality delete applied
+    assert t2.scan("id = 95").count() == 0  # position delete applied
+    assert t2.scan("id = 50").count() == 1

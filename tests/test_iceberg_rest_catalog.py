@@ -119,3 +119,52 @@ def test_views_and_mv_over_rest_protocol(spark, service, sf_dir):
     eng.sql("REFRESH MATERIALIZED VIEW ns.mv")
     got = {(r.k, r.total) for r in eng.sql("SELECT * FROM ns.mv").collect()}
     assert got == {(1, 15.0), (2, 10.0)}
+
+
+def test_pagination_and_head_routes(service):
+    """Spec completeness (VERDICT r4 item 8): pageSize/pageToken pagination
+    on list endpoints, HEAD namespace/table exists probes, spec-shaped
+    error JSON with a type field."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    cat = IcebergRestCatalog(service.uri)
+    for i in range(7):
+        cat.create_namespace(("nsp", f"n{i}"))
+    # client drains pages transparently
+    assert len([n for n in cat.list_namespaces(page_size=3) if n[0] == "nsp"]) == 7
+
+    # raw page shape: next-page-token present until the last page
+    with urllib.request.urlopen(service.uri + "/v1/namespaces?pageSize=3") as r:
+        page1 = json.load(r)
+    assert len(page1["namespaces"]) == 3 and page1["next-page-token"]
+    tok = page1["next-page-token"]
+    with urllib.request.urlopen(
+        service.uri + f"/v1/namespaces?pageSize=100&pageToken={tok}"
+    ) as r:
+        page2 = json.load(r)
+    assert "next-page-token" not in page2
+    assert len(page1["namespaces"]) + len(page2["namespaces"]) == 7
+
+    # paginated table listing
+    for i in range(5):
+        cat.register(Identifier(("nsp", "n0"), f"t{i}"), f"/tmp/meta{i}.json")
+    idents = cat.list_tabulars(("nsp", "n0"), page_size=2)
+    assert [i.name for i in idents] == ["t0", "t1", "t2", "t3", "t4"]
+
+    # HEAD namespace exists
+    assert cat.namespace_exists(("nsp", "n0"))
+    assert not cat.namespace_exists(("nope",))
+    # HEAD table exists
+    assert cat.tabular_exists(Identifier(("nsp", "n0"), "t0"))
+    assert not cat.tabular_exists(Identifier(("nsp", "n0"), "missing"))
+
+    # spec ErrorModel: {"error": {"message", "type", "code"}}
+    try:
+        urllib.request.urlopen(service.uri + "/v1/namespaces/nope%1Fdeep/tables/x")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        err = json.loads(e.read())["error"]
+        assert e.code == 404 and err["code"] == 404
+        assert err["type"] == "NoSuchTableException" and err["message"]
