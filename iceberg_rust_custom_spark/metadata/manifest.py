@@ -333,19 +333,31 @@ def _manifest_cache_invalidate(path: str) -> None:
             _manifest_cache_entries -= len(_MANIFEST_CACHE.pop(key))
 
 
-def read_manifest(path: str, ml_row: dict | None = None) -> list[ManifestEntry]:
+def read_manifest(
+    path: str, ml_row: dict | None = None, use_cache: bool = True
+) -> list[ManifestEntry]:
     """Cached manifest read. Returns FRESH ManifestEntry wrappers on every
     call (callers fix up snapshot/sequence inheritance in place, which must
     not leak into the cache); the DataFile payloads ARE shared across
-    callers and must be treated as immutable (ADVICE r4)."""
+    callers and must be treated as immutable (ADVICE r4).
+
+    ``use_cache=False`` bypasses the process cache entirely — callers whose
+    snapshot working set exceeds the cache capacity pass it (plan_files):
+    cyclic insert+evict over an over-capacity manifest set is pure thrash
+    (measured at 1M entries: the "cached" walk was SLOWER than cold), and
+    those tables route to the distributed planner anyway."""
     global _manifest_cache_entries
     key = (path, ml_row.get("sequence_number") if ml_row else None)
-    with _MANIFEST_CACHE_LOCK:
-        hit = _MANIFEST_CACHE.get(key)
+    if use_cache:
+        with _MANIFEST_CACHE_LOCK:
+            hit = _MANIFEST_CACHE.get(key)
+            if hit is not None:
+                _MANIFEST_CACHE.move_to_end(key)
         if hit is not None:
-            _MANIFEST_CACHE.move_to_end(key)
-    if hit is not None:
-        return [ManifestEntry(e.status, e.snapshot_id, e.sequence_number, e.data_file) for e in hit]
+            return [
+                ManifestEntry(e.status, e.snapshot_id, e.sequence_number, e.data_file)
+                for e in hit
+            ]
     if path.endswith(".avro"):
         from iceberg_rust_custom_spark.metadata.avro_manifest import read_manifest_avro
 
@@ -359,6 +371,8 @@ def read_manifest(path: str, ml_row: dict | None = None) -> list[ManifestEntry]:
         sid = ml_row["partition_spec_id"]
         for e in entries:
             e.data_file.spec_id = sid
+    if not use_cache or len(entries) > _MANIFEST_CACHE_MAX_ENTRIES:
+        return entries  # fresh objects, never shared — no defensive copy needed
     with _MANIFEST_CACHE_LOCK:
         _MANIFEST_CACHE[key] = entries
         _manifest_cache_entries += len(entries)

@@ -88,15 +88,28 @@ class _PartitionBounds:
         return None
 
 
-def _cached_entries(cache: dict | None, path: str, row: dict):
+def _cached_entries(cache: dict | None, path: str, row: dict, use_process_cache: bool = True):
     """One manifest read per scan even when planning, delete detection and
     sequence mapping all walk the same manifests (r2 bench regression: the
-    MoR scan path deserialized every manifest up to three times)."""
+    MoR scan path deserialized every manifest up to three times).
+    ``use_process_cache=False`` skips the process-level manifest cache for
+    over-capacity working sets (see read_manifest)."""
     if cache is None:
-        return read_manifest(path, row)
+        return read_manifest(path, row, use_cache=use_process_cache)
     if path not in cache:
-        cache[path] = read_manifest(path, row)
+        cache[path] = read_manifest(path, row, use_cache=use_process_cache)
     return cache[path]
+
+
+def _fits_process_cache(manifest_rows: list[dict]) -> bool:
+    """True when the snapshot's total entry count fits the process cache —
+    caching an over-capacity working set is cyclic insert+evict thrash."""
+    from iceberg_rust_custom_spark.metadata.manifest import _MANIFEST_CACHE_MAX_ENTRIES
+
+    total = sum(
+        r.get("added_files_count", 0) + r.get("existing_files_count", 0) for r in manifest_rows
+    )
+    return total <= _MANIFEST_CACHE_MAX_ENTRIES
 
 
 def plan_files(
@@ -142,6 +155,7 @@ def plan_files(
         return _spec_cache[spec_id]
 
     manifest_rows = ml_rows if ml_rows is not None else read_manifest_list(snapshot.manifest_list)
+    use_process_cache = _fits_process_cache(manifest_rows)
     if report is not None:
         report.update(
             manifests_total=len(manifest_rows),
@@ -167,7 +181,7 @@ def plan_files(
                 if report is not None:
                     report["manifests_pruned"] += 1
                 continue  # manifest-level skip
-        for entry in _cached_entries(entry_cache, row["manifest_path"], row):
+        for entry in _cached_entries(entry_cache, row["manifest_path"], row, use_process_cache):
             if report is not None and entry.status != STATUS_DELETED and entry.data_file.content == 0:
                 report["files_scanned"] += 1
             if _entry_survives(
@@ -388,9 +402,10 @@ def plan_delete_files(
     if ml_rows is None:
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = []
+    use_process_cache = _fits_process_cache(ml_rows)
     for row in ml_rows:
         if row.get("content", 0) == 1 or not row["manifest_path"].endswith(".avro"):
-            for entry in _cached_entries(entry_cache, row["manifest_path"], row):
+            for entry in _cached_entries(entry_cache, row["manifest_path"], row, use_process_cache):
                 if entry.status != STATUS_DELETED and entry.data_file.content in (1, 2):
                     out.append(entry)
     return out
@@ -409,8 +424,9 @@ def data_file_sequence_numbers(
     if ml_rows is None:
         ml_rows = read_manifest_list(snapshot.manifest_list)
     out = {}
+    use_process_cache = _fits_process_cache(ml_rows)
     for row in ml_rows:
-        for entry in _cached_entries(entry_cache, row["manifest_path"], row):
+        for entry in _cached_entries(entry_cache, row["manifest_path"], row, use_process_cache):
             if entry.status != STATUS_DELETED and entry.data_file.content == 0:
                 out[entry.data_file.file_path] = entry.sequence_number
     return out

@@ -131,3 +131,29 @@ def test_sort_order_serde():
         }
     )
     assert so.to_dict()["fields"][0]["source-id"] == 4
+
+
+def test_murmur3_string_expression_bit_exact(spark):
+    """The pure-expression murmur3_x86_32 over strings equals the Python
+    reference byte-for-byte on ASCII/unicode/emoji/empty inputs (kept as
+    the UDF-free alternative; the write path stays on the Arrow UDF —
+    measured ~10x faster)."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.transforms import (
+        murmur3_32,
+        murmur3_32_string_expr,
+    )
+
+    random.seed(11)
+    vals = ["", "a", "ab", "abc", "abcd", "abcde", "iceberg", "héllo wörld",
+            "日本語テキスト", "x" * 100, None, "emoji 🎉🎊"]
+    vals += ["".join(random.choices(_string.printable, k=random.randint(0, 40)))
+             for _ in range(60)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for r in df.select("s", murmur3_32_string_expr(F.col("s")).alias("h")).collect():
+        exp = None if r.s is None else murmur3_32(r.s.encode("utf-8"))
+        assert r.h == exp, (r.s, r.h, exp)
