@@ -21,6 +21,8 @@ same protocol over stdlib HTTP for the routes an engine needs:
   check_requirements / apply_updates engine the local commit path uses,
   returning 409 on a failed requirement (optimistic concurrency)
 * ``DELETE /v1/namespaces/{ns}/tables/{t}``
+* ``POST /v1/namespaces/{ns}/tables/{t}/metrics``       → ReportMetricsRequest
+  (scan-report counters; 204, stored service-side for the operator)
 
 Namespaces are encoded in URLs with the spec's unit separator ("%1F"
 joining levels). Metadata documents live in the warehouse (shared storage,
@@ -153,8 +155,23 @@ class IcebergRestCatalog(Catalog):
         return out["metadata-location"], out.get("kind", "table")
 
     def swap(self, identifier: Identifier, expected_location: str, new_location: str) -> None:
-        raise NotImplementedError(
-            "the Iceberg REST protocol has no pointer CAS; commits go through commit_updates"
+        """TABLE commits go through commit_updates (the protocol has no
+        table pointer CAS). VIEW updates, which the engine performs as
+        write-file-then-swap, route to the view-commit route — the server
+        CASes the metadata location under its lock (409 on conflict), the
+        spec's server-side view commit shape."""
+        _, kind = self.load(identifier)
+        if kind not in ("view", "materialized-view"):
+            raise NotImplementedError(
+                "the Iceberg REST protocol has no table pointer CAS; commits go through commit_updates"
+            )
+        self._call(
+            "POST",
+            f"/v1/namespaces/{_ns_encode(identifier.namespace)}/views/{urllib.parse.quote(identifier.name, safe='')}",
+            {
+                "expected-metadata-location": expected_location,
+                "metadata-location": new_location,
+            },
         )
 
     def commit_updates(self, identifier: Identifier, requirements: list, updates: list):
@@ -171,6 +188,17 @@ class IcebergRestCatalog(Catalog):
 
     def drop(self, identifier: Identifier) -> None:
         self._call("DELETE", self._table_path(identifier))
+
+    def report_metrics(self, identifier: Identifier, report: dict) -> None:
+        """POST scan metrics to the service (spec: ReportMetricsRequest on
+        /tables/{t}/metrics). Fire-and-forget observability — the engine's
+        scan_report counters (manifests pruned, files planned, bytes)
+        become visible to the catalog operator."""
+        self._call(
+            "POST",
+            self._table_path(identifier) + "/metrics",
+            {"report-type": "scan-report", "metrics": report},
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +217,7 @@ class IcebergRestCatalogServer:
         os.makedirs(self.warehouse, exist_ok=True)
         self._tables: dict[tuple, dict] = {}  # (ns..., name) -> {location, kind}
         self._namespaces: set[tuple] = set()
+        self._metrics: dict[tuple, list] = {}  # (ns..., name) -> [ReportMetricsRequest]
         self._lock = threading.Lock()
         server = self
 
@@ -328,6 +357,30 @@ class IcebergRestCatalogServer:
                     "identifiers",
                     lambda k: {"namespace": list(k[:-1]), "name": k[-1]},
                 )
+                return
+            if len(rest) == 2 and rest[0] == "views" and method == "POST":
+                # view-commit: CAS the metadata location under the lock
+                key = (*ns, rest[1])
+                body = h._body()
+                with self._lock:
+                    entry = self._tables.get(key)
+                    if entry is None or entry.get("kind") not in ("view", "materialized-view"):
+                        raise FileNotFoundError(f"no such view: {'.'.join(key)}")
+                    if entry["location"] != body.get("expected-metadata-location"):
+                        raise CommitFailed(
+                            f"view {'.'.join(key)} moved: expected "
+                            f"{body.get('expected-metadata-location')}, is {entry['location']}"
+                        )
+                    entry["location"] = body["metadata-location"]
+                h._send(200, {"metadata-location": body["metadata-location"]})
+                return
+            if len(rest) == 3 and rest[0] == "tables" and rest[2] == "metrics" and method == "POST":
+                key = (*ns, rest[1])
+                with self._lock:
+                    if key not in self._tables:
+                        raise FileNotFoundError(f"no such table: {'.'.join(key)}")
+                    self._metrics.setdefault(key, []).append(h._body())
+                h._send(204)
                 return
             if len(rest) == 2 and rest[0] == "tables":
                 key = (*ns, rest[1])

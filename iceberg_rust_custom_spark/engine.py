@@ -247,11 +247,21 @@ class Engine:
         self.catalog.register(ident, path, kind="view")
         return View(name, md)
 
-    def scan_view(self, name: str) -> DataFrame:
+    def scan_view(self, name: str, version_id: int | None = None) -> DataFrame:
+        """Replay the view's SQL — the CURRENT version by default, or a
+        pinned historical ``version_id`` (versions are immutable and kept
+        after CREATE OR REPLACE / ALTER, so old definitions stay
+        queryable for audit — the view analogue of table time travel)."""
         ident = Identifier.parse(name)
         location, kind = self.catalog.load(ident)
         md = ViewMetadata.from_json(FileIO.read_text(location))
-        return self.sql(md.current_sql())
+        if version_id is None:
+            return self.sql(md.current_sql())
+        if version_id not in md.versions:
+            raise KeyError(
+                f"view {name} has no version {version_id}; known: {sorted(md.versions)}"
+            )
+        return self.sql(md.versions[version_id].sql)
 
     def _swap_view_metadata(self, ident: Identifier, location: str, md: ViewMetadata) -> None:
         path = os.path.join(md.location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")

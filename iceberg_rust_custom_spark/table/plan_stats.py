@@ -135,14 +135,26 @@ def selectivity(predicate: Expr | None, files, ndv: dict) -> float:
 
 
 def estimate_scan(
-    metadata, snapshot, files, deletes, predicate: Expr | None = None
+    metadata,
+    snapshot,
+    files,
+    deletes,
+    predicate: Expr | None = None,
+    total_data_rows: int | None = None,
 ) -> tuple[int, int, int]:
     """(est_rows, est_bytes, raw_bytes) for a planned scan.
 
     raw_bytes is what Spark's estimator sees (sum of planned parquet file
-    sizes); est_* subtract MoR tombstones (position-delete rows exactly;
-    each equality-delete row assumed to kill one data row) and scale by
-    predicate selectivity."""
+    sizes); est_* subtract MoR tombstones (each position/equality-delete
+    row assumed to kill one data row) and scale by predicate selectivity.
+
+    Tombstones reference files table-wide, but ``files`` may be a PRUNED
+    subset — subtracting every delete row from a pruned scan could falsely
+    zero the estimate and broadcast a large side. When
+    ``total_data_rows`` (the snapshot's full data row count) is supplied,
+    the subtraction is scaled by the planned fraction (uniform-delete
+    assumption); without it the unscaled subtraction is only safe on
+    unpruned scans."""
     raw_rows = sum(f.record_count for f in files)
     raw_bytes = sum(f.file_size_in_bytes for f in files)
     if raw_rows == 0:
@@ -150,6 +162,8 @@ def estimate_scan(
     del_rows = sum(
         e.data_file.record_count for e in (deletes or []) if e.data_file.content in (1, 2)
     )
+    if total_data_rows and total_data_rows > raw_rows:
+        del_rows = int(del_rows * (raw_rows / total_data_rows))
     live = max(0, raw_rows - del_rows)
     sel = selectivity(predicate, files, ndv_from_metadata(metadata, snapshot))
     est_rows = int(live * sel)

@@ -505,7 +505,14 @@ def scan_to_dataframe(
     # the decision Spark's estimator cannot make. No-op otherwise.
     from iceberg_rust_custom_spark.table.plan_stats import broadcast_threshold, estimate_scan
 
-    _, est_bytes, raw_bytes = estimate_scan(metadata, snapshot, files, deletes, predicate)
+    total_data_rows = sum(
+        r.get("added_rows_count", 0) + r.get("existing_rows_count", 0)
+        for r in ml_rows
+        if r.get("content", 0) == 0
+    )
+    _, est_bytes, raw_bytes = estimate_scan(
+        metadata, snapshot, files, deletes, predicate, total_data_rows=total_data_rows
+    )
     thr = broadcast_threshold(spark)
     if files and est_bytes <= thr < raw_bytes:
         df = df.hint("broadcast")

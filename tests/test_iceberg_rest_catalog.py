@@ -168,3 +168,41 @@ def test_pagination_and_head_routes(service):
         err = json.loads(e.read())["error"]
         assert e.code == 404 and err["code"] == 404
         assert err["type"] == "NoSuchTableException" and err["message"]
+
+
+def test_metrics_endpoint(service):
+    """POST /tables/{t}/metrics accepts a scan-report (204) and stores it
+    service-side; unknown table -> 404 ErrorModel."""
+    cat = IcebergRestCatalog(service.uri)
+    cat.create_namespace(("m",))
+    cat.register(Identifier(("m",), "t"), "/tmp/meta.json")
+    cat.report_metrics(
+        Identifier(("m",), "t"),
+        {"manifests_total": 4, "manifests_pruned": 3, "files_planned": 7, "bytes_planned": 123},
+    )
+    stored = service._metrics[("m", "t")]
+    assert stored and stored[0]["metrics"]["files_planned"] == 7
+    with pytest.raises(FileNotFoundError):
+        cat.report_metrics(Identifier(("m",), "nope"), {})
+
+
+def test_view_replace_over_rest_protocol(spark, service):
+    """CREATE OR REPLACE VIEW over the REST-protocol catalog: view updates
+    route through the server-side view-commit (CAS on metadata location,
+    409 on conflict) since the protocol has no client-side pointer swap."""
+    from iceberg_rust_custom_spark.engine import Engine
+
+    cat = IcebergRestCatalog(service.uri)
+    eng = Engine(spark, catalog=cat)
+    eng.sql("CREATE TABLE ns.vt (id BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.vt VALUES (1), (2), (3)")
+    eng.sql("CREATE VIEW ns.vv AS SELECT id FROM ns.vt WHERE id > 1")
+    assert eng.scan_view("ns.vv").count() == 2
+    eng.sql("CREATE OR REPLACE VIEW ns.vv AS SELECT id FROM ns.vt")
+    assert eng.scan_view("ns.vv").count() == 3
+    md = eng._load_view_metadata("ns.vv")
+    assert md.current_version_id == 2
+    # stale swap -> 409 -> CommitFailed
+    loc, _ = cat.load(Identifier(("ns",), "vv"))
+    with pytest.raises(CommitFailed):
+        cat.swap(Identifier(("ns",), "vv"), "/stale/location.json", loc)

@@ -115,3 +115,25 @@ def test_estimator_units():
     assert abs(selectivity(parse_predicate("v IN (1, 2, 3)"), files, {"v": 50}) - 0.06) < 1e-9
     est_rows, est_bytes, raw_bytes = estimate_scan(None, None, files, [], None)
     assert (est_rows, est_bytes, raw_bytes) == (4000, 400_000, 400_000)
+
+
+def test_pruned_scan_scales_delete_subtraction():
+    """Tombstones reference the whole table; a pruned scan must not absorb
+    ALL of them (that falsely zeroes the estimate and broadcasts a big
+    side). With total_data_rows supplied, subtraction scales by the
+    planned fraction."""
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile, ManifestEntry
+    from iceberg_rust_custom_spark.table.plan_stats import estimate_scan
+
+    planned = [DataFile(file_path="/f0", record_count=1000, file_size_in_bytes=100_000)]
+    deletes = [
+        ManifestEntry(1, 1, 1, DataFile(file_path="/d0", record_count=5000, content=1))
+    ]
+    # unscaled (no total): clamps to zero
+    rows, _, _ = estimate_scan(None, None, planned, deletes, None)
+    assert rows == 0
+    # scaled by planned fraction (1000 of 10000 data rows planned -> 500 deletes apply)
+    rows, est_bytes, raw_bytes = estimate_scan(
+        None, None, planned, deletes, None, total_data_rows=10_000
+    )
+    assert rows == 500 and est_bytes == 50_000 and raw_bytes == 100_000

@@ -360,3 +360,18 @@ def test_alter_mv_sql_triggers_refresh(engine, spark):
     assert engine.refresh_materialized_view("test.mv_alter")
     got = {r.customer_id: r.s for r in engine.scan_materialized_view("test.mv_alter").collect()}
     assert got == {1: 4, 2: 1, 3: 6}
+
+
+def test_scan_view_pinned_version(engine, spark):
+    """Historical view versions stay queryable by version_id after
+    CREATE OR REPLACE (view analogue of table time travel)."""
+    t = engine.create_table("test.ordersp", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.sql("CREATE VIEW test.vp AS SELECT id FROM test.ordersp WHERE amount > 1")
+    engine.sql("CREATE OR REPLACE VIEW test.vp AS SELECT id FROM test.ordersp")
+    assert engine.scan_view("test.vp").count() == 6
+    assert engine.scan_view("test.vp", version_id=1).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no version 9"):
+        engine.scan_view("test.vp", version_id=9)
