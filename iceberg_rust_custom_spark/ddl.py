@@ -92,6 +92,13 @@ _CREATE_TABLE_RE = re.compile(
     r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<name>[\w.]+)\s*"
+    r"(?:STORED\s+AS\s+ICEBERG\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"AS\s+(?P<sql>(?:SELECT|WITH|VALUES)\b.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<mat>MATERIALIZED\s+)?VIEW\s+"
     r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(?P<sql>.+?);?\s*$",
@@ -227,6 +234,24 @@ def try_execute(engine, query: str) -> DataFrame | None:
         partition_by = [parse_transform(p) for p in _split_top_level(m.group("parts") or "")]
         engine.create_table(name, schema, partition_by=partition_by or None, location=m.group("loc"))
         return spark.range(0)
+
+    m = _CTAS_RE.match(query)
+    if m:
+        # CREATE TABLE ... AS SELECT: schema from the planned query, one
+        # append of its result (the reference's DataFusion integration
+        # plans CTAS the same way — schema inference then insert)
+        name = m.group("name")
+        if m.group("ine") and engine.table_exists(name):
+            return spark.range(0)
+        df = engine.sql(m.group("sql").strip())
+        from iceberg_rust_custom_spark.metadata.schema import Schema as _Schema
+
+        partition_by = [parse_transform(p) for p in _split_top_level(m.group("parts") or "")]
+        t = engine.create_table(
+            name, _Schema.from_spark(df.schema), partition_by=partition_by or None
+        )
+        t.append(df)
+        return spark.range(1)
 
     m = _CREATE_VIEW_RE.match(query)
     if m:

@@ -985,3 +985,62 @@ def _embedding_neardup_blocked(
             return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], 6)})
 
     return exploded.groupBy("_bi", "_bj").applyInPandas(compute, out_schema)
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy train/test decontamination: drop every TRAIN document that is
+    a verified near-duplicate (exact n-gram Jaccard ≥ ``threshold``) of
+    ANY test/benchmark document. The n-gram-overlap guard
+    (``text.decontaminate``) catches verbatim leakage; this catches
+    lightly-edited leakage — whitespace/punctuation tweaks, sentence
+    reordering — the documented failure mode of exact-match filters
+    (Lee et al. 2022 §6).
+
+    Scale shape (the production one): candidates come from MinHash-LSH
+    banding BETWEEN the two corpora (``incremental_minhash_pairs`` — the
+    join touches only colliding (band, signature) buckets, O(train) +
+    O(test) signature work, never train×test); exact Jaccard runs only on
+    that candidate set; contaminated ids anti-join away. Test sets are
+    tiny next to a 100 TB corpus, so the candidate set is bounded by true
+    near-dups of the benchmark, not corpus scale.
+
+    Returns the surviving TRAIN rows (all columns)."""
+    test_sigs = minhash_signature(test, id_col, text_col, num_hashes, shingle_n)
+    cand = incremental_minhash_pairs(
+        test_sigs, train, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumnRenamed("new_id", "train_id").withColumnRenamed("corpus_id", "test_id")
+
+    t_sets = (
+        shingles(train, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("set_a"))
+        .select(F.col(id_col).alias("train_id"), "set_a")
+    )
+    b_sets = (
+        shingles(test, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("set_b"))
+        .select(F.col(id_col).alias("test_id"), "set_b")
+    )
+    contaminated = (
+        cand.join(t_sets, "train_id")
+        .join(b_sets, "test_id")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -4434,3 +4434,116 @@ def iceberg_streaming_exactly_once(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+def _fuzzy_decontamination_oracle(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN({affine_hash_sql('h0', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def banded(src: str, out_id: str) -> str:
+        selects = []
+        for b in range(bands):
+            cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+            sig = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            selects.append(
+                f"SELECT doc_id AS {out_id}, {b} AS band_idx, {sig} AS band_sig FROM {src}"
+            )
+        return "\nUNION ALL\n".join(selects)
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {md5h32_sql('shingle')} AS h0 FROM sh WHERE shingle <> ''
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ), train_sig AS (
+      SELECT * FROM sig WHERE doc_id % 7 <> 0
+    ), test_sig AS (
+      SELECT * FROM sig WHERE doc_id % 7 = 0
+    ), tb AS (
+      {banded('train_sig', 'train_id')}
+    ), bb AS (
+      {banded('test_sig', 'test_id')}
+    ), cand AS (
+      SELECT DISTINCT tb.train_id, bb.test_id
+      FROM tb JOIN bb ON tb.band_idx = bb.band_idx AND tb.band_sig = bb.band_sig
+    ), dsets AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM sh WHERE shingle <> '' GROUP BY doc_id
+    ), inter AS (
+      SELECT c.train_id, c.test_id, COUNT(DISTINCT a.shingle) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.train_id
+      JOIN sh b ON b.doc_id = c.test_id AND a.shingle = b.shingle
+      WHERE a.shingle <> ''
+      GROUP BY 1, 2
+    ), contaminated AS (
+      SELECT DISTINCT i.train_id AS doc_id
+      FROM inter i
+      JOIN dsets sa ON i.train_id = sa.doc_id
+      JOIN dsets sb ON i.test_id = sb.doc_id
+      WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= {threshold}
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 7 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+@q("fuzzy_decontamination", _fuzzy_decontamination_oracle(16, 8, 0.5))
+def fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy train/test decontamination (Lee et al. 2022 §6): drop train
+    docs that are VERIFIED near-dups (exact Jaccard ≥ 0.5 on LSH
+    candidates) of any test doc. Complements the exact n-gram guard
+    (`benchmark_decontamination`) by catching lightly-edited leakage.
+    Candidates come from cross-corpus banding — O(train)+O(test), never
+    train × test."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = D.fuzzy_decontaminate(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+    return survivors.select("doc_id")
+
+
+@q(
+    "iceberg_ctas",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_ctas(spark, sf_dir):
+    """CREATE TABLE AS SELECT: schema inferred from the planned query,
+    result committed as the initial snapshot; read back through the
+    table scan (round-trip through the full write/commit/scan path)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:ctas".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_big"):
+        odf = _t(spark, sf_dir, "orders")
+        eng.create_table("rt.ord_src", odf.schema).append(odf)
+        eng.sql(
+            "CREATE TABLE rt.ord_big AS "
+            "SELECT o_orderstatus, o_totalprice FROM rt.ord_src WHERE o_totalprice > 100000"
+        )
+    return (
+        eng.load_table("rt.ord_big")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

@@ -472,3 +472,28 @@ def test_destructive_rewrite_spares_other_refs(eng, spark):
     t = eng.load_table("ns.dro")
     assert t.scan().count() == 10
     assert t.scan(branch="pinned").count() == 10  # tag data not destroyed
+
+
+def test_create_table_as_select(eng, spark):
+    """CTAS: schema inferred from the planned query, result appended in
+    one commit; partitioned variant applies transforms."""
+    eng.sql("CREATE TABLE ns.src (id BIGINT, v DOUBLE, d DATE) STORED AS ICEBERG")
+    eng.sql(
+        "INSERT INTO ns.src VALUES (1, 1.5, DATE'2024-01-05'), "
+        "(2, 2.5, DATE'2024-02-05'), (3, 3.5, DATE'2024-02-07')"
+    )
+    eng.sql("CREATE TABLE ns.ctas AS SELECT id, v * 2 AS v2 FROM ns.src WHERE id > 1")
+    rows = {(r.id, r.v2) for r in eng.sql("SELECT * FROM ns.ctas").collect()}
+    assert rows == {(2, 5.0), (3, 7.0)}
+    # IF NOT EXISTS short-circuits
+    eng.sql("CREATE TABLE IF NOT EXISTS ns.ctas AS SELECT 99 AS id, 0.0 AS v2")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns.ctas").first().n == 2
+    # partitioned CTAS
+    eng.sql(
+        "CREATE TABLE ns.ctasp STORED AS ICEBERG PARTITIONED BY (month(d)) "
+        "AS SELECT id, d FROM ns.src"
+    )
+    t = eng.load_table("ns.ctasp")
+    assert [f.name for f in t.metadata.default_spec().fields] == ["d_month"]
+    assert t.scan().count() == 3
+    assert t.count_planned_files("d >= '2024-02-01'") < t.count_planned_files()
