@@ -68,3 +68,13 @@ class Catalog:
 
     def drop(self, identifier: Identifier) -> None:
         raise NotImplementedError
+
+    def rename(self, src: Identifier, dst: Identifier) -> None:
+        """Rename a tabular; the metadata location is unchanged (a rename
+        moves the registry entry, not the data). Default implementation is
+        register-then-drop — not atomic across the two steps, but
+        dst-register fails first if the target exists, so no entry is ever
+        lost; catalogs with a native atomic rename (REST) override."""
+        location, kind = self.load(src)
+        self.register(dst, location, kind=kind)
+        self.drop(src)

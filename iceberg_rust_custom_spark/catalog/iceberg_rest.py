@@ -189,6 +189,19 @@ class IcebergRestCatalog(Catalog):
     def drop(self, identifier: Identifier) -> None:
         self._call("DELETE", self._table_path(identifier))
 
+    def rename(self, src: Identifier, dst: Identifier) -> None:
+        """Atomic server-side rename (spec: POST /v1/tables/rename) —
+        unlike the base register-then-drop fallback, the registry move is
+        one operation under the service lock."""
+        self._call(
+            "POST",
+            "/v1/tables/rename",
+            {
+                "source": {"namespace": list(src.namespace), "name": src.name},
+                "destination": {"namespace": list(dst.namespace), "name": dst.name},
+            },
+        )
+
     def report_metrics(self, identifier: Identifier, report: dict) -> None:
         """POST scan metrics to the service (spec: ReportMetricsRequest on
         /tables/{t}/metrics). Fire-and-forget observability — the engine's
@@ -310,6 +323,19 @@ class IcebergRestCatalogServer:
         method = h.command
         if parts == ["v1", "config"]:
             h._send(200, {"defaults": {"warehouse": self.warehouse}, "overrides": {}})
+            return
+        if parts == ["v1", "tables", "rename"] and method == "POST":
+            body = h._body()
+            src = (*body["source"]["namespace"], body["source"]["name"])
+            dst = (*body["destination"]["namespace"], body["destination"]["name"])
+            with self._lock:
+                if src not in self._tables:
+                    raise FileNotFoundError(f"no such table: {'.'.join(src)}")
+                if dst in self._tables:
+                    raise CommitFailed(f"{'.'.join(dst)} already exists")
+                self._namespaces.add(dst[:-1])
+                self._tables[dst] = self._tables.pop(src)
+            h._send(204)
             return
         if parts == ["v1", "namespaces"]:
             if method == "POST":

@@ -29,6 +29,14 @@ as DataFusion extension planners (datafusion_iceberg/src/planner.rs:55-244):
   ALTER COLUMN c TYPE t | SET PARTITION SPEC (…) |
   ADD PARTITION FIELD …`` — schema + partition evolution as SQL.
 * ``DROP TABLE|VIEW [IF EXISTS] name``.
+* ``CREATE TABLE [IF NOT EXISTS] name [STORED AS ICEBERG]
+  [PARTITIONED BY (…)] AS SELECT …`` — CTAS (round 5).
+* ``CREATE OR REPLACE VIEW … AS`` / ``ALTER [MATERIALIZED] VIEW … AS`` —
+  new immutable view version (max+1) + version-log entry (round 5).
+* ``TRUNCATE TABLE name`` — history-retaining empty overwrite (round 5).
+* ``ALTER TABLE x RENAME TO y`` — catalog registry move (REST: atomic
+  server-side rename route); ``SHOW PARTITIONS name`` — the partitions
+  metadata table (round 5).
 
 Anything that doesn't match falls through to the relational front door
 (Engine.sql's relation-resolution + Catalyst).
@@ -185,6 +193,7 @@ _ALTER_CLAUSES = {
         re.IGNORECASE,
     ),
     "set_version": re.compile(r"^SET\s+CURRENT\s+VERSION\s+(?P<snap>\d+)\s*$", re.IGNORECASE),
+    "rename_table": re.compile(r"^RENAME\s+TO\s+(?P<new>[\w.]+)\s*$", re.IGNORECASE),
 }
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
@@ -196,6 +205,7 @@ _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|SCHEMAS|DATABASES)\s*;?\s*$"
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
+_SHOW_PARTS_RE = re.compile(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE)
 
 # SQL type spellings → Iceberg type names used by the schema system
 _SQL_TYPE_ALIASES = {"bigint": "long", "integer": "int", "real": "float", "varchar": "string", "text": "string"}
@@ -420,6 +430,11 @@ def try_execute(engine, query: str) -> DataFrame | None:
             rows, "col_name string, data_type string, nullable boolean, partition string"
         )
 
+    m = _SHOW_PARTS_RE.match(query)
+    if m:
+        # the partitions metadata table: per-partition file/row/byte totals
+        return engine.load_table(m.group(1)).partitions()
+
     m = _SHOW_CREATE_RE.match(query)
     if m:
         md = engine.load_table(m.group(1)).metadata
@@ -568,6 +583,12 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
     """ALTER TABLE clauses: properties, schema evolution (add/rename/drop/
     widen — field-id-resolved reads keep old files readable), partition
     evolution (SET PARTITION SPEC replaces, ADD PARTITION FIELD extends)."""
+    m = _ALTER_CLAUSES["rename_table"].match(rest)
+    if m:
+        # registry move only — metadata location and data are untouched
+        engine.catalog.rename(Identifier.parse(name), Identifier.parse(m.group("new")))
+        return spark.range(1)
+
     t = engine.load_table(name)
 
     m = _ALTER_CLAUSES["set_props"].match(rest)

@@ -497,3 +497,17 @@ def test_create_table_as_select(eng, spark):
     assert [f.name for f in t.metadata.default_spec().fields] == ["d_month"]
     assert t.scan().count() == 3
     assert t.count_planned_files("d >= '2024-02-01'") < t.count_planned_files()
+
+
+def test_rename_table_and_show_partitions(eng, spark):
+    eng.sql(
+        "CREATE TABLE ns.rn (id BIGINT, d DATE) STORED AS ICEBERG PARTITIONED BY (month(d))"
+    )
+    eng.sql(
+        "INSERT INTO ns.rn VALUES (1, DATE'2024-01-05'), (2, DATE'2024-02-05'), (3, DATE'2024-02-07')"
+    )
+    eng.sql("ALTER TABLE ns.rn RENAME TO ns.rn2")
+    assert not eng.table_exists("ns.rn")
+    assert eng.load_table("ns.rn2").scan().count() == 3
+    parts = eng.sql("SHOW PARTITIONS ns.rn2").collect()
+    assert len(parts) == 2  # two months

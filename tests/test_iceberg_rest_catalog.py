@@ -206,3 +206,26 @@ def test_view_replace_over_rest_protocol(spark, service):
     loc, _ = cat.load(Identifier(("ns",), "vv"))
     with pytest.raises(CommitFailed):
         cat.swap(Identifier(("ns",), "vv"), "/stale/location.json", loc)
+
+
+def test_rename_route(service):
+    """Atomic server-side rename (POST /v1/tables/rename): registry move
+    under the service lock; 404 on missing source, 409 on existing dest."""
+    import json as _json
+    import os as _os
+
+    cat = IcebergRestCatalog(service.uri)
+    cat.create_namespace(("r",))
+    meta = _os.path.join(service.warehouse, "a.json")
+    with open(meta, "w") as f:
+        _json.dump({}, f)
+    cat.register(Identifier(("r",), "a"), meta)
+    cat.rename(Identifier(("r",), "a"), Identifier(("r",), "b"))
+    assert not cat.tabular_exists(Identifier(("r",), "a"))
+    loc, kind = cat.load(Identifier(("r",), "b"))
+    assert loc == meta and kind == "table"
+    with pytest.raises(FileNotFoundError):
+        cat.rename(Identifier(("r",), "a"), Identifier(("r",), "c"))
+    cat.register(Identifier(("r",), "a"), meta)
+    with pytest.raises(CommitFailed):
+        cat.rename(Identifier(("r",), "a"), Identifier(("r",), "b"))
