@@ -644,3 +644,71 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: 
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == value, F.lit(int(rate * 4294967296))).otherwise(expr)
     return df.where(F.expr(h) < expr)
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: dict | None = None,
+    bias: float = -1.0,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-inference-in-plan: a logistic quality classifier
+    ``sigmoid(bias + Σ w_f · feature_f)`` over the engineered
+    :func:`quality_features` columns, entirely as codegen expressions — no
+    UDF, no model server, no Python on the hot path. ``weights`` maps
+    feature column names (``q_tokens``/``q_mean_word_len``/
+    ``q_punct_ratio``/``q_stop_ratio``) to coefficients; the defaults are
+    illustrative hand-set values (a real deployment trains them offline
+    and passes them in — the POINT is that scoring a 100 TB corpus is then
+    one narrow scan, since the "model" is constants folded into the plan).
+    Adds ``clf_score`` (rounded 6 dp) and ``clf_keep``."""
+    w = weights or {
+        "q_tokens": 0.01,
+        "q_mean_word_len": 0.2,
+        "q_punct_ratio": -4.0,
+        "q_stop_ratio": 3.0,
+    }
+    feats = quality_features(df, text_col)
+    z = F.lit(float(bias))
+    for col, coef in sorted(w.items()):
+        z = z + F.col(col) * F.lit(float(coef))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.withColumn("clf_score", F.round(score, 6)).withColumn(
+        "clf_keep", F.round(score, 6) >= F.lit(threshold)
+    )
+
+
+CARD_CANDIDATE_RE = "[0-9][0-9 -]{11,17}[0-9]"
+
+
+def _luhn_sql(s: str) -> str:
+    """SQL predicate: the digit content of ``s`` passes the Luhn checksum
+    and has card-plausible length (13-19 digits). Pure expression —
+    aggregate over the digit positions with alternate doubling; the inner
+    per-digit work is O(len²) in string ops but len ≤ 23, so it folds into
+    codegen at negligible cost."""
+    d = f"regexp_replace({s}, '[^0-9]', '')"
+    dig = f"(ascii(substr({d}, i, 1)) - 48)"
+    doubled = f"IF({dig} * 2 > 9, {dig} * 2 - 9, {dig} * 2)"
+    return (
+        f"length({d}) BETWEEN 13 AND 19 AND "
+        f"aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + "
+        f"CASE WHEN (length({d}) - i) % 2 = 1 THEN {doubled} ELSE {dig} END) % 10 = 0"
+    )
+
+
+def redact_card_numbers(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Checksum-validated PII redaction: replace card-number-shaped spans
+    ONLY when they pass the Luhn check — plain regex redaction
+    (:func:`redact_text`) nukes order ids and timestamps too; validating
+    the checksum keeps recall on real PANs while sparing benign numbers.
+    Whole pipeline is codegen: extract candidates → filter by the Luhn
+    aggregate → fold ``replace`` over the valid spans. No UDF."""
+    expr = (
+        f"aggregate("
+        f"  filter(regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}', 0),"
+        f"         s -> {_luhn_sql('s')}),"
+        f"  {text_col}, (acc, s) -> replace(acc, s, '<card>'))"
+    )
+    return df.withColumn(out_col, F.expr(expr))

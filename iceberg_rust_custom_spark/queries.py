@@ -4547,3 +4547,89 @@ def iceberg_ctas(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@q(
+    "quality_classifier_scores",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             LENGTH(text) AS q_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS q_tokens,
+             ROUND(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) > 0
+                   THEN LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                        / len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+                   ELSE 0.0 END, 6) AS q_mean_word_len,
+             ROUND(CASE WHEN LENGTH(text) > 0
+                   THEN (LENGTH(text) - LENGTH(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) * 1.0 / LENGTH(text)
+                   ELSE 0.0 END, 6) AS q_punct_ratio,
+             ROUND(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) > 0
+                   THEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) * 1.0
+                        / len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+                   ELSE 0.0 END, 6) AS q_stop_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(-1.0 + q_mean_word_len * 0.2 + q_punct_ratio * -4.0
+                                    + q_stop_ratio * 3.0 + q_tokens * 0.01))), 6) AS clf_score,
+           ROUND(1.0 / (1.0 + EXP(-(-1.0 + q_mean_word_len * 0.2 + q_punct_ratio * -4.0
+                                    + q_stop_ratio * 3.0 + q_tokens * 0.01))), 6) >= 0.5 AS clf_keep
+    FROM f
+    """,
+)
+def quality_classifier_scores(spark, sf_dir):
+    """Model-inference-in-plan: logistic quality classifier scored as pure
+    codegen expressions (the 'model' is constants folded into the plan —
+    scoring a 100 TB corpus is one narrow scan, no model server, no UDF).
+    Weights are the operator defaults; a real deployment trains them
+    offline and passes them in."""
+    return TX.quality_classifier(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "clf_score", "clf_keep"
+    )
+
+
+@q(
+    "luhn_card_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' pay ' || CASE WHEN doc_id % 2 = 0
+                                     THEN '4532 0151 1283 0366'
+                                     ELSE '4532 0151 1283 0367' END AS text2
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, text2,
+             list_filter(
+               regexp_extract_all(text2, '[0-9][0-9 -]{11,17}[0-9]'),
+               s -> length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+                AND list_sum(list_transform(range(1, length(regexp_replace(s, '[^0-9]', '', 'g')) + 1),
+                      i -> CASE WHEN (length(regexp_replace(s, '[^0-9]', '', 'g')) - i) % 2 = 1
+                           THEN CASE WHEN (ascii(substring(regexp_replace(s, '[^0-9]', '', 'g'), i, 1)) - 48) * 2 > 9
+                                     THEN (ascii(substring(regexp_replace(s, '[^0-9]', '', 'g'), i, 1)) - 48) * 2 - 9
+                                     ELSE (ascii(substring(regexp_replace(s, '[^0-9]', '', 'g'), i, 1)) - 48) * 2 END
+                           ELSE ascii(substring(regexp_replace(s, '[^0-9]', '', 'g'), i, 1)) - 48 END)) % 10 = 0
+             ) AS valid
+      FROM aug
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(text2, valid), (acc, s) -> replace(acc, s, '<card>')) AS redacted
+    FROM spans
+    """,
+)
+def luhn_card_redaction(spark, sf_dir):
+    """Checksum-validated PII redaction (pure codegen: candidate regex →
+    Luhn aggregate filter → replace fold). The gate plants a VALID card on
+    even doc_ids and a same-shape INVALID number on odd ones — the valid
+    plant must be redacted, the invalid one must survive, hash-exactly
+    per document."""
+    aug = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" pay "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("4532 0151 1283 0366")).otherwise(
+                F.lit("4532 0151 1283 0367")
+            ),
+        ),
+    )
+    return TX.redact_card_numbers(aug, "text2").select("doc_id", "redacted")

@@ -120,7 +120,8 @@ def selectivity(predicate: Expr | None, files, ndv: dict) -> float:
         if predicate.op == "=":
             return 1.0 / n if n else _DEFAULT_EQ_SEL
         if predicate.op == "in":
-            k = len(predicate.literal)
+            lit = predicate.literal
+            k = len(lit) if hasattr(lit, "__len__") else 1
             return min(1.0, k / n) if n else min(1.0, k * _DEFAULT_EQ_SEL)
         if predicate.op in ("<", "<=", ">", ">="):
             env = _column_envelope(files, predicate.column)

@@ -1214,3 +1214,55 @@ def test_random_projection_tiers_identical(emb):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert abs(x - y) < 1e-9
+
+
+def test_quality_classifier_scores_bounded_and_ordered(spark):
+    """clf_score ∈ (0,1); higher-quality (stopword-rich, low-punct) text
+    scores above punctuation soup; keep flag respects the threshold."""
+    from iceberg_rust_custom_spark.operators.text import quality_classifier
+
+    rows = [
+        (1, "the cat and the dog walked to the house of a friend and it is a fine day"),
+        (2, "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"),
+    ]
+    got = {r.doc_id: r for r in quality_classifier(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert 0.0 < got[2].clf_score < got[1].clf_score < 1.0
+    assert got[1].clf_keep and not got[2].clf_keep
+
+
+def test_redact_card_numbers_luhn_validated(spark):
+    """Only Luhn-valid card-shaped spans are replaced: real PANs go,
+    same-shape invalid numbers and long timestamps stay."""
+    from iceberg_rust_custom_spark.operators.text import redact_card_numbers
+
+    rows = [
+        (1, "pay 4532 0151 1283 0366 thanks"),           # valid
+        (2, "ref 4532 0151 1283 0367 thanks"),           # bad checksum
+        (3, "ts 20240101120000123 and 4111111111111111"),  # timestamp + valid
+        (4, "plain text"),
+    ]
+    got = {r.doc_id: r.redacted for r in redact_card_numbers(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[1] == "pay <card> thanks"
+    assert got[2] == "ref 4532 0151 1283 0367 thanks"
+    assert got[3] == "ts 20240101120000123 and <card>"
+    assert got[4] == "plain text"
+
+
+def test_fuzzy_decontaminate_drops_planted_neardup(spark):
+    from iceberg_rust_custom_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where("doc_id % 7 <> 0")
+    test = docs.where("doc_id % 7 = 0")
+    probe = test.limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999999, probe.text + " tail", probe.lang, probe.source, len(probe.text))],
+        docs.schema,
+    )
+    surv = D.fuzzy_decontaminate(train.unionByName(planted), test, "doc_id", "text")
+    assert surv.where("doc_id = 999999").count() == 0
+    # untouched train docs survive (no near-dups of test in the base corpus
+    # beyond what the threshold catches; survivors are a subset of train)
+    assert 0 < surv.count() <= train.count() + 1

@@ -137,3 +137,90 @@ def test_pruned_scan_scales_delete_subtraction():
         None, None, planned, deletes, None, total_data_rows=10_000
     )
     assert rows == 500 and est_bytes == 50_000 and raw_bytes == 100_000
+
+
+def test_selectivity_properties():
+    """Property: selectivity is always in [0, 1] and estimate_scan never
+    exceeds raw, for arbitrary predicate trees over arbitrary file stats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_custom_spark.metadata.expressions import (
+        And,
+        Comparison,
+        IsNull,
+        Not,
+        Or,
+    )
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+    from iceberg_rust_custom_spark.table.plan_stats import estimate_scan, selectivity
+
+    leaf = st.builds(
+        Comparison,
+        st.sampled_from(["a", "b"]),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "in"]),
+        st.one_of(
+            st.integers(-1000, 1000),
+            st.tuples(st.integers(-10, 10), st.integers(-10, 10)),
+        ),
+    ) | st.builds(IsNull, st.sampled_from(["a", "b"]))
+    tree = st.recursive(
+        leaf,
+        lambda kids: st.builds(And, kids, kids)
+        | st.builds(Or, kids, kids)
+        | st.builds(Not, kids),
+        max_leaves=8,
+    )
+    files_st = st.lists(
+        st.builds(
+            lambda i, n, lo, hi, sz: DataFile(
+                file_path=f"/f{i}",
+                record_count=n,
+                file_size_in_bytes=sz,
+                lower_bounds={"a": min(lo, hi)},
+                upper_bounds={"a": max(lo, hi)},
+            ),
+            st.integers(0, 5),
+            st.integers(0, 10_000),
+            st.integers(-100, 100),
+            st.integers(-100, 100),
+            st.integers(0, 10**9),
+        ),
+        min_size=0,
+        max_size=5,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(tree, files_st, st.one_of(st.none(), st.integers(1, 100)))
+    def check(pred, files, ndv_a):
+        ndv = {"a": ndv_a} if ndv_a else {}
+        s = selectivity(pred, files, ndv)
+        assert 0.0 <= s <= 1.0, (pred, s)
+        est_rows, est_bytes, raw_bytes = estimate_scan(None, None, files, [], pred)
+        assert 0 <= est_rows <= sum(f.record_count for f in files)
+        assert 0 <= est_bytes <= raw_bytes
+
+    check()
+
+
+def test_ancestry_terminates_on_cycle_free_chains():
+    """Property: ancestry() yields head->root exactly once per snapshot and
+    stops at expired parents."""
+    from iceberg_rust_custom_spark.metadata.snapshot import Snapshot, SnapshotReference
+    from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+    from iceberg_rust_custom_spark.metadata.partition import PartitionSpec
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(0, (NestedField(1, "id", "long", True),))
+    md = TableMetadata.new(location="/tmp/x", schema=schema, spec=PartitionSpec())
+    prev = None
+    for i in range(1, 6):
+        md.snapshots[i] = Snapshot(
+            snapshot_id=i, sequence_number=i, timestamp_ms=i, manifest_list="",
+            summary={}, schema_id=0, parent_snapshot_id=prev,
+        )
+        prev = i
+    md.refs["main"] = SnapshotReference(5)
+    assert [s.snapshot_id for s in md.ancestry()] == [5, 4, 3, 2, 1]
+    del md.snapshots[2]  # expire mid-chain: walk stops there
+    assert [s.snapshot_id for s in md.ancestry()] == [5, 4, 3]
