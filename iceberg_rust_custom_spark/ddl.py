@@ -295,7 +295,11 @@ def try_execute(engine, query: str) -> DataFrame | None:
         else:
             df = engine.sql(body)
         if m.group("mode").upper() == "OVERWRITE":
-            table.overwrite(df)
+            # write.overwrite-mode=dynamic → replace only incoming partitions
+            if table.metadata.properties.get("write.overwrite-mode") == "dynamic":
+                table.dynamic_overwrite(df)
+            else:
+                table.overwrite(df)
         else:
             table.append(df)
         return spark.range(1)

@@ -4633,3 +4633,53 @@ def luhn_card_redaction(spark, sf_dir):
         ),
     )
     return TX.redact_card_numbers(aug, "text2").select("doc_id", "redacted")
+
+
+@q(
+    "iceberg_dynamic_overwrite",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderstatus, o_totalprice AS price FROM orders
+      WHERE NOT (o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-07-01')
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def iceberg_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite: rewrite ONE month's partition (prices
+    doubled) in a month-partitioned orders table; every other partition's
+    files carry over untouched in the same atomic commit — the
+    daily-backfill shape. Oracle = other months ∪ doubled June 1997."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:dynover".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_dyn"):
+        odf = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        eng.sql(
+            "CREATE TABLE rt.ord_dyn (o_orderkey BIGINT, o_custkey BIGINT, "
+            "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP) "
+            "STORED AS ICEBERG PARTITIONED BY (month(o_orderdate))"
+        )
+        t = eng.load_table("rt.ord_dyn")
+        t.append(odf.withColumn("o_totalprice", F.col("o_totalprice").cast("double")))
+        june = odf.where(
+            (F.col("o_orderdate") >= "1997-06-01") & (F.col("o_orderdate") < "1997-07-01")
+        ).withColumn("o_totalprice", (F.col("o_totalprice") * 2).cast("double"))
+        t.dynamic_overwrite(june)
+    return (
+        eng.load_table("rt.ord_dyn")
+        .scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

@@ -51,6 +51,33 @@ def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: 
     )
 
 
+def session_windows_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session-window aggregation: per key, events within
+    ``gap`` of each other merge into one session; a session closes (and
+    its state evicts) once the watermark passes its end — the bounded-state
+    form of the batch gaps-and-islands operator
+    (operators/windows.py::session_windows, which is the pytest oracle)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

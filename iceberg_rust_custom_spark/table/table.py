@@ -401,6 +401,39 @@ class Table:
         self.metadata = self.new_transaction(branch).rewrite(files).commit()
         return self
 
+    def dynamic_overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
+        """Dynamic partition overwrite (Iceberg's classic
+        ``overwrite-mode=dynamic``): replace ONLY the partitions present in
+        the incoming data — files of untouched partitions carry over
+        unchanged, in one atomic commit. The daily-backfill shape: rewrite
+        yesterday's partition without touching the other 10 years.
+
+        The replaced-partition set is computed from the NEW files'
+        partition tuples (metadata-only — no extra scan job); on an
+        unpartitioned table this degrades to a full overwrite. The commit
+        is history-retaining: prior snapshots stay time-travelable and the
+        replaced files are reclaimed later by expire/vacuum, not deleted
+        inline (a dynamic overwrite by construction keeps most history
+        live, so inline deletion would be wrong)."""
+        from iceberg_rust_custom_spark.table.scan import plan_files
+
+        data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
+        new_files = write_partitioned(df, self.metadata, data_dir)
+        if not self.metadata.default_spec().is_partitioned:
+            self.metadata = self.new_transaction(branch).rewrite(new_files, retain_history=True).commit()
+            return self
+        replaced = {tuple(sorted(f.partition.items())) for f in new_files}
+        snap = self.metadata.snapshot_for_ref(branch)
+        carried = [
+            f
+            for f in plan_files(self.metadata, snap)
+            if tuple(sorted(f.partition.items())) not in replaced
+        ]
+        self.metadata = (
+            self.new_transaction(branch).rewrite(carried + new_files, retain_history=True).commit()
+        )
+        return self
+
     # ------------------------------------------------------ metadata tables
     def snapshots(self) -> DataFrame:
         rows = [

@@ -1266,3 +1266,75 @@ def test_fuzzy_decontaminate_drops_planted_neardup(spark):
     # untouched train docs survive (no near-dups of test in the base corpus
     # beyond what the threshold catches; survivors are a subset of train)
     assert 0 < surv.count() <= train.count() + 1
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Streaming session windows (watermarked F.session_window) == the
+    batch session_windows operator over identical data: same session
+    count, same total events, same per-key maxima."""
+    from iceberg_rust_custom_spark.operators.windows import session
+    from iceberg_rust_custom_spark.queries import _events as load_events
+    from iceberg_rust_custom_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        session_windows_stream,
+    )
+    import hashlib
+    import os
+
+    cache_dir = os.path.join(
+        "/tmp", "iceberg_rust_custom_spark_cache", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    stream = spark.readStream.format("parquet").schema(
+        load_events(spark, sf_dir).schema
+    ).load(cache_dir)
+    got = run_stream_to_memory(
+        spark,
+        session_windows_stream(stream, "user_id", "30 minutes", "10 hours"),
+        "t_sess_stream_out",
+    )
+    batch = session(load_events(spark, sf_dir), "ts", "30 minutes", "user_id")
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n")).first()[0] == load_events(spark, sf_dir).count()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """dynamic_overwrite replaces ONLY the partitions present in the new
+    data; other partitions carry over, history stays time-travelable."""
+    import datetime as dt
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE ns.dp (id BIGINT, d DATE, v DOUBLE) STORED AS ICEBERG "
+        "PARTITIONED BY (month(d))"
+    )
+    t = eng.load_table("ns.dp")
+    jan = [(i, dt.date(2024, 1, 5), 1.0) for i in range(10)]
+    feb = [(i + 100, dt.date(2024, 2, 5), 2.0) for i in range(10)]
+    t.append(spark.createDataFrame(jan + feb, "id long, d date, v double"))
+    pre = t.metadata.current_snapshot_id
+
+    newjan = [(i + 1000, dt.date(2024, 1, 20), 9.0) for i in range(3)]
+    t.dynamic_overwrite(spark.createDataFrame(newjan, "id long, d date, v double"))
+    t = eng.load_table("ns.dp")
+    got = {r.id for r in t.scan().collect()}
+    assert got == {i + 100 for i in range(10)} | {i + 1000 for i in range(3)}  # feb kept, jan replaced
+    assert t.scan(snapshot_id=pre).count() == 20  # history intact
+    # property-routed DDL flavor
+    t.metadata = t.new_transaction().set_properties({"write.overwrite-mode": "dynamic"}).commit()
+    eng.sql("INSERT OVERWRITE ns.dp VALUES (5000, DATE'2024-02-11', 7.0)")
+    t = eng.load_table("ns.dp")
+    got2 = {r.id for r in t.scan().collect()}
+    assert got2 == {i + 1000 for i in range(3)} | {5000}  # feb replaced, jan kept
+
+
+def test_dynamic_overwrite_unpartitioned_degrades_to_full(spark, tmp_path):
+    from iceberg_rust_custom_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ns.du (id BIGINT) STORED AS ICEBERG")
+    t = eng.load_table("ns.du")
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.dynamic_overwrite(spark.createDataFrame([(9,)], "id long"))
+    assert {r.id for r in eng.load_table("ns.du").scan().collect()} == {9}
