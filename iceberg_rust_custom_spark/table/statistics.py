@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import uuid as _uuid
 
-import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,10 +88,9 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
         # never seed the merge — its blobs count rows the table dropped
         if appends_only and set(cols) <= prev_cols:
             from_seq = prev_seq
-            tbl = FileIO.pq_read_table(prev["statistics-path"])
             prev_rows = [
                 (c, sk)
-                for c, sk in zip(tbl["column"].to_pylist(), tbl["hll_sketch"].to_pylist())
+                for c, sk in _load_sketches(prev["statistics-path"])
                 if c in cols
             ]
 
@@ -123,19 +121,35 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
     meta_dir = table.metadata.metadata_dir()
     if "://" not in meta_dir:
         os.makedirs(meta_dir, exist_ok=True)
-    path = os.path.join(meta_dir, f"stats-{snap.snapshot_id}-{_uuid.uuid4().hex[:12]}.parquet")
+    # spec-correct Puffin container (metadata/puffin.py): one
+    # apache-datasketches-hll-v1 blob per column, fields = [field id]
+    from iceberg_rust_custom_spark.metadata.puffin import HLL_BLOB_TYPE, write_puffin
+
+    path = os.path.join(meta_dir, f"stats-{snap.snapshot_id}-{_uuid.uuid4().hex[:12]}.puffin")
     ordered = [c for c in cols if c in merged]
-    out = pa.table(
-        {
-            "column": ordered,
-            "hll_sketch": [merged[c][0] for c in ordered],
-            "ndv": [merged[c][1] for c in ordered],
-        },
-        schema=pa.schema(
-            [("column", pa.string()), ("hll_sketch", pa.binary()), ("ndv", pa.int64())]
-        ),
+    schema_now = table.metadata.current_schema()
+
+    def _fid(c):
+        try:
+            return [schema_now.field_by_name(c).field_id]
+        except KeyError:
+            return []
+
+    write_puffin(
+        path,
+        [
+            {
+                "type": HLL_BLOB_TYPE,
+                "fields": _fid(c),
+                "snapshot-id": snap.snapshot_id,
+                "sequence-number": snap.sequence_number,
+                "data": merged[c][0],
+                "properties": {"ndv": str(merged[c][1]), "column": c},
+            }
+            for c in ordered
+        ],
+        {"created-by": "iceberg_rust_custom_spark"},
     )
-    FileIO.pq_write_table(out, path, compression="zstd")
 
     entry = {
         "snapshot-id": snap.snapshot_id,
@@ -156,6 +170,21 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
     tx._extra_updates.append({"action": "set-statistics", "statistics": entry})
     table.metadata = tx.commit()
     return table
+
+
+def _load_sketches(path: str) -> list[tuple[str, bytes]]:
+    """[(column, sketch_bytes)] from a statistics file — Puffin
+    (current format) or the legacy parquet layout (pre-round-5 files)."""
+    if path.endswith(".puffin"):
+        from iceberg_rust_custom_spark.metadata.puffin import read_puffin
+
+        meta, blobs = read_puffin(path)
+        return [
+            (b.get("properties", {}).get("column", ""), data)
+            for b, data in zip(meta["blobs"], blobs)
+        ]
+    tbl = FileIO.pq_read_table(path)
+    return list(zip(tbl["column"].to_pylist(), tbl["hll_sketch"].to_pylist()))
 
 
 def latest_statistics(table: Table) -> dict | None:
