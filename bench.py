@@ -74,6 +74,10 @@ HEADLINE = [
     "exact_substring_spans",
     "corpus_curation_v2",
     "deterministic_hll_distinct",
+    # round 5
+    "fuzzy_decontamination",
+    "quality_classifier_scores",
+    "luhn_card_redaction",
     # table-format round trip (write + pruned read) and row-level ops
     "iceberg_roundtrip_partitioned_agg",
     "iceberg_avro_interop_roundtrip",
@@ -86,6 +90,9 @@ HEADLINE = [
     "iceberg_incremental_mv_refresh",
     "iceberg_incremental_mv_join",
     "iceberg_runtime_filtered_join",
+    # round 5
+    "iceberg_dynamic_overwrite",
+    "iceberg_stats_broadcast_join",
 ]
 
 
