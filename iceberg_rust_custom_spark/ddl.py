@@ -97,7 +97,8 @@ _CREATE_TABLE_RE = re.compile(
     r"\((?P<cols>.*)\)\s*"
     r"STORED\s+AS\s+(?P<fmt>ICEBERG|CSV|JSON|ORC)\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
-    r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?;?\s*$",
+    r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CTAS_RE = re.compile(
@@ -242,7 +243,12 @@ def try_execute(engine, query: str) -> DataFrame | None:
             df.createOrReplaceTempView(name.replace(".", "__"))
             return df
         partition_by = [parse_transform(p) for p in _split_top_level(m.group("parts") or "")]
-        engine.create_table(name, schema, partition_by=partition_by or None, location=m.group("loc"))
+        t = engine.create_table(
+            name, schema, partition_by=partition_by or None, location=m.group("loc")
+        )
+        props = dict(_PROP_KV_RE.findall(m.group("props") or ""))
+        if props:
+            t.metadata = t.new_transaction().set_properties(props).commit()
         return spark.range(0)
 
     m = _CTAS_RE.match(query)

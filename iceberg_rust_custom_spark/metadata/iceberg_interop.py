@@ -458,6 +458,50 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
 # ---------------------------------------------------------------------------
 
 
+def _dv_entry_to_parquet(e, meta_dir: str):
+    """Deletion-vector manifest entry → an equivalent entry whose payload
+    is a spec-v2 position-delete parquet file (file_path, pos), written
+    under the export's metadata dir. Non-DV entries pass through."""
+    import dataclasses as _dc
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq2
+
+    df = e.data_file
+    if df.file_format != "puffin":
+        return e
+    from iceberg_rust_custom_spark.table.deletion_vectors import parse_dv_frame
+
+    with open(df.file_path, "rb") as fh:
+        fh.seek(df.content_offset)
+        data = fh.read(df.content_size_in_bytes)
+    pos = parse_dv_frame(data)
+    out_path = os.path.join(
+        meta_dir, f"exported-posdel-{abs(hash((df.file_path, df.content_offset))) % 10**12}.parquet"
+    )
+    _pq2.write_table(
+        _pa.table(
+            {
+                "file_path": [df.referenced_data_file] * len(pos),
+                "pos": pos.astype("int64"),
+            },
+            schema=_pa.schema([("file_path", _pa.string()), ("pos", _pa.int64())]),
+        ),
+        out_path,
+        compression="zstd",
+    )
+    new_df = _dc.replace(
+        df,
+        file_path=out_path,
+        file_format="parquet",
+        file_size_in_bytes=os.path.getsize(out_path),
+        referenced_data_file=None,
+        content_offset=None,
+        content_size_in_bytes=None,
+    )
+    return ManifestEntry(e.status, e.snapshot_id, e.sequence_number, new_df)
+
+
 def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | None = None) -> str:
     """Write the (current) snapshot as a spec v2 Iceberg table under
     ``out_dir`` (Avro manifests + manifest list + metadata/v1.metadata.json).
@@ -527,6 +571,12 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         avro_schema = manifest_entry_schema_v2(part_schema)
         for label, group in groups:
             suffix = "" if label == "data" else "-deletes"
+            if label == "deletes":
+                # v3 deletion-vector entries (file_format=puffin) have no
+                # spec-v2 representation — materialize each blob as a
+                # spec-shaped position-delete PARQUET file so v2 readers
+                # apply the deletes
+                group = [_dv_entry_to_parquet(e, meta_dir) for e in group]
             path = os.path.join(meta_dir, f"manifest-{snap.snapshot_id}-{i}{suffix}.avro")
             write_ocf(
                 path,

@@ -95,6 +95,12 @@ class DataFile:
     sort_order_id: int | None = None
     # equality-delete key field ids (content=2 files only)
     equality_ids: list | None = None
+    # v3 deletion-vector addressing (spec DataFile fields): the data file
+    # this delete file applies to, and the byte range of its blob inside
+    # the Puffin file_path (table/deletion_vectors.py)
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size_in_bytes: int | None = None
     # partition spec the file was written under. NOT serialized in the
     # manifest (spec id lives on the manifest-list row, like the
     # reference's manifest_list.rs:26-59); annotated at read time so CoW
@@ -136,6 +142,9 @@ MANIFEST_SCHEMA = pa.schema(
         ("split_offsets", pa.string()),  # JSON [long], nullable
         ("sort_order_id", pa.int32()),  # nullable
         ("equality_ids", pa.string()),  # JSON [int], nullable
+        ("referenced_data_file", pa.string()),  # nullable (v3 DV)
+        ("content_offset", pa.int64()),  # nullable (v3 DV)
+        ("content_size_in_bytes", pa.int64()),  # nullable (v3 DV)
     ]
 )
 
@@ -183,6 +192,9 @@ def entry_to_row(e: ManifestEntry) -> dict:
         "split_offsets": json.dumps(df.split_offsets) if df.split_offsets else None,
         "sort_order_id": df.sort_order_id,
         "equality_ids": json.dumps(df.equality_ids) if df.equality_ids else None,
+        "referenced_data_file": df.referenced_data_file,
+        "content_offset": df.content_offset,
+        "content_size_in_bytes": df.content_size_in_bytes,
     }
 
 
@@ -298,6 +310,9 @@ def row_to_entry(row: dict) -> ManifestEntry:
         split_offsets=json.loads(row["split_offsets"]) if row.get("split_offsets") else None,
         sort_order_id=row.get("sort_order_id"),
         equality_ids=json.loads(row["equality_ids"]) if row.get("equality_ids") else None,
+        referenced_data_file=row.get("referenced_data_file"),
+        content_offset=row.get("content_offset"),
+        content_size_in_bytes=row.get("content_size_in_bytes"),
     )
     return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
 

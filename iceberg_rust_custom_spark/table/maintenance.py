@@ -136,14 +136,21 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
 
 
 def _write_position_deletes(table: Table, hits) -> list:
-    """Write a (file_path, pos) DataFrame as position-delete parquet and
-    return the content=1 DataFile entries. Deletes are tiny next to data;
-    one sorted file keeps the scan-side broadcast join cheap."""
+    """Write a (file_path, pos) DataFrame as position deletes and return
+    the content=1 DataFile entries. Format is the table's
+    ``write.delete.format``: ``parquet`` (default — one sorted tombstone
+    file, scan-side broadcast anti-join) or ``dv`` (v3-style deletion
+    vectors: one roaring bitmap blob per referenced file in a Puffin
+    container — table/deletion_vectors.py)."""
     import pyarrow.parquet as _pq
 
     from iceberg_rust_custom_spark.metadata.manifest import DataFile
 
     md = table.metadata
+    if md.properties.get("write.delete.format") == "dv":
+        from iceberg_rust_custom_spark.table.deletion_vectors import write_deletion_vectors
+
+        return write_deletion_vectors(table, hits)
     out_dir = os.path.join(md.location, "data", "pos-deletes-" + _uuid.uuid4().hex[:12])
     hits.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
     files = []

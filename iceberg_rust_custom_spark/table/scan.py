@@ -535,14 +535,30 @@ def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> Da
     """Merge-on-read: LEFT ANTI join the data stream against the (file, pos)
     delete set. Delete files are tiny next to data, so the build side
     broadcasts (capped — beyond 64 MB of delete files fall back to a
-    shuffle join rather than risk driver/executor memory)."""
+    shuffle join rather than risk driver/executor memory). Tombstones come
+    from parquet position-delete files and/or v3-style deletion-vector
+    blobs (file_format=puffin) — both decode into the same (file, pos)
+    stream and share this one anti-join."""
     from pyspark.sql import functions as F
 
-    # explicit schema: spec position-delete layout — avoids a blocking
-    # footer-inference job on every MoR scan
-    del_df = spark.read.schema("file_path string, pos long").parquet(
-        *[d.file_path for d in deletes]
-    ).select("file_path", "pos")
+    parquet_dels = [d for d in deletes if d.file_format != "puffin"]
+    dv_dels = [d for d in deletes if d.file_format == "puffin"]
+    parts = []
+    if parquet_dels:
+        # explicit schema: spec position-delete layout — avoids a blocking
+        # footer-inference job on every MoR scan
+        parts.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[d.file_path for d in parquet_dels])
+            .select("file_path", "pos")
+        )
+    if dv_dels:
+        from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
+
+        parts.append(dv_positions_df(spark, dv_dels))
+    del_df = parts[0]
+    for p in parts[1:]:
+        del_df = del_df.unionByName(p)
     if sum(d.file_size_in_bytes for d in deletes) < 64 * 1024 * 1024:
         del_df = F.broadcast(del_df)
     cond = (df["_sg_file"] == del_df["file_path"]) & (df["_sg_pos"] == del_df["pos"])

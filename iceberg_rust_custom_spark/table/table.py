@@ -359,10 +359,21 @@ class Table:
                             "victims depend on full-table state; changelog not emitted"
                         )
                     if e.data_file.content == 1:
-                        del_files.append(e.data_file.file_path)
+                        del_files.append(e.data_file)
         if not del_files:
             return inserts
-        tombs = self.spark.read.parquet(*del_files).select("file_path", "pos")
+        pq_dels = [d.file_path for d in del_files if d.file_format != "puffin"]
+        dv_dels = [d for d in del_files if d.file_format == "puffin"]
+        parts = []
+        if pq_dels:
+            parts.append(self.spark.read.parquet(*pq_dels).select("file_path", "pos"))
+        if dv_dels:
+            from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
+
+            parts.append(dv_positions_df(self.spark, dv_dels))
+        tombs = parts[0]
+        for p in parts[1:]:
+            tombs = tombs.unionByName(p)
         # only the data files the tombstones reference need reading
         touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
         victims = (
