@@ -316,6 +316,7 @@ def plan_files_distributed(
     schema_cols = MANIFEST_ENTRY_SPARK_SCHEMA + (
         ", bloom_filters string, nan_value_counts string, distinct_counts string"
         ", split_offsets string, sort_order_id int, equality_ids string"
+        ", referenced_data_file string, content_offset long, content_size_in_bytes long"
     )
     out: list[DataFile] = []
     for spec_id, paths in groups.items():
