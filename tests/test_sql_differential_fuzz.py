@@ -288,3 +288,53 @@ def test_rollup_empty_input_divergence(engines):
     )
     assert spark.sql(q).count() == 0  # Spark: no rows
     assert len(con.execute(q).fetchall()) == 1  # DuckDB: standard grand total
+
+
+# --------------------------------------------------------------------------
+# Same pruning fuzz over a DELETION-VECTOR table: random predicates on a
+# month-partitioned table with roaring-DV merge-on-read deletes must equal
+# DuckDB over (source MINUS deleted). Exercises DV decode + anti-join +
+# two-level pruning together — resurrect/over-delete bugs live here.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iceberg_dv_orders(spark, tmp_path_factory):
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.metadata.schema import Schema
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    eng = Engine(spark, warehouse=str(tmp_path_factory.mktemp("fuzzdv")))
+    t = eng.create_table(
+        "fz.orders_dv", Schema.from_spark(src.schema), partition_by=[("o_orderdate", "month")]
+    )
+    t.metadata = t.new_transaction().set_properties({"write.delete.format": "dv"}).commit()
+    t.append(src.where("o_orderkey % 2 = 0"))
+    t.append(src.where("o_orderkey % 2 = 1"))
+    delete_where(t, "o_custkey <= 300", mode="merge-on-read")
+    delete_where(t, "o_totalprice > 400000", mode="merge-on-read")  # stacked DVs
+    dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert dels and all(e.data_file.file_format == "puffin" for e in dels)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders_dv AS SELECT * FROM '{SF}/orders.parquet' "
+        "WHERE NOT (o_custkey <= 300) AND NOT (o_totalprice > 400000)"
+    )
+    return t, con
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=_scan_predicate())
+def test_dv_scan_pruning_matches_duckdb(iceberg_dv_orders, pred):
+    t, con = iceberg_dv_orders
+    got = sorted(r.o_orderkey for r in t.scan(pred).select("o_orderkey").collect())
+    want = sorted(
+        r[0] for r in con.execute(f"SELECT o_orderkey FROM orders_dv WHERE {pred}").fetchall()
+    )
+    assert got == want, pred
