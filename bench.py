@@ -87,6 +87,7 @@ HEADLINE = [
     "iceberg_delete_where",
     "iceberg_merge_upsert",
     "iceberg_mor_delete",
+    "iceberg_dv_delete",
     "iceberg_incremental_mv_refresh",
     "iceberg_incremental_mv_join",
     "iceberg_runtime_filtered_join",
