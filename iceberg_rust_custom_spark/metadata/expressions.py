@@ -99,6 +99,21 @@ class IsNan(Expr):
 
 
 @dataclass(frozen=True)
+class Residual(Expr):
+    """Opaque SQL passthrough: a predicate the tiny parser cannot model
+    (modulo arithmetic, LIKE, function calls, …). Pruning treats it
+    conservatively — ``may_match`` keeps every file, ``project_to_partition``
+    projects nothing — and the raw SQL is applied by Spark as the residual
+    row filter, so correctness never depends on parseability. Invalid SQL
+    still errors, at Spark analysis time instead of parse time."""
+
+    raw: str
+
+    def sql(self) -> str:
+        return f"({self.raw})"
+
+
+@dataclass(frozen=True)
 class Comparison(Expr):
     column: str
     op: str  # = != < <= > >= in
@@ -412,10 +427,24 @@ _TOKEN = re.compile(
 )
 
 
-def parse_predicate(text: str) -> Expr:
+def parse_predicate(text: str, allow_residual: bool = True) -> Expr:
     """Parse a conjunction/disjunction of simple comparisons, e.g.
     ``l_shipdate >= '1996-01-01' AND l_quantity < 25``. Date-typed literal
-    strings are coerced at evaluation time against the schema."""
+    strings are coerced at evaluation time against the schema.
+
+    Predicates beyond the grammar (modulo, LIKE, functions) fall back to
+    an opaque :class:`Residual` when ``allow_residual`` — no stats pruning,
+    full correctness via Spark's residual filter. Pass False to get the
+    original ValueError (tests / callers that need prunable shapes)."""
+    try:
+        return _parse_predicate_strict(text)
+    except ValueError:
+        if allow_residual:
+            return Residual(text.strip().rstrip(";"))
+        raise
+
+
+def _parse_predicate_strict(text: str) -> Expr:
     tokens = []
     pos = 0
     while pos < len(text):

@@ -425,3 +425,20 @@ def test_dv_export_converts_to_spec_v2_parquet(spark, tmp_path):
             assert str(e["data_file"]["file_format"]).upper() == "PARQUET"
     t2 = eng.import_table("ns.dvx_imported", md_path)
     assert t2.scan().count() == 80 and t2.scan("id = 85").count() == 0
+
+
+def test_delete_where_residual_predicate(t, spark):
+    """Predicates beyond the tiny parser grammar (modulo, functions) fall
+    back to an opaque Residual: no stats pruning, Spark evaluates the raw
+    SQL — DELETE WHERE with arbitrary expressions just works, in both
+    modes."""
+    n0 = t.scan().count()
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    delete_where(t, "pmod(id, 7) = 3", mode="merge-on-read")
+    assert t.scan().where("pmod(id, 7) = 3").count() == 0
+    n1 = t.scan().count()
+    assert 0 < n1 < n0
+    delete_where(t, "id % 5 = 1", mode="copy-on-write")
+    assert t.scan().where("id % 5 = 1").count() == 0
+    assert 0 < t.scan().count() < n1
