@@ -425,9 +425,28 @@ class Table:
         is history-retaining: prior snapshots stay time-travelable and the
         replaced files are reclaimed later by expire/vacuum, not deleted
         inline (a dynamic overwrite by construction keeps most history
-        live, so inline deletion would be wrong)."""
-        from iceberg_rust_custom_spark.table.scan import plan_files
+        live, so inline deletion would be wrong).
 
+        Pending merge-on-read deletes (position/equality/DV) are
+        materialized FIRST via compact(): the rewrite commit carries
+        untouched-partition files as content=0 entries only, so pending
+        delete files would otherwise be dropped and their deleted rows
+        resurrect in carried partitions (the same hazard delete_where's
+        copy-on-write path guards against)."""
+        from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+        if self.metadata.default_spec().is_partitioned and plan_delete_files(
+            self.metadata, self.metadata.snapshot_for_ref(branch)
+        ):
+            if branch != MAIN_BRANCH:
+                raise ValueError(
+                    "dynamic_overwrite on a non-main branch with pending "
+                    "merge-on-read deletes would resurrect deleted rows in "
+                    "carried partitions; compact the branch first"
+                )
+            from iceberg_rust_custom_spark.table.maintenance import compact
+
+            compact(self)
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         new_files = write_partitioned(df, self.metadata, data_dir)
         if not self.metadata.default_spec().is_partitioned:

@@ -442,3 +442,52 @@ def test_delete_where_residual_predicate(t, spark):
     delete_where(t, "id % 5 = 1", mode="copy-on-write")
     assert t.scan().where("id % 5 = 1").count() == 0
     assert 0 < t.scan().count() < n1
+
+
+def test_dynamic_overwrite_preserves_pending_mor_deletes(eng, spark):
+    """Regression (r6): dynamic_overwrite carries untouched-partition files
+    as content=0 entries only, so a rewrite commit with pending
+    merge-on-read delete files would drop the deletes and resurrect the
+    deleted rows in carried partitions. Guard: materialize (compact) the
+    deletes before computing the carried set."""
+    import datetime as dt
+
+    eng.sql(
+        "CREATE TABLE ns.dyn_mor (id BIGINT, d DATE, v DOUBLE) STORED AS ICEBERG "
+        "PARTITIONED BY (month(d))"
+    )
+    t = eng.load_table("ns.dyn_mor")
+    jan = [(i, dt.date(2024, 1, 5), 1.0) for i in range(10)]
+    feb = [(i + 100, dt.date(2024, 2, 5), 2.0) for i in range(10)]
+    t.append(spark.createDataFrame(jan + feb, "id long, d date, v double"))
+    # MoR-delete half of January (the partition that will be CARRIED)
+    delete_where(t, "id < 5", mode="merge-on-read")
+    assert t.scan().count() == 15
+    # dynamic overwrite of FEBRUARY only — January files carry over
+    t.dynamic_overwrite(
+        spark.createDataFrame([(500, dt.date(2024, 2, 20), 9.0)], "id long, d date, v double")
+    )
+    ids = {r.id for r in t.scan().collect()}
+    assert ids == {i for i in range(5, 10)} | {500}  # deleted jan rows must NOT resurrect
+    # deletes were materialized, not silently dropped
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+
+
+def test_dynamic_overwrite_preserves_pending_dv_deletes(eng, spark):
+    """Same hazard with write.delete.format=dv (deletion vectors)."""
+    import datetime as dt
+
+    eng.sql(
+        "CREATE TABLE ns.dyn_dv (id BIGINT, d DATE, v DOUBLE) STORED AS ICEBERG "
+        "PARTITIONED BY (month(d)) TBLPROPERTIES ('write.delete.format'='dv')"
+    )
+    t = eng.load_table("ns.dyn_dv")
+    jan = [(i, dt.date(2024, 1, 5), 1.0) for i in range(10)]
+    feb = [(i + 100, dt.date(2024, 2, 5), 2.0) for i in range(10)]
+    t.append(spark.createDataFrame(jan + feb, "id long, d date, v double"))
+    delete_where(t, "id < 5", mode="merge-on-read")
+    t.dynamic_overwrite(
+        spark.createDataFrame([(500, dt.date(2024, 2, 20), 9.0)], "id long, d date, v double")
+    )
+    ids = {r.id for r in t.scan().collect()}
+    assert ids == {i for i in range(5, 10)} | {500}
