@@ -33,6 +33,11 @@ class _LocalScheme:
         with open(self._strip(path), "rb") as f:
             return f.read()
 
+    def read_range(self, path: str, offset: int, size: int) -> bytes:
+        with open(self._strip(path), "rb") as f:
+            f.seek(offset)
+            return f.read(size)
+
     def write_bytes(self, path: str, data: bytes) -> None:
         p = self._strip(path)
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
@@ -112,6 +117,16 @@ class FileIO:
         return cls._impl(path).read_bytes(path)
 
     @classmethod
+    def read_range(cls, path: str, offset: int, size: int) -> bytes:
+        """Ranged read — one blob per GET on object stores (deletion-vector
+        blobs address into a shared Puffin file via offset/size). Backends
+        without a native ranged read fall back to read-all + slice."""
+        impl = cls._impl(path)
+        if hasattr(impl, "read_range"):
+            return impl.read_range(path, offset, size)
+        return impl.read_bytes(path)[offset : offset + size]
+
+    @classmethod
     def write_bytes(cls, path: str, data: bytes) -> None:
         cls._impl(path).write_bytes(path, data)
 
@@ -181,6 +196,18 @@ class _S3Scheme:
         bucket, key = self._split(path)
         try:
             return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except Exception as e:  # noqa: BLE001
+            code = (getattr(e, "response", None) or {}).get("Error", {}).get("Code")
+            if code in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from e
+            raise
+
+    def read_range(self, path: str, offset: int, size: int) -> bytes:
+        bucket, key = self._split(path)
+        try:
+            return self.client.get_object(
+                Bucket=bucket, Key=key, Range=f"bytes={offset}-{offset + size - 1}"
+            )["Body"].read()
         except Exception as e:  # noqa: BLE001
             code = (getattr(e, "response", None) or {}).get("Error", {}).get("Code")
             if code in ("NoSuchKey", "404"):

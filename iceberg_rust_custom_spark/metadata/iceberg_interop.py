@@ -275,6 +275,12 @@ def manifest_entry_schema_v2(partition_schema: dict) -> dict:
             {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": None, "field-id": 132},
             {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int", "element-id": 136}], "default": None, "field-id": 135},
             {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+            # spec v3 deletion-vector addressing (optional — absent for
+            # data files and parquet tombstones; losing these on an Avro
+            # round-trip breaks every later scan of a DV table)
+            {"name": "referenced_data_file", "type": ["null", "string"], "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"], "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None, "field-id": 145},
         ],
     }
     return {
@@ -394,6 +400,9 @@ def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec
             "split_offsets": list(df.split_offsets) if df.split_offsets else None,
             "equality_ids": list(df.equality_ids) if df.equality_ids else None,
             "sort_order_id": df.sort_order_id,
+            "referenced_data_file": df.referenced_data_file,
+            "content_offset": df.content_offset,
+            "content_size_in_bytes": df.content_size_in_bytes,
         },
     }
 
@@ -441,6 +450,9 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
         equality_ids=list(d["equality_ids"]) if d.get("equality_ids") else None,
         content=d.get("content", 0),
         schema_id=schema.schema_id,
+        referenced_data_file=d.get("referenced_data_file"),
+        content_offset=d.get("content_offset"),
+        content_size_in_bytes=d.get("content_size_in_bytes"),
     )
     # snapshot_id / sequence_number stay None when absent — 0 is a legal
     # explicit value another engine may write, and v2 inheritance must only
@@ -470,12 +482,9 @@ def _dv_entry_to_parquet(e, meta_dir: str):
     df = e.data_file
     if df.file_format != "puffin":
         return e
-    from iceberg_rust_custom_spark.table.deletion_vectors import parse_dv_frame
+    from iceberg_rust_custom_spark.table.deletion_vectors import parse_dv_frame, read_dv_blob
 
-    with open(df.file_path, "rb") as fh:
-        fh.seek(df.content_offset)
-        data = fh.read(df.content_size_in_bytes)
-    pos = parse_dv_frame(data)
+    pos = parse_dv_frame(read_dv_blob(df))
     out_path = os.path.join(
         meta_dir, f"exported-posdel-{abs(hash((df.file_path, df.content_offset))) % 10**12}.parquet"
     )

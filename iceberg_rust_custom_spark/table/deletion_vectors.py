@@ -14,13 +14,24 @@ ranged read. Wins over parquet position deletes at 100 TB:
   never a scan of a shared tombstone table;
 * **v3 alignment** — the on-disk shape external v3 readers expect.
 
-Blob framing: 4-byte magic ``D1 D3 39 64``, the 64-bit roaring portable
-payload (metadata/roaring.py), 4-byte little-endian CRC-32 (zlib
-polynomial) of magic+payload. The roaring payload follows the public
-RoaringFormatSpec byte-for-byte; the framing follows the published v3
-deletion-vector layout (no JVM Iceberg ships in this environment to
-cross-validate the frame bytes — the roaring core is the
-property-pinned part, tests/test_roaring.py).
+Blob framing (the published v3 ``deletion-vector-v1`` layout, exactly):
+
+    [4-byte big-endian length of magic+vector]
+    [4-byte magic D1 D3 39 64]
+    [the 64-bit roaring portable vector (metadata/roaring.py)]
+    [4-byte big-endian CRC-32 (zlib polynomial) of magic+vector]
+
+``content_offset`` in the manifest entry addresses the start of the
+length prefix; ``content_size_in_bytes`` covers the whole frame. The
+roaring payload follows the public RoaringFormatSpec byte-for-byte;
+golden frame bytes are pinned in tests/fixtures/ (r5 wrote a pre-spec
+frame — magic-first, little-endian CRC — which parse_dv_frame still
+accepts on read, distinguishable because a spec frame never starts with
+0xD1: that first byte is the high byte of a big-endian length).
+
+All blob reads go through ``FileIO.read_range`` (one blob per ranged GET
+on object stores), so DV tables work with ``write.metadata.path`` on
+s3://… exactly like every other metadata artifact.
 
 Scan application reuses the SAME anti-join as parquet position deletes:
 blobs decode to (file_path, pos) — driver-side when the tombstone count
@@ -58,16 +69,28 @@ DRIVER_DECODE_MAX_POSITIONS = 5_000_000
 
 
 def dv_frame(positions) -> bytes:
-    """positions → framed DV blob (magic + roaring64 + crc32)."""
-    payload = DV_MAGIC + serialize64(positions)
-    return payload + zlib.crc32(payload).to_bytes(4, "little")
+    """positions → framed DV blob per the v3 deletion-vector-v1 layout:
+    [len(magic+vector) BE] [magic] [vector] [crc32(magic+vector) BE]."""
+    body = DV_MAGIC + serialize64(positions)
+    return len(body).to_bytes(4, "big") + body + zlib.crc32(body).to_bytes(4, "big")
 
 
 def parse_dv_frame(data: bytes) -> np.ndarray:
-    """Framed DV blob → sorted uint64 positions (validates magic + CRC)."""
-    if data[:4] != DV_MAGIC:
+    """Framed DV blob → sorted uint64 positions (validates length prefix,
+    magic and CRC). Accepts the r5 pre-spec frame (magic-first, LE CRC)
+    for tables written before the framing was spec-aligned."""
+    if data[:4] == DV_MAGIC:  # legacy r5 frame: magic, vector, crc32 LE
+        body, crc = data[:-4], int.from_bytes(data[-4:], "little")
+        if zlib.crc32(body) != crc:
+            raise ValueError("deletion-vector CRC mismatch (legacy frame)")
+        return deserialize64(body[4:])
+    n = int.from_bytes(data[:4], "big")
+    body = data[4 : 4 + n]
+    if len(body) != n or len(data) < 4 + n + 4:
+        raise ValueError("deletion-vector frame truncated")
+    if body[:4] != DV_MAGIC:
         raise ValueError("bad deletion-vector magic")
-    body, crc = data[:-4], int.from_bytes(data[-4:], "little")
+    crc = int.from_bytes(data[4 + n : 8 + n], "big")
     if zlib.crc32(body) != crc:
         raise ValueError("deletion-vector CRC mismatch")
     return deserialize64(body[4:])
@@ -141,45 +164,86 @@ def write_deletion_vectors(table, hits: DataFrame) -> list[DataFile]:
     return out
 
 
+def read_dv_blob(f: DataFile) -> bytes:
+    """One DV blob via a scheme-dispatched ranged read (object store: one
+    ranged GET; local FS: seek+read)."""
+    from iceberg_rust_custom_spark.io.fileio import FileIO
+
+    return FileIO.read_range(f.file_path, f.content_offset, f.content_size_in_bytes)
+
+
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
 def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
     """Decode DV entries into a (file_path, pos) DataFrame for the shared
     position-delete anti-join. Small tombstone sets decode on the driver
     (same cost class as broadcasting a parquet tombstone table); large
     sets decode executor-side — one input row per blob, positions explode
-    inside mapInPandas, then shuffle into the anti-join."""
+    inside mapInPandas, then shuffle into the anti-join.
+
+    IO routing: every blob read goes through FileIO.read_range. On the
+    executor path, blobs on a remote scheme (s3://, mem://) are fetched by
+    the DRIVER (thread-pooled ranged GETs) and shipped compressed —
+    executors' Python workers only carry the default local/mem registry,
+    not backends registered in the driver process, and a roaring blob is
+    tens of bytes to a few KB regardless of cardinality, so driver memory
+    stays bounded by blob count, not tombstone count. Local-FS blobs are
+    read directly on the executors (the local scheme is registered at
+    module import in every worker)."""
     total = sum(f.record_count for f in dv_files)
     if total <= DRIVER_DECODE_MAX_POSITIONS:
         import pandas as pd
 
         frames = []
         for f in dv_files:
-            with open(f.file_path, "rb") as fh:
-                fh.seek(f.content_offset)
-                data = fh.read(f.content_size_in_bytes)
-            pos = parse_dv_frame(data)
+            pos = parse_dv_frame(read_dv_blob(f))
             frames.append(
                 pd.DataFrame({"file_path": f.referenced_data_file, "pos": pos.astype("int64")})
             )
         pdf = pd.concat(frames, ignore_index=True)
         return spark.createDataFrame(pdf, "file_path string, pos long")
 
+    if all(_is_local(f.file_path) for f in dv_files):
+        refs = spark.createDataFrame(
+            [
+                (f.file_path, f.referenced_data_file, f.content_offset, f.content_size_in_bytes)
+                for f in dv_files
+            ],
+            "puffin_path string, file_path string, off long, size long",
+        ).repartition(max(32, len(dv_files) // 4))
+
+        def explode(batches):
+            import pandas as pd
+
+            from iceberg_rust_custom_spark.io.fileio import FileIO
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    pos = parse_dv_frame(
+                        FileIO.read_range(r["puffin_path"], int(r["off"]), int(r["size"]))
+                    )
+                    yield pd.DataFrame({"file_path": r["file_path"], "pos": pos.astype("int64")})
+
+        return refs.mapInPandas(explode, "file_path string, pos long")
+
+    # remote scheme: driver fetches compressed blobs, executors decode
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        blobs = list(ex.map(read_dv_blob, dv_files))
     refs = spark.createDataFrame(
-        [
-            (f.file_path, f.referenced_data_file, f.content_offset, f.content_size_in_bytes)
-            for f in dv_files
-        ],
-        "puffin_path string, file_path string, off long, size long",
+        [(f.referenced_data_file, b) for f, b in zip(dv_files, blobs)],
+        "file_path string, blob binary",
     ).repartition(max(32, len(dv_files) // 4))
 
-    def explode(batches):
+    def decode(batches):
         import pandas as pd
 
         for pdf in batches:
             for _, r in pdf.iterrows():
-                with open(r["puffin_path"], "rb") as fh:
-                    fh.seek(r["off"])
-                    data = fh.read(r["size"])
-                pos = parse_dv_frame(data)
+                pos = parse_dv_frame(bytes(r["blob"]))
                 yield pd.DataFrame({"file_path": r["file_path"], "pos": pos.astype("int64")})
 
-    return refs.mapInPandas(explode, "file_path string, pos long")
+    return refs.mapInPandas(decode, "file_path string, pos long")

@@ -560,7 +560,15 @@ def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> Da
     del_df = parts[0]
     for p in parts[1:]:
         del_df = del_df.unionByName(p)
-    if sum(d.file_size_in_bytes for d in deletes) < 64 * 1024 * 1024:
+    # Broadcast gate: parquet tombstones are sized by file bytes, but a DV
+    # run container compresses millions of positions into tens of bytes —
+    # gate those on DECODED size (record_count = tombstone cardinality,
+    # ~24 B/row as (dict-encoded path ref, pos) in the hash relation), or
+    # a tiny-bytes blob could broadcast an enormous position set.
+    est_bytes = sum(d.file_size_in_bytes for d in parquet_dels) + sum(
+        d.record_count * 24 for d in dv_dels
+    )
+    if est_bytes < 64 * 1024 * 1024:
         del_df = F.broadcast(del_df)
     cond = (df["_sg_file"] == del_df["file_path"]) & (df["_sg_pos"] == del_df["pos"])
     return df.join(del_df, cond, "left_anti")

@@ -183,3 +183,31 @@ def test_import_back_from_live_avro(avro_table, spark, tmp_path):
     md2 = import_iceberg_table(md_path, str(tmp_path / "imp"))
     got = sorted(tuple(r) for r in scan_to_dataframe(spark, md2, md2.snapshot_for_ref()).collect())
     assert got == sorted(ROWS)
+
+
+def test_dv_delete_through_avro_manifests(spark, tmp_path):
+    """Regression (r6): write.metadata.format=avro + write.delete.format=dv —
+    the avro manifest codec must round-trip the spec-v3 DV addressing fields
+    (referenced_data_file, content_offset, content_size_in_bytes); r5
+    dropped them on commit, so the next scan crashed in dv_positions_df."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t = eng.create_table(
+        "test.avro_dv",
+        SCH,
+        partition_by=[("date", "month")],
+        properties={"write.metadata.format": "avro", "write.delete.format": "dv"},
+    )
+    t.append(spark.createDataFrame(ROWS, SCH.spark_schema()))
+    M.delete_where(t, "id <= 2", mode="merge-on-read")
+
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+    # reload cold from the catalog: everything must come back from Avro
+    t2 = eng.load_table("test.avro_dv")
+    dels = plan_delete_files(t2.metadata, t2.metadata.snapshot_for_ref())
+    assert dels and all(e.data_file.file_format == "puffin" for e in dels)
+    for e in dels:
+        assert e.data_file.referenced_data_file
+        assert e.data_file.content_offset is not None
+        assert e.data_file.content_size_in_bytes is not None
+    assert sorted(r["id"] for r in t2.scan().collect()) == [3, 4, 5, 6]

@@ -206,3 +206,47 @@ def test_full_cloud_shape_catalog_and_metadata_on_s3(spark, s3, tmp_path):
         assert eng.load_table("cloud.t").scan().count() == 12
     finally:
         FileIO._schemes.pop("s3", None)
+
+
+def test_dv_delete_with_metadata_on_s3(spark, s3, tmp_path, monkeypatch):
+    """Regression (r6): deletion-vector Puffin files follow
+    write.metadata.path onto S3, so blob reads must be FileIO ranged GETs —
+    r5 read them with plain open() and the first post-delete scan crashed
+    with FileNotFoundError. Covers BOTH decode routes: the driver path and
+    the large-tombstone executor path (forced via the budget knob)."""
+    from iceberg_rust_custom_spark import table as _table_pkg
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.io.fileio import FileIO, register_s3
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+    register_s3(client=s3)
+    try:
+        sch = Schema(0, (NestedField(1, "id", "long", True), NestedField(2, "v", "double", True)))
+        eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+        t = eng.create_table(
+            "s3dv.t",
+            sch,
+            properties={
+                "write.metadata.path": "s3://warehouse/s3dv/t/metadata",
+                "write.data.path": str(tmp_path / "data"),
+                "write.delete.format": "dv",
+            },
+        )
+        t.append(spark.createDataFrame([(i, float(i)) for i in range(100)], sch.spark_schema()))
+        delete_where(t, "id % 4 = 0", mode="merge-on-read")
+
+        dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+        assert dels and all(d.data_file.file_path.startswith("s3://") for d in dels)
+
+        expect = {i for i in range(100) if i % 4 != 0}
+        assert {r.id for r in t.scan().collect()} == expect  # driver decode route
+
+        from iceberg_rust_custom_spark.table import deletion_vectors as dv_mod
+
+        monkeypatch.setattr(dv_mod, "DRIVER_DECODE_MAX_POSITIONS", 0)
+        t2 = eng.load_table("s3dv.t")
+        assert {r.id for r in t2.scan().collect()} == expect  # executor decode route
+    finally:
+        FileIO._schemes.pop("s3", None)
