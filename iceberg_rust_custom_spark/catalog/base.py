@@ -30,14 +30,52 @@ class CommitFailed(Exception):
     """The CAS failed: someone else committed first. Retryable."""
 
 
+class NamespaceNotEmpty(Exception):
+    """drop_namespace refused: tabulars or child namespaces remain
+    (reference: iceberg-rust/src/catalog/mod.rs drop_namespace contract)."""
+
+
 class Catalog:
     """Interface: all methods operate on metadata-location strings."""
 
-    def create_namespace(self, namespace: tuple) -> None:
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
         raise NotImplementedError
 
     def list_namespaces(self) -> list[tuple]:
         raise NotImplementedError
+
+    # -- namespace properties / lifecycle (reference catalog trait:
+    #    load_namespace / update_namespace / drop_namespace,
+    #    iceberg-rust/src/catalog/mod.rs:34-52) --------------------------
+    def namespace_exists(self, namespace: tuple) -> bool:
+        return namespace in self.list_namespaces()
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        """Namespace properties ({} when none set). Raises
+        FileNotFoundError for an unknown namespace."""
+        raise NotImplementedError
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        """Set/remove namespace properties; returns the resulting map.
+        Removals are applied before updates (the REST spec's order)."""
+        raise NotImplementedError
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        """Remove an EMPTY namespace; raises NamespaceNotEmpty when any
+        tabular or child namespace remains (never cascades — dropping
+        data is the caller's explicit job, table by table)."""
+        raise NotImplementedError
+
+    def _ensure_namespace_empty(self, namespace: tuple) -> None:
+        if self.list_tabulars(namespace):
+            raise NamespaceNotEmpty(f"namespace {'.'.join(namespace)} has tables")
+        for ns in self.list_namespaces():
+            if len(ns) > len(namespace) and ns[: len(namespace)] == namespace:
+                raise NamespaceNotEmpty(
+                    f"namespace {'.'.join(namespace)} has child namespace {'.'.join(ns)}"
+                )
 
     def list_tabulars(self, namespace: tuple) -> list[Identifier]:
         raise NotImplementedError

@@ -25,8 +25,49 @@ class FileCatalog(Catalog):
     def _entry_dir(self, identifier: Identifier) -> str:
         return os.path.join(self.warehouse, "_catalog", *identifier.namespace, identifier.name)
 
-    def create_namespace(self, namespace: tuple) -> None:
-        os.makedirs(os.path.join(self.warehouse, "_catalog", *namespace), exist_ok=True)
+    def _ns_dir(self, namespace: tuple) -> str:
+        return os.path.join(self.warehouse, "_catalog", *namespace)
+
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
+        os.makedirs(self._ns_dir(namespace), exist_ok=True)
+        if properties:
+            self.update_namespace(namespace, updates=properties)
+
+    def namespace_exists(self, namespace: tuple) -> bool:
+        return os.path.isdir(self._ns_dir(namespace))
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        d = self._ns_dir(namespace)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        try:
+            with open(os.path.join(d, ".nsprops.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        props = self.load_namespace(namespace)
+        for k in removals or ():
+            props.pop(k, None)
+        props.update(updates or {})
+        path = os.path.join(self._ns_dir(namespace), ".nsprops.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        os.replace(tmp, path)  # atomic publish (same pattern as FileIO writes)
+        return props
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        import shutil
+
+        d = self._ns_dir(namespace)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        self._ensure_namespace_empty(namespace)
+        shutil.rmtree(d)
 
     def list_namespaces(self) -> list[tuple]:
         root = os.path.join(self.warehouse, "_catalog")

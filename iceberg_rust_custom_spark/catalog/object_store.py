@@ -126,14 +126,76 @@ class ObjectStoreCatalog(Catalog):
     def _prefix(self, identifier: Identifier) -> str:
         return "/".join(("_catalog", *identifier.namespace, identifier.name)) + "/"
 
-    def create_namespace(self, namespace: tuple) -> None:
-        pass  # namespaces are implicit prefixes on object stores
+    def _ns_prefix(self, namespace: tuple) -> str:
+        return "/".join(("_catalog", *namespace)) + "/"
+
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
+        # namespaces are implicit prefixes on object stores; only an explicit
+        # property set needs an object (versioned, CAS'd like pointers)
+        if properties:
+            try:
+                self.store.put_if_absent(
+                    self._ns_prefix(namespace) + ".nsprops.v0.json",
+                    json.dumps(properties).encode(),
+                )
+            except AlreadyExists:
+                self.update_namespace(namespace, updates=properties)
+
+    def _ns_prop_versions(self, namespace: tuple) -> list[int]:
+        prefix = self._ns_prefix(namespace) + ".nsprops.v"
+        return sorted(
+            int(k[len(prefix) : -len(".json")])
+            for k in self.store.list(prefix)
+            if k.endswith(".json")
+        )
+
+    def namespace_exists(self, namespace: tuple) -> bool:
+        return bool(self.store.list(self._ns_prefix(namespace)))
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        versions = self._ns_prop_versions(namespace)
+        if versions:
+            return json.loads(
+                self.store.get(self._ns_prefix(namespace) + f".nsprops.v{versions[-1]}.json")
+            )
+        if not self.namespace_exists(namespace):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        return {}  # implicit namespace, no properties set yet
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        # versioned put-if-absent: same optimistic CAS as pointer commits
+        for _ in range(10):
+            versions = self._ns_prop_versions(namespace)
+            props = self.load_namespace(namespace)
+            for k in removals or ():
+                props.pop(k, None)
+            props.update(updates or {})
+            nxt = (versions[-1] + 1) if versions else 0
+            try:
+                self.store.put_if_absent(
+                    self._ns_prefix(namespace) + f".nsprops.v{nxt}.json",
+                    json.dumps(props).encode(),
+                )
+                return props
+            except AlreadyExists:
+                continue  # concurrent property writer won; re-read and retry
+        raise CommitFailed(f"namespace {'.'.join(namespace)}: property CAS kept losing")
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        if not self.namespace_exists(namespace):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        self._ensure_namespace_empty(namespace)
+        self.store.delete_prefix(self._ns_prefix(namespace))
 
     def list_namespaces(self) -> list[tuple]:
         seen = set()
         for key in self.store.list("_catalog/"):
             parts = key.split("/")
-            if len(parts) >= 3:
+            if parts[-1].startswith(".nsprops.v"):
+                seen.add(tuple(parts[1:-1]))
+            elif len(parts) >= 3:
                 seen.add(tuple(parts[1:-2]))
         return sorted(p for p in seen if p)
 

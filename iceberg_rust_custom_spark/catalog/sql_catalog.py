@@ -8,6 +8,7 @@ and a zero rowcount means a concurrent committer won.
 
 from __future__ import annotations
 
+import json
 import sqlite3
 
 from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
@@ -27,20 +28,71 @@ class SqlCatalog(Catalog):
                    )"""
             )
             c.execute("CREATE TABLE IF NOT EXISTS namespaces (namespace TEXT PRIMARY KEY)")
+            try:  # migrate pre-r6 databases that lack the properties column
+                c.execute("ALTER TABLE namespaces ADD COLUMN properties TEXT NOT NULL DEFAULT '{}'")
+            except sqlite3.OperationalError:
+                pass  # column already present
 
     def _conn(self):
         conn = sqlite3.connect(self.db_path, timeout=30)
         conn.isolation_level = None  # autocommit; explicit transactions below
         return conn
 
-    def create_namespace(self, namespace: tuple) -> None:
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
         with self._conn() as c:
-            c.execute("INSERT OR IGNORE INTO namespaces VALUES (?)", (".".join(namespace),))
+            c.execute(
+                "INSERT OR IGNORE INTO namespaces (namespace, properties) VALUES (?, ?)",
+                (".".join(namespace), json.dumps(properties or {})),
+            )
 
     def list_namespaces(self) -> list[tuple]:
         with self._conn() as c:
             rows = c.execute("SELECT namespace FROM namespaces ORDER BY 1").fetchall()
         return [tuple(r[0].split(".")) for r in rows]
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT properties FROM namespaces WHERE namespace = ?", (".".join(namespace),)
+            ).fetchone()
+        if row is None:
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        return json.loads(row[0] or "{}")
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        key = ".".join(namespace)
+        with self._conn() as c:
+            c.execute("BEGIN IMMEDIATE")  # serialize read-modify-write
+            try:
+                row = c.execute(
+                    "SELECT properties FROM namespaces WHERE namespace = ?", (key,)
+                ).fetchone()
+                if row is None:
+                    raise FileNotFoundError(f"no such namespace: {key}")
+                props = json.loads(row[0] or "{}")
+                for k in removals or ():
+                    props.pop(k, None)
+                props.update(updates or {})
+                c.execute(
+                    "UPDATE namespaces SET properties = ? WHERE namespace = ?",
+                    (json.dumps(props), key),
+                )
+                c.execute("COMMIT")
+            except BaseException:
+                c.execute("ROLLBACK")
+                raise
+        return props
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        if not self.namespace_exists(namespace):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        self._ensure_namespace_empty(namespace)
+        with self._conn() as c:
+            cur = c.execute("DELETE FROM namespaces WHERE namespace = ?", (".".join(namespace),))
+            if cur.rowcount != 1:
+                raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
 
     def list_tabulars(self, namespace: tuple) -> list[Identifier]:
         with self._conn() as c:
