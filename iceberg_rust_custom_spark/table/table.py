@@ -427,26 +427,16 @@ class Table:
         inline (a dynamic overwrite by construction keeps most history
         live, so inline deletion would be wrong).
 
-        Pending merge-on-read deletes (position/equality/DV) are
-        materialized FIRST via compact(): the rewrite commit carries
-        untouched-partition files as content=0 entries only, so pending
-        delete files would otherwise be dropped and their deleted rows
-        resurrect in carried partitions (the same hazard delete_where's
-        copy-on-write path guards against)."""
+        Pending merge-on-read deletes (position/equality/DV): the rewrite
+        commit carries untouched-partition files as content=0 entries only,
+        so pending delete files would otherwise be dropped and their
+        deleted rows resurrect in carried partitions. Guard: materialize
+        deletes for ONLY the carried files a pending delete actually
+        references — work scales with the delete set, never the table
+        (a one-partition backfill on a 100 TB table with one stray DV must
+        not become a full-table rewrite)."""
         from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
 
-        if self.metadata.default_spec().is_partitioned and plan_delete_files(
-            self.metadata, self.metadata.snapshot_for_ref(branch)
-        ):
-            if branch != MAIN_BRANCH:
-                raise ValueError(
-                    "dynamic_overwrite on a non-main branch with pending "
-                    "merge-on-read deletes would resurrect deleted rows in "
-                    "carried partitions; compact the branch first"
-                )
-            from iceberg_rust_custom_spark.table.maintenance import compact
-
-            compact(self)
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         new_files = write_partitioned(df, self.metadata, data_dir)
         if not self.metadata.default_spec().is_partitioned:
@@ -459,10 +449,89 @@ class Table:
             for f in plan_files(self.metadata, snap)
             if tuple(sorted(f.partition.items())) not in replaced
         ]
+        deletes = plan_delete_files(self.metadata, snap)
+        if deletes and carried:
+            carried = self._materialize_carried_deletes(carried, deletes, snap, data_dir)
         self.metadata = (
             self.new_transaction(branch).rewrite(carried + new_files, retain_history=True).commit()
         )
         return self
+
+    def _materialize_carried_deletes(self, carried: list, deletes: list, snap, data_dir: str) -> list:
+        """Rewrite ONLY the carried data files that a pending
+        merge-on-read delete actually touches, returning the new carried
+        set (untouched files pass through by reference).
+
+        Scoping per delete kind:
+        * DV blobs name their target file (v3 ``referenced_data_file``) —
+          exact, zero I/O.
+        * parquet position deletes: one metadata-scale Spark job reads the
+          DISTINCT ``file_path`` column of the delete files (KBs).
+        * equality deletes apply by partition + strictly-older sequence
+          number, so any older carried file in a matching partition (or
+          any partition, for a global delete) is affected.
+        """
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.table.scan import (
+            _apply_equality_deletes,
+            _apply_position_deletes,
+            _read_with_field_id_resolution,
+            _with_lineage,
+            data_file_sequence_numbers,
+        )
+
+        import re
+
+        def _norm(p: str) -> str:
+            # tombstones record Spark's _metadata.file_path (a file:/ URI);
+            # manifests store plain paths — compare scheme-stripped forms
+            # (same normalization as _apply_equality_deletes)
+            return re.sub("^file:/+", "/", p)
+
+        pos_entries = [e for e in deletes if e.data_file.content == 1]
+        eq_entries = [e for e in deletes if e.data_file.content == 2]
+        referenced: set[str] = set()
+        unscoped_pos = []  # parquet position deletes without addressing info
+        for e in pos_entries:
+            if e.data_file.referenced_data_file:
+                referenced.add(_norm(e.data_file.referenced_data_file))
+            else:
+                unscoped_pos.append(e.data_file.file_path)
+        if unscoped_pos:
+            referenced.update(
+                _norm(r.file_path)
+                for r in self.spark.read.schema("file_path string, pos long")
+                .parquet(*unscoped_pos)
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
+        file_seqs = data_file_sequence_numbers(self.metadata, snap) if eq_entries else {}
+        for e in eq_entries:
+            del_part = tuple(sorted((e.data_file.partition or {}).items()))
+            for f in carried:
+                if file_seqs.get(f.file_path, 0) < e.sequence_number and (
+                    not del_part or tuple(sorted(f.partition.items())) == del_part
+                ):
+                    referenced.add(_norm(f.file_path))
+        affected = [f for f in carried if _norm(f.file_path) in referenced]
+        untouched = [f for f in carried if _norm(f.file_path) not in referenced]
+        if not affected:
+            return carried
+        schema = self.metadata.current_schema()
+        paths = [f.file_path for f in affected]
+        if len(self.metadata.schemas) > 1:
+            df = _read_with_field_id_resolution(self.spark, self.metadata, schema, affected, lineage=True)
+        else:
+            df = _with_lineage(self.spark.read.schema(schema.spark_schema()).parquet(*paths))
+        if eq_entries:
+            df = _apply_equality_deletes(self.spark, df, eq_entries, file_seqs, schema=schema)
+        if pos_entries:
+            df = _apply_position_deletes(self.spark, df, [e.data_file for e in pos_entries])
+        df = df.drop("_sg_file", "_sg_pos")
+        mat_files = write_partitioned(df, self.metadata, os.path.join(data_dir, "materialized"))
+        return untouched + mat_files
 
     # ------------------------------------------------------ metadata tables
     def snapshots(self) -> DataFrame:

@@ -10,7 +10,7 @@ bytes resident."""
 import pytest
 
 from iceberg_rust_custom_spark.engine import Engine
-from iceberg_rust_custom_spark.table.maintenance import compact, delete_where, merge_upsert
+from iceberg_rust_custom_spark.table.maintenance import compact, delete_by_key, delete_where, merge_upsert
 from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
 
 
@@ -491,3 +491,71 @@ def test_dynamic_overwrite_preserves_pending_dv_deletes(eng, spark):
     )
     ids = {r.id for r in t.scan().collect()}
     assert ids == {i for i in range(5, 10)} | {500}
+
+
+def test_dynamic_overwrite_delete_materialization_is_scoped(eng, spark):
+    """Scale guard (r7): an overwrite with pending MoR deletes must
+    materialize ONLY the carried files the deletes reference — an
+    untouched partition with no pending deletes keeps its exact data
+    files (a one-partition backfill on a 100 TB table with one stray DV
+    must not become a full-table rewrite). History stays time-travelable
+    (the materialization must not expire prior snapshots the way a
+    destructive compact would)."""
+    import datetime as dt
+
+    eng.sql(
+        "CREATE TABLE ns.dyn_scope (id BIGINT, d DATE, v DOUBLE) STORED AS ICEBERG "
+        "PARTITIONED BY (month(d)) TBLPROPERTIES ('write.delete.format'='dv')"
+    )
+    t = eng.load_table("ns.dyn_scope")
+    jan = [(i, dt.date(2024, 1, 5), 1.0) for i in range(10)]
+    feb = [(i + 100, dt.date(2024, 2, 5), 2.0) for i in range(10)]
+    mar = [(i + 200, dt.date(2024, 3, 5), 3.0) for i in range(10)]
+    t.append(spark.createDataFrame(jan + feb + mar, "id long, d date, v double"))
+    pre_overwrite_snap = t.metadata.current_snapshot_id
+    # DVs touch ONLY January; March is carried with no pending deletes
+    delete_where(t, "id < 5", mode="merge-on-read")
+    # month(d) partitions encode as months-since-epoch: 648=Jan24, 650=Mar24
+    mar_before = {f.file_path for f in _datafiles(t) if f.partition["d_month"] == 650}
+    jan_before = {f.file_path for f in _datafiles(t) if f.partition["d_month"] == 648}
+    assert mar_before and jan_before
+    t.dynamic_overwrite(
+        spark.createDataFrame([(500, dt.date(2024, 2, 20), 9.0)], "id long, d date, v double")
+    )
+    after = {f.file_path for f in _datafiles(t)}
+    # March carried by reference — byte-identical files, zero rewrite
+    assert mar_before <= after
+    # January (which had DVs) was materialized into fresh files
+    assert not (jan_before & after)
+    # correctness: deletes applied, no resurrection
+    ids = {r.id for r in t.scan().collect()}
+    assert ids == set(range(5, 10)) | {500} | {i + 200 for i in range(10)}
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+    # history retained: the pre-overwrite snapshot is still time-travelable
+    assert pre_overwrite_snap in t.metadata.snapshots
+    assert t.scan(snapshot_id=pre_overwrite_snap).count() == 30
+
+
+def test_dynamic_overwrite_materializes_pending_equality_deletes(eng, spark):
+    """Equality deletes scope by partition + strictly-older sequence
+    number; an unpartitioned (global) equality delete conservatively
+    affects every older carried file — materialized, never dropped."""
+    import datetime as dt
+
+    eng.sql(
+        "CREATE TABLE ns.dyn_eq (id BIGINT, d DATE, v DOUBLE) STORED AS ICEBERG "
+        "PARTITIONED BY (month(d))"
+    )
+    t = eng.load_table("ns.dyn_eq")
+    jan = [(i, dt.date(2024, 1, 5), 1.0) for i in range(10)]
+    feb = [(i + 100, dt.date(2024, 2, 5), 2.0) for i in range(10)]
+    mar = [(i + 200, dt.date(2024, 3, 5), 3.0) for i in range(10)]
+    t.append(spark.createDataFrame(jan + feb + mar, "id long, d date, v double"))
+    delete_by_key(t, [0, 1, 2], key_cols=["id"])  # keys live in January only
+    assert t.scan().count() == 27
+    t.dynamic_overwrite(
+        spark.createDataFrame([(500, dt.date(2024, 2, 20), 9.0)], "id long, d date, v double")
+    )
+    ids = {r.id for r in t.scan().collect()}
+    assert ids == set(range(3, 10)) | {500} | {i + 200 for i in range(10)}
+    assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
