@@ -36,29 +36,53 @@ class FileCatalog(Catalog):
     def namespace_exists(self, namespace: tuple) -> bool:
         return os.path.isdir(self._ns_dir(namespace))
 
+    def _ns_prop_versions(self, namespace: tuple) -> list[int]:
+        d = self._ns_dir(namespace)
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[len(".nsprops.v") : -len(".json")])
+            for n in names
+            if n.startswith(".nsprops.v") and n.endswith(".json")
+        )
+
     def load_namespace(self, namespace: tuple) -> dict:
         d = self._ns_dir(namespace)
         if not os.path.isdir(d):
             raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
-        try:
-            with open(os.path.join(d, ".nsprops.json")) as f:
-                return json.load(f)
-        except FileNotFoundError:
+        versions = self._ns_prop_versions(namespace)
+        if not versions:
             return {}
+        with open(os.path.join(d, f".nsprops.v{versions[-1]}.json")) as f:
+            return json.load(f)
 
     def update_namespace(
         self, namespace: tuple, updates: dict | None = None, removals: list | None = None
     ) -> dict:
-        props = self.load_namespace(namespace)
-        for k in removals or ():
-            props.pop(k, None)
-        props.update(updates or {})
-        path = os.path.join(self._ns_dir(namespace), ".nsprops.json")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(props, f)
-        os.replace(tmp, path)  # atomic publish (same pattern as FileIO writes)
-        return props
+        """Versioned O_EXCL property files — the same put-if-absent pointer
+        protocol the table commits use, so two concurrent writers never
+        silently lose one side's updates (ADVICE r6): the loser's O_EXCL
+        create fails, it re-reads and retries on the merged state."""
+        for _ in range(16):
+            versions = self._ns_prop_versions(namespace)
+            props = self.load_namespace(namespace)
+            for k in removals or ():
+                props.pop(k, None)
+            props.update(updates or {})
+            nxt = (versions[-1] + 1) if versions else 0
+            path = os.path.join(self._ns_dir(namespace), f".nsprops.v{nxt}.json")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the race; retry on the winner's state
+            try:
+                os.write(fd, json.dumps(props).encode())
+            finally:
+                os.close(fd)
+            return props
+        raise CommitFailed(f"namespace {'.'.join(namespace)}: property CAS kept losing")
 
     def drop_namespace(self, namespace: tuple) -> None:
         import shutil

@@ -67,12 +67,52 @@ class GlueCatalog(Catalog):
 
     # -- namespaces -------------------------------------------------------
 
-    def create_namespace(self, namespace: tuple) -> None:
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
         try:
-            self.client.create_database(DatabaseInput={"Name": ".".join(namespace)})
+            self.client.create_database(
+                DatabaseInput={"Name": ".".join(namespace), "Parameters": dict(properties or {})}
+            )
         except Exception as e:  # noqa: BLE001 - classified by name below
             if _error_name(e) != "AlreadyExistsException":
                 raise
+            if properties:  # merge into the existing database, as the other backends do
+                self.update_namespace(namespace, updates=properties)
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        """Namespace properties live in the Glue Database's ``Parameters``
+        map (the same slot the reference's Glue catalog uses for
+        table-level pointers — lib.rs:531-551)."""
+        try:
+            db = self.client.get_database(Name=".".join(namespace))["Database"]
+        except Exception as e:  # noqa: BLE001
+            if _error_name(e) == "EntityNotFoundException":
+                raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}") from None
+            raise
+        return dict(db.get("Parameters", {}))
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        props = self.load_namespace(namespace)
+        for k in removals or ():
+            props.pop(k, None)
+        props.update(updates or {})
+        self.client.update_database(
+            Name=".".join(namespace),
+            DatabaseInput={"Name": ".".join(namespace), "Parameters": props},
+        )
+        return props
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        if not self.namespace_exists(namespace):
+            raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}")
+        self._ensure_namespace_empty(namespace)
+        try:
+            self.client.delete_database(Name=".".join(namespace))
+        except Exception as e:  # noqa: BLE001
+            if _error_name(e) == "EntityNotFoundException":
+                raise FileNotFoundError(f"no such namespace: {'.'.join(namespace)}") from None
+            raise
 
     def list_namespaces(self) -> list[tuple]:
         out = []
@@ -172,6 +212,7 @@ class FakeGlueClient:
 
     def __init__(self):
         self._dbs: dict[str, dict[str, dict]] = {}
+        self._db_params: dict[str, dict] = {}
         self._version = itertools.count(1)
         self._lock = threading.Lock()
 
@@ -181,6 +222,28 @@ class FakeGlueClient:
             if name in self._dbs:
                 raise _GlueError("AlreadyExistsException", name)
             self._dbs[name] = {}
+            self._db_params[name] = dict(DatabaseInput.get("Parameters", {}))
+        return {}
+
+    def get_database(self, Name):
+        with self._lock:
+            if Name not in self._dbs:
+                raise _GlueError("EntityNotFoundException", f"database {Name}")
+            return {"Database": {"Name": Name, "Parameters": dict(self._db_params.get(Name, {}))}}
+
+    def update_database(self, Name, DatabaseInput):
+        with self._lock:
+            if Name not in self._dbs:
+                raise _GlueError("EntityNotFoundException", f"database {Name}")
+            self._db_params[Name] = dict(DatabaseInput.get("Parameters", {}))
+        return {}
+
+    def delete_database(self, Name):
+        with self._lock:
+            if Name not in self._dbs:
+                raise _GlueError("EntityNotFoundException", f"database {Name}")
+            del self._dbs[Name]
+            self._db_params.pop(Name, None)
         return {}
 
     def get_databases(self):

@@ -46,7 +46,12 @@ import urllib.request
 import uuid as _uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+from iceberg_rust_custom_spark.catalog.base import (
+    Catalog,
+    CommitFailed,
+    Identifier,
+    NamespaceNotEmpty,
+)
 from iceberg_rust_custom_spark.metadata.table_metadata import CommitConflict, TableMetadata
 
 NS_SEP = "\x1f"  # the spec's multipart namespace separator (%1F)
@@ -96,8 +101,39 @@ class IcebergRestCatalog(Catalog):
                 raise FileNotFoundError(msg) from None
             raise RuntimeError(f"HTTP {e.code}: {msg}") from None
 
-    def create_namespace(self, namespace: tuple) -> None:
-        self._call("POST", "/v1/namespaces", {"namespace": list(namespace)})
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
+        self._call(
+            "POST",
+            "/v1/namespaces",
+            {"namespace": list(namespace), "properties": properties or {}},
+        )
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        """GetNamespaceResponse.properties (spec: GET /v1/namespaces/{ns})."""
+        out = self._call("GET", f"/v1/namespaces/{_ns_encode(namespace)}")
+        return out.get("properties", {})
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        """Spec UpdateNamespacePropertiesRequest {removals, updates} —
+        removals apply before updates, server-side. The spec response lists
+        {updated, removed, missing} keys; the Catalog interface returns the
+        resulting map, so re-read it."""
+        self._call(
+            "POST",
+            f"/v1/namespaces/{_ns_encode(namespace)}/properties",
+            {"removals": list(removals or []), "updates": updates or {}},
+        )
+        return self.load_namespace(namespace)
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        """DELETE /v1/namespaces/{ns} — 409 NamespaceNotEmptyException when
+        tables or child namespaces remain (never cascades)."""
+        try:
+            self._call("DELETE", f"/v1/namespaces/{_ns_encode(namespace)}")
+        except CommitFailed as e:
+            raise NamespaceNotEmpty(str(e)) from None
 
     def namespace_exists(self, namespace: tuple) -> bool:
         """HEAD existence probe (spec: HEAD /v1/namespaces/{ns} → 204/404)."""
@@ -230,6 +266,7 @@ class IcebergRestCatalogServer:
         os.makedirs(self.warehouse, exist_ok=True)
         self._tables: dict[tuple, dict] = {}  # (ns..., name) -> {location, kind}
         self._namespaces: set[tuple] = set()
+        self._ns_props: dict[tuple, dict] = {}
         self._metrics: dict[tuple, list] = {}  # (ns..., name) -> [ReportMetricsRequest]
         self._lock = threading.Lock()
         server = self
@@ -339,10 +376,18 @@ class IcebergRestCatalogServer:
             return
         if parts == ["v1", "namespaces"]:
             if method == "POST":
-                ns = tuple(h._body()["namespace"])
+                body = h._body()
+                ns = tuple(body["namespace"])
+                props = dict(body.get("properties") or {})
                 with self._lock:
-                    self._namespaces.add(ns)
-                h._send(200, {"namespace": list(ns), "properties": {}})
+                    if ns in self._namespaces and props:
+                        self._ns_props.setdefault(ns, {}).update(props)
+                    else:
+                        self._namespaces.add(ns)
+                        if props:
+                            self._ns_props[ns] = props
+                    out = dict(self._ns_props.get(ns, {}))
+                h._send(200, {"namespace": list(ns), "properties": out})
             else:
                 with self._lock:
                     all_ns = sorted(self._namespaces)
@@ -357,9 +402,48 @@ class IcebergRestCatalogServer:
                     known = ns in self._namespaces or any(
                         k[: len(ns)] == ns for k in self._tables
                     )
+                    props = dict(self._ns_props.get(ns, {}))
                 if not known:
                     raise FileNotFoundError(f"no such namespace: {'.'.join(ns)}")
-                h._send(200, {"namespace": list(ns), "properties": {}})
+                h._send(200, {"namespace": list(ns), "properties": props})
+                return
+            if not rest and method == "DELETE":
+                # spec: 409 NamespaceNotEmptyException when tabulars or
+                # child namespaces remain; 404 for an unknown namespace
+                with self._lock:
+                    if ns not in self._namespaces:
+                        raise FileNotFoundError(f"no such namespace: {'.'.join(ns)}")
+                    if any(k[: len(ns)] == ns for k in self._tables) or any(
+                        n != ns and n[: len(ns)] == ns for n in self._namespaces
+                    ):
+                        h._err(
+                            409,
+                            f"namespace {'.'.join(ns)} is not empty",
+                            "NamespaceNotEmptyException",
+                        )
+                        return
+                    self._namespaces.discard(ns)
+                    self._ns_props.pop(ns, None)
+                h._send(204)
+                return
+            if rest == ["properties"] and method == "POST":
+                # spec UpdateNamespacePropertiesRequest {removals, updates};
+                # removals apply before updates, response lists the outcome
+                body = h._body()
+                with self._lock:
+                    if ns not in self._namespaces:
+                        raise FileNotFoundError(f"no such namespace: {'.'.join(ns)}")
+                    props = self._ns_props.setdefault(ns, {})
+                    removed, missing = [], []
+                    for k in body.get("removals") or []:
+                        (removed if k in props else missing).append(k)
+                        props.pop(k, None)
+                    updates = body.get("updates") or {}
+                    props.update(updates)
+                h._send(
+                    200,
+                    {"updated": sorted(updates), "removed": removed, "missing": missing},
+                )
                 return
             if rest == ["register"] and method == "POST":
                 body = h._body()

@@ -130,15 +130,16 @@ class ObjectStoreCatalog(Catalog):
         return "/".join(("_catalog", *namespace)) + "/"
 
     def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
-        # namespaces are implicit prefixes on object stores; only an explicit
-        # property set needs an object (versioned, CAS'd like pointers)
-        if properties:
-            try:
-                self.store.put_if_absent(
-                    self._ns_prefix(namespace) + ".nsprops.v0.json",
-                    json.dumps(properties).encode(),
-                )
-            except AlreadyExists:
+        # namespaces are implicit prefixes on object stores; an explicitly
+        # created one gets a (versioned, CAS'd) marker object so it exists
+        # even while empty — the properties live in the same object
+        try:
+            self.store.put_if_absent(
+                self._ns_prefix(namespace) + ".nsprops.v0.json",
+                json.dumps(properties or {}).encode(),
+            )
+        except AlreadyExists:
+            if properties:
                 self.update_namespace(namespace, updates=properties)
 
     def _ns_prop_versions(self, namespace: tuple) -> list[int]:

@@ -10,7 +10,10 @@ local Catalog — tests run client↔server over a real socket.
 
 Endpoints (all JSON):
   GET    /namespaces                         → {"namespaces": [[...], ...]}
-  POST   /namespaces                         {"namespace": [...]}
+  POST   /namespaces                         {"namespace": [...], "properties": {...}}
+  GET    /namespaces/{ns}/properties         → {"properties": {...}}  (404 unknown ns)
+  POST   /namespaces/{ns}/properties         {"updates": {...}, "removals": [...]} → {"properties"}
+  DELETE /namespaces/{ns}                    (409 when tabulars/children remain)
   GET    /namespaces/{ns}/tabulars           → {"identifiers": [...]}
   GET    /tabulars/{ns}/{name}               → {"metadata-location", "kind"}
   POST   /tabulars/{ns}/{name}               {"metadata-location", "kind"}  (register; 409 if exists)
@@ -28,7 +31,12 @@ import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from iceberg_rust_custom_spark.catalog.base import Catalog, CommitFailed, Identifier
+from iceberg_rust_custom_spark.catalog.base import (
+    Catalog,
+    CommitFailed,
+    Identifier,
+    NamespaceNotEmpty,
+)
 
 
 class RestCatalog(Catalog):
@@ -61,11 +69,42 @@ class RestCatalog(Catalog):
             raise RuntimeError(f"catalog server error {e.code}: {detail}")
 
     # -------------------------------------------------------------- catalog
-    def create_namespace(self, namespace: tuple) -> None:
-        self._call("POST", "/namespaces", {"namespace": list(namespace)})
+    def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
+        self._call(
+            "POST", "/namespaces", {"namespace": list(namespace), "properties": properties or {}}
+        )
 
     def list_namespaces(self) -> list[tuple]:
         return [tuple(ns) for ns in self._call("GET", "/namespaces")["namespaces"]]
+
+    def load_namespace(self, namespace: tuple) -> dict:
+        ns = ".".join(namespace)
+        return self._call("GET", f"/namespaces/{ns}/properties")["properties"]
+
+    def update_namespace(
+        self, namespace: tuple, updates: dict | None = None, removals: list | None = None
+    ) -> dict:
+        ns = ".".join(namespace)
+        out = self._call(
+            "POST",
+            f"/namespaces/{ns}/properties",
+            {"updates": updates or {}, "removals": list(removals or [])},
+        )
+        return out["properties"]
+
+    def namespace_exists(self, namespace: tuple) -> bool:
+        try:
+            self.load_namespace(namespace)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def drop_namespace(self, namespace: tuple) -> None:
+        ns = ".".join(namespace)
+        try:
+            self._call("DELETE", f"/namespaces/{ns}")
+        except CommitFailed as e:  # the server's 409 means "not empty" here
+            raise NamespaceNotEmpty(str(e)) from None
 
     def list_tabulars(self, namespace: tuple) -> list[Identifier]:
         ns = ".".join(namespace)
@@ -170,8 +209,26 @@ class CatalogServer:
                 return 200, {"namespaces": [list(ns) for ns in b.list_namespaces()]}
             if method == "POST":
                 with self._lock:
-                    b.create_namespace(tuple(body["namespace"]))
+                    b.create_namespace(tuple(body["namespace"]), body.get("properties") or None)
                 return 200, {}
+        if len(parts) == 2 and parts[0] == "namespaces" and method == "DELETE":
+            ns = tuple(parts[1].split("."))
+            with self._lock:
+                try:
+                    b.drop_namespace(ns)
+                except NamespaceNotEmpty as e:
+                    raise CommitFailed(str(e)) from None  # → 409
+            return 200, {}
+        if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "properties":
+            ns = tuple(parts[1].split("."))
+            if method == "GET":
+                return 200, {"properties": b.load_namespace(ns)}
+            if method == "POST":
+                with self._lock:
+                    props = b.update_namespace(
+                        ns, updates=body.get("updates"), removals=body.get("removals")
+                    )
+                return 200, {"properties": props}
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tabulars":
             ns = tuple(parts[1].split("."))
             return 200, {"identifiers": [str(i) for i in b.list_tabulars(ns)]}

@@ -40,10 +40,14 @@ class SqlCatalog(Catalog):
 
     def create_namespace(self, namespace: tuple, properties: dict | None = None) -> None:
         with self._conn() as c:
-            c.execute(
+            cur = c.execute(
                 "INSERT OR IGNORE INTO namespaces (namespace, properties) VALUES (?, ?)",
                 (".".join(namespace), json.dumps(properties or {})),
             )
+        if cur.rowcount == 0 and properties:
+            # already exists: MERGE the supplied properties (same semantics
+            # as the file/object-store backends — ADVICE r6)
+            self.update_namespace(namespace, updates=properties)
 
     def list_namespaces(self) -> list[tuple]:
         with self._conn() as c:

@@ -199,8 +199,21 @@ _ALTER_CLAUSES = {
 _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE)
 _CREATE_NS_RE = re.compile(
-    r"^\s*CREATE\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*;?\s*$",
+    r"^\s*CREATE\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)"
+    r"(?:\s+(?:WITH\s+)?PROPERTIES\s*\((?P<props>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
+)
+_DROP_NS_RE = re.compile(
+    r"^\s*DROP\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_NS_RE = re.compile(
+    r"^\s*ALTER\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+([\w.]+)\s+"
+    r"(?:(SET)\s+PROPERTIES\s*\((?P<set>[^)]*)\)|(UNSET)\s+PROPERTIES\s*\((?P<unset>[^)]*)\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESC_NS_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:NAMESPACE|SCHEMA|DATABASE)\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
@@ -398,10 +411,36 @@ def try_execute(engine, query: str) -> DataFrame | None:
     m = _CREATE_NS_RE.match(query)
     if m:
         ns = tuple(m.group(2).split("."))
+        props = dict(_PROP_KV_RE.findall(m.group("props") or "")) or None
         if m.group(1) and ns in engine.catalog.list_namespaces():
             return spark.range(0)
-        engine.catalog.create_namespace(ns)
+        engine.catalog.create_namespace(ns, props)
         return spark.range(1)
+
+    m = _DROP_NS_RE.match(query)
+    if m:
+        ns = tuple(m.group(2).split("."))
+        if m.group(1) and not engine.catalog.namespace_exists(ns):
+            return spark.range(0)
+        engine.catalog.drop_namespace(ns)  # NamespaceNotEmpty surfaces to the caller
+        return spark.range(1)
+
+    m = _ALTER_NS_RE.match(query)
+    if m:
+        ns = tuple(m.group(1).split("."))
+        if m.group("set") is not None:
+            engine.catalog.update_namespace(ns, updates=dict(_PROP_KV_RE.findall(m.group("set"))))
+        else:
+            keys = re.findall(r"'([^']+)'", m.group("unset") or "")
+            engine.catalog.update_namespace(ns, removals=keys)
+        return spark.range(1)
+
+    m = _DESC_NS_RE.match(query)
+    if m:
+        props = engine.catalog.load_namespace(tuple(m.group(1).split(".")))
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
 
     m = _SHOW_NS_RE.match(query)
     if m:
