@@ -173,10 +173,10 @@ _ALTER_RE = re.compile(
 _ALTER_CLAUSES = {
     "set_props": re.compile(r"^SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
     "unset_props": re.compile(r"^UNSET\s+TBLPROPERTIES\s*\((?P<ks>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
-    "add_col": re.compile(r"^ADD\s+COLUMNS?\s*\(?\s*(?P<name>\w+)\s+(?P<type>[\w()<>, ]+?)\s*\)?\s*$", re.IGNORECASE),
-    "rename_col": re.compile(r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$", re.IGNORECASE),
-    "drop_col": re.compile(r"^DROP\s+COLUMNS?\s*\(?\s*(?P<name>\w+)\s*\)?\s*$", re.IGNORECASE),
-    "widen_col": re.compile(r"^ALTER\s+COLUMN\s+(?P<name>\w+)\s+TYPE\s+(?P<type>[\w()<>, ]+?)\s*$", re.IGNORECASE),
+    "add_col": re.compile(r"^ADD\s+COLUMNS?\s*\(?\s*(?P<name>[\w.]+)\s+(?P<type>[\w()<>, ]+?)\s*\)?\s*$", re.IGNORECASE),
+    "rename_col": re.compile(r"^RENAME\s+COLUMN\s+(?P<old>[\w.]+)\s+TO\s+(?P<new>\w+)\s*$", re.IGNORECASE),
+    "drop_col": re.compile(r"^DROP\s+COLUMNS?\s*\(?\s*(?P<name>[\w.]+)\s*\)?\s*$", re.IGNORECASE),
+    "widen_col": re.compile(r"^ALTER\s+COLUMN\s+(?P<name>[\w.]+)\s+TYPE\s+(?P<type>[\w()<>, ]+?)\s*$", re.IGNORECASE),
     "set_spec": re.compile(r"^SET\s+PARTITION\s+SPEC\s*\((?P<parts>.*)\)\s*$", re.IGNORECASE | re.DOTALL),
     "add_part": re.compile(r"^ADD\s+PARTITION\s+FIELD\s+(?P<part>.+?)\s*$", re.IGNORECASE),
     "write_ordered": re.compile(

@@ -636,6 +636,45 @@ def _apply_equality_deletes(
     return df.drop("_sg_dseq")
 
 
+def _project_evolved(col, write_type, cur_type):
+    """Project a column written under ``write_type`` onto ``cur_type`` by
+    FIELD ID, recursively through structs (the nested half of Iceberg's
+    parquet-field-id projection — spec model
+    iceberg-rust-spec/src/spec/types.rs:185-344): renamed struct members
+    keep their values, members added later null-fill, dropped members
+    disappear, and int→long / float→double widen in place. Structs inside
+    lists project element-wise via ``transform``; a NULL struct row stays
+    NULL (never a struct of nulls). Identical types pass through untouched
+    — the common case costs nothing."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.metadata.schema import type_to_spark
+
+    if write_type == cur_type:
+        return col
+    w_kind = write_type.get("type") if isinstance(write_type, dict) else None
+    c_kind = cur_type.get("type") if isinstance(cur_type, dict) else None
+    if w_kind == c_kind == "struct":
+        wmap = {f["id"]: f for f in write_type["fields"]}
+        children = []
+        for cf in cur_type["fields"]:
+            wf = wmap.get(cf["id"])
+            if wf is None:  # member added after these files were written
+                children.append(F.lit(None).cast(type_to_spark(cf["type"])).alias(cf["name"]))
+            else:
+                children.append(
+                    _project_evolved(col[wf["name"]], wf["type"], cf["type"]).alias(cf["name"])
+                )
+        return F.when(
+            col.isNull(), F.lit(None).cast(type_to_spark(cur_type))
+        ).otherwise(F.struct(*children))
+    if w_kind == c_kind == "list":
+        return F.transform(
+            col, lambda e: _project_evolved(e, write_type["element"], cur_type["element"])
+        )
+    return col.cast(type_to_spark(cur_type))
+
+
 def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool = False):
     """Evolved tables: resolve columns by FIELD ID — a file written before
     ``rename_column(a→b)`` physically stores ``a``; reading it under the
@@ -673,7 +712,9 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
                 if wf is None:  # column added after these files were written
                     exprs.append(F.lit(None).cast(type_to_spark(f.field_type)).alias(f.name))
                 else:
-                    exprs.append(F.col(wf.name).cast(type_to_spark(f.field_type)).alias(f.name))
+                    exprs.append(
+                        _project_evolved(F.col(wf.name), wf.field_type, f.field_type).alias(f.name)
+                    )
             if lineage:
                 exprs = [
                     F.col("_metadata.file_path").alias("_sg_file"),

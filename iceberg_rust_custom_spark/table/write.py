@@ -88,11 +88,21 @@ def collect_datafile_stats(
             split_offsets.append(off if off is not None else col0.data_page_offset)
         for ci in range(group.num_columns):
             col = group.column(ci)
-            name = col.path_in_schema.split(".")[0]
+            leaf_path = col.path_in_schema.split(".")
+            name = leaf_path[0]
             if name not in names:
                 continue
             counts[name] = counts.get(name, 0) + col.num_values
             sizes[name] = sizes.get(name, 0) + col.total_compressed_size
+            if len(leaf_path) > 1:
+                # nested leaf (struct member / list element / map entry):
+                # file bounds are keyed per TOP-LEVEL column here, and one
+                # leaf's range neither represents the whole nested value
+                # nor merges across differently-typed sibling leaves —
+                # the nested column simply gets no file-level bound
+                no_bounds.add(name)
+                no_nulls.add(name)
+                continue
             st = col.statistics
             if st is None:
                 no_bounds.add(name)

@@ -72,3 +72,138 @@ def test_invalid_evolutions_rejected(eng, spark):
         t.update_schema().add_column("id", "long").commit()
     with pytest.raises(KeyError):
         t.update_schema().rename_column("nope", "x").commit()
+
+
+# ----------------------------------------------------- nested (r7)
+
+
+def _mk_nested(eng, spark, name="ns.nested"):
+    eng.sql(
+        f"CREATE TABLE {name} (id BIGINT, s STRUCT<a: BIGINT, b: STRING>) STORED AS ICEBERG"
+    )
+    t = eng.load_table(name)
+    t.append(
+        spark.createDataFrame(
+            [(1, (10, "x")), (2, (20, "y"))], "id long, s struct<a: long, b: string>"
+        )
+    )
+    return t
+
+
+def test_nested_add_column_null_fills_old_files(eng, spark):
+    """add_column("s.c") gives the member a fresh unique field id; files
+    written before the evolution surface it as NULL, files after carry
+    values — one full-table read sees both epochs correctly."""
+    t = _mk_nested(eng, spark)
+    t.update_schema().add_column("s.c", "double").commit()
+    t.append(
+        spark.createDataFrame(
+            [(3, (30, "z", 0.5))], "id long, s struct<a: long, b: string, c: double>"
+        )
+    )
+    rows = {(r.id, r.s.a, r.s.b, r.s.c) for r in t.scan().collect()}
+    assert rows == {(1, 10, "x", None), (2, 20, "y", None), (3, 30, "z", 0.5)}
+    # the new member's id is table-unique (never reuses an existing id)
+    schema = t.metadata.current_schema()
+    s_field = schema.field_by_name("s")
+    ids = [f["id"] for f in s_field.field_type["fields"]]
+    assert len(ids) == len(set(ids))
+
+
+def test_nested_rename_keeps_old_files_readable(eng, spark):
+    """rename s.b → tag: the member keeps its field id, so pre-rename
+    files resolve their values under the new name."""
+    t = _mk_nested(eng, spark, "ns.nren")
+    t.update_schema().rename_column("s.b", "tag").commit()
+    t.append(
+        spark.createDataFrame(
+            [(3, (30, "z"))], "id long, s struct<a: long, tag: string>"
+        )
+    )
+    rows = {(r.id, r.s.tag) for r in t.scan().collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_nested_drop_and_widen(eng, spark):
+    t = _mk_nested(eng, spark, "ns.ndw")
+    t.update_schema().drop_column("s.b").commit()
+    assert [f["name"] for f in t.metadata.current_schema().field_by_name("s").field_type["fields"]] == ["a"]
+    rows = {(r.id, r.s.a) for r in t.scan().collect()}
+    assert rows == {(1, 10), (2, 20)}
+
+
+def test_nested_widen_int_to_long(eng, spark):
+    eng.sql("CREATE TABLE ns.nw (id BIGINT, s STRUCT<n: INT>) STORED AS ICEBERG")
+    t = eng.load_table("ns.nw")
+    t.append(spark.createDataFrame([(1, (7,))], "id long, s struct<n: int>"))
+    t.update_schema().widen_column("s.n", "long").commit()
+    t.append(spark.createDataFrame([(2, (2**40,))], "id long, s struct<n: long>"))
+    rows = {(r.id, r.s.n) for r in t.scan().collect()}
+    assert rows == {(1, 7), (2, 2**40)}
+
+
+def test_nested_null_struct_rows_stay_null(eng, spark):
+    """Projection must not turn a NULL struct into a struct of NULLs."""
+    t = _mk_nested(eng, spark, "ns.nnull")
+    t.append(
+        spark.createDataFrame([(9, None)], "id long, s struct<a: long, b: string>")
+    )
+    t.update_schema().add_column("s.c", "double").commit()
+    by_id = {r.id: r.s for r in t.scan().collect()}
+    assert by_id[9] is None
+    assert by_id[1].a == 10 and by_id[1].c is None
+
+
+def test_deeply_nested_add(eng, spark):
+    eng.sql(
+        "CREATE TABLE ns.deep (id BIGINT, o STRUCT<inner: STRUCT<x: BIGINT>>) STORED AS ICEBERG"
+    )
+    t = eng.load_table("ns.deep")
+    t.append(
+        spark.createDataFrame([(1, ((5,),))], "id long, o struct<inner: struct<x: long>>")
+    )
+    t.update_schema().add_column("o.inner.y", "string").commit()
+    t.append(
+        spark.createDataFrame(
+            [(2, ((6, "hey"),))], "id long, o struct<inner: struct<x: long, y: string>>"
+        )
+    )
+    rows = {(r.id, r.o.inner.x, r.o.inner.y) for r in t.scan().collect()}
+    assert rows == {(1, 5, None), (2, 6, "hey")}
+
+
+def test_struct_in_list_projection(eng, spark):
+    """Structs inside arrays project element-wise (transform)."""
+    eng.sql(
+        "CREATE TABLE ns.lst (id BIGINT, xs ARRAY<STRUCT<a: BIGINT>>) STORED AS ICEBERG"
+    )
+    t = eng.load_table("ns.lst")
+    t.append(
+        spark.createDataFrame([(1, [(10,), (11,)])], "id long, xs array<struct<a: long>>")
+    )
+    # element structs have no per-member ids to evolve in this model; verify
+    # mixed-epoch reads of the array column survive an unrelated evolution
+    t.update_schema().add_column("flag", "boolean").commit()
+    t.append(
+        spark.createDataFrame(
+            [(2, [(20,)], True)], "id long, xs array<struct<a: long>>, flag boolean"
+        )
+    )
+    rows = {(r.id, tuple(x.a for x in r.xs), r.flag) for r in t.scan().collect()}
+    assert rows == {(1, (10, 11), None), (2, (20,), True)}
+
+
+def test_nested_ddl_paths(eng, spark):
+    """ALTER TABLE … ADD/RENAME/DROP COLUMN with dotted paths."""
+    t = _mk_nested(eng, spark, "ns.nddl")
+    eng.sql("ALTER TABLE ns.nddl ADD COLUMN s.c BIGINT")
+    eng.sql("ALTER TABLE ns.nddl RENAME COLUMN s.b TO tag")
+    t = eng.load_table("ns.nddl")
+    names = [f["name"] for f in t.metadata.current_schema().field_by_name("s").field_type["fields"]]
+    assert names == ["a", "tag", "c"]
+    eng.sql("ALTER TABLE ns.nddl DROP COLUMN s.c")
+    t = eng.load_table("ns.nddl")
+    names = [f["name"] for f in t.metadata.current_schema().field_by_name("s").field_type["fields"]]
+    assert names == ["a", "tag"]
+    rows = {(r.id, r.s.tag) for r in t.scan().collect()}
+    assert rows == {(1, "x"), (2, "y")}
