@@ -285,7 +285,7 @@ def try_execute(engine, query: str) -> DataFrame | None:
     m = _CREATE_VIEW_RE.match(query)
     if m:
         name, view_sql = m.group(4), m.group("sql").strip()
-        exists = engine.catalog.tabular_exists(Identifier.parse(name))
+        exists = engine.table_exists(name)
         if m.group(3) and exists:  # IF NOT EXISTS
             return spark.range(0)
         if m.group("replace") and exists:
@@ -410,34 +410,35 @@ def try_execute(engine, query: str) -> DataFrame | None:
 
     m = _CREATE_NS_RE.match(query)
     if m:
-        ns = tuple(m.group(2).split("."))
+        cat, ns = engine.resolve_namespace(tuple(m.group(2).split(".")))
         props = dict(_PROP_KV_RE.findall(m.group("props") or "")) or None
-        if m.group(1) and ns in engine.catalog.list_namespaces():
+        if m.group(1) and ns in cat.list_namespaces():
             return spark.range(0)
-        engine.catalog.create_namespace(ns, props)
+        cat.create_namespace(ns, props)
         return spark.range(1)
 
     m = _DROP_NS_RE.match(query)
     if m:
-        ns = tuple(m.group(2).split("."))
-        if m.group(1) and not engine.catalog.namespace_exists(ns):
+        cat, ns = engine.resolve_namespace(tuple(m.group(2).split(".")))
+        if m.group(1) and not cat.namespace_exists(ns):
             return spark.range(0)
-        engine.catalog.drop_namespace(ns)  # NamespaceNotEmpty surfaces to the caller
+        cat.drop_namespace(ns)  # NamespaceNotEmpty surfaces to the caller
         return spark.range(1)
 
     m = _ALTER_NS_RE.match(query)
     if m:
-        ns = tuple(m.group(1).split("."))
+        cat, ns = engine.resolve_namespace(tuple(m.group(1).split(".")))
         if m.group("set") is not None:
-            engine.catalog.update_namespace(ns, updates=dict(_PROP_KV_RE.findall(m.group("set"))))
+            cat.update_namespace(ns, updates=dict(_PROP_KV_RE.findall(m.group("set"))))
         else:
             keys = re.findall(r"'([^']+)'", m.group("unset") or "")
-            engine.catalog.update_namespace(ns, removals=keys)
+            cat.update_namespace(ns, removals=keys)
         return spark.range(1)
 
     m = _DESC_NS_RE.match(query)
     if m:
-        props = engine.catalog.load_namespace(tuple(m.group(1).split(".")))
+        cat, ns = engine.resolve_namespace(tuple(m.group(1).split(".")))
+        props = cat.load_namespace(ns)
         return spark.createDataFrame(
             sorted(props.items()) or [], "key string, value string"
         )
@@ -635,7 +636,11 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
     m = _ALTER_CLAUSES["rename_table"].match(rest)
     if m:
         # registry move only — metadata location and data are untouched
-        engine.catalog.rename(Identifier.parse(name), Identifier.parse(m.group("new")))
+        src_cat, src = engine.resolve(name)
+        dst_cat, dst = engine.resolve(m.group("new"))
+        if src_cat is not dst_cat:
+            raise ValueError("RENAME cannot move a table across catalogs")
+        src_cat.rename(src, dst)
         return spark.range(1)
 
     t = engine.load_table(name)

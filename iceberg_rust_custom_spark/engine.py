@@ -34,14 +34,48 @@ from iceberg_rust_custom_spark.views.view import (
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None, warehouse: str | None = None):
-        if catalog is None:
+    """Single- or multi-catalog session. With ``catalogs={name: Catalog}``
+    (the reference's ``CatalogList`` — iceberg-rust/src/catalog/mod.rs:
+    106-121, datafusion_iceberg/src/catalog/catalog_list.rs:13-80),
+    three-part names ``cat.ns.table`` route to the named catalog and
+    two-part names fall back to the default catalog, in the Python API,
+    ``Engine.sql`` relations, and DDL alike."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog | None = None,
+        warehouse: str | None = None,
+        catalogs: dict[str, Catalog] | None = None,
+        default_catalog: str | None = None,
+    ):
+        self.catalogs: dict[str, Catalog] = dict(catalogs or {})
+        if self.catalogs:
+            self.default_catalog_name = default_catalog or next(iter(self.catalogs))
+            catalog = self.catalogs[self.default_catalog_name]
+        elif catalog is None:
             if warehouse is None:
-                raise ValueError("pass a catalog or a warehouse path")
+                raise ValueError("pass a catalog, a catalogs dict, or a warehouse path")
             catalog = FileCatalog(warehouse)
         self.spark = spark
         self.catalog = catalog
         self.warehouse = warehouse or getattr(catalog, "warehouse", None)
+
+    # ------------------------------------------------------- name resolution
+    def resolve(self, name: str) -> tuple[Catalog, Identifier]:
+        """``cat.ns.table`` → (named catalog, ns.table) when ``cat`` names a
+        registered catalog; otherwise the default catalog and the full name
+        (a two-part name can never shadow a catalog — catalog routing needs
+        at least three parts, as in the reference's session context)."""
+        parts = name.split(".")
+        if len(parts) >= 3 and parts[0] in self.catalogs:
+            return self.catalogs[parts[0]], Identifier(tuple(parts[1:-1]), parts[-1])
+        return self.catalog, Identifier.parse(name)
+
+    def resolve_namespace(self, ns: tuple) -> tuple[Catalog, tuple]:
+        if len(ns) >= 2 and ns[0] in self.catalogs:
+            return self.catalogs[ns[0]], tuple(ns[1:])
+        return self.catalog, tuple(ns)
 
     # ------------------------------------------------------------------ DDL
     def create_table(
@@ -56,7 +90,7 @@ class Engine:
         """partition_by: [(column, transform)] e.g. [("l_shipdate", "month"),
         ("l_partkey", "bucket[16]")] — the reference's
         ``PARTITIONED BY ("month(col)")`` DDL (planner.rs:451-499)."""
-        ident = Identifier.parse(name)
+        catalog, ident = self.resolve(name)
         if isinstance(schema, T.StructType):
             schema = Schema.from_spark(schema)
         spec = PartitionSpec.build(schema, *(partition_by or []))
@@ -66,14 +100,16 @@ class Engine:
                 0, tuple(SortField(source_id=schema.field_by_name(c).field_id) for c in sort_by)
             )
         location = location or os.path.join(
-            self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
+            getattr(catalog, "warehouse", None) or self.warehouse or "/tmp/iceberg_warehouse",
+            *ident.namespace,
+            ident.name,
         )
         md = TableMetadata.new(location, schema, spec, sort_order, properties)
         meta_dir = md.metadata_dir()
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
         FileIO.write_text(path, md.to_json())
-        self.catalog.register(ident, path, kind="table")
-        return Table(self.catalog, ident, md, self.spark)
+        catalog.register(ident, path, kind="table")
+        return Table(catalog, ident, md, self.spark)
 
     def import_table(self, name: str, metadata_json_path: str, location: str | None = None) -> Table:
         """Import a real (spec v2, Avro-manifest) Iceberg table written by
@@ -86,16 +122,18 @@ class Engine:
         (datafusion_iceberg/tests/integration_trino.rs:70-467)."""
         from iceberg_rust_custom_spark.metadata.iceberg_interop import import_iceberg_table
 
-        ident = Identifier.parse(name)
+        catalog, ident = self.resolve(name)
         location = location or os.path.join(
-            self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name
+            getattr(catalog, "warehouse", None) or self.warehouse or "/tmp/iceberg_warehouse",
+            *ident.namespace,
+            ident.name,
         )
         meta_dir = os.path.join(location, "metadata")
         md = import_iceberg_table(metadata_json_path, meta_dir, location=location)
         path = os.path.join(meta_dir, f"v{_uuid.uuid4().hex[:12]}.metadata.json")
         FileIO.write_text(path, md.to_json())
-        self.catalog.register(ident, path, kind="table")
-        return Table(self.catalog, ident, md, self.spark)
+        catalog.register(ident, path, kind="table")
+        return Table(catalog, ident, md, self.spark)
 
     def export_table(self, name: str, out_dir: str, snapshot_id: int | None = None) -> str:
         """Export a table's (current) snapshot as spec v2 Avro manifests +
@@ -106,18 +144,20 @@ class Engine:
         return export_snapshot(self.load_table(name).metadata, out_dir, snapshot_id)
 
     def load_table(self, name: str) -> Table:
-        ident = Identifier.parse(name)
-        location, kind = self.catalog.load(ident)
+        catalog, ident = self.resolve(name)
+        location, kind = catalog.load(ident)
         if kind != "table":
             raise ValueError(f"{name} is a {kind}, not a table")
         md = TableMetadata.from_json(FileIO.read_text(location))
-        return Table(self.catalog, ident, md, self.spark)
+        return Table(catalog, ident, md, self.spark)
 
     def drop(self, name: str) -> None:
-        self.catalog.drop(Identifier.parse(name))
+        catalog, ident = self.resolve(name)
+        catalog.drop(ident)
 
     def table_exists(self, name: str) -> bool:
-        return self.catalog.tabular_exists(Identifier.parse(name))
+        catalog, ident = self.resolve(name)
+        return catalog.tabular_exists(ident)
 
     # --------------------------------------------------------------- queries
     def table(self, name: str, **scan_kwargs) -> DataFrame:
@@ -144,10 +184,10 @@ class Engine:
         for rel in find_relations(query):
             if self._register_metadata_table(rel):
                 continue
-            ident = Identifier.parse(rel)
-            if not self.catalog.tabular_exists(ident):
+            catalog, ident = self.resolve(rel)
+            if not catalog.tabular_exists(ident):
                 continue
-            _, kind = self.catalog.load(ident)
+            _, kind = catalog.load(ident)
             if kind == "table":
                 df = self.load_table(rel).scan()
             elif kind == "view":
@@ -182,10 +222,11 @@ class Engine:
             return False
         # A real table named e.g. ns.t.files wins over the metadata-table
         # interpretation (otherwise it would be silently shadowed).
-        if self.catalog.tabular_exists(Identifier.parse(rel)):
+        rel_cat, rel_ident = self.resolve(rel)
+        if rel_cat.tabular_exists(rel_ident):
             return False
-        base = Identifier.parse(".".join(parts[:-1]))
-        if not self.catalog.tabular_exists(base):
+        base_cat, base = self.resolve(".".join(parts[:-1]))
+        if not base_cat.tabular_exists(base):
             return False
         t = self.load_table(".".join(parts[:-1]))
         if is_ref_read:  # branch/tag read: SELECT … FROM ns.t.branch_dev
@@ -217,7 +258,8 @@ class Engine:
 
         def sub(m: "_re.Match") -> str:
             rel, kind, lit = m.group(2), m.group(3).upper(), m.group(4)
-            if not self.catalog.tabular_exists(Identifier.parse(rel)):
+            rel_cat, rel_ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(rel_ident):
                 return m.group(0)
             t = self.load_table(rel)
             if kind == "VERSION":
@@ -239,12 +281,12 @@ class Engine:
         return os.path.join(self.warehouse or "/tmp/iceberg_warehouse", *ident.namespace, ident.name)
 
     def create_view(self, name: str, sql: str) -> View:
-        ident = Identifier.parse(name)
+        catalog, ident = self.resolve(name)
         location = self._view_location(ident)
         md = ViewMetadata.new(location, sql)
         path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
         FileIO.write_text(path, md.to_json())
-        self.catalog.register(ident, path, kind="view")
+        catalog.register(ident, path, kind="view")
         return View(name, md)
 
     def scan_view(self, name: str, version_id: int | None = None) -> DataFrame:
@@ -252,8 +294,8 @@ class Engine:
         pinned historical ``version_id`` (versions are immutable and kept
         after CREATE OR REPLACE / ALTER, so old definitions stay
         queryable for audit — the view analogue of table time travel)."""
-        ident = Identifier.parse(name)
-        location, kind = self.catalog.load(ident)
+        catalog, ident = self.resolve(name)
+        location, kind = catalog.load(ident)
         md = ViewMetadata.from_json(FileIO.read_text(location))
         if version_id is None:
             return self.sql(md.current_sql())
@@ -263,10 +305,12 @@ class Engine:
             )
         return self.sql(md.versions[version_id].sql)
 
-    def _swap_view_metadata(self, ident: Identifier, location: str, md: ViewMetadata) -> None:
+    def _swap_view_metadata(
+        self, ident: Identifier, location: str, md: ViewMetadata, catalog: Catalog | None = None
+    ) -> None:
         path = os.path.join(md.location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
         FileIO.write_text(path, md.to_json())
-        self.catalog.swap(ident, location, path)
+        (catalog or self.catalog).swap(ident, location, path)
 
     def add_view_representation(self, name: str, sql: str, dialect: str) -> View:
         """Attach a non-default-dialect SQL representation by creating a
@@ -276,12 +320,12 @@ class Engine:
         view/transaction/operation.rs:24-90 UpdateRepresentation;
         view_metadata.rs:56-61). The engine replays only the spark-dialect
         SQL; other dialects ride along for cross-engine portability."""
-        ident = Identifier.parse(name)
-        location, kind = self.catalog.load(ident)
+        catalog, ident = self.resolve(name)
+        location, kind = catalog.load(ident)
         md = ViewMetadata.from_json(FileIO.read_text(location))
         cur = md.versions[md.current_version_id]
         md.new_version(cur.with_representation(sql, dialect))
-        self._swap_view_metadata(ident, location, md)
+        self._swap_view_metadata(ident, location, md, catalog)
         return View(name, md)
 
     def alter_view_sql(self, name: str, sql: str, dialect: str = "spark") -> View:
@@ -292,8 +336,8 @@ class Engine:
         ``refresh-version-id != current_version_id`` and recomputes."""
         from iceberg_rust_custom_spark.views.view import ViewVersion
 
-        ident = Identifier.parse(name)
-        location, kind = self.catalog.load(ident)
+        catalog, ident = self.resolve(name)
+        location, kind = catalog.load(ident)
         md = ViewMetadata.from_json(FileIO.read_text(location))
         md.new_version(ViewVersion(0, sql, dialect))
         if md.storage_table:
@@ -304,14 +348,14 @@ class Engine:
             if storage.metadata.current_schema().spark_schema() != new_schema:
                 self.drop(md.storage_table)
                 self.create_table(md.storage_table, Schema.from_spark(new_schema))
-        self._swap_view_metadata(ident, location, md)
+        self._swap_view_metadata(ident, location, md, catalog)
         return View(name, md)
 
     def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
         """Create MV + its ``__storage`` table (schema inferred by planning
         the SQL, as the reference does — datafusion-iceberg-sql/src/
         schema.rs:14-44), then run the initial refresh."""
-        ident = Identifier.parse(name)
+        catalog, ident = self.resolve(name)
         storage_name = name + "__storage"
         result_schema = self.sql(sql).schema
         self.create_table(storage_name, Schema.from_spark(result_schema))
@@ -319,13 +363,14 @@ class Engine:
         md = ViewMetadata.new(location, sql, storage_table=storage_name)
         path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")
         FileIO.write_text(path, md.to_json())
-        self.catalog.register(ident, path, kind="materialized-view")
+        catalog.register(ident, path, kind="materialized-view")
         mv = MaterializedView(name, md)
         self.refresh_materialized_view(name)
         return mv
 
     def _load_view_metadata(self, name: str) -> ViewMetadata:
-        location, _ = self.catalog.load(Identifier.parse(name))
+        catalog, ident = self.resolve(name)
+        location, _ = catalog.load(ident)
         return ViewMetadata.from_json(FileIO.read_text(location))
 
     def scan_materialized_view(self, name: str) -> DataFrame:
@@ -342,8 +387,8 @@ class Engine:
         stored = state.get("source-table-states", {})
         out = {}
         for rel in find_relations(md.current_sql()):
-            ident = Identifier.parse(rel)
-            if not self.catalog.tabular_exists(ident):
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
                 continue
             src = self.load_table(rel)
             cur = src.metadata.current_snapshot_id
@@ -381,8 +426,8 @@ class Engine:
                 return ran
         source_states = {}
         for rel in find_relations(md.current_sql()):
-            ident = Identifier.parse(rel)
-            if self.catalog.tabular_exists(ident):
+            rel_cat, ident = self.resolve(rel)
+            if rel_cat.tabular_exists(ident):
                 src = self.load_table(rel)
                 source_states[src.metadata.table_uuid] = src.metadata.current_snapshot_id
         result = self.sql(md.current_sql())
@@ -414,10 +459,10 @@ class Engine:
             return False
         if plan.mode == "join":
             return self._incremental_join_refresh(md, plan)
-        ident = Identifier.parse(plan.relation)
-        if not self.catalog.tabular_exists(ident):
+        rel_cat, ident = self.resolve(plan.relation)
+        if not rel_cat.tabular_exists(ident):
             return False
-        _, kind = self.catalog.load(ident)
+        _, kind = rel_cat.load(ident)
         if kind != "table":
             return False  # view-over-view: full refresh
         src = self.load_table(plan.relation)
@@ -473,10 +518,10 @@ class Engine:
         rels = (plan.relation, plan.relation_b)
         sources = []
         for rel in rels:
-            ident = Identifier.parse(rel)
-            if not self.catalog.tabular_exists(ident):
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
                 return False
-            _, kind = self.catalog.load(ident)
+            _, kind = rel_cat.load(ident)
             if kind != "table":
                 return False
             sources.append(self.load_table(rel))
