@@ -93,10 +93,35 @@ class _MemScheme:
 
 class FileIO:
     _schemes: dict[str, object] = {}
+    # scheme → (module-level factory, kwargs): a PICKLABLE recipe for
+    # rebuilding a backend in another process. Executor-side tasks ship
+    # this spec and call ensure(), so remote blobs (DV ranged GETs) are
+    # fetched where the data is processed instead of funneling through a
+    # driver thread pool (ADVICE r6).
+    _factories: dict[str, tuple] = {}
 
     @classmethod
     def register(cls, scheme: str, impl) -> None:
         cls._schemes[scheme] = impl
+
+    @classmethod
+    def register_factory(cls, scheme: str, factory, kwargs: dict | None = None) -> None:
+        """Record how to rebuild ``scheme``'s backend from scratch in a
+        fresh process: ``factory(**kwargs)``. Both must be picklable —
+        a module-level function and plain-data kwargs."""
+        cls._factories[scheme] = (factory, dict(kwargs or {}))
+
+    @classmethod
+    def executor_spec(cls) -> dict:
+        """The picklable registration recipes (to close over in a UDF)."""
+        return dict(cls._factories)
+
+    @classmethod
+    def ensure(cls, spec: dict) -> None:
+        """Idempotently materialize backends from a spec (executor-side)."""
+        for scheme, (factory, kwargs) in spec.items():
+            if scheme not in cls._schemes:
+                cls.register(scheme, factory(**kwargs))
 
     @classmethod
     def _impl(cls, path: str):
@@ -238,12 +263,29 @@ class _S3Scheme:
         self.client.delete_object(Bucket=bucket, Key=key)
 
 
-def register_s3(client=None, **boto3_client_kwargs) -> None:
+def _s3_from_kwargs(**boto3_client_kwargs):
+    """Module-level factory (picklable by reference) used by executor-side
+    self-registration."""
+    import boto3  # noqa: PLC0415 - optional dependency by design
+
+    return _S3Scheme(boto3.client("s3", **boto3_client_kwargs))
+
+
+def register_s3(client=None, executor_kwargs: dict | None = None, **boto3_client_kwargs) -> None:
     """Route ``s3://`` metadata IO through a boto3 S3 client (built via the
     standard AWS chain when not passed). One call makes every metadata.json,
-    manifest, manifest-list and Avro interop file live on S3."""
+    manifest, manifest-list and Avro interop file live on S3.
+
+    When built from kwargs (standard chain / endpoint_url / explicit
+    creds), the same kwargs are recorded as an executor factory so Spark
+    tasks rebuild the backend where they run (DV blob decode stays fully
+    distributed). A pre-built ``client`` is process-local (not picklable);
+    pass ``executor_kwargs`` to provide its reconstruction recipe."""
     if client is None:
         import boto3  # noqa: PLC0415 - optional dependency by design
 
         client = boto3.client("s3", **boto3_client_kwargs)
+        FileIO.register_factory("s3", _s3_from_kwargs, boto3_client_kwargs)
+    elif executor_kwargs is not None:
+        FileIO.register_factory("s3", _s3_from_kwargs, executor_kwargs)
     FileIO.register("s3", _S3Scheme(client))

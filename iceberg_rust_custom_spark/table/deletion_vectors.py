@@ -184,14 +184,19 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
     inside mapInPandas, then shuffle into the anti-join.
 
     IO routing: every blob read goes through FileIO.read_range. On the
-    executor path, blobs on a remote scheme (s3://, mem://) are fetched by
-    the DRIVER (thread-pooled ranged GETs) and shipped compressed —
-    executors' Python workers only carry the default local/mem registry,
-    not backends registered in the driver process, and a roaring blob is
-    tens of bytes to a few KB regardless of cardinality, so driver memory
-    stays bounded by blob count, not tombstone count. Local-FS blobs are
-    read directly on the executors (the local scheme is registered at
-    module import in every worker)."""
+    executor path, tasks carry only (puffin_path, offset, size) rows plus
+    the picklable FileIO registration spec: each worker self-registers the
+    remote backend (``FileIO.ensure``) and performs its own ranged GETs —
+    the driver never touches the blob bytes, so the decode is fully
+    distributed at any blob count (ADVICE r6). Only when a remote scheme
+    has no executor recipe (a hand-built client that cannot be
+    reconstructed) does the driver fetch the compressed blobs (bounded by
+    blob count — a roaring blob is tens of bytes to a few KB regardless of
+    cardinality) and ship them for distributed decode."""
+    from urllib.parse import urlparse
+
+    from iceberg_rust_custom_spark.io.fileio import FileIO
+
     total = sum(f.record_count for f in dv_files)
     if total <= DRIVER_DECODE_MAX_POSITIONS:
         import pandas as pd
@@ -205,7 +210,12 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
         pdf = pd.concat(frames, ignore_index=True)
         return spark.createDataFrame(pdf, "file_path string, pos long")
 
-    if all(_is_local(f.file_path) for f in dv_files):
+    spec = FileIO.executor_spec()
+
+    def _executor_readable(p: str) -> bool:
+        return _is_local(p) or urlparse(p).scheme in spec
+
+    if all(_executor_readable(f.file_path) for f in dv_files):
         refs = spark.createDataFrame(
             [
                 (f.file_path, f.referenced_data_file, f.content_offset, f.content_size_in_bytes)
@@ -219,6 +229,7 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
 
             from iceberg_rust_custom_spark.io.fileio import FileIO
 
+            FileIO.ensure(spec)  # self-register remote backends in this worker
             for pdf in batches:
                 for _, r in pdf.iterrows():
                     pos = parse_dv_frame(
@@ -228,7 +239,8 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
 
         return refs.mapInPandas(explode, "file_path string, pos long")
 
-    # remote scheme: driver fetches compressed blobs, executors decode
+    # remote scheme without an executor recipe: driver fetches compressed
+    # blobs, executors decode
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=16) as ex:

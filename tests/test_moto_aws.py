@@ -250,3 +250,68 @@ def test_dv_delete_with_metadata_on_s3(spark, s3, tmp_path, monkeypatch):
         assert {r.id for r in t2.scan().collect()} == expect  # executor decode route
     finally:
         FileIO._schemes.pop("s3", None)
+
+
+def test_dv_executor_side_self_registering_s3(spark, tmp_path, monkeypatch):
+    """Executor-side DV decode (r7, ADVICE r6): when the s3 backend is
+    registered from reconstructible kwargs, large-tombstone decode ships
+    only (puffin_path, offset, size) rows plus the registration recipe —
+    each Spark worker self-registers boto3 against the endpoint and does
+    its OWN ranged GETs. The driver never touches a blob (the driver-side
+    fetch helper is poisoned to prove it)."""
+    from moto.server import ThreadedMotoServer
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.io.fileio import FileIO, register_s3
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+    from iceberg_rust_custom_spark.table import deletion_vectors as dv_mod
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server._server.server_address[:2]
+    endpoint = f"http://{host}:{port}"
+    kwargs = dict(
+        endpoint_url=endpoint,
+        region_name="us-east-1",
+        aws_access_key_id="test",
+        aws_secret_access_key="test",
+    )
+    try:
+        import boto3
+
+        boto3.client("s3", **kwargs).create_bucket(Bucket="warehouse")
+        register_s3(**kwargs)  # records the executor factory too
+        assert "s3" in FileIO.executor_spec()
+
+        sch = Schema(0, (NestedField(1, "id", "long", True), NestedField(2, "v", "double", True)))
+        eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+        t = eng.create_table(
+            "xs3dv.t",
+            sch,
+            properties={
+                "write.metadata.path": "s3://warehouse/xs3dv/t/metadata",
+                "write.data.path": str(tmp_path / "data"),
+                "write.delete.format": "dv",
+            },
+        )
+        t.append(spark.createDataFrame([(i, float(i)) for i in range(200)], sch.spark_schema()))
+        delete_where(t, "id % 4 = 0", mode="merge-on-read")
+        dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+        assert dels and all(d.data_file.file_path.startswith("s3://") for d in dels)
+
+        # force the large-tombstone route and poison every driver-side blob
+        # read: only executors may fetch
+        monkeypatch.setattr(dv_mod, "DRIVER_DECODE_MAX_POSITIONS", 0)
+        monkeypatch.setattr(
+            dv_mod,
+            "read_dv_blob",
+            lambda f: (_ for _ in ()).throw(AssertionError("driver fetched a DV blob")),
+        )
+        expect = {i for i in range(200) if i % 4 != 0}
+        assert {r.id for r in t.scan().collect()} == expect
+    finally:
+        FileIO._schemes.pop("s3", None)
+        FileIO._factories.pop("s3", None)
+        server.stop()
