@@ -94,6 +94,9 @@ HEADLINE = [
     # round 5
     "iceberg_dynamic_overwrite",
     "iceberg_stats_broadcast_join",
+    # round 7
+    "iceberg_nested_evolution",
+    "iceberg_multi_catalog_join",
 ]
 
 
@@ -120,7 +123,11 @@ def main():
     # operator, not compile time, run order, or the cache state of /tmp.
     timings = {}
     setup = {}
-    for name in HEADLINE:
+    # SPARK_GRAFT_DEDUP_SCALE_ONLY=1 skips the headline suite and runs only
+    # the scaled dedup ladder below — used for the ×100 ladder, where paying
+    # the full sf0.1 suite first would just add noise and wall time.
+    headline = [] if os.environ.get("SPARK_GRAFT_DEDUP_SCALE_ONLY") else HEADLINE
+    for name in headline:
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
@@ -186,6 +193,15 @@ def main():
             "semantic_dedup",
         ):
             fn = QUERIES[name]
+            if not headline:
+                # scale-only mode skipped the headline suite, so produce the
+                # ×1 comparison point here (prime + steady-state, same
+                # protocol as the headline loop)
+                fn(spark, sf_dir).count()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                timings[name] = round(time.time() - t0, 3)
+                print(f"# {name}@x1: {timings[name]:.2f}s", file=sys.stderr)
             t0 = time.time()
             n = fn(spark, scaled_dir).count()
             dedup_scale[name] = round(time.time() - t0, 3)

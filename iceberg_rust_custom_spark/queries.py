@@ -4724,3 +4724,127 @@ def iceberg_dv_delete(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
     )
+
+
+@q(
+    "iceberg_nested_evolution",
+    """
+    SELECT st, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price,
+           COUNT(disc) AS n_disc,
+           CAST(ROUND(SUM(CAST(disc AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc
+    FROM (
+      SELECT o_orderstatus AS st, o_totalprice AS price, CAST(NULL AS DOUBLE) AS disc
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, o_totalprice * 0.5
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY st
+    """,
+)
+def iceberg_nested_evolution(spark, sf_dir):
+    """Nested-field schema evolution (reference field-id model:
+    iceberg-rust-spec/src/spec/types.rs:185-344): epoch 1 writes
+    ``info STRUCT<status, price>``; the struct member is then RENAMED
+    (info.status -> info.st, id kept) and a member ADDED (info.disc,
+    fresh table-unique id); epoch 2 writes the evolved shape. One
+    full-table read must resolve both epochs by field id — renamed
+    members keep their old files' values, the added member null-fills
+    them. Oracle = evens (disc NULL) union odds (disc = price/2)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:nestev".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_nested"):
+        odf = _t(spark, sf_dir, "orders")
+        eng.sql(
+            "CREATE TABLE rt.ord_nested (o_orderkey BIGINT, "
+            "info STRUCT<status: STRING, price: DOUBLE>) STORED AS ICEBERG"
+        )
+        t = eng.load_table("rt.ord_nested")
+        t.append(
+            odf.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").cast("double").alias("price"),
+                ).alias("info"),
+            )
+        )
+        t.update_schema().rename_column("info.status", "st").commit()
+        t.update_schema().add_column("info.disc", "double").commit()
+        t.append(
+            odf.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_orderstatus").alias("st"),
+                    F.col("o_totalprice").cast("double").alias("price"),
+                    (F.col("o_totalprice") * 0.5).cast("double").alias("disc"),
+                ).alias("info"),
+            )
+        )
+    return (
+        eng.load_table("rt.ord_nested")
+        .scan()
+        .groupBy(F.col("info.st").alias("st"))
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("info.price")).alias("sum_price"),
+            F.count(F.col("info.disc")).alias("n_disc"),
+            _dsum(F.col("info.disc")).alias("sum_disc"),
+        )
+    )
+
+
+@q(
+    "iceberg_multi_catalog_join",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_multi_catalog_join(spark, sf_dir):
+    """Multi-catalog session (reference ``CatalogList``:
+    iceberg-rust/src/catalog/mod.rs:106-121,
+    datafusion_iceberg/src/catalog/catalog_list.rs:13-80): one Engine
+    bound to TWO heterogeneous catalogs (file-based + sqlite-based);
+    orders lives in ``sales``, customer in ``crm``; a single SQL
+    statement joins across them via 3-part ``cat.ns.table`` names."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_custom_spark.catalog.sql_catalog import SqlCatalog
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:multicat".encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(
+        spark,
+        catalogs={
+            "sales": FileCatalog(os.path.join(base, "sales_wh")),
+            "crm": SqlCatalog(os.path.join(base, "crm.db")),
+        },
+        default_catalog="sales",
+        warehouse=os.path.join(base, "shared_wh"),
+    )
+    if not eng.table_exists("sales.rt.orders"):
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        eng.create_table("sales.rt.orders", odf.schema)
+        eng.load_table("sales.rt.orders").append(odf)
+    if not eng.table_exists("crm.rt.customer"):
+        cdf = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        eng.create_table("crm.rt.customer", cdf.schema)
+        eng.load_table("crm.rt.customer").append(cdf)
+    return eng.sql(
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue "
+        "FROM sales.rt.orders o JOIN crm.rt.customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )

@@ -397,7 +397,20 @@ class Table:
         return inserts.unionByName(deleted)
 
     # ----------------------------------------------------------------- write
+    def _refresh_for_write(self) -> None:
+        """Re-load the latest committed metadata before a write, so a handle
+        held across another writer's (or the Engine's DDL) commit writes
+        against the CURRENT schema/spec instead of failing the cast to a
+        stale one — the Iceberg client convention (commits rebase; writes
+        plan against the freshest metadata). Handles detached from a
+        catalog (dropped table, in-memory use) keep their local view."""
+        try:
+            self.refresh()
+        except Exception:
+            pass
+
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH, summary: dict | None = None) -> "Table":
+        self._refresh_for_write()
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         files = write_partitioned(df, self.metadata, data_dir)
         tx = self.new_transaction(branch).append(files)
@@ -407,6 +420,7 @@ class Table:
         return self
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Table":
+        self._refresh_for_write()
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         files = write_partitioned(df, self.metadata, data_dir)
         self.metadata = self.new_transaction(branch).rewrite(files).commit()
@@ -437,6 +451,7 @@ class Table:
         not become a full-table rewrite)."""
         from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
 
+        self._refresh_for_write()
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
         new_files = write_partitioned(df, self.metadata, data_dir)
         if not self.metadata.default_spec().is_partitioned:

@@ -207,3 +207,22 @@ def test_nested_ddl_paths(eng, spark):
     assert names == ["a", "tag"]
     rows = {(r.id, r.s.tag) for r in t.scan().collect()}
     assert rows == {(1, "x"), (2, "y")}
+
+
+def test_stale_handle_append_after_engine_ddl(eng, spark):
+    """A handle loaded BEFORE an Engine-level ALTER TABLE must append the
+    evolved shape: writes refresh against the catalog's latest metadata
+    (the Iceberg client convention) instead of failing the cast to the
+    stale schema."""
+    eng.sql("CREATE TABLE ns.stale (id BIGINT, s STRUCT<a: BIGINT, b: STRING>) STORED AS ICEBERG")
+    t = eng.load_table("ns.stale")  # stale after the DDL below
+    t.append(spark.createDataFrame([(1, (10, "x"))], "id long, s struct<a: long, b: string>"))
+    eng.sql("ALTER TABLE ns.stale RENAME COLUMN s.b TO tag")
+    eng.sql("ALTER TABLE ns.stale ADD COLUMN s.c DOUBLE")
+    t.append(
+        spark.createDataFrame(
+            [(2, (20, "y", 0.5))], "id long, s struct<a: long, tag: string, c: double>"
+        )
+    )
+    rows = {(r.id, r.s.a, r.s.tag, r.s.c) for r in t.scan().collect()}
+    assert rows == {(1, 10, "x", None), (2, 20, "y", 0.5)}
