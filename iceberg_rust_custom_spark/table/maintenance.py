@@ -57,6 +57,99 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     return table
 
 
+def rewrite_position_deletes(table: Table) -> Table:
+    """Consolidate accumulated merge-on-read delete files: every pending
+    tombstone — parquet position-delete files, existing deletion-vector
+    blobs, and equality deletes (converted to explicit positions via a
+    sequence-gated semi-join) — is re-expressed as ONE deletion vector per
+    referenced data file in a single Puffin container, committed as a
+    history-retaining rewrite that carries all data files UNTOUCHED (no
+    data bytes move; work scales with tombstone count + one narrow key-
+    column scan when equality deletes are pending, never with table size).
+
+    This is the read-amplification fix at 100 TB: a MoR table accumulating
+    one delete file per DELETE commit pays one extra broadcast build per
+    scan per delete file; after consolidation a scan decodes at most one
+    roaring blob per data file (~2 B/tombstone). Iceberg's
+    RewritePositionDeleteFiles action + the v3 position-delete→DV
+    migration path re-expressed Spark-side — the reference has no
+    delete-file maintenance at all (its Rewrite op, operation.rs:378-552,
+    only rewrites data files).
+
+    Like ``compact``, the commit re-adds carried files at a new sequence
+    number under operation 'overwrite', so incremental-MV consumers fall
+    back to a full refresh rather than double-counting re-added files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.table.deletion_vectors import (
+        dv_positions_df,
+        write_deletion_vectors,
+    )
+    from iceberg_rust_custom_spark.table.scan import (
+        _read_with_field_id_resolution,
+        _with_lineage,
+        data_file_sequence_numbers,
+        equality_delete_hits,
+        plan_delete_files,
+        plan_files,
+    )
+
+    table._refresh_for_write()
+    md = table.metadata
+    snap = md.snapshot_for_ref()
+    if snap is None:
+        return table
+    deletes = plan_delete_files(md, snap)
+    if not deletes:
+        return table
+    spark = table.spark
+    pos_parquet = [
+        e.data_file
+        for e in deletes
+        if e.data_file.content == 1 and e.data_file.file_format != "puffin"
+    ]
+    pos_dv = [
+        e.data_file
+        for e in deletes
+        if e.data_file.content == 1 and e.data_file.file_format == "puffin"
+    ]
+    eq_entries = [e for e in deletes if e.data_file.content == 2]
+    carried = plan_files(md, snap)
+    parts = []
+    if pos_parquet:
+        parts.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[d.file_path for d in pos_parquet])
+            .select("file_path", "pos")
+        )
+    if pos_dv:
+        parts.append(dv_positions_df(spark, pos_dv))
+    if eq_entries and carried:
+        schema = md.current_schema()
+        if len(md.schemas) > 1:
+            df = _read_with_field_id_resolution(spark, md, schema, carried, lineage=True)
+        else:
+            df = _with_lineage(
+                spark.read.schema(schema.spark_schema()).parquet(*[f.file_path for f in carried])
+            )
+        hits = equality_delete_hits(
+            spark, df, eq_entries, data_file_sequence_numbers(md, snap), schema=schema
+        )
+        parts.append(
+            hits.select(F.col("_sg_file").alias("file_path"), F.col("_sg_pos").alias("pos"))
+        )
+    if not parts:
+        return table
+    all_hits = parts[0]
+    for p in parts[1:]:
+        all_hits = all_hits.unionByName(p)
+    dv_files = write_deletion_vectors(table, all_hits.distinct())
+    table.metadata = (
+        table.new_transaction().rewrite(carried + dv_files, retain_history=True).commit()
+    )
+    return table
+
+
 def maintain(table: Table, small_file_bytes: int | None = None, min_small_files: int = 8) -> Table:
     """Compaction *policy* (the reference ships the Rewrite op but no
     trigger — operation.rs:68-81): compact when at least ``min_small_files``

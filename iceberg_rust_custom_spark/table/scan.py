@@ -583,6 +583,23 @@ def _apply_equality_deletes(
     (Iceberg v2 ordering). The delete file's equality_ids (or, for legacy
     files, its own schema) IS its key set; files sharing a key set batch
     into one anti-join."""
+    return _equality_deletes_impl(spark, df, eq_entries, file_seqs, schema, how="left_anti")
+
+
+def equality_delete_hits(
+    spark, df: DataFrame, eq_entries: list, file_seqs: dict, schema: Schema | None = None
+) -> DataFrame:
+    """(_sg_file, _sg_pos) of data rows matched by ANY pending equality
+    delete — the SEMI counterpart of ``_apply_equality_deletes``, same
+    sequence-number gating. Used by ``rewrite_position_deletes`` to convert
+    equality deletes to position form (per-keyset semi-joins unioned, since
+    chaining semi-joins would intersect instead of union)."""
+    return _equality_deletes_impl(spark, df, eq_entries, file_seqs, schema, how="left_semi")
+
+
+def _equality_deletes_impl(
+    spark, df: DataFrame, eq_entries: list, file_seqs: dict, schema: Schema | None, how: str
+) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -611,6 +628,7 @@ def _apply_equality_deletes(
     for e in eq_entries:
         by_keyset.setdefault(_key_cols(e), []).append(e)
     name_to_field = {f.name: f for f in schema.fields} if schema else {}
+    semi_parts = []
     for cols, entries in by_keyset.items():
         read_schema = None
         if all(c in name_to_field for c in cols):
@@ -632,7 +650,17 @@ def _apply_equality_deletes(
         cond = eq_df["_sg_eseq"] > df["_sg_dseq"]
         for c in cols:
             cond = cond & df[c].eqNullSafe(eq_df[f"_sg_k_{c}"])
-        df = df.join(eq_df, cond, "left_anti")
+        if how == "left_semi":
+            semi_parts.append(df.join(eq_df, cond, "left_semi").select("_sg_file", "_sg_pos"))
+        else:
+            df = df.join(eq_df, cond, "left_anti")
+    if how == "left_semi":
+        if not semi_parts:
+            return spark.createDataFrame([], "_sg_file string, _sg_pos long")
+        out = semi_parts[0]
+        for p in semi_parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
     return df.drop("_sg_dseq")
 
 

@@ -559,3 +559,94 @@ def test_dynamic_overwrite_materializes_pending_equality_deletes(eng, spark):
     ids = {r.id for r in t.scan().collect()}
     assert ids == set(range(3, 10)) | {500} | {i + 200 for i in range(10)}
     assert plan_delete_files(t.metadata, t.metadata.snapshot_for_ref()) == []
+
+
+# ------------------------------------------------- rewrite_position_deletes
+
+
+def test_rewrite_position_deletes_consolidates(t):
+    """Three MoR DELETE commits accumulate three parquet tombstone files;
+    consolidation replaces them with DV blobs — at most one per referenced
+    data file, all in ONE puffin container — without touching data files,
+    and the visible rows are unchanged."""
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_position_deletes
+
+    delete_where(t, "id < 10", mode="merge-on-read")
+    delete_where(t, "id >= 90 and id < 100", mode="merge-on-read")
+    delete_where(t, "grp = 'late' and id >= 105", mode="merge-on-read")
+    before_rows = {(r.id, r.grp, r.v) for r in t.scan().collect()}
+    before_files = {f.file_path for f in _datafiles(t)}
+    dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert len(dels) >= 3 and all(d.data_file.file_format != "puffin" for d in dels)
+
+    rewrite_position_deletes(t)
+
+    assert {(r.id, r.grp, r.v) for r in t.scan().collect()} == before_rows
+    assert {f.file_path for f in _datafiles(t)} == before_files  # data untouched
+    after = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert after and all(d.data_file.file_format == "puffin" for d in after)
+    assert len({d.data_file.file_path for d in after}) == 1  # one container
+    refs = [d.data_file.referenced_data_file for d in after]
+    assert len(refs) == len(set(refs))  # one DV per referenced data file
+    # tombstone cardinality preserved: 10 + 10 + 5 deleted rows
+    assert sum(d.data_file.record_count for d in after) == 25
+
+
+def test_rewrite_position_deletes_converts_equality_deletes(t, spark):
+    """Equality deletes convert to explicit positions in the same pass —
+    after consolidation no content=2 entries remain, rows stay hidden, and
+    a LATER re-insert of a converted key is visible (positions pin the old
+    rows only, so conversion preserves v2 resurrect semantics)."""
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_position_deletes
+
+    delete_by_key(t, [0, 1, 2], key_cols=["id"])
+    delete_where(t, "id >= 95 and id < 100", mode="merge-on-read")
+    before_rows = {(r.id, r.grp, r.v) for r in t.scan().collect()}
+
+    rewrite_position_deletes(t)
+
+    assert {(r.id, r.grp, r.v) for r in t.scan().collect()} == before_rows
+    after = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert after and all(d.data_file.content == 1 for d in after)
+    assert all(d.data_file.file_format == "puffin" for d in after)
+    t.append(spark.createDataFrame([(0, "even", 0.0)], "id long, grp string, v double"))
+    assert t.scan().where("id = 0").count() == 1  # resurrected re-insert
+
+
+def test_rewrite_position_deletes_merges_existing_dvs(eng, spark):
+    """DV-format tables: two DELETE commits produce two puffin containers;
+    consolidation merges them into one, unioning per-file bitmaps."""
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_position_deletes
+
+    eng.sql("CREATE TABLE ns.dvm (id BIGINT, v DOUBLE) STORED AS ICEBERG")
+    tt = eng.load_table("ns.dvm")
+    tt.metadata = tt.new_transaction().set_properties({"write.delete.format": "dv"}).commit()
+    tt.append(spark.createDataFrame([(i, float(i)) for i in range(40)], "id long, v double"))
+    delete_where(tt, "id < 5", mode="merge-on-read")
+    delete_where(tt, "id >= 35", mode="merge-on-read")
+    assert len({d.data_file.file_path for d in plan_delete_files(tt.metadata, tt.metadata.snapshot_for_ref())}) == 2
+
+    rewrite_position_deletes(tt)
+
+    assert {r.id for r in tt.scan().collect()} == set(range(5, 35))
+    after = plan_delete_files(tt.metadata, tt.metadata.snapshot_for_ref())
+    assert len({d.data_file.file_path for d in after}) == 1
+    assert sum(d.data_file.record_count for d in after) == 10
+
+
+def test_rewrite_position_deletes_noop_without_deletes(t):
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_position_deletes
+
+    snap_before = t.metadata.snapshot_for_ref().snapshot_id
+    rewrite_position_deletes(t)
+    assert t.metadata.snapshot_for_ref().snapshot_id == snap_before
+
+
+def test_rewrite_position_deletes_keeps_time_travel(t):
+    from iceberg_rust_custom_spark.table.maintenance import rewrite_position_deletes
+
+    pre_delete_snap = t.metadata.snapshot_for_ref().snapshot_id
+    delete_where(t, "id < 50", mode="merge-on-read")
+    rewrite_position_deletes(t)
+    assert t.scan().count() == 60
+    assert t.scan(snapshot_id=pre_delete_snap).count() == 110  # history retained
