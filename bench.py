@@ -97,6 +97,7 @@ HEADLINE = [
     # round 7
     "iceberg_nested_evolution",
     "iceberg_multi_catalog_join",
+    "iceberg_rewrite_position_deletes",
 ]
 
 

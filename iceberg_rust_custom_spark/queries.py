@@ -4848,3 +4848,60 @@ def iceberg_multi_catalog_join(spark, sf_dir):
         "FROM sales.rt.orders o JOIN crm.rt.customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     )
+
+
+@q(
+    "iceberg_rewrite_position_deletes",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 5) AND NOT (l_quantity >= 45)
+      AND l_orderkey NOT IN (1, 2, 3)
+    GROUP BY l_returnflag
+    """,
+)
+def iceberg_rewrite_position_deletes(spark, sf_dir):
+    """Delete-file consolidation (Iceberg's RewritePositionDeleteFiles +
+    the v3 position-delete→DV migration; beyond the reference, whose
+    Rewrite op only touches data files — operation.rs:378-552): two MoR
+    DELETE commits (parquet tombstones) plus an equality-delete commit
+    accumulate three delete files; ``rewrite_position_deletes`` re-expresses
+    all of them as one DV per referenced data file in ONE puffin container,
+    carrying every data file untouched. The scan after consolidation must
+    hash-match the three predicates' conjunction."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import (
+        delete_by_key,
+        delete_where,
+        rewrite_position_deletes,
+    )
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+    tag = hashlib.md5(f"{sf_dir}:rwpd".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.li_rwpd"):
+        df = _t(spark, sf_dir, "lineitem")
+        t = eng.create_table("rt.li_rwpd", df.schema)
+        t.append(df)
+        delete_where(t, "l_quantity < 5", mode="merge-on-read")
+        delete_where(t, "l_quantity >= 45", mode="merge-on-read")
+        delete_by_key(t, [1, 2, 3], key_cols=["l_orderkey"])
+        data_before = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+        rewrite_position_deletes(t)
+        # structural assertions: one puffin container, data files untouched
+        dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+        assert dels and all(e.data_file.file_format == "puffin" for e in dels)
+        assert len({e.data_file.file_path for e in dels}) == 1
+        data_after = {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
+        assert data_after == data_before
+    return (
+        eng.load_table("rt.li_rwpd")
+        .scan()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
