@@ -98,6 +98,7 @@ HEADLINE = [
     "iceberg_nested_evolution",
     "iceberg_multi_catalog_join",
     "iceberg_rewrite_position_deletes",
+    "iceberg_default_values",
 ]
 
 

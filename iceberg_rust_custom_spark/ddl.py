@@ -173,7 +173,11 @@ _ALTER_RE = re.compile(
 _ALTER_CLAUSES = {
     "set_props": re.compile(r"^SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
     "unset_props": re.compile(r"^UNSET\s+TBLPROPERTIES\s*\((?P<ks>.+)\)\s*$", re.IGNORECASE | re.DOTALL),
-    "add_col": re.compile(r"^ADD\s+COLUMNS?\s*\(?\s*(?P<name>[\w.]+)\s+(?P<type>[\w()<>, ]+?)\s*\)?\s*$", re.IGNORECASE),
+    "add_col": re.compile(
+        r"^ADD\s+COLUMNS?\s*\(?\s*(?P<name>[\w.]+)\s+(?P<type>[\w()<>, ]+?)"
+        r"(?:\s+DEFAULT\s+(?P<default>'[^']*'|[-\w.]+))?\s*\)?\s*$",
+        re.IGNORECASE,
+    ),
     "rename_col": re.compile(r"^RENAME\s+COLUMN\s+(?P<old>[\w.]+)\s+TO\s+(?P<new>\w+)\s*$", re.IGNORECASE),
     "drop_col": re.compile(r"^DROP\s+COLUMNS?\s*\(?\s*(?P<name>[\w.]+)\s*\)?\s*$", re.IGNORECASE),
     "widen_col": re.compile(r"^ALTER\s+COLUMN\s+(?P<name>[\w.]+)\s+TYPE\s+(?P<type>[\w()<>, ]+?)\s*$", re.IGNORECASE),
@@ -753,6 +757,16 @@ def _execute_alter(engine, spark, name: str, rest: str) -> DataFrame:
         return spark.range(1)
     m = _ALTER_CLAUSES["add_col"].match(rest)
     if m:
-        t.update_schema().add_column(m.group("name"), _iceberg_type(m.group("type"))).commit()
+        default = m.group("default")
+        if default is not None:  # SQL literal → Python value (v3 defaults)
+            if default.startswith("'"):
+                default = default[1:-1]
+            elif default.upper() in ("TRUE", "FALSE"):
+                default = default.upper() == "TRUE"
+            else:
+                default = float(default) if "." in default else int(default)
+        t.update_schema().add_column(
+            m.group("name"), _iceberg_type(m.group("type")), default=default
+        ).commit()
         return spark.range(1)
     raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")

@@ -144,16 +144,34 @@ class NestedField:
     field_type: object  # str primitive or nested dict
     required: bool = False
     doc: str | None = None
+    # Iceberg v3 default values (spec "Default values" + single-value JSON
+    # serialization): initial-default is the value rows written BEFORE the
+    # field existed read back as (fixed at add-column time, never changed);
+    # write-default fills the column when a writer omits it.
+    initial_default: object = None
+    write_default: object = None
 
     def to_dict(self) -> dict:
         d = {"id": self.field_id, "name": self.name, "type": self.field_type, "required": self.required}
         if self.doc:
             d["doc"] = self.doc
+        if self.initial_default is not None:
+            d["initial-default"] = self.initial_default
+        if self.write_default is not None:
+            d["write-default"] = self.write_default
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "NestedField":
-        return cls(d["id"], d["name"], d["type"], d.get("required", False), d.get("doc"))
+        return cls(
+            d["id"],
+            d["name"],
+            d["type"],
+            d.get("required", False),
+            d.get("doc"),
+            d.get("initial-default"),
+            d.get("write-default"),
+        )
 
     def spark_field(self) -> T.StructField:
         return T.StructField(

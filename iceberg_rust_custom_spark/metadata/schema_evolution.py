@@ -23,6 +23,8 @@ Allowed type promotions (Iceberg spec v2): int→long, float→double.
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
 
 _PROMOTIONS = {("int", "long"), ("float", "double")}
@@ -94,11 +96,15 @@ class SchemaUpdate:
         top, *rest = path.split(".")
         i = self._idx(top)
         f = self._fields[i]
-        self._fields[i] = NestedField(
-            f.field_id, f.name, _edit_struct(f.field_type, rest, op), f.required, f.doc
-        )
+        self._fields[i] = _dc.replace(f, field_type=_edit_struct(f.field_type, rest, op))
 
-    def add_column(self, name: str, field_type, doc: str | None = None) -> "SchemaUpdate":
+    def add_column(
+        self, name: str, field_type, doc: str | None = None, default=None
+    ) -> "SchemaUpdate":
+        """``default`` (Iceberg v3): sets BOTH initial-default (what rows
+        written before the field existed read back as — fixed here, never
+        mutated later, per spec) and write-default (what a writer omitting
+        the column fills in)."""
         if "." in name:
             def op(fields, leaf):
                 if any(x["name"] == leaf for x in fields):
@@ -106,6 +112,9 @@ class SchemaUpdate:
                 d = {"id": self._next_id, "name": leaf, "type": field_type, "required": False}
                 if doc:
                     d["doc"] = doc
+                if default is not None:
+                    d["initial-default"] = default
+                    d["write-default"] = default
                 return [*fields, d]
 
             self._nested(name, op)
@@ -114,7 +123,9 @@ class SchemaUpdate:
         if any(f.name == name for f in self._fields):
             raise ValueError(f"column {name!r} already exists")
         # new columns are always optional: existing files have no values
-        self._fields.append(NestedField(self._next_id, name, field_type, False, doc))
+        self._fields.append(
+            NestedField(self._next_id, name, field_type, False, doc, default, default)
+        )
         self._next_id += 1
         return self
 
@@ -136,7 +147,7 @@ class SchemaUpdate:
             raise ValueError(f"column {new!r} already exists")
         i = self._idx(old)
         f = self._fields[i]
-        self._fields[i] = NestedField(f.field_id, new, f.field_type, f.required, f.doc)
+        self._fields[i] = _dc.replace(f, name=new)
         return self
 
     def drop_column(self, name: str) -> "SchemaUpdate":
@@ -181,7 +192,7 @@ class SchemaUpdate:
         f = self._fields[i]
         if (f.field_type, new_type) not in _PROMOTIONS:
             raise ValueError(f"type promotion {f.field_type} → {new_type} is not allowed")
-        self._fields[i] = NestedField(f.field_id, name, new_type, f.required, f.doc)
+        self._fields[i] = _dc.replace(f, field_type=new_type)
         return self
 
     def commit(self):

@@ -4905,3 +4905,51 @@ def iceberg_rewrite_position_deletes(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
     )
+
+
+@q(
+    "iceberg_default_values",
+    """
+    SELECT channel, o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'web' ELSE 'store' END AS channel,
+             o_orderstatus, o_totalprice
+      FROM orders
+    ) GROUP BY channel, o_orderstatus
+    """,
+)
+def iceberg_default_values(spark, sf_dir):
+    """Iceberg v3 default values: epoch 1 predates the ``channel`` column;
+    ``add_column(default='store')`` fixes its initial-default, so epoch-1
+    rows read back 'store' without rewriting a byte; epoch 2 appends
+    WITHOUT the column (write-default fills 'store'); epoch 3 provides
+    'web' explicitly. The reference has no default-value model — this is
+    v3-spec parity beyond it."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:defval".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_defv"):
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        eng.sql(
+            "CREATE TABLE rt.ord_defv (o_orderkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE) STORED AS ICEBERG"
+        )
+        t = eng.load_table("rt.ord_defv")
+        t.append(odf.where(F.col("o_orderkey") % 3 == 0))
+        t.update_schema().add_column("channel", "string", default="store").commit()
+        t.append(odf.where(F.col("o_orderkey") % 3 == 1))  # write-default fill
+        t.append(
+            odf.where(F.col("o_orderkey") % 3 == 2).withColumn("channel", F.lit("web"))
+        )
+    return (
+        eng.load_table("rt.ord_defv")
+        .scan()
+        .groupBy("channel", "o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

@@ -687,8 +687,11 @@ def _project_evolved(col, write_type, cur_type):
         children = []
         for cf in cur_type["fields"]:
             wf = wmap.get(cf["id"])
-            if wf is None:  # member added after these files were written
-                children.append(F.lit(None).cast(type_to_spark(cf["type"])).alias(cf["name"]))
+            if wf is None:  # member added after these files were written:
+                # initial-default (v3) or null-fill
+                children.append(
+                    F.lit(cf.get("initial-default")).cast(type_to_spark(cf["type"])).alias(cf["name"])
+                )
             else:
                 children.append(
                     _project_evolved(col[wf["name"]], wf["type"], cf["type"]).alias(cf["name"])
@@ -737,8 +740,11 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
             exprs = []
             for f in schema.fields:
                 wf = wfields.get(f.field_id)
-                if wf is None:  # column added after these files were written
-                    exprs.append(F.lit(None).cast(type_to_spark(f.field_type)).alias(f.name))
+                if wf is None:  # column added after these files were written:
+                    # initial-default (v3) or null-fill
+                    exprs.append(
+                        F.lit(f.initial_default).cast(type_to_spark(f.field_type)).alias(f.name)
+                    )
                 else:
                     exprs.append(
                         _project_evolved(F.col(wf.name), wf.field_type, f.field_type).alias(f.name)

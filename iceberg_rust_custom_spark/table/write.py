@@ -157,18 +157,27 @@ def collect_datafile_stats(
     )
 
 
-def _align_to_schema(df: DataFrame, target) -> DataFrame:
+def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
     """Validate + align an incoming DataFrame to the table schema before
     writing (the reference rejects non-equivalent insert schemas,
     datafusion_iceberg/src/table.rs:216-236). Columns are matched by name,
     reordered, and cast when the type differs (e.g. a with-timezone
-    TIMESTAMP literal into a TIMESTAMP_NTZ column); missing or extra
-    columns are an error, not a silent null-fill."""
+    TIMESTAMP literal into a TIMESTAMP_NTZ column). Missing or extra
+    columns are an error, not a silent null-fill — EXCEPT a missing column
+    whose field declares a write-default (Iceberg v3), which fills with
+    that default."""
     from pyspark.sql import functions as F
 
+    write_defaults = {}
+    if iceberg_schema is not None:
+        write_defaults = {
+            f.name: f.write_default
+            for f in iceberg_schema.fields
+            if f.write_default is not None
+        }
     have = {f.name for f in df.schema.fields}
     want = [f for f in target.fields]
-    missing = [f.name for f in want if f.name not in have]
+    missing = [f.name for f in want if f.name not in have and f.name not in write_defaults]
     extra = sorted(have - {f.name for f in want})
     if missing or extra:
         raise ValueError(
@@ -177,6 +186,9 @@ def _align_to_schema(df: DataFrame, target) -> DataFrame:
     by_name = {f.name: f for f in df.schema.fields}
     cols = []
     for f in want:
+        if f.name not in by_name:  # write-default fill
+            cols.append(F.lit(write_defaults[f.name]).cast(f.dataType).alias(f.name))
+            continue
         c = F.col(f.name)
         if by_name[f.name].dataType != f.dataType:
             c = c.cast(f.dataType).alias(f.name)
@@ -192,7 +204,7 @@ def write_partitioned(
 ) -> list[DataFile]:
     """Run the distributed write job; return DataFile records with stats."""
     schema = metadata.current_schema()
-    df = _align_to_schema(df, schema.spark_schema())
+    df = _align_to_schema(df, schema.spark_schema(), iceberg_schema=schema)
     spec = metadata.default_spec()
     target_bytes = int(metadata.properties.get("write.target-file-size-bytes", 512_000_000))
     codec = metadata.properties.get("write.parquet.compression-codec", "zstd")

@@ -226,3 +226,62 @@ def test_stale_handle_append_after_engine_ddl(eng, spark):
     )
     rows = {(r.id, r.s.a, r.s.tag, r.s.c) for r in t.scan().collect()}
     assert rows == {(1, 10, "x", None), (2, 20, "y", 0.5)}
+
+
+# ----------------------------------------------------- v3 default values
+
+
+def test_add_column_with_default_both_epochs(eng, spark):
+    """Iceberg v3 defaults: rows written BEFORE the field existed read back
+    the initial-default; a writer omitting the column after the add gets
+    the write-default; explicit values win."""
+    t = _mk(eng, spark, "ns.dv1")
+    t.update_schema().add_column("priority", "string", default="standard").commit()
+    # writer omits the new column entirely → write-default fill
+    t.append(spark.createDataFrame([(3, 30, "c")], "id long, qty int, label string"))
+    # writer provides it explicitly
+    t.append(
+        spark.createDataFrame(
+            [(4, 40, "d", "rush")], "id long, qty int, label string, priority string"
+        )
+    )
+    by_id = {r.id: r.priority for r in t.scan().collect()}
+    assert by_id == {1: "standard", 2: "standard", 3: "standard", 4: "rush"}
+
+
+def test_default_survives_catalog_roundtrip_and_rename(eng, spark):
+    t = _mk(eng, spark, "ns.dv2")
+    t.update_schema().add_column("score", "long", default=7).commit()
+    t.update_schema().rename_column("score", "rating").commit()
+    t2 = eng.load_table("ns.dv2")  # fresh metadata from catalog JSON
+    f = t2.metadata.current_schema().field_by_name("rating")
+    assert f.initial_default == 7 and f.write_default == 7
+    assert {r.rating for r in t2.scan().collect()} == {7}
+
+
+def test_nested_add_with_default(eng, spark):
+    t = _mk_nested(eng, spark, "ns.dv3")
+    t.update_schema().add_column("s.lang", "string", default="en").commit()
+    t.append(
+        spark.createDataFrame(
+            [(3, (30, "z", "fr"))], "id long, s struct<a: long, b: string, lang: string>"
+        )
+    )
+    rows = {(r.id, r.s.lang) for r in t.scan().collect()}
+    assert rows == {(1, "en"), (2, "en"), (3, "fr")}
+
+
+def test_add_column_default_ddl(eng, spark):
+    t = _mk(eng, spark, "ns.dv4")
+    eng.sql("ALTER TABLE ns.dv4 ADD COLUMN priority STRING DEFAULT 'standard'")
+    eng.sql("ALTER TABLE ns.dv4 ADD COLUMN weight DOUBLE DEFAULT 1.5")
+    t = eng.load_table("ns.dv4")
+    rows = {(r.id, r.priority, r.weight) for r in t.scan().collect()}
+    assert rows == {(1, "standard", 1.5), (2, "standard", 1.5)}
+
+
+def test_no_default_still_errors_on_missing_column(eng, spark):
+    t = _mk(eng, spark, "ns.dv5")
+    t.update_schema().add_column("extra", "string").commit()  # no default
+    with pytest.raises(ValueError, match="missing columns"):
+        t.append(spark.createDataFrame([(3, 30, "c")], "id long, qty int, label string"))
