@@ -99,6 +99,7 @@ HEADLINE = [
     "iceberg_multi_catalog_join",
     "iceberg_rewrite_position_deletes",
     "iceberg_default_values",
+    "iceberg_row_lineage",
 ]
 
 

@@ -281,6 +281,11 @@ def manifest_entry_schema_v2(partition_schema: dict) -> dict:
             {"name": "referenced_data_file", "type": ["null", "string"], "default": None, "field-id": 143},
             {"name": "content_offset", "type": ["null", "long"], "default": None, "field-id": 144},
             {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None, "field-id": 145},
+            # spec v3 row lineage (field 142). Written verbatim, including
+            # the internal -1 "explicit _row_id columns in file" marker —
+            # dropping it on an Avro round-trip would let a later rewrite
+            # reassign ids and silently change row identity.
+            {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 142},
         ],
     }
     return {
@@ -403,6 +408,7 @@ def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec
             "referenced_data_file": df.referenced_data_file,
             "content_offset": df.content_offset,
             "content_size_in_bytes": df.content_size_in_bytes,
+            "first_row_id": df.first_row_id,
         },
     }
 
@@ -453,6 +459,7 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
         referenced_data_file=d.get("referenced_data_file"),
         content_offset=d.get("content_offset"),
         content_size_in_bytes=d.get("content_size_in_bytes"),
+        first_row_id=d.get("first_row_id"),
     )
     # snapshot_id / sequence_number stay None when absent — 0 is a legal
     # explicit value another engine may write, and v2 inheritance must only

@@ -101,6 +101,12 @@ class DataFile:
     referenced_data_file: str | None = None
     content_offset: int | None = None
     content_size_in_bytes: int | None = None
+    # v3 row lineage: _row_id of this file's first row; rows inherit
+    # first_row_id + position. None = not yet assigned (commit assigns for
+    # content=0). -1 = rows carry EXPLICIT _row_id/_last_updated_sequence_
+    # number columns written into the file (compaction preservation) — the
+    # internal encoding of the spec's "null with explicit values" state.
+    first_row_id: int | None = None
     # partition spec the file was written under. NOT serialized in the
     # manifest (spec id lives on the manifest-list row, like the
     # reference's manifest_list.rs:26-59); annotated at read time so CoW
@@ -145,6 +151,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("referenced_data_file", pa.string()),  # nullable (v3 DV)
         ("content_offset", pa.int64()),  # nullable (v3 DV)
         ("content_size_in_bytes", pa.int64()),  # nullable (v3 DV)
+        ("first_row_id", pa.int64()),  # nullable (v3 row lineage)
     ]
 )
 
@@ -195,6 +202,7 @@ def entry_to_row(e: ManifestEntry) -> dict:
         "referenced_data_file": df.referenced_data_file,
         "content_offset": df.content_offset,
         "content_size_in_bytes": df.content_size_in_bytes,
+        "first_row_id": df.first_row_id,
     }
 
 
@@ -313,6 +321,12 @@ def row_to_entry(row: dict) -> ManifestEntry:
         referenced_data_file=row.get("referenced_data_file"),
         content_offset=row.get("content_offset"),
         content_size_in_bytes=row.get("content_size_in_bytes"),
+        # pandas surfaces missing int64 as NaN in the distributed path
+        first_row_id=(
+            int(row["first_row_id"])
+            if row.get("first_row_id") is not None and row["first_row_id"] == row["first_row_id"]
+            else None
+        ),
     )
     return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
 

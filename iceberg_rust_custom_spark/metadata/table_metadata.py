@@ -55,6 +55,11 @@ class TableMetadata:
     # snapshot (ANALYZE TABLE / Table.analyze); beyond the reference, which
     # has no statistics support.
     statistics: tuple = ()
+    # Iceberg v3 row lineage: the next _row_id block start to hand out.
+    # Commits that add data files reserve [next_row_id, next_row_id + sum of
+    # record_counts) and bump this (spec "Row Lineage"; the reference has no
+    # v3 support — iceberg-rust-spec tracks format v2 only).
+    next_row_id: int = 0
 
     # ------------------------------------------------------------------ new
     @classmethod
@@ -168,6 +173,7 @@ class TableMetadata:
             "metadata-log": list(self.metadata_log),
             "refs": {k: v.to_dict() for k, v in self.refs.items()},
             "statistics": list(self.statistics),
+            "next-row-id": self.next_row_id,
         }
 
     @classmethod
@@ -201,6 +207,7 @@ class TableMetadata:
             metadata_log=tuple(d.get("metadata-log", ())),
             refs={k: SnapshotReference.from_dict(v) for k, v in d.get("refs", {}).items()},
             statistics=tuple(d.get("statistics", ())),
+            next_row_id=d.get("next-row-id", 0),
         )
 
     def to_json(self) -> str:
@@ -278,6 +285,9 @@ class TableMetadata:
                 md = replace(md, properties=props)
             elif action == "set-location":
                 md = replace(md, location=u["location"])
+            elif action == "set-next-row-id":
+                # monotone: a stale retry can never shrink the reserved space
+                md = replace(md, next_row_id=max(md.next_row_id, u["next-row-id"]))
             elif action == "assign-uuid":
                 md = replace(md, table_uuid=u["uuid"])
             elif action == "set-statistics":

@@ -4953,3 +4953,67 @@ def iceberg_default_values(spark, sf_dir):
         .groupBy("channel", "o_orderstatus")
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@q(
+    "iceberg_row_lineage",
+    """
+    WITH c AS (
+      SELECT CAST(o_orderkey % 3 AS BIGINT) AS epoch, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT epoch, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS blk
+      FROM c
+    )
+    SELECT epoch,
+           CAST(n AS BIGINT) AS n,
+           blk AS min_rid,
+           CAST(blk + n - 1 AS BIGINT) AS max_rid,
+           CAST(n * blk + n * (n - 1) / 2 AS BIGINT) AS sum_rid,
+           CAST(epoch + 1 AS BIGINT) AS upd_seq
+    FROM s
+    """,
+)
+def iceberg_row_lineage(spark, sf_dir):
+    """Iceberg v3 row lineage: three sequential appends (epochs split by
+    o_orderkey % 3) reserve contiguous _row_id blocks from the table's
+    next-row-id; a compaction rewrites every byte but MUST preserve row
+    identity (explicit _row_id / _last_updated_sequence_number columns
+    materialized into the rewritten files). The oracle derives each
+    epoch's block [start, start+n) arithmetically — ids are positional,
+    so per-epoch min/max/sum and the preserved update sequence are exact.
+    The reference tracks format v2 only (no next-row-id in
+    iceberg-rust-spec/src/spec/table_metadata.rs:51-138)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    tag = hashlib.md5(f"{sf_dir}:rowlineage".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_rl"):
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        eng.sql(
+            "CREATE TABLE rt.ord_rl (o_orderkey BIGINT, o_totalprice DOUBLE) "
+            "STORED AS ICEBERG"
+        )
+        t = eng.load_table("rt.ord_rl")
+        for epoch in (0, 1, 2):  # one commit per epoch → seq 1, 2, 3
+            t.append(odf.where(F.col("o_orderkey") % 3 == epoch))
+        compact(t)  # full rewrite; lineage must survive it
+    return (
+        eng.load_table("rt.ord_rl")
+        .scan(row_lineage=True)
+        .groupBy((F.col("o_orderkey") % 3).alias("epoch"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_row_id").alias("min_rid"),
+            F.max("_row_id").alias("max_rid"),
+            F.sum("_row_id").alias("sum_rid"),
+            F.max("_last_updated_sequence_number").alias("upd_seq"),
+        )
+    )

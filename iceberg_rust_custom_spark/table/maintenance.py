@@ -41,10 +41,18 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     total_bytes = sum(f.file_size_in_bytes for f in files)
     n_tasks = max(1, math.ceil(total_bytes / target))
 
+    # v3 row lineage: compaction MUST preserve row identity (spec "Row
+    # Lineage" — rewritten rows keep _row_id and _last_updated_sequence_
+    # number). If any live file has lineage, read it through the scan and
+    # materialize the two columns physically into the rewritten files
+    # (write_partitioned marks them first_row_id=-1 = explicit).
+    lineage_live = any(f.first_row_id is not None for f in files)
     if plan_delete_files(md, snap):
         # merge-on-read deletes materialize here: the scan applies them,
         # the rewrite commit drops the delete files with the old data files
-        df = scan_to_dataframe(table.spark, md, snap)
+        df = scan_to_dataframe(table.spark, md, snap, row_lineage=lineage_live)
+    elif lineage_live:
+        df = scan_to_dataframe(table.spark, md, snap, row_lineage=True)
     else:
         schema = md.current_schema().spark_schema()
         df = table.spark.read.schema(schema).parquet(*[f.file_path for f in files])

@@ -317,6 +317,7 @@ def plan_files_distributed(
         ", bloom_filters string, nan_value_counts string, distinct_counts string"
         ", split_offsets string, sort_order_id int, equality_ids string"
         ", referenced_data_file string, content_offset long, content_size_in_bytes long"
+        ", first_row_id long"
     )
     out: list[DataFile] = []
     for spec_id, paths in groups.items():
@@ -440,10 +441,19 @@ def scan_to_dataframe(
     predicate: Expr | str | None = None,
     columns: list[str] | None = None,
     use_snapshot_schema: bool = False,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Current reads use the table's *current* schema (old files surface new
     columns as nulls); time travel (use_snapshot_schema) pins the schema the
-    snapshot was written with (table_metadata.rs:155-164)."""
+    snapshot was written with (table_metadata.rs:155-164).
+
+    ``row_lineage=True`` appends the Iceberg v3 lineage metadata columns
+    ``_row_id`` / ``_last_updated_sequence_number``: explicit values
+    physically written into a file (compaction preservation,
+    first_row_id=-1) win; otherwise rows inherit
+    ``file.first_row_id + row position`` and the file's data sequence
+    number. Files from before lineage assignment read NULLs (spec:
+    unassigned rows)."""
     if isinstance(predicate, str):
         predicate = parse_predicate(predicate)
     schema = metadata.current_schema()
@@ -469,11 +479,23 @@ def scan_to_dataframe(
         files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows, entry_cache=entry_cache)
     deletes = plan_delete_files(metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache)
     spark_schema = schema.spark_schema()
-    lineage = bool(deletes) and bool(files)
+    if row_lineage:
+        from pyspark.sql import types as T
+
+        spark_schema = T.StructType(
+            list(spark_schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_last_updated_sequence_number", T.LongType(), True),
+            ]
+        )
+    lineage = (bool(deletes) or row_lineage) and bool(files)
     if not files:
         df = spark.createDataFrame([], spark_schema)
     elif len(metadata.schemas) > 1:
-        df = _read_with_field_id_resolution(spark, metadata, schema, files, lineage=lineage)
+        df = _read_with_field_id_resolution(
+            spark, metadata, schema, files, lineage=lineage, physical_lineage=row_lineage
+        )
     else:
         df = spark.read.schema(spark_schema).parquet(*[f.file_path for f in files])
         if lineage:
@@ -493,11 +515,23 @@ def scan_to_dataframe(
             )
         if pos:
             df = _apply_position_deletes(spark, df, pos)
+        if row_lineage:
+            df = _attach_row_lineage(
+                spark,
+                df,
+                files,
+                data_file_sequence_numbers(
+                    metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
+                ),
+            )
         df = df.drop("_sg_file", "_sg_pos")
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
-        df = df.select(*columns)
+        if row_lineage:
+            df = df.select(*columns, "_row_id", "_last_updated_sequence_number")
+        else:
+            df = df.select(*columns)
     # Statistics feed into join planning (reference:
     # datafusion_iceberg/src/statistics.rs:20-100): Spark estimates this
     # relation by raw parquet bytes, which overshoots after MoR deletes or
@@ -518,6 +552,38 @@ def scan_to_dataframe(
     if files and est_bytes <= thr < raw_bytes:
         df = df.hint("broadcast")
     return df
+
+
+def _attach_row_lineage(spark, df: DataFrame, files: list, file_seqs: dict) -> DataFrame:
+    """Fill the v3 lineage columns: the physical ``_row_id`` /
+    ``_last_updated_sequence_number`` values a rewrite materialized into
+    the file win (spec: explicit beats inherited); otherwise rows inherit
+    ``first_row_id + position`` and the file's data sequence number via a
+    broadcast join on the per-file lineage map (the same shape the
+    equality-delete sequencing join uses — one tiny build side, zero
+    data-side shuffle)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            f.file_path,
+            None if f.first_row_id is None or f.first_row_id == -1 else f.first_row_id,
+            file_seqs.get(f.file_path),
+        )
+        for f in files
+    ]
+    m = F.broadcast(
+        spark.createDataFrame(rows, "file_path string, _sg_frid long, _sg_fseq long")
+    )
+    norm = F.regexp_replace(df["_sg_file"], "^file:/+", "/")
+    df = df.join(m, norm == m["file_path"], "left").drop("file_path")
+    df = df.withColumn(
+        "_row_id", F.coalesce(F.col("_row_id"), F.col("_sg_frid") + F.col("_sg_pos"))
+    ).withColumn(
+        "_last_updated_sequence_number",
+        F.coalesce(F.col("_last_updated_sequence_number"), F.col("_sg_fseq")),
+    )
+    return df.drop("_sg_frid", "_sg_fseq")
 
 
 def _with_lineage(df: DataFrame) -> DataFrame:
@@ -706,7 +772,9 @@ def _project_evolved(col, write_type, cur_type):
     return col.cast(type_to_spark(cur_type))
 
 
-def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool = False):
+def _read_with_field_id_resolution(
+    spark, metadata, schema, files, lineage: bool = False, physical_lineage: bool = False
+):
     """Evolved tables: resolve columns by FIELD ID — a file written before
     ``rename_column(a→b)`` physically stores ``a``; reading it under the
     current schema must surface those values as ``b`` (and a later *new*
@@ -730,13 +798,23 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
     for f in files:
         by_schema.setdefault(f.schema_id, []).append(f)
 
+    _lineage_fields = [
+        T.StructField("_row_id", T.LongType(), True),
+        T.StructField("_last_updated_sequence_number", T.LongType(), True),
+    ]
+
+    def _extend(read_schema: T.StructType) -> T.StructType:
+        if not physical_lineage:
+            return read_schema
+        return T.StructType(list(read_schema.fields) + _lineage_fields)
+
     parts = []
     for sid, group in by_schema.items():
         paths = [f.file_path for f in group]
         write_schema = metadata.schemas.get(sid)
         if write_schema is not None:
             wfields = {f.field_id: f for f in write_schema.fields}
-            df = spark.read.schema(write_schema.spark_schema()).parquet(*paths)
+            df = spark.read.schema(_extend(write_schema.spark_schema())).parquet(*paths)
             exprs = []
             for f in schema.fields:
                 wf = wfields.get(f.field_id)
@@ -749,6 +827,8 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
                     exprs.append(
                         _project_evolved(F.col(wf.name), wf.field_type, f.field_type).alias(f.name)
                     )
+            if physical_lineage:
+                exprs = exprs + [F.col("_row_id"), F.col("_last_updated_sequence_number")]
             if lineage:
                 exprs = [
                     F.col("_metadata.file_path").alias("_sg_file"),
@@ -774,7 +854,9 @@ def _read_with_field_id_resolution(spark, metadata, schema, files, lineage: bool
                 target_type = type_to_spark(f.field_type)
                 cols = [F.col(name).cast(target_type) for name, _ in variants]
                 exprs.append((cols[0] if len(cols) == 1 else F.coalesce(*cols)).alias(f.name))
-            df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+            df = spark.read.schema(_extend(T.StructType(read_fields))).parquet(*paths)
+            if physical_lineage:
+                exprs = exprs + [F.col("_row_id"), F.col("_last_updated_sequence_number")]
             if lineage:
                 exprs = [
                     F.col("_metadata.file_path").alias("_sg_file"),

@@ -238,11 +238,18 @@ class Table:
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         branch: str = MAIN_BRANCH,
+        row_lineage: bool = False,
     ) -> DataFrame:
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch)
         time_travel = snapshot_id is not None or as_of_timestamp_ms is not None
         return scan_to_dataframe(
-            self.spark, self.metadata, snap, predicate, columns, use_snapshot_schema=time_travel
+            self.spark,
+            self.metadata,
+            snap,
+            predicate,
+            columns,
+            use_snapshot_schema=time_travel,
+            row_lineage=row_lineage,
         )
 
     def to_df(self, **kwargs) -> DataFrame:

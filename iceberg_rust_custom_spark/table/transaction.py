@@ -92,6 +92,11 @@ class Transaction:
         self._extra_updates: list[dict] = []
         self._summary_extra: dict = {}
         self._operation = "append"
+        # v3 row lineage: data files whose first_row_id this transaction
+        # assigns. Captured once so a commit RETRY re-assigns the same
+        # files from the refreshed metadata's next-row-id — reusing a
+        # stale block would collide with a concurrent committer's rows.
+        self._assign_row_ids: list[DataFile] | None = None
 
     # ------------------------------------------------------------ operations
     def append(self, files: list[DataFile]) -> "Transaction":
@@ -236,6 +241,20 @@ class Transaction:
         )
 
         if self._appends or self._rewrite is not None:
+            # v3 row lineage: reserve [next_row_id, next_row_id + rows) for
+            # new data files; carried files keep their block, files marked
+            # -1 carry explicit _row_id columns (compaction preservation)
+            incoming = self._appends + (self._rewrite or [])
+            if self._assign_row_ids is None:
+                self._assign_row_ids = [
+                    f for f in incoming if f.content == 0 and f.first_row_id is None
+                ]
+            nxt = metadata.next_row_id
+            for f in self._assign_row_ids:
+                f.first_row_id = nxt
+                nxt += f.record_count
+            if nxt > metadata.next_row_id:
+                updates.append({"action": "set-next-row-id", "next-row-id": nxt})
             seq = metadata.last_sequence_number + 1
             snap_id = generate_snapshot_id()
             meta_dir = metadata.metadata_dir()

@@ -175,7 +175,13 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
             for f in iceberg_schema.fields
             if f.write_default is not None
         }
-    have = {f.name for f in df.schema.fields}
+    # reserved v3 row-lineage columns: a compaction that materializes
+    # explicit lineage writes them as physical trailing columns, outside
+    # the table schema (table/maintenance.py::compact)
+    reserved = [
+        c for c in ("_row_id", "_last_updated_sequence_number") if c in df.columns
+    ]
+    have = {f.name for f in df.schema.fields} - set(reserved)
     want = [f for f in target.fields]
     missing = [f.name for f in want if f.name not in have and f.name not in write_defaults]
     extra = sorted(have - {f.name for f in want})
@@ -193,6 +199,7 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
         if by_name[f.name].dataType != f.dataType:
             c = c.cast(f.dataType).alias(f.name)
         cols.append(c)
+    cols.extend(F.col(c) for c in reserved)
     return df.select(*cols)
 
 
@@ -298,6 +305,12 @@ def write_partitioned(
                 paths,
             )
         )
+    if "_row_id" in df.columns:
+        # files carry EXPLICIT v3 lineage columns (compaction preservation):
+        # mark so commit never assigns a fresh first_row_id block and scans
+        # read the physical values instead of inheriting
+        for d in datafiles:
+            d.first_row_id = -1
     # Spark's committer can emit 0-row part files (empty first partition);
     # they are pure manifest overhead — drop file and entry both
     empties = [d.file_path for d in datafiles if d.record_count == 0]

@@ -1,0 +1,146 @@
+"""Iceberg v3 row lineage: _row_id / _last_updated_sequence_number.
+
+Spec "Row Lineage": commits that add data files reserve a block of row ids
+starting at the table's next-row-id; rows inherit first_row_id + position
+unless the file carries explicit lineage columns (written by rewrites,
+which MUST preserve row identity). The reference tracks format v2 only
+(iceberg-rust-spec/src/spec/table_metadata.rs:51-138 has no next-row-id),
+so this is v3-spec parity beyond it.
+"""
+
+import pytest
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import compact, delete_where
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(eng, spark, name):
+    eng.sql(f"CREATE TABLE {name} (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table(name)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    return t
+
+
+def test_append_assigns_contiguous_row_ids(eng, spark):
+    t = _mk(eng, spark, "ns.rl1")
+    rows = [(r.id, r._row_id, r._last_updated_sequence_number)
+            for r in t.scan(row_lineage=True).collect()]
+    assert sorted(r[1] for r in rows) == [0, 1, 2]
+    # first append (seq 1) holds ids {0,1}, second (seq 2) id {2}
+    by_id = {r[0]: r for r in rows}
+    assert {by_id[1][1], by_id[2][1]} == {0, 1}
+    assert by_id[3][1] == 2
+    assert by_id[1][2] == by_id[2][2] == 1 and by_id[3][2] == 2
+    # next-row-id persisted in metadata JSON
+    t2 = eng.load_table("ns.rl1")
+    assert t2.metadata.next_row_id == 3
+
+
+def test_plain_scan_unaffected(eng, spark):
+    t = _mk(eng, spark, "ns.rl2")
+    assert set(t.scan().columns) == {"id", "v"}
+    assert t.scan().count() == 3
+
+
+def test_mor_delete_preserves_row_ids(eng, spark):
+    t = _mk(eng, spark, "ns.rl3")
+    before = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    delete_where(t, "id = 2", mode="merge-on-read")
+    t = eng.load_table("ns.rl3")
+    after = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    assert after == {p for p in before if p[0] != 2}
+
+
+def test_compact_preserves_lineage_and_appends_dont_collide(eng, spark):
+    t = _mk(eng, spark, "ns.rl4")
+    before = {(r.id, r._row_id, r._last_updated_sequence_number)
+              for r in t.scan(row_lineage=True).collect()}
+    compact(t)
+    t = eng.load_table("ns.rl4")
+    after = {(r.id, r._row_id, r._last_updated_sequence_number)
+             for r in t.scan(row_lineage=True).collect()}
+    assert after == before  # rewritten files carry EXPLICIT lineage columns
+    # the compacted file is marked explicit, never re-assigned
+    live = [f for f in __import__(
+        "iceberg_rust_custom_spark.table.scan", fromlist=["plan_files"]
+    ).plan_files(t.metadata, t.metadata.snapshot_for_ref())]
+    assert all(f.first_row_id == -1 for f in live)
+    # new rows continue AFTER the reserved space — no id reuse
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    ids = [r._row_id for r in t.scan(row_lineage=True).collect()]
+    assert sorted(ids) == [0, 1, 2, 3]
+    # compacted table still scans clean without lineage
+    assert set(t.scan().columns) == {"id", "v"}
+
+
+def test_compact_after_mor_delete_preserves_surviving_ids(eng, spark):
+    t = _mk(eng, spark, "ns.rl5")
+    delete_where(t, "id = 1", mode="merge-on-read")
+    t = eng.load_table("ns.rl5")
+    before = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    compact(t)  # materializes the MoR delete AND the lineage
+    t = eng.load_table("ns.rl5")
+    after = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    assert after == before and len(after) == 2
+
+
+def test_lineage_survives_avro_manifests(eng, spark, tmp_path):
+    eng.sql(
+        "CREATE TABLE ns.rlavro (id BIGINT, v STRING) STORED AS ICEBERG "
+        "TBLPROPERTIES ('write.metadata.format'='avro')"
+    )
+    t = eng.load_table("ns.rlavro")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t = eng.load_table("ns.rlavro")  # re-plan through the Avro round trip
+    rows = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    assert sorted(r[1] for r in rows) == [0, 1, 2]
+
+
+def test_lineage_with_schema_evolution(eng, spark):
+    t = _mk(eng, spark, "ns.rl6")
+    t.update_schema().add_column("w", "long").commit()
+    t.append(spark.createDataFrame([(4, "d", 40)], "id long, v string, w long"))
+    rows = {(r.id, r._row_id, r.w) for r in t.scan(row_lineage=True).collect()}
+    assert sorted(r[1] for r in rows) == [0, 1, 2, 3]
+    assert {r[2] for r in rows} == {None, 40}
+
+
+def test_columns_selection_keeps_lineage(eng, spark):
+    t = _mk(eng, spark, "ns.rl7")
+    df = t.scan(columns=["id"], row_lineage=True)
+    assert df.columns == ["id", "_row_id", "_last_updated_sequence_number"]
+    assert df.count() == 3
+
+
+def test_pre_lineage_files_read_null_ids(eng, spark, tmp_path):
+    """Files committed before lineage assignment existed (first_row_id
+    null in the manifest, no explicit columns in the file) surface NULL
+    lineage — the spec's 'unassigned rows' state, never a fabricated id —
+    while later appends in the same table still get real ids."""
+    from iceberg_rust_custom_spark.table.write import write_partitioned
+
+    eng.sql("CREATE TABLE ns.rl8 (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.rl8")
+    files = write_partitioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        t.metadata,
+        str(tmp_path / "legacy"),
+    )
+    tx = t.new_transaction().append(files)
+    tx._assign_row_ids = []  # simulate a pre-v3 writer: no block reserved
+    t.metadata = tx.commit()
+    t = eng.load_table("ns.rl8")
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    by_id = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
+    assert by_id[1] is None and by_id[2] is None
+    # the v3 append starts at next-row-id 0 — legacy files reserved nothing
+    assert by_id[3] == 0
