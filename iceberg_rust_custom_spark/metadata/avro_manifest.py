@@ -194,6 +194,9 @@ def read_manifest_avro(path: str, ml_row: dict | None = None) -> list:
                     "(spec v2 inheritance applies only to ADDED entries with "
                     "a manifest-list row)"
                 )
+        # mirror the parquet path (row_to_entry): the file's DATA sequence
+        # number rides the DataFile so rewrites can carry it forward
+        e.data_file.data_sequence_number = e.sequence_number
     return entries
 
 

@@ -107,6 +107,14 @@ class DataFile:
     # number columns written into the file (compaction preservation) — the
     # internal encoding of the spec's "null with explicit values" state.
     first_row_id: int | None = None
+    # the DATA sequence number this file's rows were committed at. NOT
+    # serialized here (the manifest ENTRY owns sequence_number); annotated
+    # at read time like spec_id, so rewrite commits can carry untouched
+    # files at their ORIGINAL sequence number (Iceberg semantics: a
+    # rewrite adds no rows — re-stamping carried files would make
+    # incremental reads double-count them and inherit-mode row lineage
+    # report the rewrite as the rows' last update).
+    data_sequence_number: int | None = None
     # partition spec the file was written under. NOT serialized in the
     # manifest (spec id lives on the manifest-list row, like the
     # reference's manifest_list.rs:26-59); annotated at read time so CoW
@@ -328,6 +336,7 @@ def row_to_entry(row: dict) -> ManifestEntry:
             else None
         ),
     )
+    df.data_sequence_number = row["sequence_number"]
     return ManifestEntry(row["status"], row["snapshot_id"], row["sequence_number"], df)
 
 

@@ -55,6 +55,13 @@ def _primitive_to_spark(name: str) -> T.DataType:
         "string": T.StringType(),
         "uuid": T.StringType(),
         "binary": T.BinaryType(),
+        # Iceberg v3 semi-structured type → Spark 4 VariantType. The
+        # LOGICAL type only: data files store variant columns as JSON text
+        # (see physical_spark_schema) because the engine's footer-stats
+        # collector (pyarrow) cannot open parquet footers carrying the
+        # VARIANT logical type; the scan/write boundary converts with
+        # parse_json / to_json.
+        "variant": T.VariantType(),
     }[name]
 
 
@@ -102,6 +109,7 @@ def spark_type_to_iceberg(dt: T.DataType):
         T.TimestampType: "timestamptz",
         T.StringType: "string",
         T.BinaryType: "binary",
+        T.VariantType: "variant",
     }
     for klass, name in simple.items():
         if isinstance(dt, klass):
@@ -214,6 +222,26 @@ class Schema:
 
     def spark_schema(self) -> T.StructType:
         return T.StructType([f.spark_field() for f in self.fields])
+
+    def variant_field_names(self) -> list[str]:
+        """Top-level Iceberg v3 variant columns (logical VariantType,
+        stored physically as JSON text — see physical_spark_schema)."""
+        return [f.name for f in self.fields if f.field_type == "variant"]
+
+    def physical_spark_schema(self) -> T.StructType:
+        """The schema data files are WRITTEN with: identical to
+        spark_schema() except variant columns are JSON-text strings.
+        Spark's native parquet VARIANT logical type is unreadable by the
+        engine's pyarrow footer-stats collector, and JSON text keeps the
+        files open to every reader; to_json/parse_json convert at the
+        write/read boundary (write.py / scan.py)."""
+        out = []
+        for f in self.fields:
+            sf = f.spark_field()
+            if f.field_type == "variant":
+                sf = T.StructField(sf.name, T.StringType(), True, metadata=sf.metadata)
+            out.append(sf)
+        return T.StructType(out)
 
     def field_by_id(self, field_id: int) -> NestedField:
         for f in self.fields:

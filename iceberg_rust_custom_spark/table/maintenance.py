@@ -84,9 +84,10 @@ def rewrite_position_deletes(table: Table) -> Table:
     delete-file maintenance at all (its Rewrite op, operation.rs:378-552,
     only rewrites data files).
 
-    Like ``compact``, the commit re-adds carried files at a new sequence
-    number under operation 'overwrite', so incremental-MV consumers fall
-    back to a full refresh rather than double-counting re-added files."""
+    Like ``compact``, the commit carries data files at their ORIGINAL data
+    sequence number (so incremental readers never see them as new rows)
+    under operation 'overwrite', so incremental-MV consumers know rows may
+    have changed and fall back to a full refresh."""
     from pyspark.sql import functions as F
 
     from iceberg_rust_custom_spark.table.deletion_vectors import (
@@ -227,8 +228,16 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
     matched_paths = {f.file_path for f in matched}
     untouched = [f for f in all_files if f.file_path not in matched_paths]
 
-    schema = md.current_schema().spark_schema()
-    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    if any(f.first_row_id is not None for f in all_files):
+        # v3 row lineage: survivors in rewritten files are unchanged rows —
+        # both lineage columns carry over explicitly (spec: rewrites
+        # preserve row identity)
+        from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
+
+        df = read_files_with_lineage(table.spark, md, snap, matched)
+    else:
+        schema = md.current_schema().spark_schema()
+        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
     kept = df.filter(f"NOT coalesce(({expr.sql()}), false)")
     data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(kept, md, data_dir)
@@ -348,17 +357,45 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
     matched_paths = {f.file_path for f in matched}
     untouched = [f for f in all_files if f.file_path not in matched_paths]
 
+    from pyspark.sql import functions as F
+
     schema = md.current_schema().spark_schema()
-    pieces = []
-    if matched:
-        tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
-        pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
-    pieces.append(source)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+    lineage_live = any(f.first_row_id is not None for f in all_files)
     data_dir = os.path.join(md.location, "data", "merge-" + _uuid.uuid4().hex[:12])
-    new_files = write_partitioned(out, md, data_dir)
+    if lineage_live and matched:
+        # v3 row lineage: carried target rows keep both lineage columns; a
+        # source row UPDATING an existing key inherits that row's _row_id
+        # (with _last_updated_sequence_number nulled → reads as this
+        # commit's sequence number); genuinely new keys go into a separate
+        # write WITHOUT lineage columns so commit assigns them a fresh
+        # first_row_id block instead of freezing NULL ids into an
+        # explicit-lineage file
+        from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
+
+        tgt = read_files_with_lineage(table.spark, md, snap, matched)
+        skeys = source.select(*key_cols).distinct()
+        kept = tgt.join(skeys, on=key_cols, how="left_anti")
+        id_map = tgt.select(*key_cols, F.col("_row_id").alias("_rl_id"))
+        src = source.join(id_map, on=key_cols, how="left")  # AQE sizes the build side
+        src_updates = (
+            src.where(F.col("_rl_id").isNotNull())
+            .withColumn("_row_id", F.col("_rl_id"))
+            .withColumn("_last_updated_sequence_number", F.lit(None).cast("long"))
+            .drop("_rl_id")
+        )
+        src_new = src.where(F.col("_rl_id").isNull()).drop("_rl_id")
+        new_files = write_partitioned(kept.unionByName(src_updates), md, data_dir)
+        new_files += write_partitioned(src_new, md, data_dir + "-ins")
+    else:
+        pieces = []
+        if matched:
+            tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+            pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
+        pieces.append(source)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        new_files = write_partitioned(out, md, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
     return table
 
@@ -386,23 +423,58 @@ def _merge_upsert_mor(table: Table, source, key_cols: list[str]) -> Table:
         matched = plan_files(md, snap)
 
     tx = table.new_transaction()
-    if matched:
-        schema = md.current_schema().spark_schema()
-        tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
-        hits = (
-            tgt.select(
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                *key_cols,
-            )
-            .join(F.broadcast(source.select(*key_cols).distinct()), on=key_cols, how="left_semi")
-            .select("file_path", "pos")
-        )
-        del_files = _write_position_deletes(table, hits)
+    data_dir = os.path.join(md.location, "data", "merge-" + _uuid.uuid4().hex[:12])
+    lineage_live = matched and any(f.first_row_id is not None for f in matched)
+    if lineage_live:
+        # v3 row lineage: source rows UPDATING an existing key inherit that
+        # row's _row_id (explicit, _last_updated_sequence_number nulled →
+        # this commit's seq); new keys append separately so commit assigns
+        # them a fresh block. The id map reads the pruned candidate files
+        # only — a physically-tombstoned row's id may be re-donated to the
+        # same key, which keeps id continuity and can never duplicate a
+        # live id.
+        from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
+
+        tgt = read_files_with_lineage(table.spark, md, snap, matched, keep_address=True)
+        matched_addr = tgt.select(
+            F.col("_sg_file").alias("file_path"),
+            F.col("_sg_pos").alias("pos"),
+            F.col("_row_id").alias("_rl_id"),
+            *key_cols,
+        ).join(F.broadcast(source.select(*key_cols).distinct()), on=key_cols, how="left_semi")
+        del_files = _write_position_deletes(table, matched_addr.select("file_path", "pos"))
         if del_files:
             tx.append_deletes(del_files)
-    data_dir = os.path.join(md.location, "data", "merge-" + _uuid.uuid4().hex[:12])
-    tx.append(write_partitioned(source, md, data_dir))
+        id_map = matched_addr.groupBy(*key_cols).agg(F.min("_rl_id").alias("_rl_id"))
+        src = source.join(id_map, on=key_cols, how="left")
+        src_updates = (
+            src.where(F.col("_rl_id").isNotNull())
+            .withColumn("_row_id", F.col("_rl_id"))
+            .withColumn("_last_updated_sequence_number", F.lit(None).cast("long"))
+            .drop("_rl_id")
+        )
+        src_new = src.where(F.col("_rl_id").isNull()).drop("_rl_id")
+        tx.append(
+            write_partitioned(src_updates, md, data_dir)
+            + write_partitioned(src_new, md, data_dir + "-ins")
+        )
+    else:
+        if matched:
+            schema = md.current_schema().spark_schema()
+            tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+            hits = (
+                tgt.select(
+                    F.col("_metadata.file_path").alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    *key_cols,
+                )
+                .join(F.broadcast(source.select(*key_cols).distinct()), on=key_cols, how="left_semi")
+                .select("file_path", "pos")
+            )
+            del_files = _write_position_deletes(table, hits)
+            if del_files:
+                tx.append_deletes(del_files)
+        tx.append(write_partitioned(source, md, data_dir))
     tx.set_operation("overwrite")  # rows changed: not a pure append
     table.metadata = tx.commit()
     return table
@@ -552,18 +624,34 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
     untouched = [f for f in all_files if f.file_path not in matched_paths]
 
     schema = md.current_schema().spark_schema()
-    df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    lineage_live = any(f.first_row_id is not None for f in all_files)
+    if lineage_live:
+        # v3 row lineage: UPDATE preserves _row_id; the modified row's
+        # _last_updated_sequence_number nulls out so it inherits THIS
+        # commit's sequence number at read time (unmodified carried rows
+        # keep their explicit old value)
+        from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
+
+        df = read_files_with_lineage(table.spark, md, snap, matched)
+    else:
+        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
     cond = F.expr(f"coalesce(({pred_sql}), false)")
-    updated = df.select(
-        *[
-            (
-                F.when(cond, F.expr(assignments[f.name]).cast(f.dataType)).otherwise(F.col(f.name)).alias(f.name)
-                if f.name in assignments
-                else F.col(f.name)
-            )
-            for f in schema.fields
-        ]
-    )
+    cols = [
+        (
+            F.when(cond, F.expr(assignments[f.name]).cast(f.dataType)).otherwise(F.col(f.name)).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+        )
+        for f in schema.fields
+    ]
+    if lineage_live:
+        cols.append(F.col("_row_id"))
+        cols.append(
+            F.when(cond, F.lit(None).cast("long"))
+            .otherwise(F.col("_last_updated_sequence_number"))
+            .alias("_last_updated_sequence_number")
+        )
+    updated = df.select(*cols)
     data_dir = os.path.join(md.location, "data", "update-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(updated, md, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
@@ -760,19 +848,25 @@ def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
         scan_pred = parse_predicate(pred_sql)
     except Exception:
         scan_pred = None
-    live = scan_to_dataframe(table.spark, md, snap, scan_pred).filter(
-        f"coalesce(({pred_sql}), false)"
-    )
-    new_rows = live.select(
-        *[
-            (
-                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-                if f.name in assignments
-                else F.col(f.name)
-            )
-            for f in schema.fields
-        ]
-    )
+    lineage_live = any(f.first_row_id is not None for f in matched)
+    live = scan_to_dataframe(
+        table.spark, md, snap, scan_pred, row_lineage=lineage_live
+    ).filter(f"coalesce(({pred_sql}), false)")
+    cols = [
+        (
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+        )
+        for f in schema.fields
+    ]
+    if lineage_live:
+        # v3 row lineage: the appended updated version keeps the tombstoned
+        # row's _row_id; _last_updated_sequence_number nulls → inherits
+        # this commit's sequence number at read time
+        cols.append(F.col("_row_id"))
+        cols.append(F.lit(None).cast("long").alias("_last_updated_sequence_number"))
+    new_rows = live.select(*cols)
     data_dir = os.path.join(md.location, "data", "update-" + _uuid.uuid4().hex[:12])
     tx = table.new_transaction()
     tx.append_deletes(del_files)
@@ -804,7 +898,11 @@ def zorder(table: Table, cols: list[str], target_file_size_bytes: int | None = N
     files = plan_files(md, snap)
     if not files:
         return table
-    df = scan_to_dataframe(table.spark, md, snap)
+    # v3 row lineage rides the rewrite as explicit columns (same contract
+    # as compact — a clustering rewrite must not change row identity)
+    df = scan_to_dataframe(
+        table.spark, md, snap, row_lineage=any(f.first_row_id is not None for f in files)
+    )
 
     n_cells = 1 << bits
     aggs = []

@@ -554,6 +554,40 @@ def scan_to_dataframe(
     return df
 
 
+def read_files_with_lineage(
+    spark, metadata, snapshot, files: list, keep_address: bool = False
+) -> DataFrame:
+    """Read specific live data files with the v3 lineage columns
+    materialized (explicit file values win, else inherit first_row_id +
+    position). The building block CoW rewrites (DELETE/UPDATE/MERGE) use
+    to preserve row identity, per spec "Row Lineage": carried rows keep
+    both columns; a rewrite that modifies a row keeps its ``_row_id`` and
+    nulls ``_last_updated_sequence_number`` so it inherits the rewriting
+    commit's sequence number. ``keep_address=True`` retains the
+    ``_sg_file`` / ``_sg_pos`` row address for callers that also need to
+    emit position tombstones."""
+    schema = metadata.current_schema()
+    if len(metadata.schemas) > 1:
+        df = _read_with_field_id_resolution(
+            spark, metadata, schema, files, lineage=True, physical_lineage=True
+        )
+    else:
+        from pyspark.sql import types as T
+
+        ss = T.StructType(
+            list(schema.spark_schema().fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_last_updated_sequence_number", T.LongType(), True),
+            ]
+        )
+        df = _with_lineage(spark.read.schema(ss).parquet(*[f.file_path for f in files]))
+    df = _attach_row_lineage(
+        spark, df, files, data_file_sequence_numbers(metadata, snapshot)
+    )
+    return df if keep_address else df.drop("_sg_file", "_sg_pos")
+
+
 def _attach_row_lineage(spark, df: DataFrame, files: list, file_seqs: dict) -> DataFrame:
     """Fill the v3 lineage columns: the physical ``_row_id`` /
     ``_last_updated_sequence_number`` values a rewrite materialized into

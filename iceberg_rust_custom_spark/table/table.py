@@ -543,7 +543,15 @@ class Table:
             return carried
         schema = self.metadata.current_schema()
         paths = [f.file_path for f in affected]
-        if len(self.metadata.schemas) > 1:
+        if any(f.first_row_id is not None for f in affected):
+            # v3 row lineage: surviving rows of the materialized files keep
+            # their identity (explicit columns; write_partitioned marks -1)
+            from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
+
+            df = read_files_with_lineage(
+                self.spark, self.metadata, snap, affected, keep_address=True
+            )
+        elif len(self.metadata.schemas) > 1:
             df = _read_with_field_id_resolution(self.spark, self.metadata, schema, affected, lineage=True)
         else:
             df = _with_lineage(self.spark.read.schema(schema.spark_schema()).parquet(*paths))

@@ -457,7 +457,20 @@ class Transaction:
 
         ext = manifest_ext(metadata.properties)
         schema = metadata.current_schema()
-        entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, f) for f in self._rewrite or []]
+        # Carried (untouched) files keep their ORIGINAL data sequence number
+        # (annotated at manifest read); only freshly written files take this
+        # commit's. Iceberg semantics: a rewrite adds no rows, so carried
+        # files must not look new to incremental readers, eq-delete
+        # ordering, or inherit-mode row lineage.
+        entries = [
+            ManifestEntry(
+                STATUS_ADDED,
+                snap_id,
+                f.data_sequence_number if f.data_sequence_number is not None else seq,
+                f,
+            )
+            for f in self._rewrite or []
+        ]
         # A manifest's partition tuples are decoded with ONE spec at scan
         # time, so a rewrite that carries files written under an OLDER spec
         # (CoW delete/update/merge keep untouched files) must keep them in

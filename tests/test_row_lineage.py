@@ -144,3 +144,113 @@ def test_pre_lineage_files_read_null_ids(eng, spark, tmp_path):
     assert by_id[1] is None and by_id[2] is None
     # the v3 append starts at next-row-id 0 — legacy files reserved nothing
     assert by_id[3] == 0
+
+
+def test_cow_delete_preserves_survivor_ids(eng, spark):
+    t = _mk(eng, spark, "ns.rl9")
+    before = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    delete_where(t, "id = 2", mode="copy-on-write")
+    t = eng.load_table("ns.rl9")
+    after = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    assert after == {p for p in before if p[0] != 2}
+
+
+def test_cow_update_keeps_id_bumps_sequence(eng, spark):
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    t = _mk(eng, spark, "ns.rl10")
+    before = {r.id: (r._row_id, r._last_updated_sequence_number)
+              for r in t.scan(row_lineage=True).collect()}
+    update_where(t, {"v": "'B'"}, "id = 2", mode="copy-on-write")
+    t = eng.load_table("ns.rl10")
+    after = {r.id: (r.v, r._row_id, r._last_updated_sequence_number)
+             for r in t.scan(row_lineage=True).collect()}
+    assert after[2][0] == "B"
+    assert after[2][1] == before[2][0]  # _row_id preserved
+    assert after[2][2] > before[2][1]  # last_updated bumped to the UPDATE commit
+    # untouched row carried in the same rewritten file keeps BOTH
+    assert after[1][1] == before[1][0] and after[1][2] == before[1][1]
+
+
+def test_mor_update_keeps_id_bumps_sequence(eng, spark):
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    t = _mk(eng, spark, "ns.rl11")
+    before = {r.id: (r._row_id, r._last_updated_sequence_number)
+              for r in t.scan(row_lineage=True).collect()}
+    update_where(t, {"v": "'B'"}, "id = 2", mode="merge-on-read")
+    t = eng.load_table("ns.rl11")
+    after = {r.id: (r.v, r._row_id, r._last_updated_sequence_number)
+             for r in t.scan(row_lineage=True).collect()}
+    assert after[2] == ("B", before[2][0], t.metadata.last_sequence_number)
+    assert after[1] == ("a", before[1][0], before[1][1])
+
+
+def _merge_case(eng, spark, name, mode):
+    from iceberg_rust_custom_spark.table.maintenance import merge_upsert
+
+    t = _mk(eng, spark, name)
+    before = {r.id: (r._row_id, r._last_updated_sequence_number)
+              for r in t.scan(row_lineage=True).collect()}
+    src = spark.createDataFrame([(2, "B"), (9, "new")], "id long, v string")
+    merge_upsert(t, src, ["id"], mode=mode)
+    t = eng.load_table(name)
+    after = {r.id: (r.v, r._row_id, r._last_updated_sequence_number)
+             for r in t.scan(row_lineage=True).collect()}
+    # updated key keeps its _row_id, sequence bumps
+    assert after[2][0] == "B" and after[2][1] == before[2][0]
+    assert after[2][2] > before[2][1]
+    # carried rows keep both
+    assert after[1] == ("a", before[1][0], before[1][1])
+    assert after[3] == ("c", before[3][0], before[3][1])
+    # brand-new key gets a FRESH id, distinct from every live id
+    ids = [v[1] for v in after.values()]
+    assert len(set(ids)) == len(ids)
+    assert after[9][1] not in {v[0] for v in before.values()}
+
+
+def test_cow_merge_lineage(eng, spark):
+    _merge_case(eng, spark, "ns.rl12", "copy-on-write")
+
+
+def test_mor_merge_lineage(eng, spark):
+    _merge_case(eng, spark, "ns.rl13", "merge-on-read")
+
+
+def test_zorder_preserves_lineage(eng, spark):
+    from iceberg_rust_custom_spark.table.maintenance import zorder
+
+    t = _mk(eng, spark, "ns.rl14")
+    before = {(r.id, r._row_id, r._last_updated_sequence_number)
+              for r in t.scan(row_lineage=True).collect()}
+    zorder(t, ["id"])
+    t = eng.load_table("ns.rl14")
+    after = {(r.id, r._row_id, r._last_updated_sequence_number)
+             for r in t.scan(row_lineage=True).collect()}
+    assert after == before
+
+
+def test_dynamic_overwrite_carried_lineage_with_pending_dv(eng, spark):
+    """Partitioned table, MoR delete pending on a carried partition, then a
+    dynamic overwrite of the OTHER partition: the materialized carried file
+    keeps surviving rows' ids; replaced-partition rows get fresh ids."""
+    from pyspark.sql import functions as F
+
+    eng.sql(
+        "CREATE TABLE ns.rl15 (id BIGINT, part BIGINT, v STRING) STORED AS ICEBERG "
+        "PARTITIONED BY (part) "
+        "TBLPROPERTIES ('write.delete.format'='dv')"
+    )
+    t = eng.load_table("ns.rl15")
+    t.append(spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 1, "d")],
+        "id long, part long, v string"))
+    before = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
+    delete_where(t, "id = 1", mode="merge-on-read")
+    t = eng.load_table("ns.rl15")
+    t.dynamic_overwrite(spark.createDataFrame([(5, 1, "e")], "id long, part long, v string"))
+    t = eng.load_table("ns.rl15")
+    after = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
+    assert set(after) == {2, 5}
+    assert after[2] == before[2]  # survivor in the carried partition
+    assert after[5] not in before.values()  # replacement row: fresh id
