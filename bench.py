@@ -100,6 +100,7 @@ HEADLINE = [
     "iceberg_rewrite_position_deletes",
     "iceberg_default_values",
     "iceberg_row_lineage",
+    "iceberg_variant_extract",
 ]
 
 

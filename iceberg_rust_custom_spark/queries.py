@@ -5017,3 +5017,59 @@ def iceberg_row_lineage(spark, sf_dir):
             F.max("_last_updated_sequence_number").alias("upd_seq"),
         )
     )
+
+
+@q(
+    "iceberg_variant_extract",
+    """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS urgent,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_variant_extract(spark, sf_dir):
+    """Iceberg v3 VARIANT: orders rows are stored as a semi-structured
+    variant document ({"status","priority","price"}), round-tripped through
+    the table (physical JSON text, logical Spark VariantType), then typed
+    fields come back out with variant_get and aggregate — hash-exact
+    against the oracle computed on the original relational columns. The
+    reference stops at the v2 primitive types (types.rs:185-344)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:variant".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_var"):
+        odf = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.to_json(
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_totalprice").alias("price"),
+                )
+            ).alias("doc"),
+        )
+        eng.sql("CREATE TABLE rt.ord_var (o_orderkey BIGINT, doc VARIANT) STORED AS ICEBERG")
+        eng.load_table("rt.ord_var").append(odf)
+    return (
+        eng.load_table("rt.ord_var")
+        .scan()
+        .select(
+            F.variant_get("doc", "$.status", "string").alias("status"),
+            F.variant_get("doc", "$.priority", "string").alias("priority"),
+            F.variant_get("doc", "$.price", "double").alias("price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("priority").like("1%"), 1).otherwise(0)).alias("urgent"),
+            _dsum(F.col("price")).alias("revenue"),
+        )
+    )

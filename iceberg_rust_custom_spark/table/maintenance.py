@@ -54,8 +54,9 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
     elif lineage_live:
         df = scan_to_dataframe(table.spark, md, snap, row_lineage=True)
     else:
-        schema = md.current_schema().spark_schema()
-        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in files])
+        from iceberg_rust_custom_spark.table.scan import read_physical
+
+        df = read_physical(table.spark, md.current_schema(), [f.file_path for f in files])
     spec = md.default_spec()
     if not spec.is_partitioned:
         df = df.repartition(n_tasks)
@@ -139,7 +140,9 @@ def rewrite_position_deletes(table: Table) -> Table:
             df = _read_with_field_id_resolution(spark, md, schema, carried, lineage=True)
         else:
             df = _with_lineage(
-                spark.read.schema(schema.spark_schema()).parquet(*[f.file_path for f in carried])
+                spark.read.schema(schema.physical_spark_schema()).parquet(
+                    *[f.file_path for f in carried]
+                )
             )
         hits = equality_delete_hits(
             spark, df, eq_entries, data_file_sequence_numbers(md, snap), schema=schema
@@ -236,8 +239,9 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
 
         df = read_files_with_lineage(table.spark, md, snap, matched)
     else:
-        schema = md.current_schema().spark_schema()
-        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+        from iceberg_rust_custom_spark.table.scan import read_physical
+
+        df = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
     kept = df.filter(f"NOT coalesce(({expr.sql()}), false)")
     data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(kept, md, data_dir)
@@ -290,8 +294,9 @@ def _delete_merge_on_read(table: Table, expr, matched) -> Table:
     from pyspark.sql import functions as F
 
     md = table.metadata
-    schema = md.current_schema().spark_schema()
-    src = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    from iceberg_rust_custom_spark.table.scan import read_physical
+
+    src = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
     hits = (
         src.select(
             F.col("_metadata.file_path").alias("file_path"),
@@ -389,7 +394,9 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
     else:
         pieces = []
         if matched:
-            tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+            from iceberg_rust_custom_spark.table.scan import read_physical
+
+            tgt = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
             pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
         pieces.append(source)
         out = pieces[0]
@@ -461,7 +468,9 @@ def _merge_upsert_mor(table: Table, source, key_cols: list[str]) -> Table:
     else:
         if matched:
             schema = md.current_schema().spark_schema()
-            tgt = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+            from iceberg_rust_custom_spark.table.scan import read_physical
+
+            tgt = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
             hits = (
                 tgt.select(
                     F.col("_metadata.file_path").alias("file_path"),
@@ -634,7 +643,9 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
 
         df = read_files_with_lineage(table.spark, md, snap, matched)
     else:
-        df = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+        from iceberg_rust_custom_spark.table.scan import read_physical
+
+        df = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
     cond = F.expr(f"coalesce(({pred_sql}), false)")
     cols = [
         (
@@ -833,7 +844,9 @@ def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
         return table
 
     schema = md.current_schema().spark_schema()
-    src = table.spark.read.schema(schema).parquet(*[f.file_path for f in matched])
+    from iceberg_rust_custom_spark.table.scan import read_physical
+
+    src = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
     hits = src.select(
         F.col("_metadata.file_path").alias("file_path"),
         F.col("_metadata.row_index").alias("pos"),

@@ -478,12 +478,15 @@ def scan_to_dataframe(
     else:
         files = plan_files(metadata, snapshot, predicate, ml_rows=ml_rows, entry_cache=entry_cache)
     deletes = plan_delete_files(metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache)
-    spark_schema = schema.spark_schema()
+    # files are READ under the physical schema (v3 variant columns are
+    # JSON text on disk) and surfaced logical (parse_json) after the
+    # row-address-keyed delete/lineage machinery
+    read_schema = schema.physical_spark_schema()
     if row_lineage:
         from pyspark.sql import types as T
 
-        spark_schema = T.StructType(
-            list(spark_schema.fields)
+        read_schema = T.StructType(
+            list(read_schema.fields)
             + [
                 T.StructField("_row_id", T.LongType(), True),
                 T.StructField("_last_updated_sequence_number", T.LongType(), True),
@@ -491,13 +494,13 @@ def scan_to_dataframe(
         )
     lineage = (bool(deletes) or row_lineage) and bool(files)
     if not files:
-        df = spark.createDataFrame([], spark_schema)
+        df = spark.createDataFrame([], read_schema)
     elif len(metadata.schemas) > 1:
         df = _read_with_field_id_resolution(
             spark, metadata, schema, files, lineage=lineage, physical_lineage=row_lineage
         )
     else:
-        df = spark.read.schema(spark_schema).parquet(*[f.file_path for f in files])
+        df = spark.read.schema(read_schema).parquet(*[f.file_path for f in files])
         if lineage:
             df = _with_lineage(df)
     if lineage:
@@ -525,6 +528,7 @@ def scan_to_dataframe(
                 ),
             )
         df = df.drop("_sg_file", "_sg_pos")
+    df = _decode_variants(df, schema)
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
@@ -554,6 +558,33 @@ def scan_to_dataframe(
     return df
 
 
+def _decode_variants(df: DataFrame, schema: Schema) -> DataFrame:
+    """Surface v3 variant columns logically: data files store them as JSON
+    text (schema.physical_spark_schema); parse only the columns that are
+    still strings — no-op on variant-free tables and already-decoded
+    plans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    names = schema.variant_field_names()
+    if not names:
+        return df
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for name in names:
+        if isinstance(by_name.get(name), T.StringType):
+            df = df.withColumn(name, F.parse_json(F.col(name)))
+    return df
+
+
+def read_physical(spark, schema: Schema, paths: list[str]) -> DataFrame:
+    """Read specific data files under the table's physical schema and
+    surface the logical types (variant columns parsed). The drop-in for
+    raw ``spark.read.schema(schema.spark_schema()).parquet`` sites —
+    byte-identical plan when the schema has no variant columns."""
+    df = spark.read.schema(schema.physical_spark_schema()).parquet(*paths)
+    return _decode_variants(df, schema)
+
+
 def read_files_with_lineage(
     spark, metadata, snapshot, files: list, keep_address: bool = False
 ) -> DataFrame:
@@ -575,7 +606,7 @@ def read_files_with_lineage(
         from pyspark.sql import types as T
 
         ss = T.StructType(
-            list(schema.spark_schema().fields)
+            list(schema.physical_spark_schema().fields)
             + [
                 T.StructField("_row_id", T.LongType(), True),
                 T.StructField("_last_updated_sequence_number", T.LongType(), True),
@@ -585,6 +616,7 @@ def read_files_with_lineage(
     df = _attach_row_lineage(
         spark, df, files, data_file_sequence_numbers(metadata, snapshot)
     )
+    df = _decode_variants(df, schema)
     return df if keep_address else df.drop("_sg_file", "_sg_pos")
 
 
@@ -848,11 +880,20 @@ def _read_with_field_id_resolution(
         write_schema = metadata.schemas.get(sid)
         if write_schema is not None:
             wfields = {f.field_id: f for f in write_schema.fields}
-            df = spark.read.schema(_extend(write_schema.spark_schema())).parquet(*paths)
+            df = spark.read.schema(_extend(write_schema.physical_spark_schema())).parquet(*paths)
             exprs = []
             for f in schema.fields:
                 wf = wfields.get(f.field_id)
-                if wf is None:  # column added after these files were written:
+                if f.field_type == "variant":
+                    # physical JSON text → logical variant (a CAST would
+                    # wrap the text as a variant STRING scalar, not parse it)
+                    src = (
+                        F.col(wf.name)
+                        if wf is not None
+                        else F.lit(f.initial_default).cast("string")
+                    )
+                    exprs.append(F.parse_json(src).alias(f.name))
+                elif wf is None:  # column added after these files were written:
                     # initial-default (v3) or null-fill
                     exprs.append(
                         F.lit(f.initial_default).cast(type_to_spark(f.field_type)).alias(f.name)
@@ -884,9 +925,18 @@ def _read_with_field_id_resolution(
                 for name, ftype in variants:
                     if name not in seen:
                         seen.add(name)
-                        read_fields.append(T.StructField(name, type_to_spark(ftype), True))
-                target_type = type_to_spark(f.field_type)
-                cols = [F.col(name).cast(target_type) for name, _ in variants]
+                        read_fields.append(
+                            T.StructField(
+                                name,
+                                T.StringType() if ftype == "variant" else type_to_spark(ftype),
+                                True,
+                            )
+                        )
+                if f.field_type == "variant":
+                    cols = [F.parse_json(F.col(name)) for name, _ in variants]
+                else:
+                    target_type = type_to_spark(f.field_type)
+                    cols = [F.col(name).cast(target_type) for name, _ in variants]
                 exprs.append((cols[0] if len(cols) == 1 else F.coalesce(*cols)).alias(f.name))
             df = spark.read.schema(_extend(T.StructType(read_fields))).parquet(*paths)
             if physical_lineage:

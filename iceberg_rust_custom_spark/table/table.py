@@ -320,10 +320,14 @@ class Table:
         snap = self.metadata.snapshot_for_ref(MAIN_BRANCH)
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
         files = plan_files(self.metadata, snap, None, (from_sequence_number, end))
-        schema = self.metadata.current_schema().spark_schema()
+        from iceberg_rust_custom_spark.table.scan import _decode_variants, read_physical
+
+        cur = self.metadata.current_schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*[f.file_path for f in files])
+            return _decode_variants(
+                self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+            )
+        return read_physical(self.spark, cur, [f.file_path for f in files])
 
     def changes(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
         """CDC read: the row-level changes committed in
@@ -382,10 +386,11 @@ class Table:
         for p in parts[1:]:
             tombs = tombs.unionByName(p)
         # only the data files the tombstones reference need reading
+        from iceberg_rust_custom_spark.table.scan import read_physical
+
         touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
         victims = (
-            self.spark.read.schema(schema)
-            .parquet(*touched)
+            read_physical(self.spark, self.metadata.current_schema(), touched)
             .select(
                 F.col("_metadata.file_path").alias("_sg_file"),
                 F.col("_metadata.row_index").alias("_sg_pos"),
@@ -554,7 +559,9 @@ class Table:
         elif len(self.metadata.schemas) > 1:
             df = _read_with_field_id_resolution(self.spark, self.metadata, schema, affected, lineage=True)
         else:
-            df = _with_lineage(self.spark.read.schema(schema.spark_schema()).parquet(*paths))
+            from iceberg_rust_custom_spark.table.scan import read_physical
+
+            df = _with_lineage(read_physical(self.spark, schema, paths))
         if eq_entries:
             df = _apply_equality_deletes(self.spark, df, eq_entries, file_seqs, schema=schema)
         if pos_entries:

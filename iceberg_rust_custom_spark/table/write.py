@@ -70,6 +70,9 @@ def collect_datafile_stats(
     manifest.rs:478-517)."""
     meta = pq.ParquetFile(path).metadata
     names = [f.name for f in schema.fields]
+    # v3 variant columns store JSON text: its lexical min/max is NOT a
+    # variant bound — record counts/sizes but never range stats
+    variant_cols = {f.name for f in schema.fields if f.field_type == "variant"}
     lower, upper, nulls, counts, sizes = {}, {}, {}, {}, {}
     # Columns where ANY row group lacks a trustworthy statistic get NO
     # file-level stat of that kind at all (VERDICT r3 item 3): merging a
@@ -94,6 +97,9 @@ def collect_datafile_stats(
                 continue
             counts[name] = counts.get(name, 0) + col.num_values
             sizes[name] = sizes.get(name, 0) + col.total_compressed_size
+            if name in variant_cols:
+                no_bounds.add(name)
+                continue
             if len(leaf_path) > 1:
                 # nested leaf (struct member / list element / map entry):
                 # file bounds are keyed per TOP-LEVEL column here, and one
@@ -197,7 +203,18 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
             continue
         c = F.col(f.name)
         if by_name[f.name].dataType != f.dataType:
-            c = c.cast(f.dataType).alias(f.name)
+            import pyspark.sql.types as _T
+
+            if isinstance(f.dataType, _T.VariantType) and isinstance(
+                by_name[f.name].dataType, _T.StringType
+            ):
+                # JSON text into a variant column: accepted verbatim — it
+                # IS the physical storage form (a CAST would wrap the text
+                # as a variant string scalar); parse/validation happens at
+                # read (scan._decode_variants)
+                pass
+            else:
+                c = c.cast(f.dataType).alias(f.name)
         cols.append(c)
     cols.extend(F.col(c) for c in reserved)
     return df.select(*cols)
@@ -212,6 +229,14 @@ def write_partitioned(
     """Run the distributed write job; return DataFile records with stats."""
     schema = metadata.current_schema()
     df = _align_to_schema(df, schema.spark_schema(), iceberg_schema=schema)
+    # v3 variant columns: physical storage is JSON text (see
+    # Schema.physical_spark_schema) — serialize VariantType inputs;
+    # string inputs are already in physical form
+    for _vname in schema.variant_field_names():
+        import pyspark.sql.types as _T
+
+        if isinstance(df.schema[_vname].dataType, _T.VariantType):
+            df = df.withColumn(_vname, F.to_json(F.col(_vname)))
     spec = metadata.default_spec()
     target_bytes = int(metadata.properties.get("write.target-file-size-bytes", 512_000_000))
     codec = metadata.properties.get("write.parquet.compression-codec", "zstd")
