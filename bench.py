@@ -101,6 +101,7 @@ HEADLINE = [
     "iceberg_default_values",
     "iceberg_row_lineage",
     "iceberg_variant_extract",
+    "iceberg_cdc_update_pairs",
 ]
 
 

@@ -5073,3 +5073,54 @@ def iceberg_variant_extract(spark, sf_dir):
             _dsum(F.col("price")).alias("revenue"),
         )
     )
+
+
+@q(
+    "iceberg_cdc_update_pairs",
+    """
+    WITH m AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,10)) AS p
+      FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT 'update_before' AS change_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(p), 4) AS DOUBLE) AS revenue FROM m
+    UNION ALL
+    SELECT 'update_after' AS change_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(p * 2 AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue FROM m
+    """,
+)
+def iceberg_cdc_update_pairs(spark, sf_dir):
+    """v3 row-lineage CDC: a merge-on-read UPDATE commits a tombstone and a
+    re-appended row sharing the same _row_id; changes(with_lineage=True)
+    pairs them back into 'update_before' / 'update_after' — the Iceberg
+    changelog-with-updates the reference cannot express (no row-level ops,
+    no v3 lineage; table/mod.rs:156-166 only detects delete files)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    tag = hashlib.md5(f"{sf_dir}:cdcupd".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_cdc"):
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        eng.sql(
+            "CREATE TABLE rt.ord_cdc (o_orderkey BIGINT, o_totalprice DOUBLE) "
+            "STORED AS ICEBERG"
+        )
+        eng.load_table("rt.ord_cdc").append(odf)
+    t = eng.load_table("rt.ord_cdc")
+    base_seq = 1  # the initial append; everything after is the update
+    if t.metadata.last_sequence_number == 1:
+        update_where(
+            t, {"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 10 = 7",
+            mode="merge-on-read",
+        )
+        t = eng.load_table("rt.ord_cdc")
+    return (
+        t.changes(base_seq, with_lineage=True)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )

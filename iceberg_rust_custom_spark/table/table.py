@@ -329,7 +329,12 @@ class Table:
             )
         return read_physical(self.spark, cur, [f.file_path for f in files])
 
-    def changes(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_sequence_number: int,
+        to_sequence_number: int | None = None,
+        with_lineage: bool = False,
+    ) -> DataFrame:
         """CDC read: the row-level changes committed in
         (from, to] as data rows plus a ``_change_type`` column
         ('insert' | 'delete'). Appends yield inserts; merge-on-read
@@ -337,25 +342,57 @@ class Table:
         incremental consumers (downstream MVs, stream backfills) without
         re-reading the table.
 
-        Overwrite commits (compaction, copy-on-write delete/update, CoW
-        merge) do not record row-level lineage — a range containing one
-        raises rather than emit a wrong changelog."""
+        ``with_lineage=True`` adds the v3 ``_row_id`` column and upgrades
+        the changelog to UPDATE detection: a delete and an insert sharing
+        a row id inside the range pair up as 'update_before' /
+        'update_after' (exactly what a MoR UPDATE/MERGE commits — the
+        tombstoned row and its re-appended version carry the same
+        ``_row_id``, table/maintenance.py).
+
+        File-set REPLACEMENT commits (compaction, CoW delete/update/merge,
+        dynamic overwrite — summary ``rewritten=true``) do not record
+        row-level change information; a range containing one raises rather
+        than emit a wrong changelog. MoR UPDATE/MERGE commits are
+        append-shaped ('overwrite' operation WITHOUT the marker) and
+        replay fine."""
         from pyspark.sql import functions as F
 
         from iceberg_rust_custom_spark.metadata.manifest import read_manifest, read_manifest_list
+        from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
 
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
         for s in self.metadata.snapshots.values():
             if from_sequence_number < s.sequence_number <= end:
-                if s.summary.get("operation") not in ("append", "delete", "replace"):
+                op = s.summary.get("operation")
+                replayable = op in ("append", "delete", "replace") or (
+                    op == "overwrite" and s.summary.get("rewritten") != "true"
+                )
+                if not replayable:
                     raise ValueError(
-                        f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} — "
-                        "row-level changelog is only defined across append/delete commits"
+                        f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} "
+                        "file-set replacement — row-level changelog is only defined "
+                        "across append/delete-shaped commits"
                     )
         schema = self.metadata.current_schema().spark_schema()
-        inserts = self.incremental_scan(from_sequence_number, end).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        snap_head = self.metadata.snapshot_for_ref()
+        if with_lineage:
+            new_files = plan_files(self.metadata, snap_head, None, (from_sequence_number, end))
+            if new_files:
+                inserts = read_files_with_lineage(
+                    self.spark, self.metadata, snap_head, new_files
+                ).drop("_last_updated_sequence_number")
+            else:
+                from iceberg_rust_custom_spark.table.scan import _decode_variants
+
+                cur = self.metadata.current_schema()
+                inserts = _decode_variants(
+                    self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+                ).withColumn("_row_id", F.lit(None).cast("long"))
+            inserts = inserts.withColumn("_change_type", F.lit("insert"))
+        else:
+            inserts = self.incremental_scan(from_sequence_number, end).withColumn(
+                "_change_type", F.lit("insert")
+            )
 
         snap = self.metadata.snapshot_for_ref()
         del_files = []
@@ -389,14 +426,25 @@ class Table:
         from iceberg_rust_custom_spark.table.scan import read_physical
 
         touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
-        victims = (
-            read_physical(self.spark, self.metadata.current_schema(), touched)
-            .select(
+        if with_lineage:
+            import re as _re
+
+            def _norm(p: str) -> str:
+                return _re.sub("^file:/+", "/", p)
+
+            touched_set = {_norm(p) for p in touched}
+            touched_files = [
+                f for f in plan_files(self.metadata, snap) if _norm(f.file_path) in touched_set
+            ]
+            victims = read_files_with_lineage(
+                self.spark, self.metadata, snap, touched_files, keep_address=True
+            ).drop("_last_updated_sequence_number")
+        else:
+            victims = read_physical(self.spark, self.metadata.current_schema(), touched).select(
                 F.col("_metadata.file_path").alias("_sg_file"),
                 F.col("_metadata.row_index").alias("_sg_pos"),
                 "*",
             )
-        )
         deleted = (
             victims.join(
                 F.broadcast(tombs),
@@ -406,7 +454,31 @@ class Table:
             .drop("_sg_file", "_sg_pos", "file_path", "pos")
             .withColumn("_change_type", F.lit("delete"))
         )
-        return inserts.unionByName(deleted)
+        out = inserts.unionByName(deleted)
+        if with_lineage:
+            # UPDATE pairing: a row id present on BOTH sides of the range
+            # is one logical update — relabel its delete/insert halves.
+            # NULL row ids (pre-v3 files) never pair (null keys don't join).
+            paired = (
+                deleted.select("_row_id")
+                .join(inserts.select("_row_id"), "_row_id", "inner")
+                .distinct()
+                .withColumn("_sg_upd", F.lit(True))
+            )
+            out = (
+                out.join(F.broadcast(paired), "_row_id", "left")
+                .withColumn(
+                    "_change_type",
+                    F.when(
+                        F.col("_sg_upd").isNotNull(),
+                        F.when(
+                            F.col("_change_type") == "delete", F.lit("update_before")
+                        ).otherwise(F.lit("update_after")),
+                    ).otherwise(F.col("_change_type")),
+                )
+                .drop("_sg_upd")
+            )
+        return out
 
     # ----------------------------------------------------------------- write
     def _refresh_for_write(self) -> None:

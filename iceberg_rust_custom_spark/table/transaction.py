@@ -273,6 +273,11 @@ class Transaction:
                 summary = {
                     "operation": "overwrite",
                     "added-data-files": str(len(self._rewrite)),
+                    # distinguishes a FILE-SET REPLACEMENT from append-shaped
+                    # commits that merely set operation='overwrite' (MoR
+                    # UPDATE/MERGE): the changelog can replay the latter
+                    # row-by-row but not a rewrite (table.py::changes)
+                    "rewritten": "true",
                     **self._summary_extra,
                 }
                 if not self._retain_history:

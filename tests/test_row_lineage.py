@@ -254,3 +254,51 @@ def test_dynamic_overwrite_carried_lineage_with_pending_dv(eng, spark):
     assert set(after) == {2, 5}
     assert after[2] == before[2]  # survivor in the carried partition
     assert after[5] not in before.values()  # replacement row: fresh id
+
+
+def test_changes_with_lineage_append_only(eng, spark):
+    t = _mk(eng, spark, "ns.rl16")
+    ch = t.changes(0, with_lineage=True)
+    rows = {(r.id, r._row_id, r._change_type) for r in ch.collect()}
+    assert {r[2] for r in rows} == {"insert"}
+    assert sorted(r[1] for r in rows) == [0, 1, 2]
+
+
+def test_changes_detects_mor_update(eng, spark):
+    """A MoR UPDATE commit (tombstone + re-append sharing _row_id) reads
+    back from the changelog as one logical update."""
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    t = _mk(eng, spark, "ns.rl17")
+    s = t.metadata.last_sequence_number
+    update_where(t, {"v": "'B'"}, "id = 2", mode="merge-on-read")
+    t = eng.load_table("ns.rl17")
+    ch = {(r.id, r.v, r._change_type) for r in t.changes(s, with_lineage=True).collect()}
+    assert ch == {(2, "b", "update_before"), (2, "B", "update_after")}
+    # without lineage the same commit replays as raw delete+insert
+    raw = {(r.id, r.v, r._change_type) for r in t.changes(s).collect()}
+    assert raw == {(2, "b", "delete"), (2, "B", "insert")}
+
+
+def test_changes_mor_merge_mixed_update_and_insert(eng, spark):
+    from iceberg_rust_custom_spark.table.maintenance import merge_upsert
+
+    t = _mk(eng, spark, "ns.rl18")
+    s = t.metadata.last_sequence_number
+    src = spark.createDataFrame([(2, "B"), (9, "new")], "id long, v string")
+    merge_upsert(t, src, ["id"], mode="merge-on-read")
+    t = eng.load_table("ns.rl18")
+    ch = {(r.id, r.v, r._change_type) for r in t.changes(s, with_lineage=True).collect()}
+    assert ch == {
+        (2, "b", "update_before"),
+        (2, "B", "update_after"),
+        (9, "new", "insert"),
+    }
+
+
+def test_changes_still_rejects_true_rewrites(eng, spark):
+    t = _mk(eng, spark, "ns.rl19")
+    s = t.metadata.last_sequence_number
+    compact(t)
+    with pytest.raises(ValueError, match="changelog"):
+        eng.load_table("ns.rl19").changes(s)
