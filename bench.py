@@ -102,6 +102,7 @@ HEADLINE = [
     "iceberg_row_lineage",
     "iceberg_variant_extract",
     "iceberg_cdc_update_pairs",
+    "iceberg_metadata_columns",
 ]
 
 

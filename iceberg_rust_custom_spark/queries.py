@@ -5124,3 +5124,46 @@ def iceberg_cdc_update_pairs(spark, sf_dir):
         .groupBy(F.col("_change_type").alias("change_type"))
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@q(
+    "iceberg_metadata_columns",
+    """
+    SELECT '{"part": ' || CAST(o_orderkey % 4 AS VARCHAR) || '}' AS part_tuple,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def iceberg_metadata_columns(spark, sf_dir):
+    """Reserved metadata columns: scan(metadata_columns=['_partition'])
+    surfaces each row's partition tuple from the manifests (spec reserved
+    field ids); grouping on it must exactly reproduce the relational
+    group-by on the partition source expression. The reference exposes no
+    metadata columns (its scan returns data columns only,
+    datafusion_iceberg/src/table.rs:158-215)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:metacols".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_meta"):
+        odf = (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .withColumn("part", F.col("o_orderkey") % 4)
+        )
+        eng.sql(
+            "CREATE TABLE rt.ord_meta (o_orderkey BIGINT, part BIGINT) "
+            "STORED AS ICEBERG PARTITIONED BY (part)"
+        )
+        eng.load_table("rt.ord_meta").append(odf)
+    return (
+        eng.load_table("rt.ord_meta")
+        .scan(metadata_columns=["_partition"])
+        .groupBy(F.col("_partition").alias("part_tuple"))
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
+    )

@@ -442,10 +442,18 @@ def scan_to_dataframe(
     columns: list[str] | None = None,
     use_snapshot_schema: bool = False,
     row_lineage: bool = False,
+    metadata_columns: list[str] | None = None,
 ) -> DataFrame:
     """Current reads use the table's *current* schema (old files surface new
     columns as nulls); time travel (use_snapshot_schema) pins the schema the
     snapshot was written with (table_metadata.rs:155-164).
+
+    ``metadata_columns`` appends Iceberg's reserved metadata columns:
+    ``_file`` (data file path), ``_pos`` (row position in its file),
+    ``_spec_id`` (partition spec the file was written under) and
+    ``_partition`` (the file's partition tuple, as a JSON string — specs of
+    different shapes coexist after partition evolution, so one struct type
+    cannot represent all files).
 
     ``row_lineage=True`` appends the Iceberg v3 lineage metadata columns
     ``_row_id`` / ``_last_updated_sequence_number``: explicit values
@@ -492,8 +500,26 @@ def scan_to_dataframe(
                 T.StructField("_last_updated_sequence_number", T.LongType(), True),
             ]
         )
-    lineage = (bool(deletes) or row_lineage) and bool(files)
+    _META_COLS = ("_file", "_pos", "_spec_id", "_partition")
+    if metadata_columns:
+        bad = [c for c in metadata_columns if c not in _META_COLS]
+        if bad:
+            raise ValueError(f"unknown metadata columns {bad}; supported: {list(_META_COLS)}")
+    lineage = (bool(deletes) or row_lineage or bool(metadata_columns)) and bool(files)
     if not files:
+        if metadata_columns:
+            from pyspark.sql import types as T
+
+            _meta_types = {
+                "_file": T.StringType(),
+                "_pos": T.LongType(),
+                "_spec_id": T.IntegerType(),
+                "_partition": T.StringType(),
+            }
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [T.StructField(c, _meta_types[c], True) for c in metadata_columns]
+            )
         df = spark.createDataFrame([], read_schema)
     elif len(metadata.schemas) > 1:
         df = _read_with_field_id_resolution(
@@ -527,15 +553,19 @@ def scan_to_dataframe(
                     metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
                 ),
             )
+        if metadata_columns:
+            df = _attach_metadata_columns(spark, df, files, metadata_columns, metadata)
         df = df.drop("_sg_file", "_sg_pos")
     df = _decode_variants(df, schema)
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
     if columns:
+        extra = []
         if row_lineage:
-            df = df.select(*columns, "_row_id", "_last_updated_sequence_number")
-        else:
-            df = df.select(*columns)
+            extra += ["_row_id", "_last_updated_sequence_number"]
+        if metadata_columns:
+            extra += list(metadata_columns)
+        df = df.select(*columns, *extra)
     # Statistics feed into join planning (reference:
     # datafusion_iceberg/src/statistics.rs:20-100): Spark estimates this
     # relation by raw parquet bytes, which overshoots after MoR deletes or
@@ -618,6 +648,43 @@ def read_files_with_lineage(
     )
     df = _decode_variants(df, schema)
     return df if keep_address else df.drop("_sg_file", "_sg_pos")
+
+
+def _attach_metadata_columns(
+    spark, df: DataFrame, files: list, metadata_columns: list[str], metadata
+) -> DataFrame:
+    """Append Iceberg's reserved metadata columns from the row address
+    (``_sg_file``/``_sg_pos``) plus a broadcast per-file map for the
+    manifest-sourced ones (_spec_id, _partition)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    if "_file" in metadata_columns:
+        df = df.withColumn("_file", F.col("_sg_file"))
+    if "_pos" in metadata_columns:
+        df = df.withColumn("_pos", F.col("_sg_pos"))
+    if "_spec_id" in metadata_columns or "_partition" in metadata_columns:
+        from iceberg_rust_custom_spark.metadata.manifest import encode_value
+
+        rows = [
+            (
+                f.file_path,
+                f.spec_id if f.spec_id is not None else metadata.default_spec_id,
+                _json.dumps({k: encode_value(v) for k, v in f.partition.items()}),
+            )
+            for f in files
+        ]
+        m = F.broadcast(
+            spark.createDataFrame(rows, "file_path string, _spec_id int, _partition string")
+        )
+        keep = [c for c in ("_spec_id", "_partition") if c in metadata_columns]
+        m = m.select("file_path", *keep)
+        norm = F.regexp_replace(df["_sg_file"], "^file:/+", "/")
+        df = df.join(m, norm == m["file_path"], "left").drop("file_path")
+    # surface in the caller's requested order
+    data_cols = [c for c in df.columns if c not in metadata_columns]
+    return df.select(*data_cols, *metadata_columns)
 
 
 def _attach_row_lineage(spark, df: DataFrame, files: list, file_seqs: dict) -> DataFrame:

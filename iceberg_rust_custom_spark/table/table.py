@@ -239,6 +239,7 @@ class Table:
         as_of_timestamp_ms: int | None = None,
         branch: str = MAIN_BRANCH,
         row_lineage: bool = False,
+        metadata_columns: list[str] | None = None,
     ) -> DataFrame:
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch)
         time_travel = snapshot_id is not None or as_of_timestamp_ms is not None
@@ -250,6 +251,7 @@ class Table:
             columns,
             use_snapshot_schema=time_travel,
             row_lineage=row_lineage,
+            metadata_columns=metadata_columns,
         )
 
     def to_df(self, **kwargs) -> DataFrame:
