@@ -80,6 +80,7 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
     # Avro) must agree with the model through every op sequence
     t = eng.create_table("fz.t", SCH, properties={"write.metadata.format": fmt})
     model: dict[int, tuple[int, int]] = {}  # id -> (k, v)
+    seen_rid: dict[int, int] = {}  # model id -> its v3 _row_id at first sight
     next_id = 0
 
     for op in ops:
@@ -128,5 +129,15 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
         got = {(r.id, r.k, r.v) for r in t.scan().collect()}
         want = {(i, kk, vv) for i, (kk, vv) in model.items()}
         assert got == want, (op, ops)
+        # v3 row-lineage invariants through every op sequence: every live
+        # row has a _row_id, no two live rows share one, and a row keeps
+        # the id it was born with across update/merge/compact/expire (model
+        # ids are never recycled here, so first sight pins it for life)
+        lineage = [(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()]
+        rids = [rid for _, rid in lineage]
+        assert all(rid is not None for rid in rids), (op, ops)
+        assert len(set(rids)) == len(rids), (op, ops)
+        for mid, rid in lineage:
+            assert seen_rid.setdefault(mid, rid) == rid, (op, ops, mid)
 
     eng.drop("fz.t")
