@@ -208,6 +208,12 @@ class Engine:
         "all_files",
         "all_manifests",
         "statistics",
+        # v3 read views (round 7): data + _row_id/_last_updated_sequence_
+        # number; data + reserved metadata columns; the full changelog with
+        # update detection
+        "row_lineage",
+        "with_metadata",
+        "changes",
     )
 
     def _register_metadata_table(self, rel: str) -> bool:
@@ -233,6 +239,12 @@ class Engine:
             # Ref names are case-sensitive: derive from the original-case
             # leaf; the lowercased copy is only for prefix detection.
             df = t.scan(branch=parts[-1].split("_", 1)[1])
+        elif leaf == "row_lineage":
+            df = t.scan(row_lineage=True)
+        elif leaf == "with_metadata":
+            df = t.scan(metadata_columns=["_file", "_pos", "_spec_id", "_partition"])
+        elif leaf == "changes":
+            df = t.changes(0, with_lineage=True)
         else:
             method = {"refs": "refs_df", "statistics": "statistics_df"}.get(leaf, leaf)
             df = getattr(t, method)()

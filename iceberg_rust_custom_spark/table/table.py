@@ -380,16 +380,24 @@ class Table:
         if with_lineage:
             new_files = plan_files(self.metadata, snap_head, None, (from_sequence_number, end))
             if new_files:
+                # the file's sequence number IS the insert event's commit:
+                # kept (hidden) so update pairing can require the delete and
+                # insert to come from the SAME commit — a full-history range
+                # must not relabel a row's ORIGINAL insert as update_after
                 inserts = read_files_with_lineage(
                     self.spark, self.metadata, snap_head, new_files
-                ).drop("_last_updated_sequence_number")
+                ).withColumnRenamed("_last_updated_sequence_number", "_sg_cseq")
             else:
                 from iceberg_rust_custom_spark.table.scan import _decode_variants
 
                 cur = self.metadata.current_schema()
-                inserts = _decode_variants(
-                    self.spark.createDataFrame([], cur.physical_spark_schema()), cur
-                ).withColumn("_row_id", F.lit(None).cast("long"))
+                inserts = (
+                    _decode_variants(
+                        self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+                    )
+                    .withColumn("_row_id", F.lit(None).cast("long"))
+                    .withColumn("_sg_cseq", F.lit(None).cast("long"))
+                )
             inserts = inserts.withColumn("_change_type", F.lit("insert"))
         else:
             inserts = self.incremental_scan(from_sequence_number, end).withColumn(
@@ -411,16 +419,30 @@ class Table:
                     if e.data_file.content == 1:
                         del_files.append(e.data_file)
         if not del_files:
-            return inserts
-        pq_dels = [d.file_path for d in del_files if d.file_format != "puffin"]
-        dv_dels = [d for d in del_files if d.file_format == "puffin"]
+            return inserts.drop("_sg_cseq") if with_lineage else inserts
+        # one part per tombstone commit: its sequence number rides along so
+        # update pairing can match deletes to SAME-commit re-inserts
+        by_seq: dict[int, list] = {}
+        for d in del_files:
+            by_seq.setdefault(d.data_sequence_number, []).append(d)
         parts = []
-        if pq_dels:
-            parts.append(self.spark.read.parquet(*pq_dels).select("file_path", "pos"))
-        if dv_dels:
-            from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
+        for dseq, group in by_seq.items():
+            pq_dels = [d.file_path for d in group if d.file_format != "puffin"]
+            dv_dels = [d for d in group if d.file_format == "puffin"]
+            if pq_dels:
+                parts.append(
+                    self.spark.read.parquet(*pq_dels)
+                    .select("file_path", "pos")
+                    .withColumn("_del_seq", F.lit(dseq).cast("long"))
+                )
+            if dv_dels:
+                from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
 
-            parts.append(dv_positions_df(self.spark, dv_dels))
+                parts.append(
+                    dv_positions_df(self.spark, dv_dels).withColumn(
+                        "_del_seq", F.lit(dseq).cast("long")
+                    )
+                )
         tombs = parts[0]
         for p in parts[1:]:
             tombs = tombs.unionByName(p)
@@ -456,19 +478,27 @@ class Table:
             .drop("_sg_file", "_sg_pos", "file_path", "pos")
             .withColumn("_change_type", F.lit("delete"))
         )
+        if with_lineage:
+            deleted = deleted.withColumnRenamed("_del_seq", "_sg_cseq")
+        else:
+            deleted = deleted.drop("_del_seq")
         out = inserts.unionByName(deleted)
         if with_lineage:
-            # UPDATE pairing: a row id present on BOTH sides of the range
-            # is one logical update — relabel its delete/insert halves.
-            # NULL row ids (pre-v3 files) never pair (null keys don't join).
+            # UPDATE pairing: a delete and an insert of the SAME row id in
+            # the SAME commit are one logical update (exactly what MoR
+            # UPDATE/MERGE emits: tombstone + re-append, one transaction) —
+            # relabel the two halves. Commit-scoped, so a full-history range
+            # never relabels the row's ORIGINAL insert. NULL row ids
+            # (pre-v3 files) never pair (null keys don't join).
+            keys = ["_row_id", "_sg_cseq"]
             paired = (
-                deleted.select("_row_id")
-                .join(inserts.select("_row_id"), "_row_id", "inner")
+                deleted.select(*keys)
+                .join(inserts.select(*keys), keys, "inner")
                 .distinct()
                 .withColumn("_sg_upd", F.lit(True))
             )
             out = (
-                out.join(F.broadcast(paired), "_row_id", "left")
+                out.join(F.broadcast(paired), keys, "left")
                 .withColumn(
                     "_change_type",
                     F.when(
@@ -478,7 +508,7 @@ class Table:
                         ).otherwise(F.lit("update_after")),
                     ).otherwise(F.col("_change_type")),
                 )
-                .drop("_sg_upd")
+                .drop("_sg_upd", "_sg_cseq")
             )
         return out
 

@@ -79,3 +79,29 @@ def test_metadata_columns_compose_with_row_lineage(eng, spark):
     df = t.scan(row_lineage=True, metadata_columns=["_pos"])
     rows = {(r.id, r._row_id, r._pos) for r in df.collect()}
     assert all(r[1] is not None and r[2] is not None for r in rows)
+
+
+def test_v3_read_views_in_sql(eng, spark):
+    """SQL surface for the v3 reads: ns.t.row_lineage, ns.t.with_metadata,
+    ns.t.changes (changelog with update detection)."""
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    eng.sql("CREATE TABLE ns.sqlv (id BIGINT, v STRING) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.sqlv VALUES (1, 'a'), (2, 'b')")
+    rows = eng.sql("SELECT id, _row_id FROM ns.sqlv.row_lineage ORDER BY _row_id").collect()
+    assert [r._row_id for r in rows] == [0, 1]
+    meta = eng.sql(
+        "SELECT id, _file, _pos, _partition FROM ns.sqlv.with_metadata"
+    ).collect()
+    # positions start at 0 within every data file
+    by_file = {}
+    for r in meta:
+        by_file.setdefault(r._file, []).append(r._pos)
+    assert len(meta) == 2
+    assert all(sorted(p) == list(range(len(p))) for p in by_file.values())
+    update_where(eng.load_table("ns.sqlv"), {"v": "'B'"}, "id = 2", mode="merge-on-read")
+    ch = eng.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM ns.sqlv.changes GROUP BY 1"
+    ).collect()
+    got = {r._change_type: r.n for r in ch}
+    assert got == {"insert": 2, "update_before": 1, "update_after": 1}
