@@ -103,6 +103,7 @@ HEADLINE = [
     "iceberg_variant_extract",
     "iceberg_cdc_update_pairs",
     "iceberg_metadata_columns",
+    "iceberg_type_promotion",
 ]
 
 

@@ -62,6 +62,11 @@ def _primitive_to_spark(name: str) -> T.DataType:
         # VARIANT logical type; the scan/write boundary converts with
         # parse_json / to_json.
         "variant": T.VariantType(),
+        # Iceberg v3 unknown: an always-null placeholder type. Never
+        # stored in data files (physical_spark_schema omits it; parquet
+        # has no null type); scans project a NULL literal. Promotes to
+        # any type (schema_evolution._promotion_allowed).
+        "unknown": T.NullType(),
     }[name]
 
 
@@ -110,6 +115,9 @@ def spark_type_to_iceberg(dt: T.DataType):
         T.StringType: "string",
         T.BinaryType: "binary",
         T.VariantType: "variant",
+        # a pure-NULL column (e.g. CTAS of SELECT NULL AS x) → v3 unknown;
+        # promotes to a real type later via widen_column
+        T.NullType: "unknown",
     }
     for klass, name in simple.items():
         if isinstance(dt, klass):
@@ -228,15 +236,24 @@ class Schema:
         stored physically as JSON text — see physical_spark_schema)."""
         return [f.name for f in self.fields if f.field_type == "variant"]
 
+    def unknown_field_names(self) -> list[str]:
+        """Top-level Iceberg v3 unknown columns (always-null placeholder;
+        never stored in data files)."""
+        return [f.name for f in self.fields if f.field_type == "unknown"]
+
     def physical_spark_schema(self) -> T.StructType:
         """The schema data files are WRITTEN with: identical to
-        spark_schema() except variant columns are JSON-text strings.
+        spark_schema() except variant columns are JSON-text strings and
+        v3 unknown columns are OMITTED (parquet has no null type and the
+        spec stores no values for them — scans project NULL).
         Spark's native parquet VARIANT logical type is unreadable by the
         engine's pyarrow footer-stats collector, and JSON text keeps the
         files open to every reader; to_json/parse_json convert at the
         write/read boundary (write.py / scan.py)."""
         out = []
         for f in self.fields:
+            if f.field_type == "unknown":
+                continue
             sf = f.spark_field()
             if f.field_type == "variant":
                 sf = T.StructField(sf.name, T.StringType(), True, metadata=sf.metadata)

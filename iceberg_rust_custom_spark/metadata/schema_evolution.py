@@ -29,6 +29,26 @@ from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
 
 _PROMOTIONS = {("int", "long"), ("float", "double")}
 
+_DECIMAL_RE = __import__("re").compile(r"decimal\((\d+),\s*(\d+)\)")
+
+
+def _promotion_allowed(old: str, new: str) -> bool:
+    """Spec type promotions. v2: int→long, float→double. v3 additions:
+    date→timestamp, decimal(P,S)→decimal(P',S) with P' ≥ P (same scale),
+    and unknown→any (an unknown column carries no values to reinterpret).
+    The reference's v2-only model stops at the first two
+    (iceberg-rust-spec/src/spec/types.rs:185-344)."""
+    if (old, new) in _PROMOTIONS:
+        return True
+    if old == "unknown":
+        return True
+    if old == "date" and new in ("timestamp", "timestamptz"):
+        return True
+    mo, mn = _DECIMAL_RE.fullmatch(old or ""), _DECIMAL_RE.fullmatch(new or "")
+    if mo and mn:
+        return int(mn.group(2)) == int(mo.group(2)) and int(mn.group(1)) >= int(mo.group(1))
+    return False
+
 
 def walk_field_ids(field_type) -> list[int]:
     """Every field id carried INSIDE a type (struct members, recursively).
@@ -175,7 +195,7 @@ class SchemaUpdate:
                 out = []
                 for x in fields:
                     if x["name"] == leaf:
-                        if (x["type"], new_type) not in _PROMOTIONS:
+                        if not _promotion_allowed(x["type"], new_type):
                             raise ValueError(
                                 f"type promotion {x['type']} → {new_type} is not allowed"
                             )
@@ -190,7 +210,7 @@ class SchemaUpdate:
             return self
         i = self._idx(name)
         f = self._fields[i]
-        if (f.field_type, new_type) not in _PROMOTIONS:
+        if not _promotion_allowed(f.field_type, new_type):
             raise ValueError(f"type promotion {f.field_type} → {new_type} is not allowed")
         self._fields[i] = _dc.replace(f, field_type=new_type)
         return self

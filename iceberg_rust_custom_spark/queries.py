@@ -5167,3 +5167,60 @@ def iceberg_metadata_columns(spark, sf_dir):
         .groupBy(F.col("_partition").alias("part_tuple"))
         .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
     )
+
+
+@q(
+    "iceberg_type_promotion",
+    """
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(24,2))), 2)
+                AS DOUBLE) AS amt
+    FROM orders GROUP BY 1
+    """,
+)
+def iceberg_type_promotion(spark, sf_dir):
+    """v3 type promotions: epoch 1 writes DATE + DECIMAL(12,2); the schema
+    then widens to TIMESTAMP + DECIMAL(24,2) (v3 additions — the v2-only
+    reference allows just int→long/float→double, types.rs:185-344) and
+    epoch 2 appends at the wide types. One scan reads both epochs under the
+    current schema — old dates surface as midnight timestamps, narrow
+    decimals widen losslessly — and the month/total aggregate must be
+    hash-exact vs the oracle on the raw relational columns."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}:promo".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_promo"):
+        odf = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("amt"),
+        )
+        eng.sql(
+            "CREATE TABLE rt.ord_promo (o_orderkey BIGINT, od DATE, amt DECIMAL(12,2)) "
+            "STORED AS ICEBERG"
+        )
+        t = eng.load_table("rt.ord_promo")
+        t.append(odf.where(F.col("o_orderkey") % 2 == 0))
+        t.update_schema().widen_column("od", "timestamp").widen_column(
+            "amt", "decimal(24,2)"
+        ).commit()
+        t.append(
+            odf.where(F.col("o_orderkey") % 2 == 1)
+            .withColumn("od", F.col("od").cast("timestamp_ntz"))
+            .withColumn("amt", F.col("amt").cast("decimal(24,2)"))
+        )
+    return (
+        eng.load_table("rt.ord_promo")
+        .scan()
+        .groupBy(F.month("od").alias("mo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("amt"), 2).cast("double").alias("amt"),
+        )
+    )

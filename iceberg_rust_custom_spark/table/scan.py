@@ -589,20 +589,28 @@ def scan_to_dataframe(
 
 
 def _decode_variants(df: DataFrame, schema: Schema) -> DataFrame:
-    """Surface v3 variant columns logically: data files store them as JSON
-    text (schema.physical_spark_schema); parse only the columns that are
-    still strings — no-op on variant-free tables and already-decoded
-    plans."""
+    """Surface the logical view of v3 physical-divergent columns: variant
+    columns parse from their JSON-text storage form; unknown columns
+    (never stored) restore as NULL literals in their declared position.
+    No-op on tables without either."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     names = schema.variant_field_names()
-    if not names:
+    unknown = schema.unknown_field_names()
+    if not names and not unknown:
         return df
     by_name = {f.name: f.dataType for f in df.schema.fields}
     for name in names:
         if isinstance(by_name.get(name), T.StringType):
             df = df.withColumn(name, F.parse_json(F.col(name)))
+    if unknown:
+        for name in unknown:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None))
+        declared = [f.name for f in schema.fields if f.name in df.columns or f.name in unknown]
+        extras = [c for c in df.columns if c not in declared]
+        df = df.select(*declared, *extras)
     return df
 
 
@@ -951,7 +959,16 @@ def _read_with_field_id_resolution(
             exprs = []
             for f in schema.fields:
                 wf = wfields.get(f.field_id)
-                if f.field_type == "variant":
+                if f.field_type == "unknown" or (wf is not None and wf.field_type == "unknown"):
+                    # v3 unknown: never stored — NULL now; a column PROMOTED
+                    # from unknown reads NULL from files written before the
+                    # promotion (they hold no values), typed to the new type
+                    exprs.append(
+                        F.lit(None).cast(type_to_spark(f.field_type)).alias(f.name)
+                        if f.field_type != "unknown"
+                        else F.lit(None).alias(f.name)
+                    )
+                elif f.field_type == "variant":
                     # physical JSON text → logical variant (a CAST would
                     # wrap the text as a variant STRING scalar, not parse it)
                     src = (
@@ -984,6 +1001,9 @@ def _read_with_field_id_resolution(
             seen: set[str] = set()
             exprs = []
             for f in schema.fields:
+                if f.field_type == "unknown":  # never stored → NULL
+                    exprs.append(F.lit(None).alias(f.name))
+                    continue
                 variants = [
                     (name, ftype)
                     for name, ftype in historical_names(metadata, f.field_id)

@@ -181,6 +181,8 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
             for f in iceberg_schema.fields
             if f.write_default is not None
         }
+    import pyspark.sql.types as _T
+
     # reserved v3 row-lineage columns: a compaction that materializes
     # explicit lineage writes them as physical trailing columns, outside
     # the table schema (table/maintenance.py::compact)
@@ -188,7 +190,11 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
         c for c in ("_row_id", "_last_updated_sequence_number") if c in df.columns
     ]
     have = {f.name for f in df.schema.fields} - set(reserved)
-    want = [f for f in target.fields]
+    # v3 unknown columns (NullType): never stored in data files — a writer
+    # may omit or include them; either way they are dropped here
+    want = [f for f in target.fields if not isinstance(f.dataType, _T.NullType)]
+    unknown_names = {f.name for f in target.fields if isinstance(f.dataType, _T.NullType)}
+    have -= unknown_names
     missing = [f.name for f in want if f.name not in have and f.name not in write_defaults]
     extra = sorted(have - {f.name for f in want})
     if missing or extra:

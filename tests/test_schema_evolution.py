@@ -285,3 +285,75 @@ def test_no_default_still_errors_on_missing_column(eng, spark):
     t.update_schema().add_column("extra", "string").commit()  # no default
     with pytest.raises(ValueError, match="missing columns"):
         t.append(spark.createDataFrame([(3, 30, "c")], "id long, qty int, label string"))
+
+
+# ------------------------------------------------- v3 type promotions
+
+
+def test_decimal_precision_widening(eng, spark):
+    eng.sql("CREATE TABLE ns.w1 (id BIGINT, amt DECIMAL(10,2)) STORED AS ICEBERG")
+    t = eng.load_table("ns.w1")
+    from decimal import Decimal
+
+    t.append(spark.createDataFrame([(1, Decimal("12.34"))], "id long, amt decimal(10,2)"))
+    t.update_schema().widen_column("amt", "decimal(20,2)").commit()
+    t.append(
+        spark.createDataFrame(
+            [(2, Decimal("99999999999999999.99"))], "id long, amt decimal(20,2)"
+        )
+    )
+    rows = {(r.id, str(r.amt)) for r in t.scan().collect()}
+    assert rows == {(1, "12.34"), (2, "99999999999999999.99")}
+    # scale change / narrowing are NOT promotions
+    with pytest.raises(ValueError, match="promotion"):
+        t.update_schema().widen_column("amt", "decimal(20,4)").commit()
+    with pytest.raises(ValueError, match="promotion"):
+        t.update_schema().widen_column("amt", "decimal(10,2)").commit()
+
+
+def test_date_to_timestamp_promotion(eng, spark):
+    import datetime
+
+    eng.sql("CREATE TABLE ns.w2 (id BIGINT, d DATE) STORED AS ICEBERG")
+    t = eng.load_table("ns.w2")
+    t.append(spark.createDataFrame([(1, datetime.date(2024, 3, 5))], "id long, d date"))
+    t.update_schema().widen_column("d", "timestamp").commit()
+    t.append(
+        spark.createDataFrame(
+            [(2, datetime.datetime(2024, 3, 6, 12, 30))], "id long, d timestamp_ntz"
+        )
+    )
+    rows = {(r.id, r.d) for r in t.scan().collect()}
+    assert rows == {
+        (1, datetime.datetime(2024, 3, 5, 0, 0)),  # old dates read as midnight
+        (2, datetime.datetime(2024, 3, 6, 12, 30)),
+    }
+
+
+# ----------------------------------------------------- v3 unknown type
+
+
+def test_unknown_column_lifecycle(eng, spark):
+    eng.sql("CREATE TABLE ns.u1 (id BIGINT, v STRING) STORED AS ICEBERG")
+    t = eng.load_table("ns.u1")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.update_schema().add_column("u", "unknown").commit()
+    # writers may omit it or include it — never stored either way
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    rows = {(r.id, r.u) for r in t.scan().collect()}
+    assert rows == {(1, None), (2, None)}
+    # promote unknown -> string: files from before hold no values -> NULL;
+    # new writes store real values
+    t.update_schema().widen_column("u", "string").commit()
+    t.append(spark.createDataFrame([(3, "c", "real")], "id long, v string, u string"))
+    rows = {(r.id, r.u) for r in t.scan().collect()}
+    assert rows == {(1, None), (2, None), (3, "real")}
+
+
+def test_ctas_null_column_becomes_unknown(eng, spark):
+    eng.sql("CREATE TABLE ns.u2 (id BIGINT) STORED AS ICEBERG")
+    eng.sql("INSERT INTO ns.u2 VALUES (1), (2)")
+    eng.sql("CREATE TABLE ns.u3 STORED AS ICEBERG AS SELECT id, NULL AS x FROM ns.u2")
+    t = eng.load_table("ns.u3")
+    assert t.metadata.current_schema().field_by_name("x").field_type == "unknown"
+    assert {(r.id, r.x) for r in t.scan().collect()} == {(1, None), (2, None)}
