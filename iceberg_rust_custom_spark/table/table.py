@@ -420,29 +420,44 @@ class Table:
                         del_files.append(e.data_file)
         if not del_files:
             return inserts.drop("_sg_cseq") if with_lineage else inserts
-        # one part per tombstone commit: its sequence number rides along so
-        # update pairing can match deletes to SAME-commit re-inserts
+        # every tombstone carries its commit's sequence number so update
+        # pairing can match deletes to SAME-commit re-inserts. Parquet
+        # tombstones stay ONE scan for the whole range (a broadcast
+        # delete-file→sequence map joins the number on, keyed by
+        # _metadata.file_path) — one union part per commit would blow up
+        # plan size on long MoR histories. DV blobs group per commit
+        # (few DV-bearing commits per range by construction).
+        parts = []
+        pq_dels = [d for d in del_files if d.file_format != "puffin"]
+        if pq_dels:
+            seq_map = F.broadcast(
+                self.spark.createDataFrame(
+                    [(d.file_path, d.data_sequence_number) for d in pq_dels],
+                    "dpath string, _del_seq long",
+                )
+            )
+            pqdf = self.spark.read.parquet(*[d.file_path for d in pq_dels]).select(
+                "file_path",
+                "pos",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("_dp"),
+            )
+            parts.append(
+                pqdf.join(seq_map, pqdf["_dp"] == seq_map["dpath"], "left").select(
+                    "file_path", "pos", "_del_seq"
+                )
+            )
         by_seq: dict[int, list] = {}
         for d in del_files:
-            by_seq.setdefault(d.data_sequence_number, []).append(d)
-        parts = []
+            if d.file_format == "puffin":
+                by_seq.setdefault(d.data_sequence_number, []).append(d)
         for dseq, group in by_seq.items():
-            pq_dels = [d.file_path for d in group if d.file_format != "puffin"]
-            dv_dels = [d for d in group if d.file_format == "puffin"]
-            if pq_dels:
-                parts.append(
-                    self.spark.read.parquet(*pq_dels)
-                    .select("file_path", "pos")
-                    .withColumn("_del_seq", F.lit(dseq).cast("long"))
-                )
-            if dv_dels:
-                from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
+            from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
 
-                parts.append(
-                    dv_positions_df(self.spark, dv_dels).withColumn(
-                        "_del_seq", F.lit(dseq).cast("long")
-                    )
+            parts.append(
+                dv_positions_df(self.spark, group).withColumn(
+                    "_del_seq", F.lit(dseq).cast("long")
                 )
+            )
         tombs = parts[0]
         for p in parts[1:]:
             tombs = tombs.unionByName(p)
