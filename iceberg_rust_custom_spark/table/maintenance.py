@@ -183,6 +183,51 @@ def maintain(table: Table, small_file_bytes: int | None = None, min_small_files:
     return compact(table, target)
 
 
+def _read_files_applying_deletes(table: Table, md, snap, files: list, lineage_live: bool):
+    """Read specific live data files with every pending merge-on-read
+    delete applied (equality first, then position tombstones — both
+    sequence-gated exactly like the scan), optionally with the v3 lineage
+    columns materialized.
+
+    This is what lets the copy-on-write row-level ops (delete_where /
+    merge_upsert / update_where) keep their rewrite SCOPED when pending
+    MoR deletes exist: the matched files read through the same delete
+    machinery ``scan_to_dataframe`` uses, untouched files that a pending
+    delete references materialize via ``Table._materialize_carried_deletes``
+    (table/table.py), and everything else carries over by reference —
+    work scales with the delete set plus the matched files, never the
+    table (previously these ops fell back to a full-table ``compact()``)."""
+    from iceberg_rust_custom_spark.table.scan import (
+        _apply_equality_deletes,
+        _apply_position_deletes,
+        _read_with_field_id_resolution,
+        _with_lineage,
+        data_file_sequence_numbers,
+        plan_delete_files,
+        read_files_with_lineage,
+        read_physical,
+    )
+
+    spark = table.spark
+    schema = md.current_schema()
+    deletes = plan_delete_files(md, snap)
+    if lineage_live:
+        df = read_files_with_lineage(spark, md, snap, files, keep_address=True)
+    elif len(md.schemas) > 1:
+        df = _read_with_field_id_resolution(spark, md, schema, files, lineage=True)
+    else:
+        df = _with_lineage(read_physical(spark, schema, [f.file_path for f in files]))
+    eq = [e for e in deletes if e.data_file.content == 2]
+    pos = [e.data_file for e in deletes if e.data_file.content == 1]
+    if eq:
+        df = _apply_equality_deletes(
+            spark, df, eq, data_file_sequence_numbers(md, snap), schema=schema
+        )
+    if pos:
+        df = _apply_position_deletes(spark, df, pos)
+    return df.drop("_sg_file", "_sg_pos")
+
+
 def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
     """Row-level DELETE. The reference *detects* delete files but never
     applies them (table/mod.rs:156-166; README lists delete as
@@ -217,21 +262,19 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
         return _delete_merge_on_read(table, expr, matched)
 
     all_files = plan_files(md, snap)
-    if plan_delete_files(md, snap):
-        # pending position deletes + full-set rewrite would resurrect rows
-        # in carried-over files; materialize them first (one-time cost,
-        # exactly what scheduled maintenance would have done)
-        table = compact(table)
-        md = table.metadata
-        snap = md.snapshot_for_ref()
-        all_files = plan_files(md, snap)
-        matched = plan_files(md, snap, expr)
-        if not matched:
-            return table
+    pending = plan_delete_files(md, snap)
     matched_paths = {f.file_path for f in matched}
     untouched = [f for f in all_files if f.file_path not in matched_paths]
 
-    if any(f.first_row_id is not None for f in all_files):
+    lineage_live = any(f.first_row_id is not None for f in all_files)
+    if pending:
+        # pending MoR deletes + full-set rewrite would resurrect rows; read
+        # the matched files THROUGH the delete machinery and materialize
+        # only the untouched files a delete actually references (below) —
+        # scoped, never a full-table compact (r8; was the last full-table
+        # rewrite fallback)
+        df = _read_files_applying_deletes(table, md, snap, matched, lineage_live)
+    elif lineage_live:
         # v3 row lineage: survivors in rewritten files are unchanged rows —
         # both lineage columns carry over explicitly (spec: rewrites
         # preserve row identity)
@@ -245,6 +288,8 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
     kept = df.filter(f"NOT coalesce(({expr.sql()}), false)")
     data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(kept, md, data_dir)
+    if pending and untouched:
+        untouched = table._materialize_carried_deletes(untouched, pending, snap, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
     return table
 
@@ -340,13 +385,10 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
     mode = mode or md.properties.get("write.merge.mode", "copy-on-write")
     if mode == "merge-on-read":
         return _merge_upsert_mor(table, source, key_cols)
-    if plan_delete_files(md, snap):
-        # materialize pending position deletes before the copy-on-write
-        # merge (its full-set Rewrite would otherwise drop them and
-        # resurrect deleted rows in carried-over files)
-        table = compact(table)
-        md = table.metadata
-        snap = md.snapshot_for_ref()
+    # pending MoR deletes: the full-set Rewrite drops the delete files, so
+    # matched files read through the delete machinery and referenced
+    # untouched files materialize scoped (below) — never a full compact (r8)
+    pending = plan_delete_files(md, snap)
 
     k = key_cols[0]
     bounds = source.selectExpr(f"min({k}) AS lo", f"max({k}) AS hi").first()
@@ -377,10 +419,16 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
         # explicit-lineage file
         from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
 
-        tgt = read_files_with_lineage(table.spark, md, snap, matched)
+        if pending:
+            tgt = _read_files_applying_deletes(table, md, snap, matched, True)
+        else:
+            tgt = read_files_with_lineage(table.spark, md, snap, matched)
         skeys = source.select(*key_cols).distinct()
         kept = tgt.join(skeys, on=key_cols, how="left_anti")
-        id_map = tgt.select(*key_cols, F.col("_row_id").alias("_rl_id"))
+        # dedup the id donor per key: N target rows sharing a key must not
+        # fan the source row out into N copies (ADVICE r7); mirror the MoR
+        # path's min-id choice
+        id_map = tgt.groupBy(*key_cols).agg(F.min("_row_id").alias("_rl_id"))
         src = source.join(id_map, on=key_cols, how="left")  # AQE sizes the build side
         src_updates = (
             src.where(F.col("_rl_id").isNotNull())
@@ -394,15 +442,22 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
     else:
         pieces = []
         if matched:
-            from iceberg_rust_custom_spark.table.scan import read_physical
+            if pending:
+                tgt = _read_files_applying_deletes(table, md, snap, matched, False)
+            else:
+                from iceberg_rust_custom_spark.table.scan import read_physical
 
-            tgt = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
+                tgt = read_physical(
+                    table.spark, md.current_schema(), [f.file_path for f in matched]
+                )
             pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
         pieces.append(source)
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
         new_files = write_partitioned(out, md, data_dir)
+    if pending and untouched:
+        untouched = table._materialize_carried_deletes(untouched, pending, snap, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
     return table
 
@@ -616,10 +671,9 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
     mode = mode or md.properties.get("write.update.mode", "copy-on-write")
     if mode == "merge-on-read":
         return _update_merge_on_read(table, assignments, predicate)
-    if plan_delete_files(md, snap):
-        table = compact(table)  # materialize pending MoR deletes first
-        md = table.metadata
-        snap = md.snapshot_for_ref()
+    # pending MoR deletes handled scoped (r8): matched files read through
+    # the delete machinery; referenced untouched files materialize below
+    pending = plan_delete_files(md, snap)
 
     pred_sql = predicate.sql() if hasattr(predicate, "sql") else str(predicate)
     all_files = plan_files(md, snap)
@@ -634,7 +688,9 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
 
     schema = md.current_schema().spark_schema()
     lineage_live = any(f.first_row_id is not None for f in all_files)
-    if lineage_live:
+    if pending:
+        df = _read_files_applying_deletes(table, md, snap, matched, lineage_live)
+    elif lineage_live:
         # v3 row lineage: UPDATE preserves _row_id; the modified row's
         # _last_updated_sequence_number nulls out so it inherits THIS
         # commit's sequence number at read time (unmodified carried rows
@@ -665,6 +721,8 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
     updated = df.select(*cols)
     data_dir = os.path.join(md.location, "data", "update-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(updated, md, data_dir)
+    if pending and untouched:
+        untouched = table._materialize_carried_deletes(untouched, pending, snap, data_dir)
     table.metadata = table.new_transaction().rewrite(untouched + new_files).commit()
     return table
 

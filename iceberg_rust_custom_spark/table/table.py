@@ -613,9 +613,9 @@ class Table:
           exact, zero I/O.
         * parquet position deletes: one metadata-scale Spark job reads the
           DISTINCT ``file_path`` column of the delete files (KBs).
-        * equality deletes apply by partition + strictly-older sequence
-          number, so any older carried file in a matching partition (or
-          any partition, for a global delete) is affected.
+        * equality deletes apply globally with strictly-older sequence
+          gating (matching scan-time application exactly), so every older
+          carried file is affected.
         """
         from pyspark.sql import functions as F
 
@@ -655,11 +655,15 @@ class Table:
             )
         file_seqs = data_file_sequence_numbers(self.metadata, snap) if eq_entries else {}
         for e in eq_entries:
-            del_part = tuple(sorted((e.data_file.partition or {}).items()))
+            # scan-time application (_apply_equality_deletes) is GLOBAL with
+            # only sequence gating, so the materialization must treat every
+            # strictly-older carried file as affected — partition-scoping
+            # here while the scan applies globally would let a partition-
+            # tagged delete (Avro interop, older-spec tuples) skip files the
+            # scan suppressed, resurrecting rows once the delete files drop
+            # out of the rewrite commit (ADVICE r7).
             for f in carried:
-                if file_seqs.get(f.file_path, 0) < e.sequence_number and (
-                    not del_part or tuple(sorted(f.partition.items())) == del_part
-                ):
+                if file_seqs.get(f.file_path, 0) < e.sequence_number:
                     referenced.add(_norm(f.file_path))
         affected = [f for f in carried if _norm(f.file_path) in referenced]
         untouched = [f for f in carried if _norm(f.file_path) not in referenced]
