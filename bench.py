@@ -107,10 +107,27 @@ HEADLINE = [
 ]
 
 
+#: the iceberg_* gate queries materialize their tables here once and reuse
+#: them across runs (queries.py); whether it's populated decides if "cold"
+#: timings include one-time table builds
+_GATE_WAREHOUSE = "/tmp/iceberg_rust_custom_spark_wh"
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from iceberg_rust_custom_spark.queries import QUERIES
     from iceberg_rust_custom_spark.session import get_spark
+
+    # SPARK_GRAFT_FRESH_WH=1 wipes the gate warehouse first: deterministic
+    # cold runs (every *_cold then includes its one-time materialization).
+    # Recorded either way as "wh": "cold"|"warm" — VERDICT r7 adjudicated a
+    # phantom 3-50× "regression" that was exactly this /tmp state difference
+    # between rounds, so the flag makes the artifact self-describing.
+    if os.environ.get("SPARK_GRAFT_FRESH_WH"):
+        import shutil
+
+        shutil.rmtree(_GATE_WAREHOUSE, ignore_errors=True)
+    wh_state = "warm" if os.path.isdir(_GATE_WAREHOUSE) and os.listdir(_GATE_WAREHOUSE) else "cold"
 
     spark = get_spark("bench")
     # warm-up (untimed): JVM + codegen + parquet footers, the Arrow
@@ -219,13 +236,19 @@ def main():
         shutil.rmtree(scaled_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Key order is load-bearing: the driver archives only the TAIL of the
+    # output line, so "setup" (cold timings, warehouse-state-dependent and
+    # not comparable across rounds) serializes BEFORE "queries" (steady
+    # state, the round-over-round comparison quantity) — the surviving tail
+    # holds the numbers that matter.
     out = {
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "setup": setup,
         "sf": sf,
+        "wh": wh_state,
+        "setup": setup,
+        "queries": timings,
     }
     if dedup_scale:
         out["dedup_scale"] = {"factor": factor, "queries": dedup_scale}

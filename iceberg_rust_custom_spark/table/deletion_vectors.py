@@ -176,7 +176,7 @@ def _is_local(path: str) -> bool:
     return "://" not in path or path.startswith("file://")
 
 
-def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
+def dv_positions_df(spark, dv_files: list[DataFile], with_seq: bool = False) -> DataFrame:
     """Decode DV entries into a (file_path, pos) DataFrame for the shared
     position-delete anti-join. Small tombstone sets decode on the driver
     (same cost class as broadcasting a parquet tombstone table); large
@@ -192,23 +192,38 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
     has no executor recipe (a hand-built client that cannot be
     reconstructed) does the driver fetch the compressed blobs (bounded by
     blob count — a roaring blob is tens of bytes to a few KB regardless of
-    cardinality) and ship them for distributed decode."""
+    cardinality) and ship them for distributed decode.
+
+    ``with_seq=True`` adds a ``_del_seq`` column carrying each blob's data
+    sequence number, so the changelog (``Table.changes``) batches every DV
+    blob in a range into ONE decode + union part instead of one per
+    DV-bearing commit (VERDICT r7 watch item)."""
     from urllib.parse import urlparse
 
     from iceberg_rust_custom_spark.io.fileio import FileIO
+
+    out_schema = "file_path string, pos long" + (", _del_seq long" if with_seq else "")
+
+    def _frame(ref_path, pos, seq):
+        import pandas as pd
+
+        d = {"file_path": ref_path, "pos": pos.astype("int64")}
+        if with_seq:
+            d["_del_seq"] = seq
+        return pd.DataFrame(d)
 
     total = sum(f.record_count for f in dv_files)
     if total <= DRIVER_DECODE_MAX_POSITIONS:
         import pandas as pd
 
-        frames = []
-        for f in dv_files:
-            pos = parse_dv_frame(read_dv_blob(f))
-            frames.append(
-                pd.DataFrame({"file_path": f.referenced_data_file, "pos": pos.astype("int64")})
+        frames = [
+            _frame(
+                f.referenced_data_file, parse_dv_frame(read_dv_blob(f)), f.data_sequence_number
             )
+            for f in dv_files
+        ]
         pdf = pd.concat(frames, ignore_index=True)
-        return spark.createDataFrame(pdf, "file_path string, pos long")
+        return spark.createDataFrame(pdf, out_schema)
 
     spec = FileIO.executor_spec()
 
@@ -218,15 +233,19 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
     if all(_executor_readable(f.file_path) for f in dv_files):
         refs = spark.createDataFrame(
             [
-                (f.file_path, f.referenced_data_file, f.content_offset, f.content_size_in_bytes)
+                (
+                    f.file_path,
+                    f.referenced_data_file,
+                    f.content_offset,
+                    f.content_size_in_bytes,
+                    f.data_sequence_number,
+                )
                 for f in dv_files
             ],
-            "puffin_path string, file_path string, off long, size long",
+            "puffin_path string, file_path string, off long, size long, seq long",
         ).repartition(max(32, len(dv_files) // 4))
 
         def explode(batches):
-            import pandas as pd
-
             from iceberg_rust_custom_spark.io.fileio import FileIO
 
             FileIO.ensure(spec)  # self-register remote backends in this worker
@@ -235,9 +254,9 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
                     pos = parse_dv_frame(
                         FileIO.read_range(r["puffin_path"], int(r["off"]), int(r["size"]))
                     )
-                    yield pd.DataFrame({"file_path": r["file_path"], "pos": pos.astype("int64")})
+                    yield _frame(r["file_path"], pos, r["seq"])
 
-        return refs.mapInPandas(explode, "file_path string, pos long")
+        return refs.mapInPandas(explode, out_schema)
 
     # remote scheme without an executor recipe: driver fetches compressed
     # blobs, executors decode
@@ -246,16 +265,13 @@ def dv_positions_df(spark, dv_files: list[DataFile]) -> DataFrame:
     with ThreadPoolExecutor(max_workers=16) as ex:
         blobs = list(ex.map(read_dv_blob, dv_files))
     refs = spark.createDataFrame(
-        [(f.referenced_data_file, b) for f, b in zip(dv_files, blobs)],
-        "file_path string, blob binary",
+        [(f.referenced_data_file, b, f.data_sequence_number) for f, b in zip(dv_files, blobs)],
+        "file_path string, blob binary, seq long",
     ).repartition(max(32, len(dv_files) // 4))
 
     def decode(batches):
-        import pandas as pd
-
         for pdf in batches:
             for _, r in pdf.iterrows():
-                pos = parse_dv_frame(bytes(r["blob"]))
-                yield pd.DataFrame({"file_path": r["file_path"], "pos": pos.astype("int64")})
+                yield _frame(r["file_path"], parse_dv_frame(bytes(r["blob"])), r["seq"])
 
-    return refs.mapInPandas(decode, "file_path string, pos long")
+    return refs.mapInPandas(decode, out_schema)

@@ -804,6 +804,16 @@ def equality_delete_hits(
     return _equality_deletes_impl(spark, df, eq_entries, file_seqs, schema, how="left_semi")
 
 
+def equality_delete_hits_with_seq(
+    spark, df: DataFrame, eq_entries: list, file_seqs: dict, schema: Schema | None = None
+) -> DataFrame:
+    """(_sg_file, _sg_pos, _del_seq) of data rows matched by any given
+    equality delete, with ``_del_seq`` = the EARLIEST matching delete's
+    sequence number — the changelog's victim source: a row emits ONE delete
+    event, attributed to the first delete commit that killed it."""
+    return _equality_deletes_impl(spark, df, eq_entries, file_seqs, schema, how="hits")
+
+
 def _equality_deletes_impl(
     spark, df: DataFrame, eq_entries: list, file_seqs: dict, schema: Schema | None, how: str
 ) -> DataFrame:
@@ -859,6 +869,10 @@ def _equality_deletes_impl(
             cond = cond & df[c].eqNullSafe(eq_df[f"_sg_k_{c}"])
         if how == "left_semi":
             semi_parts.append(df.join(eq_df, cond, "left_semi").select("_sg_file", "_sg_pos"))
+        elif how == "hits":
+            semi_parts.append(
+                df.join(eq_df, cond, "inner").select("_sg_file", "_sg_pos", "_sg_eseq")
+            )
         else:
             df = df.join(eq_df, cond, "left_anti")
     if how == "left_semi":
@@ -868,6 +882,13 @@ def _equality_deletes_impl(
         for p in semi_parts[1:]:
             out = out.unionByName(p)
         return out.distinct()
+    if how == "hits":
+        if not semi_parts:
+            return spark.createDataFrame([], "_sg_file string, _sg_pos long, _del_seq long")
+        out = semi_parts[0]
+        for p in semi_parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("_sg_file", "_sg_pos").agg(F.min("_sg_eseq").alias("_del_seq"))
     return df.drop("_sg_dseq")
 
 

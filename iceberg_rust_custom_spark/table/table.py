@@ -340,9 +340,13 @@ class Table:
         """CDC read: the row-level changes committed in
         (from, to] as data rows plus a ``_change_type`` column
         ('insert' | 'delete'). Appends yield inserts; merge-on-read
-        position deletes yield the deleted rows' full content. Feeds
-        incremental consumers (downstream MVs, stream backfills) without
-        re-reading the table.
+        position deletes (parquet or DV) yield the deleted rows' full
+        content; equality deletes (``delete_by_key``) convert to position
+        form against the strictly-older live file set with the scan's own
+        sequence-gated key join (r8 — previously refused), so a MoR CDC
+        pipeline keeps its changelog. Rows already dead before the range
+        never re-emit. Feeds incremental consumers (downstream MVs, stream
+        backfills) without re-reading the table.
 
         ``with_lineage=True`` adds the v3 ``_row_id`` column and upgrades
         the changelog to UPDATE detection: a delete and an insert sharing
@@ -359,7 +363,6 @@ class Table:
         replay fine."""
         from pyspark.sql import functions as F
 
-        from iceberg_rust_custom_spark.metadata.manifest import read_manifest, read_manifest_list
         from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
 
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
@@ -405,28 +408,38 @@ class Table:
             )
 
         snap = self.metadata.snapshot_for_ref()
-        del_files = []
-        if snap is not None:
-            for row in read_manifest_list(snap.manifest_list):
-                for e in read_manifest(row["manifest_path"]):
-                    if not (from_sequence_number < e.sequence_number <= end):
-                        continue
-                    if e.data_file.content == 2:
-                        raise ValueError(
-                            "range contains an equality delete — its row-level "
-                            "victims depend on full-table state; changelog not emitted"
-                        )
-                    if e.data_file.content == 1:
-                        del_files.append(e.data_file)
-        if not del_files:
+        from iceberg_rust_custom_spark.table.scan import (
+            _apply_equality_deletes,
+            _apply_position_deletes,
+            _read_with_field_id_resolution,
+            _with_lineage,
+            data_file_sequence_numbers,
+            equality_delete_hits_with_seq,
+            plan_delete_files,
+            read_physical,
+        )
+
+        all_del_entries = plan_delete_files(self.metadata, snap)
+        in_range = [
+            e for e in all_del_entries if from_sequence_number < e.sequence_number <= end
+        ]
+        pre_range = [e for e in all_del_entries if e.sequence_number <= from_sequence_number]
+        del_files = [e.data_file for e in in_range if e.data_file.content == 1]
+        eq_in_range = [e for e in in_range if e.data_file.content == 2]
+        if not del_files and not eq_in_range:
             return inserts.drop("_sg_cseq") if with_lineage else inserts
         # every tombstone carries its commit's sequence number so update
         # pairing can match deletes to SAME-commit re-inserts. Parquet
         # tombstones stay ONE scan for the whole range (a broadcast
         # delete-file→sequence map joins the number on, keyed by
-        # _metadata.file_path) — one union part per commit would blow up
-        # plan size on long MoR histories. DV blobs group per commit
-        # (few DV-bearing commits per range by construction).
+        # _metadata.file_path); DV blobs likewise batch into ONE decode
+        # carrying per-blob sequence numbers (dv_positions_df with_seq) —
+        # one union part per commit would blow up plan size on long MoR
+        # histories. Equality deletes (content=2) convert to position form
+        # against the strictly-older live file set with the same
+        # sequence-gated key join the scan uses — their victims ARE
+        # computable from range-end state on a replayable (append/delete
+        # only) history, since appends never remove files.
         parts = []
         pq_dels = [d for d in del_files if d.file_format != "puffin"]
         if pq_dels:
@@ -446,24 +459,49 @@ class Table:
                     "file_path", "pos", "_del_seq"
                 )
             )
-        by_seq: dict[int, list] = {}
-        for d in del_files:
-            if d.file_format == "puffin":
-                by_seq.setdefault(d.data_sequence_number, []).append(d)
-        for dseq, group in by_seq.items():
+        dv_dels = [d for d in del_files if d.file_format == "puffin"]
+        if dv_dels:
             from iceberg_rust_custom_spark.table.deletion_vectors import dv_positions_df
 
-            parts.append(
-                dv_positions_df(self.spark, group).withColumn(
-                    "_del_seq", F.lit(dseq).cast("long")
+            parts.append(dv_positions_df(self.spark, dv_dels, with_seq=True))
+        if eq_in_range:
+            file_seqs = data_file_sequence_numbers(self.metadata, snap)
+            max_eseq = max(e.sequence_number for e in eq_in_range)
+            cand = [
+                f
+                for f in plan_files(self.metadata, snap)
+                if file_seqs.get(f.file_path, 0) < max_eseq
+            ]
+            if cand:
+                cur = self.metadata.current_schema()
+                if len(self.metadata.schemas) > 1:
+                    src = _read_with_field_id_resolution(
+                        self.spark, self.metadata, cur, cand, lineage=True
+                    )
+                else:
+                    src = _with_lineage(
+                        read_physical(self.spark, cur, [f.file_path for f in cand])
+                    )
+                hits = equality_delete_hits_with_seq(
+                    self.spark, src, eq_in_range, file_seqs, schema=cur
                 )
-            )
+                parts.append(
+                    hits.select(
+                        F.col("_sg_file").alias("file_path"),
+                        F.col("_sg_pos").alias("pos"),
+                        "_del_seq",
+                    )
+                )
+        if not parts:
+            return inserts.drop("_sg_cseq") if with_lineage else inserts
         tombs = parts[0]
         for p in parts[1:]:
             tombs = tombs.unionByName(p)
+        # one delete event per row, attributed to the FIRST commit that
+        # killed it (a position tombstone and an equality delete can both
+        # target the same row)
+        tombs = tombs.groupBy("file_path", "pos").agg(F.min("_del_seq").alias("_del_seq"))
         # only the data files the tombstones reference need reading
-        from iceberg_rust_custom_spark.table.scan import read_physical
-
         touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
         if with_lineage:
             import re as _re
@@ -484,6 +522,22 @@ class Table:
                 F.col("_metadata.row_index").alias("_sg_pos"),
                 "*",
             )
+        if pre_range:
+            # rows already dead BEFORE the range (pending pre-range
+            # tombstones/equality deletes) must not emit delete events when
+            # an in-range delete targets them again
+            pre_pos = [e.data_file for e in pre_range if e.data_file.content == 1]
+            pre_eq = [e for e in pre_range if e.data_file.content == 2]
+            if pre_eq:
+                victims = _apply_equality_deletes(
+                    self.spark,
+                    victims,
+                    pre_eq,
+                    data_file_sequence_numbers(self.metadata, snap),
+                    schema=self.metadata.current_schema(),
+                )
+            if pre_pos:
+                victims = _apply_position_deletes(self.spark, victims, pre_pos)
         deleted = (
             victims.join(
                 F.broadcast(tombs),

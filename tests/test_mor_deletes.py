@@ -267,15 +267,74 @@ def test_compact_materializes_equality_deletes(t, spark):
     assert t.scan().selectExpr("min(id) AS m").first().m == 50
 
 
-def test_changes_rejects_equality_delete_ranges(t, spark):
+def test_changes_emits_equality_delete_victims(t, spark):
+    """r8 (VERDICT task 4): an equality delete inside the range yields the
+    deleted rows' full content as 'delete' events (previously refused) —
+    victims computed via the scan's own sequence-gated key join against the
+    strictly-older live file set."""
     from iceberg_rust_custom_spark.table.maintenance import delete_by_key
 
     s = t.metadata.last_sequence_number
-    delete_by_key(t, [1], key_cols=["id"])
-    import pytest as _pytest
+    delete_by_key(t, [1, 105], key_cols=["id"])
+    ch = {(r.id, r._change_type) for r in t.changes(s).collect()}
+    assert ch == {(1, "delete"), (105, "delete")}
+    row = [r for r in t.changes(s).collect() if r.id == 1][0]
+    assert row.grp == "odd" and row.v == 1.0  # full row content
 
-    with _pytest.raises(ValueError, match="equality delete"):
-        t.changes(s)
+
+def test_changes_equality_delete_then_reinsert(t, spark):
+    """Sequence gating: a key re-inserted AFTER the equality delete emits
+    an insert event and is NOT a victim of the earlier delete."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    s = t.metadata.last_sequence_number
+    delete_by_key(t, [7], key_cols=["id"])
+    t.append(spark.createDataFrame([(7, "back", 7.5)], "id long, grp string, v double"))
+    ch = sorted((r.id, r._change_type, r.v) for r in t.changes(s).collect())
+    assert ch == [(7, "delete", 7.0), (7, "insert", 7.5)]
+    assert t.scan().where("id = 7").first().v == 7.5
+
+
+def test_changes_skips_pre_range_dead_rows(t, spark):
+    """A row dead BEFORE the range must not re-emit when an in-range
+    equality delete matches it again."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    delete_where(t, "id = 4", mode="merge-on-read")  # pos-tombstoned pre-range
+    s = t.metadata.last_sequence_number
+    delete_by_key(t, [4, 5], key_cols=["id"])  # eq delete matches 4 (dead) + 5
+    ch = {(r.id, r._change_type) for r in t.changes(s).collect()}
+    assert ch == {(5, "delete")}
+
+
+def test_changes_dv_commits_batch_into_one_union_part(eng, spark):
+    """r8 (VERDICT task 7): ≥3 DV-bearing commits in the range decode as
+    ONE dv_positions_df part with per-blob sequence numbers — results
+    unchanged, plan size bounded."""
+    eng.sql(
+        "CREATE TABLE ns.dvb (id BIGINT, v DOUBLE) STORED AS ICEBERG "
+        "TBLPROPERTIES ('write.delete.format'='dv')"
+    )
+    t = eng.load_table("ns.dvb")
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(30)], "id long, v double"))
+    s = t.metadata.last_sequence_number
+    for k in (3, 13, 23):
+        delete_where(t, f"id = {k}", mode="merge-on-read")
+    dels = plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert len({e.sequence_number for e in dels}) == 3  # three DV commits
+    ch = {(r.id, r._change_type) for r in t.changes(s).collect()}
+    assert ch == {(3, "delete"), (13, "delete"), (23, "delete")}
+    # update pairing still works across the batched decode: MoR UPDATE in
+    # the same range pairs via per-blob _del_seq
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    update_where(t, {"v": "v + 0.5"}, "id = 7", mode="merge-on-read")
+    lch = {
+        (r.id, r._change_type)
+        for r in t.changes(s, with_lineage=True).collect()
+        if r.id == 7
+    }
+    assert lch == {(7, "update_before"), (7, "update_after")}
 
 
 # --------------------------------------------------------------- MoR UPDATE
