@@ -73,14 +73,23 @@ class FileCatalog(Catalog):
             props.update(updates or {})
             nxt = (versions[-1] + 1) if versions else 0
             path = os.path.join(self._ns_dir(namespace), f".nsprops.v{nxt}.json")
+            # publish atomically: write a private temp file, then hard-link
+            # it to the versioned name — link fails with FileExistsError
+            # (preserving the CAS) and a racing reader either sees the
+            # previous version or the COMPLETE new one, never a partially
+            # written file (ADVICE r7: O_EXCL-create-then-write exposed an
+            # empty/partial file to concurrent load_namespace)
+            import uuid as _uuid
+
+            tmp = os.path.join(self._ns_dir(namespace), f".nsprops.tmp.{_uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(props, f)
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, path)
             except FileExistsError:
                 continue  # lost the race; retry on the winner's state
-            try:
-                os.write(fd, json.dumps(props).encode())
             finally:
-                os.close(fd)
+                os.unlink(tmp)
             return props
         raise CommitFailed(f"namespace {'.'.join(namespace)}: property CAS kept losing")
 

@@ -389,22 +389,57 @@ class Engine:
         md = self._load_view_metadata(name)
         return self.load_table(md.storage_table).scan()
 
+    def _mv_source_states(self, sql: str) -> list[tuple[str, str, int | None]]:
+        """(relation, state key, current snapshot id) for every catalog
+        table the view SQL reads. The state key mirrors the reference's
+        SourceTables map keyed by ``(table uuid, Option<branch>)``
+        (iceberg-rust-spec/src/spec/materialized_view_metadata.rs:33-48):
+        a plain read keys by uuid, a branch/tag read (``ns.t.branch_<b>``)
+        keys by ``uuid@<ref>`` and tracks THAT ref's head — so an MV over a
+        dev-branch read goes stale on dev commits and stays fresh across
+        unrelated main commits (and vice versa)."""
+        out = []
+        for rel in find_relations(sql):
+            parts = rel.split(".")
+            leaf = parts[-1]
+            base, ref = rel, None
+            if len(parts) >= 3 and leaf.lower().startswith(("branch_", "tag_")):
+                cand_cat, cand_ident = self.resolve(rel)
+                if not cand_cat.tabular_exists(cand_ident):  # real table wins
+                    base = ".".join(parts[:-1])
+                    ref = leaf.split("_", 1)[1]
+            rel_cat, ident = self.resolve(base)
+            if not rel_cat.tabular_exists(ident):
+                continue
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                continue
+            src = self.load_table(base)
+            if ref is not None:
+                snap = (
+                    src.metadata.snapshot_for_ref(ref)
+                    if ref in src.metadata.refs
+                    else None
+                )
+                out.append(
+                    (rel, f"{src.metadata.table_uuid}@{ref}", snap.snapshot_id if snap else None)
+                )
+            else:
+                out.append((rel, src.metadata.table_uuid, src.metadata.current_snapshot_id))
+        return out
+
     def materialized_view_freshness(self, name: str) -> dict:
         """Per-source Fresh/Outdated classification
-        (reference: materialized_view.rs:48-126)."""
+        (reference: materialized_view.rs:48-126), branch-scoped: a source
+        read from a branch/tag compares that ref's head, not main's."""
         md = self._load_view_metadata(name)
         storage = self.load_table(md.storage_table)
         snap = storage.metadata.snapshot_for_ref()
         state = (snap.summary.get("refresh-state") if snap else None) or {}
         stored = state.get("source-table-states", {})
         out = {}
-        for rel in find_relations(md.current_sql()):
-            rel_cat, ident = self.resolve(rel)
-            if not rel_cat.tabular_exists(ident):
-                continue
-            src = self.load_table(rel)
-            cur = src.metadata.current_snapshot_id
-            prev = stored.get(src.metadata.table_uuid)
+        for rel, key, cur in self._mv_source_states(md.current_sql()):
+            prev = stored.get(key)
             out[rel] = "fresh" if (prev is not None and prev == cur) else (
                 "outdated" if prev is not None else "invalid"
             )
@@ -436,12 +471,9 @@ class Engine:
             ran = self._try_incremental_refresh(md, freshness)
             if ran:
                 return ran
-        source_states = {}
-        for rel in find_relations(md.current_sql()):
-            rel_cat, ident = self.resolve(rel)
-            if rel_cat.tabular_exists(ident):
-                src = self.load_table(rel)
-                source_states[src.metadata.table_uuid] = src.metadata.current_snapshot_id
+        source_states = {
+            key: cur for _, key, cur in self._mv_source_states(md.current_sql())
+        }
         result = self.sql(md.current_sql())
         storage = self.load_table(md.storage_table)
         data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])

@@ -408,7 +408,17 @@ def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec
             "referenced_data_file": df.referenced_data_file,
             "content_offset": df.content_offset,
             "content_size_in_bytes": df.content_size_in_bytes,
-            "first_row_id": df.first_row_id,
+            # the internal first_row_id=-1 marker ("explicit lineage
+            # columns physically in the file") must not leak: spec v3
+            # declares first_row_id a non-negative inheritance base, so an
+            # external reader would compute -1+pos row ids. Exported as
+            # null — v3 readers then take the physical _row_id column,
+            # which is exactly what the marker meant (ADVICE r7). Import
+            # keeps null as-is: scan-side lineage coalesces physical
+            # columns over inheritance, so the distinction is only
+            # meaningful pre-commit (fresh-block assignment), which
+            # imported entries never pass through.
+            "first_row_id": None if df.first_row_id == -1 else df.first_row_id,
         },
     }
 

@@ -54,7 +54,7 @@ def decode_value(v, type_name: str):
         return None
     if type_name == "date":
         return _dt.date.fromisoformat(v) if isinstance(v, str) else v
-    if type_name in ("timestamp", "timestamptz"):
+    if type_name in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
         return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
     if type_name == "binary" or type_name.startswith("fixed"):
         return bytes.fromhex(v) if isinstance(v, str) else v

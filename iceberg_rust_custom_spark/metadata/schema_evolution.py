@@ -42,7 +42,7 @@ def _promotion_allowed(old: str, new: str) -> bool:
         return True
     if old == "unknown":
         return True
-    if old == "date" and new in ("timestamp", "timestamptz"):
+    if old == "date" and new in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
         return True
     mo, mn = _DECIMAL_RE.fullmatch(old or ""), _DECIMAL_RE.fullmatch(new or "")
     if mo and mn:

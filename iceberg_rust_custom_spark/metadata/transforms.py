@@ -410,6 +410,11 @@ class Transform:
                 # Iceberg hashes µs since epoch (values.rs:86-110) — whole
                 # seconds would mis-bucket sub-second timestamps
                 v = F.unix_micros(col.cast("timestamp"))
+            elif source_type in ("timestamp_ns", "timestamptz_ns"):
+                # v3 spec hashes NANOS since epoch; engine-side values are
+                # µs-truncated (schema.py), so µs*1000 matches the spec
+                # hash for every representable value
+                v = F.unix_micros(col.cast("timestamp")) * F.lit(1000)
             else:
                 v = col.cast("long")
             return (murmur3_32_long_expr(v).bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n)).cast("int")

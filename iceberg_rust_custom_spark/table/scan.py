@@ -931,6 +931,17 @@ def _project_evolved(col, write_type, cur_type):
         return F.transform(
             col, lambda e: _project_evolved(e, write_type["element"], cur_type["element"])
         )
+    if w_kind == c_kind == "map":
+        # a struct evolved inside a map key/value must project by field id
+        # like the struct/list branches — the fallback cast binds struct
+        # members by POSITION and fails outright on added/dropped members
+        # (ADVICE r7)
+        out = F.transform_values(
+            col, lambda _k, v: _project_evolved(v, write_type["value"], cur_type["value"])
+        )
+        return F.transform_keys(
+            out, lambda k, _v: _project_evolved(k, write_type["key"], cur_type["key"])
+        )
     return col.cast(type_to_spark(cur_type))
 
 

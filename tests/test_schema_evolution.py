@@ -357,3 +357,38 @@ def test_ctas_null_column_becomes_unknown(eng, spark):
     t = eng.load_table("ns.u3")
     assert t.metadata.current_schema().field_by_name("x").field_type == "unknown"
     assert {(r.id, r.x) for r in t.scan().collect()} == {(1, None), (2, None)}
+
+
+def test_struct_in_map_projection(spark):
+    """ADVICE r7: a struct evolved inside a map VALUE (or key) must project
+    by field id like the struct/list branches — the positional cast
+    fallback fails outright when a member was added or dropped after old
+    files were written (the shape external/imported tables produce)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.table.scan import _project_evolved
+
+    wt = {
+        "type": "map",
+        "key": "string",
+        "value": {
+            "type": "struct",
+            "fields": [{"id": 1, "name": "a", "type": "long", "required": False}],
+        },
+        "value-required": False,
+    }
+    ct = {
+        "type": "map",
+        "key": "string",
+        "value": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "a_renamed", "type": "long", "required": False},
+                {"id": 2, "name": "b", "type": "string", "required": False},
+            ],
+        },
+        "value-required": False,
+    }
+    df = spark.createDataFrame([(1, {"k": (7,)})], "id long, m map<string, struct<a: long>>")
+    out = df.select(_project_evolved(F.col("m"), wt, ct).alias("m")).first().m
+    assert out["k"].a_renamed == 7 and out["k"].b is None

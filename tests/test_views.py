@@ -375,3 +375,55 @@ def test_scan_view_pinned_version(engine, spark):
 
     with _pytest.raises(KeyError, match="no version 9"):
         engine.scan_view("test.vp", version_id=9)
+
+
+def test_branch_scoped_mv_freshness(engine, spark):
+    """r8 (VERDICT task 5): RefreshState keys by (uuid, branch) per the
+    reference's SourceTables map (materialized_view_metadata.rs:33-48) —
+    an MV over a dev-branch read goes stale on a dev commit and STAYS FRESH
+    on an unrelated main commit."""
+    t = engine.create_table("test.b_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    t.create_branch("dev")
+    engine.create_materialized_view(
+        "test.dev_mv", "SELECT product_id, amount FROM test.b_orders.branch_dev"
+    )
+    fresh = engine.materialized_view_freshness("test.dev_mv")
+    assert fresh["test.b_orders.branch_dev"] == "fresh"
+    assert engine.refresh_materialized_view("test.dev_mv") is False
+
+    # main-branch commit: dev head unchanged -> MV stays fresh
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    fresh = engine.materialized_view_freshness("test.dev_mv")
+    assert fresh["test.b_orders.branch_dev"] == "fresh"
+    assert engine.refresh_materialized_view("test.dev_mv") is False
+    assert engine.scan_materialized_view("test.dev_mv").count() == len(BATCH1)
+
+    # dev-branch commit -> stale; refresh picks up the dev rows only
+    t.append(
+        spark.createDataFrame([(99, 9, 9, dt.date(2021, 1, 1), 7)], ORDERS_SCHEMA.spark_schema()),
+        branch="dev",
+    )
+    fresh = engine.materialized_view_freshness("test.dev_mv")
+    assert fresh["test.b_orders.branch_dev"] == "outdated"
+    assert engine.refresh_materialized_view("test.dev_mv")
+    assert engine.scan_materialized_view("test.dev_mv").count() == len(BATCH1) + 1
+    assert engine.materialized_view_freshness("test.dev_mv")["test.b_orders.branch_dev"] == "fresh"
+
+
+def test_main_mv_unaffected_by_branch_commit(engine, spark):
+    """The complement: an MV over the MAIN read stays fresh when only a
+    branch advances."""
+    t = engine.create_table("test.m_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    t.create_branch("dev")
+    engine.create_materialized_view(
+        "test.main_mv", "SELECT product_id, SUM(amount) AS total FROM test.m_orders GROUP BY product_id"
+    )
+    assert engine.refresh_materialized_view("test.main_mv") is False
+    t.append(
+        spark.createDataFrame([(99, 9, 9, dt.date(2021, 1, 1), 7)], ORDERS_SCHEMA.spark_schema()),
+        branch="dev",
+    )
+    assert engine.materialized_view_freshness("test.main_mv")["test.m_orders"] == "fresh"
+    assert engine.refresh_materialized_view("test.main_mv") is False
