@@ -104,6 +104,8 @@ HEADLINE = [
     "iceberg_cdc_update_pairs",
     "iceberg_metadata_columns",
     "iceberg_type_promotion",
+    # round 8
+    "iceberg_cdc_equality_delete",
 ]
 
 

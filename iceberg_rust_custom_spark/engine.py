@@ -491,8 +491,8 @@ class Engine:
         """Incremental maintenance when sound; False → caller does a full
         refresh. See views/incremental.py for the classification rules."""
         from iceberg_rust_custom_spark.views.incremental import (
-            appends_only_since,
             classify_view_sql,
+            history_kind,
             merge_partial_aggregates,
         )
 
@@ -514,9 +514,14 @@ class Engine:
         snap = storage.metadata.snapshot_for_ref()
         state = (snap.summary.get("refresh-state") if snap else None) or {}
         stored_id = state.get("source-table-states", {}).get(src.metadata.table_uuid)
-        if stored_id is None or not appends_only_since(src.metadata, stored_id):
+        if stored_id is None:
             return False
+        hist = history_kind(src.metadata, stored_id)
+        if hist is None:
+            return False  # file-set replacement in range → full refresh
         from_seq = src.metadata.snapshots[stored_id].sequence_number
+        if hist == "changelog":
+            return self._changelog_refresh(md, plan, src, storage, from_seq)
 
         delta = src.incremental_scan(from_seq)
         delta.createOrReplaceTempView(transform_name(plan.relation))
@@ -545,6 +550,87 @@ class Engine:
         )
         return "incremental-aggregate"
 
+    def _changelog_refresh(self, md, plan, src, storage, from_seq: int):
+        """Incremental MV maintenance when the source delta contains MoR
+        row-level ops (DELETE / UPDATE / MERGE / equality deletes) —
+        replays the row-level changelog (``Table.changes``) instead of
+        forcing a full refresh. Completes what the reference stubbed as
+        empty ``__delta__`` placeholder tables
+        (datafusion_iceberg/src/materialized_view.rs:147-159).
+
+        * **SPJ views** (select-project-filter): Δ⁺ = view SQL over the
+          changelog's insert rows, Δ⁻ = view SQL over its delete rows;
+          storage' = (storage ∖ Δ⁻) ∪ Δ⁺ with multiset semantics
+          (``exceptAll``). The source table is never re-read beyond its
+          changelog — refresh cost tracks rows changed plus storage size,
+          not source size.
+        * **GROUP BY views**: recompute ONLY the groups whose rows changed
+          — affected group keys (from the changelog) prune the source scan
+          through the runtime-filter machinery (``join_scan``), untouched
+          groups carry over from storage via anti-join. Handles MIN/MAX
+          (not subtractable) and group disappearance (COUNT→0) uniformly.
+
+        NULL group keys fall back to a full refresh: semi/anti equi-joins
+        would silently mishandle the NULL group."""
+        from pyspark.sql import functions as F
+
+        sql = md.current_sql()
+        try:
+            ch = src.changes(from_seq)
+        except ValueError:
+            return False  # commit shape the changelog cannot replay
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+            },
+        }
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        rel = transform_name(plan.relation)
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        if plan.mode == "append":
+            ch.where("_change_type = 'insert'").drop("_change_type").createOrReplaceTempView(rel)
+            d_ins = self.spark.sql(transform_relations(sql)).select(*out_cols)
+            ch.where("_change_type = 'delete'").drop("_change_type").createOrReplaceTempView(rel)
+            d_del = self.spark.sql(transform_relations(sql)).select(*out_cols)
+            new_df = storage.scan().select(*out_cols).exceptAll(d_del).unionByName(d_ins)
+        else:
+            keys = list(plan.group_keys)
+            affected = ch.select(*keys).distinct()
+            rows = affected.limit(10_001).collect()
+            if len(rows) > 10_000 or any(r[k] is None for r in rows for k in keys):
+                return False  # huge or NULL-keyed group set → full refresh
+            if not rows:
+                return "incremental-noop" if self._commit_state_only(storage, new_state) else False
+            aff = self.spark.createDataFrame(rows, affected.schema)
+            try:
+                # runtime file pruning: only source files whose key stats
+                # overlap the affected groups are read
+                filtered = src.join_scan(aff, on=keys, how="semi")
+            except Exception:
+                filtered = src.scan().join(F.broadcast(aff), keys, "left_semi")
+            filtered.createOrReplaceTempView(rel)
+            recomputed = self.spark.sql(transform_relations(sql)).select(*out_cols)
+            kept = storage.scan().join(F.broadcast(aff), keys, "left_anti").select(*out_cols)
+            new_df = kept.unionByName(recomputed)
+        files = write_partitioned(new_df, storage.metadata, data_dir)
+        storage.metadata = (
+            storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
+        )
+        return "incremental-changelog" if plan.mode == "append" else "incremental-changelog-aggregate"
+
+    def _commit_state_only(self, storage, new_state) -> bool:
+        """Record a new RefreshState without touching data (the delta had
+        zero row-level effect): rewrite the same file set with the new
+        lineage summary."""
+        from iceberg_rust_custom_spark.table.scan import plan_files
+
+        files = plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+        storage.metadata = (
+            storage.new_transaction().rewrite_with_lineage(list(files), new_state).commit()
+        )
+        return True
+
     def _incremental_join_refresh(self, md, plan):
         """Delta-join maintenance for two-table inner-join views:
 
@@ -556,8 +642,13 @@ class Engine:
         deltas are day-sized while A_old/B_new scans still prune by the
         join's pushed-down predicates — refresh cost tracks |ΔA|·|B| join
         work, not a full V recompute, and the storage commit is an APPEND,
-        not a rewrite."""
-        from iceberg_rust_custom_spark.views.incremental import appends_only_since
+        not a rewrite.
+
+        When either source's history contains MoR row-level ops (but is
+        still changelog-replayable — ``history_kind`` == 'changelog'), the
+        same identity runs over SIGNED deltas from ``Table.changes`` —
+        see ``_changelog_join_refresh``."""
+        from iceberg_rust_custom_spark.views.incremental import history_kind
 
         rels = (plan.relation, plan.relation_b)
         sources = []
@@ -573,12 +664,16 @@ class Engine:
         snap = storage.metadata.snapshot_for_ref()
         state = (snap.summary.get("refresh-state") if snap else None) or {}
         stored = state.get("source-table-states", {})
-        anchors = []
+        anchors, kinds = [], []
         for src in sources:
             sid = stored.get(src.metadata.table_uuid)
-            if sid is None or not appends_only_since(src.metadata, sid):
-                return False
+            hist = history_kind(src.metadata, sid) if sid is not None else None
+            if hist is None:
+                return False  # no anchor, or file-set replacement in range
             anchors.append(sid)
+            kinds.append(hist)
+        if "changelog" in kinds:
+            return self._changelog_join_refresh(md, plan, rels, sources, anchors, storage)
 
         a, b = sources
         a_sid, b_sid = anchors
@@ -611,6 +706,72 @@ class Engine:
             storage.new_transaction().append_with_lineage(files, new_state).commit()
         )
         return "incremental-join"
+
+    def _changelog_join_refresh(self, md, plan, rels, sources, anchors, storage):
+        """Delta-join maintenance under MoR row-level ops on either source:
+        the same identity as ``_incremental_join_refresh`` but over SIGNED
+        multiset deltas (ΔX = Δ⁺X − Δ⁻X from the row-level changelog):
+
+            Δ⁺V = Δ⁺A ⋈ B_new  ∪  A_old ⋈ Δ⁺B
+            Δ⁻V = Δ⁻A ⋈ B_new  ∪  A_old ⋈ Δ⁻B
+            V'  = (V ∪ Δ⁺V) ∖ Δ⁻V          (multiset exceptAll)
+
+        Exact because ⋈/σ/π are linear over signed multisets:
+        ΔA⋈B_new + A_old⋈ΔB = A_new⋈B_new − A_old⋈B_old. Positives MUST
+        union in before the exceptAll: a cross-term row that appears in
+        both Δ⁺V and Δ⁻V (e.g. an A-row deleted in-range joining a B-row
+        inserted in-range) has no V occurrence to cancel against — union
+        first keeps the truncating multiset difference exact. Storage is
+        rewritten (deletes can shrink V), but source-side cost still
+        tracks delta size: the Δ sides are changelog-sized and the
+        A_old/B_new scans prune by the join's pushed predicates."""
+        from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+        a, b = sources
+        a_sid, b_sid = anchors
+        sql = md.current_sql()
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+
+        try:
+            deltas = [
+                src.changes(src.metadata.snapshots[sid].sequence_number)
+                for src, sid in zip(sources, anchors)
+            ]
+        except ValueError:
+            return False  # commit shape the changelog cannot replay
+        (a_ins, a_del), (b_ins, b_del) = (
+            (
+                ch.where("_change_type = 'insert'").drop("_change_type"),
+                ch.where("_change_type = 'delete'").drop("_change_type"),
+            )
+            for ch in deltas
+        )
+
+        def run(df_a, df_b):
+            # spark.sql binds temp views eagerly, so sequential
+            # re-registration under the same names is safe (see sibling)
+            df_a.createOrReplaceTempView(transform_name(rels[0]))
+            df_b.createOrReplaceTempView(transform_name(rels[1]))
+            return self.spark.sql(transform_relations(sql)).select(*out_cols)
+
+        b_new = b.scan()
+        a_old = a.scan(snapshot_id=a_sid)
+        pos = run(a_ins, b_new).unionByName(run(a_old, b_ins))
+        neg = run(a_del, b_new).unionByName(run(a_old, b_del))
+        new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
+
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id for src in sources
+            },
+        }
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        files = write_partitioned(new_df, storage.metadata, data_dir)
+        storage.metadata = (
+            storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
+        )
+        return "incremental-changelog-join"
 
     def register_function_registry(self) -> None:
         """Expose maintenance entry points as session SQL functions, mirroring

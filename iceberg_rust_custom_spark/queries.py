@@ -2664,7 +2664,9 @@ def iceberg_partition_evolution(spark, sf_dir):
     "iceberg_incremental_mv_refresh",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
+           CAST(ROUND(SUM(CAST(
+               CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2672,16 +2674,20 @@ def iceberg_incremental_mv_refresh(spark, sf_dir):
     """Incremental MV maintenance (unimplemented in the reference —
     README.md:22-46, __delta__ placeholders materialized_view.rs:147-159):
     the MV is built over half the orders, the rest lands later, and refresh
-    folds ONLY the delta in by partial-aggregate merge. Result must equal a
-    full recompute. Note: the DECIMAL-rounded SUM commutes with the merge
-    because each refresh re-derives sum_price from raw deltas and adds
-    exact partials before the final cast."""
+    folds ONLY the delta in by partial-aggregate merge; then (r8) a MoR
+    UPDATE lands and refresh maintains the MV through the row-level
+    CHANGELOG — recomputing only the affected groups — instead of a full
+    recompute. Result must equal a full recompute (the oracle applies the
+    same update arithmetic). The DECIMAL-rounded SUM commutes because each
+    refresh re-derives sum_price from exact partials before the final
+    cast."""
     import hashlib
     import os
 
     from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import update_where
 
-    tag = hashlib.md5(f"{sf_dir}:incmv".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:incmv2".encode()).hexdigest()[:12]
     wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
     eng = Engine(spark, warehouse=wh)
     if not eng.table_exists("rt.orders_inc"):
@@ -2697,6 +2703,14 @@ def iceberg_incremental_mv_refresh(spark, sf_dir):
         t.append(df.where(F.col("o_orderkey") % 2 == 1))
         mode = eng.refresh_materialized_view("rt.orders_inc_mv")
         assert mode == "incremental-aggregate", mode
+        update_where(
+            t,
+            {"o_totalprice": "o_totalprice + 1000"},
+            "o_orderkey % 1000 = 0",
+            mode="merge-on-read",
+        )
+        mode = eng.refresh_materialized_view("rt.orders_inc_mv")
+        assert mode == "incremental-changelog-aggregate", mode
     return eng.scan_materialized_view("rt.orders_inc_mv").select(
         "o_orderstatus", "n", F.round(F.col("raw_sum"), 4).cast("double").alias("sum_price")
     )
@@ -2883,6 +2897,50 @@ def iceberg_cdc_changes(spark, sf_dir):
         .changes(0)
         .select("o_orderkey", "o_orderstatus", "_change_type")
     )
+
+
+@q(
+    "iceberg_cdc_equality_delete",
+    """
+    SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type FROM orders
+    WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type FROM orders
+    WHERE o_orderkey % 11 = 0 AND o_orderkey % 2 = 0
+    """,
+)
+def iceberg_cdc_equality_delete(spark, sf_dir):
+    """r8: equality deletes in the changelog. ``delete_by_key`` commits in
+    the range yield the deleted rows' full content as 'delete' events —
+    victims computed by the scan's sequence-gated key join against the
+    strictly-older live file set (previously refused with ValueError); a
+    key RE-INSERTED after the delete surfaces as a plain 'insert' and is
+    not a victim (sequence gating)."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    tag = hashlib.md5(f"{sf_dir}:cdceq".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_cdceq"):
+        df = _t(spark, sf_dir, "orders")
+        t = eng.create_table("rt.orders_cdceq", df.schema)
+        t.append(df)
+        delete_by_key(
+            t, df.where(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+        )
+        # re-insert the even half of the deleted keys AFTER the delete:
+        # they must replay as inserts, not victims
+        t.append(df.where((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 2 == 0)))
+    t = eng.load_table("rt.orders_cdceq")
+    # the anchor is the sequence number of the initial bulk append: snapshot
+    # 1 in this table's linear history
+    snaps = sorted(t.metadata.snapshots.values(), key=lambda s: s.sequence_number)
+    anchor = snaps[0].sequence_number
+    return t.changes(anchor).select("o_orderkey", "o_orderstatus", "_change_type")
 
 
 @q(

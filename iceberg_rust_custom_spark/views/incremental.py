@@ -122,15 +122,39 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
 def appends_only_since(metadata, last_snapshot_id: int) -> bool:
     """True iff every snapshot after ``last_snapshot_id`` (by sequence
     number) is an append. Overwrites invalidate delta maintenance."""
+    return history_kind(metadata, last_snapshot_id) == "appends"
+
+
+def history_kind(metadata, last_snapshot_id: int) -> str | None:
+    """Classify the source history since the anchor snapshot:
+
+    * ``"appends"`` — every commit is an append (or metadata-only
+      'replace'): the cheap delta paths (incremental_scan) are sound.
+    * ``"changelog"`` — at least one MoR row-level commit (DELETE /
+      UPDATE / MERGE / equality delete) but every commit is
+      changelog-replayable (the same rule ``Table.changes`` enforces:
+      append/delete/replace, or 'overwrite' without the rewritten=true
+      file-set-replacement marker): maintenance via the row-level
+      changelog is sound (r8 — previously any non-append forced a full
+      refresh).
+    * ``None`` — a file-set replacement (compaction with deletes
+      materialized, CoW row-level op, dynamic overwrite) is in the range:
+      row identity is gone, full refresh required.
+    """
     last = metadata.snapshots.get(last_snapshot_id)
     if last is None:
-        return False  # expired or rewritten away — no anchor for a delta
+        return None  # expired or rewritten away — no anchor for a delta
+    kind = "appends"
     for s in metadata.snapshots.values():
         if s.sequence_number > last.sequence_number:
-            # 'replace' = rewrite-manifests: metadata-only, no row change
-            if s.summary.get("operation") not in ("append", "replace"):
-                return False
-    return True
+            op = s.summary.get("operation")
+            if op in ("append", "replace"):
+                continue
+            if op == "delete" or (op == "overwrite" and s.summary.get("rewritten") != "true"):
+                kind = "changelog"
+            else:
+                return None
+    return kind
 
 
 def merge_partial_aggregates(stored, delta, plan: IncrementalPlan):

@@ -427,3 +427,222 @@ def test_main_mv_unaffected_by_branch_commit(engine, spark):
     )
     assert engine.materialized_view_freshness("test.main_mv")["test.m_orders"] == "fresh"
     assert engine.refresh_materialized_view("test.main_mv") is False
+
+
+def test_changelog_spj_refresh_under_mor_rowlevel_ops(engine, spark):
+    """r8 (VERDICT task 2): an SPJ view over a source receiving MoR
+    DELETE + UPDATE refreshes via the row-level changelog (storage ∖ Δ⁻ ∪
+    Δ⁺) instead of a full recompute, and hash-matches one."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    t = engine.create_table("test.ch_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.ch_spj", "SELECT id, amount FROM test.ch_orders WHERE product_id = 1"
+    )
+    assert _rows(engine, "test.ch_spj") == {(1, 1), (2, 1), (3, 3), (5, 2)}
+    delete_where(t, "id = 2", mode="merge-on-read")
+    update_where(t, {"amount": "amount + 10"}, "id = 3", mode="merge-on-read")
+    t.append(spark.createDataFrame(BATCH2, ORDERS_SCHEMA.spark_schema()))
+    assert engine.refresh_materialized_view("test.ch_spj") == "incremental-changelog"
+    assert _rows(engine, "test.ch_spj") == {(1, 1), (3, 13), (5, 2), (8, 2)}
+    # matches a from-scratch recompute
+    want = {
+        (r.id, r.amount)
+        for r in engine.sql("SELECT id, amount FROM test.ch_orders WHERE product_id = 1").collect()
+    }
+    assert _rows(engine, "test.ch_spj") == want
+    # next refresh: fresh
+    assert engine.refresh_materialized_view("test.ch_spj") is False
+
+
+def test_changelog_aggregate_refresh_min_max_and_group_disappearance(engine, spark):
+    """GROUP BY views recompute ONLY affected groups — MIN/MAX survive a
+    delete (not subtractable → recompute), and a group whose rows all die
+    disappears from the MV."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    t = engine.create_table("test.cg_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.cg_mv",
+        "SELECT customer_id, COUNT(*) AS n, MIN(amount) AS lo, MAX(amount) AS hi "
+        "FROM test.cg_orders GROUP BY customer_id",
+    )
+    assert _rows(engine, "test.cg_mv") == {(1, 3, 1, 2), (2, 1, 1, 1), (3, 2, 3, 3)}
+    # delete customer 3 entirely (group disappears) and one of customer 1's
+    # rows with the MAX amount (min/max must recompute, not subtract)
+    delete_where(t, "customer_id = 3", mode="merge-on-read")
+    delete_where(t, "id = 5", mode="merge-on-read")  # customer 1, amount 2
+    assert engine.refresh_materialized_view("test.cg_mv") == "incremental-changelog-aggregate"
+    assert _rows(engine, "test.cg_mv") == {(1, 2, 1, 1), (2, 1, 1, 1)}
+    snap = engine.load_table("test.cg_mv__storage").metadata.snapshot_for_ref()
+    assert snap.summary["refresh-state"]["source-table-states"] == {
+        t.metadata.table_uuid: t.metadata.current_snapshot_id
+    }
+
+
+def test_changelog_aggregate_prunes_source_by_affected_groups(engine, spark, monkeypatch):
+    """The affected-group recompute reads the source through join_scan
+    (runtime file pruning on the group keys) — storage rewrite reads only
+    delta-relevant source files, not the table."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+    from iceberg_rust_custom_spark.table.table import Table
+
+    t = engine.create_table("test.cp_orders", ORDERS_SCHEMA)
+    # two files with disjoint customer ranges
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    far = [(100 + i, 50 + i, 1, dt.date(2022, 1, 1), 5) for i in range(6)]
+    t.append(spark.createDataFrame(far, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.cp_mv",
+        "SELECT customer_id, SUM(amount) AS total FROM test.cp_orders GROUP BY customer_id",
+    )
+    calls = {}
+    orig = Table.join_scan
+
+    def spy(self, dim_df, on, **kw):
+        out = orig(self, dim_df, on, **kw)
+        calls["planned"] = self.count_planned_files(
+            __import__(
+                "iceberg_rust_custom_spark.table.runtime_filter", fromlist=["join_key_predicate"]
+            ).join_key_predicate(dim_df, on)
+        )
+        calls["total"] = self.count_planned_files()
+        return out
+
+    monkeypatch.setattr(Table, "join_scan", spy)
+    delete_where(t, "id = 1", mode="merge-on-read")  # customer 1, first file only
+    assert engine.refresh_materialized_view("test.cp_mv") == "incremental-changelog-aggregate"
+    assert calls and calls["planned"] < calls["total"], calls
+    assert _rows(engine, "test.cp_mv") == {
+        (r.customer_id, r.total)
+        for r in engine.sql(
+            "SELECT customer_id, SUM(amount) AS total FROM test.cp_orders GROUP BY customer_id"
+        ).collect()
+    }
+
+
+def test_changelog_refresh_with_equality_delete(engine, spark):
+    """delete_by_key (equality delete) in the delta range maintains the MV
+    through the changelog's eq-victim computation (r8 task 4 + task 2)."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    t = engine.create_table("test.eq_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.eq_mv", "SELECT id, amount FROM test.eq_orders WHERE amount >= 1"
+    )
+    delete_by_key(t, [1, 6], key_cols=["id"])
+    assert engine.refresh_materialized_view("test.eq_mv") == "incremental-changelog"
+    assert _rows(engine, "test.eq_mv") == {(2, 1), (3, 3), (4, 1), (5, 2)}
+
+
+def test_changelog_full_fallback_after_cow(engine, spark):
+    """A CoW row-level op (file-set replacement) still forces a full
+    refresh — row identity is gone."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    t = engine.create_table("test.cw_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.cw_mv", "SELECT id, amount FROM test.cw_orders WHERE amount >= 1"
+    )
+    delete_where(t, "id = 2", mode="copy-on-write")
+    assert engine.refresh_materialized_view("test.cw_mv") == "full"
+    assert _rows(engine, "test.cw_mv") == {(1, 1), (3, 3), (4, 1), (5, 2), (6, 3)}
+
+
+def test_changelog_join_refresh_signed_deltas(engine, spark):
+    """r8: a two-table join MV maintained through MoR row-level ops on
+    either source via SIGNED changelog deltas — including the cross-term
+    cancellation (an A-row deleted in-range joining a B-row inserted
+    in-range appears in both Δ⁺V and Δ⁻V and must net to zero, which only
+    the union-positives-first order gets right)."""
+    import pyspark.sql.types as T
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    ords_schema = T.StructType(
+        [
+            T.StructField("oid", T.LongType(), False),
+            T.StructField("cid", T.LongType(), True),
+            T.StructField("amt", T.LongType(), True),
+        ]
+    )
+    c = engine.create_table("test.jc_cust", cust_schema)
+    o = engine.create_table("test.jc_ords", ords_schema)
+    c.append(spark.createDataFrame([(1, "ann"), (2, "bob"), (3, "cal")], cust_schema))
+    o.append(spark.createDataFrame([(10, 1, 5), (11, 2, 7), (12, 3, 9)], ords_schema))
+    engine.create_materialized_view(
+        "test.jc_mv",
+        "SELECT o.oid, c.name, o.amt FROM test.jc_ords o JOIN test.jc_cust c ON o.cid = c.cid "
+        "WHERE o.amt > 1",
+    )
+    assert _rows(engine, "test.jc_mv") == {(10, "ann", 5), (11, "bob", 7), (12, "cal", 9)}
+
+    # MoR delete on A (orders), MoR update on A, append on B (customers),
+    # and the cross term: order 10 (ann) is deleted in-range while a NEW
+    # customer 4 arrives in-range with an order inserted in-range for it
+    delete_where(o, "oid = 10", mode="merge-on-read")
+    update_where(o, {"amt": "amt + 100"}, "oid = 11", mode="merge-on-read")
+    o.append(spark.createDataFrame([(13, 4, 2)], ords_schema))
+    c.append(spark.createDataFrame([(4, "dee")], cust_schema))
+    assert engine.refresh_materialized_view("test.jc_mv") == "incremental-changelog-join"
+    want = {
+        (r.oid, r.name, r.amt)
+        for r in engine.sql(
+            "SELECT o.oid, c.name, o.amt FROM test.jc_ords o JOIN test.jc_cust c "
+            "ON o.cid = c.cid WHERE o.amt > 1"
+        ).collect()
+    }
+    assert want == {(11, "bob", 107), (12, "cal", 9), (13, "dee", 2)}
+    assert _rows(engine, "test.jc_mv") == want
+    # storage was rewritten, not appended (deletes shrink V)
+    storage = engine.load_table("test.jc_mv__storage")
+    assert storage.metadata.snapshot_for_ref().summary["operation"] == "overwrite"
+    # next refresh: fresh
+    assert engine.refresh_materialized_view("test.jc_mv") is False
+
+
+def test_changelog_join_refresh_delete_on_dim_side(engine, spark):
+    """A MoR delete on the DIMENSION source (B) removes every joined row —
+    the A_old ⋈ Δ⁻B term."""
+    import pyspark.sql.types as T
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    ords_schema = T.StructType(
+        [
+            T.StructField("oid", T.LongType(), False),
+            T.StructField("cid", T.LongType(), True),
+            T.StructField("amt", T.LongType(), True),
+        ]
+    )
+    c = engine.create_table("test.jd_cust", cust_schema)
+    o = engine.create_table("test.jd_ords", ords_schema)
+    c.append(spark.createDataFrame([(1, "ann"), (2, "bob")], cust_schema))
+    o.append(spark.createDataFrame([(10, 1, 5), (11, 1, 3), (12, 2, 7)], ords_schema))
+    engine.create_materialized_view(
+        "test.jd_mv",
+        "SELECT o.oid, c.name FROM test.jd_ords o JOIN test.jd_cust c ON o.cid = c.cid",
+    )
+    delete_where(c, "cid = 1", mode="merge-on-read")
+    assert engine.refresh_materialized_view("test.jd_mv") == "incremental-changelog-join"
+    assert _rows(engine, "test.jd_mv") == {(12, "bob")}
+    # a CoW op on either side still forces a full refresh
+    delete_where(o, "oid = 12", mode="copy-on-write")
+    assert engine.refresh_materialized_view("test.jd_mv") == "full"
+    assert _rows(engine, "test.jd_mv") == set()
