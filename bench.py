@@ -106,6 +106,7 @@ HEADLINE = [
     "iceberg_type_promotion",
     # round 8
     "iceberg_cdc_equality_delete",
+    "iceberg_streaming_cdc_source",
 ]
 
 

@@ -2900,6 +2900,50 @@ def iceberg_cdc_changes(spark, sf_dir):
 
 
 @q(
+    "iceberg_streaming_cdc_source",
+    """
+    SELECT o_orderkey, o_custkey, 'insert' AS _change_type FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'delete' AS _change_type FROM orders
+    WHERE o_orderkey % 9 = 0
+    """,
+)
+def iceberg_streaming_cdc_source(spark, sf_dir):
+    """r8: the table's commit log as a Structured Streaming source
+    (streaming/cdc_source.py — PySpark 4 Python DataSource API, format
+    'iceberg_custom_cdc'). Offsets are sequence numbers checkpointed by
+    the query; the driver plans per-file partitions (tombstones decoded
+    to position lists, pre-range dead rows suppressed) and executors read
+    parquet via Arrow. The gate exercises the BATCH flavor of the same
+    reader (identical partitions + read path, one shot over the full
+    log); the streaming flavor's availableNow/resume behavior is pinned
+    in tests/test_cdc_source.py."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.streaming.cdc_source import register_cdc_source
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    tag = hashlib.md5(f"{sf_dir}:cdcsrc".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.orders_feed"):
+        df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        t = eng.create_table("rt.orders_feed", df.schema)
+        t.append(df)
+        delete_where(t, "o_orderkey % 9 = 0", mode="merge-on-read")
+    fmt = register_cdc_source(spark)
+    return (
+        spark.read.format(fmt)
+        .option("warehouse", wh)
+        .option("table", "rt.orders_feed")
+        .load()
+        .select("o_orderkey", "o_custkey", "_change_type")
+    )
+
+
+@q(
     "iceberg_cdc_equality_delete",
     """
     SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type FROM orders
