@@ -385,6 +385,30 @@ class Engine:
         location, _ = catalog.load(ident)
         return ViewMetadata.from_json(FileIO.read_text(location))
 
+    def dependent_materialized_views(self, table_name: str) -> list[str]:
+        """Every materialized view in the default catalog whose SQL reads
+        ``table_name`` — matched by table UUID through the same source-state
+        resolution freshness uses, so dotted/branch spellings and renames
+        all hit. Powers continuous maintenance: a streaming sink can refresh
+        exactly the MVs its commits staled (streaming/pipeline.py)."""
+        uuid = self.load_table(table_name).metadata.table_uuid
+        out = []
+        for ns in self.catalog.list_namespaces():
+            for tab in self.catalog.list_tabulars(ns):
+                _, kind = self.catalog.load(tab)
+                if kind != "materialized-view":
+                    continue
+                name = str(tab)
+                keys = {
+                    key.split("@")[0]
+                    for _, key, _ in self._mv_source_states(
+                        self._load_view_metadata(name).current_sql()
+                    )
+                }
+                if uuid in keys:
+                    out.append(name)
+        return out
+
     def scan_materialized_view(self, name: str) -> DataFrame:
         md = self._load_view_metadata(name)
         return self.load_table(md.storage_table).scan()

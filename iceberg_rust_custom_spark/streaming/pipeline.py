@@ -243,3 +243,66 @@ def stream_upsert_to_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintained_sink(engine, table_name: str, inner, mv_names: list | None = None):
+    """Wrap a foreachBatch sink so each committed micro-batch also brings
+    the table's dependent materialized views up to date — incrementally
+    (delta append / partial-aggregate merge / row-level changelog replay,
+    engine.refresh_materialized_view's auto mode), so per-batch maintenance
+    cost tracks batch size, not table or MV size. Replayed batches are
+    harmless: the inner sink skips by (sink-id, batch-id) and a fresh MV
+    refresh is a state-checked no-op."""
+    if mv_names is None:
+        mv_names = engine.dependent_materialized_views(table_name)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        inner(batch_df, batch_id)
+        for mv in mv_names:
+            engine.refresh_materialized_view(mv)
+
+    return sink
+
+
+def stream_append_with_mv_maintenance(
+    engine,
+    table_name: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    mv_names: list | None = None,
+    trigger_available_now: bool = True,
+):
+    """`stream_append_to_table` + continuous MV maintenance: each
+    micro-batch appends exactly-once, then incrementally refreshes every
+    (or the named) MV over the table. An end-to-end streaming pipeline —
+    ingest feeds dashboards without any full recompute on the path."""
+    t = engine.load_table(table_name)
+    sink = maintained_sink(engine, table_name, append_sink(t, checkpoint_dir), mv_names)
+    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_with_mv_maintenance(
+    engine,
+    table_name: str,
+    stream_df: DataFrame,
+    key_cols: list,
+    checkpoint_dir: str,
+    mv_names: list | None = None,
+    trigger_available_now: bool = True,
+):
+    """`stream_upsert_to_table` + continuous MV maintenance. The upsert's
+    equality delete makes the source history changelog-shaped, so the MV
+    refresh runs through the row-level changelog (changes() computes the
+    equality-delete victims) — still incremental, never a full recompute,
+    even though rows are being replaced."""
+    t = engine.load_table(table_name)
+    sink = maintained_sink(
+        engine, table_name, upsert_sink(t, key_cols, checkpoint_dir), mv_names
+    )
+    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
