@@ -414,10 +414,15 @@ def manifest_entry_to_avro(e: ManifestEntry, schema: Schema, spec: PartitionSpec
             # external reader would compute -1+pos row ids. Exported as
             # null — v3 readers then take the physical _row_id column,
             # which is exactly what the marker meant (ADVICE r7). Import
-            # keeps null as-is: scan-side lineage coalesces physical
-            # columns over inheritance, so the distinction is only
-            # meaningful pre-commit (fresh-block assignment), which
-            # imported entries never pass through.
+            # translates null back to -1 for data files (see
+            # avro_to_manifest_entry) — a committed live data file can
+            # never carry None here (transaction commit always assigns a
+            # block or the marker), so leaving None after an Avro round
+            # trip made every `first_row_id is not None` lineage-liveness
+            # check go false and let a later rewrite commit assign FRESH
+            # blocks, renumbering rows a CoW UPDATE carried (caught by the
+            # r8 transaction fuzz: _row_id 0 became 4 after
+            # compact-then-update on an avro-format table).
             "first_row_id": None if df.first_row_id == -1 else df.first_row_id,
         },
     }
@@ -469,7 +474,19 @@ def avro_to_manifest_entry(rec: dict, schema: Schema, spec: PartitionSpec) -> Ma
         referenced_data_file=d.get("referenced_data_file"),
         content_offset=d.get("content_offset"),
         content_size_in_bytes=d.get("content_size_in_bytes"),
-        first_row_id=d.get("first_row_id"),
+        # null → the internal -1 "explicit lineage columns in file" marker
+        # (data files only). Sound for our own manifests because a live
+        # committed data file never has an unassigned first_row_id; for a
+        # FOREIGN pre-lineage file (genuinely null) the read behavior is
+        # identical either way — no/NULL physical _row_id columns stay
+        # NULL under the explicit-wins coalesce — and -1 additionally
+        # stops rewrite commits from minting fresh blocks for carried
+        # files, which is exactly the preservation the marker encodes.
+        first_row_id=(
+            -1
+            if d.get("first_row_id") is None and d.get("content", 0) == 0
+            else d.get("first_row_id")
+        ),
     )
     # snapshot_id / sequence_number stay None when absent — 0 is a legal
     # explicit value another engine may write, and v2 inheritance must only

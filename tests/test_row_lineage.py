@@ -302,3 +302,38 @@ def test_changes_still_rejects_true_rewrites(eng, spark):
     compact(t)
     with pytest.raises(ValueError, match="changelog"):
         eng.load_table("ns.rl19").changes(s)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "avro"])
+def test_first_row_id_marker_survives_manifest_roundtrip(eng, spark, fmt):
+    """r8 regression (found by the transaction fuzz): the internal
+    first_row_id=-1 'explicit lineage columns in file' marker is exported
+    as null in Avro manifests (spec demands a non-negative base) and MUST
+    come back as -1 on import — a None round-trip made lineage-liveness
+    checks go false, so a CoW UPDATE after compact() re-read the table
+    without lineage and the rewrite commit minted FRESH row ids
+    (_row_id 0 became 4)."""
+    from iceberg_rust_custom_spark.table.maintenance import (
+        compact,
+        merge_upsert,
+        update_where,
+    )
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    eng.sql(
+        f"CREATE TABLE ns.rt_{fmt} (id BIGINT, k BIGINT, v BIGINT) STORED AS ICEBERG "
+        f"TBLPROPERTIES ('write.metadata.format'='{fmt}')"
+    )
+    t = eng.load_table(f"ns.rt_{fmt}")
+    merge_upsert(t, spark.createDataFrame([(0, 3, 41)], "id long, k long, v long"), ["id"])
+    merge_upsert(
+        t, spark.createDataFrame([(0, 3, 79), (1, 3, 79)], "id long, k long, v long"), ["id"]
+    )
+    t.append(spark.createDataFrame([(2, 2, 20), (3, 2, 30)], "id long, k long, v long"))
+    t = compact(t)
+    files = plan_files(t.metadata, t.metadata.snapshot_for_ref())
+    assert [f.first_row_id for f in files] == [-1], files  # marker survived
+    before = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    t = update_where(t, {"v": "v + 1"}, "k = 3", mode="copy-on-write")
+    after = {(r.id, r._row_id) for r in t.scan(row_lineage=True).collect()}
+    assert after == before, (before, after)
