@@ -107,6 +107,7 @@ HEADLINE = [
     # round 8
     "iceberg_cdc_equality_delete",
     "iceberg_streaming_cdc_source",
+    "iceberg_geometry_roundtrip",
 ]
 
 

@@ -60,6 +60,13 @@ class Engine:
         self.spark = spark
         self.catalog = catalog
         self.warehouse = warehouse or getattr(catalog, "warehouse", None)
+        try:
+            # v3 geo columns need Spark 4's gated native geo types; the
+            # conf is runtime-settable, so cover sessions not built by
+            # session.get_spark (e.g. an embedding application's own)
+            spark.conf.set("spark.sql.geospatial.enabled", "true")
+        except Exception:
+            pass  # older Spark without the conf: geo tables will refuse at use
 
     # ------------------------------------------------------- name resolution
     def resolve(self, name: str) -> tuple[Catalog, Identifier]:

@@ -36,6 +36,26 @@ _PRIMITIVES = {
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 _FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+# Iceberg v3 geospatial types: geometry(C) / geography(C[, A]) with a CRS
+# identifier C (default "OGC:CRS84") and an optional edge algorithm A
+_GEO_RE = re.compile(r"^(geometry|geography)(?:\((.*)\))?$")
+
+
+def _crs_to_srid(crs: str | None) -> int:
+    """Iceberg CRS identifier → Spark SRID. The v3 default OGC:CRS84 is
+    WGS84 lon/lat — Spark models it as SRID 4326 (axis order is a
+    documented divergence Spark itself makes). EPSG/srid-prefixed ids map
+    numerically; an unrecognized CRS maps to SRID 0 (Spark's 'engine
+    makes no CRS claim' value) while the Iceberg type string preserves
+    the original identifier untouched."""
+    if not crs or crs.strip().upper() == "OGC:CRS84":
+        return 4326
+    m = re.match(r"^(?:EPSG|SRID)[:](\d+)$", crs.strip(), re.IGNORECASE)
+    if m:
+        return int(m.group(1))
+    if crs.strip().isdigit():
+        return int(crs.strip())
+    return 0
 
 
 def _primitive_to_spark(name: str) -> T.DataType:
@@ -44,6 +64,25 @@ def _primitive_to_spark(name: str) -> T.DataType:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
     if _FIXED_RE.match(name):
         return T.BinaryType()
+    g = _GEO_RE.match(name)
+    if g:
+        # v3 geometry/geography → Spark 4 native geo types (LOGICAL only:
+        # data files store WKB binary — see physical_spark_schema — because
+        # Spark's parquet writer cannot serialize GeometryType and WKB
+        # keeps footers readable by every engine, the variant pattern).
+        # geography(C, A): the edge-interpolation algorithm has no Spark
+        # counterpart; it rides along in the Iceberg type string only.
+        crs = (g.group(2) or "").split(",")[0].strip() or None
+        srid = _crs_to_srid(crs)
+        if g.group(1) == "geometry":
+            return T.GeometryType(srid)
+        try:
+            return T.GeographyType(srid)
+        except Exception:
+            # Spark's geography accepts only SRIDs its SRS registry knows
+            # to be geographic; an unregistered CRS degrades to the
+            # default (the Iceberg type string keeps the true identifier)
+            return T.GeographyType(4326)
     return {
         "boolean": T.BooleanType(),
         "int": T.IntegerType(),
@@ -131,6 +170,14 @@ def spark_type_to_iceberg(dt: T.DataType):
         # promotes to a real type later via widen_column
         T.NullType: "unknown",
     }
+    # geo first: GeometryType/GeographyType must not fall through to any
+    # base-class match. SRID 4326 (and 0, Spark's no-claim value) → the
+    # spec-default bare type name (CRS "OGC:CRS84"); other SRIDs keep an
+    # EPSG identifier.
+    if isinstance(dt, T.GeometryType):
+        return "geometry" if dt.srid in (4326, 0) else f"geometry(EPSG:{dt.srid})"
+    if isinstance(dt, T.GeographyType):
+        return "geography" if dt.srid in (4326, 0) else f"geography(EPSG:{dt.srid})"
     for klass, name in simple.items():
         if isinstance(dt, klass):
             return name
@@ -253,6 +300,16 @@ class Schema:
         never stored in data files)."""
         return [f.name for f in self.fields if f.field_type == "unknown"]
 
+    def geo_field_names(self) -> list[str]:
+        """Top-level Iceberg v3 geometry/geography columns (logical Spark
+        GeometryType/GeographyType, stored physically as WKB binary — see
+        physical_spark_schema)."""
+        return [
+            f.name
+            for f in self.fields
+            if isinstance(f.field_type, str) and _GEO_RE.match(f.field_type)
+        ]
+
     def physical_spark_schema(self) -> T.StructType:
         """The schema data files are WRITTEN with: identical to
         spark_schema() except variant columns are JSON-text strings and
@@ -263,12 +320,19 @@ class Schema:
         files open to every reader; to_json/parse_json convert at the
         write/read boundary (write.py / scan.py)."""
         out = []
+        geo = set(self.geo_field_names())
         for f in self.fields:
             if f.field_type == "unknown":
                 continue
             sf = f.spark_field()
             if f.field_type == "variant":
                 sf = T.StructField(sf.name, T.StringType(), True, metadata=sf.metadata)
+            elif f.name in geo:
+                # v3 geometry/geography: WKB binary on disk (Spark's parquet
+                # writer cannot serialize its geo types; WKB is the spec's
+                # storage form and every reader opens it) —
+                # st_geomfromwkb/st_asbinary convert at the boundaries
+                sf = T.StructField(sf.name, T.BinaryType(), True, metadata=sf.metadata)
             out.append(sf)
         return T.StructType(out)
 

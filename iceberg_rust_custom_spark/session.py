@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 gates its native GEOMETRY/GEOGRAPHY types behind this
+        # flag; the engine maps Iceberg v3 geo columns onto them (WKB
+        # binary physical storage, metadata/schema.py). Runtime-settable,
+        # so pre-existing sessions are handled at first geo decode too.
+        .config("spark.sql.geospatial.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -590,20 +590,31 @@ def scan_to_dataframe(
 
 def _decode_variants(df: DataFrame, schema: Schema) -> DataFrame:
     """Surface the logical view of v3 physical-divergent columns: variant
-    columns parse from their JSON-text storage form; unknown columns
-    (never stored) restore as NULL literals in their declared position.
-    No-op on tables without either."""
+    columns parse from their JSON-text storage form; geometry/geography
+    columns decode from their WKB-binary storage form into Spark's native
+    geo types (SRID from the declared CRS); unknown columns (never
+    stored) restore as NULL literals in their declared position. No-op on
+    tables without any."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     names = schema.variant_field_names()
     unknown = schema.unknown_field_names()
-    if not names and not unknown:
+    geo = schema.geo_field_names()
+    if not names and not unknown and not geo:
         return df
     by_name = {f.name: f.dataType for f in df.schema.fields}
     for name in names:
         if isinstance(by_name.get(name), T.StringType):
             df = df.withColumn(name, F.parse_json(F.col(name)))
+    for name in geo:
+        if isinstance(by_name.get(name), T.BinaryType):
+            # geo analysis is session-gated in Spark 4; flip the (runtime)
+            # conf so a plain scan of a geo table never needs session prep
+            df.sparkSession.conf.set("spark.sql.geospatial.enabled", "true")
+            want = schema.field_by_name(name).spark_field().dataType
+            expr = F.st_geomfromwkb if isinstance(want, T.GeometryType) else F.st_geogfromwkb
+            df = df.withColumn(name, F.st_setsrid(expr(F.col(name)), F.lit(want.srid)))
     if unknown:
         for name in unknown:
             if name not in df.columns:

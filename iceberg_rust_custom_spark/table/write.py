@@ -71,8 +71,11 @@ def collect_datafile_stats(
     meta = pq.ParquetFile(path).metadata
     names = [f.name for f in schema.fields]
     # v3 variant columns store JSON text: its lexical min/max is NOT a
-    # variant bound — record counts/sizes but never range stats
+    # variant bound — record counts/sizes but never range stats. Same for
+    # geometry/geography WKB: lexical byte bounds are not spatial bounds,
+    # and the predicate language has no spatial operators to use them.
     variant_cols = {f.name for f in schema.fields if f.field_type == "variant"}
+    variant_cols |= set(schema.geo_field_names())
     lower, upper, nulls, counts, sizes = {}, {}, {}, {}, {}
     # Columns where ANY row group lacks a trustworthy statistic get NO
     # file-level stat of that kind at all (VERDICT r3 item 3): merging a
@@ -219,6 +222,12 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
                 # as a variant string scalar); parse/validation happens at
                 # read (scan._decode_variants)
                 pass
+            elif isinstance(
+                f.dataType, (_T.GeometryType, _T.GeographyType)
+            ) and isinstance(by_name[f.name].dataType, _T.BinaryType):
+                # WKB binary into a geo column: accepted verbatim — it IS
+                # the physical storage form; decode happens at read
+                pass
             else:
                 c = c.cast(f.dataType).alias(f.name)
         cols.append(c)
@@ -243,6 +252,13 @@ def write_partitioned(
 
         if isinstance(df.schema[_vname].dataType, _T.VariantType):
             df = df.withColumn(_vname, F.to_json(F.col(_vname)))
+    # v3 geometry/geography: physical storage is WKB binary — serialize
+    # geo-typed inputs; binary inputs are already in physical form
+    for _gname in schema.geo_field_names():
+        import pyspark.sql.types as _T
+
+        if isinstance(df.schema[_gname].dataType, (_T.GeometryType, _T.GeographyType)):
+            df = df.withColumn(_gname, F.st_asbinary(F.col(_gname)))
     spec = metadata.default_spec()
     target_bytes = int(metadata.properties.get("write.target-file-size-bytes", 512_000_000))
     codec = metadata.properties.get("write.parquet.compression-codec", "zstd")
