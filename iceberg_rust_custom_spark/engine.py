@@ -188,6 +188,7 @@ class Engine:
         if ddl_result is not None:
             return ddl_result
         query = self._resolve_time_travel(query)
+        query = self._resolve_table_changes(query)
         for rel in find_relations(query):
             if self._register_metadata_table(rel):
                 continue
@@ -294,6 +295,33 @@ class Engine:
             return f"{m.group(1)} {alias}"
 
         return Engine._TT_RE.sub(sub, query)
+
+    _TC_RE = None  # compiled lazily below
+
+    def _resolve_table_changes(self, query: str):
+        """Rewrite the ``table_changes('ns.t', <from_seq>[, <to_seq>])``
+        table-valued function (the Delta-style SQL spelling of
+        ``Table.changes``) into a ranged changelog scan registered as a
+        temp view. Complements the ``ns.t.changes`` metadata table (full
+        log with update pairing) with range control in plain SQL."""
+        import re as _re
+
+        if Engine._TC_RE is None:
+            Engine._TC_RE = _re.compile(
+                r"\btable_changes\s*\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                _re.IGNORECASE,
+            )
+        counter = [0]
+
+        def sub(m: "_re.Match") -> str:
+            rel, lo, hi = m.group(1), int(m.group(2)), m.group(3)
+            df = self.load_table(rel).changes(lo, int(hi) if hi else None)
+            alias = transform_name(rel) + f"__changes{counter[0]}"
+            counter[0] += 1
+            df.createOrReplaceTempView(alias)
+            return alias
+
+        return Engine._TC_RE.sub(sub, query)
 
     # ----------------------------------------------------------------- views
     def _view_location(self, ident: Identifier) -> str:

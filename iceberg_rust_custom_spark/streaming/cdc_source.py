@@ -110,14 +110,34 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
         self.options = dict(options)
         self.start_seq = int(self.options.get("starting_sequence", 0))
         self.cap = int(self.options.get("max_positions_per_partition", 2_000_000))
+        # admission control: at most N commits per micro-batch (0 = all).
+        # On a high-commit-rate table this bounds batch size so state and
+        # sink commits stay micro, instead of one giant catch-up batch.
+        # The FIRST batch after a checkpoint RESTART is never capped: the
+        # reader cannot see the checkpointed offset before planning, and
+        # returning an end below it would move the checkpoint backwards
+        # (duplicate delivery) — so the cap engages from initialOffset
+        # (fresh start) or after the first observed batch. availableNow
+        # also computes its one target up front and ignores pacing; the cap
+        # is for continuous/processing-time triggers.
+        self.max_commits = int(self.options.get("max_commits_per_batch", 0))
+        self._last_end: int | None = None
 
     # ------------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (no checkpoint) — safe to engage the
+        # cap from here; restarts skip this and get one uncapped catch-up
+        self._last_end = self.start_seq
         return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
         md = _load_metadata(self.options)
-        return {"seq": md.last_sequence_number}
+        head = md.last_sequence_number
+        if not self.max_commits or self._last_end is None:
+            self._last_end = head
+            return {"seq": head}
+        self._last_end = min(head, self._last_end + self.max_commits)
+        return {"seq": self._last_end}
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         return None

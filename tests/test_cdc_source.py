@@ -194,3 +194,52 @@ def test_added_column_with_default_reads_initial_default(spark, engine):
     feed = _feed(spark, engine, "s.d")
     assert feed.where("src = 'bulk'").count() == 40
     assert feed.where("src = 'live'").count() == 5
+
+
+def test_max_commits_per_batch_offset_pacing(spark, engine):
+    """Admission control (continuous triggers): after a fresh
+    initialOffset, successive latestOffset calls advance one commit at a
+    time up to the head and never beyond; without a prior initialOffset
+    (checkpoint restart) the first call is uncapped so the checkpointed
+    offset can never regress."""
+    t = engine.create_table("s.mc", _orders(spark).schema)
+    for lo in (0, 100, 200):
+        t.append(_orders(spark, 10).withColumn("k", F.col("k") + lo))
+    opts = {
+        "warehouse": engine.catalog.warehouse,
+        "table": "s.mc",
+        "max_commits_per_batch": "1",
+    }
+    r = IcebergChangelogStreamReader(opts)
+    assert r.initialOffset() == {"seq": 0}
+    assert [r.latestOffset()["seq"] for _ in range(5)] == [1, 2, 3, 3, 3]
+    # restart shape: no initialOffset → first latestOffset = head, uncapped
+    r2 = IcebergChangelogStreamReader(opts)
+    assert r2.latestOffset()["seq"] == 3
+    # each paced batch carries exactly its commit's rows
+    parts = r2.partitions({"seq": 1}, {"seq": 2})
+    assert all(p.change_type == "insert" for p in parts)
+    total = sum(1 for _ in parts)
+    assert total >= 1
+
+
+def test_table_changes_sql_tvf(spark, engine):
+    """SQL spelling of ranged CDC: table_changes('ns.t', from[, to]) in
+    engine.sql resolves to Table.changes over that range."""
+    t = engine.create_table("s.tc", _orders(spark).schema)
+    t.append(_orders(spark, 50))
+    anchor = t.metadata.last_sequence_number
+    delete_where(t, "k < 5", mode="merge-on-read")
+    t.append(_orders(spark, 5).withColumn("k", F.col("k") + 900))
+
+    df = engine.sql(
+        f"SELECT _change_type, COUNT(*) AS n FROM table_changes('s.tc', {anchor}) "
+        "GROUP BY _change_type"
+    )
+    got = {(r._change_type, r.n) for r in df.collect()}
+    assert got == {("delete", 5), ("insert", 5)}
+    # bounded range: only the delete commit
+    df2 = engine.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('s.tc', {anchor}, {anchor + 1})"
+    )
+    assert df2.collect()[0].n == 5
