@@ -23,6 +23,7 @@ from iceberg_rust_custom_spark.metadata.sort import SortField, SortOrder
 from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
 from iceberg_rust_custom_spark.table.table import Table
 from iceberg_rust_custom_spark.table.write import write_partitioned
+from iceberg_rust_custom_spark.views import incremental as _INC
 from iceberg_rust_custom_spark.views.view import (
     MaterializedView,
     View,
@@ -389,8 +390,17 @@ class Engine:
         md.new_version(ViewVersion(0, sql, dialect))
         if md.storage_table:
             # an MV's new SQL may change the result schema; the storage
-            # table (derived data, rebuilt by refresh) must follow
+            # table (derived data, rebuilt by refresh) must follow —
+            # including whether it carries the hidden source-row-id column
+            # (only single-table SPJ shapes can populate it)
+            import pyspark.sql.types as _T
+
             new_schema = self.sql(sql).schema
+            if self._mv_lineage_sql(sql):
+                new_schema = _T.StructType(
+                    list(new_schema.fields)
+                    + [_T.StructField(_INC.SRC_ROW_ID, _T.LongType(), True)]
+                )
             storage = self.load_table(md.storage_table)
             if storage.metadata.current_schema().spark_schema() != new_schema:
                 self.drop(md.storage_table)
@@ -405,6 +415,19 @@ class Engine:
         catalog, ident = self.resolve(name)
         storage_name = name + "__storage"
         result_schema = self.sql(sql).schema
+        if self._mv_lineage_sql(sql):
+            # single-table SPJ: storage rows remember their source row's v3
+            # _row_id (hidden column, dropped by scan_materialized_view) so
+            # changelog delete maintenance anti-joins one long key instead
+            # of exceptAll-shuffling the full storage width
+            import pyspark.sql.types as _T
+
+            from iceberg_rust_custom_spark.views.incremental import SRC_ROW_ID
+
+            result_schema = _T.StructType(
+                list(result_schema.fields)
+                + [_T.StructField(SRC_ROW_ID, _T.LongType(), True)]
+            )
         self.create_table(storage_name, Schema.from_spark(result_schema))
         location = self._view_location(ident)
         md = ViewMetadata.new(location, sql, storage_table=storage_name)
@@ -419,6 +442,46 @@ class Engine:
         catalog, ident = self.resolve(name)
         location, _ = catalog.load(ident)
         return ViewMetadata.from_json(FileIO.read_text(location))
+
+    def _mv_lineage_sql(self, sql: str) -> str | None:
+        """The row-id-instrumented rewrite of a single-table SPJ view SQL
+        (views/incremental.py::lineage_sql), or None when the shape or the
+        source (must be a plain table) rules it out."""
+        from iceberg_rust_custom_spark.views.incremental import (
+            classify_view_sql,
+            lineage_sql,
+        )
+
+        plan = classify_view_sql(sql)
+        if plan is None or plan.mode != "append":
+            return None
+        lsql = lineage_sql(sql)
+        if lsql is None:
+            return None
+        rel_cat, ident = self.resolve(plan.relation)
+        if not rel_cat.tabular_exists(ident):
+            return None
+        _, kind = rel_cat.load(ident)
+        return lsql if kind == "table" else None
+
+    def _sql_with_source_lineage(self, sql: str):
+        """Run the lineage-instrumented SPJ rewrite with the source
+        registered as a row-lineage scan; None → caller uses the plain
+        SQL (and null-fills the hidden column)."""
+        lsql = self._mv_lineage_sql(sql)
+        if lsql is None:
+            return None
+        from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+        plan = classify_view_sql(sql)
+        try:
+            src = self.load_table(plan.relation)
+            src.scan(row_lineage=True).drop(
+                "_last_updated_sequence_number"
+            ).createOrReplaceTempView(transform_name(plan.relation))
+            return self.spark.sql(transform_relations(lsql))
+        except Exception:
+            return None
 
     def dependent_materialized_views(self, table_name: str) -> list[str]:
         """Every materialized view in the default catalog whose SQL reads
@@ -445,8 +508,10 @@ class Engine:
         return out
 
     def scan_materialized_view(self, name: str) -> DataFrame:
+        """The storage table's current content (no recompute), hidden
+        maintenance columns dropped."""
         md = self._load_view_metadata(name)
-        return self.load_table(md.storage_table).scan()
+        return self.load_table(md.storage_table).scan().drop(_INC.SRC_ROW_ID)
 
     def _mv_source_states(self, sql: str) -> list[tuple[str, str, int | None]]:
         """(relation, state key, current snapshot id) for every catalog
@@ -533,8 +598,22 @@ class Engine:
         source_states = {
             key: cur for _, key, cur in self._mv_source_states(md.current_sql())
         }
-        result = self.sql(md.current_sql())
         storage = self.load_table(md.storage_table)
+        result = None
+        if any(
+            f.name == _INC.SRC_ROW_ID for f in storage.metadata.current_schema().fields
+        ):
+            result = self._sql_with_source_lineage(md.current_sql())
+            if result is None:  # source can't supply lineage: null-fill the
+                # hidden column — the changelog refresh's null guard then
+                # falls back to exceptAll, never to a wrong answer
+                from pyspark.sql import functions as _F
+
+                result = self.sql(md.current_sql()).withColumn(
+                    _INC.SRC_ROW_ID, _F.lit(None).cast("long")
+                )
+        if result is None:
+            result = self.sql(md.current_sql())
         data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
         files = write_partitioned(result, storage.metadata, data_dir)
         refresh_state = {
@@ -582,9 +661,25 @@ class Engine:
         if hist == "changelog":
             return self._changelog_refresh(md, plan, src, storage, from_seq)
 
-        delta = src.incremental_scan(from_seq)
-        delta.createOrReplaceTempView(transform_name(plan.relation))
-        delta_result = self.spark.sql(transform_relations(md.current_sql()))
+        lsql = (
+            self._mv_lineage_sql(md.current_sql())
+            if plan.mode == "append"
+            and any(
+                f.name == _INC.SRC_ROW_ID
+                for f in storage.metadata.current_schema().fields
+            )
+            else None
+        )
+        if lsql is not None:
+            # lineage-instrumented delta: appends-only history means the
+            # changelog is pure inserts carrying each row's _row_id
+            delta = src.changes(from_seq, with_lineage=True).drop("_change_type")
+            delta.createOrReplaceTempView(transform_name(plan.relation))
+            delta_result = self.spark.sql(transform_relations(lsql))
+        else:
+            delta = src.incremental_scan(from_seq)
+            delta.createOrReplaceTempView(transform_name(plan.relation))
+            delta_result = self.spark.sql(transform_relations(md.current_sql()))
 
         new_state = {
             "refresh-version-id": md.current_version_id,
@@ -617,12 +712,16 @@ class Engine:
         empty ``__delta__`` placeholder tables
         (datafusion_iceberg/src/materialized_view.rs:147-159).
 
-        * **SPJ views** (select-project-filter): Δ⁺ = view SQL over the
-          changelog's insert rows, Δ⁻ = view SQL over its delete rows;
-          storage' = (storage ∖ Δ⁻) ∪ Δ⁺ with multiset semantics
-          (``exceptAll``). The source table is never re-read beyond its
-          changelog — refresh cost tracks rows changed plus storage size,
-          not source size.
+        * **SPJ views** (select-project-filter): when the storage carries
+          the hidden source-row-id column (``SRC_ROW_ID``, created for
+          single-table SPJ shapes), Δ⁻ is applied as a LEFT ANTI join on
+          one long key with a changelog-sized build side (AQE broadcasts
+          it) and Δ⁺ appends with its row ids — no full-width shuffle of
+          the storage. Legacy storages, ``SELECT *`` shapes, or NULL
+          source row ids (pre-lineage rows) use the multiset fallback:
+          storage' = (storage ∖ Δ⁻) ∪ Δ⁺ via ``exceptAll``. Either way the
+          source table is never re-read beyond its changelog — refresh
+          cost tracks rows changed plus storage size, not source size.
         * **GROUP BY views**: recompute ONLY the groups whose rows changed
           — affected group keys (from the changelog) prune the source scan
           through the runtime-filter machinery (``join_scan``), untouched
@@ -633,11 +732,9 @@ class Engine:
         would silently mishandle the NULL group."""
         from pyspark.sql import functions as F
 
+        from iceberg_rust_custom_spark.views.incremental import SRC_ROW_ID
+
         sql = md.current_sql()
-        try:
-            ch = src.changes(from_seq)
-        except ValueError:
-            return False  # commit shape the changelog cannot replay
         new_state = {
             "refresh-version-id": md.current_version_id,
             "source-table-states": {
@@ -648,12 +745,58 @@ class Engine:
         rel = transform_name(plan.relation)
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
         if plan.mode == "append":
+            lsql = self._mv_lineage_sql(sql) if SRC_ROW_ID in out_cols else None
+            if lsql is not None:
+                try:
+                    ch = src.changes(from_seq, with_lineage=True)
+                except ValueError:
+                    return False
+                if ch.where("_row_id IS NULL").limit(1).count() == 0:
+                    # delete maintenance by source row id: one long key,
+                    # changelog-sized build side (AQE broadcasts it) — no
+                    # full-width exceptAll shuffle over the storage
+                    from pyspark.sql import functions as F2
+
+                    ins = ch.where(
+                        "_change_type IN ('insert', 'update_after')"
+                    ).drop("_change_type")
+                    dels = ch.where(
+                        "_change_type IN ('delete', 'update_before')"
+                    ).select(F2.col("_row_id").alias("_sg_del_rid"))
+                    ins.createOrReplaceTempView(rel)
+                    d_ins = self.spark.sql(transform_relations(lsql)).select(*out_cols)
+                    base = storage.scan().select(*out_cols)
+                    new_df = base.join(
+                        dels, base[SRC_ROW_ID] == dels["_sg_del_rid"], "left_anti"
+                    ).unionByName(d_ins)
+                    files = write_partitioned(new_df, storage.metadata, data_dir)
+                    storage.metadata = (
+                        storage.new_transaction()
+                        .rewrite_with_lineage(files, new_state)
+                        .commit()
+                    )
+                    return "incremental-changelog"
+                # NULL source row ids (pre-lineage rows): fall through to
+                # the multiset path — never a wrong answer
+            try:
+                ch = src.changes(from_seq)
+            except ValueError:
+                return False  # commit shape the changelog cannot replay
+            vis = [c for c in out_cols if c != SRC_ROW_ID]
             ch.where("_change_type = 'insert'").drop("_change_type").createOrReplaceTempView(rel)
-            d_ins = self.spark.sql(transform_relations(sql)).select(*out_cols)
+            d_ins = self.spark.sql(transform_relations(sql)).select(*vis)
             ch.where("_change_type = 'delete'").drop("_change_type").createOrReplaceTempView(rel)
-            d_del = self.spark.sql(transform_relations(sql)).select(*out_cols)
-            new_df = storage.scan().select(*out_cols).exceptAll(d_del).unionByName(d_ins)
+            d_del = self.spark.sql(transform_relations(sql)).select(*vis)
+            new_df = storage.scan().select(*vis).exceptAll(d_del).unionByName(d_ins)
+            if SRC_ROW_ID in out_cols:
+                from pyspark.sql import functions as F2
+
+                new_df = new_df.withColumn(SRC_ROW_ID, F2.lit(None).cast("long"))
         else:
+            try:
+                ch = src.changes(from_seq)
+            except ValueError:
+                return False  # commit shape the changelog cannot replay
             keys = list(plan.group_keys)
             affected = ch.select(*keys).distinct()
             rows = affected.limit(10_001).collect()

@@ -72,6 +72,31 @@ class IncrementalPlan:
     relation_b: str | None = None  # second source of a "join" view
 
 
+# hidden MV-storage column carrying the SOURCE row's v3 _row_id for
+# single-table SPJ views: changelog delete maintenance becomes an anti-join
+# on one long key (AQE-broadcastable) instead of a full-width multiset
+# exceptAll over the whole storage — the difference between shuffling every
+# stored column and shipping a changelog-sized id list at 100 TB.
+SRC_ROW_ID = "__sg_src_row_id"
+
+
+def lineage_sql(sql: str) -> str | None:
+    """For a single-table SPJ view: the same SQL with the source ``_row_id``
+    carried through as the hidden storage column. None when the shape
+    doesn't allow it (aggregates, joins, SELECT * — which would already
+    expand the lineage columns of the instrumented source view)."""
+    m = _SHAPE_RE.match(sql.strip())
+    if not m or _FORBIDDEN_RE.search(sql) or m.group("group"):
+        return None
+    if "*" in m.group("select"):
+        return None
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    return (
+        f"SELECT {m.group('select')}, _row_id AS {SRC_ROW_ID} "
+        f"FROM {m.group('rel')}{where}"
+    )
+
+
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
     """Shape-match the view SQL; None means "not incrementally
     maintainable, do a full refresh". Deliberately conservative: one

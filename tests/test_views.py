@@ -646,3 +646,35 @@ def test_changelog_join_refresh_delete_on_dim_side(engine, spark):
     delete_where(o, "oid = 12", mode="copy-on-write")
     assert engine.refresh_materialized_view("test.jd_mv") == "full"
     assert _rows(engine, "test.jd_mv") == set()
+
+
+def test_changelog_spj_uses_row_id_antijoin_not_exceptall(engine, spark, monkeypatch):
+    """r8 scale path: SPJ storage carries the hidden source-row-id column
+    and changelog delete maintenance anti-joins on it — exceptAll (a
+    full-width storage shuffle) must not run."""
+    from pyspark.sql import DataFrame
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+    from iceberg_rust_custom_spark.views.incremental import SRC_ROW_ID
+
+    t = engine.create_table("test.aj_orders", ORDERS_SCHEMA)
+    t.append(spark.createDataFrame(BATCH1, ORDERS_SCHEMA.spark_schema()))
+    engine.create_materialized_view(
+        "test.aj_mv", "SELECT id, amount FROM test.aj_orders WHERE product_id = 1"
+    )
+    storage = engine.load_table("test.aj_mv__storage")
+    assert SRC_ROW_ID in [f.name for f in storage.metadata.current_schema().fields]
+    # hidden column never leaks to readers
+    assert SRC_ROW_ID not in engine.scan_materialized_view("test.aj_mv").columns
+    assert SRC_ROW_ID not in engine.sql("SELECT * FROM test.aj_mv").columns
+
+    delete_where(t, "id = 2", mode="merge-on-read")
+    update_where(t, {"amount": "amount + 10"}, "id = 3", mode="merge-on-read")
+
+    def banned(self, other):
+        raise AssertionError("exceptAll ran — the anti-join path was not taken")
+
+    monkeypatch.setattr(DataFrame, "exceptAll", banned)
+    assert engine.refresh_materialized_view("test.aj_mv") == "incremental-changelog"
+    monkeypatch.undo()
+    assert _rows(engine, "test.aj_mv") == {(1, 1), (3, 13), (5, 2)}
