@@ -2905,7 +2905,7 @@ def iceberg_cdc_changes(spark, sf_dir):
     SELECT o_orderkey, o_custkey, 'insert' AS _change_type FROM orders
     UNION ALL
     SELECT o_orderkey, o_custkey, 'delete' AS _change_type FROM orders
-    WHERE o_orderkey % 9 = 0
+    WHERE o_orderkey % 9 = 0 OR o_orderkey % 13 = 0
     """,
 )
 def iceberg_streaming_cdc_source(spark, sf_dir):
@@ -2933,6 +2933,13 @@ def iceberg_streaming_cdc_source(spark, sf_dir):
         t = eng.create_table("rt.orders_feed", df.schema)
         t.append(df)
         delete_where(t, "o_orderkey % 9 = 0", mode="merge-on-read")
+        # r8: an equality delete in the log too — victims key-join
+        # executor-side; a row hit by both kinds emits ONE delete event
+        from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+        delete_by_key(
+            t, df.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+        )
     fmt = register_cdc_source(spark)
     return (
         spark.read.format(fmt)

@@ -26,13 +26,19 @@ Built on PySpark 4's Python DataSource API (pyspark.sql.datasource):
 * **Position lists are chunked** (``max_positions_per_partition``) so a
   pathological tombstone never builds an oversized task.
 
+Equality deletes (``delete_by_key`` — what ``stream_upsert_to_table``
+commits every micro-batch) replay as delete events: the delete files are
+batch-scale, so the driver ships their PATHS and executors key-join them
+locally against each strictly-older data file with the scan's sequence
+gating; cross-kind first-killer resolution (a position tombstone and an
+equality delete racing for the same row) is decided by minimum committing
+sequence on both sides, so every dead row emits exactly once.
+
 Scope (v1, documented refusals rather than wrong answers — the same
 correct-by-refusal posture as ``Table.changes`` on file-set replacements):
 
 * file-set replacement commits (compaction, CoW row-level ops, dynamic
   overwrite) in a batch range raise — row identity is gone;
-* equality deletes raise (their victims need a key join against older
-  data files — use the batch ``Table.changes``, which computes them);
 * column renames raise (executors match parquet columns by name; added
   columns read as NULL, the common evolution);
 * variant columns raise (decode is a Spark-side transform).
@@ -56,13 +62,25 @@ FORMAT_NAME = "iceberg_custom_cdc"
 @dataclass
 class ChangesPartition(InputPartition):
     """One executor task: a parquet data file, read fully (insert events,
-    ``positions is None``) or at specific row positions (delete events)."""
+    ``positions is None``), at specific row positions (position-delete
+    events), or key-joined against equality-delete files (``eq_victims``
+    mode). Equality deletes ship as file PATHS + sequence numbers — the
+    delete files are batch-scale; the executor reads them locally and
+    applies the scan's strictly-older sequence gating."""
 
     file_path: str
     commit_seq: int  # inserts: the file's commit; deletes: unused (per-pos)
     change_type: str  # 'insert' | 'delete'
     positions: list | None = None  # sorted row indices for delete events
     pos_seqs: list | None = None  # per-position committing sequence number
+    file_seq: int = 0  # this data file's commit sequence (eq gating)
+    # in-range equality deletes that MAY hit this file: (path, seq, key_cols)
+    eq_in: list = field(default_factory=list)
+    # pre-range equality deletes (rows they killed never re-emit)
+    eq_pre: list = field(default_factory=list)
+    # positions already dead before the range (pre-range position deletes)
+    pre_dead: list | None = None
+    eq_victims: bool = False  # True → emit rows killed first by eq_in
 
 
 def _load_metadata(options):
@@ -89,7 +107,15 @@ def _load_metadata(options):
 
 
 def _local(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
+    """Scheme-normalize a local path: tombstone files record Spark's
+    ``_metadata.file_path`` (a ``file:/…`` URI, sometimes ``file:///…``)
+    while manifests store plain paths — every cross-source position/path
+    match in this module MUST compare the normalized form (a single-slash
+    miss here made a row killed by a position tombstone re-emit from a
+    later equality delete)."""
+    import re as _re
+
+    return _re.sub("^file:/+", "/", path)
 
 
 def _read_parquet_positions(paths: list[str]):
@@ -190,21 +216,23 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
         entries = plan_delete_files(md, snap)
         in_range = [e for e in entries if lo < e.sequence_number <= hi]
         pre_range = [e for e in entries if e.sequence_number <= lo]
-        if any(e.data_file.content == 2 for e in in_range):
-            raise ValueError(
-                "equality deletes in the batch range — their victims need a "
-                "key join against older data files; use Table.changes for "
-                "batch CDC over this range"
-            )
+
+        # equality deletes ship as (path, seq, key_cols) triples — the
+        # executor reads the (batch-scale) key files and applies the scan's
+        # strictly-older gating per data file
+        id_to_name = {f.field_id: f.name for f in md.current_schema().fields}
+
+        def _eq_triple(e):
+            d = e.data_file
+            cols = [
+                id_to_name[i] for i in (d.equality_ids or ()) if i in id_to_name
+            ] or None
+            return (d.file_path, e.sequence_number, cols)
+
+        eq_in_all = [_eq_triple(e) for e in in_range if e.data_file.content == 2]
+        eq_pre_all = [_eq_triple(e) for e in pre_range if e.data_file.content == 2]
         if not in_range:
             return parts
-        if any(e.data_file.content == 2 for e in pre_range):
-            # pre-range equality-delete victims are unknown without reading
-            # old data files; refusing keeps the no-re-emit guarantee exact
-            raise ValueError(
-                "pending pre-range equality deletes — in-range delete events "
-                "cannot be de-duplicated against them; use Table.changes"
-            )
 
         # first killing commit per (file, pos): a parquet tombstone and a DV
         # can both target the same row in one range
@@ -243,9 +271,11 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                 for dpath, pos in _read_parquet_positions([d.file_path]):
                     pre_dead.setdefault(_local(dpath), set()).add(pos)
 
+        norm_seqs = {_local(k): v for k, v in file_seqs.items()}
         for dpath, posmap in killed.items():
             dead = pre_dead.get(dpath, ())
             live = sorted(p for p in posmap if p not in dead)
+            fseq = norm_seqs.get(dpath, 0)
             for i in range(0, len(live), self.cap):
                 chunk = live[i : i + self.cap]
                 parts.append(
@@ -255,6 +285,40 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                         "delete",
                         positions=chunk,
                         pos_seqs=[posmap[p] for p in chunk],
+                        file_seq=fseq,
+                        eq_in=[t for t in eq_in_all if t[1] > fseq],
+                        eq_pre=[t for t in eq_pre_all if t[1] > fseq],
+                    )
+                )
+
+        # equality-victim partitions: every live data file STRICTLY OLDER
+        # than an in-range equality delete may hold victims; the executor
+        # key-joins locally and emits each row once, attributed to its
+        # first killer (position tombstones shipped alongside for the
+        # cross-kind min-sequence tie-break)
+        if eq_in_all:
+            max_eseq = max(s for _, s, _ in eq_in_all)
+            for f in plan_files(md, snap):
+                fseq = file_seqs.get(f.file_path, 0)
+                if fseq >= max_eseq:
+                    continue
+                dpath = _local(f.file_path)
+                rel_in = [t for t in eq_in_all if t[1] > fseq]
+                if not rel_in:
+                    continue
+                posmap = killed.get(dpath, {})
+                parts.append(
+                    ChangesPartition(
+                        dpath,
+                        0,
+                        "delete",
+                        positions=sorted(posmap),
+                        pos_seqs=[posmap[p] for p in sorted(posmap)],
+                        file_seq=fseq,
+                        eq_in=rel_in,
+                        eq_pre=[t for t in eq_pre_all if t[1] > fseq],
+                        pre_dead=sorted(pre_dead.get(dpath, ())),
+                        eq_victims=True,
                     )
                 )
         return parts
@@ -264,12 +328,54 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
         yield from _read_changes_partition(self.options, partition)
 
 
+def _read_pq(path: str):
+    import pyarrow.parquet as pq
+
+    path = _local(path)
+    if "://" in path:  # object store: route through the FileIO registry
+        import io as _io
+
+        from iceberg_rust_custom_spark.io.fileio import FileIO
+
+        return pq.read_table(_io.BytesIO(FileIO.read_bytes(path)))
+    return pq.read_table(path)
+
+
+_MAXSEQ = (1 << 62)
+
+
+def _eq_matches(tbl, triples):
+    """Per-row first-kill sequence from equality-delete files: triples are
+    (path, seq, key_cols); returns an int64 array of min matching seq
+    (``_MAXSEQ`` where no delete matches). Key files are batch-scale —
+    each loads as an in-memory set of key tuples."""
+    import numpy as np
+
+    n = tbl.num_rows
+    kill = np.full(n, _MAXSEQ, dtype=np.int64)
+    for path, seq, cols in triples:
+        et = _read_pq(path)
+        cols = cols or list(et.column_names)
+        if any(c not in tbl.column_names for c in cols):
+            continue  # key column postdates this file: no row can match
+        keys = set(zip(*[et.column(c).to_pylist() for c in cols]))
+        vals = list(zip(*[tbl.column(c).to_pylist() for c in cols]))
+        mask = np.fromiter((v in keys for v in vals), bool, n)
+        kill = np.where(mask & (seq < kill), seq, kill)
+    return kill
+
+
 def _read_changes_partition(options, p: ChangesPartition):
     """Executor-side: one parquet file → Arrow batches in the source
     schema. Columns bind by NAME with a safe cast to the table's current
-    type (int→long widening etc.); a column the file predates reads NULL."""
+    type (int→long widening etc.); a column the file predates reads NULL.
+
+    Delete semantics across kinds are the changelog contract: each dead
+    row emits exactly once, attributed to the FIRST commit that killed it
+    — position partitions skip rows an earlier equality delete claimed
+    (and vice versa), and rows dead before the range (pre-range position
+    OR equality deletes) never emit."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     md = _load_metadata(options)
@@ -278,18 +384,46 @@ def _read_changes_partition(options, p: ChangesPartition):
     arrow = to_arrow_schema(logical)
     defaults = {f.name: f.initial_default for f in cur.fields}
 
-    path = _local(p.file_path)
-    if "://" in path:  # object store: route through the FileIO registry
-        import io as _io
-
-        from iceberg_rust_custom_spark.io.fileio import FileIO
-
-        src = _io.BytesIO(FileIO.read_bytes(path))
-        tbl = pq.read_table(src)
-    else:
-        tbl = pq.read_table(path)
-    if p.positions is not None:
+    tbl = _read_pq(p.file_path)
+    if p.change_type == "insert":
+        seqs = None  # constant commit_seq
+    elif not p.eq_victims:
+        # position-delete partition: emit the tombstoned positions, minus
+        # rows a pre-range eq delete already killed or an in-range eq
+        # delete killed FIRST
         tbl = tbl.take(pa.array(p.positions, type=pa.int64()))
+        keep = list(range(tbl.num_rows))
+        if p.eq_pre:
+            pre = _eq_matches(tbl, p.eq_pre)
+            keep = [i for i in keep if pre[i] == _MAXSEQ]
+        if p.eq_in:
+            kill = _eq_matches(tbl, p.eq_in)
+            keep = [i for i in keep if kill[i] >= p.pos_seqs[i]]
+        seqs = [p.pos_seqs[i] for i in keep]
+        if len(keep) != tbl.num_rows:
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    else:
+        # equality-victim partition: rows of this (strictly older) file
+        # matching an in-range equality delete, unless already dead
+        # (pre-range positions / pre-range eq) or claimed by an
+        # earlier-or-same position tombstone
+        kill = _eq_matches(tbl, p.eq_in)
+        pos_kill = dict(zip(p.positions or [], p.pos_seqs or []))
+        dead = set(p.pre_dead or ())
+        if p.eq_pre:
+            pre = _eq_matches(tbl, p.eq_pre)
+        else:
+            pre = None
+        emit = [
+            i
+            for i in range(tbl.num_rows)
+            if kill[i] != _MAXSEQ
+            and i not in dead
+            and (pre is None or pre[i] == _MAXSEQ)
+            and pos_kill.get(i, _MAXSEQ) > kill[i]
+        ]
+        seqs = [int(kill[i]) for i in emit]
+        tbl = tbl.take(pa.array(emit, type=pa.int64()))
 
     cols = []
     n = tbl.num_rows
@@ -308,8 +442,8 @@ def _read_changes_partition(options, p: ChangesPartition):
         else:  # added after this file was written, no default
             cols.append(pa.nulls(n, type=f.type))
     cols.append(pa.array([p.change_type] * n, type=pa.string()))
-    if p.positions is not None:
-        cols.append(pa.array(p.pos_seqs, type=pa.int64()))
+    if seqs is not None:
+        cols.append(pa.array(seqs, type=pa.int64()))
     else:
         cols.append(pa.array([p.commit_seq] * n, type=pa.int64()))
     names = [f.name for f in arrow] + ["_change_type", "_commit_seq"]

@@ -98,20 +98,86 @@ def test_added_column_reads_null_for_old_files(spark, engine):
 
 
 def test_refusals_are_loud_not_wrong(spark, engine):
-    """CoW file-set replacement and equality deletes refuse instead of
-    emitting a wrong changelog (same posture as Table.changes on
-    replacements)."""
+    """CoW file-set replacement refuses instead of emitting a wrong
+    changelog (same posture as Table.changes on replacements)."""
     t = engine.create_table("s.r", _orders(spark).schema)
     t.append(_orders(spark, 60))
     delete_where(t, "k = 1", mode="copy-on-write")
     with pytest.raises(Exception, match="file-set replacement"):
         _feed(spark, engine, "s.r").collect()
 
-    t2 = engine.create_table("s.q", _orders(spark).schema)
-    t2.append(_orders(spark, 60))
-    delete_by_key(t2, [3, 4], key_cols=["k"])
-    with pytest.raises(Exception, match="[Ee]quality delete"):
-        _feed(spark, engine, "s.q").collect()
+
+def test_equality_deletes_replay_as_delete_events(spark, engine):
+    """delete_by_key victims emit as delete events (executor-side key join
+    with strictly-older gating): a key re-inserted AFTER the delete
+    replays as a plain insert, not a victim; the full feed value-matches
+    Table.changes."""
+    t = engine.create_table("s.q", _orders(spark).schema)
+    t.append(_orders(spark, 60))
+    delete_by_key(t, [3, 4], key_cols=["k"])
+    t.append(_orders(spark, 1).withColumn("k", F.lit(3)))  # re-insert k=3
+
+    feed = _feed(spark, engine, "s.q")
+    dels = sorted(r.k for r in feed.where("_change_type = 'delete'").collect())
+    assert dels == [3, 4]
+    assert feed.where("_change_type = 'insert'").count() == 61
+    want = t.changes(0).select(*[c for c in feed.columns if c != "_commit_seq"])
+    got = feed.drop("_commit_seq")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_eq_and_pos_deletes_first_killer_exactly_once(spark, engine):
+    """A row killed by BOTH an equality delete and a later position
+    tombstone emits ONE delete event attributed to the first killer; a
+    pre-range equality delete suppresses later re-kills entirely."""
+    t = engine.create_table("s.fk", _orders(spark).schema)
+    t.append(_orders(spark, 40))  # seq 1
+    delete_by_key(t, [5, 6], key_cols=["k"])  # seq 2: eq kills 5, 6
+    delete_where(t, "k IN (5, 10)", mode="merge-on-read")  # seq 3: pos kill
+    feed = _feed(spark, engine, "s.fk")
+    dels = {(r.k, r._commit_seq) for r in feed.where("_change_type = 'delete'").collect()}
+    # 5: eq first (seq 2); 6: eq only (seq 2); 10: pos only (seq 3)
+    assert dels == {(5, 2), (6, 2), (10, 3)}
+
+    # range starting after the eq delete: 5 and 6 are pre-range dead — only
+    # the k=10 position kill replays
+    fmt = register_cdc_source(spark)
+    late = (
+        spark.read.format(fmt)
+        .option("warehouse", engine.catalog.warehouse)
+        .option("table", "s.fk")
+        .option("starting_sequence", "2")
+        .load()
+    )
+    rows = late.collect()
+    assert {(r.k, r._change_type) for r in rows} == {(10, "delete")}
+
+
+def test_follow_streaming_upsert_fed_table(spark, engine, tmp_path):
+    """The CDC source follows a table fed by stream_upsert_to_table (whose
+    every batch commits an equality delete + append) — the end state
+    reconstructed from the feed matches the table."""
+    from iceberg_rust_custom_spark.streaming.pipeline import upsert_sink
+
+    t = engine.create_table("s.uf", _orders(spark).schema)
+    t.append(_orders(spark, 20))
+    sink = upsert_sink(t, ["k"], str(tmp_path / "ck"))
+    sink(_orders(spark, 5).withColumn("amt", F.col("amt") + 1000), 0)
+    sink(_orders(spark, 3).withColumn("k", F.col("k") + 100), 1)
+
+    feed = _feed(spark, engine, "s.uf")
+    # replay: last event per key by commit seq wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("_commit_seq").desc())
+    last = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1 AND _change_type = 'insert'")
+        .select("k", "amt")
+    )
+    got = {(r.k, r.amt) for r in last.collect()}
+    want = {(r.k, r.amt) for r in t.scan().select("k", "amt").collect()}
+    assert got == want
 
 
 def test_position_chunking_preserves_results(spark, engine):
@@ -243,3 +309,19 @@ def test_table_changes_sql_tvf(spark, engine):
         f"SELECT COUNT(*) AS n FROM table_changes('s.tc', {anchor}, {anchor + 1})"
     )
     assert df2.collect()[0].n == 5
+
+
+def test_pos_then_eq_kill_emits_once(spark, engine):
+    """Regression (caught by the gate oracle): a row position-tombstoned
+    FIRST and equality-deleted later emits exactly one delete event,
+    attributed to the position kill — the cross-kind dedup must survive
+    the file:/-URI vs plain-path spelling difference between tombstone
+    contents and manifest paths."""
+    t = engine.create_table("s.pe", _orders(spark).schema)
+    t.append(_orders(spark, 30))  # seq 1
+    delete_where(t, "k IN (7, 8)", mode="merge-on-read")  # seq 2 (pos)
+    delete_by_key(t, [8, 9], key_cols=["k"])  # seq 3 (eq; 8 already dead)
+    feed = _feed(spark, engine, "s.pe")
+    dels = sorted((r.k, r._commit_seq) for r in feed.where("_change_type = 'delete'").collect())
+    assert dels == [(7, 2), (8, 2), (9, 3)]
+    assert feed.count() == 33  # 30 inserts + exactly 3 delete events
