@@ -108,6 +108,7 @@ HEADLINE = [
     "iceberg_cdc_equality_delete",
     "iceberg_streaming_cdc_source",
     "iceberg_geometry_roundtrip",
+    "dsir_importance_select",
 ]
 
 

@@ -712,3 +712,66 @@ def redact_card_numbers(df: DataFrame, text_col: str = "text", out_col: str = "r
         f"  {text_col}, (acc, s) -> replace(acc, s, '<card>'))"
     )
     return df.withColumn(out_col, F.expr(expr))
+
+
+def dsir_select(
+    df: DataFrame,
+    target_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+    vocab_cap: int = 50_000,
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" — the
+    public method, simplified to word unigrams instead of hashed n-gram
+    buckets so the weights stay engine-portable): rank the NON-target pool
+    by how much each document's token distribution looks like the TARGET
+    domain, and keep the top-k.
+
+        w(doc) = Σ_tokens ln( p̂_target(t) / p̂_raw(t) )
+        p̂(t)  = (count(t) + 1) / (total + |V|)      (add-one smoothing)
+
+    Shape (scale-conscious): one explode → two token-count aggregations
+    (map-side combine, shuffle ∝ distinct words), vocabulary bounded to
+    the ``vocab_cap`` most frequent corpus words with a deterministic
+    (count DESC, word ASC) tie-break — the per-word log-ratio table is
+    therefore broadcast-sized no matter the corpus, and scoring is one
+    broadcast join + groupBy(doc) sum. Out-of-vocabulary tokens contribute
+    nothing (both distributions smooth them identically). Top-k orders by
+    (score DESC, id ASC) for bit-stable output."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).where("w != ''")
+    raw = toks.groupBy("w").agg(F.count("*").alias("rcnt"))
+    # distributed top-V (TakeOrderedAndProject), NOT a row_number over an
+    # unpartitioned window — the word table has one row per distinct token
+    # and must never single-partition at corpus scale
+    vocab = raw.orderBy(F.desc("rcnt"), F.asc("w")).limit(vocab_cap)
+    tgt = (
+        toks.join(df.where(target_predicate).select(id_col), id_col, "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    table = vocab.join(tgt, "w", "left").na.fill({"tcnt": 0})
+    consts = table.agg(
+        F.sum("rcnt").alias("R"), F.sum("tcnt").alias("T"), F.count("*").alias("V")
+    )
+    table = table.crossJoin(F.broadcast(consts)).select(
+        "w",
+        (
+            F.log((F.col("tcnt") + 1.0) / (F.col("rcnt") + 1.0))
+            + F.log((F.col("R") + F.col("V")) / (F.col("T") + F.col("V")))
+        ).alias("_lr"),
+    )
+    scored = (
+        toks.join(df.where(target_predicate).select(id_col), id_col, "left_anti")
+        .join(F.broadcast(table), "w")
+        .groupBy(id_col)
+        .agg(F.sum("_lr").alias("dsir_score"))
+    )
+    # rank on the ROUNDED score: near-equal doubles may order differently
+    # across engines in their last ulp, but the rounded value + id is a
+    # total order both sides agree on
+    scored = scored.select(id_col, F.round("dsir_score", 4).alias("dsir_score"))
+    return scored.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(top_k)

@@ -3148,6 +3148,54 @@ def cms_frequent_terms(spark, sf_dir):
 
 
 @q(
+    "dsir_importance_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ), raw AS (
+      SELECT w, COUNT(*) AS rcnt FROM toks GROUP BY w
+    ), vocab AS (
+      SELECT w, rcnt FROM raw
+      QUALIFY row_number() OVER (ORDER BY rcnt DESC, w ASC) <= 2000
+    ), tgt AS (
+      SELECT t.w, COUNT(*) AS tcnt FROM toks t
+      JOIN documents d USING (doc_id) WHERE d.source = 'src0' GROUP BY t.w
+    ), tab AS (
+      SELECT v.w, v.rcnt, COALESCE(tg.tcnt, 0) AS tcnt
+      FROM vocab v LEFT JOIN tgt tg USING (w)
+    ), consts AS (
+      SELECT SUM(rcnt) AS R, SUM(tcnt) AS T, COUNT(*) AS V FROM tab
+    ), lr AS (
+      SELECT w, ln((tcnt + 1.0) / (rcnt + 1.0)) + ln((R + V) * 1.0 / (T + V)) AS _lr
+      FROM tab CROSS JOIN consts
+    ), scored AS (
+      SELECT t.doc_id, round(SUM(_lr), 4) AS dsir_score
+      FROM toks t
+      JOIN documents d USING (doc_id)
+      JOIN lr USING (w)
+      WHERE d.source <> 'src0'
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, dsir_score FROM scored
+    QUALIFY row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC) <= 50
+    """,
+)
+def dsir_importance_select(spark, sf_dir):
+    """DSIR importance-weighted data selection (Xie et al. 2023, public
+    method; word unigrams for engine portability): rank the non-target
+    pool by sum of smoothed target/raw log-likelihood ratios over its
+    tokens, keep the top 50. Vocabulary bounded to the 2000 most frequent
+    corpus words (count DESC, word ASC) so the per-word ratio table stays
+    broadcast-sized at any corpus scale."""
+    return TX.dsir_select(
+        _t(spark, sf_dir, "documents"),
+        "source = 'src0'",
+        top_k=50,
+        vocab_cap=2000,
+    )
+
+
+@q(
     "tfidf_top_terms",
     f"""
     WITH tf AS (
