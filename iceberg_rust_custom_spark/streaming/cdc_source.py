@@ -81,6 +81,12 @@ class ChangesPartition(InputPartition):
     # positions already dead before the range (pre-range position deletes)
     pre_dead: list | None = None
     eq_victims: bool = False  # True → emit rows killed first by eq_in
+    # when a file's position maps exceed the partition cap, the lookup
+    # structures ship as tombstone REFERENCES the executor decodes locally
+    # instead of expanded position lists: ("pq", path, seq) or
+    # ("dv", puffin_path, offset, size, seq, referenced_data_file)
+    pos_refs: list | None = None  # in-range kills (first-killer tie-break)
+    pre_refs: list | None = None  # pre-range dead (never re-emit)
 
 
 def _load_metadata(options):
@@ -298,6 +304,26 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
         # cross-kind min-sequence tie-break)
         if eq_in_all:
             max_eseq = max(s for _, s, _ in eq_in_all)
+
+            def _ref(e):
+                d = e.data_file
+                if d.file_format == "puffin":
+                    return (
+                        "dv",
+                        d.file_path,
+                        d.content_offset,
+                        d.content_size_in_bytes,
+                        e.sequence_number,
+                        d.referenced_data_file,
+                    )
+                return ("pq", d.file_path, e.sequence_number)
+
+            in_refs = [
+                _ref(e) for e in in_range if e.data_file.content == 1
+            ]
+            pre_refs = [
+                _ref(e) for e in pre_range if e.data_file.content == 1
+            ]
             for f in plan_files(md, snap):
                 fseq = file_seqs.get(f.file_path, 0)
                 if fseq >= max_eseq:
@@ -307,18 +333,26 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                 if not rel_in:
                     continue
                 posmap = killed.get(dpath, {})
+                dead = pre_dead.get(dpath, ())
+                # the position lookups are tie-break/suppression side data;
+                # past the cap they ship as tombstone refs the executor
+                # decodes for ITS file — a partition never pickles an
+                # unbounded position list
+                big = len(posmap) > self.cap or len(dead) > self.cap
                 parts.append(
                     ChangesPartition(
                         dpath,
                         0,
                         "delete",
-                        positions=sorted(posmap),
-                        pos_seqs=[posmap[p] for p in sorted(posmap)],
+                        positions=None if big else sorted(posmap),
+                        pos_seqs=None if big else [posmap[p] for p in sorted(posmap)],
                         file_seq=fseq,
                         eq_in=rel_in,
                         eq_pre=[t for t in eq_pre_all if t[1] > fseq],
-                        pre_dead=sorted(pre_dead.get(dpath, ())),
+                        pre_dead=None if big else sorted(dead),
                         eq_victims=True,
+                        pos_refs=in_refs if big else None,
+                        pre_refs=pre_refs if big else None,
                     )
                 )
         return parts
@@ -365,6 +399,33 @@ def _eq_matches(tbl, triples):
     return kill
 
 
+def _positions_from_refs(refs, dpath: str) -> dict:
+    """Rebuild a {position: first-kill sequence} map for ONE data file from
+    shipped tombstone references (executor-side; used when the driver-side
+    expansion would exceed the partition cap)."""
+    from iceberg_rust_custom_spark.io.fileio import FileIO
+    from iceberg_rust_custom_spark.table.deletion_vectors import parse_dv_frame
+
+    kill: dict = {}
+    for r in refs:
+        if r[0] == "dv":
+            _, path, off, size, seq, refd = r
+            if _local(refd) != dpath:
+                continue
+            for pos in parse_dv_frame(FileIO.read_range(path, off, size)).tolist():
+                if seq < kill.get(pos, _MAXSEQ):
+                    kill[pos] = seq
+        else:
+            _, path, seq = r
+            t = _read_pq(path)
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if _local(str(fp)) == dpath and seq < kill.get(pos, _MAXSEQ):
+                    kill[pos] = seq
+    return kill
+
+
 def _read_changes_partition(options, p: ChangesPartition):
     """Executor-side: one parquet file → Arrow batches in the source
     schema. Columns bind by NAME with a safe cast to the table's current
@@ -408,8 +469,15 @@ def _read_changes_partition(options, p: ChangesPartition):
         # (pre-range positions / pre-range eq) or claimed by an
         # earlier-or-same position tombstone
         kill = _eq_matches(tbl, p.eq_in)
-        pos_kill = dict(zip(p.positions or [], p.pos_seqs or []))
-        dead = set(p.pre_dead or ())
+        dpath = _local(p.file_path)
+        if p.pos_refs is not None:
+            pos_kill = _positions_from_refs(p.pos_refs, dpath)
+        else:
+            pos_kill = dict(zip(p.positions or [], p.pos_seqs or []))
+        if p.pre_refs is not None:
+            dead = set(_positions_from_refs(p.pre_refs, dpath))
+        else:
+            dead = set(p.pre_dead or ())
         if p.eq_pre:
             pre = _eq_matches(tbl, p.eq_pre)
         else:

@@ -325,3 +325,49 @@ def test_pos_then_eq_kill_emits_once(spark, engine):
     dels = sorted((r.k, r._commit_seq) for r in feed.where("_change_type = 'delete'").collect())
     assert dels == [(7, 2), (8, 2), (9, 3)]
     assert feed.count() == 33  # 30 inserts + exactly 3 delete events
+
+
+def test_eq_victim_lookup_ships_refs_past_the_cap(spark, engine):
+    """When a file's position-kill/pre-dead maps exceed
+    max_positions_per_partition, the eq-victim partition ships tombstone
+    REFS (decoded executor-side for its file) instead of expanded position
+    lists — results identical to the expanded form."""
+    t = engine.create_table("s.big", _orders(spark).schema)
+    t.append(_orders(spark, 200).coalesce(1))  # seq 1: ONE data file
+    delete_where(t, "k % 3 = 0", mode="merge-on-read")  # seq 2: 67 pos kills
+    delete_by_key(t, list(range(0, 30)), key_cols=["k"])  # seq 3: eq
+
+    def run(cap):
+        fmt = register_cdc_source(spark)
+        return (
+            spark.read.format(fmt)
+            .option("warehouse", engine.catalog.warehouse)
+            .option("table", "s.big")
+            .option("max_positions_per_partition", str(cap))
+            .load()
+        )
+
+    reader = IcebergChangelogStreamReader(
+        {
+            "warehouse": engine.catalog.warehouse,
+            "table": "s.big",
+            "max_positions_per_partition": "5",
+        }
+    )
+    parts = reader.partitions({"seq": 0}, reader.latestOffset())
+    eqp = [q for q in parts if q.eq_victims]
+    big = [q for q in eqp if q.pos_refs is not None]
+    assert big, "no partition exceeded the cap"  # refs path exercised
+    assert all(q.positions is None for q in big)
+
+    small = {
+        (r.k, r._change_type, r._commit_seq) for r in run(5).collect()
+    }
+    default = {
+        (r.k, r._change_type, r._commit_seq) for r in run(2_000_000).collect()
+    }
+    assert small == default
+    # spot semantics: k=0..29 eq-killed unless pos-killed first (k%3==0 →
+    # pos at seq 2 wins); eq victims carry seq 3
+    dels = {k: s for k, c, s in small if c == "delete"}
+    assert dels[0] == 2 and dels[1] == 3 and dels[3] == 2 and dels[4] == 3
