@@ -34,13 +34,17 @@ gating; cross-kind first-killer resolution (a position tombstone and an
 equality delete racing for the same row) is decided by minimum committing
 sequence on both sides, so every dead row emits exactly once.
 
+Schema evolution: executors project each file onto the CURRENT schema by
+FIELD ID through the file's recorded write-schema id (renames resolve; a
+new field reusing a renamed-away name never reads the old column; added
+columns read their v3 initial-default or NULL) — the same contract as the
+scan's ``_read_with_field_id_resolution``.
+
 Scope (v1, documented refusals rather than wrong answers — the same
 correct-by-refusal posture as ``Table.changes`` on file-set replacements):
 
 * file-set replacement commits (compaction, CoW row-level ops, dynamic
   overwrite) in a batch range raise — row identity is gone;
-* column renames raise (executors match parquet columns by name; added
-  columns read as NULL, the common evolution);
 * variant columns raise (decode is a Spark-side transform).
 """
 
@@ -87,6 +91,10 @@ class ChangesPartition(InputPartition):
     # ("dv", puffin_path, offset, size, seq, referenced_data_file)
     pos_refs: list | None = None  # in-range kills (first-killer tie-break)
     pre_refs: list | None = None  # pre-range dead (never re-emit)
+    # schema the data file was WRITTEN under: executors project onto the
+    # current schema by FIELD ID (renames resolve; a new field reusing an
+    # old name never reads the old column), -1 = legacy name matching
+    schema_id: int = -1
 
 
 def _load_metadata(options):
@@ -211,11 +219,16 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
             )
 
         file_seqs = data_file_sequence_numbers(md, snap)
+        all_live = plan_files(md, snap)
+        sid_by_path = {_local(f.file_path): f.schema_id for f in all_live}
         parts: list[ChangesPartition] = []
         for f in plan_files(md, snap, None, (lo, hi)):
             parts.append(
                 ChangesPartition(
-                    f.file_path, file_seqs.get(f.file_path, hi), "insert"
+                    f.file_path,
+                    file_seqs.get(f.file_path, hi),
+                    "insert",
+                    schema_id=f.schema_id,
                 )
             )
 
@@ -294,6 +307,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                         file_seq=fseq,
                         eq_in=[t for t in eq_in_all if t[1] > fseq],
                         eq_pre=[t for t in eq_pre_all if t[1] > fseq],
+                        schema_id=sid_by_path.get(dpath, -1),
                     )
                 )
 
@@ -324,7 +338,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
             pre_refs = [
                 _ref(e) for e in pre_range if e.data_file.content == 1
             ]
-            for f in plan_files(md, snap):
+            for f in all_live:
                 fseq = file_seqs.get(f.file_path, 0)
                 if fseq >= max_eseq:
                     continue
@@ -353,6 +367,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                         eq_victims=True,
                         pos_refs=in_refs if big else None,
                         pre_refs=pre_refs if big else None,
+                        schema_id=f.schema_id,
                     )
                 )
         return parts
@@ -378,22 +393,36 @@ def _read_pq(path: str):
 _MAXSEQ = (1 << 62)
 
 
-def _eq_matches(tbl, triples):
+def _eq_matches(tbl, triples, col_map=None):
     """Per-row first-kill sequence from equality-delete files: triples are
-    (path, seq, key_cols); returns an int64 array of min matching seq
-    (``_MAXSEQ`` where no delete matches). Key files are batch-scale —
-    each loads as an in-memory set of key tuples."""
+    (path, seq, key_cols — CURRENT-schema names); returns an int64 array
+    of min matching seq (``_MAXSEQ`` where no delete matches). Key files
+    are batch-scale — each loads as an in-memory set of key tuples.
+    ``col_map`` translates current names to the data file's WRITER names
+    (field-id rename resolution); a key column the file predates can
+    match nothing. The eq file side binds by current name when present,
+    else positionally (the file holds exactly the key columns, written
+    in equality_ids order)."""
     import numpy as np
 
+    col_map = col_map or {}
     n = tbl.num_rows
     kill = np.full(n, _MAXSEQ, dtype=np.int64)
     for path, seq, cols in triples:
         et = _read_pq(path)
         cols = cols or list(et.column_names)
-        if any(c not in tbl.column_names for c in cols):
+        ecols = [
+            c if c in et.column_names else et.column_names[i]
+            for i, c in enumerate(cols)
+            if c in et.column_names or i < len(et.column_names)
+        ]
+        tcols = [col_map.get(c, c) for c in cols]
+        if len(ecols) != len(cols) or any(
+            c is None or c not in tbl.column_names for c in tcols
+        ):
             continue  # key column postdates this file: no row can match
-        keys = set(zip(*[et.column(c).to_pylist() for c in cols]))
-        vals = list(zip(*[tbl.column(c).to_pylist() for c in cols]))
+        keys = set(zip(*[et.column(c).to_pylist() for c in ecols]))
+        vals = list(zip(*[tbl.column(c).to_pylist() for c in tcols]))
         mask = np.fromiter((v in keys for v in vals), bool, n)
         kill = np.where(mask & (seq < kill), seq, kill)
     return kill
@@ -444,6 +473,16 @@ def _read_changes_partition(options, p: ChangesPartition):
     logical = cur.spark_schema()
     arrow = to_arrow_schema(logical)
     defaults = {f.name: f.initial_default for f in cur.fields}
+    # field-id rename resolution: current name → the file's writer name;
+    # None = the field postdates the file (a NEW field reusing a renamed-
+    # away name must never read the old physical column — same contract
+    # as the scan's _read_with_field_id_resolution)
+    writer = md.schemas.get(p.schema_id)
+    if writer is not None:
+        wnames = {f.field_id: f.name for f in writer.fields}
+        col_map = {f.name: wnames.get(f.field_id) for f in cur.fields}
+    else:  # legacy file without a recorded write schema: name matching
+        col_map = {f.name: f.name for f in cur.fields}
 
     tbl = _read_pq(p.file_path)
     if p.change_type == "insert":
@@ -455,10 +494,10 @@ def _read_changes_partition(options, p: ChangesPartition):
         tbl = tbl.take(pa.array(p.positions, type=pa.int64()))
         keep = list(range(tbl.num_rows))
         if p.eq_pre:
-            pre = _eq_matches(tbl, p.eq_pre)
+            pre = _eq_matches(tbl, p.eq_pre, col_map)
             keep = [i for i in keep if pre[i] == _MAXSEQ]
         if p.eq_in:
-            kill = _eq_matches(tbl, p.eq_in)
+            kill = _eq_matches(tbl, p.eq_in, col_map)
             keep = [i for i in keep if kill[i] >= p.pos_seqs[i]]
         seqs = [p.pos_seqs[i] for i in keep]
         if len(keep) != tbl.num_rows:
@@ -468,7 +507,7 @@ def _read_changes_partition(options, p: ChangesPartition):
         # matching an in-range equality delete, unless already dead
         # (pre-range positions / pre-range eq) or claimed by an
         # earlier-or-same position tombstone
-        kill = _eq_matches(tbl, p.eq_in)
+        kill = _eq_matches(tbl, p.eq_in, col_map)
         dpath = _local(p.file_path)
         if p.pos_refs is not None:
             pos_kill = _positions_from_refs(p.pos_refs, dpath)
@@ -479,7 +518,7 @@ def _read_changes_partition(options, p: ChangesPartition):
         else:
             dead = set(p.pre_dead or ())
         if p.eq_pre:
-            pre = _eq_matches(tbl, p.eq_pre)
+            pre = _eq_matches(tbl, p.eq_pre, col_map)
         else:
             pre = None
         emit = [
@@ -496,8 +535,9 @@ def _read_changes_partition(options, p: ChangesPartition):
     cols = []
     n = tbl.num_rows
     for f in arrow:
-        if f.name in tbl.column_names:
-            cols.append(tbl.column(f.name).cast(f.type))
+        src = col_map.get(f.name)
+        if src is not None and src in tbl.column_names:
+            cols.append(tbl.column(src).cast(f.type))
         elif defaults.get(f.name) is not None:
             # v3 initial-default: rows written before the column existed
             # read back as the fixed add-time default (JSON single-value,

@@ -322,12 +322,24 @@ class Table:
         snap = self.metadata.snapshot_for_ref(MAIN_BRANCH)
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
         files = plan_files(self.metadata, snap, None, (from_sequence_number, end))
-        from iceberg_rust_custom_spark.table.scan import _decode_variants, read_physical
+        from iceberg_rust_custom_spark.table.scan import (
+            _decode_variants,
+            _read_with_field_id_resolution,
+            read_physical,
+        )
 
         cur = self.metadata.current_schema()
         if not files:
             return _decode_variants(
                 self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+            )
+        if len(self.metadata.schemas) > 1:
+            # evolved table: files span write schemas — project by field id
+            # (a renamed/retyped column read under the current physical
+            # schema fails or, worse, misbinds; caught by the CDC source's
+            # rename test)
+            return _read_with_field_id_resolution(
+                self.spark, self.metadata, cur, files
             )
         return read_physical(self.spark, cur, [f.file_path for f in files])
 
@@ -516,6 +528,23 @@ class Table:
             victims = read_files_with_lineage(
                 self.spark, self.metadata, snap, touched_files, keep_address=True
             ).drop("_last_updated_sequence_number")
+        elif len(self.metadata.schemas) > 1:
+            # evolved table: victims must project by field id too
+            import re as _re2
+
+            _tset = {_re2.sub("^file:/+", "/", p) for p in touched}
+            touched_files = [
+                f
+                for f in plan_files(self.metadata, snap)
+                if _re2.sub("^file:/+", "/", f.file_path) in _tset
+            ]
+            victims = _read_with_field_id_resolution(
+                self.spark,
+                self.metadata,
+                self.metadata.current_schema(),
+                touched_files,
+                lineage=True,
+            )
         else:
             victims = read_physical(self.spark, self.metadata.current_schema(), touched).select(
                 F.col("_metadata.file_path").alias("_sg_file"),

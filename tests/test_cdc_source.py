@@ -371,3 +371,33 @@ def test_eq_victim_lookup_ships_refs_past_the_cap(spark, engine):
     # pos at seq 2 wins); eq victims carry seq 3
     dels = {k: s for k, c, s in small if c == "delete"}
     assert dels[0] == 2 and dels[1] == 3 and dels[3] == 2 and dels[4] == 3
+
+
+def test_rename_resolves_by_field_id(spark, engine):
+    """Schema evolution in the feed: after rename_column(amt→amount), old
+    files' values surface under the NEW name, and a NEW column reusing the
+    old name reads NULL from them (field-id projection, not name match) —
+    including inside delete events and eq-delete key matching."""
+    t = engine.create_table("s.rn", _orders(spark).schema)
+    t.append(_orders(spark, 30))
+    t.update_schema().rename_column("amt", "amount").commit()
+    t.update_schema().add_column("amt", "string").commit()  # reuses old name
+    t.append(
+        _orders(spark, 5)
+        .withColumn("k", F.col("k") + 100)
+        .withColumnRenamed("amt", "amount")
+        .withColumn("amt", F.lit("new"))
+    )
+    delete_by_key(t, [2], key_cols=["k"])
+
+    feed = _feed(spark, engine, "s.rn")
+    old_rows = feed.where("k < 100 AND _change_type = 'insert'")
+    assert old_rows.where("amount IS NULL").count() == 0  # renamed values flow
+    assert old_rows.where("amt IS NOT NULL").count() == 0  # new field reads NULL
+    assert feed.where("amt = 'new'").count() == 5
+    dels = feed.where("_change_type = 'delete'").collect()
+    assert [(r.k, float(r.amount)) for r in dels] == [(2, 20.0)]
+    # matches the Spark-side changelog exactly
+    want = t.changes(0).select(*[c for c in feed.columns if c != "_commit_seq"])
+    got = feed.drop("_commit_seq")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
