@@ -401,3 +401,61 @@ def test_rename_resolves_by_field_id(spark, engine):
     want = t.changes(0).select(*[c for c in feed.columns if c != "_commit_seq"])
     got = feed.drop("_commit_seq")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3), st.integers(0, 2)),
+    st.tuples(st.just("mor_delete"), st.integers(0, 2)),
+    st.tuples(st.just("eq_delete"), st.integers(0, 2)),
+    st.tuples(st.just("mor_update"), st.integers(0, 2)),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=5))
+def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
+    """Differential fuzz: over random replayable op sequences (appends, MoR
+    position deletes, equality deletes, MoR updates) the batch feed must
+    value-match Table.changes(0) exactly — inserts, victims, first-killer
+    dedup, pre-range state, all of it."""
+    from iceberg_rust_custom_spark.table.maintenance import (
+        delete_by_key,
+        delete_where,
+        update_where,
+    )
+
+    tmp = tmp_path_factory.mktemp("cdcfuzz")
+    eng = Engine(spark, warehouse=str(tmp / "wh"))
+    t = eng.create_table("fz.feed", _orders(spark).schema)
+    t.append(_orders(spark, 20))
+    next_k = [100]
+    for op in ops:
+        if op[0] == "append":
+            n = op[1] * 5
+            t.append(
+                _orders(spark, n).withColumn("k", F.col("k") + next_k[0])
+            )
+            next_k[0] += 100
+        elif op[0] == "mor_delete":
+            t = delete_where(t, f"k % 7 = {op[1]}", mode="merge-on-read")
+        elif op[0] == "eq_delete":
+            live = [r.k for r in t.scan().select("k").limit(40).collect()]
+            keys = sorted(live)[op[1] * 3 : op[1] * 3 + 3]
+            if keys:
+                t = delete_by_key(t, keys, key_cols=["k"])
+        elif op[0] == "mor_update":
+            t = update_where(
+                t, {"amt": "amt + 1"}, f"k % 5 = {op[1]}", mode="merge-on-read"
+            )
+    feed = _feed(spark, eng, "fz.feed").drop("_commit_seq")
+    want = t.changes(0).select(*feed.columns)
+    assert feed.exceptAll(want).count() == 0, "feed has rows changes() lacks"
+    assert want.exceptAll(feed).count() == 0, "changes() has rows feed lacks"
+    eng.drop("fz.feed")
