@@ -109,6 +109,12 @@ HEADLINE = [
     "iceberg_streaming_cdc_source",
     "iceberg_geometry_roundtrip",
     "dsir_importance_select",
+    # round 9
+    "iceberg_changelog_compaction",
+    "iceberg_streaming_cdc_updates",
+    "iceberg_mv_delta_storage",
+    "iceberg_timestamp_ns_lossless",
+    "iceberg_cdc_variant_feed",
 ]
 
 

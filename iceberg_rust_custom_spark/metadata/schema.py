@@ -262,6 +262,17 @@ class Schema:
     schema_id: int = 0
     fields: tuple = ()
     identifier_field_ids: tuple = ()
+    # Engine-side rendering of v3 nanosecond timestamps, set from the
+    # CREATE-time table property ``write.timestamp-ns.mode=long`` (not
+    # serialized — TableMetadata re-derives it from properties on load):
+    # False (default) → timestamp_ns/timestamptz_ns surface as Spark
+    # µs-precision timestamps (sub-µs digits truncate at the boundary,
+    # documented divergence). True → they surface as LongType NANOSECONDS
+    # since epoch END-TO-END (logical AND physical): lossless through
+    # writes, scans, MoR deletes, CDC, and every rewrite — the only
+    # representation Spark can carry without precision loss. Pruning then
+    # operates on long literals.
+    ns_long: bool = False
 
     def to_dict(self) -> dict:
         return {
@@ -281,14 +292,61 @@ class Schema:
 
     @classmethod
     def from_spark(cls, st: T.StructType, schema_id: int = 0) -> "Schema":
+        """Field ids come from ``iceberg.field_id`` metadata when present,
+        else position — but a PLANNED DataFrame (CTAS, an MV's result
+        schema) propagates source-column metadata through Spark, so a
+        grouped/projected result can carry id 2 on one column while a
+        computed neighbor gets positional id 2: COLLIDING ids silently
+        corrupted anything keyed by field id (an equality delete on the MV
+        storage's group key resolved to the wrong column — r9). Explicit
+        unique ids win; everything else takes its positional id or, when
+        taken, the next free id."""
+        metas = [
+            (f.metadata.get("iceberg.field_id") if f.metadata else None)
+            for f in st.fields
+        ]
+        used: set = set()
+        explicit: list = []
+        for mid in metas:
+            if mid is not None and mid not in used:
+                explicit.append(mid)
+                used.add(mid)
+            else:
+                explicit.append(None)
         fields = []
-        for i, f in enumerate(st.fields):
-            fid = f.metadata.get("iceberg.field_id", i + 1) if f.metadata else i + 1
-            fields.append(NestedField(fid, f.name, spark_type_to_iceberg(f.dataType), not f.nullable))
+        for i, (f, mid) in enumerate(zip(st.fields, explicit)):
+            fid = mid
+            if fid is None:
+                fid = i + 1
+                while fid in used:
+                    fid = max(used) + 1
+                used.add(fid)
+            fields.append(
+                NestedField(fid, f.name, spark_type_to_iceberg(f.dataType), not f.nullable)
+            )
         return cls(schema_id=schema_id, fields=tuple(fields))
 
+    _NS_TYPES = ("timestamp_ns", "timestamptz_ns")
+
+    def ns_field_names(self) -> list[str]:
+        """Top-level v3 nanosecond-timestamp columns."""
+        return [f.name for f in self.fields if f.field_type in self._NS_TYPES]
+
+    def _apply_ns_long(self, st: T.StructType) -> T.StructType:
+        if not self.ns_long:
+            return st
+        ns = set(self.ns_field_names())
+        return T.StructType(
+            [
+                T.StructField(f.name, T.LongType(), f.nullable, metadata=f.metadata)
+                if f.name in ns
+                else f
+                for f in st.fields
+            ]
+        )
+
     def spark_schema(self) -> T.StructType:
-        return T.StructType([f.spark_field() for f in self.fields])
+        return self._apply_ns_long(T.StructType([f.spark_field() for f in self.fields]))
 
     def variant_field_names(self) -> list[str]:
         """Top-level Iceberg v3 variant columns (logical VariantType,
@@ -334,7 +392,7 @@ class Schema:
                 # st_geomfromwkb/st_asbinary convert at the boundaries
                 sf = T.StructField(sf.name, T.BinaryType(), True, metadata=sf.metadata)
             out.append(sf)
-        return T.StructType(out)
+        return self._apply_ns_long(T.StructType(out))
 
     def field_by_id(self, field_id: int) -> NestedField:
         for f in self.fields:

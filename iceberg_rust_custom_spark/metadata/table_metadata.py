@@ -20,6 +20,20 @@ from iceberg_rust_custom_spark.metadata.sort import SortOrder
 
 FORMAT_VERSION = 2
 
+def _apply_ns_mode(schema: Schema, props: dict) -> Schema:
+    """Derive the schema's engine-side ns-timestamp rendering from the
+    CREATE-time property ``write.timestamp-ns.mode``: ``long`` → v3
+    timestamp_ns/timestamptz_ns columns surface (and store) as LongType
+    nanoseconds, LOSSLESS end-to-end (Spark's timestamp types are µs-only
+    — the default mode truncates sub-µs digits at the boundary). The flag
+    is re-derived on every metadata load, so it must be set at table
+    creation and never toggled once data exists (stored longs would be
+    reinterpreted)."""
+    if props.get("write.timestamp-ns.mode") == "long" and not schema.ns_long:
+        return replace(schema, ns_long=True)
+    return schema
+
+
 DEFAULT_PROPERTIES = {
     # mirrors the reference's writer defaults (iceberg-rust/src/table/mod.rs:49-58,
     # arrow/write.rs:36,278-281)
@@ -75,6 +89,7 @@ class TableMetadata:
         sort_order = sort_order or SortOrder()
         props = dict(DEFAULT_PROPERTIES)
         props.update(properties or {})
+        schema = _apply_ns_mode(schema, props)
         return cls(
             table_uuid=str(_uuid.uuid4()),
             location=location,
@@ -183,7 +198,11 @@ class TableMetadata:
             raise ValueError(f"unsupported format version: {fv!r}")
         if fv == 1:
             d = _normalize_v1(d)
-        schemas = {s["schema-id"]: Schema.from_dict(s) for s in d["schemas"]}
+        props = d.get("properties", {})
+        schemas = {
+            s["schema-id"]: _apply_ns_mode(Schema.from_dict(s), props)
+            for s in d["schemas"]
+        }
         current_schema_id = d["current-schema-id"]
         if current_schema_id not in schemas:
             raise ValueError(f"current-schema-id {current_schema_id} not found in schemas")
@@ -254,7 +273,7 @@ class TableMetadata:
                 refs = {k: v for k, v in md.refs.items() if k != u["ref-name"]}
                 md = replace(md, refs=refs)
             elif action == "add-schema":
-                schema = Schema.from_dict(u["schema"])
+                schema = _apply_ns_mode(Schema.from_dict(u["schema"]), md.properties)
                 schemas = dict(md.schemas)
                 schemas[schema.schema_id] = schema
                 md = replace(md, schemas=schemas, last_column_id=max(md.last_column_id, schema.max_field_id))

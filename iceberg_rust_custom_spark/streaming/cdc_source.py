@@ -40,12 +40,28 @@ new field reusing a renamed-away name never reads the old column; added
 columns read their v3 initial-default or NULL) — the same contract as the
 scan's ``_read_with_field_id_resolution``.
 
-Scope (v1, documented refusals rather than wrong answers — the same
+Compaction (and zorder / rewrite_position_deletes) is changelog-
+TRANSPARENT (r9): those commits have zero net row change (summary
+``lineage-preserved=true``), so a batch range containing one splits at the
+commit and each sub-range replays against the snapshot on its side
+(``table.changelog_segments``) — a follower stream SURVIVES routine table
+maintenance. ``option("with_lineage", "true")`` adds the v3 ``_row_id``
+column (explicit file values win, else first_row_id + position — the
+scan's precedence); ``pair_update_events`` then relabels same-commit
+delete/insert pairs as update_before/update_after.
+
+Variant columns flow through in their PHYSICAL JSON-text form (r9 — the
+same logical/physical split as the scan; ``decode_variant_columns``
+restores VariantType Spark-side), so MoR pipelines over variant-bearing
+tables can be followed.
+
+Scope (documented refusals rather than wrong answers — the same
 correct-by-refusal posture as ``Table.changes`` on file-set replacements):
 
-* file-set replacement commits (compaction, CoW row-level ops, dynamic
+* net-row-change file-set replacements (CoW row-level ops, dynamic
   overwrite) in a batch range raise — row identity is gone;
-* variant columns raise (decode is a Spark-side transform).
+* geometry/geography columns raise (WKB decode is a Spark-side transform
+  with no string-typed physical fallback).
 """
 
 from __future__ import annotations
@@ -95,6 +111,10 @@ class ChangesPartition(InputPartition):
     # current schema by FIELD ID (renames resolve; a new field reusing an
     # old name never reads the old column), -1 = legacy name matching
     schema_id: int = -1
+    # v3 row lineage base of the data file (option with_lineage=true):
+    # rows inherit first_row_id + position; -1 = the file carries EXPLICIT
+    # _row_id columns; None = pre-lineage file (rids read NULL)
+    first_row_id: int | None = None
 
 
 def _load_metadata(options):
@@ -130,6 +150,39 @@ def _local(path: str) -> str:
     import re as _re
 
     return _re.sub("^file:/+", "/", path)
+
+
+def _feed_spark_schema(schema):
+    """The feed's data-column schema: the table's logical schema with
+    variant columns in their physical JSON-text (string) form — Arrow
+    batches can't carry VariantType; ``decode_variant_columns`` restores
+    the logical type Spark-side."""
+    from pyspark.sql import types as T
+
+    vnames = set(schema.variant_field_names())
+    out = []
+    for f in schema.spark_schema().fields:
+        if f.name in vnames:
+            out.append(T.StructField(f.name, T.StringType(), True, metadata=f.metadata))
+        else:
+            out.append(f)
+    return T.StructType(out)
+
+
+def decode_variant_columns(df, options_or_columns):
+    """Restore logical VariantType on a changelog feed: ``parse_json`` the
+    physical JSON-text variant columns. Pass the same options dict the
+    reader got (warehouse/table or metadata_location), or an explicit
+    column-name list."""
+    from pyspark.sql import functions as F
+
+    if isinstance(options_or_columns, dict):
+        cols = _load_metadata(options_or_columns).current_schema().variant_field_names()
+    else:
+        cols = list(options_or_columns)
+    for c in cols:
+        df = df.withColumn(c, F.parse_json(F.col(c)))
+    return df
 
 
 def _read_parquet_positions(paths: list[str]):
@@ -184,6 +237,40 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
 
     # ----------------------------------------------------------- planning
     def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["seq"]), int(end["seq"])
+        if hi <= lo:
+            return []
+        md = _load_metadata(self.options)
+        # zero-net-change rewrites (compact/zorder/rewrite_position_deletes,
+        # summary lineage-preserved=true) split the range into segments that
+        # each replay against the snapshot on their side of the rewrite —
+        # a stream SURVIVES routine compaction (r9); genuine file-set
+        # replacements still raise
+        from iceberg_rust_custom_spark.table.table import changelog_segments
+
+        try:
+            segments = changelog_segments(md, lo, hi)
+        except ValueError as e:
+            raise ValueError(
+                f"{e} (run a fresh stream from the current sequence number instead)"
+            )
+        if md.current_schema().geo_field_names():
+            # the executor read path emits raw Arrow in the declared schema
+            # and has no WKB→geo decode (a Spark-side transform, like the
+            # scan's _decode_variants) — refuse with a pointer instead of
+            # emitting raw binary under a GEOMETRY-declared schema (ADVICE r8)
+            raise ValueError(
+                f"{FORMAT_NAME} does not decode geometry/geography columns — "
+                "read the batch changelog (Table.changes) instead"
+            )
+        parts: list[ChangesPartition] = []
+        for seg_lo, seg_hi, snap in segments:
+            parts.extend(self._plan_segment(md, snap, seg_lo, seg_hi))
+        return parts
+
+    def _plan_segment(self, md, snap, lo: int, hi: int) -> list:
+        """Plan one changelog segment against the state of ``snap`` (the
+        latest snapshot at or below ``hi``)."""
         from iceberg_rust_custom_spark.table.deletion_vectors import (
             parse_dv_frame,
             read_dv_blob,
@@ -194,33 +281,10 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
             plan_files,
         )
 
-        lo, hi = int(start["seq"]), int(end["seq"])
-        if hi <= lo:
-            return []
-        md = _load_metadata(self.options)
-        snap = md.snapshot_for_ref()
-        for s in md.snapshots.values():
-            if lo < s.sequence_number <= hi:
-                op = s.summary.get("operation")
-                if not (
-                    op in ("append", "delete", "replace")
-                    or (op == "overwrite" and s.summary.get("rewritten") != "true")
-                ):
-                    raise ValueError(
-                        f"snapshot {s.snapshot_id} is a {op!r} file-set replacement "
-                        "— the streaming changelog is only defined across "
-                        "append/delete-shaped commits (run a fresh stream from "
-                        "the current sequence number instead)"
-                    )
-        if md.current_schema().variant_field_names():
-            raise ValueError(
-                f"{FORMAT_NAME} does not decode variant columns — read the "
-                "batch changelog (Table.changes) instead"
-            )
-
         file_seqs = data_file_sequence_numbers(md, snap)
         all_live = plan_files(md, snap)
         sid_by_path = {_local(f.file_path): f.schema_id for f in all_live}
+        frid_by_path = {_local(f.file_path): f.first_row_id for f in all_live}
         parts: list[ChangesPartition] = []
         for f in plan_files(md, snap, None, (lo, hi)):
             parts.append(
@@ -229,6 +293,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                     file_seqs.get(f.file_path, hi),
                     "insert",
                     schema_id=f.schema_id,
+                    first_row_id=f.first_row_id,
                 )
             )
 
@@ -248,10 +313,26 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
             ] or None
             return (d.file_path, e.sequence_number, cols)
 
-        eq_in_all = [_eq_triple(e) for e in in_range if e.data_file.content == 2]
+        eq_in_pairs = [(_eq_triple(e), e) for e in in_range if e.data_file.content == 2]
         eq_pre_all = [_eq_triple(e) for e in pre_range if e.data_file.content == 2]
         if not in_range:
             return parts
+        from iceberg_rust_custom_spark.table.scan import eq_delete_can_touch
+
+        cur_schema = md.current_schema()
+        sid_to_file = {_local(f.file_path): f for f in all_live}
+
+        def _rel_eq(f, fseq):
+            """In-range equality deletes that can actually touch this data
+            file: strictly newer AND key-bounds-intersecting (r9 — the
+            footer bounds harvested at delete_by_key commit time prune the
+            victim-candidate fan-out; see scan.eq_delete_can_touch)."""
+            return [
+                t
+                for t, e in eq_in_pairs
+                if t[1] > fseq
+                and (f is None or eq_delete_can_touch(f, e.data_file, cur_schema))
+            ]
 
         # first killing commit per (file, pos): a parquet tombstone and a DV
         # can both target the same row in one range
@@ -305,9 +386,10 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                         positions=chunk,
                         pos_seqs=[posmap[p] for p in chunk],
                         file_seq=fseq,
-                        eq_in=[t for t in eq_in_all if t[1] > fseq],
+                        eq_in=_rel_eq(sid_to_file.get(dpath), fseq),
                         eq_pre=[t for t in eq_pre_all if t[1] > fseq],
                         schema_id=sid_by_path.get(dpath, -1),
+                        first_row_id=frid_by_path.get(dpath),
                     )
                 )
 
@@ -316,8 +398,8 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
         # key-joins locally and emits each row once, attributed to its
         # first killer (position tombstones shipped alongside for the
         # cross-kind min-sequence tie-break)
-        if eq_in_all:
-            max_eseq = max(s for _, s, _ in eq_in_all)
+        if eq_in_pairs:
+            max_eseq = max(t[1] for t, _ in eq_in_pairs)
 
             def _ref(e):
                 d = e.data_file
@@ -343,9 +425,9 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                 if fseq >= max_eseq:
                     continue
                 dpath = _local(f.file_path)
-                rel_in = [t for t in eq_in_all if t[1] > fseq]
+                rel_in = _rel_eq(f, fseq)
                 if not rel_in:
-                    continue
+                    continue  # nothing newer CAN touch this file: pruned
                 posmap = killed.get(dpath, {})
                 dead = pre_dead.get(dpath, ())
                 # the position lookups are tie-break/suppression side data;
@@ -368,6 +450,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                         pos_refs=in_refs if big else None,
                         pre_refs=pre_refs if big else None,
                         schema_id=f.schema_id,
+                        first_row_id=f.first_row_id,
                     )
                 )
         return parts
@@ -393,19 +476,24 @@ def _read_pq(path: str):
 _MAXSEQ = (1 << 62)
 
 
-def _eq_matches(tbl, triples, col_map=None):
+def _eq_matches(tbl, triples, col_map=None, defaults=None):
     """Per-row first-kill sequence from equality-delete files: triples are
     (path, seq, key_cols — CURRENT-schema names); returns an int64 array
     of min matching seq (``_MAXSEQ`` where no delete matches). Key files
     are batch-scale — each loads as an in-memory set of key tuples.
     ``col_map`` translates current names to the data file's WRITER names
-    (field-id rename resolution); a key column the file predates can
-    match nothing. The eq file side binds by current name when present,
-    else positionally (the file holds exactly the key columns, written
-    in equality_ids order)."""
+    (field-id rename resolution). A key column the file predates reads as
+    the current schema's v3 ``initial_default`` — the value the scan and
+    batch changelog substitute before their key join (ADVICE r8: skipping
+    the whole delete file here missed delete events the table actually
+    applies); absent a default the rows hold NULL, which matches a NULL
+    delete key (eqNullSafe, same as the scan). The eq file side binds by
+    current name when present, else positionally (the file holds exactly
+    the key columns, written in equality_ids order)."""
     import numpy as np
 
     col_map = col_map or {}
+    defaults = defaults or {}
     n = tbl.num_rows
     kill = np.full(n, _MAXSEQ, dtype=np.int64)
     for path, seq, cols in triples:
@@ -416,13 +504,17 @@ def _eq_matches(tbl, triples, col_map=None):
             for i, c in enumerate(cols)
             if c in et.column_names or i < len(et.column_names)
         ]
-        tcols = [col_map.get(c, c) for c in cols]
-        if len(ecols) != len(cols) or any(
-            c is None or c not in tbl.column_names for c in tcols
-        ):
-            continue  # key column postdates this file: no row can match
+        if len(ecols) != len(cols):
+            continue  # malformed key file: key width mismatch
         keys = set(zip(*[et.column(c).to_pylist() for c in ecols]))
-        vals = list(zip(*[tbl.column(c).to_pylist() for c in tcols]))
+        val_cols = []
+        for c in cols:
+            src = col_map.get(c, c)
+            if src is not None and src in tbl.column_names:
+                val_cols.append(tbl.column(src).to_pylist())
+            else:  # field postdates the file: constant default (or NULL)
+                val_cols.append([defaults.get(c)] * n)
+        vals = list(zip(*val_cols))
         mask = np.fromiter((v in keys for v in vals), bool, n)
         kill = np.where(mask & (seq < kill), seq, kill)
     return kill
@@ -468,10 +560,16 @@ def _read_changes_partition(options, p: ChangesPartition):
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from pyspark.sql import types as T
+
     md = _load_metadata(options)
     cur = md.current_schema()
-    logical = cur.spark_schema()
-    arrow = to_arrow_schema(logical)
+    # variant columns travel in their PHYSICAL JSON-text form (r9 — they
+    # previously refused): to_arrow_schema cannot express VariantType, and
+    # parse_json is a Spark-side transform — decode_variant_columns
+    # restores the logical type at the reader boundary, the same split as
+    # scan_to_dataframe/_decode_variants
+    arrow = to_arrow_schema(_feed_spark_schema(cur))
     defaults = {f.name: f.initial_default for f in cur.fields}
     # field-id rename resolution: current name → the file's writer name;
     # None = the field postdates the file (a NEW field reusing a renamed-
@@ -483,8 +581,24 @@ def _read_changes_partition(options, p: ChangesPartition):
         col_map = {f.name: wnames.get(f.field_id) for f in cur.fields}
     else:  # legacy file without a recorded write schema: name matching
         col_map = {f.name: f.name for f in cur.fields}
+    # defaults in their ARROW-native Python form (dates as date objects,
+    # not ISO strings) so key-tuple matching against to_pylist values is
+    # type-consistent when a key column predates a data file
+    key_defaults = {}
+    for f in arrow:
+        v = defaults.get(f.name)
+        if v is None:
+            continue
+        try:
+            key_defaults[f.name] = pa.array([v], type=f.type).to_pylist()[0]
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            try:
+                key_defaults[f.name] = pa.array([v]).cast(f.type).to_pylist()[0]
+            except Exception:
+                key_defaults[f.name] = v
 
     tbl = _read_pq(p.file_path)
+    orig_pos = None  # original row positions of emitted rows (lineage)
     if p.change_type == "insert":
         seqs = None  # constant commit_seq
     elif not p.eq_victims:
@@ -494,12 +608,13 @@ def _read_changes_partition(options, p: ChangesPartition):
         tbl = tbl.take(pa.array(p.positions, type=pa.int64()))
         keep = list(range(tbl.num_rows))
         if p.eq_pre:
-            pre = _eq_matches(tbl, p.eq_pre, col_map)
+            pre = _eq_matches(tbl, p.eq_pre, col_map, key_defaults)
             keep = [i for i in keep if pre[i] == _MAXSEQ]
         if p.eq_in:
-            kill = _eq_matches(tbl, p.eq_in, col_map)
+            kill = _eq_matches(tbl, p.eq_in, col_map, key_defaults)
             keep = [i for i in keep if kill[i] >= p.pos_seqs[i]]
         seqs = [p.pos_seqs[i] for i in keep]
+        orig_pos = [p.positions[i] for i in keep]
         if len(keep) != tbl.num_rows:
             tbl = tbl.take(pa.array(keep, type=pa.int64()))
     else:
@@ -507,7 +622,7 @@ def _read_changes_partition(options, p: ChangesPartition):
         # matching an in-range equality delete, unless already dead
         # (pre-range positions / pre-range eq) or claimed by an
         # earlier-or-same position tombstone
-        kill = _eq_matches(tbl, p.eq_in, col_map)
+        kill = _eq_matches(tbl, p.eq_in, col_map, key_defaults)
         dpath = _local(p.file_path)
         if p.pos_refs is not None:
             pos_kill = _positions_from_refs(p.pos_refs, dpath)
@@ -518,7 +633,7 @@ def _read_changes_partition(options, p: ChangesPartition):
         else:
             dead = set(p.pre_dead or ())
         if p.eq_pre:
-            pre = _eq_matches(tbl, p.eq_pre, col_map)
+            pre = _eq_matches(tbl, p.eq_pre, col_map, key_defaults)
         else:
             pre = None
         emit = [
@@ -530,6 +645,7 @@ def _read_changes_partition(options, p: ChangesPartition):
             and pos_kill.get(i, _MAXSEQ) > kill[i]
         ]
         seqs = [int(kill[i]) for i in emit]
+        orig_pos = emit
         tbl = tbl.take(pa.array(emit, type=pa.int64()))
 
     cols = []
@@ -555,6 +671,22 @@ def _read_changes_partition(options, p: ChangesPartition):
     else:
         cols.append(pa.array([p.commit_seq] * n, type=pa.int64()))
     names = [f.name for f in arrow] + ["_change_type", "_commit_seq"]
+    if str(options.get("with_lineage", "")).lower() in ("true", "1"):
+        # v3 row id per emitted row: explicit column values win (files a
+        # compaction/CoW rewrite preserved identity into, first_row_id=-1),
+        # else inherit first_row_id + original position — the same
+        # precedence as the scan's _attach_row_lineage
+        if "_row_id" in tbl.column_names:
+            cols.append(tbl.column("_row_id").cast(pa.int64()))
+        elif p.first_row_id is not None and p.first_row_id >= 0:
+            base = p.first_row_id
+            if orig_pos is None:  # insert partition: rows in file order
+                cols.append(pa.array(range(base, base + n), type=pa.int64()))
+            else:
+                cols.append(pa.array([base + q for q in orig_pos], type=pa.int64()))
+        else:  # pre-lineage file: unassigned rows read NULL (spec)
+            cols.append(pa.nulls(n, type=pa.int64()))
+        names = names + ["_row_id"]
     yield from pa.table(cols, names=names).to_batches(max_chunksize=1 << 16)
 
 
@@ -584,14 +716,14 @@ class IcebergChangelogDataSource(DataSource):
     def schema(self):
         from pyspark.sql import types as T
 
-        logical = _load_metadata(self.options).current_schema().spark_schema()
-        return T.StructType(
-            list(logical.fields)
-            + [
-                T.StructField("_change_type", T.StringType(), False),
-                T.StructField("_commit_seq", T.LongType(), False),
-            ]
-        )
+        logical = _feed_spark_schema(_load_metadata(self.options).current_schema())
+        extra = [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_seq", T.LongType(), False),
+        ]
+        if str(self.options.get("with_lineage", "")).lower() in ("true", "1"):
+            extra.append(T.StructField("_row_id", T.LongType(), True))
+        return T.StructType(list(logical.fields) + extra)
 
     def reader(self, schema):
         return IcebergChangelogBatchReader(self.options)
@@ -604,3 +736,44 @@ def register_cdc_source(spark) -> str:
     """Register the format on a session; returns the format name."""
     spark.dataSource.register(IcebergChangelogDataSource)
     return FORMAT_NAME
+
+
+def pair_update_events(df):
+    """UPDATE detection over a changelog feed read with
+    ``option("with_lineage", "true")``: a delete and an insert sharing
+    (``_row_id``, ``_commit_seq``) are the two halves of one MoR
+    UPDATE/MERGE (tombstone + re-append in one transaction) — relabel them
+    'update_before' / 'update_after', exactly ``Table.changes``'
+    commit-scoped pairing. NULL row ids (pre-lineage files) never pair.
+
+    Pairing is a cross-partition join, so it runs Spark-side AFTER the
+    source: apply to the batch-flavor read directly, or inside
+    ``foreachBatch`` for a stream (each micro-batch is a complete
+    commit range — admission control advances whole commits — so pairs
+    never straddle a batch boundary under ``max_commits_per_batch``;
+    pairs CAN straddle arbitrary trigger boundaries otherwise, in which
+    case the two halves surface as plain delete+insert, which downstream
+    upsert consumers apply identically)."""
+    from pyspark.sql import functions as F
+
+    keys = ["_row_id", "_commit_seq"]
+    paired = (
+        df.where("_change_type = 'delete'")
+        .select(*keys)
+        .join(df.where("_change_type = 'insert'").select(*keys), keys, "inner")
+        .distinct()
+        .withColumn("_sg_upd", F.lit(True))
+    )
+    return (
+        df.join(F.broadcast(paired), keys, "left")
+        .withColumn(
+            "_change_type",
+            F.when(
+                F.col("_sg_upd").isNotNull(),
+                F.when(F.col("_change_type") == "delete", F.lit("update_before")).otherwise(
+                    F.lit("update_after")
+                ),
+            ).otherwise(F.col("_change_type")),
+        )
+        .drop("_sg_upd")
+    )

@@ -16,13 +16,34 @@ from iceberg_rust_custom_spark.table.table import Table
 from iceberg_rust_custom_spark.table.write import write_partitioned
 
 
-def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
+def compact(
+    table: Table,
+    target_file_size_bytes: int | None = None,
+    retain_history: bool = True,
+) -> Table:
     """Rewrite the current file set into ~target-size files.
 
     Distributed plan: read all live files, repartition to
     ceil(total_bytes / target) tasks (partition transforms stay the shuffle
     keys so partition dirs are preserved), write, atomically swap via a
-    Rewrite transaction. Old files are deleted post-commit.
+    Rewrite transaction.
+
+    The commit is stamped ``lineage-preserved=true``: a compaction writes
+    exactly the current scan output (pending MoR deletes materialized, v3
+    row identity carried explicitly), so its net row change is ZERO and
+    changelog consumers (``Table.changes``, the streaming CDC source,
+    changelog MV maintenance) replay ranges straight through it by
+    splitting at the commit (r9 — previously every follower died and every
+    MV fell back to a full refresh whenever the nightly compaction ran).
+
+    ``retain_history=True`` (default, the Iceberg model: compaction never
+    erases history — snapshot expiry is a separate policy) keeps prior
+    snapshots and files so time travel, MV anchors and changelog segment
+    replay keep working; ``expire_snapshots``/``remove_orphan_files``
+    reclaim space later. ``retain_history=False`` restores the
+    reference's destructive Rewrite (table/mod.rs:216-269): all prior
+    snapshots removed, replaced files physically deleted — changelog
+    ranges reaching below the compaction then raise.
     """
     md = table.metadata
     target = target_file_size_bytes or int(md.properties.get("write.target-file-size-bytes", 512_000_000))
@@ -62,7 +83,12 @@ def compact(table: Table, target_file_size_bytes: int | None = None) -> Table:
         df = df.repartition(n_tasks)
     data_dir = os.path.join(md.location, "data", "compact-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(df, md, data_dir)
-    table.metadata = table.new_transaction().rewrite(new_files).commit()
+    table.metadata = (
+        table.new_transaction()
+        .rewrite(new_files, retain_history=retain_history)
+        .set_summary({"lineage-preserved": "true"})
+        .commit()
+    )
     return table
 
 
@@ -135,21 +161,26 @@ def rewrite_position_deletes(table: Table) -> Table:
     if pos_dv:
         parts.append(dv_positions_df(spark, pos_dv))
     if eq_entries and carried:
+        from iceberg_rust_custom_spark.table.scan import eq_victim_candidates
+
         schema = md.current_schema()
-        if len(md.schemas) > 1:
-            df = _read_with_field_id_resolution(spark, md, schema, carried, lineage=True)
-        else:
-            df = _with_lineage(
-                spark.read.schema(schema.physical_spark_schema()).parquet(
-                    *[f.file_path for f in carried]
+        file_seqs = data_file_sequence_numbers(md, snap)
+        # only files whose key bounds a delete can actually touch need the
+        # position-conversion scan (r9; scan.eq_delete_can_touch)
+        cand = eq_victim_candidates(carried, eq_entries, schema, file_seqs)
+        if cand:
+            if len(md.schemas) > 1:
+                df = _read_with_field_id_resolution(spark, md, schema, cand, lineage=True)
+            else:
+                df = _with_lineage(
+                    spark.read.schema(schema.physical_spark_schema()).parquet(
+                        *[f.file_path for f in cand]
+                    )
                 )
+            hits = equality_delete_hits(spark, df, eq_entries, file_seqs, schema=schema)
+            parts.append(
+                hits.select(F.col("_sg_file").alias("file_path"), F.col("_sg_pos").alias("pos"))
             )
-        hits = equality_delete_hits(
-            spark, df, eq_entries, data_file_sequence_numbers(md, snap), schema=schema
-        )
-        parts.append(
-            hits.select(F.col("_sg_file").alias("file_path"), F.col("_sg_pos").alias("pos"))
-        )
     if not parts:
         return table
     all_hits = parts[0]
@@ -157,7 +188,11 @@ def rewrite_position_deletes(table: Table) -> Table:
         all_hits = all_hits.unionByName(p)
     dv_files = write_deletion_vectors(table, all_hits.distinct())
     table.metadata = (
-        table.new_transaction().rewrite(carried + dv_files, retain_history=True).commit()
+        table.new_transaction()
+        .rewrite(carried + dv_files, retain_history=True)
+        # tombstone re-expression: zero net row change → changelog-transparent
+        .set_summary({"lineage-preserved": "true"})
+        .commit()
     )
     return table
 
@@ -228,6 +263,28 @@ def _read_files_applying_deletes(table: Table, md, snap, files: list, lineage_li
     return df.drop("_sg_file", "_sg_pos")
 
 
+def _read_matched_files(table: Table, md, files: list, with_address: bool = False):
+    """Read specific data files under the CURRENT schema, resolving by
+    field id when the table has evolved (a renamed column read by NAME
+    under the current physical schema binds NULL — a row-level op's
+    predicate then silently matches nothing; r9 fix, caught by the
+    evolved-geo changes test). ``with_address=True`` adds the
+    ``_sg_file``/``_sg_pos`` row address for tombstone writers."""
+    from iceberg_rust_custom_spark.table.scan import (
+        _read_with_field_id_resolution,
+        _with_lineage,
+        read_physical,
+    )
+
+    schema = md.current_schema()
+    if len(md.schemas) > 1:
+        return _read_with_field_id_resolution(
+            table.spark, md, schema, files, lineage=with_address
+        )
+    df = read_physical(table.spark, schema, [f.file_path for f in files])
+    return _with_lineage(df) if with_address else df
+
+
 def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
     """Row-level DELETE. The reference *detects* delete files but never
     applies them (table/mod.rs:156-166; README lists delete as
@@ -282,9 +339,7 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
 
         df = read_files_with_lineage(table.spark, md, snap, matched)
     else:
-        from iceberg_rust_custom_spark.table.scan import read_physical
-
-        df = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
+        df = _read_matched_files(table, md, matched)
     kept = df.filter(f"NOT coalesce(({expr.sql()}), false)")
     data_dir = os.path.join(md.location, "data", "delete-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(kept, md, data_dir)
@@ -339,17 +394,10 @@ def _delete_merge_on_read(table: Table, expr, matched) -> Table:
     from pyspark.sql import functions as F
 
     md = table.metadata
-    from iceberg_rust_custom_spark.table.scan import read_physical
-
-    src = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
+    src = _read_matched_files(table, md, matched, with_address=True)
     hits = (
-        src.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-            "*",
-        )
-        .filter(f"coalesce(({expr.sql()}), false)")
-        .select("file_path", "pos")
+        src.filter(f"coalesce(({expr.sql()}), false)")
+        .select(F.col("_sg_file").alias("file_path"), F.col("_sg_pos").alias("pos"))
     )
     files = _write_position_deletes(table, hits)
     if not files:
@@ -445,11 +493,7 @@ def merge_upsert(table: Table, source, key_cols: list[str], mode: str | None = N
             if pending:
                 tgt = _read_files_applying_deletes(table, md, snap, matched, False)
             else:
-                from iceberg_rust_custom_spark.table.scan import read_physical
-
-                tgt = read_physical(
-                    table.spark, md.current_schema(), [f.file_path for f in matched]
-                )
+                tgt = _read_matched_files(table, md, matched)
             pieces.append(tgt.join(source.select(*key_cols).distinct(), on=key_cols, how="left_anti"))
         pieces.append(source)
         out = pieces[0]
@@ -522,14 +566,11 @@ def _merge_upsert_mor(table: Table, source, key_cols: list[str]) -> Table:
         )
     else:
         if matched:
-            schema = md.current_schema().spark_schema()
-            from iceberg_rust_custom_spark.table.scan import read_physical
-
-            tgt = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
+            tgt = _read_matched_files(table, md, matched, with_address=True)
             hits = (
                 tgt.select(
-                    F.col("_metadata.file_path").alias("file_path"),
-                    F.col("_metadata.row_index").alias("pos"),
+                    F.col("_sg_file").alias("file_path"),
+                    F.col("_sg_pos").alias("pos"),
                     *key_cols,
                 )
                 .join(F.broadcast(source.select(*key_cols).distinct()), on=key_cols, how="left_semi")
@@ -699,9 +740,7 @@ def update_where(table: Table, assignments: dict, predicate, mode: str | None = 
 
         df = read_files_with_lineage(table.spark, md, snap, matched)
     else:
-        from iceberg_rust_custom_spark.table.scan import read_physical
-
-        df = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
+        df = _read_matched_files(table, md, matched)
     cond = F.expr(f"coalesce(({pred_sql}), false)")
     cols = [
         (
@@ -831,10 +870,7 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
 
     ``keys``: a DataFrame whose columns are the key columns, or a list of
     values for a single ``key_cols=[col]``."""
-    import pyarrow.parquet as _pq
     from pyspark.sql import DataFrame as _DF
-
-    from iceberg_rust_custom_spark.metadata.manifest import DataFile
 
     md = table.metadata
     if md.snapshot_for_ref() is None:
@@ -848,6 +884,37 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
             .select(*key_cols)
             .schema,
         )
+    files = _write_equality_delete_files(table, keys)
+    if not files:
+        return table
+    table.metadata = table.new_transaction().append_deletes(files).commit()
+    return table
+
+
+def _write_equality_delete_files(table: Table, keys) -> list:
+    """Write a distinct key DataFrame as equality-delete parquet and return
+    the content=2 DataFile entries, with per-key-column footer MIN/MAX
+    bounds and null counts harvested into the DataFile (the same
+    ``collect_datafile_stats`` path data files use — VERDICT r8 item 8) so
+    changelog/CDC victim planning can skip data files whose key ranges
+    provably cannot intersect the delete (``scan.eq_delete_can_touch``).
+    Shared by ``delete_by_key`` and the delta-sized MV storage commits."""
+    import dataclasses as _dc
+
+    from iceberg_rust_custom_spark.metadata.schema import Schema as _Schema
+    from iceberg_rust_custom_spark.table.write import collect_datafile_stats
+
+    md = table.metadata
+    schema_now = md.current_schema()
+    key_fields, eq_ids = [], []
+    for c in keys.columns:
+        try:
+            f = schema_now.field_by_name(c)
+            key_fields.append(f)
+            eq_ids.append(f.field_id)
+        except KeyError:
+            pass
+    key_schema = _Schema(fields=tuple(key_fields))
     out_dir = os.path.join(md.location, "data", "eq-deletes-" + _uuid.uuid4().hex[:12])
     keys.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
     files = []
@@ -855,31 +922,18 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
         if not name.endswith(".parquet"):
             continue
         path = os.path.join(out_dir, name)
-        pf = _pq.ParquetFile(path)
-        if pf.metadata.num_rows == 0:
+        stats = collect_datafile_stats(path, key_schema, {}, schema_id=md.current_schema_id)
+        if stats.record_count == 0:
             continue
-        schema_now = md.current_schema()
-        eq_ids = []
-        for c in keys.columns:
-            try:
-                eq_ids.append(schema_now.field_by_name(c).field_id)
-            except KeyError:
-                pass
         files.append(
-            DataFile(
-                file_path=path,
-                record_count=pf.metadata.num_rows,
-                file_size_in_bytes=os.path.getsize(path),
+            _dc.replace(
+                stats,
                 content=2,
-                schema_id=md.current_schema_id,
                 # spec: equality_ids names the delete's key field ids
                 equality_ids=eq_ids or None,
             )
         )
-    if not files:
-        return table
-    table.metadata = table.new_transaction().append_deletes(files).commit()
-    return table
+    return files
 
 
 def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
@@ -902,13 +956,11 @@ def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
         return table
 
     schema = md.current_schema().spark_schema()
-    from iceberg_rust_custom_spark.table.scan import read_physical
-
-    src = read_physical(table.spark, md.current_schema(), [f.file_path for f in matched])
-    hits = src.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-    ).filter(f"coalesce(({pred_sql}), false)")
+    src = _read_matched_files(table, md, matched, with_address=True)
+    hits = (
+        src.filter(f"coalesce(({pred_sql}), false)")
+        .select(F.col("_sg_file").alias("file_path"), F.col("_sg_pos").alias("pos"))
+    )
     del_files = _write_position_deletes(table, hits)
     if not del_files:
         return table
@@ -947,7 +999,13 @@ def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
     return table
 
 
-def zorder(table: Table, cols: list[str], target_file_size_bytes: int | None = None, bits: int = 8) -> Table:
+def zorder(
+    table: Table,
+    cols: list[str],
+    target_file_size_bytes: int | None = None,
+    bits: int = 8,
+    retain_history: bool = True,
+) -> Table:
     """Z-order compaction: rewrite the table clustered on the interleaved
     bit pattern (Morton code) of the given columns, so file-level min/max
     stats prune on EVERY listed dimension, not just a lexicographic first.
@@ -1016,5 +1074,11 @@ def zorder(table: Table, cols: list[str], target_file_size_bytes: int | None = N
     )
     data_dir = os.path.join(md.location, "data", "zorder-" + _uuid.uuid4().hex[:12])
     new_files = write_partitioned(clustered, md, data_dir)
-    table.metadata = table.new_transaction().rewrite(new_files).commit()
+    table.metadata = (
+        table.new_transaction()
+        # a clustering rewrite has zero net row change → changelog-transparent
+        .rewrite(new_files, retain_history=retain_history)
+        .set_summary({"lineage-preserved": "true"})
+        .commit()
+    )
     return table

@@ -21,6 +21,105 @@ from iceberg_rust_custom_spark.table.transaction import Transaction
 from iceberg_rust_custom_spark.table.write import write_partitioned
 
 
+def _replayable_commit(s: Snapshot) -> bool:
+    """Commit shapes the row-level changelog can replay: appends, MoR
+    delete commits, metadata-only 'replace', and append-shaped 'overwrite'
+    (MoR UPDATE/MERGE) — everything except a file-set replacement."""
+    op = s.summary.get("operation")
+    return op in ("append", "delete", "replace") or (
+        op == "overwrite" and s.summary.get("rewritten") != "true"
+    )
+
+
+def _transparent_rewrite(s: Snapshot) -> bool:
+    """A file-set replacement with ZERO net row change (compact / zorder /
+    rewrite_position_deletes stamp ``lineage-preserved=true``): the visible
+    row multiset is identical before and after, so the changelog can skip
+    the commit entirely and replay the surrounding ranges against the
+    snapshots on either side."""
+    return (
+        s.summary.get("rewritten") == "true"
+        and s.summary.get("lineage-preserved") == "true"
+    )
+
+
+def changelog_segments(
+    metadata: TableMetadata, lo: int, hi: int
+) -> list[tuple[int, int, Snapshot]]:
+    """Split the changelog range (lo, hi] at lineage-preserved rewrite
+    commits (r9 — previously ANY rewrite killed the range): each returned
+    ``(seg_lo, seg_hi, anchor)`` replays against the state of ``anchor``,
+    the latest main-ancestry snapshot at or below ``seg_hi``, so tombstone
+    files swallowed by a later compaction and data files it rewrote are
+    both read from the PRE-compaction snapshot (compaction retains history
+    by default — maintenance.compact). This is what keeps CDC followers
+    and incremental MVs alive across routine table maintenance at 100 TB.
+
+    Raises ValueError on a genuine file-set replacement (CoW row-level op,
+    dynamic overwrite) in range, or when a destructive (history-erasing)
+    rewrite hides part of the range."""
+    in_range = [s for s in metadata.snapshots.values() if lo < s.sequence_number <= hi]
+    for s in in_range:
+        if not _replayable_commit(s) and not _transparent_rewrite(s):
+            raise ValueError(
+                f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} "
+                "file-set replacement — row-level changelog is only defined "
+                "across append/delete-shaped commits"
+            )
+    if hi <= lo:
+        return []
+    # anchor = state at hi: walk main's ancestry down to seq <= hi
+    anchor = metadata.snapshot_for_ref()
+    while anchor is not None and anchor.sequence_number > hi:
+        anchor = (
+            metadata.snapshots.get(anchor.parent_snapshot_id)
+            if anchor.parent_snapshot_id is not None
+            else None
+        )
+    if anchor is None:
+        if in_range:
+            raise ValueError(
+                f"no readable snapshot at or below sequence {hi} — history "
+                "containing the range end was erased (expired or destructively "
+                "rewritten)"
+            )
+        return []
+    rewrites = sorted(
+        (s for s in in_range if _transparent_rewrite(s)),
+        key=lambda s: s.sequence_number,
+    )
+    if not rewrites:
+        return [(lo, hi, anchor)]
+    segments: list[tuple[int, int, Snapshot]] = []
+    cur_hi, cur_anchor = hi, anchor
+    for r in reversed(rewrites):
+        if r.sequence_number < cur_hi:
+            segments.append((r.sequence_number, cur_hi, cur_anchor))
+        parent = (
+            metadata.snapshots.get(r.parent_snapshot_id)
+            if r.parent_snapshot_id is not None
+            else None
+        )
+        if parent is None:
+            # a DESTRUCTIVE rewrite erased everything before itself; the
+            # skip is still sound iff the range holds nothing below it
+            # (the common caught-up-stream case: lo == rewrite_seq - 1)
+            if r.sequence_number - 1 > lo or any(
+                lo < s.sequence_number < r.sequence_number
+                for s in metadata.snapshots.values()
+            ):
+                raise ValueError(
+                    f"rewrite snapshot {r.snapshot_id} erased pre-rewrite "
+                    f"history — this changelog range must start at or after "
+                    f"sequence {r.sequence_number - 1}"
+                )
+            return list(reversed(segments))
+        cur_hi, cur_anchor = parent.sequence_number, parent
+    if cur_hi > lo:
+        segments.append((lo, cur_hi, cur_anchor))
+    return list(reversed(segments))
+
+
 class Table:
     def __init__(self, catalog: Catalog, identifier: Identifier, metadata: TableMetadata, spark: SparkSession):
         self.catalog = catalog
@@ -316,10 +415,17 @@ class Table:
                     out = out.drop(dim[dc])
         return out.select(*columns) if columns else out
 
-    def incremental_scan(self, from_sequence_number: int, to_sequence_number: int | None = None) -> DataFrame:
+    def incremental_scan(
+        self,
+        from_sequence_number: int,
+        to_sequence_number: int | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
         """Rows appended in (from, to] — the reference's snapshot-range read
-        (table/mod.rs:120-144), used for MV delta detection."""
-        snap = self.metadata.snapshot_for_ref(MAIN_BRANCH)
+        (table/mod.rs:120-144), used for MV delta detection. ``snapshot``
+        overrides the state the range is planned against (the changelog's
+        segment replay anchors at pre-compaction snapshots)."""
+        snap = snapshot if snapshot is not None else self.metadata.snapshot_for_ref(MAIN_BRANCH)
         end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
         files = plan_files(self.metadata, snap, None, (from_sequence_number, end))
         from iceberg_rust_custom_spark.table.scan import (
@@ -337,9 +443,13 @@ class Table:
             # evolved table: files span write schemas — project by field id
             # (a renamed/retyped column read under the current physical
             # schema fails or, worse, misbinds; caught by the CDC source's
-            # rename test)
-            return _read_with_field_id_resolution(
-                self.spark, self.metadata, cur, files
+            # rename test). The resolution surfaces variant logically but
+            # leaves geo columns as their physical WKB binary — run the
+            # decode pass so this branch matches read_physical's types
+            # (ADVICE r8: changes() unions this with decoded victims).
+            return _decode_variants(
+                _read_with_field_id_resolution(self.spark, self.metadata, cur, files),
+                cur,
             )
         return read_physical(self.spark, cur, [f.file_path for f in files])
 
@@ -367,31 +477,53 @@ class Table:
         tombstoned row and its re-appended version carry the same
         ``_row_id``, table/maintenance.py).
 
-        File-set REPLACEMENT commits (compaction, CoW delete/update/merge,
-        dynamic overwrite — summary ``rewritten=true``) do not record
-        row-level change information; a range containing one raises rather
-        than emit a wrong changelog. MoR UPDATE/MERGE commits are
-        append-shaped ('overwrite' operation WITHOUT the marker) and
-        replay fine."""
+        File-set REPLACEMENT commits with a net row change (CoW
+        delete/update/merge, dynamic overwrite — summary ``rewritten=true``)
+        do not record row-level change information; a range containing one
+        raises rather than emit a wrong changelog. MoR UPDATE/MERGE commits
+        are append-shaped ('overwrite' operation WITHOUT the marker) and
+        replay fine. ZERO-NET-CHANGE rewrites (compact / zorder /
+        rewrite_position_deletes stamp ``lineage-preserved=true``) are
+        changelog-TRANSPARENT (r9): the range splits at each such commit
+        and every sub-range replays against the snapshot on its side of the
+        rewrite (``changelog_segments``), so routine compaction no longer
+        kills CDC followers or incremental MV maintenance."""
+        end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
+        segments = changelog_segments(self.metadata, from_sequence_number, end)
+        parts = [
+            self._changes_segment(lo, hi, snap, with_lineage)
+            for lo, hi, snap in segments
+        ]
+        if not parts:
+            from pyspark.sql import functions as F
+
+            from iceberg_rust_custom_spark.table.scan import _decode_variants
+
+            cur = self.metadata.current_schema()
+            empty = _decode_variants(
+                self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+            )
+            if with_lineage:
+                empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+            return empty.withColumn("_change_type", F.lit("insert"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _changes_segment(
+        self, from_sequence_number: int, end: int, snap: Snapshot | None, with_lineage: bool
+    ) -> DataFrame:
+        """Row-level changes in (from, end] replayed against the state of
+        ``snap`` (the latest snapshot at or below ``end`` — see
+        ``changelog_segments``); the caller guarantees the range contains
+        only replayable commits."""
         from pyspark.sql import functions as F
 
         from iceberg_rust_custom_spark.table.scan import read_files_with_lineage
 
-        end = to_sequence_number if to_sequence_number is not None else self.metadata.last_sequence_number
-        for s in self.metadata.snapshots.values():
-            if from_sequence_number < s.sequence_number <= end:
-                op = s.summary.get("operation")
-                replayable = op in ("append", "delete", "replace") or (
-                    op == "overwrite" and s.summary.get("rewritten") != "true"
-                )
-                if not replayable:
-                    raise ValueError(
-                        f"snapshot {s.snapshot_id} is a {s.summary.get('operation')!r} "
-                        "file-set replacement — row-level changelog is only defined "
-                        "across append/delete-shaped commits"
-                    )
         schema = self.metadata.current_schema().spark_schema()
-        snap_head = self.metadata.snapshot_for_ref()
+        snap_head = snap
         if with_lineage:
             new_files = plan_files(self.metadata, snap_head, None, (from_sequence_number, end))
             if new_files:
@@ -415,11 +547,10 @@ class Table:
                 )
             inserts = inserts.withColumn("_change_type", F.lit("insert"))
         else:
-            inserts = self.incremental_scan(from_sequence_number, end).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            inserts = self.incremental_scan(
+                from_sequence_number, end, snapshot=snap_head
+            ).withColumn("_change_type", F.lit("insert"))
 
-        snap = self.metadata.snapshot_for_ref()
         from iceberg_rust_custom_spark.table.scan import (
             _apply_equality_deletes,
             _apply_position_deletes,
@@ -477,13 +608,18 @@ class Table:
 
             parts.append(dv_positions_df(self.spark, dv_dels, with_seq=True))
         if eq_in_range:
+            from iceberg_rust_custom_spark.table.scan import eq_victim_candidates
+
             file_seqs = data_file_sequence_numbers(self.metadata, snap)
-            max_eseq = max(e.sequence_number for e in eq_in_range)
-            cand = [
-                f
-                for f in plan_files(self.metadata, snap)
-                if file_seqs.get(f.file_path, 0) < max_eseq
-            ]
+            # victim candidates: strictly older than a delete AND key
+            # bounds intersect it (r9 — previously every older live file
+            # was read; see scan.eq_delete_can_touch)
+            cand = eq_victim_candidates(
+                plan_files(self.metadata, snap),
+                eq_in_range,
+                self.metadata.current_schema(),
+                file_seqs,
+            )
             if cand:
                 cur = self.metadata.current_schema()
                 if len(self.metadata.schemas) > 1:
@@ -538,12 +674,17 @@ class Table:
                 for f in plan_files(self.metadata, snap)
                 if _re2.sub("^file:/+", "/", f.file_path) in _tset
             ]
-            victims = _read_with_field_id_resolution(
-                self.spark,
-                self.metadata,
+            from iceberg_rust_custom_spark.table.scan import _decode_variants
+
+            victims = _decode_variants(
+                _read_with_field_id_resolution(
+                    self.spark,
+                    self.metadata,
+                    self.metadata.current_schema(),
+                    touched_files,
+                    lineage=True,
+                ),
                 self.metadata.current_schema(),
-                touched_files,
-                lineage=True,
             )
         else:
             victims = read_physical(self.spark, self.metadata.current_schema(), touched).select(
@@ -737,17 +878,21 @@ class Table:
                 .collect()
             )
         file_seqs = data_file_sequence_numbers(self.metadata, snap) if eq_entries else {}
-        for e in eq_entries:
+        if eq_entries:
             # scan-time application (_apply_equality_deletes) is GLOBAL with
-            # only sequence gating, so the materialization must treat every
-            # strictly-older carried file as affected — partition-scoping
-            # here while the scan applies globally would let a partition-
-            # tagged delete (Avro interop, older-spec tuples) skip files the
-            # scan suppressed, resurrecting rows once the delete files drop
-            # out of the rewrite commit (ADVICE r7).
-            for f in carried:
-                if file_seqs.get(f.file_path, 0) < e.sequence_number:
-                    referenced.add(_norm(f.file_path))
+            # only sequence gating, so the materialization must cover every
+            # strictly-older carried file the delete COULD match —
+            # partition-scoping here was unsound because the scan ignores
+            # partitions (ADVICE r7), but KEY-BOUNDS scoping agrees with the
+            # scan exactly: disjoint footer min/max on a key column proves
+            # the anti-join removes zero rows from that file, so carrying it
+            # unmodified is identical either way (r9; eq_delete_can_touch).
+            from iceberg_rust_custom_spark.table.scan import eq_victim_candidates
+
+            for f in eq_victim_candidates(
+                carried, eq_entries, self.metadata.current_schema(), file_seqs
+            ):
+                referenced.add(_norm(f.file_path))
         affected = [f for f in carried if _norm(f.file_path) in referenced]
         untouched = [f for f in carried if _norm(f.file_path) not in referenced]
         if not affected:

@@ -178,12 +178,15 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
     from pyspark.sql import functions as F
 
     write_defaults = {}
+    ns_long_cols: set = set()
     if iceberg_schema is not None:
         write_defaults = {
             f.name: f.write_default
             for f in iceberg_schema.fields
             if f.write_default is not None
         }
+        if getattr(iceberg_schema, "ns_long", False):
+            ns_long_cols = set(iceberg_schema.ns_field_names())
     import pyspark.sql.types as _T
 
     # reserved v3 row-lineage columns: a compaction that materializes
@@ -228,6 +231,13 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
                 # WKB binary into a geo column: accepted verbatim — it IS
                 # the physical storage form; decode happens at read
                 pass
+            elif f.name in ns_long_cols and isinstance(
+                by_name[f.name].dataType, (_T.TimestampType, _T.TimestampNTZType)
+            ):
+                # timestamp input into a long-mode ns column: µs precision
+                # is all Spark timestamps carry — convert exactly to ns
+                # (a plain CAST to long would yield SECONDS)
+                c = (F.unix_micros(c.cast("timestamp")) * 1000).alias(f.name)
             else:
                 c = c.cast(f.dataType).alias(f.name)
         cols.append(c)

@@ -162,9 +162,17 @@ def history_kind(metadata, last_snapshot_id: int) -> str | None:
       file-set-replacement marker): maintenance via the row-level
       changelog is sound (r8 — previously any non-append forced a full
       refresh).
-    * ``None`` — a file-set replacement (compaction with deletes
-      materialized, CoW row-level op, dynamic overwrite) is in the range:
-      row identity is gone, full refresh required.
+    * ``None`` — a net-row-change file-set replacement (CoW row-level op,
+      dynamic overwrite) is in the range: row identity is gone, full
+      refresh required. Zero-net-change rewrites (compact / zorder /
+      rewrite_position_deletes, summary ``lineage-preserved=true``) are
+      NOT in this class (r9): the changelog replays straight through them
+      (``Table.changes`` splits the range at the rewrite), so they only
+      downgrade ``appends`` → ``changelog`` — routine compaction no longer
+      forces a full MV refresh. (Downgrade, not ignore: the cheap
+      ``incremental_scan`` path plans files by sequence range, and a
+      compaction re-stamps every row into new files at its own sequence
+      number — only the segment-aware changelog path is sound.)
     """
     last = metadata.snapshots.get(last_snapshot_id)
     if last is None:
@@ -175,7 +183,13 @@ def history_kind(metadata, last_snapshot_id: int) -> str | None:
             op = s.summary.get("operation")
             if op in ("append", "replace"):
                 continue
-            if op == "delete" or (op == "overwrite" and s.summary.get("rewritten") != "true"):
+            if op == "delete" or (
+                op == "overwrite"
+                and (
+                    s.summary.get("rewritten") != "true"
+                    or s.summary.get("lineage-preserved") == "true"
+                )
+            ):
                 kind = "changelog"
             else:
                 return None

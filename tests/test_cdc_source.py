@@ -411,6 +411,10 @@ _op = st.one_of(
     st.tuples(st.just("mor_delete"), st.integers(0, 2)),
     st.tuples(st.just("eq_delete"), st.integers(0, 2)),
     st.tuples(st.just("mor_update"), st.integers(0, 2)),
+    # r9: compaction is changelog-TRANSPARENT (zero net row change;
+    # the feed/changes split the range at the commit and replay the
+    # sub-ranges against the pre/post-compaction snapshots)
+    st.tuples(st.just("compact"), st.integers(0, 0)),
 )
 
 
@@ -454,8 +458,160 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
             t = update_where(
                 t, {"amt": "amt + 1"}, f"k % 5 = {op[1]}", mode="merge-on-read"
             )
+        elif op[0] == "compact":
+            from iceberg_rust_custom_spark.table.maintenance import compact
+
+            t = compact(t)
     feed = _feed(spark, eng, "fz.feed").drop("_commit_seq")
     want = t.changes(0).select(*feed.columns)
     assert feed.exceptAll(want).count() == 0, "feed has rows changes() lacks"
     assert want.exceptAll(feed).count() == 0, "changes() has rows feed lacks"
+    # r9: the lineage feed + commit-scoped pairing must match the batch
+    # changelog's update detection over the same op sequence
+    from iceberg_rust_custom_spark.streaming.cdc_source import pair_update_events
+
+    fmt = register_cdc_source(spark)
+    lfeed = (
+        spark.read.format(fmt)
+        .option("warehouse", eng.catalog.warehouse)
+        .option("table", "fz.feed")
+        .option("with_lineage", "true")
+        .load()
+    )
+    got_l = pair_update_events(lfeed).drop("_commit_seq")
+    want_l = t.changes(0, with_lineage=True).select(*got_l.columns)
+    assert got_l.exceptAll(want_l).count() == 0, "lineage feed ⊄ changes"
+    assert want_l.exceptAll(got_l).count() == 0, "changes ⊄ lineage feed"
     eng.drop("fz.feed")
+
+
+def test_geo_table_refused_loudly(spark, engine):
+    """ADVICE r8: the executor read path has no WKB→geo decode, so a geo
+    table gets a documented refusal instead of an undefined read (raw
+    binary under a GEOMETRY-declared schema)."""
+    engine.sql("CREATE TABLE s.g (k BIGINT, g GEOMETRY(4326)) STORED AS ICEBERG")
+    engine.load_table("s.g").append(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.unhex(F.lit("010100000000000000000000000000000000000000")).alias("g")
+        )
+    )
+    with pytest.raises(Exception, match="geometry/geography"):
+        _feed(spark, engine, "s.g").collect()
+
+
+def test_eq_delete_matches_defaulted_added_key_column(spark, engine):
+    """ADVICE r8: an equality delete keyed on a column ADDED WITH A DEFAULT
+    after some files were written must still kill the old rows — they
+    logically hold the initial-default (the scan and batch changelog both
+    substitute it before the key join; the streaming feed must too)."""
+    t = engine.create_table("s.dk", _orders(spark).schema)
+    t.append(_orders(spark, 30))  # predates the key column
+    t.update_schema().add_column("src", "string", default="bulk").commit()
+    t.append(
+        _orders(spark, 10)
+        .withColumn("k", F.col("k") + 100)
+        .withColumn("src", F.lit("live"))
+    )
+    keys = spark.createDataFrame([("bulk",)], "src string")
+    delete_by_key(t, keys)
+
+    feed = _feed(spark, engine, "s.dk")
+    dels = feed.where("_change_type = 'delete'")
+    assert dels.count() == 30  # every pre-default row dies
+    assert {r.src for r in dels.collect()} == {"bulk"}
+    # and the full feed value-matches the batch changelog
+    want = t.changes(0).select(*[c for c in feed.columns if c != "_commit_seq"])
+    got = feed.drop("_commit_seq")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_with_lineage_update_pairs_through_the_feed(spark, engine):
+    """r9: option with_lineage=true emits the v3 _row_id;
+    pair_update_events relabels same-commit delete/insert pairs exactly
+    like Table.changes(with_lineage=True) — the streaming upsert
+    consumer's contract (VERDICT r8 item 4)."""
+    from iceberg_rust_custom_spark.streaming.cdc_source import pair_update_events
+
+    t = engine.create_table("s.up", _orders(spark).schema)
+    t.append(_orders(spark, 50))
+    update_where(t, {"amt": "amt + 1"}, "k % 10 = 2", mode="merge-on-read")
+    delete_where(t, "k % 17 = 1", mode="merge-on-read")
+    t.append(_orders(spark, 5).withColumn("k", F.col("k") + 500))
+
+    fmt = register_cdc_source(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("warehouse", engine.catalog.warehouse)
+        .option("table", "s.up")
+        .option("with_lineage", "true")
+        .load()
+    )
+    got = pair_update_events(feed).drop("_commit_seq")
+    want = t.changes(0, with_lineage=True).select(*got.columns)
+    assert got.where("_change_type = 'update_before'").count() == 5
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_with_lineage_rids_survive_compaction(spark, engine):
+    """Explicit _row_id columns (written by a compaction) win over the
+    inherited first_row_id + position — the feed's rids are stable across
+    a compaction."""
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    t = engine.create_table("s.upc", _orders(spark).schema)
+    t.append(_orders(spark, 40))
+    delete_where(t, "k < 4", mode="merge-on-read")
+    rid_before = {
+        r.k: r._row_id
+        for r in t.changes(0, with_lineage=True).where("_change_type = 'insert'").collect()
+    }
+    t = compact(t)
+    update_where(t, {"amt": "amt + 1"}, "k = 20", mode="merge-on-read")
+    fmt = register_cdc_source(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("warehouse", engine.catalog.warehouse)
+        .option("table", "s.upc")
+        .option("with_lineage", "true")
+        .load()
+    )
+    ins = {r.k: r._row_id for r in feed.where("_change_type = 'insert'").collect()}
+    assert ins == rid_before | {20: rid_before[20]}  # identity preserved
+    # and the update halves pair on the preserved rid
+    from iceberg_rust_custom_spark.streaming.cdc_source import pair_update_events
+
+    paired = pair_update_events(feed)
+    assert paired.where("_change_type = 'update_after' AND k = 20").count() == 1
+
+
+def test_variant_columns_flow_physically_through_feed(spark, engine):
+    """r9: variant-bearing tables can be followed (previously refused).
+    The feed emits the physical JSON text; decode_variant_columns restores
+    VariantType; values hash-match the batch changelog after canonical
+    to_json on both sides."""
+    from pyspark.sql import types as T
+
+    from iceberg_rust_custom_spark.streaming.cdc_source import decode_variant_columns
+
+    engine.sql("CREATE TABLE s.v (k BIGINT, v VARIANT) STORED AS ICEBERG")
+    t = engine.load_table("s.v")
+    t.append(
+        spark.range(30).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit('{"x": '), F.col("id"), F.lit("}")).alias("v"),
+        )
+    )
+    delete_where(t, "k % 7 = 0", mode="merge-on-read")
+    opts = {"warehouse": engine.catalog.warehouse, "table": "s.v"}
+    fmt = register_cdc_source(spark)
+    feed = spark.read.format(fmt).options(**opts).load()
+    assert isinstance(feed.schema["v"].dataType, T.StringType)  # physical
+    decoded = decode_variant_columns(feed, opts)
+    assert isinstance(decoded.schema["v"].dataType, T.VariantType)
+    got = decoded.select(
+        "k", F.to_json("v").alias("vj"), "_change_type"
+    ).drop("_commit_seq")
+    want = t.changes(0).select("k", F.to_json("v").alias("vj"), "_change_type")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # typed extraction works downstream
+    assert decoded.selectExpr("sum(variant_get(v, '$.x', 'long'))").first()[0] > 0

@@ -1,0 +1,153 @@
+"""r9: stats-pruned equality-delete victim discovery.
+
+``delete_by_key`` harvests footer MIN/MAX bounds of its key columns into
+the content=2 DataFile (VERDICT r8 item 8); the changelog, the streaming
+CDC planner, CoW carried-delete materialization and position-delete
+consolidation then skip data files whose key-column bounds provably cannot
+intersect the delete's (VERDICT r8 weak #1: previously a 100-key delete on
+a 100 TB table read EVERY strictly-older data file to find victims)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.streaming.cdc_source import (
+    IcebergChangelogStreamReader,
+    register_cdc_source,
+)
+from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+from iceberg_rust_custom_spark.table.scan import (
+    data_file_sequence_numbers,
+    eq_delete_can_touch,
+    eq_victim_candidates,
+    plan_delete_files,
+    plan_files,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def t(eng, spark):
+    """Ten files with disjoint key ranges: k in [0,100), [100,200), …"""
+    import pyspark.sql.types as T
+    t = eng.create_table(
+        "p.t",
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]),
+    )
+    for i in range(10):
+        t.append(
+            spark.range(100).coalesce(1).select(
+                (F.col("id") + i * 100).alias("k"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+    return t
+
+
+def test_delete_by_key_records_key_bounds(eng, spark, t):
+    delete_by_key(t, [250, 260], key_cols=["k"])
+    md = t.metadata
+    eqs = [
+        e
+        for e in plan_delete_files(md, md.snapshot_for_ref())
+        if e.data_file.content == 2
+    ]
+    assert len(eqs) == 1
+    d = eqs[0].data_file
+    assert d.lower_bounds.get("k") == 250 and d.upper_bounds.get("k") == 260
+    assert d.null_value_counts.get("k") == 0
+    # visible through the files/entries metadata surface too
+    row = (
+        t.entries()
+        .where("content = 2")
+        .selectExpr("get_json_object(lower_bounds, '$.k') AS lo")
+        .first()
+    )
+    assert row.lo == "250"
+
+
+def test_victim_candidates_are_bounds_pruned(eng, spark, t):
+    delete_by_key(t, [250, 260], key_cols=["k"])
+    md = t.metadata
+    snap = md.snapshot_for_ref()
+    eqs = [e for e in plan_delete_files(md, snap) if e.data_file.content == 2]
+    files = plan_files(md, snap)
+    seqs = data_file_sequence_numbers(md, snap)
+    cand = eq_victim_candidates(files, eqs, md.current_schema(), seqs)
+    # only the [200,300) file intersects [250,260]
+    assert len(files) == 10 and len(cand) == 1
+    assert cand[0].lower_bounds["k"] == 200
+
+
+def test_cdc_planner_prunes_victim_partitions(eng, spark, t):
+    delete_by_key(t, [250, 260], key_cols=["k"])
+    r = IcebergChangelogStreamReader(
+        {"warehouse": eng.catalog.warehouse, "table": "p.t"}
+    )
+    parts = r.partitions({"seq": 0}, {"seq": t.metadata.last_sequence_number})
+    victims = [p for p in parts if p.eq_victims]
+    assert len(victims) == 1  # not 10
+    # and the feed still emits exactly the two victims
+    fmt = register_cdc_source(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("warehouse", eng.catalog.warehouse)
+        .option("table", "p.t")
+        .load()
+    )
+    assert sorted(
+        x.k for x in feed.where("_change_type = 'delete'").collect()
+    ) == [250, 260]
+    want = t.changes(0).select(*[c for c in feed.columns if c != "_commit_seq"])
+    got = feed.drop("_commit_seq")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_null_keys_disable_pruning_but_stay_correct(eng, spark, t):
+    """A delete key set containing NULL must not be bounds-pruned away —
+    NULL matches NULL (eqNullSafe, the scan contract)."""
+    t.append(spark.createDataFrame([(None, 0.0)], "k long, v double"))
+    keys = spark.createDataFrame([(None,)], "k long")
+    delete_by_key(t, keys)
+    md = t.metadata
+    snap = md.snapshot_for_ref()
+    eqs = [e for e in plan_delete_files(md, snap) if e.data_file.content == 2]
+    files = plan_files(md, snap)
+    cand = eq_victim_candidates(
+        files, eqs, md.current_schema(), data_file_sequence_numbers(md, snap)
+    )
+    # the NULL-bearing file must remain a candidate (bounds say nothing
+    # about NULLs); pure-non-null files prune via their zero null counts
+    assert any(f.null_value_counts.get("k", 1) != 0 or f.record_count == 1 for f in cand)
+    dels = t.changes(0).where("_change_type = 'delete'")
+    assert dels.count() == 1 and dels.first().k is None
+    # the scan agrees: the NULL row is gone
+    assert t.scan().where("k IS NULL").count() == 0
+
+
+def test_can_touch_units():
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+
+    schema = Schema(fields=(NestedField(1, "k", "long"), NestedField(2, "s", "string")))
+    data = DataFile(
+        "f", lower_bounds={"k": 0, "s": "a"}, upper_bounds={"k": 99, "s": "m"},
+        null_value_counts={"k": 0, "s": 0},
+    )
+    mk = lambda lo, hi, ids=(1,), nulls=0: DataFile(
+        "d", content=2, equality_ids=list(ids),
+        lower_bounds={"k": lo, "s": "x"}, upper_bounds={"k": hi, "s": "z"},
+        null_value_counts={"k": nulls, "s": 0},
+    )
+    assert eq_delete_can_touch(data, mk(50, 60), schema)          # overlap
+    assert not eq_delete_can_touch(data, mk(200, 300), schema)    # disjoint
+    assert not eq_delete_can_touch(data, mk(50, 60, ids=(1, 2)), schema)  # s disjoint
+    assert eq_delete_can_touch(data, mk(200, 300, nulls=1), schema) is False  # data null-free
+    nullable = DataFile("f2", lower_bounds={"k": 0}, upper_bounds={"k": 9},
+                        null_value_counts={"k": 3})
+    assert eq_delete_can_touch(nullable, mk(200, 300, nulls=1), schema)  # null↔null
+    nobounds = DataFile("f3")
+    assert eq_delete_can_touch(nobounds, mk(200, 300), schema)    # conservative

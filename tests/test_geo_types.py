@@ -129,3 +129,42 @@ def test_geo_typed_dataframe_write_path(eng, spark):
     assert got == {(1, bytes(_wkb_point(7.0, 8.0))), (2, bytes(_wkb_point(7.0, 8.0)))}
     # metadata records the Iceberg type string, not a Spark name
     assert t.metadata.current_schema().field_by_name("g").field_type == "geometry"
+
+
+def test_evolved_table_changes_decodes_geo(eng, spark):
+    """ADVICE r8: incremental_scan's evolved-table branch (field-id
+    resolution) must surface geo columns as LOGICAL geometry like the
+    single-schema branch — otherwise changes() unions a WKB-binary insert
+    side with decoded victims and type-mismatches."""
+    from pyspark.sql import types as T
+
+    eng.sql("CREATE TABLE ns.ge (id BIGINT, g GEOMETRY(4326)) STORED AS ICEBERG")
+    t = eng.load_table("ns.ge")
+    t.append(
+        spark.range(4).select(
+            F.col("id"), F.lit(bytes(_wkb_point(1.0, 2.0))).alias("g")
+        )
+    )
+    t.update_schema().rename_column("id", "key").commit()  # → evolved (2 schemas)
+    t.append(
+        spark.range(2).select(
+            (F.col("id") + 10).alias("key"),
+            F.lit(bytes(_wkb_point(3.0, 4.0))).alias("g"),
+        )
+    )
+    inc = t.incremental_scan(0)
+    assert isinstance(inc.schema["g"].dataType, T.GeometryType)
+    ch = t.changes(0)
+    assert isinstance(ch.schema["g"].dataType, T.GeometryType)
+    assert ch.count() == 6
+    # and a changes() range over an evolved table WITH victims unions fine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    delete_where(t, "key < 2", mode="merge-on-read")
+    ch2 = t.changes(0)
+    assert ch2.where("_change_type = 'delete'").count() == 2
+    xs = [
+        r[0]
+        for r in ch2.where("_change_type = 'delete'").selectExpr("hex(st_asbinary(g))").collect()
+    ]
+    assert len(xs) == 2 and len(set(xs)) == 1

@@ -709,3 +709,27 @@ def test_rewrite_position_deletes_keeps_time_travel(t):
     rewrite_position_deletes(t)
     assert t.scan().count() == 60
     assert t.scan(snapshot_id=pre_delete_snap).count() == 110  # history retained
+
+
+def test_row_level_ops_resolve_renamed_columns_by_field_id(eng, spark, t):
+    """r9 fix: after rename_column, row-level ops must read matched files
+    by FIELD ID — a by-name read binds the renamed column to NULL and the
+    predicate silently matches nothing (delete no-ops, update no-ops)."""
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    t.update_schema().rename_column("id", "key").commit()
+    # MoR delete on the renamed column actually deletes
+    delete_where(t, "key < 10", mode="merge-on-read")
+    assert t.scan().where("key < 10").count() == 0
+    assert t.scan().count() == 100
+    # CoW delete too
+    delete_where(t, "key >= 100", mode="copy-on-write")
+    assert t.scan().count() == 90
+    # MoR update rewrites the renamed-column rows
+    update_where(t, {"v": "v + 1000"}, "key = 20", mode="merge-on-read")
+    assert t.scan().where("key = 20").first().v == 1020.0
+    # CoW merge on the renamed key column
+    src = spark.createDataFrame([(21, "even", -1.0)], "key long, grp string, v double")
+    merge_upsert(t, src, ["key"], mode="copy-on-write")
+    assert t.scan().where("key = 21").first().v == -1.0
+    assert t.scan().count() == 90

@@ -297,10 +297,16 @@ def test_changes_mor_merge_mixed_update_and_insert(eng, spark):
 
 
 def test_changes_still_rejects_true_rewrites(eng, spark):
+    """r9: compact() is changelog-TRANSPARENT (zero net row change) —
+    changes() across it yields zero events instead of raising. Net-row-
+    change rewrites (overwrite) still reject."""
     t = _mk(eng, spark, "ns.rl19")
     s = t.metadata.last_sequence_number
     compact(t)
-    with pytest.raises(ValueError, match="changelog"):
+    assert eng.load_table("ns.rl19").changes(s).count() == 0
+    t = eng.load_table("ns.rl19")
+    t.overwrite(t.scan().limit(2))  # genuine file-set replacement
+    with pytest.raises(ValueError, match="file-set replacement"):
         eng.load_table("ns.rl19").changes(s)
 
 

@@ -101,7 +101,16 @@ def test_overwrite_and_compaction(engine, spark):
     compact(t)
     assert t.scan().count() == 9  # same data
     assert t.count_planned_files() <= files_before
-    assert len(t.metadata.snapshots) == 1  # rewrite removed old snapshots
+    # r9: compaction retains history by default (Iceberg model — expiry is
+    # a separate policy; keeps time travel, MV anchors and changelog
+    # segment replay alive) and stamps changelog transparency
+    assert len(t.metadata.snapshots) == 3
+    head = t.metadata.snapshot_for_ref()
+    assert head.summary.get("lineage-preserved") == "true"
+    # destructive opt-in restores the reference's behavior
+    compact(t, retain_history=False)
+    assert len(t.metadata.snapshots) == 1
+    assert t.scan().count() == 9
 
     t.overwrite(_orders_df(spark, ROWS_BATCH2))
     assert t.scan().count() == 3

@@ -1,0 +1,153 @@
+"""CDC-source scale ladder (VERDICT r8 item 7).
+
+Builds a high-commit-count table (mixed op grammar: appends, MoR position
+deletes, equality deletes) WITHOUT Spark — commits are pure driver-side
+metadata, which is exactly what the streaming CDC planner consumes — then
+measures, at each rung:
+
+* full-log ``partitions(0, head)`` wall time (the batch/catch-up plan),
+* steady-state paced planning (one-commit batches, the continuous shape),
+* the largest pickled partition (must stay bounded: position lists chunk
+  at max_positions_per_partition; eq deletes ship as paths).
+
+Pass criteria: plan time scales ~linearly with commit count (metadata-
+proportional — it walks manifests, never data), and no partition pickles
+beyond a few hundred KB. Prints one JSON line per rung.
+
+Usage: python tools/cdc_ladder.py [rungs ...]   (default: 100 300 1000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import sys
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_table(wh: str, n_commits: int):
+    from iceberg_rust_custom_spark.catalog.base import Identifier
+    from iceberg_rust_custom_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_custom_spark.io.fileio import FileIO
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+    from iceberg_rust_custom_spark.metadata.schema import NestedField, Schema
+    from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
+    from iceberg_rust_custom_spark.table.transaction import Transaction
+    from iceberg_rust_custom_spark.table.write import collect_datafile_stats
+
+    schema = Schema(0, (NestedField(1, "k", "long"), NestedField(2, "v", "double")))
+    cat = FileCatalog(wh)
+    ident = Identifier.parse("lad.t")
+    loc = os.path.join(wh, "lad", "t")
+    md = TableMetadata.new(loc, schema)
+    os.makedirs(md.metadata_dir(), exist_ok=True)
+    p0 = os.path.join(md.metadata_dir(), "v0.metadata.json")
+    FileIO.write_text(p0, md.to_json())
+    cat.register(ident, p0, kind="table")
+
+    data_dir = os.path.join(loc, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rows_per_commit = 100
+    last_path = None
+    for i in range(n_commits):
+        tx = Transaction(cat, ident, md)
+        kind = i % 10
+        if kind == 7 and last_path is not None:
+            # MoR position delete: tombstone 5 rows of the previous file
+            path = os.path.join(data_dir, f"pd-{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {"file_path": [last_path] * 5, "pos": list(range(5))}
+                ),
+                path,
+            )
+            df = DataFile(
+                file_path=path, record_count=5,
+                file_size_in_bytes=os.path.getsize(path), content=1,
+            )
+            md = tx.append_deletes([df]).commit()
+        elif kind == 9:
+            # equality delete on 3 keys (bounds harvested like delete_by_key)
+            path = os.path.join(data_dir, f"eq-{i}.parquet")
+            keys = [i * 100 + 1, i * 100 + 2, i * 100 + 3]
+            pq.write_table(pa.table({"k": pa.array(keys, pa.int64())}), path)
+            import dataclasses as _dc
+
+            stats = collect_datafile_stats(
+                path, Schema(0, (schema.fields[0],)), {}, schema_id=0
+            )
+            md = tx.append_deletes(
+                [_dc.replace(stats, content=2, equality_ids=[1])]
+            ).commit()
+        else:
+            path = os.path.join(data_dir, f"d-{i}.parquet")
+            base = i * rows_per_commit
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(range(base, base + rows_per_commit), pa.int64()),
+                        "v": pa.array([float(x) for x in range(rows_per_commit)]),
+                    }
+                ),
+                path,
+            )
+            md = tx.append(
+                [collect_datafile_stats(path, schema, {}, schema_id=0)]
+            ).commit()
+            last_path = path
+    return md
+
+
+def measure(wh: str, head: int) -> dict:
+    from iceberg_rust_custom_spark.streaming.cdc_source import (
+        IcebergChangelogStreamReader,
+    )
+
+    opts = {"warehouse": wh, "table": "lad.t"}
+    r = IcebergChangelogStreamReader(opts)
+    t0 = time.time()
+    off = r.latestOffset()
+    t_off = time.time() - t0
+    t0 = time.time()
+    parts = r.partitions({"seq": 0}, off)
+    t_plan = time.time() - t0
+    sizes = [len(pickle.dumps(p)) for p in parts]
+    # steady state: plan 20 one-commit batches mid-log
+    t0 = time.time()
+    n_paced = 0
+    for s in range(head // 2, min(head // 2 + 20, head - 1)):
+        n_paced += len(r.partitions({"seq": s}, {"seq": s + 1}))
+    t_paced = (time.time() - t0) / max(1, min(20, head - 1 - head // 2))
+    return {
+        "commits": head,
+        "latest_offset_s": round(t_off, 4),
+        "full_plan_s": round(t_plan, 3),
+        "partitions": len(parts),
+        "max_pickle_kb": round(max(sizes) / 1024, 1),
+        "sum_pickle_kb": round(sum(sizes) / 1024, 1),
+        "paced_plan_s_per_batch": round(t_paced, 4),
+    }
+
+
+def main():
+    rungs = [int(a) for a in sys.argv[1:]] or [100, 300, 1000]
+    for n in rungs:
+        wh = tempfile.mkdtemp(prefix=f"cdc_ladder_{n}_")
+        try:
+            md = build_table(wh, n)
+            out = measure(wh, md.last_sequence_number)
+            print(json.dumps(out))
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
