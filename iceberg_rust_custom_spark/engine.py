@@ -745,6 +745,75 @@ class Engine:
             rewrite_position_deletes(storage)
         return True
 
+    def _multiset_delta_commit(
+        self, storage, d_ins, d_del, vis, new_state, data_dir, null_rid: bool = False
+    ):
+        """Delta-sized MULTISET update of an MV storage table:
+        storage' = (storage ∪ Δ⁺) ∖ Δ⁻ committed as position tombstones +
+        append instead of a full rewrite. Uses the truncating-multiset
+        identity (V ∪ P) ∖ N = (V ∖ (N ∖ P)) ∪ (P ∖ N): the net delete
+        side N' = Δ⁻ ∖ Δ⁺ and net insert side P' = Δ⁺ ∖ Δ⁻ are both
+        DELTA-sized exceptAlls; N' then tombstones exactly ct(r)
+        occurrences of each row content r — a null-safe equi-join on the
+        visible columns narrows storage to content-matching candidate rows
+        (delta-proportional), and a per-content row_number caps the kill
+        count (extra demand truncates, exactly like exceptAll). Returns
+        the refresh flavor string, or None when a column type can't be an
+        equi-join key (map/variant/geo) — caller falls back to the full
+        rewrite."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from iceberg_rust_custom_spark.table.maintenance import (
+            _write_position_deletes,
+            rewrite_position_deletes,
+        )
+        from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+        st_schema = storage.metadata.current_schema().spark_schema()
+        unjoinable = (T.MapType, T.VariantType, T.GeometryType, T.GeographyType)
+        if any(isinstance(st_schema[c].dataType, unjoinable) for c in vis):
+            return None
+        net_del = d_del.exceptAll(d_ins)
+        net_ins = d_ins.exceptAll(d_del)
+        d_cnt = net_del.groupBy(*vis).agg(F.count(F.lit(1)).alias("_sg_ct"))
+        for c in vis:
+            d_cnt = d_cnt.withColumnRenamed(c, f"_sg_d_{c}")
+        addr = storage.scan(metadata_columns=["_file", "_pos"]).select(
+            *vis, "_file", "_pos"
+        )
+        cond = None
+        for c in vis:
+            eq = addr[c].eqNullSafe(d_cnt[f"_sg_d_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        cand = addr.join(d_cnt, cond, "inner")  # AQE broadcasts the delta side
+        w = Window.partitionBy(*[addr[c] for c in vis]).orderBy("_file", "_pos")
+        hits = (
+            cand.withColumn("_sg_rn", F.row_number().over(w))
+            .where(F.col("_sg_rn") <= F.col("_sg_ct"))
+            .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        )
+        del_files = _write_position_deletes(storage, hits)
+        if null_rid:
+            net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
+        ins_files = write_partitioned(net_ins, storage.metadata, data_dir)
+        if not del_files and not ins_files:
+            self._commit_state_only(storage, new_state)
+            return "incremental-noop"
+        tx = storage.new_transaction()
+        if del_files:
+            tx.append_deletes(del_files)
+        if ins_files:
+            tx.append(ins_files)
+        tx.set_operation("overwrite")
+        tx.set_summary({"refresh-state": new_state})
+        storage.metadata = tx.commit()
+        md2 = storage.metadata
+        if len(plan_delete_files(md2, md2.snapshot_for_ref())) > 16:
+            rewrite_position_deletes(storage)
+        return "ok"
+
     def _changelog_refresh(self, md, plan, src, storage, from_seq: int):
         """Incremental MV maintenance when the source delta contains MoR
         row-level ops (DELETE / UPDATE / MERGE / equality deletes) —
@@ -842,6 +911,16 @@ class Engine:
             d_ins = self.spark.sql(transform_relations(sql)).select(*vis)
             ch.where("_change_type = 'delete'").drop("_change_type").createOrReplaceTempView(rel)
             d_del = self.spark.sql(transform_relations(sql)).select(*vis)
+            # multiset maintenance, delta-sized (position tombstones +
+            # append; only NEW rows null-fill the rid column — existing
+            # rows keep theirs, per ADVICE r8)
+            ran = self._multiset_delta_commit(
+                storage, d_ins, d_del, vis, new_state, data_dir,
+                null_rid=SRC_ROW_ID in out_cols,
+            )
+            if ran is not None:
+                return "incremental-changelog"
+            # unjoinable column types (map/variant/geo): full-width rewrite
             new_df = storage.scan().select(*vis).exceptAll(d_del).unionByName(d_ins)
             if SRC_ROW_ID in out_cols:
                 from pyspark.sql import functions as F2
@@ -1016,7 +1095,6 @@ class Engine:
         a_old = a.scan(snapshot_id=a_sid)
         pos = run(a_ins, b_new).unionByName(run(a_old, b_ins))
         neg = run(a_del, b_new).unionByName(run(a_old, b_del))
-        new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
 
         new_state = {
             "refresh-version-id": md.current_version_id,
@@ -1025,6 +1103,15 @@ class Engine:
             },
         }
         data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        # delta-sized multiset commit (position tombstones + append); the
+        # truncating identity (V ∪ Δ⁺) ∖ Δ⁻ = (V ∖ (Δ⁻ ∖ Δ⁺)) ∪ (Δ⁺ ∖ Δ⁻)
+        # keeps cross-term rows exact without unioning positives first (r9
+        # — previously this path rewrote the full storage every refresh)
+        ran = self._multiset_delta_commit(storage, pos, neg, out_cols, new_state, data_dir)
+        if ran is not None:
+            return "incremental-changelog-join"
+        # unjoinable column types: full-width rewrite fallback
+        new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
         files = write_partitioned(new_df, storage.metadata, data_dir)
         storage.metadata = (
             storage.new_transaction().rewrite_with_lineage(files, new_state).commit()

@@ -190,3 +190,18 @@ def test_aggregate_mv_survives_compaction(eng, spark):
         ).collect()
     )
     assert got == want
+
+
+def test_range_end_below_a_later_compaction(eng, spark):
+    """changes(0, mid) must replay against the state AT mid even when a
+    compaction later rewrote everything — the anchor walks main's ancestry
+    down to the last snapshot at or below the range end."""
+    t = _mixed_history(eng, spark, "c.t6")  # seqs 1..5
+    mid = 3
+    before = _key(t.changes(0, mid))
+    t = compact(t)                           # seq 6 rewrites every file
+    t.append(_rows(spark, 4, base=4000))     # seq 7
+    t = eng.load_table("c.t6")
+    assert _key(t.changes(0, mid)) == before
+    # and a range ending between compaction and head sees zero mid events
+    assert t.changes(5, 6).count() == 0

@@ -128,3 +128,70 @@ def test_null_rid_poisoned_storage_falls_back_correctly(eng, spark):
     want = sorted((r.k, r.v) for r in eng.sql("SELECT k, v FROM m.src4 WHERE grp <> 4").collect())
     assert got == want
     assert all(k >= 10 for k, _ in got)
+
+
+def test_join_view_changelog_refresh_is_delta_sized(eng, spark):
+    """r9: the join-view changelog refresh commits position tombstones +
+    append instead of rewriting the full storage. Includes the cross-term
+    trap: an A-row deleted in-range while a matching B-row is inserted in
+    the same range — the truncating identity (V ∪ Δ⁺) ∖ Δ⁻ =
+    (V ∖ (Δ⁻ ∖ Δ⁺)) ∪ (Δ⁺ ∖ Δ⁻) keeps it exact."""
+    a = eng.create_table("j.a", spark.range(1).select(
+        F.col("id").alias("k"), F.lit("x").alias("ak")).schema)
+    b = eng.create_table("j.b", spark.range(1).select(
+        F.col("id").alias("k"), F.lit("x").alias("bk")).schema)
+    a.append(spark.range(20).select(F.col("id").alias("k"),
+                                    F.concat(F.lit("a"), F.col("id")).alias("ak")))
+    b.append(spark.range(20).select(F.col("id").alias("k"),
+                                    F.concat(F.lit("b"), F.col("id")).alias("bk")))
+    eng.create_materialized_view(
+        "j.mv", "SELECT a.ak, b.bk FROM j.a a JOIN j.b b ON a.k = b.k"
+    )
+    before = _storage_files(eng, "j.mv")
+    # in-range: delete A k=2 (MoR) AND insert a second B row with k=2
+    delete_where(a, "k = 2", mode="merge-on-read")
+    b.append(spark.createDataFrame([(2, "b2-new")], "k long, bk string"))
+    a.append(spark.createDataFrame([(100, "a100")], "k long, ak string"))
+    b.append(spark.createDataFrame([(100, "b100")], "k long, bk string"))
+    ran = eng.refresh_materialized_view("j.mv")
+    assert ran == "incremental-changelog-join"
+    after = _storage_files(eng, "j.mv")
+    assert before <= after, "join refresh rewrote pre-existing storage files"
+    got = sorted((r.ak, r.bk) for r in eng.scan_materialized_view("j.mv").collect())
+    want = sorted(
+        (r.ak, r.bk)
+        for r in eng.sql("SELECT a.ak, b.bk FROM j.a a JOIN j.b b ON a.k = b.k").collect()
+    )
+    assert got == want
+    assert not any(ak == "a2" for ak, _ in got)  # cross-term row fully gone
+
+
+def test_multiset_tombstones_remove_exact_multiplicity(eng, spark):
+    """Duplicate-content storage rows: deleting ONE source row removes
+    exactly one occurrence (row_number-capped kill), not all of them."""
+    t = eng.create_table("m.dup", _rows(spark).schema)
+    # two source rows projecting to the SAME (grp, v) content
+    t.append(spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 5.0), (3, 1, 7.0)], "k long, grp long, v double"))
+    eng.create_materialized_view("m.vdup", "SELECT grp, v FROM m.dup WHERE grp >= 0")
+    # poison rids so the refresh takes the MULTISET path
+    import os
+    import uuid as _uuid
+
+    from iceberg_rust_custom_spark.table.write import write_partitioned
+
+    storage = eng.load_table("m.vdup__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    state = snap.summary.get("refresh-state")
+    poisoned = storage.scan().withColumn(SRC_ROW_ID, F.lit(None).cast("long"))
+    files = write_partitioned(
+        poisoned, storage.metadata,
+        os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12]),
+    )
+    storage.metadata = storage.new_transaction().rewrite_with_lineage(files, state).commit()
+
+    delete_where(t, "k = 1", mode="merge-on-read")  # kills ONE (0, 5.0)
+    ran = eng.refresh_materialized_view("m.vdup")
+    assert ran == "incremental-changelog"
+    got = sorted((r.grp, r.v) for r in eng.scan_materialized_view("m.vdup").collect())
+    assert got == [(0, 5.0), (1, 7.0)]  # exactly one of the two dupes left
