@@ -696,11 +696,25 @@ class Engine:
                 storage.new_transaction().append_with_lineage(files, new_state).commit()
             )
             return "incremental-append"
-        merged = merge_partial_aggregates(storage.scan(), delta_result, plan)
+        # delta-sized (r9): only the groups the delta touches leave storage
+        # (one null-safe eq-delete on the group keys) and re-enter merged;
+        # untouched groups' files are never read into the merge nor
+        # rewritten — refresh cost tracks delta-group count, not aggregate
+        # cardinality
+        keys = list(plan.group_keys)
+        d_keys = delta_result.select(*keys)
+        for k in keys:
+            d_keys = d_keys.withColumnRenamed(k, f"_sg_k_{k}")
+        stored = storage.scan()
+        cond = None
+        for k in keys:
+            eq = stored[k].eqNullSafe(d_keys[f"_sg_k_{k}"])
+            cond = eq if cond is None else (cond & eq)
+        affected = stored.join(d_keys, cond, "left_semi")
+        merged = merge_partial_aggregates(affected, delta_result, plan)
         merged = merged.select(*[f.name for f in storage.metadata.current_schema().fields])
-        files = write_partitioned(merged, storage.metadata, data_dir)
-        storage.metadata = (
-            storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
+        self._commit_storage_delta(
+            storage, delta_result.select(*keys), merged, new_state, data_dir
         )
         return "incremental-aggregate"
 

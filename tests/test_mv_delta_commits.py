@@ -195,3 +195,35 @@ def test_multiset_tombstones_remove_exact_multiplicity(eng, spark):
     assert ran == "incremental-changelog"
     got = sorted((r.grp, r.v) for r in eng.scan_materialized_view("m.vdup").collect())
     assert got == [(0, 5.0), (1, 7.0)]  # exactly one of the two dupes left
+
+
+def test_appends_only_aggregate_refresh_is_delta_sized(eng, spark):
+    """r9: the appends-only partial-aggregate merge also commits
+    delta-sized — only groups the delta touches eq-delete and re-enter
+    merged; untouched groups' storage files carry by reference."""
+    t = eng.create_table("m.src5", _rows(spark).schema)
+    t.append(_rows(spark, 50))
+    eng.create_materialized_view(
+        "m.v5", "SELECT grp, sum(v) AS sv, count(k) AS n FROM m.src5 GROUP BY grp"
+    )
+    before = _storage_files(eng, "m.v5")
+    # delta touches ONLY grp 0 (ids ≡ 0 mod 5)
+    t.append(
+        spark.createDataFrame([(500, 0, 9.0), (505, 0, 1.0)], "k long, grp long, v double")
+    )
+    ran = eng.refresh_materialized_view("m.v5")
+    assert ran == "incremental-aggregate"
+    after = _storage_files(eng, "m.v5")
+    assert before <= after, "pre-existing storage files rewritten"
+    got = sorted((r.grp, r.sv, r.n) for r in eng.scan_materialized_view("m.v5").collect())
+    want = sorted(
+        (r.grp, r.sv, r.n)
+        for r in eng.sql("SELECT grp, sum(v) AS sv, count(k) AS n FROM m.src5 GROUP BY grp").collect()
+    )
+    assert got == want
+    # NULL group keys merge correctly in this path (null-safe everywhere)
+    t.append(spark.createDataFrame([(600, None, 2.0)], "k long, grp long, v double"))
+    t.append(spark.createDataFrame([(601, None, 3.0)], "k long, grp long, v double"))
+    assert eng.refresh_materialized_view("m.v5") == "incremental-aggregate"
+    row = eng.scan_materialized_view("m.v5").where("grp IS NULL").collect()
+    assert [(r.sv, r.n) for r in row] == [(5.0, 2)]
