@@ -897,27 +897,40 @@ class Engine:
                     .count()
                     == 0
                 )
-                if storage_rids_ok and ch.where("_row_id IS NULL").limit(1).count() == 0:
-                    ins = ch.where(
-                        "_change_type IN ('insert', 'update_after')"
-                    ).drop("_change_type")
-                    dels = ch.where("_change_type IN ('delete', 'update_before')")
-                    ins.createOrReplaceTempView(rel)
-                    d_ins = self.spark.sql(transform_relations(lsql)).select(*out_cols)
-                    dels.drop("_change_type").createOrReplaceTempView(rel)
-                    d_del = self.spark.sql(transform_relations(lsql)).select(*out_cols)
-                    # net insert side: intermediate versions (updated again
-                    # within the range) cancel against their delete events
-                    net_ins = d_ins.exceptAll(d_del)
-                    del_keys = dels.select(F.col("_row_id").alias(SRC_ROW_ID)).distinct()
-                    self._commit_storage_delta(
-                        storage, del_keys, net_ins, new_state, data_dir
-                    )
-                    return "incremental-changelog"
+                # the changelog frame feeds several actions (null probe,
+                # both delta sides, the key extract) — cache it so the
+                # tombstone-planning jobs behind changes() run once
+                ch = ch.persist()
+                try:
+                    if (
+                        storage_rids_ok
+                        and ch.where("_row_id IS NULL").limit(1).count() == 0
+                    ):
+                        ins = ch.where(
+                            "_change_type IN ('insert', 'update_after')"
+                        ).drop("_change_type")
+                        dels = ch.where("_change_type IN ('delete', 'update_before')")
+                        ins.createOrReplaceTempView(rel)
+                        d_ins = self.spark.sql(transform_relations(lsql)).select(*out_cols)
+                        dels.drop("_change_type").createOrReplaceTempView(rel)
+                        d_del = self.spark.sql(transform_relations(lsql)).select(*out_cols)
+                        # net insert side: intermediate versions (updated
+                        # again within the range) cancel against their
+                        # delete events
+                        net_ins = d_ins.exceptAll(d_del)
+                        del_keys = dels.select(
+                            F.col("_row_id").alias(SRC_ROW_ID)
+                        ).distinct()
+                        self._commit_storage_delta(
+                            storage, del_keys, net_ins, new_state, data_dir
+                        )
+                        return "incremental-changelog"
+                finally:
+                    ch.unpersist()
                 # NULL source row ids (pre-lineage rows): fall through to
                 # the multiset path — never a wrong answer
             try:
-                ch = src.changes(from_seq)
+                ch = src.changes(from_seq).persist()
             except ValueError:
                 return False  # commit shape the changelog cannot replay
             vis = [c for c in out_cols if c != SRC_ROW_ID]
@@ -928,10 +941,13 @@ class Engine:
             # multiset maintenance, delta-sized (position tombstones +
             # append; only NEW rows null-fill the rid column — existing
             # rows keep theirs, per ADVICE r8)
-            ran = self._multiset_delta_commit(
-                storage, d_ins, d_del, vis, new_state, data_dir,
-                null_rid=SRC_ROW_ID in out_cols,
-            )
+            try:
+                ran = self._multiset_delta_commit(
+                    storage, d_ins, d_del, vis, new_state, data_dir,
+                    null_rid=SRC_ROW_ID in out_cols,
+                )
+            finally:
+                ch.unpersist()
             if ran is not None:
                 return "incremental-changelog"
             # unjoinable column types (map/variant/geo): full-width rewrite
@@ -1084,8 +1100,10 @@ class Engine:
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
 
         try:
+            # each delta feeds two joins (⋈ B_new, kept/insert split) —
+            # cache so the changelog tombstone jobs run once per source
             deltas = [
-                src.changes(src.metadata.snapshots[sid].sequence_number)
+                src.changes(src.metadata.snapshots[sid].sequence_number).persist()
                 for src, sid in zip(sources, anchors)
             ]
         except ValueError:
@@ -1121,16 +1139,22 @@ class Engine:
         # truncating identity (V ∪ Δ⁺) ∖ Δ⁻ = (V ∖ (Δ⁻ ∖ Δ⁺)) ∪ (Δ⁺ ∖ Δ⁻)
         # keeps cross-term rows exact without unioning positives first (r9
         # — previously this path rewrote the full storage every refresh)
-        ran = self._multiset_delta_commit(storage, pos, neg, out_cols, new_state, data_dir)
-        if ran is not None:
+        try:
+            ran = self._multiset_delta_commit(
+                storage, pos, neg, out_cols, new_state, data_dir
+            )
+            if ran is not None:
+                return "incremental-changelog-join"
+            # unjoinable column types: full-width rewrite fallback
+            new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
+            files = write_partitioned(new_df, storage.metadata, data_dir)
+            storage.metadata = (
+                storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
+            )
             return "incremental-changelog-join"
-        # unjoinable column types: full-width rewrite fallback
-        new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
-        files = write_partitioned(new_df, storage.metadata, data_dir)
-        storage.metadata = (
-            storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
-        )
-        return "incremental-changelog-join"
+        finally:
+            for d in deltas:
+                d.unpersist()
 
     def register_function_registry(self) -> None:
         """Expose maintenance entry points as session SQL functions, mirroring

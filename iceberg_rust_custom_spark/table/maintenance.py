@@ -113,8 +113,10 @@ def rewrite_position_deletes(table: Table) -> Table:
 
     Like ``compact``, the commit carries data files at their ORIGINAL data
     sequence number (so incremental readers never see them as new rows)
-    under operation 'overwrite', so incremental-MV consumers know rows may
-    have changed and fall back to a full refresh."""
+    and stamps ``lineage-preserved=true`` — zero net row change, so
+    changelog consumers and incremental MV maintenance replay straight
+    through it (r9; previously it forced followers to die / MVs to full
+    refresh)."""
     from pyspark.sql import functions as F
 
     from iceberg_rust_custom_spark.table.deletion_vectors import (
