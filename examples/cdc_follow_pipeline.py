@@ -100,6 +100,40 @@ def main():
     want = {(r.sensor, r.v) for r in t.refresh().scan().collect()}
     assert got == want
     print(f"CDC feed replay reconstructs the table exactly: {len(got)} rows OK")
+
+    # -- 3. (r9) the follower SURVIVES a compaction: compact() has zero net
+    # row change and is changelog-transparent, so the next batch emits
+    # only the genuinely-new events; update pairs surface via the lineage
+    # option + pair_update_events
+    from iceberg_rust_custom_spark.streaming.cdc_source import pair_update_events
+    from iceberg_rust_custom_spark.table.maintenance import compact, update_where
+
+    t = compact(t.refresh())
+    update_where(t, {"v": "v + 100"}, "sensor = 3", mode="merge-on-read")
+    q3 = (
+        spark.readStream.format(fmt)
+        .option("warehouse", eng.catalog.warehouse)
+        .option("table", "live.readings")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{root}/mirror")
+        .option("checkpointLocation", f"{root}/ck_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(300)
+    post = spark.read.parquet(f"{root}/mirror")
+    assert post.count() == events.count() + 2  # tombstone + new version only
+    paired = pair_update_events(
+        spark.read.format(fmt)
+        .option("warehouse", eng.catalog.warehouse)
+        .option("table", "live.readings")
+        .option("with_lineage", "true")
+        .load()
+    )
+    n_upd = paired.where("_change_type = 'update_after' AND sensor = 3").count()
+    assert n_upd == 1
+    print("follower survived compact(); update pair detected OK")
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -552,14 +552,40 @@ class Engine:
                 out.append((rel, src.metadata.table_uuid, src.metadata.current_snapshot_id))
         return out
 
+    def _storage_refresh_state(self, storage) -> dict:
+        """The latest RefreshState on the storage table's main ancestry.
+        Maintenance commits on the storage — tombstone consolidation, a
+        manual compact/zorder (zero net row change, lineage-preserved) or
+        metadata-only 'replace' — carry no refresh-state but preserve
+        content, so walk PAST them to the stamping commit instead of
+        treating the MV as never-refreshed (which would force the full
+        rewrite the delta commits exist to avoid). Any content-CHANGING
+        commit without a state stops the walk: the MV can no longer claim
+        that state describes its content."""
+        from iceberg_rust_custom_spark.table.table import _transparent_rewrite
+
+        md = storage.metadata
+        snap = md.snapshot_for_ref()
+        while snap is not None:
+            state = snap.summary.get("refresh-state")
+            if state:
+                return state
+            if not _transparent_rewrite(snap) and snap.summary.get("operation") != "replace":
+                return {}
+            snap = (
+                md.snapshots.get(snap.parent_snapshot_id)
+                if snap.parent_snapshot_id is not None
+                else None
+            )
+        return {}
+
     def materialized_view_freshness(self, name: str) -> dict:
         """Per-source Fresh/Outdated classification
         (reference: materialized_view.rs:48-126), branch-scoped: a source
         read from a branch/tag compares that ref's head, not main's."""
         md = self._load_view_metadata(name)
         storage = self.load_table(md.storage_table)
-        snap = storage.metadata.snapshot_for_ref()
-        state = (snap.summary.get("refresh-state") if snap else None) or {}
+        state = self._storage_refresh_state(storage)
         stored = state.get("source-table-states", {})
         out = {}
         for rel, key, cur in self._mv_source_states(md.current_sql()):
@@ -649,8 +675,7 @@ class Engine:
             return False  # view-over-view: full refresh
         src = self.load_table(plan.relation)
         storage = self.load_table(md.storage_table)
-        snap = storage.metadata.snapshot_for_ref()
-        state = (snap.summary.get("refresh-state") if snap else None) or {}
+        state = self._storage_refresh_state(storage)
         stored_id = state.get("source-table-states", {}).get(src.metadata.table_uuid)
         if stored_id is None:
             return False
@@ -718,6 +743,27 @@ class Engine:
         )
         return "incremental-aggregate"
 
+    @staticmethod
+    def _storage_cols_joinable(storage, cols) -> bool:
+        """Can these storage columns be equi-join / set-operation operands?
+        Maps (at ANY nesting depth — review r9: a top-level-only check let
+        nested maps crash inside the join), variant and geo types cannot;
+        the delta paths that need content comparison then degrade to a
+        full refresh instead of crashing."""
+        def _joinable(dt) -> bool:
+            if isinstance(
+                dt, (T.MapType, T.VariantType, T.GeometryType, T.GeographyType)
+            ):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _joinable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_joinable(f.dataType) for f in dt.fields)
+            return True
+
+        st_schema = storage.metadata.current_schema().spark_schema()
+        return all(_joinable(st_schema[c].dataType) for c in cols)
+
     def _commit_storage_delta(self, storage, del_keys, ins_df, new_state, data_dir):
         """Delta-sized MoR commit on an MV storage table (VERDICT r8 weak
         #2: refresh previously REWROTE the whole storage — a 10 GB/day
@@ -742,21 +788,37 @@ class Engine:
         ins_files = (
             write_partitioned(ins_df, storage.metadata, data_dir) if ins_df is not None else []
         )
-        if not eq_files and not ins_files:
+        return self._commit_storage_files(storage, eq_files, ins_files, new_state)
+
+    def _commit_storage_files(self, storage, del_files, ins_files, new_state):
+        """Shared delta-commit tail for every MV storage path: one atomic
+        MoR commit (delete files + appended files) stamping the new
+        RefreshState. Tombstone-consolidation hygiene runs BEFORE the
+        commit (review r9: running it after left a summary WITHOUT
+        refresh-state at head, erasing the MV's anchor and forcing the
+        next refresh full — the thing delta commits exist to avoid);
+        ``_storage_refresh_state`` additionally walks past any
+        content-preserving maintenance commit when reading the state."""
+        from iceberg_rust_custom_spark.table.maintenance import (
+            rewrite_position_deletes,
+        )
+        from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+        if not del_files and not ins_files:
             return self._commit_state_only(storage, new_state)
+        # hygiene first: bound the per-scan tombstone join count —
+        # consolidation cost tracks tombstones, never storage size
+        md = storage.metadata
+        if len(plan_delete_files(md, md.snapshot_for_ref())) > 16:
+            rewrite_position_deletes(storage)
         tx = storage.new_transaction()
-        if eq_files:
-            tx.append_deletes(eq_files)
+        if del_files:
+            tx.append_deletes(del_files)
         if ins_files:
             tx.append(ins_files)
         tx.set_operation("overwrite")  # rows changed: not a pure append
         tx.set_summary({"refresh-state": new_state})
         storage.metadata = tx.commit()
-        # storage hygiene: bound the per-scan tombstone join count —
-        # consolidation cost tracks tombstones, never storage size
-        md2 = storage.metadata
-        if len(plan_delete_files(md2, md2.snapshot_for_ref())) > 16:
-            rewrite_position_deletes(storage)
         return True
 
     def _multiset_delta_commit(
@@ -779,15 +841,9 @@ class Engine:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        from iceberg_rust_custom_spark.table.maintenance import (
-            _write_position_deletes,
-            rewrite_position_deletes,
-        )
-        from iceberg_rust_custom_spark.table.scan import plan_delete_files
+        from iceberg_rust_custom_spark.table.maintenance import _write_position_deletes
 
-        st_schema = storage.metadata.current_schema().spark_schema()
-        unjoinable = (T.MapType, T.VariantType, T.GeometryType, T.GeographyType)
-        if any(isinstance(st_schema[c].dataType, unjoinable) for c in vis):
+        if not self._storage_cols_joinable(storage, vis):
             return None
         net_del = d_del.exceptAll(d_ins)
         net_ins = d_ins.exceptAll(d_del)
@@ -812,20 +868,7 @@ class Engine:
         if null_rid:
             net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
         ins_files = write_partitioned(net_ins, storage.metadata, data_dir)
-        if not del_files and not ins_files:
-            self._commit_state_only(storage, new_state)
-            return "incremental-noop"
-        tx = storage.new_transaction()
-        if del_files:
-            tx.append_deletes(del_files)
-        if ins_files:
-            tx.append(ins_files)
-        tx.set_operation("overwrite")
-        tx.set_summary({"refresh-state": new_state})
-        storage.metadata = tx.commit()
-        md2 = storage.metadata
-        if len(plan_delete_files(md2, md2.snapshot_for_ref())) > 16:
-            rewrite_position_deletes(storage)
+        self._commit_storage_files(storage, del_files, ins_files, new_state)
         return "ok"
 
     def _changelog_refresh(self, md, plan, src, storage, from_seq: int):
@@ -879,6 +922,8 @@ class Engine:
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
         if plan.mode == "append":
             lsql = self._mv_lineage_sql(sql) if SRC_ROW_ID in out_cols else None
+            if lsql is not None and not self._storage_cols_joinable(storage, out_cols):
+                return False  # map/variant/geo output: netting needs set ops
             if lsql is not None:
                 try:
                     ch = src.changes(from_seq, with_lineage=True)
@@ -914,13 +959,18 @@ class Engine:
                         d_ins = self.spark.sql(transform_relations(lsql)).select(*out_cols)
                         dels.drop("_change_type").createOrReplaceTempView(rel)
                         d_del = self.spark.sql(transform_relations(lsql)).select(*out_cols)
-                        # net insert side: intermediate versions (updated
-                        # again within the range) cancel against their
-                        # delete events
+                        # NET both sides: intermediate versions (updated
+                        # again within the range) cancel, and — critically
+                        # — an update that leaves every VIEW-PROJECTED
+                        # column unchanged cancels ENTIRELY (d_ins == d_del
+                        # for that rid): deleting by the raw event rids
+                        # while appending the netted inserts would drop the
+                        # stored row with no replacement (review r9). The
+                        # delete keys therefore come from the netted delete
+                        # side, never the raw events.
                         net_ins = d_ins.exceptAll(d_del)
-                        del_keys = dels.select(
-                            F.col("_row_id").alias(SRC_ROW_ID)
-                        ).distinct()
+                        net_del = d_del.exceptAll(d_ins)
+                        del_keys = net_del.select(SRC_ROW_ID).distinct()
                         self._commit_storage_delta(
                             storage, del_keys, net_ins, new_state, data_dir
                         )
@@ -933,15 +983,15 @@ class Engine:
                 ch = src.changes(from_seq).persist()
             except ValueError:
                 return False  # commit shape the changelog cannot replay
-            vis = [c for c in out_cols if c != SRC_ROW_ID]
-            ch.where("_change_type = 'insert'").drop("_change_type").createOrReplaceTempView(rel)
-            d_ins = self.spark.sql(transform_relations(sql)).select(*vis)
-            ch.where("_change_type = 'delete'").drop("_change_type").createOrReplaceTempView(rel)
-            d_del = self.spark.sql(transform_relations(sql)).select(*vis)
-            # multiset maintenance, delta-sized (position tombstones +
-            # append; only NEW rows null-fill the rid column — existing
-            # rows keep theirs, per ADVICE r8)
             try:
+                vis = [c for c in out_cols if c != SRC_ROW_ID]
+                ch.where("_change_type = 'insert'").drop("_change_type").createOrReplaceTempView(rel)
+                d_ins = self.spark.sql(transform_relations(sql)).select(*vis)
+                ch.where("_change_type = 'delete'").drop("_change_type").createOrReplaceTempView(rel)
+                d_del = self.spark.sql(transform_relations(sql)).select(*vis)
+                # multiset maintenance, delta-sized (position tombstones +
+                # append; only NEW rows null-fill the rid column — existing
+                # rows keep theirs, per ADVICE r8)
                 ran = self._multiset_delta_commit(
                     storage, d_ins, d_del, vis, new_state, data_dir,
                     null_rid=SRC_ROW_ID in out_cols,
@@ -950,17 +1000,11 @@ class Engine:
                 ch.unpersist()
             if ran is not None:
                 return "incremental-changelog"
-            # unjoinable column types (map/variant/geo): full-width rewrite
-            new_df = storage.scan().select(*vis).exceptAll(d_del).unionByName(d_ins)
-            if SRC_ROW_ID in out_cols:
-                from pyspark.sql import functions as F2
-
-                new_df = new_df.withColumn(SRC_ROW_ID, F2.lit(None).cast("long"))
-            files = write_partitioned(new_df, storage.metadata, data_dir)
-            storage.metadata = (
-                storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
-            )
-            return "incremental-changelog"
+            # unjoinable column types (map/variant/geo, incl. nested): a
+            # full-width exceptAll would hit the SAME type restriction and
+            # crash (Spark rejects maps in set ops) — full refresh is the
+            # only always-correct fallback (review r9)
+            return False
         try:
             ch = src.changes(from_seq)
         except ValueError:
@@ -1028,9 +1072,7 @@ class Engine:
                 return False
             sources.append(self.load_table(rel))
         storage = self.load_table(md.storage_table)
-        snap = storage.metadata.snapshot_for_ref()
-        state = (snap.summary.get("refresh-state") if snap else None) or {}
-        stored = state.get("source-table-states", {})
+        stored = self._storage_refresh_state(storage).get("source-table-states", {})
         anchors, kinds = [], []
         for src in sources:
             sid = stored.get(src.metadata.table_uuid)
@@ -1099,14 +1141,19 @@ class Engine:
         sql = md.current_sql()
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
 
+        # each delta feeds two joins (⋈ B_new, kept/insert split) — cache
+        # so the changelog tombstone jobs run once per source; unpersist
+        # already-cached frames if a LATER source's range turns out
+        # unreplayable (review r9: the partial-failure path leaked)
+        deltas = []
         try:
-            # each delta feeds two joins (⋈ B_new, kept/insert split) —
-            # cache so the changelog tombstone jobs run once per source
-            deltas = [
-                src.changes(src.metadata.snapshots[sid].sequence_number).persist()
-                for src, sid in zip(sources, anchors)
-            ]
+            for src, sid in zip(sources, anchors):
+                deltas.append(
+                    src.changes(src.metadata.snapshots[sid].sequence_number).persist()
+                )
         except ValueError:
+            for d in deltas:
+                d.unpersist()
             return False  # commit shape the changelog cannot replay
         (a_ins, a_del), (b_ins, b_del) = (
             (
@@ -1143,15 +1190,9 @@ class Engine:
             ran = self._multiset_delta_commit(
                 storage, pos, neg, out_cols, new_state, data_dir
             )
-            if ran is not None:
-                return "incremental-changelog-join"
-            # unjoinable column types: full-width rewrite fallback
-            new_df = storage.scan().select(*out_cols).unionByName(pos).exceptAll(neg)
-            files = write_partitioned(new_df, storage.metadata, data_dir)
-            storage.metadata = (
-                storage.new_transaction().rewrite_with_lineage(files, new_state).commit()
-            )
-            return "incremental-changelog-join"
+            # unjoinable column types → None: exceptAll would hit the same
+            # restriction; full refresh is the always-correct fallback
+            return "incremental-changelog-join" if ran is not None else False
         finally:
             for d in deltas:
                 d.unpersist()

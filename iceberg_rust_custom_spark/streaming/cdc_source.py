@@ -331,7 +331,7 @@ class IcebergChangelogStreamReader(DataSourceStreamReader):
                 t
                 for t, e in eq_in_pairs
                 if t[1] > fseq
-                and (f is None or eq_delete_can_touch(f, e.data_file, cur_schema))
+                and (f is None or eq_delete_can_touch(f, e.data_file, cur_schema, md.schemas))
             ]
 
         # first killing commit per (file, pos): a parquet tombstone and a DV
@@ -473,6 +473,16 @@ def _read_pq(path: str):
     return pq.read_table(path)
 
 
+@__import__("functools").lru_cache(maxsize=64)
+def _read_eq_keys(path: str):
+    """Worker-local cache for equality-delete KEY files: every eq-victim /
+    position-delete partition of a batch applies the same batch-scale key
+    files, and Python workers are reused across partitions — one read per
+    worker instead of one per partition. Sound because delete files are
+    write-once (immutable paths)."""
+    return _read_pq(path)
+
+
 _MAXSEQ = (1 << 62)
 
 
@@ -497,7 +507,7 @@ def _eq_matches(tbl, triples, col_map=None, defaults=None):
     n = tbl.num_rows
     kill = np.full(n, _MAXSEQ, dtype=np.int64)
     for path, seq, cols in triples:
-        et = _read_pq(path)
+        et = _read_eq_keys(path)
         cols = cols or list(et.column_names)
         ecols = [
             c if c in et.column_names else et.column_names[i]

@@ -169,7 +169,7 @@ def rewrite_position_deletes(table: Table) -> Table:
         file_seqs = data_file_sequence_numbers(md, snap)
         # only files whose key bounds a delete can actually touch need the
         # position-conversion scan (r9; scan.eq_delete_can_touch)
-        cand = eq_victim_candidates(carried, eq_entries, schema, file_seqs)
+        cand = eq_victim_candidates(carried, eq_entries, schema, file_seqs, schemas=md.schemas)
         if cand:
             if len(md.schemas) > 1:
                 df = _read_with_field_id_resolution(spark, md, schema, cand, lineage=True)

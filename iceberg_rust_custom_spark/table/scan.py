@@ -417,7 +417,12 @@ def _iceberg_type_name(field_type) -> str:
     return field_type if isinstance(field_type, str) else field_type.get("type", "string")
 
 
-def eq_delete_can_touch(data_file: DataFile, delete_file: DataFile, schema: Schema) -> bool:
+def eq_delete_can_touch(
+    data_file: DataFile,
+    delete_file: DataFile,
+    schema: Schema,
+    schemas: dict | None = None,
+) -> bool:
     """Can this equality-delete file possibly match ANY row of this data
     file? False only when some key column's [lower, upper] bounds are
     provably disjoint between the two files (and a NULL-key match is
@@ -427,32 +432,67 @@ def eq_delete_can_touch(data_file: DataFile, delete_file: DataFile, schema: Sche
     both sides make this sound: disjoint bounds ⇒ zero matching rows ⇒
     the file holds no victims and scan-time application is a no-op on it.
 
+    ``schemas`` (the table's schema map) resolves the data file's bounds
+    by FIELD ID through its write schema: a file's stats are keyed by the
+    WRITER's column name, so after a rename frees a name that a new field
+    reuses, looking the current name up directly would misattribute the
+    OLD field's range to the new key column (review r9). A key field the
+    file predates evaluates against the current schema's initial-default
+    instead — exactly the value the scan substitutes.
+
     VERDICT r8 weak #1: without this, every strictly-older live file was a
     victim candidate — a 100-key delete on a 100 TB table read every older
     data file to find victims."""
     from iceberg_rust_custom_spark.metadata.manifest import decode_value
 
-    id_to_name = {f.field_id: f.name for f in schema.fields}
-    cols = [id_to_name[i] for i in (delete_file.equality_ids or ()) if i in id_to_name]
-    if not cols:
+    id_to_field = {f.field_id: f for f in schema.fields}
+    key_fields = [
+        id_to_field[i] for i in (delete_file.equality_ids or ()) if i in id_to_field
+    ]
+    if not key_fields:
         return True  # unknown key set (legacy file): conservative
-    for col in cols:
+    writer = (schemas or {}).get(data_file.schema_id)
+    for kf in key_fields:
+        col = kf.name  # delete-file bounds are keyed by CURRENT name
         dl = delete_file.lower_bounds.get(col)
         du = delete_file.upper_bounds.get(col)
-        fl = data_file.lower_bounds.get(col)
-        fu = data_file.upper_bounds.get(col)
+        d_nulls = delete_file.null_value_counts.get(col)
+        tname = _iceberg_type_name(kf.field_type)
+        if writer is not None:
+            wnames = {f.field_id: f.name for f in writer.fields}
+            wname = wnames.get(kf.field_id)
+            if wname is None:
+                # field postdates the file: every row logically holds the
+                # current schema's initial-default — compare THAT constant
+                v = kf.initial_default
+                if v is None:
+                    # rows are NULL: a match needs a NULL delete key
+                    if d_nulls == 0:
+                        return False
+                    continue
+                if dl is None or du is None:
+                    continue
+                try:
+                    if not (
+                        decode_value(dl, tname)
+                        <= decode_value(v, tname)
+                        <= decode_value(du, tname)
+                    ):
+                        return False
+                except TypeError:
+                    pass
+                continue
+        else:
+            wname = col  # legacy file without a recorded write schema
+        fl = data_file.lower_bounds.get(wname)
+        fu = data_file.upper_bounds.get(wname)
         if dl is None or du is None or fl is None or fu is None:
             continue  # a side without bounds can't prune on this column
         # NULL keys bypass range logic: prune on this column only when a
         # null-to-null match is impossible (either side provably null-free;
         # an UNKNOWN null count must be treated as possibly-null)
-        d_nulls = delete_file.null_value_counts.get(col)
-        f_nulls = data_file.null_value_counts.get(col)
+        f_nulls = data_file.null_value_counts.get(wname)
         if (d_nulls is None or d_nulls > 0) and (f_nulls is None or f_nulls > 0):
-            continue
-        try:
-            tname = _iceberg_type_name(schema.field_by_name(col).field_type)
-        except KeyError:
             continue
         try:
             if (
@@ -466,19 +506,26 @@ def eq_delete_can_touch(data_file: DataFile, delete_file: DataFile, schema: Sche
 
 
 def eq_victim_candidates(
-    files: list[DataFile], eq_entries: list, schema: Schema, file_seqs: dict
+    files: list[DataFile],
+    eq_entries: list,
+    schema: Schema,
+    file_seqs: dict,
+    schemas: dict | None = None,
 ) -> list[DataFile]:
     """Data files that MAY hold victims of the given equality-delete
     manifest entries: strictly older than at least one delete (Iceberg
     sequence gating) AND key-bounds-intersecting with it
-    (``eq_delete_can_touch``). Shared by the batch changelog, the
+    (``eq_delete_can_touch``; pass ``schemas`` so evolved files resolve
+    their bounds by field id). Shared by the batch changelog, the
     streaming CDC planner, CoW carried-delete materialization, and
     position-delete consolidation."""
     out = []
     for f in files:
         fseq = file_seqs.get(f.file_path, 0)
         for e in eq_entries:
-            if e.sequence_number > fseq and eq_delete_can_touch(f, e.data_file, schema):
+            if e.sequence_number > fseq and eq_delete_can_touch(
+                f, e.data_file, schema, schemas
+            ):
                 out.append(f)
                 break
     return out

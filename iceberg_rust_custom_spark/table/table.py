@@ -619,6 +619,7 @@ class Table:
                 eq_in_range,
                 self.metadata.current_schema(),
                 file_seqs,
+                schemas=self.metadata.schemas,
             )
             if cand:
                 cur = self.metadata.current_schema()
@@ -890,7 +891,11 @@ class Table:
             from iceberg_rust_custom_spark.table.scan import eq_victim_candidates
 
             for f in eq_victim_candidates(
-                carried, eq_entries, self.metadata.current_schema(), file_seqs
+                carried,
+                eq_entries,
+                self.metadata.current_schema(),
+                file_seqs,
+                schemas=self.metadata.schemas,
             ):
                 referenced.add(_norm(f.file_path))
         affected = [f for f in carried if _norm(f.file_path) in referenced]

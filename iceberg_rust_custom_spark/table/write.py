@@ -232,12 +232,25 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
                 # the physical storage form; decode happens at read
                 pass
             elif f.name in ns_long_cols and isinstance(
-                by_name[f.name].dataType, (_T.TimestampType, _T.TimestampNTZType)
+                by_name[f.name].dataType, _T.TimestampNTZType
             ):
-                # timestamp input into a long-mode ns column: µs precision
-                # is all Spark timestamps carry — convert exactly to ns
-                # (a plain CAST to long would yield SECONDS)
-                c = (F.unix_micros(c.cast("timestamp")) * 1000).alias(f.name)
+                # NTZ input into a long-mode ns column: the wall clock IS
+                # the value — diff against the NTZ epoch (session-timezone
+                # INDEPENDENT; a cast-to-timestamp would shift by the
+                # session offset and make the stored instant depend on who
+                # ran the write). µs precision is all Spark carries; ×1000.
+                c = (
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{f.name}`)"
+                    )
+                    * 1000
+                ).alias(f.name)
+            elif f.name in ns_long_cols and isinstance(
+                by_name[f.name].dataType, _T.TimestampType
+            ):
+                # instant input: exact by definition
+                c = (F.unix_micros(c) * 1000).alias(f.name)
             else:
                 c = c.cast(f.dataType).alias(f.name)
         cols.append(c)

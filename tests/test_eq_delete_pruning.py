@@ -151,3 +151,30 @@ def test_can_touch_units():
     assert eq_delete_can_touch(nullable, mk(200, 300, nulls=1), schema)  # null↔null
     nobounds = DataFile("f3")
     assert eq_delete_can_touch(nobounds, mk(200, 300), schema)    # conservative
+
+
+def test_rename_reuse_does_not_misbind_bounds(eng, spark):
+    """Review r9: after rename x→y frees a name that a NEW field (with a
+    default) reuses, an old file's footer stats for the renamed-away
+    column must not be read as the new key column's range — that wrongly
+    pruned files the scan DOES delete from, making the changelog diverge
+    from the scan."""
+    import pyspark.sql.types as T
+
+    t = eng.create_table(
+        "p.rn",
+        T.StructType([T.StructField("x", T.LongType()), T.StructField("v", T.DoubleType())]),
+    )
+    t.append(spark.range(10).coalesce(1).select(F.col("id").alias("x"), F.lit(1.0).alias("v")))
+    t.update_schema().rename_column("x", "y").commit()
+    t.update_schema().add_column("x", "long", default=100).commit()
+    # delete on the NEW x: old rows logically hold the default 100 → all die
+    keys = spark.createDataFrame([(100,)], "x long")
+    delete_by_key(t, keys)
+    assert t.scan().count() == 0  # the scan applies the delete
+    dels = t.changes(0).where("_change_type = 'delete'")
+    assert dels.count() == 10  # the changelog agrees (no wrong prune)
+    # CDC feed too
+    r = IcebergChangelogStreamReader({"warehouse": eng.catalog.warehouse, "table": "p.rn"})
+    parts = r.partitions({"seq": 0}, {"seq": t.metadata.last_sequence_number})
+    assert any(p.eq_victims for p in parts)

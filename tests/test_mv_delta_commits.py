@@ -227,3 +227,68 @@ def test_appends_only_aggregate_refresh_is_delta_sized(eng, spark):
     assert eng.refresh_materialized_view("m.v5") == "incremental-aggregate"
     row = eng.scan_materialized_view("m.v5").where("grp IS NULL").collect()
     assert [(r.sv, r.n) for r in row] == [(5.0, 2)]
+
+
+def test_update_of_nonprojected_column_keeps_mv_row(eng, spark):
+    """Review r9 (top finding): an update that leaves every VIEW-PROJECTED
+    column unchanged must be a no-op on the MV — the raw-event delete keys
+    would have eq-deleted the stored row while the netted insert side
+    appended nothing, silently dropping it."""
+    t = eng.create_table("m.src6", _rows(spark).schema)
+    t.append(_rows(spark, 30))
+    eng.create_materialized_view("m.v6", "SELECT k, v FROM m.src6 WHERE grp <> 4")
+    # k=6 has grp=1; update grp 1→2: row stays in the view, (k, v) unchanged
+    update_where(t, {"grp": "2"}, "k = 6", mode="merge-on-read")
+    ran = eng.refresh_materialized_view("m.v6")
+    assert ran == "incremental-changelog"
+    assert eng.scan_materialized_view("m.v6").where("k = 6").count() == 1
+    got = sorted((r.k, r.v) for r in eng.scan_materialized_view("m.v6").collect())
+    want = sorted((r.k, r.v) for r in eng.sql("SELECT k, v FROM m.src6 WHERE grp <> 4").collect())
+    assert got == want
+
+
+def test_storage_maintenance_does_not_erase_refresh_anchor(eng, spark):
+    """Review r9: a maintenance commit on the MV storage (tombstone
+    consolidation, manual compact) carries no refresh-state; freshness and
+    the incremental anchor must walk past such content-preserving commits
+    instead of treating the MV as never-refreshed (a forced full rewrite
+    every ~17 refreshes — exactly what delta commits exist to avoid)."""
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    t = eng.create_table("m.src7", _rows(spark).schema)
+    t.append(_rows(spark, 40))
+    eng.create_materialized_view("m.v7", "SELECT k, v FROM m.src7 WHERE grp <> 4")
+    delete_where(t, "k < 3", mode="merge-on-read")
+    assert eng.refresh_materialized_view("m.v7") == "incremental-changelog"
+    # maintenance on the storage itself: compact folds the tombstones
+    compact(eng.load_table("m.v7__storage"))
+    fresh = eng.materialized_view_freshness("m.v7")
+    assert all(v == "fresh" for v in fresh.values()), fresh
+    # and the NEXT refresh stays incremental, anchored through the compact
+    delete_where(t, "k IN (10, 11)", mode="merge-on-read")
+    ran = eng.refresh_materialized_view("m.v7")
+    assert ran == "incremental-changelog", ran
+    got = sorted(r.k for r in eng.scan_materialized_view("m.v7").collect())
+    want = sorted(r.k for r in eng.sql("SELECT k FROM m.src7 WHERE grp <> 4").collect())
+    assert got == want
+
+
+def test_map_typed_view_falls_back_to_full_refresh(eng, spark):
+    """Review r9: map columns can't be equi-join/set-op operands — the
+    changelog refresh must degrade to a FULL refresh, never crash."""
+    t = eng.create_table(
+        "m.src8",
+        spark.range(1).select(
+            F.col("id").alias("k"), F.create_map(F.lit("a"), F.col("id")).alias("mp")
+        ).schema,
+    )
+    t.append(
+        spark.range(20).select(
+            F.col("id").alias("k"), F.create_map(F.lit("a"), F.col("id")).alias("mp")
+        )
+    )
+    eng.create_materialized_view("m.v8", "SELECT k, mp FROM m.src8 WHERE k >= 0")
+    delete_where(t, "k < 5", mode="merge-on-read")
+    ran = eng.refresh_materialized_view("m.v8")
+    assert ran == "full", ran
+    assert eng.scan_materialized_view("m.v8").count() == 15
