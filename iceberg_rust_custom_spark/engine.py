@@ -809,7 +809,8 @@ class Engine:
         # hygiene first: bound the per-scan tombstone join count —
         # consolidation cost tracks tombstones, never storage size
         md = storage.metadata
-        if len(plan_delete_files(md, md.snapshot_for_ref())) > 16:
+        thr = int(md.properties.get("write.mv.delete-file-threshold", 16))
+        if len(plan_delete_files(md, md.snapshot_for_ref())) > thr:
             rewrite_position_deletes(storage)
         tx = storage.new_transaction()
         if del_files:
@@ -818,7 +819,13 @@ class Engine:
             tx.append(ins_files)
         tx.set_operation("overwrite")  # rows changed: not a pure append
         tx.set_summary({"refresh-state": new_state})
-        storage.metadata = tx.commit()
+        # NO commit retry: the only legitimate storage writers are refreshes
+        # and maintenance, so a CAS conflict means a CONCURRENT refresh —
+        # rebasing this append-shaped commit on top of it would apply the
+        # same delta twice (the old rewrite path was last-wins; delta
+        # commits must fail loudly instead and let the caller re-derive
+        # from the fresh state)
+        storage.metadata = tx.commit(max_retries=0)
         return True
 
     def _multiset_delta_commit(
