@@ -854,29 +854,103 @@ class Engine:
             return None
         net_del = d_del.exceptAll(d_ins)
         net_ins = d_ins.exceptAll(d_del)
-        d_cnt = net_del.groupBy(*vis).agg(F.count(F.lit(1)).alias("_sg_ct"))
-        for c in vis:
-            d_cnt = d_cnt.withColumnRenamed(c, f"_sg_d_{c}")
-        addr = storage.scan(metadata_columns=["_file", "_pos"]).select(
-            *vis, "_file", "_pos"
-        )
-        cond = None
-        for c in vis:
-            eq = addr[c].eqNullSafe(d_cnt[f"_sg_d_{c}"])
-            cond = eq if cond is None else (cond & eq)
-        cand = addr.join(d_cnt, cond, "inner")  # AQE broadcasts the delta side
-        w = Window.partitionBy(*[addr[c] for c in vis]).orderBy("_file", "_pos")
-        hits = (
-            cand.withColumn("_sg_rn", F.row_number().over(w))
-            .where(F.col("_sg_rn") <= F.col("_sg_ct"))
-            .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
-        )
-        del_files = _write_position_deletes(storage, hits)
-        if null_rid:
-            net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
-        ins_files = write_partitioned(net_ins, storage.metadata, data_dir)
+        d_cnt = net_del.groupBy(*vis).agg(F.count(F.lit(1)).alias("_sg_ct")).persist()
+        try:
+            if not d_cnt.head(1):
+                del_files = []  # pure-insert delta: skip the storage read
+            else:
+                # bound the storage read by the net-delete CONTENT ranges:
+                # a storage row can only match a delta row if every column
+                # falls inside the delta's [min, max] — one delta-sized agg
+                # builds a conjunctive range predicate that file-prunes the
+                # storage scan and pushes into the parquet reader (without
+                # it, every multiset refresh read the whole storage)
+                pred = self._delta_range_predicate(d_cnt, vis, storage)
+                dj = d_cnt
+                for c in vis:
+                    dj = dj.withColumnRenamed(c, f"_sg_d_{c}")
+                addr = storage.scan(
+                    predicate=pred, metadata_columns=["_file", "_pos"]
+                ).select(*vis, "_file", "_pos")
+                cond = None
+                for c in vis:
+                    eq = addr[c].eqNullSafe(dj[f"_sg_d_{c}"])
+                    cond = eq if cond is None else (cond & eq)
+                cand = addr.join(dj, cond, "inner")  # AQE broadcasts the delta
+                w = Window.partitionBy(*[addr[c] for c in vis]).orderBy("_file", "_pos")
+                hits = (
+                    cand.withColumn("_sg_rn", F.row_number().over(w))
+                    .where(F.col("_sg_rn") <= F.col("_sg_ct"))
+                    .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+                )
+                del_files = _write_position_deletes(storage, hits)
+            if null_rid:
+                net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
+            ins_files = write_partitioned(net_ins, storage.metadata, data_dir)
+        finally:
+            d_cnt.unpersist()
         self._commit_storage_files(storage, del_files, ins_files, new_state)
         return "ok"
+
+    @staticmethod
+    def _delta_range_predicate(d_cnt, vis, storage):
+        """Conjunctive SQL range predicate over the net-delete content
+        (min/max per safely-literal column), or None. A column joins the
+        predicate only when the delta provably holds NO nulls in it (a
+        range test would wrongly exclude null-matching storage rows) and
+        its type/name/values render as safe literals; any surprise falls
+        back to no predicate — the content join stays exact either way."""
+        import datetime as _dt
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        st_schema = storage.metadata.current_schema().spark_schema()
+        numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType, T.FloatType)
+        cols = [
+            c
+            for c in vis
+            if _re.fullmatch(r"[A-Za-z_]\w*", c)
+            and isinstance(st_schema[c].dataType, numeric + (T.StringType, T.DateType))
+        ]
+        if not cols:
+            return None
+        try:
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for c in cols:
+                aggs += [
+                    F.min(c).alias(f"_lo_{c}"),
+                    F.max(c).alias(f"_hi_{c}"),
+                    F.count(c).alias(f"_nn_{c}"),
+                ]
+            row = d_cnt.agg(*aggs).first()
+            parts = []
+            for c in cols:
+                lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+                if lo is None or hi is None or row[f"_nn_{c}"] != row["_n"]:
+                    continue  # nulls present (or empty): range test unsound
+                if isinstance(lo, bool):
+                    continue
+                if isinstance(lo, (int, float)):
+                    if isinstance(lo, float) and (lo != lo or hi != hi):
+                        continue  # NaN bounds
+                    parts.append(f"{c} >= {lo!r} AND {c} <= {hi!r}")
+                elif isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
+                    parts.append(f"{c} >= DATE '{lo}' AND {c} <= DATE '{hi}'")
+                elif isinstance(lo, str) and "'" not in lo and "'" not in hi and "\\" not in lo and "\\" not in hi:
+                    parts.append(f"{c} >= '{lo}' AND {c} <= '{hi}'")
+            pred = " AND ".join(parts) or None
+            if pred is not None:
+                # the mini-language must accept every literal form we
+                # emitted (e.g. scientific-notation floats may not parse)
+                from iceberg_rust_custom_spark.metadata.expressions import (
+                    parse_predicate,
+                )
+
+                parse_predicate(pred)
+            return pred
+        except Exception:
+            return None
 
     def _changelog_refresh(self, md, plan, src, storage, from_seq: int):
         """Incremental MV maintenance when the source delta contains MoR
