@@ -330,3 +330,34 @@ def test_multiset_storage_read_is_range_pruned(eng, spark):
         r.k for r in eng.sql("SELECT a.k FROM j.a2 a JOIN j.b2 b ON a.k = b.k").collect()
     )
     assert got == want and 250 not in got and 251 not in got
+
+
+def test_delta_range_predicate_safety_rails(eng, spark):
+    """Null-bearing columns, quote-bearing strings and unparseable literal
+    forms must drop OUT of the range predicate (never a wrong prune);
+    clean numeric/string/date columns produce a parseable conjunction."""
+    from iceberg_rust_custom_spark.engine import Engine as _E
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+
+    import pyspark.sql.types as T
+
+    t = eng.create_table(
+        "m.predsrc",
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("f", T.DoubleType()),
+        ]),
+    )
+    d = spark.createDataFrame(
+        [(1, "a", None), (5, "o'x", 2.0)],
+        "k long, s string, f double",
+    )
+    pred = _E._delta_range_predicate(d, ["k", "s", "f"], t)
+    assert pred is not None
+    parse_predicate(pred)  # parseable
+    assert "k >= 1 AND k <= 5" in pred
+    assert "s" not in pred.replace(" s ", "")  # quote-bearing string dropped
+    assert "f" not in [p.split(" ")[0] for p in pred.split(" AND ")] or "f >=" not in pred  # null-bearing dropped
+    d2 = spark.createDataFrame([(None,)], "k long")
+    assert _E._delta_range_predicate(d2, ["k"], t) is None
