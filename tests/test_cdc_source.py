@@ -411,10 +411,13 @@ _op = st.one_of(
     st.tuples(st.just("mor_delete"), st.integers(0, 2)),
     st.tuples(st.just("eq_delete"), st.integers(0, 2)),
     st.tuples(st.just("mor_update"), st.integers(0, 2)),
-    # r9: compaction is changelog-TRANSPARENT (zero net row change;
-    # the feed/changes split the range at the commit and replay the
-    # sub-ranges against the pre/post-compaction snapshots)
+    # r9: compaction / clustering / tombstone consolidation are
+    # changelog-TRANSPARENT (zero net row change; the feed/changes split
+    # the range at the commit and replay the sub-ranges against the
+    # pre/post-rewrite snapshots)
     st.tuples(st.just("compact"), st.integers(0, 0)),
+    st.tuples(st.just("zorder"), st.integers(0, 0)),
+    st.tuples(st.just("consolidate"), st.integers(0, 0)),
 )
 
 
@@ -462,6 +465,16 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
             from iceberg_rust_custom_spark.table.maintenance import compact
 
             t = compact(t)
+        elif op[0] == "zorder":
+            from iceberg_rust_custom_spark.table.maintenance import zorder
+
+            t = zorder(t, ["k"])
+        elif op[0] == "consolidate":
+            from iceberg_rust_custom_spark.table.maintenance import (
+                rewrite_position_deletes,
+            )
+
+            t = rewrite_position_deletes(t)
     feed = _feed(spark, eng, "fz.feed").drop("_commit_seq")
     want = t.changes(0).select(*feed.columns)
     assert feed.exceptAll(want).count() == 0, "feed has rows changes() lacks"
