@@ -826,6 +826,18 @@ class Engine:
         # commits must fail loudly instead and let the caller re-derive
         # from the fresh state)
         storage.metadata = tx.commit(max_retries=0)
+        # bound the ENGINE-MANAGED storage's history: streaming maintenance
+        # commits one snapshot per micro-batch, and metadata.json rewrite
+        # cost grows with the snapshot list — without expiry a long-lived
+        # pipeline pays O(n²) metadata bytes over its lifetime. The head
+        # always carries the freshest refresh-state, so expiring old
+        # storage snapshots never loses the anchor; orphaned data files
+        # reclaim via remove_orphan_files/VACUUM.
+        keep = int(md.properties.get("write.mv.keep-snapshots", 32))
+        if len(storage.metadata.snapshots) > 2 * keep:
+            from iceberg_rust_custom_spark.table.maintenance import expire_snapshots
+
+            expire_snapshots(storage, keep_last=keep)
         return True
 
     def _multiset_delta_commit(
@@ -1113,13 +1125,19 @@ class Engine:
 
     def _commit_state_only(self, storage, new_state) -> bool:
         """Record a new RefreshState without touching data (the delta had
-        zero row-level effect): rewrite the same file set with the new
-        lineage summary."""
-        from iceberg_rust_custom_spark.table.scan import plan_files
-
-        files = plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+        zero row-level effect): a TOUCH commit carries every manifest —
+        data AND pending MoR delete files — forward unchanged. (The old
+        rewrite-the-file-set stamp rebuilt the snapshot from data files
+        only, dropping storage tombstones and RESURRECTING deleted MV
+        rows on any no-op refresh — r9, caught by the bounded-history
+        test.) Operation 'replace' = metadata-only in the changelog
+        taxonomy."""
         storage.metadata = (
-            storage.new_transaction().rewrite_with_lineage(list(files), new_state).commit()
+            storage.new_transaction()
+            .touch()
+            .set_operation("replace")
+            .set_summary({"refresh-state": new_state})
+            .commit(max_retries=0)
         )
         return True
 

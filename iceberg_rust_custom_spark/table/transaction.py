@@ -92,6 +92,7 @@ class Transaction:
         self._extra_updates: list[dict] = []
         self._summary_extra: dict = {}
         self._operation = "append"
+        self._force_snapshot = False
         # v3 row lineage: data files whose first_row_id this transaction
         # assigns. Captured once so a commit RETRY re-assigns the same
         # files from the refreshed metadata's next-row-id — reusing a
@@ -119,6 +120,17 @@ class Transaction:
         placeholder — materialized_view.rs:147-159)."""
         self._appends.extend(files)
         self._summary_extra["refresh-state"] = refresh_state
+        return self
+
+    def touch(self) -> "Transaction":
+        """Commit a snapshot with NO file changes: every existing manifest
+        carries forward into a fresh manifest list. The way to stamp a
+        summary payload (e.g. an MV RefreshState) without moving data —
+        the previous rewrite-the-same-file-set approach rebuilt the
+        snapshot from DATA files only, silently dropping pending MoR
+        delete files and resurrecting deleted rows (r9, caught by the
+        bounded-history MV test)."""
+        self._force_snapshot = True
         return self
 
     def set_summary(self, extra: dict) -> "Transaction":
@@ -240,7 +252,7 @@ class Transaction:
             }
         )
 
-        if self._appends or self._rewrite is not None:
+        if self._appends or self._rewrite is not None or self._force_snapshot:
             # v3 row lineage: reserve [next_row_id, next_row_id + rows) for
             # new data files; carried files keep their block, files marked
             # -1 carry explicit _row_id columns (compaction preservation)

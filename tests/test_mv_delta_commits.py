@@ -361,3 +361,31 @@ def test_delta_range_predicate_safety_rails(eng, spark):
     assert "f" not in [p.split(" ")[0] for p in pred.split(" AND ")] or "f >=" not in pred  # null-bearing dropped
     d2 = spark.createDataFrame([(None,)], "k long")
     assert _E._delta_range_predicate(d2, ["k"], t) is None
+
+
+def test_storage_snapshot_history_stays_bounded(eng, spark):
+    """r9: delta refreshes commit one snapshot each (streaming maintenance
+    = one per micro-batch) — the engine-managed storage auto-expires past
+    2× write.mv.keep-snapshots so metadata.json never grows O(n²) over a
+    pipeline's lifetime; the refresh anchor (head state) survives expiry."""
+    t = eng.create_table(
+        "m.src9", _rows(spark).schema, properties={"write.mv.keep-snapshots": "4"}
+    )
+    t.append(_rows(spark, 30))
+    eng.create_materialized_view("m.v9", "SELECT k, v FROM m.src9 WHERE grp <> 4")
+    # the MV storage inherits its own properties (defaults); set the knob
+    storage = eng.load_table("m.v9__storage")
+    storage.metadata = storage.new_transaction().set_properties(
+        {"write.mv.keep-snapshots": "4"}
+    ).commit()
+    for i in range(12):
+        delete_where(t, f"k = {i}", mode="merge-on-read")
+        ran = eng.refresh_materialized_view("m.v9")
+        assert ran == "incremental-changelog", (i, ran)
+    storage = eng.load_table("m.v9__storage")
+    assert len(storage.metadata.snapshots) <= 9  # bounded, not 12+
+    # freshness anchor intact and content exact after all the expiry
+    assert all(v == "fresh" for v in eng.materialized_view_freshness("m.v9").values())
+    got = sorted(r.k for r in eng.scan_materialized_view("m.v9").collect())
+    want = sorted(r.k for r in eng.sql("SELECT k FROM m.src9 WHERE grp <> 4").collect())
+    assert got == want
