@@ -973,12 +973,18 @@ def _equality_deletes_impl(
     by_keyset: dict[tuple, list] = {}
     for e in eq_entries:
         by_keyset.setdefault(_key_cols(e), []).append(e)
-    name_to_field = {f.name: f for f in schema.fields} if schema else {}
+    # derive the per-keyset read schema through the schema-level physical
+    # rendering (ns-long longs, WKB geo, JSON-text variant) — raw
+    # NestedField.spark_field() would read an ns-long table's int64 key
+    # file under a timestamp schema and break every post-delete scan
+    name_to_field = (
+        {f.name: f for f in schema.physical_spark_schema().fields} if schema else {}
+    )
     semi_parts = []
     for cols, entries in by_keyset.items():
         read_schema = None
         if all(c in name_to_field for c in cols):
-            read_schema = T.StructType([name_to_field[c].spark_field() for c in cols])
+            read_schema = T.StructType([name_to_field[c] for c in cols])
         parts = []
         for e in entries:
             rdr = spark.read.schema(read_schema) if read_schema is not None else spark.read

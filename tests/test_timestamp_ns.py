@@ -129,3 +129,34 @@ def test_ns_long_mode_is_lossless(eng, spark):
     )
     v = t.scan().where("id = 100").first().ts
     assert v == 1_704_067_200_123_456_000
+
+
+def test_ns_long_equality_delete_readable(eng, spark):
+    """r10 (ADVICE r9 #2): delete_by_key on a write.timestamp-ns.mode=long
+    table writes int64 keys; the eq-delete read schema must render the key
+    column through the schema-level ns-long mapping (LongType), not the raw
+    field type (timestamp) — previously every scan after such a delete
+    raised a parquet conversion error."""
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key
+
+    schema = Schema(
+        0,
+        (
+            NestedField(1, "id", "long", True),
+            NestedField(2, "ts", "timestamp_ns", False),
+        ),
+    )
+    t = eng.create_table(
+        "ns.eqdel", schema, properties={"write.timestamp-ns.mode": "long"}
+    )
+    base = 1_700_000_000_000_000_000
+    rows = [(i, base + i * 1_000 + 789) for i in range(10)]
+    t.append(spark.createDataFrame(rows, "id long, ts long"))
+    t = delete_by_key(t, [base + 3_000 + 789, base + 7_000 + 789], key_cols=["ts"])
+    got = sorted(r.id for r in t.scan().collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    # the changelog over the delete also reads the key file correctly
+    dels = sorted(
+        r.id for r in t.changes(0).where("_change_type='delete'").collect()
+    )
+    assert dels == [3, 7]
