@@ -498,18 +498,39 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
     eng.drop("fz.feed")
 
 
-def test_geo_table_refused_loudly(spark, engine):
-    """ADVICE r8: the executor read path has no WKB→geo decode, so a geo
-    table gets a documented refusal instead of an undefined read (raw
-    binary under a GEOMETRY-declared schema)."""
+def test_geo_columns_flow_physically_through_feed(spark, engine):
+    """r10 (VERDICT r9 missing #1): geometry-bearing tables can be
+    followed (previously refused — the last unfollowable column type).
+    The feed emits the physical WKB binary; decode_geo_columns restores
+    the logical geo type with the declared SRID; values match the batch
+    changelog after canonical st_asbinary on both sides."""
+    from pyspark.sql import types as T
+
+    import struct
+
+    from iceberg_rust_custom_spark.streaming.cdc_source import decode_geo_columns
+
     engine.sql("CREATE TABLE s.g (k BIGINT, g GEOMETRY(4326)) STORED AS ICEBERG")
-    engine.load_table("s.g").append(
-        spark.range(3).select(
-            F.col("id").alias("k"), F.unhex(F.lit("010100000000000000000000000000000000000000")).alias("g")
-        )
-    )
-    with pytest.raises(Exception, match="geometry/geography"):
-        _feed(spark, engine, "s.g").collect()
+    t = engine.load_table("s.g")
+    rows = [
+        (i, bytearray(struct.pack("<BIdd", 1, 1, float(i), float(-i))))
+        for i in range(30)
+    ]
+    t.append(spark.createDataFrame(rows, "k long, g binary"))
+    delete_where(t, "k % 7 = 0", mode="merge-on-read")
+    opts = {"warehouse": engine.catalog.warehouse, "table": "s.g"}
+    fmt = register_cdc_source(spark)
+    feed = spark.read.format(fmt).options(**opts).load()
+    assert isinstance(feed.schema["g"].dataType, T.BinaryType)  # physical WKB
+    decoded = decode_geo_columns(feed, opts)
+    assert isinstance(decoded.schema["g"].dataType, T.GeometryType)
+    assert decoded.schema["g"].dataType.srid == 4326
+    got = decoded.select("k", F.st_asbinary("g").alias("gw"), "_change_type")
+    want = t.changes(0).select("k", F.st_asbinary("g").alias("gw"), "_change_type")
+    assert got.count() == 30 + 5  # 30 inserts + k%7 deletes (0,7,14,21,28)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the decoded values carry the declared SRID downstream
+    assert decoded.select(F.st_srid("g").alias("s")).distinct().first().s == 4326
 
 
 def test_eq_delete_matches_defaulted_added_key_column(spark, engine):
