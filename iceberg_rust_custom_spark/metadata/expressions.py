@@ -498,7 +498,11 @@ def _parse_predicate_strict(text: str) -> Expr:
         # ANSI typed literals: TIMESTAMP '…' / DATE '…' — the type prefix is
         # informational (string literals are coerced against the schema at
         # evaluation time anyway).
-        if kind == "ident" and val.upper() in ("TIMESTAMP", "DATE") and peek()[0] == "str":
+        if (
+            kind == "ident"
+            and val.upper() in ("TIMESTAMP", "TIMESTAMP_NTZ", "DATE")
+            and peek()[0] == "str"
+        ):
             return take()[1][1:-1].replace("''", "'")
         raise ValueError(f"expected literal, got {val!r}")
 

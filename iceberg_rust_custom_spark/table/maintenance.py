@@ -1065,19 +1065,53 @@ def zorder(
     )
 
     n_cells = 1 << bits
+
+    def _numeric_view(c):
+        # any MONOTONIC map into double works for width_bucket cells —
+        # min/max are computed under the same map (r10: timestamps/dates
+        # cluster too; NTZ has no direct double cast, so it routes through
+        # a timestamp cast — session TZ pinned, and a constant tz shift is
+        # still monotonic)
+        from pyspark.sql import types as T
+
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+            return F.col(c).cast("timestamp").cast("double")
+        if isinstance(
+            dt,
+            (
+                T.TimestampType,
+                T.LongType,
+                T.IntegerType,
+                T.ShortType,
+                T.ByteType,
+                T.DoubleType,
+                T.FloatType,
+                T.DecimalType,
+                T.BooleanType,
+            ),
+        ):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder: column {c!r} of type {dt.simpleString()} has no "
+            "monotonic numeric view — cluster on numeric/timestamp/date "
+            "columns (use sort-order compaction for strings)"
+        )
+
+    nviews = {c: _numeric_view(c) for c in cols}
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        aggs += [F.min(nviews[c]).alias(f"_lo_{c}"), F.max(nviews[c]).alias(f"_hi_{c}")]
     stats = df.agg(*aggs).first()
 
     cell_cols = []
     for c in cols:
         lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
-        if lo is None or hi is None or lo == hi:
+        if lo is None or hi is None or lo == hi or lo != lo or hi != hi:
             cell = F.lit(0)
         else:
             cell = (
-                F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_cells))
+                F.width_bucket(nviews[c], F.lit(float(lo)), F.lit(float(hi)), F.lit(n_cells))
                 - 1
             )
             cell = F.greatest(F.lit(0), F.least(cell, F.lit(n_cells - 1))).cast("long")
