@@ -832,7 +832,17 @@ class Engine:
         # pipeline pays O(n²) metadata bytes over its lifetime. The head
         # always carries the freshest refresh-state, so expiring old
         # storage snapshots never loses the anchor; orphaned data files
-        # reclaim via remove_orphan_files/VACUUM.
+        # reclaim via remove_orphan_files/VACUUM. A CDC follower OF THE
+        # STORAGE table must stay within write.mv.keep-snapshots commits of
+        # the head — falling below the retained window fails loudly with
+        # the changelog's resync error, never a silent skip (r10); set
+        # write.mv.auto-expire=false on the storage to disable expiry for
+        # long-lagging followers (ADVICE r9 #4).
+        if str(md.properties.get("write.mv.auto-expire", "true")).lower() in (
+            "false",
+            "0",
+        ):
+            return True
         keep = int(md.properties.get("write.mv.keep-snapshots", 32))
         if len(storage.metadata.snapshots) > 2 * keep:
             from iceberg_rust_custom_spark.table.maintenance import expire_snapshots

@@ -57,8 +57,29 @@ def changelog_segments(
 
     Raises ValueError on a genuine file-set replacement (CoW row-level op,
     dynamic overwrite) in range, or when a destructive (history-erasing)
-    rewrite hides part of the range."""
-    in_range = [s for s in metadata.snapshots.values() if lo < s.sequence_number <= hi]
+    rewrite or snapshot expiry hides part of the range.
+
+    Only snapshots on the REF'S OWN ANCESTRY (parent chain from the head)
+    participate (r10, ADVICE r9 #1): a commit on another branch neither
+    contributes events to this ref's changelog nor — critically — splits
+    the range: a lineage-preserved rewrite committed off-ancestry would
+    otherwise anchor segments at its (off-ancestry) parent and silently
+    drop main-branch events."""
+    if hi <= lo:
+        return []
+    ancestry: list[Snapshot] = []
+    truncated = False  # the parent chain dangles into expired history
+    s = metadata.snapshot_for_ref()
+    while s is not None:
+        ancestry.append(s)
+        if s.parent_snapshot_id is None:
+            break
+        nxt = metadata.snapshots.get(s.parent_snapshot_id)
+        if nxt is None:
+            truncated = True
+            break
+        s = nxt
+    in_range = [s for s in ancestry if lo < s.sequence_number <= hi]
     for s in in_range:
         if not _replayable_commit(s) and not _transparent_rewrite(s):
             raise ValueError(
@@ -66,16 +87,20 @@ def changelog_segments(
                 "file-set replacement — row-level changelog is only defined "
                 "across append/delete-shaped commits"
             )
-    if hi <= lo:
-        return []
-    # anchor = state at hi: walk main's ancestry down to seq <= hi
-    anchor = metadata.snapshot_for_ref()
-    while anchor is not None and anchor.sequence_number > hi:
-        anchor = (
-            metadata.snapshots.get(anchor.parent_snapshot_id)
-            if anchor.parent_snapshot_id is not None
-            else None
+    # expiry guard: the oldest retained ancestor has sequence S; a dangling
+    # parent pointer means ancestors with sequence < S were expired. Any of
+    # them could have sequence > lo (commit sequences are global, so the
+    # gap's exact contents are unknowable) — replaying would silently skip
+    # those events, so a range reaching below S-1 must fail loudly instead
+    if truncated and ancestry and lo < ancestry[-1].sequence_number - 1:
+        raise ValueError(
+            f"history below sequence {ancestry[-1].sequence_number} was "
+            f"expired or erased — a changelog range starting at {lo} may "
+            "skip erased events; this range must start at or after sequence "
+            f"{ancestry[-1].sequence_number - 1}"
         )
+    # anchor = state at hi: walk the ancestry down to seq <= hi
+    anchor = next((s for s in ancestry if s.sequence_number <= hi), None)
     if anchor is None:
         if in_range:
             raise ValueError(
@@ -105,8 +130,7 @@ def changelog_segments(
             # skip is still sound iff the range holds nothing below it
             # (the common caught-up-stream case: lo == rewrite_seq - 1)
             if r.sequence_number - 1 > lo or any(
-                lo < s.sequence_number < r.sequence_number
-                for s in metadata.snapshots.values()
+                lo < s.sequence_number < r.sequence_number for s in ancestry
             ):
                 raise ValueError(
                     f"rewrite snapshot {r.snapshot_id} erased pre-rewrite "

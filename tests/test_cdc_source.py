@@ -418,6 +418,10 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.integers(0, 0)),
     st.tuples(st.just("zorder"), st.integers(0, 0)),
     st.tuples(st.just("consolidate"), st.integers(0, 0)),
+    # r10: snapshot expiry mid-sequence — the feed must either still
+    # value-match changes() or BOTH must refuse loudly (never a silent
+    # skip of erased events)
+    st.tuples(st.just("expire"), st.integers(2, 4)),
 )
 
 
@@ -475,8 +479,21 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
             )
 
             t = rewrite_position_deletes(t)
+        elif op[0] == "expire":
+            from iceberg_rust_custom_spark.table.maintenance import expire_snapshots
+
+            t = expire_snapshots(t, keep_last=op[1])
+    try:
+        want = t.changes(0)
+    except ValueError:
+        # expired history below the range start: the feed must refuse with
+        # the same contract (resync error), never silently skip events
+        with pytest.raises(Exception, match="expired|erased|fresh stream"):
+            _feed(spark, eng, "fz.feed").collect()
+        eng.drop("fz.feed")
+        return
     feed = _feed(spark, eng, "fz.feed").drop("_commit_seq")
-    want = t.changes(0).select(*feed.columns)
+    want = want.select(*feed.columns)
     assert feed.exceptAll(want).count() == 0, "feed has rows changes() lacks"
     assert want.exceptAll(feed).count() == 0, "changes() has rows feed lacks"
     # r9: the lineage feed + commit-scoped pairing must match the batch

@@ -1,0 +1,136 @@
+"""r10: the changelog's expiry and branch-ancestry contracts.
+
+1. VERDICT r9 missing #3: expiring source snapshots past a follower's
+   checkpointed offset must make the next read FAIL LOUDLY (the resync
+   error) — never silently skip the erased events. An expired in-range
+   commit could have been a rewrite whose pre-image files are gone; the
+   planner cannot know, so it refuses.
+2. ADVICE r9 #1: only snapshots on the ref's own ancestry participate in
+   ``changelog_segments`` — a lineage-preserved rewrite committed on a
+   NON-MAIN branch previously split the range and re-anchored segments at
+   its off-ancestry parent, silently dropping main-branch events.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.streaming.cdc_source import register_cdc_source
+from iceberg_rust_custom_spark.table.maintenance import delete_where, expire_snapshots
+from iceberg_rust_custom_spark.table.table import changelog_segments
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _rows(spark, n=20, base=0):
+    return spark.range(n).select(
+        (F.col("id") + base).alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def test_expiry_past_follower_offset_fails_loudly(eng, spark):
+    t = eng.create_table("e.t", _rows(spark).schema)
+    for i in range(5):
+        t.append(_rows(spark, 10, base=i * 100))
+    expire_snapshots(t, keep_last=2)
+    assert len(t.metadata.snapshots) == 2
+    # offset 0 predates the retained window: loud refusal, not a skip
+    with pytest.raises(ValueError, match="expired"):
+        t.changes(0)
+    # the streaming feed surfaces the same refusal with the resync hint
+    fmt = register_cdc_source(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("warehouse", eng.catalog.warehouse)
+        .option("table", "e.t")
+        .load()
+    )
+    with pytest.raises(Exception, match="expired|fresh stream"):
+        feed.collect()
+
+
+def test_changes_within_retained_window_still_replay(eng, spark):
+    """A follower whose offset is at (or above) the oldest retained
+    ancestor's predecessor keeps working after expiry."""
+    t = eng.create_table("e.t2", _rows(spark).schema)
+    for i in range(5):
+        t.append(_rows(spark, 10, base=i * 100))
+    delete_where(t, "k = 400", mode="merge-on-read")  # seq 6
+    expire_snapshots(t, keep_last=3)
+    oldest = min(s.sequence_number for s in t.metadata.snapshots.values())
+    got = t.changes(oldest - 1)
+    # keep_last=3 retains seqs 4..6: two appends (20 inserts) + the delete
+    assert got.where("_change_type = 'insert'").count() == 20
+    assert got.where("_change_type = 'delete'").count() == 1
+
+
+def test_branch_rewrite_does_not_drop_main_events(eng, spark):
+    """ADVICE r9 #1: a lineage-preserved rewrite on a side branch must not
+    split/re-anchor the MAIN changelog (previously it anchored a segment at
+    its off-ancestry parent — main events past the branch point vanished)."""
+    t = eng.create_table("e.b", _rows(spark).schema)
+    t.append(_rows(spark, 10))            # main seq 1
+    t.append(_rows(spark, 10, base=100))  # main seq 2
+    # a transparent-rewrite-shaped commit on a branch forked from head;
+    # its parent is main seq 2, but a branch rewrite at seq 3 with parent
+    # seq 1 is the advice's exact shape — fork the branch at seq 1 first
+    head = t.metadata.snapshot_for_ref()
+    first = next(
+        s for s in t.metadata.snapshots.values() if s.sequence_number == 1
+    )
+    t.metadata = (
+        t.new_transaction().set_ref("dev", first.snapshot_id).commit()
+    )
+    t.append(
+        _rows(spark, 5, base=500),
+        branch="dev",
+        summary={"rewritten": "true", "lineage-preserved": "true"},
+    )  # seq 3, parent = seq 1, off-main
+    md = t.metadata
+    assert md.snapshot_for_ref().snapshot_id == head.snapshot_id  # main intact
+    segs = changelog_segments(md, 0, md.last_sequence_number)
+    # ONE segment covering everything, anchored on main's head
+    assert len(segs) == 1
+    lo, hi, anchor = segs[0]
+    assert (lo, hi) == (0, md.last_sequence_number)
+    assert anchor.snapshot_id == head.snapshot_id
+    # and the changelog carries BOTH main appends (20 inserts)
+    assert t.changes(0).count() == 20
+
+
+def test_branch_cow_replacement_does_not_poison_main_changelog(eng, spark):
+    """A CoW-shaped replacement on a side branch is equally invisible to
+    main's changelog (previously it raised for main followers too)."""
+    t = eng.create_table("e.b2", _rows(spark).schema)
+    t.append(_rows(spark, 10))
+    t.append(
+        _rows(spark, 5, base=500),
+        branch="dev",
+        summary={"rewritten": "true"},  # net-change replacement marker
+    )
+    assert t.changes(0).count() == 10  # main replays fine
+
+
+def test_mv_storage_auto_expiry_optout(eng, spark):
+    """ADVICE r9 #4: write.mv.auto-expire=false keeps every storage
+    snapshot for long-lagging storage followers."""
+    t = eng.create_table("e.src", _rows(spark).schema)
+    t.append(_rows(spark, 30))
+    eng.create_materialized_view("e.mv", "SELECT k, v FROM e.src WHERE k % 2 = 0")
+    storage = eng.load_table("e.mv__storage")
+    storage.metadata = storage.new_transaction().set_properties(
+        {"write.mv.keep-snapshots": "2", "write.mv.auto-expire": "false"}
+    ).commit()
+    for i in range(8):
+        delete_where(t, f"k = {2 * i}", mode="merge-on-read")
+        eng.refresh_materialized_view("e.mv")
+    storage = eng.load_table("e.mv__storage")
+    # 2x keep-snapshots = 4 would have triggered expiry; opt-out keeps all
+    assert len(storage.metadata.snapshots) > 4
+    got = sorted(r.k for r in eng.scan_materialized_view("e.mv").collect())
+    assert got == sorted(
+        r.k for r in eng.sql("SELECT k FROM e.src WHERE k % 2 = 0").collect()
+    )
