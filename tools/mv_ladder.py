@@ -1,0 +1,151 @@
+"""MV delta-refresh scale ladder (VERDICT r9 next-round #3).
+
+The r9 delta-sized MV storage commits (engine._commit_storage_delta) claim
+refresh cost proportional to the DELTA, not the storage. This ladder
+measures that claim directly: a FIXED-size source change (100-row MoR
+delete + 100-row append) against an MV whose storage grows 10× per rung,
+recording per rung:
+
+* ``refresh_wall_s`` — median wall time of a delta refresh,
+* ``bytes_written`` — bytes of storage files ADDED by one refresh commit
+  (data + delete files; must track the delta, not the storage),
+* ``files_written`` — added file count,
+* ``scan_clean_s`` / ``scan_tombstoned_s`` — storage scan wall with zero
+  MoR tombstones vs just under the consolidation threshold
+  (``write.mv.delete-file-threshold``) — the read-amplification the MoR
+  storage pays between consolidations, which must be a bounded constant,
+  not storage-proportional.
+
+Pass criteria: refresh wall and bytes written stay ~flat as storage grows
+10×/100× (delta-proportional, storage-independent); tombstoned-scan
+overhead stays bounded by the consolidation threshold.
+
+Usage: python tools/mv_ladder.py [rungs ...]   (default: 10000 100000 1000000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _storage_file_sizes(storage) -> dict[str, int]:
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+    md = storage.metadata
+    snap = md.snapshot_for_ref()
+    out: dict[str, int] = {}
+    for f in plan_files(md, snap):
+        out[f.file_path] = f.file_size_in_bytes
+    for e in plan_delete_files(md, snap):
+        out[e.data_file.file_path] = e.data_file.file_size_in_bytes
+    return out
+
+
+def run_rung(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        src = eng.create_table(
+            "lad.src",
+            spark.range(1).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            ).schema,
+        )
+        src.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+        eng.create_materialized_view("lad.mv", "SELECT k, v FROM lad.src WHERE k % 10 <> 3")
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            # fixed-size delta regardless of storage size: 100 deletes + 100 inserts
+            lo = i * 100
+            delete_where(src, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            src.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"), (F.col("id") * 1.0).alias("v")
+                )
+            )
+            next_k += 100
+            storage = eng.load_table("lad.mv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.mv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.mv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor.startswith("incremental"), flavor
+            # delta commits must never rewrite a pre-existing storage file
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        # read-amplification: clean scan vs tombstone-carrying scan
+        storage = eng.load_table("lad.mv__storage")
+        from iceberg_rust_custom_spark.table.scan import plan_delete_files
+
+        n_tomb = len(
+            plan_delete_files(storage.metadata, storage.metadata.snapshot_for_ref())
+        )
+        t0 = time.perf_counter()
+        n_dirty = storage.scan().count()
+        scan_tomb = time.perf_counter() - t0
+        from iceberg_rust_custom_spark.table.maintenance import compact
+
+        compact(storage)
+        storage = eng.load_table("lad.mv__storage")
+        t0 = time.perf_counter()
+        n_clean = storage.scan().count()
+        scan_clean = time.perf_counter() - t0
+        assert n_dirty == n_clean
+        # correctness anchor: MV content == view query
+        want = (
+            f"incremental refreshes kept exact content"
+            if n_dirty
+            == eng.sql("SELECT count(*) c FROM lad.src WHERE k % 10 <> 3").first().c
+            else "MISMATCH"
+        )
+        assert want != "MISMATCH"
+        return {
+            "rows": n_rows,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "tombstone_files_at_scan": n_tomb,
+            "scan_tombstoned_s": round(scan_tomb, 3),
+            "scan_clean_s": round(scan_clean, 3),
+            "storage_rows": n_clean,
+        }
+    finally:
+        eng.drop("lad.mv")
+        eng.drop("lad.src")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main():
+    rungs = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    from iceberg_rust_custom_spark.session import get_spark
+
+    spark = get_spark("mv_ladder")
+    for n in rungs:
+        print(json.dumps(run_rung(spark, n)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
