@@ -219,3 +219,114 @@ def test_export_mor_table_with_delete_manifests(spark, tmp_path, sf_dir):
     assert t2.scan("id = 5").count() == 0  # equality delete applied
     assert t2.scan("id = 95").count() == 0  # position delete applied
     assert t2.scan("id = 50").count() == 1
+
+
+def test_export_import_eq_delete_key_bounds_and_lineage_marker(spark, tmp_path):
+    """r10 (VERDICT r9 item 7): the r9 surface survives the spec-v2
+    round-trip both directions —
+    (a) multi-part content=2 equality-delete files export with per-file
+        KEY BOUNDS + equality_ids (JVM-Avro cross-read), and the import
+        preserves them so bounds-based victim pruning still works;
+    (b) a lineage-preserved=true rewrite snapshot exports with its summary
+        intact, and OUR reader honors the marker on the imported table
+        (caught-up changelog range across it replays as zero events)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.table.maintenance import delete_by_key, zorder
+    from iceberg_rust_custom_spark.table.scan import (
+        data_file_sequence_numbers,
+        eq_victim_candidates,
+        plan_delete_files,
+        plan_files,
+    )
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t = eng.create_table(
+        "ns.r9",
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+        ),
+        properties={"write.eq-delete.target-rows": "100"},
+    )
+    for i in range(5):  # disjoint key ranges per file: prunable layout
+        t.append(
+            spark.range(100).coalesce(1).select(
+                (F.col("id") + i * 100).alias("k"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+    t = zorder(t, ["k"])  # lineage-preserved rewrite; ≥2 range-disjoint files
+    rewrite_snap = t.metadata.snapshot_for_ref()
+    assert rewrite_snap.summary.get("lineage-preserved") == "true"
+    t = delete_by_key(t, list(range(0, 250)), key_cols=["k"])  # multi-part Δ⁻
+    assert t.scan().count() == 250
+
+    # ---- (a) head export: eq-delete entries carry key bounds -------------
+    md_path = eng.export_table("ns.r9", str(tmp_path / "exp_r9"))
+    exp_dir = os.path.dirname(os.path.dirname(md_path))
+    (ml,) = glob.glob(exp_dir + "/metadata/snap-*.avro")
+    _, _, ml_rows = read_ocf(ml)
+    del_manifests = [r for r in ml_rows if r["content"] == 1]
+    assert del_manifests
+    eq_entries = []
+    for r in del_manifests:
+        _, meta, entries = read_ocf(r["manifest_path"])
+        eq_entries += [e for e in entries if e["data_file"]["content"] == 2]
+    assert len(eq_entries) >= 2  # multi-part delete survived export
+    kid = t.metadata.current_schema().field_by_name("k").field_id
+    for e in eq_entries:
+        d = e["data_file"]
+        assert d["equality_ids"] == [kid]
+        lows = {kv["key"]: kv["value"] for kv in d["lower_bounds"]}
+        ups = {kv["key"]: kv["value"] for kv in d["upper_bounds"]}
+        assert kid in lows and kid in ups
+        assert deserialize_single_value(lows[kid], "long") <= deserialize_single_value(
+            ups[kid], "long"
+        )
+    # independent implementation: JVM Avro decodes the same bounds
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(del_manifests[0]["manifest_path"]),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    saw_eq = False
+    while rdr.hasNext():
+        e = rdr.next()
+        d = e.get("data_file")
+        if d.get("content") == 2:
+            saw_eq = True
+            assert d.get("equality_ids") is not None
+            assert d.get("lower_bounds") is not None
+    assert saw_eq
+
+    # ---- import direction: bounds + pruning survive -----------------------
+    t2 = eng.import_table("ns.r9_imported", md_path)
+    assert t2.scan().count() == 250
+    assert t2.scan("k = 10").count() == 0 and t2.scan("k = 300").count() == 1
+    md2 = t2.metadata
+    snap2 = md2.snapshot_for_ref()
+    eqs2 = [e for e in plan_delete_files(md2, snap2) if e.data_file.content == 2]
+    assert len(eqs2) >= 2
+    for e in eqs2:
+        assert "k" in e.data_file.lower_bounds and "k" in e.data_file.upper_bounds
+    files2 = plan_files(md2, snap2)
+    # per delete entry the candidates are bounds-pruned: a delete whose key
+    # range covers [0,250) cannot touch a data file bounded in [250,500)
+    # (the compacted layout is key-clustered, so at least one file prunes)
+    cand = eq_victim_candidates(
+        files2, eqs2, md2.current_schema(), data_file_sequence_numbers(md2, snap2)
+    )
+    assert 0 < len(cand) < len(files2)  # bounds pruned
+
+    # ---- (b) lineage-preserved rewrite snapshot round-trips ---------------
+    md_path_rw = eng.export_table(
+        "ns.r9", str(tmp_path / "exp_rw"), snapshot_id=rewrite_snap.snapshot_id
+    )
+    t3 = eng.import_table("ns.r9_rw_imported", md_path_rw)
+    snap3 = t3.metadata.snapshot_for_ref()
+    assert snap3.summary.get("lineage-preserved") == "true"
+    assert snap3.summary.get("rewritten") == "true"
+    assert t3.scan().count() == 500  # pre-delete state
+    # our changelog honors the marker on the FOREIGN-read table: a
+    # caught-up range across the rewrite replays as zero events
+    assert t3.changes(snap3.sequence_number - 1).count() == 0
