@@ -115,6 +115,10 @@ HEADLINE = [
     "iceberg_mv_delta_storage",
     "iceberg_timestamp_ns_lossless",
     "iceberg_cdc_variant_feed",
+    # round 10
+    "iceberg_cdc_geo_feed",
+    "iceberg_eq_delete_multipart",
+    "iceberg_expiry_safe_changelog",
 ]
 
 
