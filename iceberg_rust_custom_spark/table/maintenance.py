@@ -354,11 +354,21 @@ def delete_where(table: Table, predicate, mode: str | None = None) -> Table:
 def _write_position_deletes(table: Table, hits) -> list:
     """Write a (file_path, pos) DataFrame as position deletes and return
     the content=1 DataFile entries. Format is the table's
-    ``write.delete.format``: ``parquet`` (default — one sorted tombstone
-    file, scan-side broadcast anti-join) or ``dv`` (v3-style deletion
+    ``write.delete.format``: ``parquet`` (default — sorted tombstone
+    files, scan-side broadcast anti-join) or ``dv`` (v3-style deletion
     vectors: one roaring bitmap blob per referenced file in a Puffin
-    container — table/deletion_vectors.py)."""
+    container — table/deletion_vectors.py).
+
+    Like the equality-delete writer (r10), the tombstone set is NOT
+    funneled through one task: small sets — the common case — still
+    produce exactly one file, while sets past ``write.delete.target-rows``
+    (default 4M) RANGE-partition on (file_path, pos), so each output file
+    covers a disjoint, spec-sorted slice (a 100M-row MoR DELETE previously
+    serialized one multi-GB write through one core)."""
+    import math as _math
+
     import pyarrow.parquet as _pq
+    from pyspark import StorageLevel as _SL
 
     from iceberg_rust_custom_spark.metadata.manifest import DataFile
 
@@ -368,7 +378,21 @@ def _write_position_deletes(table: Table, hits) -> list:
 
         return write_deletion_vectors(table, hits)
     out_dir = os.path.join(md.location, "data", "pos-deletes-" + _uuid.uuid4().hex[:12])
-    hits.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
+    target_rows = int(md.properties.get("write.delete.target-rows", 4_000_000))
+    hits = hits.persist(_SL.MEMORY_AND_DISK)
+    try:
+        n = hits.count()
+        if n == 0:
+            return []
+        parts = max(1, _math.ceil(n / max(1, target_rows)))
+        out = (
+            hits.coalesce(1)
+            if parts == 1
+            else hits.repartitionByRange(parts, "file_path", "pos")
+        )
+        out.sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
+    finally:
+        hits.unpersist()
     files = []
     for name in sorted(os.listdir(out_dir)):
         if not name.endswith(".parquet"):

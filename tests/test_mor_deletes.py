@@ -733,3 +733,53 @@ def test_row_level_ops_resolve_renamed_columns_by_field_id(eng, spark, t):
     merge_upsert(t, src, ["key"], mode="copy-on-write")
     assert t.scan().where("key = 21").first().v == -1.0
     assert t.scan().count() == 90
+
+
+def test_large_tombstone_set_is_not_funneled(eng, spark):
+    """r10: a MoR delete whose tombstone set exceeds
+    write.delete.target-rows range-partitions on (file_path, pos) and
+    emits one spec-sorted content=1 file per part — never one giant
+    single-task write; small deletes still produce exactly one file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    eng.sql(
+        "CREATE TABLE ns.big (id BIGINT, v DOUBLE) STORED AS ICEBERG "
+        "TBLPROPERTIES ('write.delete.target-rows'='200')"
+    )
+    t = eng.load_table("ns.big")
+    for i in range(4):
+        t.append(
+            spark.range(250).coalesce(1).select(
+                (F.col("id") + i * 250).alias("id"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+    delete_where(t, "id < 600", mode="merge-on-read")
+    dels = [
+        e.data_file
+        for e in plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+        if e.data_file.content == 1
+    ]
+    assert len(dels) >= 2  # 600 tombstones / 200 target → ~3 parts
+    assert sum(d.record_count for d in dels) == 600
+    # each part is spec-sorted by (file_path, pos) and parts are disjoint
+    slices = []
+    for d in dels:
+        tb = pq.read_table(d.file_path, columns=["file_path", "pos"])
+        pairs = list(zip(tb.column("file_path").to_pylist(), tb.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)
+        slices.append((pairs[0], pairs[-1]))
+    slices.sort()
+    for (_, hi1), (lo2, _) in zip(slices, slices[1:]):
+        assert hi1 < lo2
+    # correctness unchanged: scan and changelog agree with the predicate
+    assert sorted(r.id for r in t.scan().collect()) == list(range(600, 1000))
+    assert t.changes(0).where("_change_type = 'delete'").count() == 600
+    # the common case still writes exactly one tombstone file
+    delete_where(t, "id IN (700, 800)", mode="merge-on-read")
+    dels2 = [
+        e.data_file
+        for e in plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())
+        if e.data_file.content == 1
+    ]
+    assert len(dels2) == len(dels) + 1
