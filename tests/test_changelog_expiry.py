@@ -134,3 +134,23 @@ def test_mv_storage_auto_expiry_optout(eng, spark):
     assert got == sorted(
         r.k for r in eng.sql("SELECT k FROM e.src WHERE k % 2 = 0").collect()
     )
+
+
+def test_mv_storage_is_cdc_followable_within_window(eng, spark):
+    """A downstream consumer can follow the MV STORAGE table itself: delta
+    refresh commits are MoR-shaped (overwrite without the rewritten
+    marker), so the changelog replays them; within write.mv.keep-snapshots
+    the feed survives auto-expiry."""
+    t = eng.create_table("e.fsrc", _rows(spark).schema)
+    t.append(_rows(spark, 20))
+    eng.create_materialized_view("e.fmv", "SELECT k, v FROM e.fsrc WHERE k % 2 = 0")
+    storage = eng.load_table("e.fmv__storage")
+    base = storage.metadata.last_sequence_number
+    delete_where(t, "k = 4", mode="merge-on-read")
+    t.append(_rows(spark, 2, base=100))
+    assert eng.refresh_materialized_view("e.fmv") == "incremental-changelog"
+    storage = eng.load_table("e.fmv__storage")
+    ch = storage.changes(base)
+    ins = sorted(r.k for r in ch.where("_change_type = 'insert'").collect())
+    dels = sorted(r.k for r in ch.where("_change_type = 'delete'").collect())
+    assert dels == [4] and ins == [100]
