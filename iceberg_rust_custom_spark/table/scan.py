@@ -623,6 +623,27 @@ def scan_to_dataframe(
         bad = [c for c in metadata_columns if c not in _META_COLS]
         if bad:
             raise ValueError(f"unknown metadata columns {bad}; supported: {list(_META_COLS)}")
+    # scan-side eq-delete pruning (r10): drop delete files whose key bounds
+    # are provably disjoint from EVERY planned (possibly predicate-pruned)
+    # data file — a point-lookup on a MoR table then skips the anti-joins
+    # entirely instead of paying one per live tombstone. Cost is a driver-
+    # side bounds matrix, capped so a 100k-file × 100-delete plan never
+    # stalls planning (past the cap the joins stay, correctness unchanged).
+    eq_entries_all = [e for e in deletes if e.data_file.content == 2]
+    if eq_entries_all and files and len(eq_entries_all) * len(files) <= 2_000_000:
+        seqs_prune = data_file_sequence_numbers(
+            metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
+        )
+        eq_entries_all = [
+            e
+            for e in eq_entries_all
+            if any(
+                e.sequence_number > seqs_prune.get(f.file_path, 0)
+                and eq_delete_can_touch(f, e.data_file, schema, metadata.schemas)
+                for f in files
+            )
+        ]
+        deletes = [e for e in deletes if e.data_file.content != 2] + eq_entries_all
     lineage = (bool(deletes) or row_lineage or bool(metadata_columns)) and bool(files)
     if not files:
         if metadata_columns:

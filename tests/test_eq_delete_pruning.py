@@ -231,3 +231,21 @@ def test_small_delete_key_set_stays_one_file(eng, spark, t):
         if e.data_file.content == 2
     ]
     assert len(eqs) == 1
+
+
+def test_scan_skips_nonintersecting_eq_deletes(eng, spark, t):
+    """r10: scan-side application also bounds-prunes — a predicate-pruned
+    scan whose planned files are all provably disjoint from a delete's key
+    bounds pays NO eq-delete anti-join at all (point lookups on MoR tables
+    previously joined every live tombstone)."""
+    t2 = delete_by_key(t, [250, 260], key_cols=["k"])
+    # scan restricted to the [500,600) file: delete bounds [250,260] are
+    # provably disjoint — the plan must carry no eq-delete join columns
+    df = t2.scan("k >= 500 AND k < 600")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "_sg_k_" not in plan and "_sg_eseq" not in plan
+    assert df.count() == 100
+    # a scan covering the victim range still applies the delete
+    hit = t2.scan("k >= 200 AND k < 300")
+    assert hit.count() == 98
+    assert "_sg_eseq" in hit._jdf.queryExecution().analyzed().toString()
