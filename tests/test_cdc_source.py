@@ -444,7 +444,16 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
 
     tmp = tmp_path_factory.mktemp("cdcfuzz")
     eng = Engine(spark, warehouse=str(tmp / "wh"))
-    t = eng.create_table("fz.feed", _orders(spark).schema)
+    t = eng.create_table(
+        "fz.feed",
+        _orders(spark).schema,
+        # tiny delete-file row targets: the differential fuzz replays feeds
+        # over multi-part tombstone and eq-delete files (r10 writers)
+        properties={
+            "write.delete.target-rows": "7",
+            "write.eq-delete.target-rows": "2",
+        },
+    )
     t.append(_orders(spark, 20))
     next_k = [100]
     for op in ops:

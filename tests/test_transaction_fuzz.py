@@ -78,7 +78,17 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
     eng = Engine(spark, warehouse=str(tmp / "wh"))
     # both metadata formats (native parquet manifests and live spec-v2
     # Avro) must agree with the model through every op sequence
-    t = eng.create_table("fz.t", SCH, properties={"write.metadata.format": fmt})
+    t = eng.create_table(
+        "fz.t",
+        SCH,
+        # tiny delete-file row targets: every random op sequence exercises
+        # the r10 multi-part tombstone / eq-delete-key writers
+        properties={
+            "write.metadata.format": fmt,
+            "write.delete.target-rows": "5",
+            "write.eq-delete.target-rows": "3",
+        },
+    )
     model: dict[int, tuple[int, int]] = {}  # id -> (k, v)
     seen_rid: dict[int, int] = {}  # model id -> its v3 _row_id at first sight
     next_id = 0
