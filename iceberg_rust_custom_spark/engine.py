@@ -396,7 +396,8 @@ class Engine:
             import pyspark.sql.types as _T
 
             new_schema = self.sql(sql).schema
-            if self._mv_lineage_sql(sql):
+            lineage = self._mv_lineage_sql(sql) is not None
+            if lineage:
                 new_schema = _T.StructType(
                     list(new_schema.fields)
                     + [_T.StructField(_INC.SRC_ROW_ID, _T.LongType(), True)]
@@ -404,7 +405,13 @@ class Engine:
             storage = self.load_table(md.storage_table)
             if storage.metadata.current_schema().spark_schema() != new_schema:
                 self.drop(md.storage_table)
-                self.create_table(md.storage_table, Schema.from_spark(new_schema))
+                # same rid clustering as create_materialized_view (r10)
+                self.create_table(
+                    md.storage_table,
+                    Schema.from_spark(new_schema),
+                    sort_by=[_INC.SRC_ROW_ID] if lineage else None,
+                    properties={"write.distribution-mode": "range"} if lineage else None,
+                )
         self._swap_view_metadata(ident, location, md, catalog)
         return View(name, md)
 
@@ -415,6 +422,7 @@ class Engine:
         catalog, ident = self.resolve(name)
         storage_name = name + "__storage"
         result_schema = self.sql(sql).schema
+        sort_by, props = None, None
         if self._mv_lineage_sql(sql):
             # single-table SPJ: storage rows remember their source row's v3
             # _row_id (hidden column, dropped by scan_materialized_view) so
@@ -428,7 +436,20 @@ class Engine:
                 list(result_schema.fields)
                 + [_T.StructField(SRC_ROW_ID, _T.LongType(), True)]
             )
-        self.create_table(storage_name, Schema.from_spark(result_schema))
+            # cluster the storage by the hidden row id (r10): range
+            # distribution gives every storage file a DISJOINT rid range
+            # with tight footer bounds, so each delta refresh's Δ⁻ (keyed
+            # on rids) bounds-prunes to the few intersecting files in
+            # victim planning AND at scan time — instead of anti-joining
+            # the whole storage per tombstone file
+            sort_by = [SRC_ROW_ID]
+            props = {"write.distribution-mode": "range"}
+        self.create_table(
+            storage_name,
+            Schema.from_spark(result_schema),
+            sort_by=sort_by,
+            properties=props,
+        )
         location = self._view_location(ident)
         md = ViewMetadata.new(location, sql, storage_table=storage_name)
         path = os.path.join(location, "metadata", f"view-v{_uuid.uuid4().hex[:12]}.json")

@@ -1162,7 +1162,9 @@ def zorder(
         .drop("_z")
     )
     data_dir = os.path.join(md.location, "data", "zorder-" + _uuid.uuid4().hex[:12])
-    new_files = write_partitioned(clustered, md, data_dir)
+    # keep_layout: the Morton clustering IS the layout — the table's own
+    # distribution-mode/sort-order must not re-shuffle it away (r10)
+    new_files = write_partitioned(clustered, md, data_dir, keep_layout=True)
     table.metadata = (
         table.new_transaction()
         # a clustering rewrite has zero net row change → changelog-transparent

@@ -263,8 +263,14 @@ def write_partitioned(
     metadata: TableMetadata,
     data_dir: str,
     branch_hint: str = "main",
+    keep_layout: bool = False,
 ) -> list[DataFile]:
-    """Run the distributed write job; return DataFile records with stats."""
+    """Run the distributed write job; return DataFile records with stats.
+
+    ``keep_layout=True`` skips the table's distribution-mode shuffle and
+    sort-order re-sort: the caller has already clustered ``df`` itself
+    (zorder's Morton layout — re-shuffling by the table's sort order here
+    would silently undo the operator, r10)."""
     schema = metadata.current_schema()
     df = _align_to_schema(df, schema.spark_schema(), iceberg_schema=schema)
     # v3 variant columns: physical storage is JSON text (see
@@ -315,6 +321,8 @@ def write_partitioned(
     dist = metadata.properties.get(
         "write.distribution-mode", "hash" if pnames else "none"
     )
+    if keep_layout:
+        dist, order_cols = "none", []
     if dist == "range":
         range_cols = [F.col(p) for p in pnames] + order_cols
         if range_cols:

@@ -455,7 +455,9 @@ def test_time_keyed_multiset_storage_read_is_range_pruned(eng, spark):
     # SELECT * shape → multiset fallback path (no hidden row-id keying)
     eng.create_materialized_view("m.tsmv", "SELECT ts, v FROM m.ts_src")
     storage = eng.load_table("m.tsmv__storage")
-    zorder(storage, ["ts"])
+    # tiny target size: several ts-disjoint files even at toy scale (the
+    # rid-clustered storage would otherwise coalesce to one file here)
+    zorder(storage, ["ts"], target_file_size_bytes=4096)
     storage = eng.load_table("m.tsmv__storage")
     full = storage.count_planned_files()
     pruned = storage.count_planned_files(
@@ -467,3 +469,59 @@ def test_time_keyed_multiset_storage_read_is_range_pruned(eng, spark):
     got = eng.scan_materialized_view("m.tsmv").count()
     want = src.scan().count()
     assert got == want == 500 - 31
+
+
+def test_spj_storage_is_rid_clustered_and_prunable(eng, spark):
+    """r10: SPJ MV storage is written range-distributed on the hidden
+    source-row-id, so every storage file carries a disjoint rid range with
+    tight footer bounds — each delta refresh's Δ⁻ (eq deletes keyed on
+    rids) then bounds-prunes to the few intersecting files instead of
+    anti-joining the whole storage."""
+    from iceberg_rust_custom_spark.table.scan import (
+        data_file_sequence_numbers,
+        eq_victim_candidates,
+        plan_delete_files,
+        plan_files,
+    )
+    from iceberg_rust_custom_spark.views.incremental import SRC_ROW_ID
+
+    src = eng.create_table("m.ridsrc", _rows(spark).schema)
+    src.append(_rows(spark, 20000))
+    eng.create_materialized_view("m.ridmv", "SELECT k, v FROM m.ridsrc WHERE k % 10 <> 3")
+    storage = eng.load_table("m.ridmv__storage")
+    # force several files: tiny target size, then rewrite under the
+    # table's own (range) distribution
+    storage.metadata = storage.new_transaction().set_properties(
+        {"write.target-file-size-bytes": "65536"}
+    ).commit()
+    from iceberg_rust_custom_spark.table.maintenance import compact, delete_where
+
+    compact(storage)
+    storage = eng.load_table("m.ridmv__storage")
+    files = plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+    bounded = [
+        f for f in files if SRC_ROW_ID in f.lower_bounds and SRC_ROW_ID in f.upper_bounds
+    ]
+    assert len(bounded) >= 2
+    ranges = sorted((f.lower_bounds[SRC_ROW_ID], f.upper_bounds[SRC_ROW_ID]) for f in bounded)
+    for (_, h1), (l2, _) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # disjoint rid ranges per storage file
+    # a narrow delta's Δ⁻ prunes to a strict subset of storage files
+    delete_where(src, "k >= 100 AND k < 130", mode="merge-on-read")
+    assert eng.refresh_materialized_view("m.ridmv") == "incremental-changelog"
+    storage = eng.load_table("m.ridmv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    eqs = [e for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 2]
+    assert eqs
+    files = plan_files(storage.metadata, snap)
+    cand = eq_victim_candidates(
+        files,
+        eqs,
+        storage.metadata.current_schema(),
+        data_file_sequence_numbers(storage.metadata, snap),
+    )
+    assert 0 < len(cand) < len(files)
+    # content stays exact
+    got = sorted(r.k for r in eng.scan_materialized_view("m.ridmv").collect())
+    want = sorted(r.k for r in eng.sql("SELECT k FROM m.ridsrc WHERE k % 10 <> 3").collect())
+    assert got == want
