@@ -647,6 +647,7 @@ class Engine:
         }
         storage = self.load_table(md.storage_table)
         result = None
+        null_rid_fill = False
         if any(
             f.name == _INC.SRC_ROW_ID for f in storage.metadata.current_schema().fields
         ):
@@ -659,10 +660,15 @@ class Engine:
                 result = self.sql(md.current_sql()).withColumn(
                     _INC.SRC_ROW_ID, _F.lit(None).cast("long")
                 )
+                # all-null rids: the storage's rid range-distribution would
+                # shuffle everything into ONE task — keep the plan's layout
+                null_rid_fill = True
         if result is None:
             result = self.sql(md.current_sql())
         data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
-        files = write_partitioned(result, storage.metadata, data_dir)
+        files = write_partitioned(
+            result, storage.metadata, data_dir, keep_layout=null_rid_fill
+        )
         refresh_state = {
             "refresh-version-id": md.current_version_id,
             "source-table-states": source_states,
@@ -929,7 +935,11 @@ class Engine:
                 del_files = _write_position_deletes(storage, hits)
             if null_rid:
                 net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
-            ins_files = write_partitioned(net_ins, storage.metadata, data_dir)
+            # null_rid: an all-null rid column must not range-shuffle the
+            # whole insert side into one task (r10 rid clustering)
+            ins_files = write_partitioned(
+                net_ins, storage.metadata, data_dir, keep_layout=null_rid
+            )
         finally:
             d_cnt.unpersist()
         self._commit_storage_files(storage, del_files, ins_files, new_state)
