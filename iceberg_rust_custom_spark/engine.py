@@ -444,6 +444,22 @@ class Engine:
             # the whole storage per tombstone file
             sort_by = [SRC_ROW_ID]
             props = {"write.distribution-mode": "range"}
+        else:
+            # aggregate MVs eq-delete on their GROUP BY keys: the same
+            # range clustering on the group keys makes delta tombstones
+            # bounds-prunable on high-cardinality-group storages (r10)
+            from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+            plan = classify_view_sql(sql)
+            out_names = {f.name for f in result_schema.fields}
+            if (
+                plan is not None
+                and plan.mode == "aggregate"
+                and plan.group_keys
+                and all(k in out_names for k in plan.group_keys)
+            ):
+                sort_by = list(plan.group_keys)
+                props = {"write.distribution-mode": "range"}
         self.create_table(
             storage_name,
             Schema.from_spark(result_schema),
