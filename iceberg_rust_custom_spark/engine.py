@@ -393,63 +393,52 @@ class Engine:
             # table (derived data, rebuilt by refresh) must follow —
             # including whether it carries the hidden source-row-id column
             # (only single-table SPJ shapes can populate it)
-            import pyspark.sql.types as _T
-
-            new_schema = self.sql(sql).schema
-            lineage = self._mv_lineage_sql(sql) is not None
-            if lineage:
-                new_schema = _T.StructType(
-                    list(new_schema.fields)
-                    + [_T.StructField(_INC.SRC_ROW_ID, _T.LongType(), True)]
-                )
+            new_schema, sort_by, props = self._mv_storage_layout(sql)
             storage = self.load_table(md.storage_table)
             if storage.metadata.current_schema().spark_schema() != new_schema:
                 self.drop(md.storage_table)
-                # same rid clustering as create_materialized_view (r10)
                 self.create_table(
                     md.storage_table,
                     Schema.from_spark(new_schema),
-                    sort_by=[_INC.SRC_ROW_ID] if lineage else None,
-                    properties={"write.distribution-mode": "range"} if lineage else None,
+                    sort_by=sort_by,
+                    properties=props,
                 )
         self._swap_view_metadata(ident, location, md, catalog)
         return View(name, md)
 
-    def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
-        """Create MV + its ``__storage`` table (schema inferred by planning
-        the SQL, as the reference does — datafusion-iceberg-sql/src/
-        schema.rs:14-44), then run the initial refresh."""
-        catalog, ident = self.resolve(name)
-        storage_name = name + "__storage"
+    def _mv_storage_layout(self, sql: str):
+        """Derive the MV storage table's (schema, sort_by, properties) from
+        the view SQL — shared by CREATE MATERIALIZED VIEW and the
+        ALTER/REPLACE storage recreation so the two can't drift (r10).
+
+        * single-table SPJ: storage rows remember their source row's v3
+          _row_id (hidden column, dropped by scan_materialized_view) so
+          changelog delete maintenance anti-joins one long key instead of
+          exceptAll-shuffling the full storage width; the storage RANGE-
+          distributes on that rid, giving every file a DISJOINT rid range
+          with tight footer bounds — each delta refresh's Δ⁻ bounds-prunes
+          victim planning AND scan-time application to the few
+          intersecting files (r10).
+        * single-table aggregates: same range clustering on the GROUP BY
+          keys (delta tombstones key on them).
+        * everything else: engine defaults."""
+        import pyspark.sql.types as _T
+
+        from iceberg_rust_custom_spark.views.incremental import (
+            SRC_ROW_ID,
+            classify_view_sql,
+        )
+
         result_schema = self.sql(sql).schema
         sort_by, props = None, None
         if self._mv_lineage_sql(sql):
-            # single-table SPJ: storage rows remember their source row's v3
-            # _row_id (hidden column, dropped by scan_materialized_view) so
-            # changelog delete maintenance anti-joins one long key instead
-            # of exceptAll-shuffling the full storage width
-            import pyspark.sql.types as _T
-
-            from iceberg_rust_custom_spark.views.incremental import SRC_ROW_ID
-
             result_schema = _T.StructType(
                 list(result_schema.fields)
                 + [_T.StructField(SRC_ROW_ID, _T.LongType(), True)]
             )
-            # cluster the storage by the hidden row id (r10): range
-            # distribution gives every storage file a DISJOINT rid range
-            # with tight footer bounds, so each delta refresh's Δ⁻ (keyed
-            # on rids) bounds-prunes to the few intersecting files in
-            # victim planning AND at scan time — instead of anti-joining
-            # the whole storage per tombstone file
             sort_by = [SRC_ROW_ID]
             props = {"write.distribution-mode": "range"}
         else:
-            # aggregate MVs eq-delete on their GROUP BY keys: the same
-            # range clustering on the group keys makes delta tombstones
-            # bounds-prunable on high-cardinality-group storages (r10)
-            from iceberg_rust_custom_spark.views.incremental import classify_view_sql
-
             plan = classify_view_sql(sql)
             out_names = {f.name for f in result_schema.fields}
             if (
@@ -460,6 +449,15 @@ class Engine:
             ):
                 sort_by = list(plan.group_keys)
                 props = {"write.distribution-mode": "range"}
+        return result_schema, sort_by, props
+
+    def create_materialized_view(self, name: str, sql: str) -> MaterializedView:
+        """Create MV + its ``__storage`` table (schema inferred by planning
+        the SQL, as the reference does — datafusion-iceberg-sql/src/
+        schema.rs:14-44), then run the initial refresh."""
+        catalog, ident = self.resolve(name)
+        storage_name = name + "__storage"
+        result_schema, sort_by, props = self._mv_storage_layout(sql)
         self.create_table(
             storage_name,
             Schema.from_spark(result_schema),
@@ -988,11 +986,27 @@ class Engine:
         if not cols:
             return None
         try:
+            # TIMESTAMP-with-tz columns aggregate as unix_micros: PySpark
+            # collects TimestampType in the DRIVER's local timezone (naive),
+            # so rendering that wall clock as a literal on a non-UTC driver
+            # would shift the range by the tz offset and silently exclude
+            # victims (review r10). Micros are tz-independent; the literal
+            # renders as the SESSION-tz wall clock (UTC-pinned sessions
+            # only — anything else drops the column, never a wrong prune).
+            session_tz = None
+            tz_cols = {
+                c for c in cols if isinstance(st_schema[c].dataType, T.TimestampType)
+            }
+            if tz_cols:
+                session_tz = d_cnt.sparkSession.conf.get(
+                    "spark.sql.session.timeZone", None
+                )
             aggs = [F.count(F.lit(1)).alias("_n")]
             for c in cols:
+                val = F.unix_micros(F.col(c)) if c in tz_cols else F.col(c)
                 aggs += [
-                    F.min(c).alias(f"_lo_{c}"),
-                    F.max(c).alias(f"_hi_{c}"),
+                    F.min(val).alias(f"_lo_{c}"),
+                    F.max(val).alias(f"_hi_{c}"),
                     F.count(c).alias(f"_nn_{c}"),
                 ]
             row = d_cnt.agg(*aggs).first()
@@ -1003,26 +1017,32 @@ class Engine:
                     continue  # nulls present (or empty): range test unsound
                 if isinstance(lo, bool):
                     continue
-                if isinstance(lo, (int, float)):
+                if c in tz_cols:
+                    if session_tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                        continue  # literal would parse in a non-UTC session tz
+                    lo_dt = _dt.datetime.utcfromtimestamp(lo // 1_000_000).replace(
+                        microsecond=lo % 1_000_000
+                    )
+                    hi_dt = _dt.datetime.utcfromtimestamp(hi // 1_000_000).replace(
+                        microsecond=hi % 1_000_000
+                    )
+                    parts.append(
+                        f"{c} >= TIMESTAMP '{lo_dt.isoformat(sep=' ')}' AND "
+                        f"{c} <= TIMESTAMP '{hi_dt.isoformat(sep=' ')}'"
+                    )
+                elif isinstance(lo, (int, float)):
                     if isinstance(lo, float) and (lo != lo or hi != hi):
                         continue  # NaN bounds
                     parts.append(f"{c} >= {lo!r} AND {c} <= {hi!r}")
                 elif isinstance(lo, _dt.datetime):
-                    # collected naive datetimes are in the session TZ
-                    # (pinned UTC); NTZ columns get the NTZ literal so no
-                    # tz cast sneaks into the comparison (r10, VERDICT r9
-                    # polish note) — time-keyed multiset MVs now file-prune
-                    # their storage read too
+                    # TIMESTAMP_NTZ collects driver-TZ-independently (wall
+                    # clock preserved); the NTZ literal keeps any tz cast
+                    # out of the comparison (r10)
                     if lo.tzinfo is not None or hi.tzinfo is not None:
                         continue  # surprise aware datetimes: fall back
-                    kw = (
-                        "TIMESTAMP_NTZ"
-                        if isinstance(st_schema[c].dataType, T.TimestampNTZType)
-                        else "TIMESTAMP"
-                    )
                     parts.append(
-                        f"{c} >= {kw} '{lo.isoformat(sep=' ')}' AND "
-                        f"{c} <= {kw} '{hi.isoformat(sep=' ')}'"
+                        f"{c} >= TIMESTAMP_NTZ '{lo.isoformat(sep=' ')}' AND "
+                        f"{c} <= TIMESTAMP_NTZ '{hi.isoformat(sep=' ')}'"
                     )
                 elif isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
                     parts.append(f"{c} >= DATE '{lo}' AND {c} <= DATE '{hi}'")

@@ -200,28 +200,14 @@ def decode_geo_columns(df, options_or_schema):
     last column type a follower couldn't ride, VERDICT r9 missing #1).
     Pass the reader's options dict (warehouse/table or metadata_location)
     or the table's ``Schema``."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    from iceberg_rust_custom_spark.table.scan import decode_geo_binary
 
     schema = (
         _load_metadata(options_or_schema).current_schema()
         if isinstance(options_or_schema, dict)
         else options_or_schema
     )
-    by_name = {f.name: f.dataType for f in df.schema.fields}
-    for name in schema.geo_field_names():
-        if isinstance(by_name.get(name), T.BinaryType):
-            # geo analysis is session-gated in Spark 4 (same flip as the
-            # scan's _decode_variants)
-            df.sparkSession.conf.set("spark.sql.geospatial.enabled", "true")
-            want = schema.field_by_name(name).spark_field().dataType
-            expr = (
-                F.st_geomfromwkb
-                if isinstance(want, T.GeometryType)
-                else F.st_geogfromwkb
-            )
-            df = df.withColumn(name, F.st_setsrid(expr(F.col(name)), F.lit(want.srid)))
-    return df
+    return decode_geo_binary(df, schema)
 
 
 def _read_parquet_positions(paths: list[str]):

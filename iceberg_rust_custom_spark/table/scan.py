@@ -443,6 +443,18 @@ def eq_delete_can_touch(
     VERDICT r8 weak #1: without this, every strictly-older live file was a
     victim candidate — a 100-key delete on a 100 TB table read every older
     data file to find victims."""
+    return _eq_can_touch_prepared(
+        eq_delete_prep(delete_file, schema), data_file, schemas
+    )
+
+
+def eq_delete_prep(delete_file: DataFile, schema: Schema) -> tuple | None:
+    """Precompute the data-file-INDEPENDENT half of ``eq_delete_can_touch``
+    (key-field resolution + the delete file's decoded bounds): callers
+    testing one delete against MANY data files (scan-side pruning, victim
+    candidates) build this once per delete entry instead of re-deriving it
+    per (delete, file) pair — review r10 flagged the rebuild inside a
+    potentially 2M-pair loop. ``None`` = unknown key set: always touches."""
     from iceberg_rust_custom_spark.metadata.manifest import decode_value
 
     id_to_field = {f.field_id: f for f in schema.fields}
@@ -450,16 +462,43 @@ def eq_delete_can_touch(
         id_to_field[i] for i in (delete_file.equality_ids or ()) if i in id_to_field
     ]
     if not key_fields:
-        return True  # unknown key set (legacy file): conservative
-    writer = (schemas or {}).get(data_file.schema_id)
+        return None  # unknown key set (legacy file): conservative
+    per_key = []
     for kf in key_fields:
         col = kf.name  # delete-file bounds are keyed by CURRENT name
+        tname = _iceberg_type_name(kf.field_type)
         dl = delete_file.lower_bounds.get(col)
         du = delete_file.upper_bounds.get(col)
-        d_nulls = delete_file.null_value_counts.get(col)
-        tname = _iceberg_type_name(kf.field_type)
-        if writer is not None:
+        ddl = ddu = None
+        if dl is not None and du is not None:
+            try:
+                ddl, ddu = decode_value(dl, tname), decode_value(du, tname)
+            except Exception:
+                ddl = ddu = None  # undecodable delete bounds: no prune here
+        per_key.append(
+            (kf, col, tname, ddl, ddu, delete_file.null_value_counts.get(col))
+        )
+    return tuple(per_key)
+
+
+def _eq_can_touch_prepared(
+    prep, data_file: DataFile, schemas: dict | None, wname_cache: dict | None = None
+) -> bool:
+    from iceberg_rust_custom_spark.metadata.manifest import decode_value
+
+    if prep is None:
+        return True
+    writer = (schemas or {}).get(data_file.schema_id)
+    wnames = None
+    if writer is not None:
+        if wname_cache is not None:
+            wnames = wname_cache.get(data_file.schema_id)
+        if wnames is None:
             wnames = {f.field_id: f.name for f in writer.fields}
+            if wname_cache is not None:
+                wname_cache[data_file.schema_id] = wnames
+    for kf, col, tname, ddl, ddu, d_nulls in prep:
+        if writer is not None:
             wname = wnames.get(kf.field_id)
             if wname is None:
                 # field postdates the file: every row logically holds the
@@ -470,14 +509,10 @@ def eq_delete_can_touch(
                     if d_nulls == 0:
                         return False
                     continue
-                if dl is None or du is None:
+                if ddl is None or ddu is None:
                     continue
                 try:
-                    if not (
-                        decode_value(dl, tname)
-                        <= decode_value(v, tname)
-                        <= decode_value(du, tname)
-                    ):
+                    if not (ddl <= decode_value(v, tname) <= ddu):
                         return False
                 except TypeError:
                     pass
@@ -486,7 +521,7 @@ def eq_delete_can_touch(
             wname = col  # legacy file without a recorded write schema
         fl = data_file.lower_bounds.get(wname)
         fu = data_file.upper_bounds.get(wname)
-        if dl is None or du is None or fl is None or fu is None:
+        if ddl is None or ddu is None or fl is None or fu is None:
             continue  # a side without bounds can't prune on this column
         # NULL keys bypass range logic: prune on this column only when a
         # null-to-null match is impossible (either side provably null-free;
@@ -495,10 +530,7 @@ def eq_delete_can_touch(
         if (d_nulls is None or d_nulls > 0) and (f_nulls is None or f_nulls > 0):
             continue
         try:
-            if (
-                decode_value(du, tname) < decode_value(fl, tname)
-                or decode_value(dl, tname) > decode_value(fu, tname)
-            ):
+            if ddu < decode_value(fl, tname) or ddl > decode_value(fu, tname):
                 return False  # conjunctive key: one impossible column kills it
         except TypeError:
             continue  # incomparable representations: no prune
@@ -519,12 +551,14 @@ def eq_victim_candidates(
     their bounds by field id). Shared by the batch changelog, the
     streaming CDC planner, CoW carried-delete materialization, and
     position-delete consolidation."""
+    preps = [(e, eq_delete_prep(e.data_file, schema)) for e in eq_entries]
+    wcache: dict = {}
     out = []
     for f in files:
         fseq = file_seqs.get(f.file_path, 0)
-        for e in eq_entries:
-            if e.sequence_number > fseq and eq_delete_can_touch(
-                f, e.data_file, schema, schemas
+        for e, prep in preps:
+            if e.sequence_number > fseq and _eq_can_touch_prepared(
+                prep, f, schemas, wcache
             ):
                 out.append(f)
                 break
@@ -634,12 +668,14 @@ def scan_to_dataframe(
         seqs_prune = data_file_sequence_numbers(
             metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
         )
+        _wcache: dict = {}
         eq_entries_all = [
             e
             for e in eq_entries_all
+            for prep in (eq_delete_prep(e.data_file, schema),)
             if any(
                 e.sequence_number > seqs_prune.get(f.file_path, 0)
-                and eq_delete_can_touch(f, e.data_file, schema, metadata.schemas)
+                and _eq_can_touch_prepared(prep, f, metadata.schemas, _wcache)
                 for f in files
             )
         ]
@@ -727,6 +763,27 @@ def scan_to_dataframe(
     return df
 
 
+def decode_geo_binary(df: DataFrame, schema: Schema) -> DataFrame:
+    """Decode WKB-binary geometry/geography columns into Spark's native geo
+    types with the declared SRID. The ONE place the geo decode lives (r10
+    review: the CDC reader had its own copy) — the scan's logical surface
+    and ``streaming.cdc_source.decode_geo_columns`` both route here.
+    No-op on columns already decoded or absent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for name in schema.geo_field_names():
+        if isinstance(by_name.get(name), T.BinaryType):
+            # geo analysis is session-gated in Spark 4; flip the (runtime)
+            # conf so a plain scan of a geo table never needs session prep
+            df.sparkSession.conf.set("spark.sql.geospatial.enabled", "true")
+            want = schema.field_by_name(name).spark_field().dataType
+            expr = F.st_geomfromwkb if isinstance(want, T.GeometryType) else F.st_geogfromwkb
+            df = df.withColumn(name, F.st_setsrid(expr(F.col(name)), F.lit(want.srid)))
+    return df
+
+
 def _decode_variants(df: DataFrame, schema: Schema) -> DataFrame:
     """Surface the logical view of v3 physical-divergent columns: variant
     columns parse from their JSON-text storage form; geometry/geography
@@ -746,14 +803,7 @@ def _decode_variants(df: DataFrame, schema: Schema) -> DataFrame:
     for name in names:
         if isinstance(by_name.get(name), T.StringType):
             df = df.withColumn(name, F.parse_json(F.col(name)))
-    for name in geo:
-        if isinstance(by_name.get(name), T.BinaryType):
-            # geo analysis is session-gated in Spark 4; flip the (runtime)
-            # conf so a plain scan of a geo table never needs session prep
-            df.sparkSession.conf.set("spark.sql.geospatial.enabled", "true")
-            want = schema.field_by_name(name).spark_field().dataType
-            expr = F.st_geomfromwkb if isinstance(want, T.GeometryType) else F.st_geogfromwkb
-            df = df.withColumn(name, F.st_setsrid(expr(F.col(name)), F.lit(want.srid)))
+    df = decode_geo_binary(df, schema)
     if unknown:
         for name in unknown:
             if name not in df.columns:

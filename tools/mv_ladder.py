@@ -133,8 +133,13 @@ def run_rung(spark, n_rows: int, n_refreshes: int = 5) -> dict:
             "storage_rows": n_clean,
         }
     finally:
-        eng.drop("lad.mv")
-        eng.drop("lad.src")
+        # a failed setup may not have registered these — never let teardown
+        # mask the real error
+        for obj in ("lad.mv", "lad.src"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
         shutil.rmtree(wh, ignore_errors=True)
 
 
