@@ -525,3 +525,32 @@ def test_spj_storage_is_rid_clustered_and_prunable(eng, spark):
     got = sorted(r.k for r in eng.scan_materialized_view("m.ridmv").collect())
     want = sorted(r.k for r in eng.sql("SELECT k FROM m.ridsrc WHERE k % 10 <> 3").collect())
     assert got == want
+
+
+def test_replaced_aggregate_mv_keeps_group_key_clustering(eng, spark):
+    """r10 review fix: ALTER/REPLACE VIEW recreates the storage through the
+    same layout derivation as CREATE — a replaced aggregate MV keeps its
+    GROUP-BY-key range clustering (sort order + range distribution), and
+    the next refresh repopulates it correctly."""
+    t = eng.create_table("m.ralt", _rows(spark).schema)
+    t.append(_rows(spark, 40))
+    eng.create_materialized_view(
+        "m.valt", "SELECT grp, sum(v) AS sv FROM m.ralt GROUP BY grp"
+    )
+    # replace with a DIFFERENT aggregate shape (schema changes → recreate)
+    eng.alter_view_sql(
+        "m.valt", "SELECT k, sum(v) AS sv, count(v) AS n FROM m.ralt GROUP BY k"
+    )
+    storage = eng.load_table("m.valt__storage")
+    md = storage.metadata
+    assert md.properties.get("write.distribution-mode") == "range"
+    order = md.sort_orders.get(md.default_sort_order_id)
+    key_ids = {md.current_schema().field_by_name("k").field_id}
+    assert order and {f.source_id for f in order.fields} == key_ids
+    assert eng.refresh_materialized_view("m.valt") == "full"
+    got = sorted((r.k, r.sv, r.n) for r in eng.scan_materialized_view("m.valt").collect())
+    want = sorted(
+        (r.k, r.sv, r.n)
+        for r in eng.sql("SELECT k, sum(v) AS sv, count(v) AS n FROM m.ralt GROUP BY k").collect()
+    )
+    assert got == want
