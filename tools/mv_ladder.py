@@ -143,13 +143,82 @@ def run_rung(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Aggregate-path rung: high-cardinality GROUP BY MV (one group per
+    ~10 source rows), fixed-size delta per refresh. Δ⁻ eq-deletes the
+    touched GROUP KEYS (group-key-clustered storage, r10), Δ⁺ appends the
+    re-aggregated groups — both delta-proportional."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-agg-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        src = eng.create_table(
+            "lad.asrc",
+            spark.range(1).select(
+                F.col("id").alias("k"),
+                F.col("id").alias("g"),
+                (F.col("id") * 1.0).alias("v"),
+            ).schema,
+        )
+        src.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % (n_rows // 10)).alias("g"),
+                (F.col("id") * 1.0).alias("v"),
+            )
+        )
+        eng.create_materialized_view(
+            "lad.amv", "SELECT g, sum(v) AS sv, count(v) AS n FROM lad.asrc GROUP BY g"
+        )
+        walls, bytes_w = [], []
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(src, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            storage = eng.load_table("lad.amv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.amv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.amv__storage")
+            after = _storage_file_sizes(storage)
+            bytes_w.append(sum(s for p, s in after.items() if p not in before))
+            assert flavor.startswith("incremental"), flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = eng.scan_materialized_view("lad.amv").count()
+        want = eng.sql(
+            "SELECT count(*) c FROM (SELECT g FROM lad.asrc GROUP BY g)"
+        ).first().c
+        assert got == want
+        return {
+            "mode": "aggregate",
+            "rows": n_rows,
+            "groups": n_rows // 10,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "bytes_written": int(statistics.median(bytes_w)),
+            "storage_rows": got,
+        }
+    finally:
+        for obj in ("lad.amv", "lad.asrc"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
-    rungs = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    args = sys.argv[1:]
+    agg = "--agg" in args
+    rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("mv_ladder")
     for n in rungs:
-        print(json.dumps(run_rung(spark, n)), flush=True)
+        print(json.dumps(run_rung_agg(spark, n) if agg else run_rung(spark, n)), flush=True)
 
 
 if __name__ == "__main__":
