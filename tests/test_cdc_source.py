@@ -710,3 +710,43 @@ def test_update_heavy_feed_pairs_without_broadcast_hint(spark, engine):
     n_upd = got.where("_change_type = 'update_before'").count()
     assert n_upd == 2000 + 2000 // 3 + 1  # every row updated once + k%3 pass
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_geo_stream_flavor_delivers_decoded_rows(spark, engine, tmp_path):
+    """r10: the STREAMING flavor also rides geo tables — WKB binary through
+    the executor batches, decode_geo_columns at the reader boundary,
+    availableNow catch-up into a memory sink."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    from iceberg_rust_custom_spark.streaming.cdc_source import decode_geo_columns
+
+    engine.sql("CREATE TABLE s.gs (k BIGINT, g GEOMETRY(4326)) STORED AS ICEBERG")
+    t = engine.load_table("s.gs")
+    rows = [
+        (i, bytearray(struct.pack("<BIdd", 1, 1, float(i), float(i)))) for i in range(12)
+    ]
+    t.append(spark.createDataFrame(rows, "k long, g binary"))
+    delete_where(t, "k >= 10", mode="merge-on-read")
+    fmt = register_cdc_source(spark)
+    opts = {"warehouse": engine.catalog.warehouse, "table": "s.gs"}
+    sdf = spark.readStream.format(fmt).options(**opts).load()
+    decoded = decode_geo_columns(sdf, opts)
+    assert isinstance(decoded.schema["g"].dataType, T.GeometryType)
+    q = (
+        decoded.selectExpr("k", "hex(st_asbinary(g)) AS gw", "_change_type")
+        .writeStream.format("memory")
+        .queryName("geostream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM geostream").collect()
+    assert len(got) == 12 + 2  # 12 inserts + 2 deletes
+    import struct as _s
+
+    want_hex = {
+        i: _s.pack("<BIdd", 1, 1, float(i), float(i)).hex().upper() for i in range(12)
+    }
+    assert all(r.gw == want_hex[r.k] for r in got)
