@@ -554,3 +554,67 @@ def test_replaced_aggregate_mv_keeps_group_key_clustering(eng, spark):
         for r in eng.sql("SELECT k, sum(v) AS sv, count(v) AS n FROM m.ralt GROUP BY k").collect()
     )
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ks=st.lists(st.integers(-(2**40), 2**40) | st.none(), min_size=1, max_size=6),
+    ss=st.lists(st.text(max_size=8) | st.none(), min_size=1, max_size=6),
+    fs=st.lists(st.floats(allow_nan=True, allow_infinity=False, width=32) | st.none(), min_size=1, max_size=6),
+    ts=st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1971, 1, 1),
+            max_value=__import__("datetime").datetime(2200, 1, 1),
+        )
+        | st.none(),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_delta_range_predicate_soundness_property(spark, tmp_path_factory, ks, ss, fs, ts):
+    """Soundness: whatever conjunction _delta_range_predicate emits, EVERY
+    delta row must satisfy it (a matching storage row shares the delta
+    row's values, so this is exactly 'never a wrong prune') — across
+    random nulls, NaNs, quotes, sub-second timestamps and extreme values.
+    And it must parse in the file-pruning mini-language."""
+    from iceberg_rust_custom_spark.engine import Engine as _E
+    from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+
+    import pyspark.sql.types as T
+
+    eng = Engine(spark, warehouse=str(tmp_path_factory.mktemp("predsound") / "wh"))
+    t = eng.create_table(
+        "ps.t",
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]),
+    )
+    n = max(len(ks), len(ss), len(fs), len(ts))
+    rows = [
+        (
+            ks[i % len(ks)],
+            ss[i % len(ss)],
+            fs[i % len(fs)],
+            ts[i % len(ts)],
+        )
+        for i in range(n)
+    ]
+    d = spark.createDataFrame(rows, "k long, s string, f float, ts timestamp_ntz")
+    pred = _E._delta_range_predicate(d, ["k", "s", "f", "ts"], t)
+    if pred is None:
+        eng.drop("ps.t")
+        return
+    parse_predicate(pred)  # mini-language accepts it
+    escaped = d.where(f"NOT ({pred})").count()
+    eng.drop("ps.t")
+    assert escaped == 0, pred
