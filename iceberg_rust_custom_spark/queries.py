@@ -5798,22 +5798,25 @@ def iceberg_eq_delete_multipart(spark, sf_dir):
 @q(
     "iceberg_expiry_safe_changelog",
     """
-    SELECT o_orderkey, 'insert' AS _change_type FROM orders WHERE o_orderkey % 3 = 2
+    SELECT o_orderkey, 'insert' AS _change_type FROM orders
     """,
 )
 def iceberg_expiry_safe_changelog(spark, sf_dir):
-    """r10 (VERDICT r9 missing #3): the expiry-vs-follower contract. After
-    expire_snapshots, a changelog range inside the retained window still
-    replays exactly (oracle-checked here); a range reaching below it
-    raises the resync error — asserted in-gate — never a silent skip of
-    erased events."""
+    """r10 (VERDICT r9 missing #3): the expiry-vs-follower contract, with
+    the replay floor. Expiring plain APPENDS loses nothing — their files
+    keep their sequence numbers in the surviving manifests, and
+    ``expire_snapshots`` stamps ``changelog.replay-floor`` so changes(0)
+    still replays the FULL history exactly (oracle-checked: every row as
+    an insert). Expiring a REWRITE raises the floor: a range below it
+    refuses with a resync error — asserted in-gate — never a silent skip
+    of erased events."""
     import hashlib
     import os
 
     from iceberg_rust_custom_spark.engine import Engine
-    from iceberg_rust_custom_spark.table.maintenance import expire_snapshots
+    from iceberg_rust_custom_spark.table.maintenance import compact, expire_snapshots
 
-    tag = hashlib.md5(f"{sf_dir}:expcl".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:expcl2".encode()).hexdigest()[:12]
     wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
     eng = Engine(spark, warehouse=wh)
     if not eng.table_exists("rt.orders_exp"):
@@ -5821,12 +5824,19 @@ def iceberg_expiry_safe_changelog(spark, sf_dir):
         t = eng.create_table("rt.orders_exp", df.schema)
         for m in range(3):  # one commit per residue class, in order
             t.append(df.where(F.col("o_orderkey") % 3 == m))
-        t = expire_snapshots(t, keep_last=2)
+        t = expire_snapshots(t, keep_last=1)  # removes two plain appends
+        assert t.metadata.properties.get("changelog.replay-floor") == "0"
+        # negative contract: a REMOVED rewrite raises the floor and ranges
+        # below it refuse loudly
+        t2 = eng.create_table("rt.orders_exp_neg", df.schema)
+        t2.append(df.limit(100))
+        t2 = compact(t2)
+        t2.append(df.limit(50))
+        t2 = expire_snapshots(t2, keep_last=1)
         try:
-            t.changes(0).count()
-            raise AssertionError("expired range must refuse, not replay")
+            t2.changes(0).count()
+            raise AssertionError("below-floor range must refuse, not replay")
         except ValueError:
             pass
     t = eng.load_table("rt.orders_exp")
-    oldest = min(s.sequence_number for s in t.metadata.snapshots.values())
-    return t.changes(oldest).select("o_orderkey", "_change_type")
+    return t.changes(0).select("o_orderkey", "_change_type")

@@ -620,7 +620,17 @@ def expire_snapshots(
     Branch retention policies (SnapshotReference.min_snapshots_to_keep /
     max_snapshot_age_ms — snapshot.rs:242-281; the reference stores them
     but never enforces them) protect each ref's ancestry chain: at least N
-    ancestors, plus every ancestor younger than the age bound."""
+    ancestors, plus every ancestor younger than the age bound.
+
+    Records ``changelog.replay-floor`` (r10): expiry KNOWS the removed
+    commits' operations, so it stamps the lowest sequence a changelog
+    range may still start from. Removed plain appends / MoR deletes lose
+    nothing (their files keep their sequence numbers in the surviving
+    manifests), so a follower of an append-heavy table survives arbitrary
+    expiry; any removed REWRITE (CoW or lineage-preserved) raises the
+    floor to its sequence — ranges reaching below that keep failing
+    loudly (``changelog_segments``). Off-main-ancestry removals never
+    move the floor (they never contributed to main's changelog)."""
     import time as _time
 
     md = table.metadata
@@ -652,7 +662,33 @@ def expire_snapshots(
     ]
     if not to_remove:
         return table
+    # replay floor: walk main's ancestry (pre-removal) and find the highest
+    # removed commit that is NOT plain-replayable — append/delete-shaped
+    # commits leave their files (with sequence numbers) in the surviving
+    # manifests, so only rewrites erase changelog-reconstructible history
+    from iceberg_rust_custom_spark.table.table import (
+        _replayable_commit,
+        _transparent_rewrite,
+    )
+
+    ancestry_ids = set()
+    s = md.snapshot_for_ref()
+    while s is not None:
+        ancestry_ids.add(s.snapshot_id)
+        s = (
+            md.snapshots.get(s.parent_snapshot_id)
+            if s.parent_snapshot_id is not None
+            else None
+        )
+    floor = int(md.properties.get("changelog.replay-floor", 0))
+    for sid in to_remove:
+        snap = md.snapshots[sid]
+        if snap.snapshot_id not in ancestry_ids:
+            continue  # off-main: never contributed to main's changelog
+        if not _replayable_commit(snap) or _transparent_rewrite(snap):
+            floor = max(floor, snap.sequence_number)
     tx = table.new_transaction().remove_snapshots(to_remove)
+    tx.set_properties({"changelog.replay-floor": str(floor)})
     for sid in to_remove:  # drop statistics entries pointing at expired snapshots
         if any(e["snapshot-id"] == sid for e in md.statistics):
             tx._extra_updates.append({"action": "remove-statistics", "snapshot-id": sid})

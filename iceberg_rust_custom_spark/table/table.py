@@ -88,17 +88,29 @@ def changelog_segments(
                 "across append/delete-shaped commits"
             )
     # expiry guard: the oldest retained ancestor has sequence S; a dangling
-    # parent pointer means ancestors with sequence < S were expired. Any of
-    # them could have sequence > lo (commit sequences are global, so the
-    # gap's exact contents are unknowable) — replaying would silently skip
-    # those events, so a range reaching below S-1 must fail loudly instead
+    # parent pointer means ancestors with sequence < S were expired.
+    # ``expire_snapshots`` stamps ``changelog.replay-floor`` — the highest
+    # removed main-ancestry REWRITE sequence (r10): removed plain appends /
+    # MoR deletes leave their files (with sequence numbers) in the
+    # surviving manifests, so ranges starting at or above the floor replay
+    # exactly even below S-1. No floor recorded (legacy expiry, or a
+    # destructive rewrite erased history without stamping) → conservative:
+    # the gap's contents are unknowable and a range reaching below S-1
+    # must fail loudly instead of silently skipping erased events.
     if truncated and ancestry and lo < ancestry[-1].sequence_number - 1:
-        raise ValueError(
-            f"history below sequence {ancestry[-1].sequence_number} was "
-            f"expired or erased — a changelog range starting at {lo} may "
-            "skip erased events; this range must start at or after sequence "
-            f"{ancestry[-1].sequence_number - 1}"
-        )
+        floor = metadata.properties.get("changelog.replay-floor")
+        if floor is None or lo < int(floor):
+            resume = (
+                max(int(floor), 0)
+                if floor is not None
+                else ancestry[-1].sequence_number - 1
+            )
+            raise ValueError(
+                f"history below sequence {ancestry[-1].sequence_number} was "
+                f"expired or erased — a changelog range starting at {lo} may "
+                "skip erased events; this range must start at or after "
+                f"sequence {resume}"
+            )
     # anchor = state at hi: walk the ancestry down to seq <= hi
     anchor = next((s for s in ancestry if s.sequence_number <= hi), None)
     if anchor is None:

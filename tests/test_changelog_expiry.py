@@ -31,24 +31,50 @@ def _rows(spark, n=20, base=0):
     )
 
 
-def test_expiry_past_follower_offset_fails_loudly(eng, spark):
+def test_append_only_expiry_keeps_full_replay(eng, spark):
+    """r10 replay floor: expiry of plain appends/MoR deletes loses NOTHING
+    (their files keep their sequence numbers in surviving manifests) —
+    expire_snapshots records changelog.replay-floor so a follower's
+    changes(0) still replays every event exactly."""
     t = eng.create_table("e.t", _rows(spark).schema)
     for i in range(5):
         t.append(_rows(spark, 10, base=i * 100))
-    expire_snapshots(t, keep_last=2)
+    delete_where(t, "k = 100", mode="merge-on-read")
+    t = expire_snapshots(t, keep_last=2)
     assert len(t.metadata.snapshots) == 2
-    # offset 0 predates the retained window: loud refusal, not a skip
-    with pytest.raises(ValueError, match="expired"):
+    assert t.metadata.properties.get("changelog.replay-floor") == "0"
+    got = t.changes(0)
+    assert got.where("_change_type = 'insert'").count() == 50
+    assert [r.k for r in got.where("_change_type = 'delete'").collect()] == [100]
+
+
+def test_expiry_past_rewrite_fails_loudly(eng, spark):
+    """A removed REWRITE raises the replay floor: ranges reaching below it
+    refuse with a resync hint (pre-image files may be gone); ranges at or
+    above the floor replay."""
+    from iceberg_rust_custom_spark.table.maintenance import compact
+
+    t = eng.create_table("e.tr", _rows(spark).schema)
+    t.append(_rows(spark, 10))
+    t.append(_rows(spark, 10, base=100))
+    t = compact(t)
+    floor_seq = t.metadata.snapshot_for_ref().sequence_number
+    t.append(_rows(spark, 10, base=200))
+    t = expire_snapshots(t, keep_last=1)  # removes both appends AND the compact
+    assert t.metadata.properties.get("changelog.replay-floor") == str(floor_seq)
+    with pytest.raises(ValueError, match="expired|erased"):
         t.changes(0)
+    # at the floor: the post-compact append replays
+    assert t.changes(floor_seq).count() == 10
     # the streaming feed surfaces the same refusal with the resync hint
     fmt = register_cdc_source(spark)
     feed = (
         spark.read.format(fmt)
         .option("warehouse", eng.catalog.warehouse)
-        .option("table", "e.t")
+        .option("table", "e.tr")
         .load()
     )
-    with pytest.raises(Exception, match="expired|fresh stream"):
+    with pytest.raises(Exception, match="expired|erased|fresh stream"):
         feed.collect()
 
 
