@@ -673,14 +673,28 @@ def expire_snapshots(
 
     ancestry_ids = set()
     s = md.snapshot_for_ref()
+    oldest, dangling = s, False
     while s is not None:
         ancestry_ids.add(s.snapshot_id)
-        s = (
-            md.snapshots.get(s.parent_snapshot_id)
-            if s.parent_snapshot_id is not None
-            else None
-        )
-    floor = int(md.properties.get("changelog.replay-floor", 0))
+        oldest = s
+        if s.parent_snapshot_id is None:
+            s = None
+        else:
+            nxt = md.snapshots.get(s.parent_snapshot_id)
+            dangling = dangling or nxt is None
+            s = nxt
+    floor_prop = md.properties.get("changelog.replay-floor")
+    if floor_prop is None and dangling and oldest is not None:
+        # the parent chain ALREADY dangles from an earlier expiry that
+        # pre-dates floor stamping, so what those removed commits were
+        # (maybe a rewrite) is unknowable. Seeding the ratchet at 0 would
+        # flip changelog_segments' conservative "no floor recorded →
+        # refuse" into "floor 0 → replay everything" across that erased
+        # history (ADVICE r10) — seed at the oldest retained ancestor's
+        # sequence - 1, the lowest provably-replayable start.
+        floor = max(0, oldest.sequence_number - 1)
+    else:
+        floor = int(floor_prop or 0)
     for sid in to_remove:
         snap = md.snapshots[sid]
         if snap.snapshot_id not in ancestry_ids:
@@ -1090,6 +1104,52 @@ def _update_merge_on_read(table: Table, assignments: dict, predicate) -> Table:
     return table
 
 
+def _zorder_numeric_view(df, c):
+    """Monotonic double view of a zorder column — any monotonic map works
+    for width_bucket cells since min/max are computed under the same map.
+    Module-level (not a closure) so the DST-safety contract is directly
+    testable (ADVICE r10)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(c)).cast("double")
+    if isinstance(dt, T.TimestampNTZType):
+        # tz-INDEPENDENT wall-clock seconds. The old route
+        # (cast('timestamp').cast('double')) mapped wall clock →
+        # instant in the SESSION tz, which is non-monotonic across a
+        # DST spring-forward gap (nonexistent local times jump past
+        # later ones), misassigning Morton cells (ADVICE r10). Date +
+        # time-of-day fields never consult a timezone.
+        return (
+            F.unix_date(F.col(c).cast("date")) * F.lit(86400.0)
+            + F.hour(F.col(c)) * F.lit(3600.0)
+            + F.minute(F.col(c)) * F.lit(60.0)
+            + F.second(F.col(c)).cast("double")
+        )
+    if isinstance(
+        dt,
+        (
+            T.TimestampType,
+            T.LongType,
+            T.IntegerType,
+            T.ShortType,
+            T.ByteType,
+            T.DoubleType,
+            T.FloatType,
+            T.DecimalType,
+            T.BooleanType,
+        ),
+    ):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"zorder: column {c!r} of type {dt.simpleString()} has no "
+        "monotonic numeric view — cluster on numeric/timestamp/date "
+        "columns (use sort-order compaction for strings)"
+    )
+
+
 def zorder(
     table: Table,
     cols: list[str],
@@ -1126,39 +1186,7 @@ def zorder(
 
     n_cells = 1 << bits
 
-    def _numeric_view(c):
-        # any MONOTONIC map into double works for width_bucket cells —
-        # min/max are computed under the same map (r10: timestamps/dates
-        # cluster too; NTZ has no direct double cast, so it routes through
-        # a timestamp cast — session TZ pinned, and a constant tz shift is
-        # still monotonic)
-        from pyspark.sql import types as T
-
-        dt = df.schema[c].dataType
-        if isinstance(dt, (T.TimestampNTZType, T.DateType)):
-            return F.col(c).cast("timestamp").cast("double")
-        if isinstance(
-            dt,
-            (
-                T.TimestampType,
-                T.LongType,
-                T.IntegerType,
-                T.ShortType,
-                T.ByteType,
-                T.DoubleType,
-                T.FloatType,
-                T.DecimalType,
-                T.BooleanType,
-            ),
-        ):
-            return F.col(c).cast("double")
-        raise ValueError(
-            f"zorder: column {c!r} of type {dt.simpleString()} has no "
-            "monotonic numeric view — cluster on numeric/timestamp/date "
-            "columns (use sort-order compaction for strings)"
-        )
-
-    nviews = {c: _numeric_view(c) for c in cols}
+    nviews = {c: _zorder_numeric_view(df, c) for c in cols}
     aggs = []
     for c in cols:
         aggs += [F.min(nviews[c]).alias(f"_lo_{c}"), F.max(nviews[c]).alias(f"_hi_{c}")]

@@ -120,6 +120,17 @@ def changelog_segments(
                 "containing the range end was erased (expired or destructively "
                 "rewritten)"
             )
+        if truncated and ancestry:
+            # the whole range sits below the oldest RETAINED ancestor (hi <
+            # its sequence), yet the expiry guard above already proved the
+            # replay sound from lo (a recorded floor <= lo): expired plain
+            # appends / MoR deletes keep their files — with their original
+            # sequence numbers — in the surviving manifests, so the oldest
+            # retained ancestor's state contains every event in (lo, hi].
+            # Returning [] here silently skipped those replayable events
+            # (ADVICE r10); replay them from that ancestor's manifests,
+            # range-filtered as usual.
+            return [(lo, hi, ancestry[-1])]
         return []
     rewrites = sorted(
         (s for s in in_range if _transparent_rewrite(s)),

@@ -180,3 +180,51 @@ def test_mv_storage_is_cdc_followable_within_window(eng, spark):
     ins = sorted(r.k for r in ch.where("_change_type = 'insert'").collect())
     dels = sorted(r.k for r in ch.where("_change_type = 'delete'").collect())
     assert dels == [4] and ins == [100]
+
+def test_explicit_hi_below_retained_window_replays(eng, spark):
+    """ADVICE r10 (medium): after an append-only expiry (floor 0), a
+    changes(lo, hi) whose EXPLICIT hi sits below the oldest retained
+    ancestor's sequence must still replay — the events survive in the
+    head's manifests with their original sequence numbers. The old anchor
+    walk found no retained snapshot <= hi and silently returned []."""
+    t = eng.create_table("e.hib", _rows(spark).schema)
+    for i in range(5):
+        t.append(_rows(spark, 10, base=i * 100))
+    t = expire_snapshots(t, keep_last=1)
+    assert t.metadata.properties.get("changelog.replay-floor") == "0"
+    got = t.changes(0, 2)  # both commits are below the only retained snapshot
+    assert sorted(r.k for r in got.collect()) == sorted(
+        list(range(10)) + list(range(100, 110))
+    )
+    assert set(r._change_type for r in got.collect()) == {"insert"}
+    # segment anchors at the oldest retained ancestor, range untouched
+    segs = changelog_segments(t.metadata, 0, 2)
+    assert [(lo, hi) for lo, hi, _ in segs] == [(0, 2)]
+
+
+def test_preexisting_dangling_chain_seeds_floor_conservatively(eng, spark):
+    """ADVICE r10 (low): when the parent chain ALREADY dangles from a
+    legacy (pre-floor-stamping) expiry, a later expire_snapshots must not
+    seed the floor ratchet at 0 — that would flip the conservative
+    'no floor recorded → refuse' into 'replay everything' across history
+    whose commit shapes are unknowable. Seed = oldest retained - 1."""
+    t = eng.create_table("e.legacy", _rows(spark).schema)
+    for i in range(5):
+        t.append(_rows(spark, 10, base=i * 100))
+    snaps = sorted(t.metadata.snapshots.values(), key=lambda s: s.sequence_number)
+    # legacy expiry: remove the two oldest snapshots WITHOUT stamping a floor
+    t.metadata = (
+        t.new_transaction().remove_snapshots([snaps[0].snapshot_id, snaps[1].snapshot_id]).commit()
+    )
+    assert t.metadata.properties.get("changelog.replay-floor") is None
+    with pytest.raises(ValueError, match="expired|erased"):
+        t.changes(0)  # conservative refusal pre-stamp
+    t = expire_snapshots(t, keep_last=2)  # removes snaps[2]
+    # floor seeded at oldest-retained-at-expiry-time - 1 (= seq 3 - 1), not 0
+    assert t.metadata.properties.get("changelog.replay-floor") == str(
+        snaps[2].sequence_number - 1
+    )
+    with pytest.raises(ValueError, match="expired|erased"):
+        t.changes(0)  # still refuses across the unknowable gap
+    # at the seeded floor: snaps[2]'s files survive in the head's manifests
+    assert t.changes(snaps[2].sequence_number - 1).count() == 30

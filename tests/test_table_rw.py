@@ -672,3 +672,48 @@ def test_all_files_and_all_manifests(engine, spark):
     # SQL front door
     assert engine.sql("SELECT * FROM ns.allf.all_files").count() == len(allf)
     assert engine.sql("SELECT * FROM ns.allf.all_manifests").count() == am.count()
+
+
+def test_zorder_numeric_view_is_dst_safe(spark):
+    """ADVICE r10: the NTZ/date numeric view must be monotonic regardless
+    of the session timezone. The old cast('timestamp') route mapped wall
+    clock -> instant in the session tz: around a DST spring-forward gap,
+    nonexistent local times shifted PAST later ones, misassigning Morton
+    cells. The view is now built from date + time-of-day fields (tz-free)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.table.maintenance import _zorder_numeric_view
+
+    wall = [  # strictly increasing wall clock crossing the 2024-03-10
+        # US spring-forward gap (02:00-03:00 nonexistent in LA) and the
+        # 2024-11-03 fall-back fold (01:30 ambiguous)
+        dt.datetime(2024, 3, 10, 1, 30),
+        dt.datetime(2024, 3, 10, 2, 15),
+        dt.datetime(2024, 3, 10, 2, 45),
+        dt.datetime(2024, 3, 10, 3, 30),
+        dt.datetime(2024, 11, 3, 1, 0),
+        dt.datetime(2024, 11, 3, 1, 30),
+        dt.datetime(2024, 11, 3, 2, 30),
+    ]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame([(w,) for w in wall], "ts timestamp_ntz")
+        vals = [
+            r.v
+            for r in df.select(_zorder_numeric_view(df, "ts").alias("v"))
+            .orderBy(F.col("ts"))
+            .collect()
+        ]
+        assert vals == sorted(vals) and len(set(vals)) == len(vals), vals
+        # date columns: same contract
+        ddf = spark.createDataFrame(
+            [(dt.date(2024, 3, 9),), (dt.date(2024, 3, 10),), (dt.date(2024, 3, 11),)],
+            "d date",
+        )
+        dvals = [
+            r.v for r in ddf.select(_zorder_numeric_view(ddf, "d").alias("v")).collect()
+        ]
+        assert dvals == sorted(dvals) and len(set(dvals)) == 3
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
