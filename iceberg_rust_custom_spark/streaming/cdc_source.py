@@ -213,10 +213,8 @@ def decode_geo_columns(df, options_or_schema):
 def _read_parquet_positions(paths: list[str]):
     """Driver-side decode of parquet position-tombstone files (metadata
     scale: position lists, not data) → iterator of (data_path, pos)."""
-    import pyarrow.parquet as pq
-
     for p in paths:
-        t = pq.read_table(_local(p), columns=["file_path", "pos"])
+        t = _read_pq(p).select(["file_path", "pos"])
         yield from zip(
             (str(v) for v in t.column("file_path").to_pylist()),
             t.column("pos").to_pylist(),

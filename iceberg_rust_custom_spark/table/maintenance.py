@@ -393,19 +393,21 @@ def _write_position_deletes(table: Table, hits) -> list:
         out.sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
     finally:
         hits.unpersist()
+    from iceberg_rust_custom_spark.io.fileio import FileIO
+    from iceberg_rust_custom_spark.io.lister import list_files
+
     files = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".parquet"):
+    for lf in list_files(out_dir, table.spark):  # scheme-routed (r11)
+        if not lf.path.endswith(".parquet"):
             continue
-        path = os.path.join(out_dir, name)
-        pf = _pq.ParquetFile(path)
+        pf = FileIO.pq_parquet_file(lf.path)
         if pf.metadata.num_rows == 0:
             continue
         files.append(
             DataFile(
-                file_path=path,
+                file_path=lf.path,
                 record_count=pf.metadata.num_rows,
-                file_size_in_bytes=os.path.getsize(path),
+                file_size_in_bytes=lf.size,
                 content=1,
                 schema_id=md.current_schema_id,
             )
@@ -727,34 +729,37 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None, dry_run:
     md = table.metadata
     cutoff = older_than_ms if older_than_ms is not None else int(_time.time() * 1000) - 3_600_000
 
+    from iceberg_rust_custom_spark.io.lister import (
+        canon_path,
+        list_files,
+        remove_file,
+        sweep_empty_dirs,
+    )
+
     referenced: set[str] = set()
     for snap in md.snapshots.values():
-        referenced.add(os.path.abspath(snap.manifest_list))
+        referenced.add(canon_path(snap.manifest_list))
         for row in read_manifest_list(snap.manifest_list):
-            referenced.add(os.path.abspath(row["manifest_path"]))
+            referenced.add(canon_path(row["manifest_path"]))
             for e in read_manifest(row["manifest_path"]):
-                referenced.add(os.path.abspath(e.data_file.file_path))
+                referenced.add(canon_path(e.data_file.file_path))
 
     removed = []
     data_root = os.path.join(md.location, "data")
-    for root, _dirs, names in os.walk(data_root):
-        for name in names:
-            path = os.path.abspath(os.path.join(root, name))
-            if path in referenced:
-                continue
-            if os.path.getmtime(path) * 1000 >= cutoff:
-                continue
-            removed.append(path)
-            if not dry_run:
-                os.remove(path)
+    # scheme-routed enumeration (r11): orphan cleanup works on any
+    # warehouse Spark can write, not just a POSIX-local table location
+    for lf in list_files(data_root, table.spark):
+        if canon_path(lf.path) in referenced:
+            continue
+        if lf.mtime_ms >= cutoff:
+            continue
+        removed.append(lf.path)
+        if not dry_run:
+            remove_file(lf.path, table.spark)
     if not dry_run:
-        # sweep now-empty data subdirectories
-        for root, dirs, names in os.walk(data_root, topdown=False):
-            if root != data_root and not dirs and not names:
-                try:
-                    os.rmdir(root)
-                except OSError:
-                    pass
+        # sweep now-empty data subdirectories (no-op on object stores,
+        # whose "directories" vanish with their last key)
+        sweep_empty_dirs(data_root, table.spark)
     return removed
 
 
@@ -1022,12 +1027,15 @@ def _write_equality_delete_files(table: Table, keys) -> list:
         out.write.mode("overwrite").parquet(out_dir)
     finally:
         distinct.unpersist()
+    from iceberg_rust_custom_spark.io.lister import list_files
+
     files = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".parquet"):
+    for lf in list_files(out_dir, table.spark):  # scheme-routed (r11)
+        if not lf.path.endswith(".parquet"):
             continue
-        path = os.path.join(out_dir, name)
-        stats = collect_datafile_stats(path, key_schema, {}, schema_id=md.current_schema_id)
+        stats = collect_datafile_stats(
+            lf.path, key_schema, {}, schema_id=md.current_schema_id, file_size=lf.size
+        )
         if stats.record_count == 0:
             continue
         files.append(

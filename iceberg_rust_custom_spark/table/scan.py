@@ -26,6 +26,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_rust_custom_spark.io.lister import canon_path
 from iceberg_rust_custom_spark.metadata.expressions import (
     Expr,
     FileBounds,
@@ -877,7 +878,7 @@ def _attach_metadata_columns(
 
         rows = [
             (
-                f.file_path,
+                canon_path(f.file_path),
                 f.spec_id if f.spec_id is not None else metadata.default_spec_id,
                 _json.dumps({k: encode_value(v) for k, v in f.partition.items()}),
             )
@@ -907,7 +908,7 @@ def _attach_row_lineage(spark, df: DataFrame, files: list, file_seqs: dict) -> D
 
     rows = [
         (
-            f.file_path,
+            canon_path(f.file_path),
             None if f.first_row_id is None or f.first_row_id == -1 else f.first_row_id,
             file_seqs.get(f.file_path),
         )
@@ -1020,7 +1021,7 @@ def _equality_deletes_impl(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    seq_rows = [(p, s) for p, s in file_seqs.items()]
+    seq_rows = [(canon_path(p), s) for p, s in file_seqs.items()]
     seq_df = F.broadcast(
         spark.createDataFrame(seq_rows, "file_path string, _sg_dseq long")
     )
@@ -1037,9 +1038,9 @@ def _equality_deletes_impl(
         ids = e.data_file.equality_ids
         if ids and all(i in id_to_name for i in ids):
             return tuple(sorted(id_to_name[i] for i in ids))
-        import pyarrow.parquet as _pq
+        from iceberg_rust_custom_spark.io.fileio import FileIO
 
-        return tuple(sorted(_pq.ParquetFile(e.data_file.file_path).schema_arrow.names))
+        return tuple(sorted(FileIO.pq_parquet_file(e.data_file.file_path).schema_arrow.names))
 
     by_keyset: dict[tuple, list] = {}
     for e in eq_entries:
