@@ -421,11 +421,20 @@ class Engine:
           intersecting files (r10).
         * single-table aggregates: same range clustering on the GROUP BY
           keys (delta tombstones key on them).
+        * two-table inner-join SPJ (r11): storage rows remember the
+          (rid_a, rid_b) of the source-row PAIR that produced them —
+          an inner join emits one row per matching pair, so the pair is a
+          KEY of the view multiset; changelog maintenance eq-deletes on it
+          and the storage range-clusters on rid_a (disjoint per-file rid_a
+          ranges → bounds-pruned victim application), closing the O(|V|)
+          content-join read the multiset fallback paid per delta refresh.
         * everything else: engine defaults."""
         import pyspark.sql.types as _T
 
         from iceberg_rust_custom_spark.views.incremental import (
             SRC_ROW_ID,
+            SRC_ROW_ID_A,
+            SRC_ROW_ID_B,
             classify_view_sql,
         )
 
@@ -437,6 +446,16 @@ class Engine:
                 + [_T.StructField(SRC_ROW_ID, _T.LongType(), True)]
             )
             sort_by = [SRC_ROW_ID]
+            props = {"write.distribution-mode": "range"}
+        elif self._mv_lineage_join_sql(sql):
+            result_schema = _T.StructType(
+                list(result_schema.fields)
+                + [
+                    _T.StructField(SRC_ROW_ID_A, _T.LongType(), True),
+                    _T.StructField(SRC_ROW_ID_B, _T.LongType(), True),
+                ]
+            )
+            sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B]
             props = {"write.distribution-mode": "range"}
         else:
             plan = classify_view_sql(sql)
@@ -518,6 +537,50 @@ class Engine:
         except Exception:
             return None
 
+    def _mv_lineage_join_sql(self, sql: str) -> str | None:
+        """The pair-lineage-instrumented rewrite of a two-table inner-join
+        SPJ view SQL (views/incremental.py::join_lineage_sql), or None when
+        the shape or either source (both must be plain tables) rules it
+        out."""
+        from iceberg_rust_custom_spark.views.incremental import (
+            classify_view_sql,
+            join_lineage_sql,
+        )
+
+        plan = classify_view_sql(sql)
+        if plan is None or plan.mode != "join":
+            return None
+        lsql = join_lineage_sql(sql)
+        if lsql is None:
+            return None
+        for rel in (plan.relation, plan.relation_b):
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
+                return None
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                return None
+        return lsql
+
+    def _sql_with_join_lineage(self, sql: str):
+        """Run the pair-lineage-instrumented join rewrite with BOTH sources
+        registered as row-lineage scans; None → caller uses the plain SQL
+        (and null-fills the hidden pair columns)."""
+        lsql = self._mv_lineage_join_sql(sql)
+        if lsql is None:
+            return None
+        from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+        plan = classify_view_sql(sql)
+        try:
+            for rel in (plan.relation, plan.relation_b):
+                self.load_table(rel).scan(row_lineage=True).drop(
+                    "_last_updated_sequence_number"
+                ).createOrReplaceTempView(transform_name(rel))
+            return self.spark.sql(transform_relations(lsql))
+        except Exception:
+            return None
+
     def dependent_materialized_views(self, table_name: str) -> list[str]:
         """Every materialized view in the default catalog whose SQL reads
         ``table_name`` — matched by table UUID through the same source-state
@@ -546,7 +609,11 @@ class Engine:
         """The storage table's current content (no recompute), hidden
         maintenance columns dropped."""
         md = self._load_view_metadata(name)
-        return self.load_table(md.storage_table).scan().drop(_INC.SRC_ROW_ID)
+        return (
+            self.load_table(md.storage_table)
+            .scan()
+            .drop(_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B)
+        )
 
     def _mv_source_states(self, sql: str) -> list[tuple[str, str, int | None]]:
         """(relation, state key, current snapshot id) for every catalog
@@ -662,9 +729,8 @@ class Engine:
         storage = self.load_table(md.storage_table)
         result = None
         null_rid_fill = False
-        if any(
-            f.name == _INC.SRC_ROW_ID for f in storage.metadata.current_schema().fields
-        ):
+        storage_cols = {f.name for f in storage.metadata.current_schema().fields}
+        if _INC.SRC_ROW_ID in storage_cols:
             result = self._sql_with_source_lineage(md.current_sql())
             if result is None:  # source can't supply lineage: null-fill the
                 # hidden column — the changelog refresh's null guard then
@@ -676,6 +742,17 @@ class Engine:
                 )
                 # all-null rids: the storage's rid range-distribution would
                 # shuffle everything into ONE task — keep the plan's layout
+                null_rid_fill = True
+        elif _INC.SRC_ROW_ID_A in storage_cols:
+            result = self._sql_with_join_lineage(md.current_sql())
+            if result is None:  # same null-fill contract as the SPJ shape
+                from pyspark.sql import functions as _F
+
+                result = (
+                    self.sql(md.current_sql())
+                    .withColumn(_INC.SRC_ROW_ID_A, _F.lit(None).cast("long"))
+                    .withColumn(_INC.SRC_ROW_ID_B, _F.lit(None).cast("long"))
+                )
                 null_rid_fill = True
         if result is None:
             result = self.sql(md.current_sql())
@@ -948,7 +1025,13 @@ class Engine:
                 )
                 del_files = _write_position_deletes(storage, hits)
             if null_rid:
-                net_ins = net_ins.withColumn(_INC.SRC_ROW_ID, F.lit(None).cast("long"))
+                # null-fill whichever hidden lineage columns the storage
+                # schema carries but the plain (no-lineage) SQL couldn't
+                # produce: the SPJ rid, or the join pair rids (r11)
+                st_names = {f.name for f in storage.metadata.current_schema().fields}
+                for rc in (_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B):
+                    if rc in st_names and rc not in net_ins.columns:
+                        net_ins = net_ins.withColumn(rc, F.lit(None).cast("long"))
             # null_rid: an all-null rid column must not range-shuffle the
             # whole insert side into one task (r10 rid clustering)
             ins_files = write_partitioned(
@@ -1283,21 +1366,47 @@ class Engine:
         a, b = sources
         a_sid, b_sid = anchors
         sql = md.current_sql()
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        lsql = (
+            self._mv_lineage_join_sql(sql) if _INC.SRC_ROW_ID_A in out_cols else None
+        )
 
-        # part 1: ΔA ⋈ B_new
-        a.incremental_scan(a.metadata.snapshots[a_sid].sequence_number).createOrReplaceTempView(
-            transform_name(rels[0])
-        )
-        b.scan().createOrReplaceTempView(transform_name(rels[1]))
-        part1 = self.spark.sql(transform_relations(sql))
-        # part 2: A_old ⋈ ΔB (spark.sql binds views eagerly, so re-registering
-        # the same names here does not disturb part1's resolved plan)
-        a.scan(snapshot_id=a_sid).createOrReplaceTempView(transform_name(rels[0]))
-        b.incremental_scan(b.metadata.snapshots[b_sid].sequence_number).createOrReplaceTempView(
-            transform_name(rels[1])
-        )
-        part2 = self.spark.sql(transform_relations(sql))
-        delta_result = part1.unionByName(part2)
+        if lsql is not None:
+            # pair-lineage storage (r11): the delta rows carry both source
+            # rids so later changelog refreshes can eq-delete by pair.
+            # Appends-only history means the changelog is pure inserts.
+            run_sql = transform_relations(lsql)
+            a.changes(
+                a.metadata.snapshots[a_sid].sequence_number, with_lineage=True
+            ).drop("_change_type").createOrReplaceTempView(transform_name(rels[0]))
+            b.scan(row_lineage=True).drop(
+                "_last_updated_sequence_number"
+            ).createOrReplaceTempView(transform_name(rels[1]))
+            part1 = self.spark.sql(run_sql)
+            a.scan(snapshot_id=a_sid, row_lineage=True).drop(
+                "_last_updated_sequence_number"
+            ).createOrReplaceTempView(transform_name(rels[0]))
+            b.changes(
+                b.metadata.snapshots[b_sid].sequence_number, with_lineage=True
+            ).drop("_change_type").createOrReplaceTempView(transform_name(rels[1]))
+            part2 = self.spark.sql(run_sql)
+            delta_result = part1.unionByName(part2).select(*out_cols)
+        else:
+            # part 1: ΔA ⋈ B_new
+            a.incremental_scan(
+                a.metadata.snapshots[a_sid].sequence_number
+            ).createOrReplaceTempView(transform_name(rels[0]))
+            b.scan().createOrReplaceTempView(transform_name(rels[1]))
+            part1 = self.spark.sql(transform_relations(sql))
+            # part 2: A_old ⋈ ΔB (spark.sql binds views eagerly, so
+            # re-registering the same names here does not disturb part1's
+            # resolved plan)
+            a.scan(snapshot_id=a_sid).createOrReplaceTempView(transform_name(rels[0]))
+            b.incremental_scan(
+                b.metadata.snapshots[b_sid].sequence_number
+            ).createOrReplaceTempView(transform_name(rels[1]))
+            part2 = self.spark.sql(transform_relations(sql))
+            delta_result = part1.unionByName(part2)
 
         new_state = {
             "refresh-version-id": md.current_version_id,
@@ -1319,28 +1428,120 @@ class Engine:
 
             Δ⁺V = Δ⁺A ⋈ B_new  ∪  A_old ⋈ Δ⁺B
             Δ⁻V = Δ⁻A ⋈ B_new  ∪  A_old ⋈ Δ⁻B
-            V'  = (V ∪ Δ⁺V) ∖ Δ⁻V          (multiset exceptAll)
 
         Exact because ⋈/σ/π are linear over signed multisets:
-        ΔA⋈B_new + A_old⋈ΔB = A_new⋈B_new − A_old⋈B_old. Positives MUST
-        union in before the exceptAll: a cross-term row that appears in
-        both Δ⁺V and Δ⁻V (e.g. an A-row deleted in-range joining a B-row
-        inserted in-range) has no V occurrence to cancel against — union
-        first keeps the truncating multiset difference exact. Storage is
-        rewritten (deletes can shrink V), but source-side cost still
-        tracks delta size: the Δ sides are changelog-sized and the
-        A_old/B_new scans prune by the join's pushed predicates."""
+        ΔA⋈B_new + A_old⋈ΔB = A_new⋈B_new − A_old⋈B_old.
+
+        **Pair-lineage storage commit (r11, VERDICT r10 #2).** An inner
+        join emits one output row per matching (a-row, b-row) pair, so
+        (rid_a, rid_b) is a KEY of the view multiset. When the storage
+        carries the hidden pair columns and all row ids are non-null, the
+        net sides are delta-sized exceptAlls and the commit is
+        ``_commit_storage_delta``: Δ⁻ as ONE MoR equality-delete set on the
+        two long rid keys (storage range-clusters on rid_a, so application
+        bounds-prunes to the few intersecting files), Δ⁺ as an append —
+        no pre-existing storage file is read OR rewritten. Cross terms net
+        out exactly: a pair in both Δ⁺V and Δ⁻V (e.g. A-row deleted
+        in-range joining a B-row inserted in-range) cancels before the
+        commit, and an updated pair (same rids, new content) eq-deletes
+        its old row while the same-commit append — which equality deletes
+        never touch (sequence gating) — lands the new version.
+
+        Legacy storages (no pair columns), NULL row ids, or unjoinable
+        output types fall back to the multiset content commit
+        (``_multiset_delta_commit`` — position tombstones discovered by a
+        range-pruned content join; delta-sized writes, storage-sized reads
+        in the worst case), never a wrong answer."""
         from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
         a, b = sources
         a_sid, b_sid = anchors
         sql = md.current_sql()
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        rid_cols = [_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B]
+        has_pair = all(c in out_cols for c in rid_cols)
+        lsql = self._mv_lineage_join_sql(sql) if has_pair else None
 
-        # each delta feeds two joins (⋈ B_new, kept/insert split) — cache
-        # so the changelog tombstone jobs run once per source; unpersist
-        # already-cached frames if a LATER source's range turns out
-        # unreplayable (review r9: the partial-failure path leaked)
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id for src in sources
+            },
+        }
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+
+        def run(run_sql, df_a, df_b, cols):
+            # spark.sql binds temp views eagerly, so sequential
+            # re-registration under the same names is safe (see sibling)
+            df_a.createOrReplaceTempView(transform_name(rels[0]))
+            df_b.createOrReplaceTempView(transform_name(rels[1]))
+            return self.spark.sql(run_sql).select(*cols)
+
+        if lsql is not None and self._storage_cols_joinable(storage, out_cols):
+            # the rid fast path needs non-null pair ids on BOTH sides —
+            # same probe contract as the SPJ changelog path (ADVICE r8)
+            null_pred = " OR ".join(f"{c} IS NULL" for c in rid_cols)
+            storage_rids_ok = storage.scan().where(null_pred).limit(1).count() == 0
+            if storage_rids_ok:
+                deltas = []
+                try:
+                    for src, sid in zip(sources, anchors):
+                        deltas.append(
+                            src.changes(
+                                src.metadata.snapshots[sid].sequence_number,
+                                with_lineage=True,
+                            ).persist()
+                        )
+                except ValueError:
+                    for d in deltas:
+                        d.unpersist()
+                    return False  # commit shape the changelog cannot replay
+                try:
+                    if all(
+                        d.where("_row_id IS NULL").limit(1).count() == 0 for d in deltas
+                    ):
+                        (a_ins, a_del), (b_ins, b_del) = (
+                            (
+                                ch.where(
+                                    "_change_type IN ('insert', 'update_after')"
+                                ).drop("_change_type"),
+                                ch.where(
+                                    "_change_type IN ('delete', 'update_before')"
+                                ).drop("_change_type"),
+                            )
+                            for ch in deltas
+                        )
+                        run_sql = transform_relations(lsql)
+                        b_new = b.scan(row_lineage=True).drop(
+                            "_last_updated_sequence_number"
+                        )
+                        a_old = a.scan(snapshot_id=a_sid, row_lineage=True).drop(
+                            "_last_updated_sequence_number"
+                        )
+                        pos = run(run_sql, a_ins, b_new, out_cols).unionByName(
+                            run(run_sql, a_old, b_ins, out_cols)
+                        )
+                        neg = run(run_sql, a_del, b_new, out_cols).unionByName(
+                            run(run_sql, a_old, b_del, out_cols)
+                        )
+                        # NET both sides: intermediate versions and
+                        # cross-term pairs cancel (see docstring); the
+                        # delete keys come from the NETTED side only
+                        net_ins = pos.exceptAll(neg)
+                        net_del = neg.exceptAll(pos)
+                        del_keys = net_del.select(*rid_cols).distinct()
+                        self._commit_storage_delta(
+                            storage, del_keys, net_ins, new_state, data_dir
+                        )
+                        return "incremental-changelog-join"
+                finally:
+                    for d in deltas:
+                        d.unpersist()
+                # NULL source row ids (pre-lineage rows): fall through to
+                # the multiset path — never a wrong answer
+
+        # multiset content fallback: plain (no-lineage) changelog deltas,
+        # visible columns only; any rid columns null-fill on the inserts
         deltas = []
         try:
             for src, sid in zip(sources, anchors):
@@ -1358,33 +1559,23 @@ class Engine:
             )
             for ch in deltas
         )
-
-        def run(df_a, df_b):
-            # spark.sql binds temp views eagerly, so sequential
-            # re-registration under the same names is safe (see sibling)
-            df_a.createOrReplaceTempView(transform_name(rels[0]))
-            df_b.createOrReplaceTempView(transform_name(rels[1]))
-            return self.spark.sql(transform_relations(sql)).select(*out_cols)
-
+        vis = [c for c in out_cols if c not in rid_cols]
+        plain_sql = transform_relations(sql)
         b_new = b.scan()
         a_old = a.scan(snapshot_id=a_sid)
-        pos = run(a_ins, b_new).unionByName(run(a_old, b_ins))
-        neg = run(a_del, b_new).unionByName(run(a_old, b_del))
-
-        new_state = {
-            "refresh-version-id": md.current_version_id,
-            "source-table-states": {
-                src.metadata.table_uuid: src.metadata.current_snapshot_id for src in sources
-            },
-        }
-        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        pos = run(plain_sql, a_ins, b_new, vis).unionByName(
+            run(plain_sql, a_old, b_ins, vis)
+        )
+        neg = run(plain_sql, a_del, b_new, vis).unionByName(
+            run(plain_sql, a_old, b_del, vis)
+        )
         # delta-sized multiset commit (position tombstones + append); the
         # truncating identity (V ∪ Δ⁺) ∖ Δ⁻ = (V ∖ (Δ⁻ ∖ Δ⁺)) ∪ (Δ⁺ ∖ Δ⁻)
         # keeps cross-term rows exact without unioning positives first (r9
         # — previously this path rewrote the full storage every refresh)
         try:
             ran = self._multiset_delta_commit(
-                storage, pos, neg, out_cols, new_state, data_dir
+                storage, pos, neg, vis, new_state, data_dir, null_rid=has_pair
             )
             # unjoinable column types → None: exceptAll would hit the same
             # restriction; full refresh is the always-correct fallback

@@ -97,6 +97,49 @@ def lineage_sql(sql: str) -> str | None:
     )
 
 
+# hidden pair-lineage columns for two-table inner-join SPJ views: an
+# output row is identified by the (rid_a, rid_b) of the source-row pair
+# that produced it, so changelog delete maintenance becomes MoR equality
+# deletes on two long keys (bounds-prunable — storage range-clusters on
+# rid_a) instead of a content join against the whole storage (VERDICT r10
+# #2: O(|V|) read per delta refresh of a large join MV).
+SRC_ROW_ID_A = "__sg_src_row_id_a"
+SRC_ROW_ID_B = "__sg_src_row_id_b"
+
+
+def join_lineage_sql(sql: str) -> str | None:
+    """For a two-table inner-join SPJ view: the same SQL with BOTH sources'
+    v3 ``_row_id`` carried through as the hidden pair-lineage storage
+    columns. None when the shape rules it out (must classify as a "join"
+    plan, no SELECT *, and each side needs a usable qualifier — an explicit
+    alias, or an undotted relation name)."""
+    jm = _JOIN_SHAPE_RE.match(sql.strip())
+    if (
+        not jm
+        or _FORBIDDEN_NONJOIN_RE.search(sql)
+        or _AGG_CALL_RE.search(jm.group("select"))
+        or "*" in jm.group("select")
+        or jm.group("rel_a").lower() == jm.group("rel_b").lower()
+        or re.search(
+            r"\bJOIN\b", jm.group("cond") + (jm.group("where") or ""), re.IGNORECASE
+        )
+    ):
+        return None
+    qa = jm.group("alias_a") or ("" if "." in jm.group("rel_a") else jm.group("rel_a"))
+    qb = jm.group("alias_b") or ("" if "." in jm.group("rel_b") else jm.group("rel_b"))
+    if not qa or not qb or qa.lower() == qb.lower():
+        return None
+    aa = f" {jm.group('alias_a')}" if jm.group("alias_a") else ""
+    ab = f" {jm.group('alias_b')}" if jm.group("alias_b") else ""
+    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
+    return (
+        f"SELECT {jm.group('select')}, {qa}._row_id AS {SRC_ROW_ID_A}, "
+        f"{qb}._row_id AS {SRC_ROW_ID_B} "
+        f"FROM {jm.group('rel_a')}{aa} JOIN {jm.group('rel_b')}{ab} "
+        f"ON {jm.group('cond')}{where}"
+    )
+
+
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
     """Shape-match the view SQL; None means "not incrementally
     maintainable, do a full refresh". Deliberately conservative: one

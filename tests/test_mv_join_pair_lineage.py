@@ -1,0 +1,250 @@
+"""r11 (VERDICT r10 #2): join-MV storage carries (rid_a, rid_b) pair
+lineage, and changelog refreshes commit Δ⁻ as MoR EQUALITY deletes on the
+pair + Δ⁺ as an append — one atomic commit, no pre-existing storage file
+read or rewritten. The multiset content-join fallback (position
+tombstones discovered against a range-pruned storage scan) remains for
+legacy/null-rid storages.
+
+Why the pair is a sound key: an inner join emits exactly one output row
+per matching (a-row, b-row) pair, and v3 row ids are unique per source
+row — so (rid_a, rid_b) identifies a view row across refreshes, exactly
+like SRC_ROW_ID does for single-table SPJ views (r9/r10 machinery)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+from iceberg_rust_custom_spark.views.incremental import (
+    SRC_ROW_ID_A,
+    SRC_ROW_ID_B,
+    join_lineage_sql,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(eng, spark, ns="p", n=30):
+    a = eng.create_table(
+        f"{ns}.a", spark.range(1).select(F.col("id").alias("k"), F.lit("x").alias("ak")).schema
+    )
+    b = eng.create_table(
+        f"{ns}.b", spark.range(1).select(F.col("id").alias("k"), F.lit("x").alias("bk")).schema
+    )
+    a.append(
+        spark.range(n).select(F.col("id").alias("k"), F.concat(F.lit("a"), F.col("id")).alias("ak"))
+    )
+    b.append(
+        spark.range(n).select(F.col("id").alias("k"), F.concat(F.lit("b"), F.col("id")).alias("bk"))
+    )
+    return a, b
+
+
+def _oracle(eng, ns="p"):
+    return sorted(
+        (r.ak, r.bk)
+        for r in eng.sql(f"SELECT a.ak, b.bk FROM {ns}.a a JOIN {ns}.b b ON a.k = b.k").collect()
+    )
+
+
+def _mv_rows(eng, name):
+    return sorted((r.ak, r.bk) for r in eng.scan_materialized_view(name).collect())
+
+
+def test_join_lineage_sql_shapes():
+    assert join_lineage_sql("SELECT a.x, b.y FROM t1 a JOIN t2 b ON a.k = b.k") == (
+        f"SELECT a.x, b.y, a._row_id AS {SRC_ROW_ID_A}, b._row_id AS {SRC_ROW_ID_B} "
+        "FROM t1 a JOIN t2 b ON a.k = b.k"
+    )
+    # no aliases: undotted relation names qualify
+    got = join_lineage_sql("SELECT x, y FROM t1 JOIN t2 ON t1.k = t2.k WHERE x > 1")
+    assert got is not None and f"t1._row_id AS {SRC_ROW_ID_A}" in got and got.endswith("WHERE x > 1")
+    # ruled out: SELECT *, aggregates, dotted rel without alias, self-join
+    assert join_lineage_sql("SELECT * FROM t1 a JOIN t2 b ON a.k = b.k") is None
+    assert join_lineage_sql("SELECT sum(a.x) AS s FROM t1 a JOIN t2 b ON a.k = b.k") is None
+    assert join_lineage_sql("SELECT x FROM ns.t1 JOIN t2 ON t1.k = t2.k") is None
+    assert join_lineage_sql("SELECT a.x FROM t1 a JOIN t1 b ON a.k = b.k") is None
+    assert join_lineage_sql("SELECT a.x FROM t1 a LEFT JOIN t2 b ON a.k = b.k") is None
+
+
+def test_join_mv_storage_has_pair_columns_and_nonnull_rids(eng, spark):
+    _mk(eng, spark, "p")
+    eng.create_materialized_view("p.mv", "SELECT a.ak, b.bk FROM p.a a JOIN p.b b ON a.k = b.k")
+    storage = eng.load_table("p.mv__storage")
+    names = [f.name for f in storage.metadata.current_schema().fields]
+    assert SRC_ROW_ID_A in names and SRC_ROW_ID_B in names
+    df = storage.scan()
+    assert df.where(f"{SRC_ROW_ID_A} IS NULL OR {SRC_ROW_ID_B} IS NULL").count() == 0
+    assert df.select(SRC_ROW_ID_A, SRC_ROW_ID_B).distinct().count() == df.count()
+    # hidden columns never leak to the user surface
+    assert SRC_ROW_ID_A not in eng.scan_materialized_view("p.mv").columns
+    assert _mv_rows(eng, "p.mv") == _oracle(eng, "p")
+
+
+def test_join_changelog_refresh_commits_pair_eq_deletes(eng, spark):
+    """The delta commit's Δ⁻ is an EQUALITY delete file keyed on the two
+    rid columns (with footer bounds for victim pruning) — not position
+    tombstones from a storage content scan."""
+    a, b = _mk(eng, spark, "q")
+    eng.create_materialized_view("q.mv", "SELECT a.ak, b.bk FROM q.a a JOIN q.b b ON a.k = b.k")
+    storage = eng.load_table("q.mv__storage")
+    schema = storage.metadata.current_schema()
+    rid_ids = {schema.field_by_name(SRC_ROW_ID_A).field_id, schema.field_by_name(SRC_ROW_ID_B).field_id}
+    before = {
+        f.file_path for f in plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+    }
+    delete_where(a, "k IN (3, 7)", mode="merge-on-read")
+    a.append(spark.createDataFrame([(100, "a100")], "k long, ak string"))
+    b.append(spark.createDataFrame([(100, "b100")], "k long, bk string"))
+    assert eng.refresh_materialized_view("q.mv") == "incremental-changelog-join"
+    storage = eng.load_table("q.mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    after = {f.file_path for f in plan_files(storage.metadata, snap)}
+    assert before <= after, "pre-existing storage files were rewritten"
+    eqs = [e.data_file for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 2]
+    assert eqs, "expected equality-delete tombstones keyed on the rid pair"
+    assert all(set(d.equality_ids or ()) == rid_ids for d in eqs)
+    assert all(SRC_ROW_ID_A in (d.lower_bounds or {}) for d in eqs)  # prunable
+    # no position tombstones: the pair path never scanned storage content
+    assert not [
+        e for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 1
+    ]
+    assert _mv_rows(eng, "q.mv") == _oracle(eng, "q")
+
+
+def test_join_mv_update_pair_lands_final_version(eng, spark):
+    """A MoR UPDATE keeps the source row's rid: the pair eq-deletes its old
+    storage row while the same-commit append (which equality deletes never
+    touch — sequence gating) lands the new version. Includes an update
+    that changes NO projected column (must cancel entirely) and a double
+    update (intermediate version must cancel)."""
+    a, b = _mk(eng, spark, "u")
+    eng.create_materialized_view("u.mv", "SELECT a.k, a.ak, b.bk FROM u.a a JOIN u.b b ON a.k = b.k")
+    update_where(a, {"ak": "'a5-v2'"}, "k = 5", mode="merge-on-read")
+    update_where(a, {"ak": "'a5-v3'"}, "k = 5", mode="merge-on-read")
+    update_where(b, {"bk": "bk"}, "k = 9", mode="merge-on-read")  # no-op content
+    assert eng.refresh_materialized_view("u.mv") == "incremental-changelog-join"
+    got = sorted((r.k, r.ak, r.bk) for r in eng.scan_materialized_view("u.mv").collect())
+    want = sorted(
+        (r.k, r.ak, r.bk)
+        for r in eng.sql("SELECT a.k, a.ak, b.bk FROM u.a a JOIN u.b b ON a.k = b.k").collect()
+    )
+    assert got == want
+    assert ("5", ) not in {(g[1],) for g in got} and any(g[1] == "a5-v3" for g in got)
+    assert sum(1 for g in got if g[0] == 5) == 1  # no stale intermediates
+
+
+def test_join_mv_cross_term_nets_out(eng, spark):
+    """A-row deleted in-range joining a B-row inserted in-range: the pair
+    lands in BOTH Δ⁺V and Δ⁻V and must cancel before the commit — eq-
+    deleting it after appending would be wrong order-dependence, keeping
+    or killing the row depending on sequencing."""
+    a, b = _mk(eng, spark, "x")
+    eng.create_materialized_view("x.mv", "SELECT a.ak, b.bk FROM x.a a JOIN x.b b ON a.k = b.k")
+    delete_where(a, "k = 2", mode="merge-on-read")
+    b.append(spark.createDataFrame([(2, "b2-new")], "k long, bk string"))
+    assert eng.refresh_materialized_view("x.mv") == "incremental-changelog-join"
+    got = _mv_rows(eng, "x.mv")
+    assert got == _oracle(eng, "x")
+    assert not any(ak == "a2" for ak, _ in got)
+
+
+def test_null_rid_poisoned_join_storage_falls_back(eng, spark):
+    """Storage holding NULL pair rids must not take the eq-delete path (a
+    NULL key never matches). The probe falls back to the multiset content
+    path — still delta-writes, never a wrong answer."""
+    import os
+    import uuid as _uuid
+
+    from iceberg_rust_custom_spark.table.write import write_partitioned
+
+    a, b = _mk(eng, spark, "n")
+    eng.create_materialized_view("n.mv", "SELECT a.ak, b.bk FROM n.a a JOIN n.b b ON a.k = b.k")
+    storage = eng.load_table("n.mv__storage")
+    state = storage.metadata.snapshot_for_ref().summary.get("refresh-state")
+    poisoned = (
+        storage.scan()
+        .withColumn(SRC_ROW_ID_A, F.lit(None).cast("long"))
+        .withColumn(SRC_ROW_ID_B, F.lit(None).cast("long"))
+    )
+    data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+    files = write_partitioned(poisoned, storage.metadata, data_dir, keep_layout=True)
+    storage.metadata = storage.new_transaction().rewrite_with_lineage(files, state).commit()
+    delete_where(a, "k < 10", mode="merge-on-read")
+    ran = eng.refresh_materialized_view("n.mv")
+    assert ran  # some flavor ran — and the answer is exact
+    assert _mv_rows(eng, "n.mv") == _oracle(eng, "n")
+    assert all(not ak.startswith("a0") and ak != "a1" for ak, _ in _mv_rows(eng, "n.mv") if len(ak) == 2)
+
+
+def test_join_mv_storage_is_rid_a_clustered_and_prunable(eng, spark):
+    """Storage range-distributes on (rid_a, rid_b): disjoint per-file rid_a
+    ranges with tight footer bounds, so a narrow delta's pair eq-deletes
+    victim-prune to a strict subset of storage files (mirror of the r10
+    SPJ rid-clustering proof)."""
+    from iceberg_rust_custom_spark.table.maintenance import compact
+    from iceberg_rust_custom_spark.table.scan import (
+        data_file_sequence_numbers,
+        eq_victim_candidates,
+    )
+
+    a, b = _mk(eng, spark, "c", n=20000)
+    eng.create_materialized_view("c.mv", "SELECT a.k, a.ak, b.bk FROM c.a a JOIN c.b b ON a.k = b.k")
+    storage = eng.load_table("c.mv__storage")
+    storage.metadata = storage.new_transaction().set_properties(
+        {"write.target-file-size-bytes": "65536"}
+    ).commit()
+    compact(storage)
+    storage = eng.load_table("c.mv__storage")
+    files = plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+    bounded = [
+        f for f in files if SRC_ROW_ID_A in f.lower_bounds and SRC_ROW_ID_A in f.upper_bounds
+    ]
+    assert len(bounded) >= 2
+    ranges = sorted(
+        (f.lower_bounds[SRC_ROW_ID_A], f.upper_bounds[SRC_ROW_ID_A]) for f in bounded
+    )
+    for (_, h1), (l2, _) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # rid_a-clustered (ties only at range boundaries)
+    delete_where(a, "k >= 100 AND k < 130", mode="merge-on-read")
+    assert eng.refresh_materialized_view("c.mv") == "incremental-changelog-join"
+    storage = eng.load_table("c.mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    eqs = [e for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 2]
+    assert eqs
+    files = plan_files(storage.metadata, snap)
+    cand = eq_victim_candidates(
+        files,
+        eqs,
+        storage.metadata.current_schema(),
+        data_file_sequence_numbers(storage.metadata, snap),
+    )
+    assert 0 < len(cand) < len(files)
+    got = sorted(r.k for r in eng.scan_materialized_view("c.mv").collect())
+    want = sorted(
+        r.k for r in eng.sql("SELECT a.k FROM c.a a JOIN c.b b ON a.k = b.k").collect()
+    )
+    assert got == want
+
+
+def test_appends_only_join_refresh_carries_pair_rids(eng, spark):
+    """The appends-only (incremental-join) path writes delta rows WITH
+    their pair rids, so a later MoR delete still takes the eq-delete
+    path instead of degrading to the content fallback."""
+    a, b = _mk(eng, spark, "ap")
+    eng.create_materialized_view("ap.mv", "SELECT a.ak, b.bk FROM ap.a a JOIN ap.b b ON a.k = b.k")
+    a.append(spark.createDataFrame([(200, "a200")], "k long, ak string"))
+    b.append(spark.createDataFrame([(200, "b200")], "k long, bk string"))
+    assert eng.refresh_materialized_view("ap.mv") == "incremental-join"
+    storage = eng.load_table("ap.mv__storage")
+    assert (
+        storage.scan().where(f"{SRC_ROW_ID_A} IS NULL OR {SRC_ROW_ID_B} IS NULL").count() == 0
+    )
+    # now a row-level delete: must still be the pair eq-delete path
+    delete_where(b, "k = 200", mode="merge-on-read")
+    assert eng.refresh_materialized_view("ap.mv") == "incremental-changelog-join"
+    assert _mv_rows(eng, "ap.mv") == _oracle(eng, "ap")
