@@ -862,6 +862,33 @@ class Engine:
         return "incremental-aggregate"
 
     @staticmethod
+    def _storage_rids_ok(storage, cols) -> bool:
+        """Non-null row-id probe for the rid fast paths, METADATA-FIRST
+        (r11): per-file footer null counts prove the absence of null rids
+        without reading the storage — the old LIMIT-1 scan probe could
+        never early-exit in the common all-non-null case, costing an
+        O(storage) column read per delta refresh. Files lacking the stat
+        fall back to one column-pruned scan probe; files whose stat shows
+        nulls answer False (conservative: live rows might all be non-null
+        after tombstones, but the fallback path is merely slower, never
+        wrong)."""
+        from iceberg_rust_custom_spark.table.scan import plan_files
+
+        md = storage.metadata
+        unknown = False
+        for f in plan_files(md, md.snapshot_for_ref()):
+            for c in cols:
+                nc = (f.null_value_counts or {}).get(c)
+                if nc is None:
+                    unknown = True
+                elif nc > 0:
+                    return False
+        if not unknown:
+            return True
+        pred = " OR ".join(f"{c} IS NULL" for c in cols)
+        return storage.scan().where(pred).limit(1).count() == 0
+
+    @staticmethod
     def _storage_cols_joinable(storage, cols) -> bool:
         """Can these storage columns be equi-join / set-operation operands?
         Maps (at ANY nesting depth — review r9: a top-level-only check let
@@ -1206,15 +1233,10 @@ class Engine:
                 # storage can hold NULL SRC_ROW_ID rows poisoned by an
                 # earlier full-refresh null-fill or multiset fallback, and
                 # deleting by a NULL storage key silently keeps rows that
-                # should be removed (ADVICE r8) — one column-pruned
-                # LIMIT 1 probe guards it
-                storage_rids_ok = (
-                    storage.scan()
-                    .where(f"{SRC_ROW_ID} IS NULL")
-                    .limit(1)
-                    .count()
-                    == 0
-                )
+                # should be removed (ADVICE r8). Metadata-first probe via
+                # footer null counts (r11) — no storage read when stats
+                # prove non-null.
+                storage_rids_ok = self._storage_rids_ok(storage, [SRC_ROW_ID])
                 # the changelog frame feeds several actions (null probe,
                 # both delta sides, the key extract) — cache it so the
                 # tombstone-planning jobs behind changes() run once
@@ -1479,10 +1501,9 @@ class Engine:
 
         if lsql is not None and self._storage_cols_joinable(storage, out_cols):
             # the rid fast path needs non-null pair ids on BOTH sides —
-            # same probe contract as the SPJ changelog path (ADVICE r8)
-            null_pred = " OR ".join(f"{c} IS NULL" for c in rid_cols)
-            storage_rids_ok = storage.scan().where(null_pred).limit(1).count() == 0
-            if storage_rids_ok:
+            # same probe contract as the SPJ changelog path (ADVICE r8);
+            # metadata-first via footer null counts (r11)
+            if self._storage_rids_ok(storage, rid_cols):
                 deltas = []
                 try:
                     for src, sid in zip(sources, anchors):

@@ -36,6 +36,60 @@ from iceberg_rust_custom_spark.operators import windows as WIN
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+# Band-checked oracles for the approximate family (VERDICT r10 #4). These
+# queries' values are sketch-approximate BY DESIGN, so the driver's
+# hash-exact gate records them rows-only — but each is still checkable
+# against exact SQL within the sketch's published error bound.
+# tools/check_correctness.py compares row count and every non-band column
+# exactly, and each band column within max(abs_tol, rel_tol·|exact|);
+# float/array-of-float cells compare elementwise. ``cols`` (optional)
+# restricts the comparison to the oracle's columns when the Spark side
+# also returns engine-specific ones (snapshot ids etc.).
+BAND_ORACLES: dict = {}
+
+BAND_ORACLES["approx_aggregates"] = {
+    # HLL++ (rsd 5% default → 15% at 3σ) and percentile_approx (rank error
+    # 1/accuracy; value tolerance covers discrete-value steps)
+    "sql": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS approx_partkeys,
+               quantile_disc(l_quantity, 0.5) AS approx_median_qty,
+               [quantile_disc(l_extendedprice, 0.25),
+                quantile_disc(l_extendedprice, 0.75)] AS approx_price_quartiles
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rel": {
+        "approx_partkeys": 0.15,
+        "approx_median_qty": 0.05,
+        "approx_price_quartiles": 0.05,
+    },
+    "abs": {"approx_median_qty": 1.0},
+}
+
+BAND_ORACLES["mergeable_sketch_rollup"] = {
+    # DataSketches HLL (lgK=12 → rsd ≈1.6%; 10% band is >6σ, stable)
+    "sql": """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS approx_distinct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rel": {"approx_distinct": 0.10},
+}
+
+BAND_ORACLES["iceberg_table_statistics"] = {
+    # NDV within HLL tolerance; the gate itself hard-asserts a 9% band —
+    # the checker re-verifies independently against DuckDB's exact counts.
+    # snapshot_id/sequence_number are engine-generated → excluded via cols.
+    "sql": """
+        SELECT 'o_orderkey' AS column, COUNT(DISTINCT o_orderkey) AS ndv FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+    """,
+    "rel": {"ndv": 0.10},
+    "cols": ["column", "ndv"],
+}
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):

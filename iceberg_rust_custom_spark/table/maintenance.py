@@ -367,10 +367,7 @@ def _write_position_deletes(table: Table, hits) -> list:
     serialized one multi-GB write through one core)."""
     import math as _math
 
-    import pyarrow.parquet as _pq
     from pyspark import StorageLevel as _SL
-
-    from iceberg_rust_custom_spark.metadata.manifest import DataFile
 
     md = table.metadata
     if md.properties.get("write.delete.format") == "dv":
@@ -393,25 +390,33 @@ def _write_position_deletes(table: Table, hits) -> list:
         out.sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(out_dir)
     finally:
         hits.unpersist()
-    from iceberg_rust_custom_spark.io.fileio import FileIO
-    from iceberg_rust_custom_spark.io.lister import list_files
+    import dataclasses as _dc2
 
+    from iceberg_rust_custom_spark.io.lister import list_files
+    from iceberg_rust_custom_spark.metadata.schema import NestedField as _NF
+    from iceberg_rust_custom_spark.metadata.schema import Schema as _Sch
+    from iceberg_rust_custom_spark.table.write import collect_datafile_stats
+
+    # spec position-delete schema (reserved field ids 2147483546/-45);
+    # footer bounds on (file_path, pos) let the scan split file-group-
+    # locally — data files outside every tombstone's path range read
+    # CLEAN, skipping the MoR row-address machinery entirely (r11)
+    pos_schema = _Sch(
+        fields=(
+            _NF(field_id=2147483546, name="file_path", field_type="string", required=True),
+            _NF(field_id=2147483545, name="pos", field_type="long", required=True),
+        )
+    )
     files = []
     for lf in list_files(out_dir, table.spark):  # scheme-routed (r11)
         if not lf.path.endswith(".parquet"):
             continue
-        pf = FileIO.pq_parquet_file(lf.path)
-        if pf.metadata.num_rows == 0:
-            continue
-        files.append(
-            DataFile(
-                file_path=lf.path,
-                record_count=pf.metadata.num_rows,
-                file_size_in_bytes=lf.size,
-                content=1,
-                schema_id=md.current_schema_id,
-            )
+        stats = collect_datafile_stats(
+            lf.path, pos_schema, {}, schema_id=md.current_schema_id, file_size=lf.size
         )
+        if stats.record_count == 0:
+            continue
+        files.append(_dc2.replace(stats, content=1))
     return files
 
 

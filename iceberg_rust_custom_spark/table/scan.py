@@ -681,6 +681,21 @@ def scan_to_dataframe(
             )
         ]
         deletes = [e for e in deletes if e.data_file.content != 2] + eq_entries_all
+    # file-group-local MoR apply (r11): data files NO tombstone can touch
+    # read clean — outside the row-address + anti-join machinery, whose
+    # cost is a ~2× constant regardless of tombstone count. Skipped when
+    # the caller needs row addresses everywhere (lineage/metadata columns).
+    clean_files: list = []
+    if deletes and len(files) > 1 and not row_lineage and not metadata_columns:
+        touched = _mor_touched_files(
+            files, deletes, schema, metadata, snapshot, ml_rows, entry_cache
+        )
+        if touched is not None:
+            if not touched:
+                deletes = []  # provably nothing to apply
+            elif len(touched) < len(files):
+                clean_files = [f for f in files if canon_path(f.file_path) not in touched]
+                files = [f for f in files if canon_path(f.file_path) in touched]
     lineage = (bool(deletes) or row_lineage or bool(metadata_columns)) and bool(files)
     if not files:
         if metadata_columns:
@@ -732,6 +747,16 @@ def scan_to_dataframe(
         if metadata_columns:
             df = _attach_metadata_columns(spark, df, files, metadata_columns, metadata)
         df = df.drop("_sg_file", "_sg_pos")
+    if clean_files:  # untouched files rejoin OUTSIDE the MoR machinery
+        if len(metadata.schemas) > 1:
+            clean_df = _read_with_field_id_resolution(
+                spark, metadata, schema, clean_files, lineage=False
+            )
+        else:
+            clean_df = spark.read.schema(read_schema).parquet(
+                *[f.file_path for f in clean_files]
+            )
+        df = df.unionByName(clean_df)
     df = _decode_variants(df, schema)
     if predicate is not None:
         df = df.filter(predicate.sql())  # residual filter → Catalyst pushes into Parquet
@@ -755,11 +780,12 @@ def scan_to_dataframe(
         for r in ml_rows
         if r.get("content", 0) == 0
     )
+    all_files = files + clean_files  # the estimate covers BOTH split halves
     _, est_bytes, raw_bytes = estimate_scan(
-        metadata, snapshot, files, deletes, predicate, total_data_rows=total_data_rows
+        metadata, snapshot, all_files, deletes, predicate, total_data_rows=total_data_rows
     )
     thr = broadcast_threshold(spark)
-    if files and est_bytes <= thr < raw_bytes:
+    if all_files and est_bytes <= thr < raw_bytes:
         df = df.hint("broadcast")
     return df
 
@@ -938,6 +964,57 @@ def _with_lineage(df: DataFrame) -> DataFrame:
         F.col("_metadata.row_index").alias("_sg_pos"),
         "*",
     )
+
+
+def _mor_touched_files(files, deletes, schema, metadata, snapshot, ml_rows, entry_cache):
+    """The subset of planned data files the pending MoR tombstones MAY
+    touch, as canon paths — or None when any tombstone lacks addressing
+    info (legacy position files without file_path footer bounds) or the
+    eq bounds matrix would be planning-cost-prohibitive. Supersets only:
+    a false 'touched' merely routes a file through the (correct) MoR
+    path.
+
+    This feeds the file-group-local apply (r11, VERDICT r10 #3): the MoR
+    machinery costs ~2× a clean read REGARDLESS of tombstone count — the
+    per-row address materialization and anti-join stage dominate, not the
+    tombstone volume (tools/mor_overhead.py) — so the win is reading
+    untouched files entirely OUTSIDE it. Position-delete files carry
+    (file_path, pos) footer bounds since r11; DV blobs name their
+    referenced file exactly; equality deletes route through the r10
+    bounds matrix (eq_victim_candidates)."""
+    eq = [e for e in deletes if e.data_file.content == 2]
+    pos = [e for e in deletes if e.data_file.content == 1]
+    if eq and len(eq) * len(files) > 2_000_000:
+        return None
+    touched: set[str] = set()
+    if eq:
+        seqs = data_file_sequence_numbers(
+            metadata, snapshot, ml_rows=ml_rows, entry_cache=entry_cache
+        )
+        for f in eq_victim_candidates(files, eq, schema, seqs, schemas=metadata.schemas):
+            touched.add(canon_path(f.file_path))
+    pranges = []
+    for e in pos:
+        d = e.data_file
+        if d.file_format == "puffin":
+            if not d.referenced_data_file:
+                return None
+            touched.add(canon_path(d.referenced_data_file))
+            continue
+        lo = (d.lower_bounds or {}).get("file_path")
+        hi = (d.upper_bounds or {}).get("file_path")
+        if lo is None or hi is None:
+            return None
+        # canon is a shared-prefix strip — order-preserving within one
+        # writer's uniform spelling, so the canon'd range brackets the
+        # canon'd member paths exactly
+        pranges.append((canon_path(lo), canon_path(hi)))
+    if pranges:
+        for f in files:
+            p = canon_path(f.file_path)
+            if p not in touched and any(lo <= p <= hi for lo, hi in pranges):
+                touched.add(p)
+    return touched
 
 
 def _apply_position_deletes(spark, df: DataFrame, deletes: list[DataFile]) -> DataFrame:

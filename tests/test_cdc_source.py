@@ -750,3 +750,45 @@ def test_geo_stream_flavor_delivers_decoded_rows(spark, engine, tmp_path):
         i: _s.pack("<BIdd", 1, 1, float(i), float(i)).hex().upper() for i in range(12)
     }
     assert all(r.gw == want_hex[r.k] for r in got)
+
+
+def test_catchup_pairing_routes_through_shuffle_join(spark, engine):
+    """r11 (VERDICT r10 #5): when the update-pair key set exceeds the
+    broadcast threshold, AQE must route the pairing join through a
+    SHUFFLE join — the catch-up case (one follower resuming across an
+    update-heavy history in a single batch) that motivated removing the
+    r9 hard-coded broadcast hint. Asserted on the EXECUTED (AQE-final)
+    plan, with the threshold lowered so a test-sized pair set crosses it;
+    results stay exact either way."""
+    from iceberg_rust_custom_spark.streaming.cdc_source import (
+        pair_update_events,
+        register_cdc_source,
+    )
+
+    t = engine.create_table("s.catchup", _orders(spark).schema)
+    t.append(_orders(spark, 4000))
+    for i in range(4):  # update-heavy history: every row updated once
+        update_where(
+            t, {"amt": "amt + 1"}, f"k >= {i * 1000} AND k < {(i + 1) * 1000}",
+            mode="merge-on-read",
+        )
+    fmt = register_cdc_source(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("warehouse", engine.catalog.warehouse)
+        .option("table", "s.catchup")
+        .option("with_lineage", "true")
+        .load()
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        paired = pair_update_events(feed).groupBy("_change_type").count()
+        counts = {r["_change_type"]: r["count"] for r in paired.collect()}
+        plan = paired._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+        # the original append's 4000 inserts ride along unpaired
+        assert counts == {"insert": 4000, "update_before": 4000, "update_after": 4000}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)

@@ -137,8 +137,93 @@ def measure(wh: str, head: int) -> dict:
     }
 
 
+def run_catchup(n_commits: int = 100, rows_per_commit: int = 10_000) -> dict:
+    """Catch-up-scale update-pairing rung (VERDICT r10 #5): one follower
+    resumes across an UPDATE-HEAVY history in a single batch. Each commit
+    MoR-updates ``rows_per_commit`` rows, so the full-range feed carries
+    ``n_commits × rows_per_commit`` update pairs — the pairing key set is
+    far past the broadcast threshold (16 B/row × 1M ≈ 16 MB > 10 MB), and
+    AQE must route the pair join through a SHUFFLE instead of broadcasting
+    (the r10 fix removed the hard-coded hint; this measures the case that
+    motivated it). Records the catch-up wall and the EXECUTED join shape."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.session import get_spark
+    from iceberg_rust_custom_spark.streaming.cdc_source import (
+        pair_update_events,
+        register_cdc_source,
+    )
+    from iceberg_rust_custom_spark.table.maintenance import update_where
+
+    spark = get_spark("cdc_catchup")
+    wh = _tf.mkdtemp(prefix="cdc_catchup_")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_rows = n_commits * rows_per_commit
+        t = eng.create_table(
+            "lad.up",
+            spark.range(1).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("amt")).schema,
+        )
+        t.append(spark.range(n_rows).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("amt")))
+        t0 = time.time()
+        for i in range(n_commits):
+            lo = i * rows_per_commit
+            update_where(
+                t, {"amt": "amt + 1"}, f"k >= {lo} AND k < {lo + rows_per_commit}",
+                mode="merge-on-read",
+            )
+        build_wall = time.time() - t0
+        fmt = register_cdc_source(spark)
+        feed = (
+            spark.read.format(fmt)
+            .option("warehouse", wh)
+            .option("table", "lad.up")
+            .option("with_lineage", "true")
+            .load()
+        )
+        paired = pair_update_events(feed)
+        agg = paired.groupBy("_change_type").count()
+        t0 = time.time()
+        counts = {r["_change_type"]: r["count"] for r in agg.collect()}
+        pair_wall = time.time() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert counts.get("update_before") == n_commits * rows_per_commit, counts
+        assert counts.get("update_after") == n_commits * rows_per_commit, counts
+        return {
+            "mode": "catchup",
+            "commits": n_commits,
+            "update_pairs": n_commits * rows_per_commit,
+            "history_build_s": round(build_wall, 1),
+            "catchup_pair_wall_s": round(pair_wall, 2),
+            "shuffle_join_chosen": ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan),
+            "broadcast_joins_in_plan": plan.count("BroadcastHashJoin"),
+        }
+    finally:
+        for obj in ("lad.up",):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
-    rungs = [int(a) for a in sys.argv[1:]] or [100, 300, 1000]
+    args = sys.argv[1:]
+    if "--catchup" in args:
+        nums = [int(a) for a in args if a.isdigit()]
+        print(
+            json.dumps(
+                run_catchup(
+                    n_commits=nums[0] if nums else 100,
+                    rows_per_commit=nums[1] if len(nums) > 1 else 10_000,
+                )
+            )
+        )
+        return
+    rungs = [int(a) for a in args] or [100, 300, 1000]
     for n in rungs:
         wh = tempfile.mkdtemp(prefix=f"cdc_ladder_{n}_")
         try:

@@ -63,13 +63,56 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+def compare_band(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, spec: dict) -> list[str]:
+    """Tolerance comparison for the approximate family (VERDICT r10 #4):
+    row count and non-band columns exact; band columns within
+    max(abs_tol, rel_tol·|exact|), elementwise for array cells."""
+    import numpy as np
+
+    cols = spec.get("cols") or sorted(oracle_pdf.columns)
+    missing = [c for c in cols if c not in spark_pdf.columns]
+    if missing:
+        return [f"spark output lacks columns {missing}"]
+    spark_pdf = spark_pdf[cols]
+    oracle_pdf = oracle_pdf[[c for c in cols]]
+    if len(spark_pdf) != len(oracle_pdf):
+        return [f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
+    rel, ab = spec.get("rel", {}), spec.get("abs", {})
+    keys = [c for c in cols if c not in rel and c not in ab]
+    a = spark_pdf.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
+    b = oracle_pdf.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
+    problems = []
+    for c in keys:
+        neq = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
+        if neq.any():
+            i = neq.idxmax()
+            problems.append(f"key col {c}: {a[c][i]!r} vs {b[c][i]!r}")
+    for c in set(rel) | set(ab):
+        r, t = rel.get(c, 0.0), ab.get(c, 0.0)
+        for i in range(len(a)):
+            sv, ov = a[c][i], b[c][i]
+            sv = list(sv) if isinstance(sv, (list, tuple, np.ndarray)) else [sv]
+            ov = list(ov) if isinstance(ov, (list, tuple, np.ndarray)) else [ov]
+            if len(sv) != len(ov):
+                problems.append(f"col {c} row {i}: array length {len(sv)} vs {len(ov)}")
+                continue
+            for s, o in zip(sv, ov):
+                tol = max(t, r * abs(float(o)))
+                if abs(float(s) - float(o)) > tol:
+                    problems.append(
+                        f"col {c} row {i}: {s} vs exact {o} (tol {tol:.4g})"
+                    )
+                    break
+    return problems
+
+
 def main():
     # default to sf0.01 — the scale the driver gates at; sf0.001 is too small
     # to surface tie-ordering and float-conversion mismatches
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
-    from iceberg_rust_custom_spark.queries import ORACLES, QUERIES
+    from iceberg_rust_custom_spark.queries import BAND_ORACLES, ORACLES, QUERIES
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("check_correctness")
@@ -91,6 +134,27 @@ def main():
             n_fail += 1
             continue
         if name not in ORACLES:
+            if name in BAND_ORACLES:
+                spec = BAND_ORACLES[name]
+                try:
+                    oracle_pdf = con.execute(spec["sql"]).df()
+                except Exception as e:
+                    print(f"FAIL  {name}: band oracle error: {str(e).splitlines()[0][:160]}")
+                    n_fail += 1
+                    continue
+                problems = compare_band(name, spark_pdf, oracle_pdf, spec)
+                if problems:
+                    print(f"FAIL  {name} (band) [{time.time()-t0:.1f}s]")
+                    for p in problems[:4]:
+                        print(f"      - {p}")
+                    n_fail += 1
+                else:
+                    print(
+                        f"BAND  {name}: {len(spark_pdf)} rows within tolerance "
+                        f"[{time.time()-t0:.1f}s]"
+                    )
+                    n_pass += 1
+                continue
             print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue

@@ -210,15 +210,113 @@ def run_rung_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Join-path rung (r11, VERDICT r10 #2): two-table inner-join MV with
+    (rid_a, rid_b) pair-lineage storage. Fact side A grows 10× per rung
+    (dim side B = |A|/10); the per-refresh delta is FIXED (100-row MoR
+    delete + 100-row append on A, one 10-row MoR update on B). Δ⁻ commits
+    as pair-keyed equality deletes, Δ⁺ as an append — wall and bytes must
+    stay flat as |V| grows 100×; the old content-join fallback read the
+    whole storage per refresh."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-join-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_dim = max(10, n_rows // 10)
+        a = eng.create_table(
+            "lad.ja",
+            spark.range(1).select(
+                F.col("id").alias("k"), F.col("id").alias("fk"), (F.col("id") * 1.0).alias("av")
+            ).schema,
+        )
+        a.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_dim).alias("fk"),
+                (F.col("id") * 1.0).alias("av"),
+            )
+        )
+        b = eng.create_table(
+            "lad.jb",
+            spark.range(1).select(
+                F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv")
+            ).schema,
+        )
+        b.append(
+            spark.range(n_dim).select(F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv"))
+        )
+        eng.create_materialized_view(
+            "lad.jmv",
+            "SELECT a.k, a.av, b.bv FROM lad.ja a JOIN lad.jb b ON a.fk = b.fk",
+        )
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(a, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            a.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"),
+                    (F.col("id") % n_dim).alias("fk"),
+                    (F.col("id") * 1.0).alias("av"),
+                )
+            )
+            next_k += 100
+            update_where(
+                b, {"bv": "bv + 0.5"}, f"fk >= {i * 10} AND fk < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.jmv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.jmv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.jmv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-changelog-join", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = eng.scan_materialized_view("lad.jmv").count()
+        want = eng.sql(
+            "SELECT count(*) c FROM lad.ja a JOIN lad.jb b ON a.fk = b.fk"
+        ).first().c
+        assert got == want, (got, want)
+        return {
+            "mode": "join",
+            "rows_a": n_rows,
+            "rows_b": n_dim,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": got,
+        }
+    finally:
+        for obj in ("lad.jmv", "lad.ja", "lad.jb"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     agg = "--agg" in args
+    join = "--join" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("mv_ladder")
     for n in rungs:
-        print(json.dumps(run_rung_agg(spark, n) if agg else run_rung(spark, n)), flush=True)
+        fn = run_rung_join if join else (run_rung_agg if agg else run_rung)
+        print(json.dumps(fn(spark, n)), flush=True)
 
 
 if __name__ == "__main__":
