@@ -143,13 +143,24 @@ class Engine:
         catalog.register(ident, path, kind="table")
         return Table(catalog, ident, md, self.spark)
 
-    def export_table(self, name: str, out_dir: str, snapshot_id: int | None = None) -> str:
-        """Export a table's (current) snapshot as spec v2 Avro manifests +
-        manifest list + metadata.json readable by external Iceberg engines.
+    def export_table(
+        self,
+        name: str,
+        out_dir: str,
+        snapshot_id: int | None = None,
+        format_version: int = 2,
+    ) -> str:
+        """Export a table's (current) snapshot as spec v2 (default) or v3
+        Avro manifests + manifest list + metadata.json readable by external
+        Iceberg engines. v3 keeps deletion vectors as puffin refs and
+        carries row lineage end to end (v2 materializes DVs as parquet
+        tombstones; a v2 reader sees correct data without row identity).
         Returns the metadata.json path."""
         from iceberg_rust_custom_spark.metadata.iceberg_interop import export_snapshot
 
-        return export_snapshot(self.load_table(name).metadata, out_dir, snapshot_id)
+        return export_snapshot(
+            self.load_table(name).metadata, out_dir, snapshot_id, format_version
+        )
 
     def load_table(self, name: str) -> Table:
         catalog, ident = self.resolve(name)

@@ -545,11 +545,31 @@ def _dv_entry_to_parquet(e, meta_dir: str):
     return ManifestEntry(e.status, e.snapshot_id, e.sequence_number, new_df)
 
 
-def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | None = None) -> str:
-    """Write the (current) snapshot as a spec v2 Iceberg table under
+def export_snapshot(
+    metadata: TableMetadata,
+    out_dir: str,
+    snapshot_id: int | None = None,
+    format_version: int = 2,
+) -> str:
+    """Write the (current) snapshot as a spec v2 OR v3 Iceberg table under
     ``out_dir`` (Avro manifests + manifest list + metadata/v1.metadata.json).
     Data files are referenced in place, not copied. Returns the
-    metadata.json path."""
+    metadata.json path.
+
+    ``format_version=2`` (default): v3-only physical artifacts degrade to
+    their v2 equivalents — deletion-vector blobs MATERIALIZE as spec
+    position-delete parquet files so a v2 reader applies them; row-lineage
+    field 142 and the DV addressing fields ride along in the Avro records
+    (a v2 reader ignores unknown field-ids, so lineage survives only OUR
+    import; a v2-only reader sees correct DATA, without row identity).
+
+    ``format_version=3`` (r11, VERDICT r10 #6): v3 metadata JSON
+    (format-version 3, ``next-row-id``, per-snapshot ``first-row-id``) and
+    DV entries exported VERBATIM as puffin refs (referenced_data_file /
+    content_offset / content_size_in_bytes) — no materialization, and the
+    export→import round trip preserves ``_row_id`` assignment exactly."""
+    if format_version not in (2, 3):
+        raise ValueError(f"format_version must be 2 or 3, got {format_version!r}")
     snap = (
         metadata.snapshot_by_id(snapshot_id)
         if snapshot_id is not None
@@ -566,7 +586,9 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         # Avro-native table (write.metadata.format=avro): manifests and the
         # manifest list are ALREADY spec-v2 Avro on disk — zero-copy export,
         # just emit a spec metadata.json referencing them in place.
-        return _export_metadata_json(metadata, snap, snap.manifest_list, out_dir, meta_dir)
+        return _export_metadata_json(
+            metadata, snap, snap.manifest_list, out_dir, meta_dir, format_version
+        )
 
     ml_rows = read_manifest_list(snap.manifest_list)
     out_entries = []
@@ -614,11 +636,11 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
         avro_schema = manifest_entry_schema_v2(part_schema)
         for label, group in groups:
             suffix = "" if label == "data" else "-deletes"
-            if label == "deletes":
+            if label == "deletes" and format_version < 3:
                 # v3 deletion-vector entries (file_format=puffin) have no
                 # spec-v2 representation — materialize each blob as a
                 # spec-shaped position-delete PARQUET file so v2 readers
-                # apply the deletes
+                # apply the deletes; a v3 export keeps the puffin refs
                 group = [_dv_entry_to_parquet(e, meta_dir) for e in group]
             path = os.path.join(meta_dir, f"manifest-{snap.snapshot_id}-{i}{suffix}.avro")
             write_ocf(
@@ -626,7 +648,7 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
                 avro_schema,
                 [manifest_entry_to_avro(e, schema, spec) for e in group],
                 metadata={
-                    "format-version": "2",
+                    "format-version": str(format_version),
                     "schema": json.dumps(schema.to_dict()),
                     "schema-id": str(schema.schema_id),
                     "partition-spec": json.dumps([f.to_dict() for f in spec.fields]),
@@ -660,17 +682,45 @@ def export_snapshot(metadata: TableMetadata, out_dir: str, snapshot_id: int | No
             )
 
     ml_path = os.path.join(meta_dir, f"snap-{snap.snapshot_id}.avro")
-    write_ocf(ml_path, manifest_list_schema_v2(), out_entries, metadata={"format-version": "2"})
-    return _export_metadata_json(metadata, snap, ml_path, out_dir, meta_dir)
+    write_ocf(
+        ml_path,
+        manifest_list_schema_v2(),
+        out_entries,
+        metadata={"format-version": str(format_version)},
+    )
+    return _export_metadata_json(metadata, snap, ml_path, out_dir, meta_dir, format_version)
 
 
-def _export_metadata_json(metadata: TableMetadata, snap, ml_path: str, out_dir: str, meta_dir: str) -> str:
+def _export_metadata_json(
+    metadata: TableMetadata,
+    snap,
+    ml_path: str,
+    out_dir: str,
+    meta_dir: str,
+    format_version: int = 2,
+) -> str:
     md = metadata.to_dict()
-    md["format-version"] = 2
+    md["format-version"] = format_version
     md["location"] = out_dir
+    if format_version < 3:
+        md.pop("next-row-id", None)  # v3-only key
     snap_d = snap.to_dict()
     snap_d["manifest-list"] = ml_path
     snap_d.setdefault("summary", {}).setdefault("operation", "append")
+    if format_version >= 3:
+        # spec v3 snapshot field: the first row id assigned by this
+        # snapshot's commit — best-effort from the live manifests' lowest
+        # assigned block (absent on pre-lineage tables)
+        first = min(
+            (
+                e.data_file.first_row_id
+                for row in read_manifest_list(snap.manifest_list)
+                for e in read_manifest(row["manifest_path"])
+                if e.data_file.first_row_id is not None and e.data_file.first_row_id >= 0
+            ),
+            default=None,
+        )
+        snap_d["first-row-id"] = 0 if first is None else first
     md["snapshots"] = [snap_d]
     md["current-snapshot-id"] = snap.snapshot_id
     md["snapshot-log"] = [{"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap.snapshot_id}]
@@ -702,8 +752,8 @@ def import_iceberg_table(
     files are still referenced in place by absolute path."""
     raw = json.loads(FileIO.read_text(metadata_json_path))
     fv = raw.get("format-version")
-    if fv not in (1, 2):
-        raise ValueError(f"only format-version 1/2 supported, got {fv!r}")
+    if fv not in (1, 2, 3):
+        raise ValueError(f"only format-version 1/2/3 supported, got {fv!r}")
     md = TableMetadata.from_dict(raw)  # v1 docs are normalized on load
     if "://" not in target_metadata_dir:
         os.makedirs(target_metadata_dir, exist_ok=True)

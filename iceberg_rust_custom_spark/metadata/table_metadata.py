@@ -194,7 +194,7 @@ class TableMetadata:
     @classmethod
     def from_dict(cls, d: dict) -> "TableMetadata":
         fv = d.get("format-version")
-        if fv not in (1, 2):
+        if fv not in (1, 2, 3):
             raise ValueError(f"unsupported format version: {fv!r}")
         if fv == 1:
             d = _normalize_v1(d)

@@ -45,7 +45,7 @@ def test_metadata_roundtrip():
 def test_metadata_invalid_fixtures():
     md = TableMetadata.new("/tmp/wh/t", ORDERS)
     d = md.to_dict()
-    bad = dict(d, **{"format-version": 3})
+    bad = dict(d, **{"format-version": 4})  # v3 accepted since r11
     with pytest.raises(ValueError, match="unsupported format version"):
         TableMetadata.from_dict(bad)
     bad = dict(d, **{"current-schema-id": 99})

@@ -40,6 +40,14 @@ _op = st.one_of(
     st.tuples(st.just("compact")),
     st.tuples(st.just("expire")),
     st.tuples(st.just("evolve"), st.sampled_from(["k", "bucket(4, id)", "truncate(2, k)"])),
+    # r11 (VERDICT r10 #7): branch commits interleave with main ops — a
+    # plain append, a transparent-rewrite-shaped commit, and a CoW-shaped
+    # replacement, all on a side branch. None may leak rows into main's
+    # scans, split/poison main's changelog, or re-anchor segments
+    # off-ancestry (the r10 branch-scoping fix, now fuzz-pinned).
+    st.tuples(st.just("branch_append"), st.integers(1, 3), st.integers(0, 3)),
+    st.tuples(st.just("branch_rewrite")),
+    st.tuples(st.just("branch_cow")),
 )
 
 
@@ -92,6 +100,7 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
     model: dict[int, tuple[int, int]] = {}  # id -> (k, v)
     seen_rid: dict[int, int] = {}  # model id -> its v3 _row_id at first sight
     next_id = 0
+    branch_id = 0  # ids ≥ 10M live only on the 'dev' branch
 
     for op in ops:
         kind = op[0]
@@ -135,6 +144,22 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
             # partition evolution mid-sequence: new writes use the new
             # spec, old files stay readable — results must not change
             t = t.update_partition_spec(op[1])
+        elif kind == "branch_append":
+            _, n, k = op
+            if t.metadata.snapshot_for_ref() is None:
+                continue  # branches fork from a snapshot
+            rows = [(10_000_000 + branch_id + i, k, 0) for i in range(n)]
+            branch_id += n
+            t.append(spark.createDataFrame(rows, SCH.spark_schema()), branch="dev")
+        elif kind in ("branch_rewrite", "branch_cow"):
+            if t.metadata.snapshot_for_ref() is None:
+                continue
+            summary = {"rewritten": "true"}
+            if kind == "branch_rewrite":
+                summary["lineage-preserved"] = "true"
+            rows = [(10_000_000 + branch_id, 0, 0)]
+            branch_id += 1
+            t.append(spark.createDataFrame(rows, SCH.spark_schema()), branch="dev", summary=summary)
 
         got = {(r.id, r.k, r.v) for r in t.scan().collect()}
         want = {(i, kk, vv) for i, (kk, vv) in model.items()}
@@ -149,5 +174,26 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
         assert len(set(rids)) == len(rids), (op, ops)
         for mid, rid in lineage:
             assert seen_rid.setdefault(mid, rid) == rid, (op, ops, mid)
+        # ancestry-vs-segments invariant (r10 branch scoping, r11 pinned):
+        # every changelog segment anchors on MAIN's own parent chain —
+        # branch commits never re-anchor, split, or poison main's ranges
+        from iceberg_rust_custom_spark.table.table import changelog_segments
+
+        md = t.metadata
+        ancestry = set()
+        s = md.snapshot_for_ref()
+        while s is not None:
+            ancestry.add(s.snapshot_id)
+            s = (
+                md.snapshots.get(s.parent_snapshot_id)
+                if s.parent_snapshot_id is not None
+                else None
+            )
+        try:
+            segs = changelog_segments(md, 0, md.last_sequence_number)
+        except ValueError:
+            segs = []  # legitimately unreplayable (CoW/expiry on main)
+        for _, _, anchor in segs:
+            assert anchor.snapshot_id in ancestry, (op, ops)
 
     eng.drop("fz.t")
