@@ -1,9 +1,14 @@
 """Cloud-lakehouse wiring, runnable offline: catalog pointers commit via S3
 conditional PUT, table metadata (metadata.json, manifests, manifest lists)
 lives on s3://, data files go wherever Spark writes (s3a:// on a real
-cluster; a local dir here). moto provides the in-process S3 — swap
-``moto.mock_aws`` + the explicit client for plain ``register_s3()`` and a
-real bucket to go live.
+cluster; a local dir here). Since r11 the DATA plane is object-store-safe
+end to end: post-write enumeration, footer-stats collection, MoR delete
+writers, and orphan cleanup all route through the scheme-routed lister
+(io/lister.py — registered FileIO backends, else the JVM Hadoop
+FileSystem), so an s3a:// table location works for appends, row-level
+deletes, and cleanup, not just reads. moto provides the in-process S3 —
+swap ``moto.mock_aws`` + the explicit client for plain ``register_s3()``
+and a real bucket to go live.
 
 Run: PYTHONPATH=.. python cloud_metadata_s3.py
 """

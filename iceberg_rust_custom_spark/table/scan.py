@@ -984,7 +984,9 @@ def _mor_touched_files(files, deletes, schema, metadata, snapshot, ml_rows, entr
     bounds matrix (eq_victim_candidates)."""
     eq = [e for e in deletes if e.data_file.content == 2]
     pos = [e for e in deletes if e.data_file.content == 1]
-    if eq and len(eq) * len(files) > 2_000_000:
+    # planning-cost cap, same budget as the r10 eq bounds matrix: past it
+    # the split is skipped (correctness unchanged, everything rides MoR)
+    if len(files) * max(len(eq), len(pos)) > 2_000_000:
         return None
     touched: set[str] = set()
     if eq:
