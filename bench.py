@@ -119,6 +119,8 @@ HEADLINE = [
     "iceberg_cdc_geo_feed",
     "iceberg_eq_delete_multipart",
     "iceberg_expiry_safe_changelog",
+    # round 11
+    "iceberg_mv_join_delta_storage",
 ]
 
 
