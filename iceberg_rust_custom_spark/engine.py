@@ -450,6 +450,7 @@ class Engine:
         )
 
         result_schema = self.sql(sql).schema
+        plan = classify_view_sql(sql)
         sort_by, props = None, None
         if self._mv_lineage_sql(sql):
             result_schema = _T.StructType(
@@ -458,7 +459,7 @@ class Engine:
             )
             sort_by = [SRC_ROW_ID]
             props = {"write.distribution-mode": "range"}
-        elif self._mv_lineage_join_sql(sql):
+        elif self._mv_lineage_join_sql(sql, plan):
             result_schema = _T.StructType(
                 list(result_schema.fields)
                 + [
@@ -469,7 +470,6 @@ class Engine:
             sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B]
             props = {"write.distribution-mode": "range"}
         else:
-            plan = classify_view_sql(sql)
             out_names = {f.name for f in result_schema.fields}
             if (
                 plan is not None
@@ -548,17 +548,20 @@ class Engine:
         except Exception:
             return None
 
-    def _mv_lineage_join_sql(self, sql: str) -> str | None:
+    def _mv_lineage_join_sql(self, sql: str, plan=None) -> str | None:
         """The pair-lineage-instrumented rewrite of a two-table inner-join
         SPJ view SQL (views/incremental.py::join_lineage_sql), or None when
         the shape or either source (both must be plain tables) rules it
-        out."""
+        out. Pass an already-classified ``plan`` to skip re-parsing
+        (review r11: one refresh was classifying the same SQL four times
+        and loading both sources twice)."""
         from iceberg_rust_custom_spark.views.incremental import (
             classify_view_sql,
             join_lineage_sql,
         )
 
-        plan = classify_view_sql(sql)
+        if plan is None:
+            plan = classify_view_sql(sql)
         if plan is None or plan.mode != "join":
             return None
         lsql = join_lineage_sql(sql)
@@ -577,12 +580,12 @@ class Engine:
         """Run the pair-lineage-instrumented join rewrite with BOTH sources
         registered as row-lineage scans; None → caller uses the plain SQL
         (and null-fills the hidden pair columns)."""
-        lsql = self._mv_lineage_join_sql(sql)
-        if lsql is None:
-            return None
         from iceberg_rust_custom_spark.views.incremental import classify_view_sql
 
         plan = classify_view_sql(sql)
+        lsql = self._mv_lineage_join_sql(sql, plan)
+        if lsql is None:
+            return None
         try:
             for rel in (plan.relation, plan.relation_b):
                 self.load_table(rel).scan(row_lineage=True).drop(
@@ -775,9 +778,13 @@ class Engine:
             "refresh-version-id": md.current_version_id,
             "source-table-states": source_states,
         }
-        storage.metadata = (
-            storage.new_transaction().rewrite_with_lineage(files, refresh_state).commit()
-        )
+        tx = storage.new_transaction().rewrite_with_lineage(files, refresh_state)
+        if {_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A} & storage_cols:
+            # a full rewrite re-derives every row's lineage: rid keys are
+            # trustworthy again (null-filled rids stay guarded by the
+            # null probe regardless of this property)
+            tx.set_properties({"write.mv.rid-keys-trusted": "true"})
+        storage.metadata = tx.commit()
         return "full"
 
     def _try_incremental_refresh(self, md, freshness):
@@ -886,6 +893,13 @@ class Engine:
         from iceberg_rust_custom_spark.table.scan import plan_files
 
         md = storage.metadata
+        # a multiset CONTENT fallback that tombstoned rows on a
+        # rid-carrying storage may have killed the "wrong" physical row
+        # among content-equal duplicates, leaving rids non-null but
+        # MIS-ASSIGNED — the commit stamps this property, and only a full
+        # refresh (fresh lineage for every row) clears it (review r11)
+        if md.properties.get("write.mv.rid-keys-trusted") == "false":
+            return False
         unknown = False
         for f in plan_files(md, md.snapshot_for_ref()):
             for c in cols:
@@ -946,7 +960,7 @@ class Engine:
         )
         return self._commit_storage_files(storage, eq_files, ins_files, new_state)
 
-    def _commit_storage_files(self, storage, del_files, ins_files, new_state):
+    def _commit_storage_files(self, storage, del_files, ins_files, new_state, props=None):
         """Shared delta-commit tail for every MV storage path: one atomic
         MoR commit (delete files + appended files) stamping the new
         RefreshState. Tombstone-consolidation hygiene runs BEFORE the
@@ -973,6 +987,8 @@ class Engine:
             tx.append_deletes(del_files)
         if ins_files:
             tx.append(ins_files)
+        if props:
+            tx.set_properties(props)
         tx.set_operation("overwrite")  # rows changed: not a pure append
         tx.set_summary({"refresh-state": new_state})
         # NO commit retry: the only legitimate storage writers are refreshes
@@ -1077,7 +1093,12 @@ class Engine:
             )
         finally:
             d_cnt.unpersist()
-        self._commit_storage_files(storage, del_files, ins_files, new_state)
+        # content-keyed tombstones cannot tell content-equal rows with
+        # DIFFERENT rids apart — once any were written on a rid-carrying
+        # storage, the rid fast paths must stay off until a full refresh
+        # reassigns trustworthy lineage (review r11)
+        props = {"write.mv.rid-keys-trusted": "false"} if (null_rid and del_files) else None
+        self._commit_storage_files(storage, del_files, ins_files, new_state, props=props)
         return "ok"
 
     @staticmethod
@@ -1401,7 +1422,7 @@ class Engine:
         sql = md.current_sql()
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
         lsql = (
-            self._mv_lineage_join_sql(sql) if _INC.SRC_ROW_ID_A in out_cols else None
+            self._mv_lineage_join_sql(sql, plan) if _INC.SRC_ROW_ID_A in out_cols else None
         )
 
         if lsql is not None:
@@ -1493,7 +1514,7 @@ class Engine:
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
         rid_cols = [_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B]
         has_pair = all(c in out_cols for c in rid_cols)
-        lsql = self._mv_lineage_join_sql(sql) if has_pair else None
+        lsql = self._mv_lineage_join_sql(sql, plan) if has_pair else None
 
         new_state = {
             "refresh-version-id": md.current_version_id,

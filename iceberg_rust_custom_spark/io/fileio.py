@@ -113,6 +113,62 @@ class _MemScheme:
             )
 
 
+class _RangeReadFile(io.RawIOBase):
+    """Seekable read-only file over ranged GETs. pyarrow's parquet footer
+    reads (ParquetFile.metadata / schema) touch only the tail, so stats
+    collection on object stores pays O(footer), not O(file)."""
+
+    def __init__(self, reader, size: int, close=None):
+        self._reader = reader  # callable (offset, n) -> bytes
+        self._size = int(size)
+        self._pos = 0
+        self._close = close
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        data = self._reader(self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def size(self) -> int:
+        return self._size
+
+    def close(self) -> None:
+        if self._close is not None:
+            try:
+                self._close()
+            finally:
+                self._close = None
+        super().close()
+
+
 class FileIO:
     _schemes: dict[str, object] = {}
     # scheme → (module-level factory, kwargs): a PICKLABLE recipe for
@@ -199,12 +255,16 @@ class FileIO:
 
     # --------------------------------------------------------- parquet API
     @classmethod
-    def pq_parquet_file(cls, path: str):
+    def pq_parquet_file(cls, path: str, spark=None):
         """A ``pyarrow.parquet.ParquetFile`` for any scheme: local paths
-        open directly (zero copy); registered backends serve bytes;
-        unregistered schemes fall back to the JVM's Hadoop FileSystem via
-        the active SparkSession — footer stats collect wherever Spark
-        itself can write (``s3a://`` warehouses, VERDICT r10 #1)."""
+        open directly (zero copy); remote schemes open through a SEEKABLE
+        ranged reader, so footer/metadata access costs O(footer) GETs —
+        never a full-object download (review r11; a 10 GB append was
+        re-downloading every written byte to read a few-KB footer).
+        Backends without ranged reads fall back to one full read; schemes
+        with no registered backend route through the JVM's Hadoop
+        FileSystem (pass ``spark`` from worker threads — the active
+        session is thread-local)."""
         import pyarrow.parquet as pq
 
         scheme = urlparse(path).scheme if "://" in path else ""
@@ -212,10 +272,17 @@ class FileIO:
             return pq.ParquetFile(_LocalScheme._strip_any(path))
         impl = cls._schemes.get(scheme)
         if impl is not None:
+            if hasattr(impl, "read_range"):
+                return pq.ParquetFile(
+                    _RangeReadFile(
+                        lambda off, n: impl.read_range(path, off, n), impl.size(path)
+                    )
+                )
             return pq.ParquetFile(io.BytesIO(impl.read_bytes(path)))
-        from iceberg_rust_custom_spark.io.lister import read_bytes as _hadoop_read
+        from iceberg_rust_custom_spark.io.lister import hadoop_range_reader
 
-        return pq.ParquetFile(io.BytesIO(_hadoop_read(path)))
+        reader, size, close = hadoop_range_reader(path, spark)
+        return pq.ParquetFile(_RangeReadFile(reader, size, close))
 
     @classmethod
     def pq_read_table(cls, path: str):

@@ -193,6 +193,26 @@ def read_bytes(path: str, spark=None) -> bytes:
         stream.close()
 
 
+def hadoop_range_reader(path: str, spark=None):
+    """(reader, size, close) for one Hadoop-readable file: ``reader(off, n)``
+    serves ranged reads over ONE open FSDataInputStream (seek + readNBytes,
+    Java 17), so parquet footer access is a couple of small reads — never a
+    full-object download. Pass ``spark`` from worker threads; the active
+    session is thread-local and invisible there (review r11)."""
+    spark = _active_session(spark)
+    if spark is None:
+        raise ValueError(f"cannot open {path!r}: no FileIO backend and no SparkSession")
+    fs, jpath = _jfs(spark, path)
+    size = int(fs.getFileStatus(jpath).getLen())
+    stream = fs.open(jpath)
+
+    def read(off: int, n: int) -> bytes:
+        stream.seek(off)
+        return bytes(stream.readNBytes(n))
+
+    return read, size, stream.close
+
+
 def file_size(path: str, spark=None) -> int:
     scheme = _scheme(path)
     if scheme in ("", "file"):

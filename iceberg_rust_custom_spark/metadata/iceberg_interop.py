@@ -592,9 +592,14 @@ def export_snapshot(
 
     ml_rows = read_manifest_list(snap.manifest_list)
     out_entries = []
+    first_row_base = None  # lowest assigned row-id block (v3 metadata)
     for i, row in enumerate(ml_rows):
         spec = metadata.partition_specs.get(row.get("partition_spec_id", 0), metadata.default_spec())
         entries = read_manifest(row["manifest_path"])
+        for e in entries:
+            frid = e.data_file.first_row_id
+            if frid is not None and frid >= 0 and (first_row_base is None or frid < first_row_base):
+                first_row_base = frid
         # spec v2: a manifest holds EITHER data files OR delete files
         # (manifest.rs:125-170, "content" header). Engine-native Parquet
         # manifests may mix both (content is per-entry there), so the
@@ -688,7 +693,9 @@ def export_snapshot(
         out_entries,
         metadata={"format-version": str(format_version)},
     )
-    return _export_metadata_json(metadata, snap, ml_path, out_dir, meta_dir, format_version)
+    return _export_metadata_json(
+        metadata, snap, ml_path, out_dir, meta_dir, format_version, first_row_base
+    )
 
 
 def _export_metadata_json(
@@ -698,6 +705,7 @@ def _export_metadata_json(
     out_dir: str,
     meta_dir: str,
     format_version: int = 2,
+    first_row_base: int | None = None,
 ) -> str:
     md = metadata.to_dict()
     md["format-version"] = format_version
@@ -708,19 +716,14 @@ def _export_metadata_json(
     snap_d["manifest-list"] = ml_path
     snap_d.setdefault("summary", {}).setdefault("operation", "append")
     if format_version >= 3:
-        # spec v3 snapshot field: the first row id assigned by this
-        # snapshot's commit — best-effort from the live manifests' lowest
-        # assigned block (absent on pre-lineage tables)
-        first = min(
-            (
-                e.data_file.first_row_id
-                for row in read_manifest_list(snap.manifest_list)
-                for e in read_manifest(row["manifest_path"])
-                if e.data_file.first_row_id is not None and e.data_file.first_row_id >= 0
-            ),
-            default=None,
-        )
-        snap_d["first-row-id"] = 0 if first is None else first
+        # spec v3 snapshot field. The export is a SYNTHETIC single-snapshot
+        # table (one snapshot presenting every live file), so the snapshot
+        # "assigned" the whole [first_row_base, next-row-id) range: the
+        # lowest assigned block, computed during the export's own manifest
+        # walk (no second metadata read — review r11). Files with explicit
+        # lineage columns carry first_row_id=null per spec and never
+        # consult this field.
+        snap_d["first-row-id"] = first_row_base if first_row_base is not None else 0
     md["snapshots"] = [snap_d]
     md["current-snapshot-id"] = snap.snapshot_id
     md["snapshot-log"] = [{"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap.snapshot_id}]

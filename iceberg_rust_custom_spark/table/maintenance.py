@@ -412,7 +412,8 @@ def _write_position_deletes(table: Table, hits) -> list:
         if not lf.path.endswith(".parquet"):
             continue
         stats = collect_datafile_stats(
-            lf.path, pos_schema, {}, schema_id=md.current_schema_id, file_size=lf.size
+            lf.path, pos_schema, {}, schema_id=md.current_schema_id, file_size=lf.size,
+            spark=table.spark,
         )
         if stats.record_count == 0:
             continue
@@ -756,7 +757,10 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None, dry_run:
     for lf in list_files(data_root, table.spark):
         if canon_path(lf.path) in referenced:
             continue
-        if lf.mtime_ms >= cutoff:
+        # mtime_ms <= 0 means the backend reports NO mtime (lister
+        # contract) — treating it as infinitely old would void the
+        # in-flight-write safety window, so keep the file (review r11)
+        if lf.mtime_ms <= 0 or lf.mtime_ms >= cutoff:
             continue
         removed.append(lf.path)
         if not dry_run:
@@ -1039,7 +1043,8 @@ def _write_equality_delete_files(table: Table, keys) -> list:
         if not lf.path.endswith(".parquet"):
             continue
         stats = collect_datafile_stats(
-            lf.path, key_schema, {}, schema_id=md.current_schema_id, file_size=lf.size
+            lf.path, key_schema, {}, schema_id=md.current_schema_id, file_size=lf.size,
+            spark=table.spark,
         )
         if stats.record_count == 0:
             continue

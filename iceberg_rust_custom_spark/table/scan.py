@@ -966,6 +966,13 @@ def _with_lineage(df: DataFrame) -> DataFrame:
     )
 
 
+import re as _re_mod
+
+# characters the file-URI encoding leaves untouched — safe for comparing
+# decoded paths against encoded-domain bounds (see _mor_touched_files)
+_re_safe_path = _re_mod.compile(r"[A-Za-z0-9._/=\-]*")
+
+
 def _mor_touched_files(files, deletes, schema, metadata, snapshot, ml_rows, entry_cache):
     """The subset of planned data files the pending MoR tombstones MAY
     touch, as canon paths — or None when any tombstone lacks addressing
@@ -1007,14 +1014,27 @@ def _mor_touched_files(files, deletes, schema, metadata, snapshot, ml_rows, entr
         hi = (d.upper_bounds or {}).get("file_path")
         if lo is None or hi is None:
             return None
-        # canon is a shared-prefix strip — order-preserving within one
-        # writer's uniform spelling, so the canon'd range brackets the
-        # canon'd member paths exactly
         pranges.append((canon_path(lo), canon_path(hi)))
     if pranges:
+        # the range test compares CANON (scheme-stripped, percent-DECODED)
+        # strings against bounds computed over the tombstones' ENCODED
+        # spellings. Decoding is not order-preserving (e.g. '%20' sorts
+        # above '!' encoded but ' ' sorts below it decoded), so the
+        # bracketing argument only holds when no compared string contains
+        # a character URI encoding would rewrite — enforce that with a
+        # conservative charset whitelist and fall back to no-split
+        # otherwise (review r11; correctness unchanged, everything rides
+        # the MoR path)
+        safe = _re_safe_path.fullmatch
+        if not all(safe(lo) and safe(hi) for lo, hi in pranges):
+            return None
         for f in files:
             p = canon_path(f.file_path)
-            if p not in touched and any(lo <= p <= hi for lo, hi in pranges):
+            if p in touched:
+                continue
+            if not safe(p):
+                touched.add(p)  # un-whitelisted path: conservatively dirty
+            elif any(lo <= p <= hi for lo, hi in pranges):
                 touched.add(p)
     return touched
 
@@ -1119,7 +1139,9 @@ def _equality_deletes_impl(
             return tuple(sorted(id_to_name[i] for i in ids))
         from iceberg_rust_custom_spark.io.fileio import FileIO
 
-        return tuple(sorted(FileIO.pq_parquet_file(e.data_file.file_path).schema_arrow.names))
+        return tuple(
+            sorted(FileIO.pq_parquet_file(e.data_file.file_path, spark=spark).schema_arrow.names)
+        )
 
     by_keyset: dict[tuple, list] = {}
     for e in eq_entries:

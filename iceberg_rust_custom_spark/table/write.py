@@ -70,6 +70,7 @@ def collect_datafile_stats(
     schema_id: int = -1,
     sort_order_id: int | None = None,
     file_size: int | None = None,
+    spark=None,
 ) -> DataFile:
     """Read one Parquet footer → DataFile with min/max/null-count per column,
     merged across row groups (reference: file_format/parquet.rs:59-235),
@@ -77,10 +78,12 @@ def collect_datafile_stats(
     manifest.rs:478-517). Footer access is scheme-routed (FileIO/Hadoop),
     so stats collect on object-store warehouses too (VERDICT r10 #1);
     pass ``file_size`` when the caller already listed it — saves one
-    stat RPC per file."""
+    stat RPC per file. Pass ``spark`` when calling from a worker THREAD
+    (the stats pool): the JVM active session is thread-local, so the
+    Hadoop-routed fallback cannot discover it there (review r11)."""
     from iceberg_rust_custom_spark.io.fileio import FileIO
 
-    meta = FileIO.pq_parquet_file(path).metadata
+    meta = FileIO.pq_parquet_file(path, spark=spark).metadata
     names = [f.name for f in schema.fields]
     # v3 variant columns store JSON text: its lexical min/max is NOT a
     # variant bound — record counts/sizes but never range stats. Same for
@@ -167,7 +170,7 @@ def collect_datafile_stats(
         file_path=path,
         partition=partition,
         record_count=meta.num_rows,
-        file_size_in_bytes=file_size if file_size is not None else _file_size(path),
+        file_size_in_bytes=file_size if file_size is not None else _file_size(path, spark),
         column_sizes=sizes,
         value_counts=counts,
         null_value_counts=nulls,
@@ -396,6 +399,7 @@ def write_partitioned(
                     schema.schema_id,
                     sort_order_id=file_sort_order,
                     file_size=t[2],
+                    spark=df.sparkSession,
                 ),
                 paths,
             )

@@ -161,3 +161,43 @@ def test_touched_set_unions_pos_ranges_and_dv_references():
     )
     got = _mor_touched_files(files, [E(pos), E(dv)], None, None, None, None, None)
     assert got == {canon_path(p) for p in ("/d/f1.parquet", "/d/f2.parquet", "/d/f4.parquet")}
+
+
+def test_percent_encoded_bounds_disable_the_split():
+    """Review r11: percent-decoding is not order-preserving ('%20' sorts
+    above '!' encoded but ' ' sorts below it decoded), so bounds or file
+    paths containing characters URI encoding would rewrite must disable
+    the range-based split (bounds) or classify conservatively dirty
+    (paths) — never a bracketing decision in mixed domains."""
+    from iceberg_rust_custom_spark.metadata.manifest import DataFile
+
+    class E:
+        def __init__(self, d):
+            self.data_file = d
+            self.sequence_number = 5
+
+    files = [
+        DataFile(file_path=f"/d/f{i}.parquet", record_count=1, file_size_in_bytes=1)
+        for i in range(3)
+    ]
+    enc = DataFile(
+        file_path="/d/del.parquet",
+        record_count=1,
+        file_size_in_bytes=1,
+        content=1,
+        lower_bounds={"file_path": "file:///d/k=a%20b/f.parquet", "pos": 0},
+        upper_bounds={"file_path": "file:///d/k=z/f.parquet", "pos": 1},
+    )
+    assert _mor_touched_files(files, [E(enc)], None, None, None, None, None) is None
+    # safe bounds + an unsafe FILE path: that file is conservatively dirty
+    ok = DataFile(
+        file_path="/d/del2.parquet",
+        record_count=1,
+        file_size_in_bytes=1,
+        content=1,
+        lower_bounds={"file_path": "file:///d/f9.parquet", "pos": 0},
+        upper_bounds={"file_path": "file:///d/f9.parquet", "pos": 1},
+    )
+    weird = DataFile(file_path="/d/k=a b/g.parquet", record_count=1, file_size_in_bytes=1)
+    got = _mor_touched_files(files + [weird], [E(ok)], None, None, None, None, None)
+    assert got == {"/d/k=a b/g.parquet"}  # outside-range safe files stay clean

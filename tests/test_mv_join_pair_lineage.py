@@ -248,3 +248,54 @@ def test_appends_only_join_refresh_carries_pair_rids(eng, spark):
     delete_where(b, "k = 200", mode="merge-on-read")
     assert eng.refresh_materialized_view("ap.mv") == "incremental-changelog-join"
     assert _mv_rows(eng, "ap.mv") == _oracle(eng, "ap")
+
+
+def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
+    """Review r11: content-keyed tombstones cannot tell content-equal rows
+    with DIFFERENT rids apart — a multiset fallback that tombstoned rows
+    on a rid-carrying storage may leave rids non-null but MIS-ASSIGNED.
+    The commit stamps write.mv.rid-keys-trusted=false, the rid fast paths
+    stay off (answers stay exact via the content path), and only a full
+    refresh (fresh lineage everywhere) re-enables them."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    a, b = _mk(eng, spark, "tr", n=10)
+    # two A-rows that join to the same B-row and project IDENTICAL content
+    a.append(spark.createDataFrame([(5, "dup"), (5, "dup")], "k long, ak string"))
+    eng.create_materialized_view("tr.mv", "SELECT a.ak, b.bk FROM tr.a a JOIN tr.b b ON a.k = b.k")
+    storage = eng.load_table("tr.mv__storage")
+    assert eng._storage_rids_ok(storage, [SRC_ROW_ID_A, SRC_ROW_ID_B])
+    # force a content fallback commit: delete ONE of the duplicate rows
+    st_state = storage.metadata.snapshot_for_ref().summary.get("refresh-state")
+    dup = (
+        eng.sql("SELECT a.ak, b.bk FROM tr.a a JOIN tr.b b ON a.k = b.k")
+        .where("ak = 'dup'")
+        .limit(1)
+    )
+    vis = ["ak", "bk"]
+    data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+    ran = eng._multiset_delta_commit(
+        storage, dup.limit(0), dup, vis, st_state, data_dir, null_rid=True
+    )
+    assert ran == "ok"
+    storage = eng.load_table("tr.mv__storage")
+    assert storage.metadata.properties.get("write.mv.rid-keys-trusted") == "false"
+    assert not eng._storage_rids_ok(storage, [SRC_ROW_ID_A, SRC_ROW_ID_B])
+    # a later row-level delta must NOT take the pair eq-delete path — and
+    # the answer stays exact through the content fallback
+    delete_where(a, "k = 5", mode="merge-on-read")  # kills both dup rows
+    assert eng.refresh_materialized_view("tr.mv")
+    assert _mv_rows(eng, "tr.mv") == _oracle(eng, "tr")
+    assert not any(ak == "dup" for ak, _ in _mv_rows(eng, "tr.mv"))
+    # full refresh re-derives every row's lineage and restores trust
+    b.append(spark.createDataFrame([(100, "b100")], "k long, bk string"))  # go stale
+    assert eng.refresh_materialized_view("tr.mv", mode="full") == "full"
+    storage = eng.load_table("tr.mv__storage")
+    assert storage.metadata.properties.get("write.mv.rid-keys-trusted") == "true"
+    assert eng._storage_rids_ok(storage, [SRC_ROW_ID_A, SRC_ROW_ID_B])
+    delete_where(b, "k = 3", mode="merge-on-read")
+    assert eng.refresh_materialized_view("tr.mv") == "incremental-changelog-join"
+    assert _mv_rows(eng, "tr.mv") == _oracle(eng, "tr")

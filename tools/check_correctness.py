@@ -79,6 +79,11 @@ def compare_band(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, s
         return [f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
     rel, ab = spec.get("rel", {}), spec.get("abs", {})
     keys = [c for c in cols if c not in rel and c not in ab]
+    # row alignment needs unique exact keys — a tolerant column can't align
+    if not keys:
+        return ["band spec needs at least one exact (non-band) key column"]
+    if oracle_pdf.duplicated(subset=keys).any():
+        return [f"band key columns {keys} are not unique in the oracle result"]
     a = spark_pdf.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
     b = oracle_pdf.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
     problems = []
