@@ -880,6 +880,57 @@ class Engine:
         return "incremental-aggregate"
 
     @staticmethod
+    def _join_delta_key_predicate(delta, delta_col: str, full_col: str):
+        """File-pruning predicate for the FULL side of a delta-join arm:
+        under an equi-join, full-side rows whose key is outside the
+        delta's key set can never join, so the arm reads only files whose
+        ``full_col`` bounds intersect the delta's values — an IN list
+        (≤64 distinct keys, exact per-file pruning) or a [min, max] range.
+        The ×1000 join-MV ladder showed the A_old/B_new full scans
+        dominating refresh wall; this makes the arm's read track the
+        DELTA's key locality instead (r11). None when the key set is
+        unbounded (>10k distinct), non-literal-safe, or empty-typed —
+        the arm then reads the full side, correct either way. NULL delta
+        keys are dropped (an equi join never matches NULL)."""
+        import datetime as _dt
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_]\w*", full_col):
+            return None
+        rows = delta.select(delta_col).where(f"{delta_col} IS NOT NULL").distinct().limit(10_001).collect()
+        if len(rows) > 10_000 or not rows:
+            return None
+        vals = [r[0] for r in rows]
+
+        def lit(v) -> str | None:
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return str(v)
+            if isinstance(v, str) and "'" not in v and "\\" not in v:
+                return f"'{v}'"
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return f"DATE '{v}'"
+            return None  # floats/timestamps/etc: equality literals unsafe
+
+        lits = [lit(v) for v in vals]
+        if any(s is None for s in lits):
+            return None
+        if len(lits) <= 64:
+            pred = f"{full_col} IN ({', '.join(sorted(set(lits)))})"
+        else:
+            lo, hi = min(vals), max(vals)
+            llo, lhi = lit(lo), lit(hi)
+            pred = f"{full_col} >= {llo} AND {full_col} <= {lhi}"
+        try:
+            from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
+
+            parse_predicate(pred)
+        except Exception:
+            return None
+        return pred
+
+    @staticmethod
     def _storage_rids_ok(storage, cols) -> bool:
         """Non-null row-id probe for the rid fast paths, METADATA-FIRST
         (r11): per-file footer null counts prove the absence of null rids
@@ -1430,35 +1481,53 @@ class Engine:
             # rids so later changelog refreshes can eq-delete by pair.
             # Appends-only history means the changelog is pure inserts.
             run_sql = transform_relations(lsql)
-            a.changes(
+            da = a.changes(
                 a.metadata.snapshots[a_sid].sequence_number, with_lineage=True
-            ).drop("_change_type").createOrReplaceTempView(transform_name(rels[0]))
-            b.scan(row_lineage=True).drop(
+            ).drop("_change_type")
+            db = b.changes(
+                b.metadata.snapshots[b_sid].sequence_number, with_lineage=True
+            ).drop("_change_type")
+            b_pred = a_pred = None
+            ekeys = _INC.join_equi_keys(sql)
+            if ekeys is not None:  # file-prune the full-side arms (r11)
+                try:
+                    b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
+                    a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
+                except Exception:
+                    b_pred = a_pred = None
+            da.createOrReplaceTempView(transform_name(rels[0]))
+            b.scan(predicate=b_pred, row_lineage=True).drop(
                 "_last_updated_sequence_number"
             ).createOrReplaceTempView(transform_name(rels[1]))
             part1 = self.spark.sql(run_sql)
-            a.scan(snapshot_id=a_sid, row_lineage=True).drop(
+            a.scan(predicate=a_pred, snapshot_id=a_sid, row_lineage=True).drop(
                 "_last_updated_sequence_number"
             ).createOrReplaceTempView(transform_name(rels[0]))
-            b.changes(
-                b.metadata.snapshots[b_sid].sequence_number, with_lineage=True
-            ).drop("_change_type").createOrReplaceTempView(transform_name(rels[1]))
+            db.createOrReplaceTempView(transform_name(rels[1]))
             part2 = self.spark.sql(run_sql)
             delta_result = part1.unionByName(part2).select(*out_cols)
         else:
+            da = a.incremental_scan(a.metadata.snapshots[a_sid].sequence_number)
+            db = b.incremental_scan(b.metadata.snapshots[b_sid].sequence_number)
+            b_pred = a_pred = None
+            ekeys = _INC.join_equi_keys(sql)
+            if ekeys is not None:  # file-prune the full-side arms (r11)
+                try:
+                    b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
+                    a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
+                except Exception:
+                    b_pred = a_pred = None
             # part 1: ΔA ⋈ B_new
-            a.incremental_scan(
-                a.metadata.snapshots[a_sid].sequence_number
-            ).createOrReplaceTempView(transform_name(rels[0]))
-            b.scan().createOrReplaceTempView(transform_name(rels[1]))
+            da.createOrReplaceTempView(transform_name(rels[0]))
+            b.scan(predicate=b_pred).createOrReplaceTempView(transform_name(rels[1]))
             part1 = self.spark.sql(transform_relations(sql))
             # part 2: A_old ⋈ ΔB (spark.sql binds views eagerly, so
             # re-registering the same names here does not disturb part1's
             # resolved plan)
-            a.scan(snapshot_id=a_sid).createOrReplaceTempView(transform_name(rels[0]))
-            b.incremental_scan(
-                b.metadata.snapshots[b_sid].sequence_number
-            ).createOrReplaceTempView(transform_name(rels[1]))
+            a.scan(predicate=a_pred, snapshot_id=a_sid).createOrReplaceTempView(
+                transform_name(rels[0])
+            )
+            db.createOrReplaceTempView(transform_name(rels[1]))
             part2 = self.spark.sql(transform_relations(sql))
             delta_result = part1.unionByName(part2)
 
@@ -1565,12 +1634,28 @@ class Engine:
                             for ch in deltas
                         )
                         run_sql = transform_relations(lsql)
-                        b_new = b.scan(row_lineage=True).drop(
+                        # equi-join: file-prune the FULL-side arms by the
+                        # delta's key values (r11 — the full scans dominate
+                        # refresh wall at x1000 storage scale)
+                        b_pred = a_pred = None
+                        ekeys = _INC.join_equi_keys(sql)
+                        if ekeys is not None:
+                            a_col, b_col = ekeys
+                            try:
+                                b_pred = self._join_delta_key_predicate(
+                                    deltas[0], a_col, b_col
+                                )
+                                a_pred = self._join_delta_key_predicate(
+                                    deltas[1], b_col, a_col
+                                )
+                            except Exception:
+                                b_pred = a_pred = None
+                        b_new = b.scan(predicate=b_pred, row_lineage=True).drop(
                             "_last_updated_sequence_number"
                         )
-                        a_old = a.scan(snapshot_id=a_sid, row_lineage=True).drop(
-                            "_last_updated_sequence_number"
-                        )
+                        a_old = a.scan(
+                            predicate=a_pred, snapshot_id=a_sid, row_lineage=True
+                        ).drop("_last_updated_sequence_number")
                         pos = run(run_sql, a_ins, b_new, out_cols).unionByName(
                             run(run_sql, a_old, b_ins, out_cols)
                         )
@@ -1614,8 +1699,16 @@ class Engine:
         )
         vis = [c for c in out_cols if c not in rid_cols]
         plain_sql = transform_relations(sql)
-        b_new = b.scan()
-        a_old = a.scan(snapshot_id=a_sid)
+        b_pred = a_pred = None
+        ekeys = _INC.join_equi_keys(sql)
+        if ekeys is not None:
+            try:
+                b_pred = self._join_delta_key_predicate(deltas[0], ekeys[0], ekeys[1])
+                a_pred = self._join_delta_key_predicate(deltas[1], ekeys[1], ekeys[0])
+            except Exception:
+                b_pred = a_pred = None
+        b_new = b.scan(predicate=b_pred)
+        a_old = a.scan(predicate=a_pred, snapshot_id=a_sid)
         pos = run(plain_sql, a_ins, b_new, vis).unionByName(
             run(plain_sql, a_old, b_ins, vis)
         )

@@ -140,6 +140,35 @@ def join_lineage_sql(sql: str) -> str | None:
     )
 
 
+_EQUI_COND_RE = re.compile(
+    r"^\s*(?P<l>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
+)
+
+
+def join_equi_keys(sql: str) -> tuple[str, str] | None:
+    """(key column on rel_a, key column on rel_b) when the join's ON
+    condition is a single two-sided equi-comparison — the shape that lets
+    delta-join refresh FILE-PRUNE the full-side arms by the delta's key
+    values (r11: at ×1000 the A_old/B_new scans dominate refresh wall).
+    None for theta/compound conditions (arms read the full side, correct
+    either way)."""
+    jm = _JOIN_SHAPE_RE.match(sql.strip())
+    if not jm:
+        return None
+    m = _EQUI_COND_RE.match(jm.group("cond"))
+    if not m:
+        return None
+    qa = (jm.group("alias_a") or jm.group("rel_a")).lower()
+    qb = (jm.group("alias_b") or jm.group("rel_b")).lower()
+    left, right = m.group("l").lower(), m.group("r").lower()
+    if left == qa and right == qb:
+        return m.group("lc"), m.group("rc")
+    if left == qb and right == qa:
+        return m.group("rc"), m.group("lc")
+    return None
+
+
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
     """Shape-match the view SQL; None means "not incrementally
     maintainable, do a full refresh". Deliberately conservative: one

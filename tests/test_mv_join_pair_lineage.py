@@ -299,3 +299,68 @@ def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
     delete_where(b, "k = 3", mode="merge-on-read")
     assert eng.refresh_materialized_view("tr.mv") == "incremental-changelog-join"
     assert _mv_rows(eng, "tr.mv") == _oracle(eng, "tr")
+
+
+def test_join_equi_keys_parsing():
+    from iceberg_rust_custom_spark.views.incremental import join_equi_keys
+
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.fk") == ("k", "fk")
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON b.fk = a.k") == ("k", "fk")
+    # unaliased relations qualify by name
+    assert join_equi_keys("SELECT x FROM t1 JOIN t2 ON t1.k = t2.k") == ("k", "k")
+    # theta / compound conditions: no pruning keys
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k < b.k") is None
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k AND a.j = b.j") is None
+
+
+def test_join_delta_key_predicate_shapes(eng, spark):
+    from pyspark.sql import functions as F
+
+    d_small = spark.createDataFrame([(3,), (7,), (None,)], "fk long")
+    pred = eng._join_delta_key_predicate(d_small, "fk", "fk")
+    assert pred == "fk IN (3, 7)"  # nulls dropped: equi joins never match NULL
+    d_wide = spark.range(500).select(F.col("id").alias("fk"))
+    pred = eng._join_delta_key_predicate(d_wide, "fk", "fk")
+    assert pred == "fk >= 0 AND fk <= 499"  # >64 distinct: range render
+    d_str = spark.createDataFrame([("x",), ("it's",)], "fk string")
+    assert eng._join_delta_key_predicate(d_str, "fk", "fk") is None  # quote-unsafe
+    assert eng._join_delta_key_predicate(d_small.limit(0), "fk", "fk") is None
+
+
+def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
+    """r11: with an equi-join, a small B-delta must not re-scan all of A —
+    the A_old arm plans only files whose key bounds intersect the delta.
+    Proven on the table directly with the same predicate the refresh
+    builds, plus end-to-end refresh correctness."""
+    from pyspark.sql import functions as F
+
+    n = 20000
+    a = eng.create_table(
+        "pr.a",
+        spark.range(1).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("av")).schema,
+        sort_by=["k"],
+        properties={"write.distribution-mode": "range", "write.range-partitions": "6"},
+    )
+    a.append(spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("av")))
+    b = eng.create_table(
+        "pr.b", spark.range(1).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("bv")).schema
+    )
+    b.append(spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("bv")))
+    eng.create_materialized_view(
+        "pr.mv", "SELECT a.k, a.av, b.bv FROM pr.a a JOIN pr.b b ON a.k = b.k"
+    )
+    # narrow B delta → the A_old arm's predicate prunes to a file subset
+    update_where(b, {"bv": "bv + 1"}, "k >= 100 AND k < 130", mode="merge-on-read")
+    db = b.changes(b.metadata.snapshots[
+        min(b.metadata.snapshots, key=lambda s: b.metadata.snapshots[s].sequence_number)
+    ].sequence_number)
+    pred = eng._join_delta_key_predicate(db, "k", "k")
+    assert pred is not None
+    assert a.count_planned_files(pred) < a.count_planned_files()
+    assert eng.refresh_materialized_view("pr.mv") == "incremental-changelog-join"
+    got = sorted((r.k, r.av, r.bv) for r in eng.scan_materialized_view("pr.mv").collect())
+    want = sorted(
+        (r.k, r.av, r.bv)
+        for r in eng.sql("SELECT a.k, a.av, b.bv FROM pr.a a JOIN pr.b b ON a.k = b.k").collect()
+    )
+    assert got == want
