@@ -884,51 +884,16 @@ class Engine:
         """File-pruning predicate for the FULL side of a delta-join arm:
         under an equi-join, full-side rows whose key is outside the
         delta's key set can never join, so the arm reads only files whose
-        ``full_col`` bounds intersect the delta's values — an IN list
-        (≤64 distinct keys, exact per-file pruning) or a [min, max] range.
-        The ×1000 join-MV ladder showed the A_old/B_new full scans
-        dominating refresh wall; this makes the arm's read track the
-        DELTA's key locality instead (r11). None when the key set is
-        unbounded (>10k distinct), non-literal-safe, or empty-typed —
-        the arm then reads the full side, correct either way. NULL delta
-        keys are dropped (an equi join never matches NULL)."""
-        import datetime as _dt
-        import re as _re
+        ``full_col`` bounds intersect the delta's values. Delegates to the
+        shared runtime-filter prober (review r11: a hand-rolled literal
+        renderer here was strictly weaker — it bailed on float/timestamp/
+        decimal/quoted-string keys and read the full side against an
+        EMPTY delta, where the prober returns AlwaysFalse and the arm
+        plans ZERO files). NULL delta keys never join and are ignored;
+        past the key cap the predicate degrades to a [min, max] range."""
+        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
 
-        if not _re.fullmatch(r"[A-Za-z_]\w*", full_col):
-            return None
-        rows = delta.select(delta_col).where(f"{delta_col} IS NOT NULL").distinct().limit(10_001).collect()
-        if len(rows) > 10_000 or not rows:
-            return None
-        vals = [r[0] for r in rows]
-
-        def lit(v) -> str | None:
-            if isinstance(v, bool):
-                return None
-            if isinstance(v, int):
-                return str(v)
-            if isinstance(v, str) and "'" not in v and "\\" not in v:
-                return f"'{v}'"
-            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-                return f"DATE '{v}'"
-            return None  # floats/timestamps/etc: equality literals unsafe
-
-        lits = [lit(v) for v in vals]
-        if any(s is None for s in lits):
-            return None
-        if len(lits) <= 64:
-            pred = f"{full_col} IN ({', '.join(sorted(set(lits)))})"
-        else:
-            lo, hi = min(vals), max(vals)
-            llo, lhi = lit(lo), lit(hi)
-            pred = f"{full_col} >= {llo} AND {full_col} <= {lhi}"
-        try:
-            from iceberg_rust_custom_spark.metadata.expressions import parse_predicate
-
-            parse_predicate(pred)
-        except Exception:
-            return None
-        return pred
+        return join_key_predicate(delta, [(full_col, delta_col)], max_keys=64)
 
     @staticmethod
     def _storage_rids_ok(storage, cols) -> bool:
@@ -1481,55 +1446,66 @@ class Engine:
             # rids so later changelog refreshes can eq-delete by pair.
             # Appends-only history means the changelog is pure inserts.
             run_sql = transform_relations(lsql)
+            # persist: each delta feeds the key-probe job AND its join arm
+            # (the SPJ path's same caching rationale — changes() plans MoR
+            # tombstones; running those jobs twice wastes the pruning win)
             da = a.changes(
                 a.metadata.snapshots[a_sid].sequence_number, with_lineage=True
-            ).drop("_change_type")
+            ).drop("_change_type").persist()
             db = b.changes(
                 b.metadata.snapshots[b_sid].sequence_number, with_lineage=True
-            ).drop("_change_type")
-            b_pred = a_pred = None
-            ekeys = _INC.join_equi_keys(sql)
-            if ekeys is not None:  # file-prune the full-side arms (r11)
-                try:
-                    b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
-                    a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
-                except Exception:
-                    b_pred = a_pred = None
-            da.createOrReplaceTempView(transform_name(rels[0]))
-            b.scan(predicate=b_pred, row_lineage=True).drop(
-                "_last_updated_sequence_number"
-            ).createOrReplaceTempView(transform_name(rels[1]))
-            part1 = self.spark.sql(run_sql)
-            a.scan(predicate=a_pred, snapshot_id=a_sid, row_lineage=True).drop(
-                "_last_updated_sequence_number"
-            ).createOrReplaceTempView(transform_name(rels[0]))
-            db.createOrReplaceTempView(transform_name(rels[1]))
-            part2 = self.spark.sql(run_sql)
-            delta_result = part1.unionByName(part2).select(*out_cols)
+            ).drop("_change_type").persist()
+            try:
+                b_pred = a_pred = None
+                ekeys = _INC.join_equi_keys(sql)
+                if ekeys is not None:  # file-prune the full-side arms (r11)
+                    try:
+                        b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
+                        a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
+                    except Exception:
+                        b_pred = a_pred = None
+                da.createOrReplaceTempView(transform_name(rels[0]))
+                b.scan(predicate=b_pred, row_lineage=True).drop(
+                    "_last_updated_sequence_number"
+                ).createOrReplaceTempView(transform_name(rels[1]))
+                part1 = self.spark.sql(run_sql)
+                a.scan(predicate=a_pred, snapshot_id=a_sid, row_lineage=True).drop(
+                    "_last_updated_sequence_number"
+                ).createOrReplaceTempView(transform_name(rels[0]))
+                db.createOrReplaceTempView(transform_name(rels[1]))
+                part2 = self.spark.sql(run_sql)
+                delta_result = part1.unionByName(part2).select(*out_cols).localCheckpoint()
+            finally:
+                da.unpersist()
+                db.unpersist()
         else:
-            da = a.incremental_scan(a.metadata.snapshots[a_sid].sequence_number)
-            db = b.incremental_scan(b.metadata.snapshots[b_sid].sequence_number)
-            b_pred = a_pred = None
-            ekeys = _INC.join_equi_keys(sql)
-            if ekeys is not None:  # file-prune the full-side arms (r11)
-                try:
-                    b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
-                    a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
-                except Exception:
-                    b_pred = a_pred = None
-            # part 1: ΔA ⋈ B_new
-            da.createOrReplaceTempView(transform_name(rels[0]))
-            b.scan(predicate=b_pred).createOrReplaceTempView(transform_name(rels[1]))
-            part1 = self.spark.sql(transform_relations(sql))
-            # part 2: A_old ⋈ ΔB (spark.sql binds views eagerly, so
-            # re-registering the same names here does not disturb part1's
-            # resolved plan)
-            a.scan(predicate=a_pred, snapshot_id=a_sid).createOrReplaceTempView(
-                transform_name(rels[0])
-            )
-            db.createOrReplaceTempView(transform_name(rels[1]))
-            part2 = self.spark.sql(transform_relations(sql))
-            delta_result = part1.unionByName(part2)
+            da = a.incremental_scan(a.metadata.snapshots[a_sid].sequence_number).persist()
+            db = b.incremental_scan(b.metadata.snapshots[b_sid].sequence_number).persist()
+            try:
+                b_pred = a_pred = None
+                ekeys = _INC.join_equi_keys(sql)
+                if ekeys is not None:  # file-prune the full-side arms (r11)
+                    try:
+                        b_pred = self._join_delta_key_predicate(da, ekeys[0], ekeys[1])
+                        a_pred = self._join_delta_key_predicate(db, ekeys[1], ekeys[0])
+                    except Exception:
+                        b_pred = a_pred = None
+                # part 1: ΔA ⋈ B_new
+                da.createOrReplaceTempView(transform_name(rels[0]))
+                b.scan(predicate=b_pred).createOrReplaceTempView(transform_name(rels[1]))
+                part1 = self.spark.sql(transform_relations(sql))
+                # part 2: A_old ⋈ ΔB (spark.sql binds views eagerly, so
+                # re-registering the same names here does not disturb part1's
+                # resolved plan)
+                a.scan(predicate=a_pred, snapshot_id=a_sid).createOrReplaceTempView(
+                    transform_name(rels[0])
+                )
+                db.createOrReplaceTempView(transform_name(rels[1]))
+                part2 = self.spark.sql(transform_relations(sql))
+                delta_result = part1.unionByName(part2).localCheckpoint()
+            finally:
+                da.unpersist()
+                db.unpersist()
 
         new_state = {
             "refresh-version-id": md.current_version_id,

@@ -720,9 +720,23 @@ def _export_metadata_json(
         # table (one snapshot presenting every live file), so the snapshot
         # "assigned" the whole [first_row_base, next-row-id) range: the
         # lowest assigned block, computed during the export's own manifest
-        # walk (no second metadata read — review r11). Files with explicit
-        # lineage columns carry first_row_id=null per spec and never
-        # consult this field.
+        # walk (no second metadata read — review r11). The Avro-native
+        # zero-copy path performs no walk, so it falls back to one read
+        # here (review r11 #2: defaulting it to 0 would let an external
+        # reader synthesize colliding row ids for null-first_row_id files).
+        # Files with explicit lineage columns carry first_row_id=null per
+        # spec and never consult this field.
+        if first_row_base is None:
+            first_row_base = min(
+                (
+                    e.data_file.first_row_id
+                    for row in read_manifest_list(snap.manifest_list)
+                    for e in read_manifest(row["manifest_path"])
+                    if e.data_file.first_row_id is not None
+                    and e.data_file.first_row_id >= 0
+                ),
+                default=None,
+            )
         snap_d["first-row-id"] = first_row_base if first_row_base is not None else 0
     md["snapshots"] = [snap_d]
     md["current-snapshot-id"] = snap.snapshot_id

@@ -969,8 +969,12 @@ def _with_lineage(df: DataFrame) -> DataFrame:
 import re as _re_mod
 
 # characters the file-URI encoding leaves untouched — safe for comparing
-# decoded paths against encoded-domain bounds (see _mor_touched_files)
-_re_safe_path = _re_mod.compile(r"[A-Za-z0-9._/=\-]*")
+# decoded paths against encoded-domain bounds (see _mor_touched_files).
+# ':' is admitted: URI scheme/authority colons are literal, and canon_path
+# performs NO percent-decoding on non-file schemes (s3a://…), so there is
+# no mixed-domain hazard for them — excluding ':' silently disabled the
+# split on exactly the object-store warehouses r11 targets (review r11)
+_re_safe_path = _re_mod.compile(r"[A-Za-z0-9._/=:\-]*")
 
 
 def _mor_touched_files(files, deletes, schema, metadata, snapshot, ml_rows, entry_cache):

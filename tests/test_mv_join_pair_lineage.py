@@ -316,15 +316,21 @@ def test_join_equi_keys_parsing():
 def test_join_delta_key_predicate_shapes(eng, spark):
     from pyspark.sql import functions as F
 
+    from iceberg_rust_custom_spark.metadata.expressions import AlwaysFalse
+
     d_small = spark.createDataFrame([(3,), (7,), (None,)], "fk long")
-    pred = eng._join_delta_key_predicate(d_small, "fk", "fk")
-    assert pred == "fk IN (3, 7)"  # nulls dropped: equi joins never match NULL
+    pred = eng._join_delta_key_predicate(d_small, "fk", "kk")
+    assert pred.sql() == "(kk IN (3, 7))"  # nulls dropped: equi never matches NULL
     d_wide = spark.range(500).select(F.col("id").alias("fk"))
     pred = eng._join_delta_key_predicate(d_wide, "fk", "fk")
-    assert pred == "fk >= 0 AND fk <= 499"  # >64 distinct: range render
+    assert ">=" in pred.sql() and "<=" in pred.sql()  # >64 distinct: range
+    # quoted strings are fine through the shared prober (typed Expr values)
     d_str = spark.createDataFrame([("x",), ("it's",)], "fk string")
-    assert eng._join_delta_key_predicate(d_str, "fk", "fk") is None  # quote-unsafe
-    assert eng._join_delta_key_predicate(d_small.limit(0), "fk", "fk") is None
+    assert "IN" in eng._join_delta_key_predicate(d_str, "fk", "fk").sql()
+    # EMPTY delta → AlwaysFalse: the arm plans ZERO files
+    assert isinstance(
+        eng._join_delta_key_predicate(d_small.limit(0), "fk", "fk"), AlwaysFalse
+    )
 
 
 def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
