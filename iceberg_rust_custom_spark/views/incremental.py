@@ -51,6 +51,12 @@ _FORBIDDEN_NONJOIN_RE = re.compile(
     r"|left|right|full|cross|outer|semi|anti)\b|\(\s*select\b",
     re.IGNORECASE,
 )
+# join+aggregate views (r12): the join exclusions minus GROUP BY itself
+_FORBIDDEN_JOINAGG_RE = re.compile(
+    r"\b(union|intersect|except|distinct|over|limit|order\s+by|having"
+    r"|left|right|full|cross|outer|semi|anti)\b|\(\s*select\b",
+    re.IGNORECASE,
+)
 _AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|var\w*)\s*\(", re.IGNORECASE)
 _JOIN_SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
@@ -65,11 +71,21 @@ _JOIN_SHAPE_RE = re.compile(
 
 @dataclass(frozen=True)
 class IncrementalPlan:
-    mode: str  # "append" | "aggregate" | "join"
+    mode: str  # "append" | "aggregate" | "join" | "join_agg"
     relation: str
     group_keys: tuple = ()
     merge_ops: dict = field(default_factory=dict)  # output column -> sum|min|max
     relation_b: str | None = None  # second source of a "join" view
+    # join_agg (r12): the SPJ projection of the group keys over the same
+    # FROM/ON/WHERE — run over the delta arms to find the affected groups
+    probe_sql: str | None = None
+    # join_agg: (col on rel_a, col on rel_b) pairs from the ON condition's
+    # AND-conjoined equalities (pre-parsed — join_equi_keys can't re-derive
+    # them from the full SQL once a GROUP BY tail is present)
+    equi_keys: tuple = ()
+    # join_agg: per group key, the source column to push the affected-set
+    # filter into: ("a"|"b", column) or None when the key's side is unknown
+    key_sources: tuple = ()
 
 
 # hidden MV-storage column carrying the SOURCE row's v3 _row_id for
@@ -145,28 +161,159 @@ _EQUI_COND_RE = re.compile(
     r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
 )
 
+# join + GROUP BY views (r12, VERDICT r11 #2 — the TPC-H q5 star shape):
+# same two-relation inner-join FROM clause, mandatory GROUP BY tail
+_JOIN_AGG_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# affected groups are RECOMPUTED exactly (not merged), so any
+# deterministic aggregate qualifies — whitelisted to keep surprises out
+_JOINAGG_ITEM_RE = re.compile(
+    r"^\s*(?:sum|count|min|max|avg|mean|median|corr|covar_pop|covar_samp"
+    r"|stddev(?:_pop|_samp)?|var(?:iance|_pop|_samp)?)\s*\(.*\)"
+    r"\s+AS\s+[A-Za-z_]\w*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_KEY_ITEM_RE = re.compile(
+    r"^(?P<expr>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$",
+    re.IGNORECASE,
+)
 
-def join_equi_keys(sql: str) -> tuple[str, str] | None:
-    """(key column on rel_a, key column on rel_b) when the join's ON
-    condition is a single two-sided equi-comparison — the shape that lets
-    delta-join refresh FILE-PRUNE the full-side arms by the delta's key
-    values (r11: at ×1000 the A_old/B_new scans dominate refresh wall).
-    None for theta/compound conditions (arms read the full side, correct
-    either way)."""
+
+def classify_join_agg_sql(sql: str) -> IncrementalPlan | None:
+    """Shape-match a two-table inner-join GROUP BY view (the most common
+    production MV — the reference registers ``__delta__`` placeholders for
+    exactly this and never implements it, materialized_view.rs:147-159).
+    Maintenance recomputes ONLY the affected groups, so any whitelisted
+    deterministic aggregate works (AVG/STDDEV included — unlike the
+    single-table merge path, nothing needs to be decomposable); group keys
+    must be plain or singly-qualified columns, each projected in the
+    select list. None → full refresh."""
+    from iceberg_rust_custom_spark.ddl import _split_top_level
+
+    jm = _JOIN_AGG_SHAPE_RE.match(sql.strip())
+    if not jm or _FORBIDDEN_JOINAGG_RE.search(sql):
+        return None
+    if jm.group("rel_a").lower() == jm.group("rel_b").lower():
+        return None  # self-join: row identity across sides is ambiguous
+    if re.search(
+        r"\bJOIN\b", jm.group("cond") + (jm.group("where") or ""), re.IGNORECASE
+    ):
+        return None  # 3+ relations
+    key_exprs = tuple(k.strip() for k in _split_top_level(jm.group("group")))
+    if not key_exprs or not all(_KEY_ITEM_RE.fullmatch(k) and " " not in k for k in key_exprs):
+        return None
+    qa = (
+        jm.group("alias_a") or ("" if "." in jm.group("rel_a") else jm.group("rel_a"))
+    ).lower()
+    qb = (
+        jm.group("alias_b") or ("" if "." in jm.group("rel_b") else jm.group("rel_b"))
+    ).lower()
+    if qa and qa == qb:
+        return None
+    sel_keys: list[tuple[str, str]] = []  # (source expr, output name)
+    agg_seen = False
+    for item in _split_top_level(jm.group("select")):
+        item = item.strip()
+        if _JOINAGG_ITEM_RE.match(item):
+            agg_seen = True
+            continue
+        km = _KEY_ITEM_RE.fullmatch(item)
+        if not km or km.group("expr") not in key_exprs:
+            return None  # derived/unaliased expression: full refresh
+        expr = km.group("expr")
+        sel_keys.append((expr, km.group("alias") or expr.split(".")[-1]))
+    if not agg_seen or not sel_keys:
+        return None
+    if {e for e, _ in sel_keys} != set(key_exprs):
+        return None  # a GROUP BY key missing from the projection (or vice
+        # versa): storage couldn't eq-delete by the full group key
+    out_names = tuple(n for _, n in sel_keys)
+    if len(out_names) != len(set(out_names)):
+        return None
+    aa = f" {jm.group('alias_a')}" if jm.group("alias_a") else ""
+    ab = f" {jm.group('alias_b')}" if jm.group("alias_b") else ""
+    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
+    proj = ", ".join(f"{e} AS {n}" for e, n in sel_keys)
+    probe_sql = (
+        f"SELECT {proj} FROM {jm.group('rel_a')}{aa} JOIN {jm.group('rel_b')}{ab} "
+        f"ON {jm.group('cond')}{where}"
+    )
+    cond = jm.group("cond")
+    pairs = None
+    if qa and qb and "(" not in cond and not re.search(r"\bor\b", cond, re.IGNORECASE):
+        pairs = equi_pairs_between(cond, qa, qb)
+    key_sources: list[tuple[str, str] | None] = []
+    for expr, _ in sel_keys:
+        if "." in expr:
+            q, col = expr.split(".", 1)
+            if qa and q.lower() == qa:
+                key_sources.append(("a", col))
+            elif qb and q.lower() == qb:
+                key_sources.append(("b", col))
+            else:
+                key_sources.append(None)
+        else:
+            key_sources.append(None)  # side unknown: recompute without pruning
+    return IncrementalPlan(
+        "join_agg",
+        jm.group("rel_a"),
+        group_keys=out_names,
+        relation_b=jm.group("rel_b"),
+        probe_sql=probe_sql,
+        equi_keys=tuple(pairs or ()),
+        key_sources=tuple(key_sources),
+    )
+
+
+def join_equi_keys(sql: str) -> list[tuple[str, str]] | None:
+    """[(key column on rel_a, key column on rel_b), …] — one pair per
+    two-sided equality in the join's AND-conjoined ON condition — the
+    shape that lets delta-join refresh FILE-PRUNE the full-side arms by
+    the delta's key values (r11: at ×1000 the A_old/B_new scans dominate
+    refresh wall; r12 extends single-key to compound keys, VERDICT r11
+    #1). Conjuncts that are NOT two-sided equalities (theta terms like
+    ``a.x < b.y``) are simply skipped: the equality pairs alone remain a
+    NECESSARY condition for a row to join, so pruning by them stays
+    sound. None when no usable pair exists, or when the condition
+    contains OR / parentheses (a disjunct could join outside any single
+    conjunct's key set — arms then read the full side, correct either
+    way)."""
     jm = _JOIN_SHAPE_RE.match(sql.strip())
     if not jm:
         return None
-    m = _EQUI_COND_RE.match(jm.group("cond"))
-    if not m:
+    cond = jm.group("cond")
+    if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
         return None
     qa = (jm.group("alias_a") or jm.group("rel_a")).lower()
     qb = (jm.group("alias_b") or jm.group("rel_b")).lower()
-    left, right = m.group("l").lower(), m.group("r").lower()
-    if left == qa and right == qb:
-        return m.group("lc"), m.group("rc")
-    if left == qb and right == qa:
-        return m.group("rc"), m.group("lc")
-    return None
+    return equi_pairs_between(cond, qa, qb)
+
+
+def equi_pairs_between(cond: str, qa: str, qb: str) -> list[tuple[str, str]] | None:
+    """The (col on qa, col on qb) pairs from an AND-conjoined condition's
+    two-sided equalities between the two given qualifiers (lower-cased).
+    Shared by the 2-table and n-table classifiers. The caller has already
+    rejected OR / parenthesized conditions."""
+    pairs: list[tuple[str, str]] = []
+    for conjunct in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        m = _EQUI_COND_RE.match(conjunct)
+        if not m:
+            continue  # theta conjunct: equality pairs alone still prune soundly
+        left, right = m.group("l").lower(), m.group("r").lower()
+        if left == qa and right == qb:
+            pairs.append((m.group("lc"), m.group("rc")))
+        elif left == qb and right == qa:
+            pairs.append((m.group("rc"), m.group("lc")))
+        # one-sided conjuncts (a.x = a.y) carry no cross-relation key: skip
+    return pairs or None
 
 
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
@@ -190,7 +337,8 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
             # two-relation inner equi/theta join, select-project-filter only:
             # maintainable via the delta-join identity (see join refresh)
             return IncrementalPlan("join", jm.group("rel_a"), relation_b=jm.group("rel_b"))
-        return None
+        # join + GROUP BY (r12): affected-group recompute
+        return classify_join_agg_sql(sql)
     m = _SHAPE_RE.match(sql.strip())
     if not m:
         return None

@@ -1,0 +1,227 @@
+"""r12 (VERDICT r11 #2): incremental maintenance for two-table inner-join
+GROUP BY materialized views — the TPC-H q5 star shape, the most common
+production MV. The reference registers empty ``__delta__`` placeholder
+tables for exactly this and never implements it
+(datafusion_iceberg/src/materialized_view.rs:147-159).
+
+Affected groups are discovered by running the view's group-key projection
+over the delta-join arms (ΔA ⋈ B_new ∪ A_old ⋈ ΔB, all change events),
+recomputed exactly from affected-key-pruned source scans, and committed
+delta-sized: group-keyed MoR equality deletes + an append — untouched
+groups' storage files are never read or rewritten."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_custom_spark.engine import Engine
+from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_classify_join_agg_shapes():
+    p = classify_view_sql(
+        "SELECT n.nname, sum(o.price) AS revenue FROM t.o o JOIN t.n n "
+        "ON o.nk = n.nk WHERE o.price > 0 GROUP BY n.nname"
+    )
+    assert p is not None and p.mode == "join_agg"
+    assert p.group_keys == ("nname",)
+    assert p.equi_keys == (("nk", "nk"),)
+    assert p.key_sources == (("b", "nname"),)
+    assert p.probe_sql.startswith("SELECT n.nname AS nname FROM t.o o JOIN t.n n")
+    # compound ON keys + aliased key + aggregates the MERGE path can't do
+    p = classify_view_sql(
+        "SELECT a.g AS gg, avg(b.v) AS m, stddev(b.v) AS s FROM ta a "
+        "JOIN tb b ON a.k = b.k AND a.j = b.j GROUP BY a.g"
+    )
+    assert p is not None and p.mode == "join_agg"
+    assert p.group_keys == ("gg",) and p.equi_keys == (("k", "k"), ("j", "j"))
+    # ruled out: outer join, HAVING, non-key bare column, derived key,
+    # unaliased aggregate, ORDER BY, subquery, self-join
+    for bad in [
+        "SELECT a.g, sum(b.v) AS s FROM ta a LEFT JOIN tb b ON a.k = b.k GROUP BY a.g",
+        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g HAVING sum(b.v) > 1",
+        "SELECT a.g, sum(b.v) AS s, b.h FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g",
+        "SELECT upper(a.g) AS g2, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY upper(a.g)",
+        "SELECT a.g, sum(b.v) FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g",
+        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g ORDER BY a.g",
+        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN ta b ON a.k = b.k GROUP BY a.g",
+        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = (SELECT max(k) FROM tb) GROUP BY a.g",
+    ]:
+        got = classify_view_sql(bad)
+        assert got is None or got.mode != "join_agg", bad
+    # single-table shapes keep their existing classifications
+    assert classify_view_sql("SELECT k, sum(v) AS s FROM t GROUP BY k").mode == "aggregate"
+    assert classify_view_sql("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k").mode == "join"
+
+
+_SQL = (
+    "SELECT n.nname, sum(o.price) AS revenue, count(o.ok) AS cnt, "
+    "avg(o.price) AS avg_price "
+    "FROM jag.o o JOIN jag.n n ON o.nk = n.nk WHERE o.price >= 0 GROUP BY n.nname"
+)
+
+
+def _mk(eng, spark, n_orders=1000, n_nations=7):
+    o = eng.create_table(
+        "jag.o",
+        spark.range(1).select(
+            F.col("id").alias("ok"), F.col("id").alias("nk"), (F.col("id") * 1.0).alias("price")
+        ).schema,
+    )
+    o.append(
+        spark.range(n_orders).select(
+            F.col("id").alias("ok"),
+            (F.col("id") % n_nations).alias("nk"),
+            (F.col("id") * 1.0).alias("price"),
+        )
+    )
+    n = eng.create_table(
+        "jag.n",
+        spark.range(1).select(
+            F.col("id").alias("nk"), F.concat(F.lit("n"), F.col("id")).alias("nname")
+        ).schema,
+    )
+    n.append(
+        spark.range(n_nations).select(
+            F.col("id").alias("nk"), F.concat(F.lit("n"), F.col("id")).alias("nname")
+        )
+    )
+    return o, n
+
+
+def _check(eng, tag=""):
+    got = sorted(
+        (r.nname or "", round(r.revenue, 6), r.cnt, round(r.avg_price, 6))
+        for r in eng.scan_materialized_view("jag.mv").collect()
+    )
+    want = sorted(
+        (r.nname or "", round(r.revenue, 6), r.cnt, round(r.avg_price, 6))
+        for r in eng.sql(_SQL).collect()
+    )
+    assert got == want, (tag, got[:3], want[:3])
+
+
+def test_join_agg_mv_delta_refresh_is_group_keyed_and_exact(eng, spark):
+    """The driver-style gate: a small delta refresh must (a) never rewrite
+    a pre-existing storage file (file-path-asserted), (b) commit Δ⁻ as
+    equality deletes keyed on the GROUP KEY column, and (c) keep content
+    equal to a full recompute across append / fact-delete / dim-rename /
+    dim-delete deltas."""
+    o, n = _mk(eng, spark)
+    eng.create_materialized_view("jag.mv", _SQL)
+    storage = eng.load_table("jag.mv__storage")
+    schema = storage.metadata.current_schema()
+    key_ids = {schema.field_by_name("nname").field_id}
+    _check(eng, "initial")
+
+    # 1. appends-only delta (touches 2 of 7 nations)
+    before = {
+        f.file_path for f in plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+    }
+    o.append(
+        spark.createDataFrame(
+            [(2000, 1, 5.0), (2001, 1, 6.0), (2002, 2, 7.0)], "ok long, nk long, price double"
+        )
+    )
+    assert eng.refresh_materialized_view("jag.mv") == "incremental-join-aggregate"
+    storage = eng.load_table("jag.mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    after = {f.file_path for f in plan_files(storage.metadata, snap)}
+    assert before <= after, "pre-existing storage files were rewritten"
+    eqs = [e.data_file for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 2]
+    assert eqs, "expected group-keyed equality-delete tombstones"
+    assert all(set(d.equality_ids or ()) == key_ids for d in eqs)
+    assert all("nname" in (d.lower_bounds or {}) for d in eqs)  # victim-prunable
+    _check(eng, "append")
+
+    # 2. MoR delete on the fact side
+    delete_where(o, "ok % 13 = 0", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jag.mv") == "incremental-join-aggregate"
+    _check(eng, "fact-delete")
+
+    # 3. dim update that RENAMES a group: old group row disappears, new appears
+    update_where(n, {"nname": "concat(nname, '_x')"}, "nk = 3", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jag.mv") == "incremental-join-aggregate"
+    _check(eng, "dim-rename")
+    names = {r.nname for r in eng.scan_materialized_view("jag.mv").collect()}
+    assert "n3_x" in names and "n3" not in names
+
+    # 4. dim delete: the whole group vanishes (COUNT→0 emits no row)
+    delete_where(n, "nk = 5", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jag.mv") == "incremental-join-aggregate"
+    _check(eng, "dim-delete")
+    assert "n5" not in {r.nname for r in eng.scan_materialized_view("jag.mv").collect()}
+
+    # 5. already fresh → False; a no-row-effect commit is state-only
+    assert eng.refresh_materialized_view("jag.mv") is False
+
+
+def test_join_agg_mv_full_side_arms_prune_by_delta_keys(eng, spark):
+    """The affected-group probe's full-side arms file-prune by the delta's
+    join-key values: a 30-row dim update against a 20k-row range-clustered
+    fact must not plan every fact file."""
+    n_rows = 20000
+    o = eng.create_table(
+        "jp.o",
+        spark.range(1).select(
+            F.col("id").alias("ok"), F.col("id").alias("nk"), (F.col("id") * 1.0).alias("price")
+        ).schema,
+        sort_by=["nk"],
+        properties={"write.distribution-mode": "range", "write.range-partitions": "6"},
+    )
+    o.append(
+        spark.range(n_rows).select(
+            F.col("id").alias("ok"), (F.col("id") % 2000).alias("nk"), (F.col("id") * 1.0).alias("price")
+        )
+    )
+    n = eng.create_table(
+        "jp.n",
+        spark.range(1).select(
+            F.col("id").alias("nk"), F.concat(F.lit("n"), F.col("id")).alias("nname")
+        ).schema,
+    )
+    n.append(
+        spark.range(2000).select(
+            F.col("id").alias("nk"), F.concat(F.lit("n"), F.col("id")).alias("nname")
+        )
+    )
+    sql = (
+        "SELECT n.nname, sum(o.price) AS revenue FROM jp.o o JOIN jp.n n "
+        "ON o.nk = n.nk GROUP BY n.nname"
+    )
+    eng.create_materialized_view("jp.mv", sql)
+    update_where(n, {"nname": "concat(nname, '_y')"}, "nk >= 100 AND nk < 130", mode="merge-on-read")
+    first = min(n.metadata.snapshots, key=lambda s: n.metadata.snapshots[s].sequence_number)
+    dn = n.changes(n.metadata.snapshots[first].sequence_number)
+    pred = eng._join_delta_key_predicate(dn, [("nk", "nk")])
+    assert o.count_planned_files(pred) < o.count_planned_files()
+    assert eng.refresh_materialized_view("jp.mv") == "incremental-join-aggregate"
+    got = sorted((r.nname, r.revenue) for r in eng.scan_materialized_view("jp.mv").collect())
+    want = sorted((r.nname, r.revenue) for r in eng.sql(sql).collect())
+    assert got == want
+
+
+def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
+    """NULL group keys and file-set-replacing source rewrites route to a
+    full refresh — never a wrong answer."""
+    o, n = _mk(eng, spark, n_orders=100)
+    # a nation with a NULL name: its orders aggregate under a NULL group key
+    n.append(spark.createDataFrame([(60, None)], "nk long, nname string"))
+    o.append(spark.createDataFrame([(900, 60, 1.0)], "ok long, nk long, price double"))
+    eng.create_materialized_view("jag.mv", _SQL)
+    _check(eng, "initial-nulls")
+    # a delta touching the NULL-keyed group: the refresh must go full
+    # (the probe sees a NULL group key), never a wrong answer
+    o.append(spark.createDataFrame([(901, 60, 2.0)], "ok long, nk long, price double"))
+    assert eng.refresh_materialized_view("jag.mv") == "full"
+    _check(eng, "null-delta")
+    # CoW delete (file-set replacement) breaks the anchor: full refresh
+    delete_where(o, "ok = 10", mode="copy-on-write")
+    assert eng.refresh_materialized_view("jag.mv") == "full"
+    _check(eng, "cow")

@@ -304,13 +304,28 @@ def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
 def test_join_equi_keys_parsing():
     from iceberg_rust_custom_spark.views.incremental import join_equi_keys
 
-    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.fk") == ("k", "fk")
-    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON b.fk = a.k") == ("k", "fk")
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.fk") == [("k", "fk")]
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON b.fk = a.k") == [("k", "fk")]
     # unaliased relations qualify by name
-    assert join_equi_keys("SELECT x FROM t1 JOIN t2 ON t1.k = t2.k") == ("k", "k")
-    # theta / compound conditions: no pruning keys
+    assert join_equi_keys("SELECT x FROM t1 JOIN t2 ON t1.k = t2.k") == [("k", "k")]
+    # compound AND-conjoined keys: every pair participates in pruning (r12)
+    assert join_equi_keys(
+        "SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k AND a.j = b.j"
+    ) == [("k", "k"), ("j", "j")]
+    assert join_equi_keys(
+        "SELECT a.x FROM t1 a JOIN t2 b ON b.k = a.k AND a.j = b.jj"
+    ) == [("k", "k"), ("j", "jj")]
+    # mixed equality + theta: the equality pairs alone still prune soundly
+    assert join_equi_keys(
+        "SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k AND a.j < b.j"
+    ) == [("k", "k")]
+    # pure theta: no pruning keys
     assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k < b.k") is None
-    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k AND a.j = b.j") is None
+    # OR / parenthesized conditions could join outside any conjunct's set
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k OR a.j = b.j") is None
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON (a.k = b.k)") is None
+    # one-sided equalities carry no cross-relation key
+    assert join_equi_keys("SELECT a.x FROM t1 a JOIN t2 b ON a.k = a.j") is None
 
 
 def test_join_delta_key_predicate_shapes(eng, spark):
@@ -319,18 +334,22 @@ def test_join_delta_key_predicate_shapes(eng, spark):
     from iceberg_rust_custom_spark.metadata.expressions import AlwaysFalse
 
     d_small = spark.createDataFrame([(3,), (7,), (None,)], "fk long")
-    pred = eng._join_delta_key_predicate(d_small, "fk", "kk")
+    pred = eng._join_delta_key_predicate(d_small, [("kk", "fk")])
     assert pred.sql() == "(kk IN (3, 7))"  # nulls dropped: equi never matches NULL
     d_wide = spark.range(500).select(F.col("id").alias("fk"))
-    pred = eng._join_delta_key_predicate(d_wide, "fk", "fk")
+    pred = eng._join_delta_key_predicate(d_wide, [("fk", "fk")])
     assert ">=" in pred.sql() and "<=" in pred.sql()  # >64 distinct: range
     # quoted strings are fine through the shared prober (typed Expr values)
     d_str = spark.createDataFrame([("x",), ("it's",)], "fk string")
-    assert "IN" in eng._join_delta_key_predicate(d_str, "fk", "fk").sql()
+    assert "IN" in eng._join_delta_key_predicate(d_str, [("fk", "fk")]).sql()
     # EMPTY delta → AlwaysFalse: the arm plans ZERO files
     assert isinstance(
-        eng._join_delta_key_predicate(d_small.limit(0), "fk", "fk"), AlwaysFalse
+        eng._join_delta_key_predicate(d_small.limit(0), [("fk", "fk")]), AlwaysFalse
     )
+    # compound keys (r12): one conjunct per pair, probed in ONE agg job
+    d_two = spark.createDataFrame([(3, "x"), (7, "y")], "fk long, g string")
+    sql = eng._join_delta_key_predicate(d_two, [("kk", "fk"), ("gg", "g")]).sql()
+    assert "kk IN (3, 7)" in sql and "gg IN ('x', 'y')" in sql and " AND " in sql
 
 
 def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
@@ -360,7 +379,7 @@ def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
     db = b.changes(b.metadata.snapshots[
         min(b.metadata.snapshots, key=lambda s: b.metadata.snapshots[s].sequence_number)
     ].sequence_number)
-    pred = eng._join_delta_key_predicate(db, "k", "k")
+    pred = eng._join_delta_key_predicate(db, [("k", "k")])
     assert pred is not None
     assert a.count_planned_files(pred) < a.count_planned_files()
     assert eng.refresh_materialized_view("pr.mv") == "incremental-changelog-join"
@@ -369,4 +388,70 @@ def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
         (r.k, r.av, r.bv)
         for r in eng.sql("SELECT a.k, a.av, b.bv FROM pr.a a JOIN pr.b b ON a.k = b.k").collect()
     )
+    assert got == want
+
+
+def test_compound_key_join_refresh_prunes_and_stays_exact(eng, spark):
+    """r12 (VERDICT r11 #1): an AND-conjoined compound equi-join ON
+    condition prunes the full-side arms on EVERY key pair — previously
+    join_equi_keys returned None and each delta refresh re-scanned the
+    whole full side. Proven with the refresh's own predicate on the
+    table, plus end-to-end refresh correctness and the pair eq-delete
+    commit shape."""
+    from pyspark.sql import functions as F
+
+    sql = (
+        "SELECT a.k, a.av, b.bv FROM ck.a a JOIN ck.b b "
+        "ON a.k = b.k AND a.g = b.g"
+    )
+    n = 20000
+    a = eng.create_table(
+        "ck.a",
+        spark.range(1).select(
+            F.col("id").alias("k"), F.lit("g0").alias("g"), (F.col("id") * 1.0).alias("av")
+        ).schema,
+        sort_by=["k"],
+        properties={"write.distribution-mode": "range", "write.range-partitions": "6"},
+    )
+    a.append(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), F.col("id") % 4).alias("g"),
+            (F.col("id") * 1.0).alias("av"),
+        )
+    )
+    b = eng.create_table(
+        "ck.b",
+        spark.range(1).select(
+            F.col("id").alias("k"), F.lit("g0").alias("g"), (F.col("id") * 2.0).alias("bv")
+        ).schema,
+    )
+    b.append(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), F.col("id") % 4).alias("g"),
+            (F.col("id") * 2.0).alias("bv"),
+        )
+    )
+    eng.create_materialized_view("ck.mv", sql)
+    update_where(b, {"bv": "bv + 1"}, "k >= 100 AND k < 130", mode="merge-on-read")
+    first = min(
+        b.metadata.snapshots, key=lambda s: b.metadata.snapshots[s].sequence_number
+    )
+    db = b.changes(b.metadata.snapshots[first].sequence_number)
+    # the refresh builds this exact predicate: both pairs participate
+    pred = eng._join_delta_key_predicate(db, [("k", "k"), ("g", "g")])
+    assert pred is not None and "k" in pred.sql() and "g" in pred.sql()
+    assert a.count_planned_files(pred) < a.count_planned_files()
+    assert eng.refresh_materialized_view("ck.mv") == "incremental-changelog-join"
+    storage = eng.load_table("ck.mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    eqs = [
+        e.data_file
+        for e in plan_delete_files(storage.metadata, snap)
+        if e.data_file.content == 2
+    ]
+    assert eqs, "compound-key refresh must still take the pair eq-delete path"
+    got = sorted((r.k, r.av, r.bv) for r in eng.scan_materialized_view("ck.mv").collect())
+    want = sorted((r.k, r.av, r.bv) for r in eng.sql(sql).collect())
     assert got == want

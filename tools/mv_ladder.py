@@ -210,14 +210,21 @@ def run_rung_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-def run_rung_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+def run_rung_join(spark, n_rows: int, n_refreshes: int = 5, compound: bool = False) -> dict:
     """Join-path rung (r11, VERDICT r10 #2): two-table inner-join MV with
     (rid_a, rid_b) pair-lineage storage. Fact side A grows 10× per rung
     (dim side B = |A|/10); the per-refresh delta is FIXED (100-row MoR
     delete + 100-row append on A, one 10-row MoR update on B). Δ⁻ commits
     as pair-keyed equality deletes, Δ⁺ as an append — wall and bytes must
     stay flat as |V| grows 100×; the old content-join fallback read the
-    whole storage per refresh."""
+    whole storage per refresh.
+
+    ``compound=True`` (r12, VERDICT r11 #1): the join carries an
+    AND-conjoined two-column key (``a.fk = b.fk AND a.g = b.g``). Before
+    multi-pair arm pruning, join_equi_keys returned None for this shape
+    and every refresh re-scanned the full sides — the exact cost the r11
+    single-key rung measured (63.7 s/refresh at the 10M rung) before the
+    single-key fix; the compound rung must now be flat too."""
     from pyspark.sql import functions as F
 
     from iceberg_rust_custom_spark.engine import Engine
@@ -225,46 +232,45 @@ def run_rung_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
 
     wh = tempfile.mkdtemp(prefix="mvlad-join-")
     eng = Engine(spark, warehouse=wh)
+    g_of = lambda col: (F.col(col) % 7).alias("g")  # noqa: E731
     try:
         n_dim = max(10, n_rows // 10)
-        a = eng.create_table(
-            "lad.ja",
-            spark.range(1).select(
-                F.col("id").alias("k"), F.col("id").alias("fk"), (F.col("id") * 1.0).alias("av")
-            ).schema,
-        )
-        a.append(
-            spark.range(n_rows).select(
-                F.col("id").alias("k"),
-                (F.col("id") % n_dim).alias("fk"),
-                (F.col("id") * 1.0).alias("av"),
-            )
-        )
-        b = eng.create_table(
-            "lad.jb",
-            spark.range(1).select(
-                F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv")
-            ).schema,
-        )
-        b.append(
-            spark.range(n_dim).select(F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv"))
-        )
+        a_cols = [F.col("id").alias("k"), F.col("id").alias("fk")]
+        b_cols = [F.col("id").alias("fk")]
+        if compound:
+            a_cols.append(g_of("id"))
+            b_cols.append(g_of("id"))
+        a_cols.append((F.col("id") * 1.0).alias("av"))
+        b_cols.append((F.col("id") * 2.0).alias("bv"))
+        a = eng.create_table("lad.ja", spark.range(1).select(*a_cols).schema)
+        a_proj = [
+            F.col("id").alias("k"),
+            (F.col("id") % n_dim).alias("fk"),
+            (F.col("id") * 1.0).alias("av"),
+        ]
+        if compound:  # g follows fk so compound pairs actually match
+            a_proj.insert(2, (F.col("id") % n_dim % 7).alias("g"))
+        a.append(spark.range(n_rows).select(*a_proj))
+        b = eng.create_table("lad.jb", spark.range(1).select(*b_cols).schema)
+        b.append(spark.range(n_dim).select(*b_cols))
+        on = "a.fk = b.fk AND a.g = b.g" if compound else "a.fk = b.fk"
         eng.create_materialized_view(
             "lad.jmv",
-            "SELECT a.k, a.av, b.bv FROM lad.ja a JOIN lad.jb b ON a.fk = b.fk",
+            f"SELECT a.k, a.av, b.bv FROM lad.ja a JOIN lad.jb b ON {on}",
         )
         walls, bytes_w, files_w = [], [], []
         next_k = n_rows
         for i in range(n_refreshes):
             lo = i * 100
             delete_where(a, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
-            a.append(
-                spark.range(100).select(
-                    (F.col("id") + next_k).alias("k"),
-                    (F.col("id") % n_dim).alias("fk"),
-                    (F.col("id") * 1.0).alias("av"),
-                )
-            )
+            d_proj = [
+                (F.col("id") + next_k).alias("k"),
+                (F.col("id") % n_dim).alias("fk"),
+                (F.col("id") * 1.0).alias("av"),
+            ]
+            if compound:
+                d_proj.insert(2, (F.col("id") % n_dim % 7).alias("g"))
+            a.append(spark.range(100).select(*d_proj))
             next_k += 100
             update_where(
                 b, {"bv": "bv + 0.5"}, f"fk >= {i * 10} AND fk < {i * 10 + 10}",
@@ -284,11 +290,11 @@ def run_rung_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
             assert all(p in after for p in before), "pre-existing storage file dropped"
         got = eng.scan_materialized_view("lad.jmv").count()
         want = eng.sql(
-            "SELECT count(*) c FROM lad.ja a JOIN lad.jb b ON a.fk = b.fk"
+            f"SELECT count(*) c FROM lad.ja a JOIN lad.jb b ON {on}"
         ).first().c
         assert got == want, (got, want)
         return {
-            "mode": "join",
+            "mode": "join-compound" if compound else "join",
             "rows_a": n_rows,
             "rows_b": n_dim,
             "refresh_wall_s": round(statistics.median(walls), 3),
@@ -306,17 +312,137 @@ def run_rung_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_join_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Join+aggregate rung (r12, VERDICT r11 #2 — the TPC-H q5 star
+    shape). Fact A (clustered on the join key) grows 10× per rung; dim N
+    maps contiguous join-key blocks onto 50 groups; the per-refresh delta
+    is FIXED (100-row MoR delete + 100-row append on A, one 10-key MoR
+    update on N) and touches only a few groups. The refresh recomputes
+    ONLY the affected groups — the probe's full-side arms prune by the
+    delta's join keys, and the recompute prunes the fact by the
+    affected-groups' dim keys (second-level runtime filter) — so wall and
+    bytes must stay ~flat as |A| grows 100×."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-joinagg-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_dim = max(100, n_rows // 10)
+        a = eng.create_table(
+            "lad.fa",
+            spark.range(1).select(
+                F.col("id").alias("k"), F.col("id").alias("fk"), (F.col("id") * 1.0).alias("av")
+            ).schema,
+            sort_by=["fk"],
+            properties={"write.distribution-mode": "range"},
+        )
+        a.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_dim).alias("fk"),
+                (F.col("id") * 1.0).alias("av"),
+            )
+        )
+        n = eng.create_table(
+            "lad.fn",
+            spark.range(1).select(
+                F.col("id").alias("fk"), F.col("id").alias("seg"), (F.col("id") * 2.0).alias("bv")
+            ).schema,
+        )
+        # contiguous join-key blocks → one group spans one key range, so a
+        # contiguous delta touches few groups
+        n.append(
+            spark.range(n_dim).select(
+                F.col("id").alias("fk"),
+                (F.col("id") * 50 / n_dim).cast("long").alias("seg"),
+                (F.col("id") * 2.0).alias("bv"),
+            )
+        )
+        sql = (
+            "SELECT n.seg, sum(a.av) AS s, count(a.k) AS c "
+            "FROM lad.fa a JOIN lad.fn n ON a.fk = n.fk GROUP BY n.seg"
+        )
+        eng.create_materialized_view("lad.jamv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(a, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            base = (i * 137) % max(1, n_dim - 100)
+            a.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"),
+                    (F.col("id") + base).alias("fk"),
+                    (F.col("id") * 1.0).alias("av"),
+                )
+            )
+            next_k += 100
+            update_where(
+                n, {"bv": "bv + 0.5"}, f"fk >= {i * 10} AND fk < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.jamv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.jamv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.jamv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-join-aggregate", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = sorted(
+            (r.seg, r.s, r.c) for r in eng.scan_materialized_view("lad.jamv").collect()
+        )
+        want = sorted((r.seg, r.s, r.c) for r in eng.sql(sql).collect())
+        assert got == want, (got[:3], want[:3])
+        return {
+            "mode": "join-agg",
+            "rows_a": n_rows,
+            "rows_b": n_dim,
+            "groups": 50,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": len(got),
+        }
+    finally:
+        for obj in ("lad.jamv", "lad.fa", "lad.fn"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     agg = "--agg" in args
     join = "--join" in args
+    join_compound = "--join-compound" in args
+    join_agg = "--join-agg" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("mv_ladder")
     for n in rungs:
-        fn = run_rung_join if join else (run_rung_agg if agg else run_rung)
-        print(json.dumps(fn(spark, n)), flush=True)
+        if join_compound:
+            out = run_rung_join(spark, n, compound=True)
+        elif join_agg:
+            out = run_rung_join_agg(spark, n)
+        elif join:
+            out = run_rung_join(spark, n)
+        elif agg:
+            out = run_rung_agg(spark, n)
+        else:
+            out = run_rung(spark, n)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
