@@ -446,6 +446,7 @@ class Engine:
             SRC_ROW_ID,
             SRC_ROW_ID_A,
             SRC_ROW_ID_B,
+            SRC_ROW_ID_C,
             classify_view_sql,
         )
 
@@ -468,6 +469,17 @@ class Engine:
                 ]
             )
             sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B]
+            props = {"write.distribution-mode": "range"}
+        elif self._mv_lineage_join3_sql(sql, plan):
+            result_schema = _T.StructType(
+                list(result_schema.fields)
+                + [
+                    _T.StructField(SRC_ROW_ID_A, _T.LongType(), True),
+                    _T.StructField(SRC_ROW_ID_B, _T.LongType(), True),
+                    _T.StructField(SRC_ROW_ID_C, _T.LongType(), True),
+                ]
+            )
+            sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B, SRC_ROW_ID_C]
             props = {"write.distribution-mode": "range"}
         else:
             out_names = {f.name for f in result_schema.fields}
@@ -578,6 +590,51 @@ class Engine:
                 return None
         return lsql
 
+    def _mv_lineage_join3_sql(self, sql: str, plan=None) -> str | None:
+        """The triple-lineage-instrumented rewrite of a three-table
+        inner-join SPJ view SQL (views/incremental.py::join3_lineage_sql),
+        or None when the shape or any source (all must be plain tables)
+        rules it out."""
+        from iceberg_rust_custom_spark.views.incremental import (
+            classify_view_sql,
+            join3_lineage_sql,
+        )
+
+        if plan is None:
+            plan = classify_view_sql(sql)
+        if plan is None or plan.mode != "join3":
+            return None
+        lsql = join3_lineage_sql(sql)
+        if lsql is None:
+            return None
+        for rel in (plan.relation, plan.relation_b, plan.relation_c):
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
+                return None
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                return None
+        return lsql
+
+    def _sql_with_join3_lineage(self, sql: str):
+        """Run the triple-lineage join rewrite with all three sources
+        registered as row-lineage scans; None → caller uses the plain SQL
+        (and null-fills the hidden rid columns)."""
+        from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+        plan = classify_view_sql(sql)
+        lsql = self._mv_lineage_join3_sql(sql, plan)
+        if lsql is None:
+            return None
+        try:
+            for rel in (plan.relation, plan.relation_b, plan.relation_c):
+                self.load_table(rel).scan(row_lineage=True).drop(
+                    "_last_updated_sequence_number"
+                ).createOrReplaceTempView(transform_name(rel))
+            return self.spark.sql(transform_relations(lsql))
+        except Exception:
+            return None
+
     def _sql_with_join_lineage(self, sql: str):
         """Run the pair-lineage-instrumented join rewrite with BOTH sources
         registered as row-lineage scans; None → caller uses the plain SQL
@@ -628,7 +685,12 @@ class Engine:
         return (
             self.load_table(md.storage_table)
             .scan()
-            .drop(_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B)
+            .drop(
+                _INC.SRC_ROW_ID,
+                _INC.SRC_ROW_ID_A,
+                _INC.SRC_ROW_ID_B,
+                _INC.SRC_ROW_ID_C,
+            )
         )
 
     def _mv_source_states(self, sql: str) -> list[tuple[str, str, int | None]]:
@@ -760,15 +822,18 @@ class Engine:
                 # shuffle everything into ONE task — keep the plan's layout
                 null_rid_fill = True
         elif _INC.SRC_ROW_ID_A in storage_cols:
-            result = self._sql_with_join_lineage(md.current_sql())
+            result = (
+                self._sql_with_join3_lineage(md.current_sql())
+                if _INC.SRC_ROW_ID_C in storage_cols
+                else self._sql_with_join_lineage(md.current_sql())
+            )
             if result is None:  # same null-fill contract as the SPJ shape
                 from pyspark.sql import functions as _F
 
-                result = (
-                    self.sql(md.current_sql())
-                    .withColumn(_INC.SRC_ROW_ID_A, _F.lit(None).cast("long"))
-                    .withColumn(_INC.SRC_ROW_ID_B, _F.lit(None).cast("long"))
-                )
+                result = self.sql(md.current_sql())
+                for rc in (_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B, _INC.SRC_ROW_ID_C):
+                    if rc in storage_cols:
+                        result = result.withColumn(rc, _F.lit(None).cast("long"))
                 null_rid_fill = True
         if result is None:
             result = self.sql(md.current_sql())
@@ -820,6 +885,8 @@ class Engine:
             return self._incremental_join_refresh(md, plan)
         if plan.mode == "join_agg":
             return self._incremental_join_agg_refresh(md, plan)
+        if plan.mode == "join3":
+            return self._incremental_join3_refresh(md, plan)
         rel_cat, ident = self.resolve(plan.relation)
         if not rel_cat.tabular_exists(ident):
             return False
@@ -1120,7 +1187,12 @@ class Engine:
                 # schema carries but the plain (no-lineage) SQL couldn't
                 # produce: the SPJ rid, or the join pair rids (r11)
                 st_names = {f.name for f in storage.metadata.current_schema().fields}
-                for rc in (_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B):
+                for rc in (
+                    _INC.SRC_ROW_ID,
+                    _INC.SRC_ROW_ID_A,
+                    _INC.SRC_ROW_ID_B,
+                    _INC.SRC_ROW_ID_C,
+                ):
                     if rc in st_names and rc not in net_ins.columns:
                         net_ins = net_ins.withColumn(rc, F.lit(None).cast("long"))
             # null_rid: an all-null rid column must not range-shuffle the
@@ -1734,6 +1806,232 @@ class Engine:
             # unjoinable column types → None: exceptAll would hit the same
             # restriction; full refresh is the always-correct fallback
             return "incremental-changelog-join" if ran is not None else False
+        finally:
+            for d in deltas:
+                d.unpersist()
+
+    def _incremental_join3_refresh(self, md, plan):
+        """Delta maintenance for three-table inner-join SPJ views (r12,
+        VERDICT r11 #3) via the telescoping identity over signed multiset
+        deltas (⋈/σ/π are linear, so the n=2 algebra generalizes):
+
+            V_new − V_old = ΔA ⋈ B_new ⋈ C_new
+                          ∪ A_old ⋈ ΔB ⋈ C_new
+                          ∪ A_old ⋈ B_old ⋈ ΔC
+
+        — each arm stages the already-applied slots at their NEW state and
+        the not-yet-applied slots at their OLD state, so cross terms land
+        exactly once; with signed deltas the positive side uses each
+        slot's insert events and the negative side its delete events, and
+        the two sides NET via exceptAll before committing (intermediate
+        versions and cross-term pairs cancel, same as the 2-table path).
+
+        **Triple-lineage commit**: an inner join emits one output row per
+        matching (a, b, c) source-row triple, so (rid_a, rid_b, rid_c) is
+        a key of the view multiset — Δ⁻ commits as ONE MoR equality-delete
+        set on the three long rid columns (storage range-clusters on
+        rid_a → bounds-pruned victim application), Δ⁺ as an append; no
+        pre-existing storage file is read or rewritten
+        (``_commit_storage_delta``).
+
+        **Arm pruning**: each arm's full slots file-prune by the delta's
+        equi-join keys where a direct ON-condition pair exists, and slots
+        with no direct pair get one propagation wave through the equi
+        graph — e.g. in the lineitem⋈orders⋈customer chain, a customer
+        delta prunes orders directly (o.ck ∈ Δc keys) and lineitem
+        transitively (l.ok ∈ restricted-orders' keys). Sound because the
+        residual predicates apply row-level to the restricted slot, so
+        every arm output's partner row sits inside it.
+
+        Legacy storages, NULL rids, or unjoinable output types fall back
+        to the multiset content commit; a non-replayable commit shape or
+        file-set replacement falls back to a full refresh — never a wrong
+        answer."""
+        from functools import reduce
+
+        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+        from iceberg_rust_custom_spark.views.incremental import history_kind
+
+        rels = (plan.relation, plan.relation_b, plan.relation_c)
+        sources = []
+        for rel in rels:
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
+                return False
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                return False
+            sources.append(self.load_table(rel))
+        storage = self.load_table(md.storage_table)
+        stored = self._storage_refresh_state(storage).get("source-table-states", {})
+        anchors = []
+        for src in sources:
+            sid = stored.get(src.metadata.table_uuid)
+            if sid is None or history_kind(src.metadata, sid) is None:
+                return False  # no anchor, or file-set replacement in range
+            anchors.append(sid)
+        sql = md.current_sql()
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        rid_cols = [_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B, _INC.SRC_ROW_ID_C]
+        has_rids = all(c in out_cols for c in rid_cols)
+        lsql = self._mv_lineage_join3_sql(sql, plan) if has_rids else None
+        ekeys = _INC.join3_equi_keys(sql) or {}
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+                for src in sources
+            },
+        }
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+
+        def pairs_between(x: int, y: int):
+            """[(col on rel_x, col on rel_y)] or None."""
+            p = ekeys.get((min(x, y), max(x, y)))
+            if not p:
+                return None
+            return list(p) if x < y else [(cy, cx) for cx, cy in p]
+
+        def arm_preds(delta_all, i: int) -> dict:
+            """Scan predicates for arm i's full slots: direct pairs prune
+            by the delta's keys, then one propagation wave prunes slots
+            reachable through an already-pruned slot."""
+            preds: dict[int, object] = {}
+            for j in range(3):
+                if j == i:
+                    continue
+                pj = pairs_between(j, i)
+                if pj:
+                    try:
+                        preds[j] = self._join_delta_key_predicate(delta_all, pj)
+                    except Exception:
+                        pass
+            changed = True
+            while changed:
+                changed = False
+                for j in range(3):
+                    if j == i or preds.get(j) is not None:
+                        continue
+                    for k in range(3):
+                        if k in (i, j) or preds.get(k) is None:
+                            continue
+                        pjk = pairs_between(j, k)
+                        if not pjk:
+                            continue
+                        try:
+                            df_k = sources[k].scan(
+                                predicate=preds[k],
+                                snapshot_id=anchors[k] if k < i else None,
+                            )
+                            preds[j] = join_key_predicate(df_k, pjk)
+                            changed = True
+                        except Exception:
+                            pass
+                        break
+            return preds
+
+        def run_arms(run_sql, deltas_split, cols, row_lineage: bool):
+            """pos/neg DataFrames from the three telescoped arms.
+            deltas_split[i] = (all_events, ins_events, del_events)."""
+            pos_parts, neg_parts = [], []
+            for i in range(3):
+                all_i, ins_i, del_i = deltas_split[i]
+                preds = arm_preds(all_i, i)
+                fulls = {}
+                for j in range(3):
+                    if j == i:
+                        continue
+                    df = sources[j].scan(
+                        predicate=preds.get(j),
+                        snapshot_id=anchors[j] if j < i else None,
+                        row_lineage=row_lineage,
+                    )
+                    if row_lineage:
+                        df = df.drop("_last_updated_sequence_number")
+                    fulls[j] = df
+                for sign_df, parts in ((ins_i, pos_parts), (del_i, neg_parts)):
+                    for j in range(3):
+                        (sign_df if j == i else fulls[j]).createOrReplaceTempView(
+                            transform_name(rels[j])
+                        )
+                    parts.append(self.spark.sql(run_sql).select(*cols))
+            return (
+                reduce(lambda x, y: x.unionByName(y), pos_parts),
+                reduce(lambda x, y: x.unionByName(y), neg_parts),
+            )
+
+        if lsql is not None and self._storage_cols_joinable(storage, out_cols):
+            if self._storage_rids_ok(storage, rid_cols):
+                deltas = []
+                try:
+                    for src, sid in zip(sources, anchors):
+                        deltas.append(
+                            src.changes(
+                                src.metadata.snapshots[sid].sequence_number,
+                                with_lineage=True,
+                            ).persist()
+                        )
+                except ValueError:
+                    for d in deltas:
+                        d.unpersist()
+                    return False  # commit shape the changelog cannot replay
+                try:
+                    if all(
+                        d.where("_row_id IS NULL").limit(1).count() == 0
+                        for d in deltas
+                    ):
+                        split = [
+                            (
+                                ch.drop("_change_type"),
+                                ch.where(
+                                    "_change_type IN ('insert', 'update_after')"
+                                ).drop("_change_type"),
+                                ch.where(
+                                    "_change_type IN ('delete', 'update_before')"
+                                ).drop("_change_type"),
+                            )
+                            for ch in deltas
+                        ]
+                        pos, neg = run_arms(
+                            transform_relations(lsql), split, out_cols, True
+                        )
+                        net_ins = pos.exceptAll(neg)
+                        net_del = neg.exceptAll(pos)
+                        del_keys = net_del.select(*rid_cols).distinct()
+                        self._commit_storage_delta(
+                            storage, del_keys, net_ins, new_state, data_dir
+                        )
+                        return "incremental-join3"
+                finally:
+                    for d in deltas:
+                        d.unpersist()
+                # NULL source row ids: fall through to the multiset path
+
+        deltas = []
+        try:
+            for src, sid in zip(sources, anchors):
+                deltas.append(
+                    src.changes(src.metadata.snapshots[sid].sequence_number).persist()
+                )
+        except ValueError:
+            for d in deltas:
+                d.unpersist()
+            return False
+        try:
+            vis = [c for c in out_cols if c not in rid_cols]
+            split = [
+                (
+                    ch.drop("_change_type"),
+                    ch.where("_change_type = 'insert'").drop("_change_type"),
+                    ch.where("_change_type = 'delete'").drop("_change_type"),
+                )
+                for ch in deltas
+            ]
+            pos, neg = run_arms(transform_relations(sql), split, vis, False)
+            ran = self._multiset_delta_commit(
+                storage, pos, neg, vis, new_state, data_dir, null_rid=has_rids
+            )
+            return "incremental-join3" if ran is not None else False
         finally:
             for d in deltas:
                 d.unpersist()

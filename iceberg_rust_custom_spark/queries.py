@@ -5709,6 +5709,90 @@ def iceberg_mv_join_delta_storage(spark, sf_dir):
 
 
 @q(
+    "iceberg_mv_join3_delta",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           CASE WHEN o.o_orderkey % 31 = 0 THEN o.o_totalprice + 1
+                ELSE o.o_totalprice END AS o_totalprice,
+           CASE WHEN c.c_custkey % 50 = 0 THEN 'upd' ELSE c.c_name END AS c_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_quantity > 10 AND l.l_orderkey % 11 <> 0
+    """,
+)
+def iceberg_mv_join3_delta(spark, sf_dir):
+    """r12 (VERDICT r11 #3): three-table join MV delta maintenance via
+    triple row lineage. The lineitem⋈orders⋈customer chain takes MoR
+    row-level deltas on ALL THREE sources in one refresh window; the
+    telescoped arms replay them and the storage commit is Δ⁻ as ONE
+    equality-delete set keyed on (rid_a, rid_b, rid_c) + Δ⁺ as an append
+    — asserted in-gate: no pre-existing storage file rewritten,
+    tombstones are content=2 with equality_ids == the three rid fields,
+    zero position tombstones. Oracle = full recompute of the final
+    state."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+    from iceberg_rust_custom_spark.views.incremental import (
+        SRC_ROW_ID_A,
+        SRC_ROW_ID_B,
+        SRC_ROW_ID_C,
+    )
+
+    tag = hashlib.md5(f"{sf_dir}:mvjoin3".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.li_j3"):
+        ldf = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        cdf = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        tl = eng.create_table("rt.li_j3", ldf.schema)
+        tl.append(ldf)
+        to = eng.create_table("rt.ord_j3", odf.schema)
+        to.append(odf)
+        tc = eng.create_table("rt.cust_j3", cdf.schema)
+        tc.append(cdf)
+        eng.create_materialized_view(
+            "rt.mvj3",
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice, "
+            "c.c_name FROM rt.li_j3 l JOIN rt.ord_j3 o ON l.l_orderkey = o.o_orderkey "
+            "JOIN rt.cust_j3 c ON o.o_custkey = c.c_custkey WHERE l.l_quantity > 10",
+        )
+        st = eng.load_table("rt.mvj3__storage")
+        schema = st.metadata.current_schema()
+        rid_ids = {
+            schema.field_by_name(r).field_id
+            for r in (SRC_ROW_ID_A, SRC_ROW_ID_B, SRC_ROW_ID_C)
+        }
+        before = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        delete_where(tl, "l_orderkey % 11 = 0", mode="merge-on-read")
+        update_where(
+            to, {"o_totalprice": "o_totalprice + 1"}, "o_orderkey % 31 = 0",
+            mode="merge-on-read",
+        )
+        update_where(tc, {"c_name": "'upd'"}, "c_custkey % 50 = 0", mode="merge-on-read")
+        mode = eng.refresh_materialized_view("rt.mvj3")
+        assert mode == "incremental-join3", mode
+        st = eng.load_table("rt.mvj3__storage")
+        snap = st.metadata.snapshot_for_ref()
+        after = {f.file_path for f in plan_files(st.metadata, snap)}
+        assert before <= after, "join3 delta refresh rewrote pre-existing storage files"
+        dels = plan_delete_files(st.metadata, snap)
+        eqs = [e.data_file for e in dels if e.data_file.content == 2]
+        assert eqs and all(set(d.equality_ids or ()) == rid_ids for d in eqs)
+        assert not [e for e in dels if e.data_file.content == 1], "content join ran"
+    return eng.scan_materialized_view("rt.mvj3")
+
+
+@q(
     "iceberg_mv_join_agg_delta",
     """
     SELECT c_mktsegment,

@@ -71,11 +71,12 @@ _JOIN_SHAPE_RE = re.compile(
 
 @dataclass(frozen=True)
 class IncrementalPlan:
-    mode: str  # "append" | "aggregate" | "join" | "join_agg"
+    mode: str  # "append" | "aggregate" | "join" | "join_agg" | "join3"
     relation: str
     group_keys: tuple = ()
     merge_ops: dict = field(default_factory=dict)  # output column -> sum|min|max
     relation_b: str | None = None  # second source of a "join" view
+    relation_c: str | None = None  # third source of a "join3" view (r12)
     # join_agg (r12): the SPJ projection of the group keys over the same
     # FROM/ON/WHERE — run over the delta arms to find the affected groups
     probe_sql: str | None = None
@@ -160,6 +161,130 @@ _EQUI_COND_RE = re.compile(
     r"^\s*(?P<l>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
     r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
 )
+
+# three-table inner-join SPJ views (r12, VERDICT r11 #3): triple row
+# lineage generalizes the pair — an inner join emits one output row per
+# matching (a, b, c) source-row triple, so (rid_a, rid_b, rid_c) is a key
+# of the view multiset and delete maintenance is MoR equality deletes on
+# the three long columns.
+SRC_ROW_ID_C = "__sg_src_row_id_c"
+
+_JOIN3_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond_ab>.*?)"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_c>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_c>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond_c>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _join3_match(sql: str):
+    """The 3-table shape match + qualifier triple, or None. Shared by the
+    classifier, the lineage rewrite, and the equi-key extractor."""
+    jm = _JOIN3_SHAPE_RE.match(sql.strip())
+    if not jm or _FORBIDDEN_NONJOIN_RE.search(sql):
+        return None
+    rels = [jm.group("rel_a"), jm.group("rel_b"), jm.group("rel_c")]
+    if len({r.lower() for r in rels}) != 3:
+        return None  # self-joins: row identity across slots is ambiguous
+    if re.search(
+        r"\bJOIN\b", jm.group("cond_c") + (jm.group("where") or ""), re.IGNORECASE
+    ):
+        return None  # 4+ relations
+    quals = []
+    for r, al in zip(rels, ("alias_a", "alias_b", "alias_c")):
+        quals.append(
+            (jm.group(al) or ("" if "." in r else r)).lower()
+        )
+    return jm, quals
+
+
+def join3_lineage_sql(sql: str) -> str | None:
+    """The triple-lineage-instrumented rewrite of a three-table inner-join
+    SPJ view SQL, or None when the shape rules it out (aggregates,
+    SELECT *, a side without a usable qualifier)."""
+    m = _join3_match(sql)
+    if m is None:
+        return None
+    jm, quals = m
+    if (
+        _AGG_CALL_RE.search(jm.group("select"))
+        or "*" in jm.group("select")
+        or any(not q for q in quals)
+        or len(set(quals)) != 3
+    ):
+        return None
+    al = [
+        f" {jm.group(a)}" if jm.group(a) else ""
+        for a in ("alias_a", "alias_b", "alias_c")
+    ]
+    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
+    return (
+        f"SELECT {jm.group('select')}, {quals[0]}._row_id AS {SRC_ROW_ID_A}, "
+        f"{quals[1]}._row_id AS {SRC_ROW_ID_B}, "
+        f"{quals[2]}._row_id AS {SRC_ROW_ID_C} "
+        f"FROM {jm.group('rel_a')}{al[0]} JOIN {jm.group('rel_b')}{al[1]} "
+        f"ON {jm.group('cond_ab')} JOIN {jm.group('rel_c')}{al[2]} "
+        f"ON {jm.group('cond_c')}{where}"
+    )
+
+
+def join3_equi_keys(sql: str) -> dict[tuple[int, int], list[tuple[str, str]]] | None:
+    """{(i, j): [(col on rel_i, col on rel_j), …]} for every two-sided
+    equality between distinct relations in the two ON conditions (i < j,
+    relation slots 0/1/2). Conditions containing OR or parentheses
+    contribute nothing (a disjunct could join outside any conjunct's key
+    set); theta conjuncts are skipped — the remaining equality pairs stay
+    a NECESSARY join condition, so pruning by them is sound."""
+    m = _join3_match(sql)
+    if m is None:
+        return None
+    jm, quals = m
+    if any(not q for q in quals) or len(set(quals)) != 3:
+        return None
+    idx = {q: i for i, q in enumerate(quals)}
+    out: dict[tuple[int, int], list[tuple[str, str]]] = {}
+    for cond in (jm.group("cond_ab"), jm.group("cond_c")):
+        if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
+            continue
+        for conjunct in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+            cm = _EQUI_COND_RE.match(conjunct)
+            if not cm:
+                continue
+            li, ri = idx.get(cm.group("l").lower()), idx.get(cm.group("r").lower())
+            if li is None or ri is None or li == ri:
+                continue
+            if li < ri:
+                out.setdefault((li, ri), []).append((cm.group("lc"), cm.group("rc")))
+            else:
+                out.setdefault((ri, li), []).append((cm.group("rc"), cm.group("lc")))
+    return out or None
+
+
+def classify_join3_sql(sql: str) -> IncrementalPlan | None:
+    """Three-relation inner-join select-project-filter views: maintainable
+    via the telescoping delta identity (see engine._incremental_join3_
+    refresh). The reference's __delta__ placeholders stop at registering
+    source deltas (materialized_view.rs:147-159); this implements the
+    n=3 member of the family."""
+    m = _join3_match(sql)
+    if m is None:
+        return None
+    jm, _ = m
+    if _AGG_CALL_RE.search(jm.group("select")):
+        return None
+    return IncrementalPlan(
+        "join3",
+        jm.group("rel_a"),
+        relation_b=jm.group("rel_b"),
+        relation_c=jm.group("rel_c"),
+    )
+
 
 # join + GROUP BY views (r12, VERDICT r11 #2 — the TPC-H q5 star shape):
 # same two-relation inner-join FROM clause, mandatory GROUP BY tail
@@ -337,6 +462,10 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
             # two-relation inner equi/theta join, select-project-filter only:
             # maintainable via the delta-join identity (see join refresh)
             return IncrementalPlan("join", jm.group("rel_a"), relation_b=jm.group("rel_b"))
+        # three-table inner join (r12): telescoping delta identity
+        plan3 = classify_join3_sql(sql)
+        if plan3 is not None:
+            return plan3
         # join + GROUP BY (r12): affected-group recompute
         return classify_join_agg_sql(sql)
     m = _SHAPE_RE.match(sql.strip())

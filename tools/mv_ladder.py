@@ -421,12 +421,130 @@ def run_rung_join_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_join3(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Three-table chain rung (r12, VERDICT r11 #3): lineitem-shaped L
+    (clustered on its join key) grows 10× per rung, O = |L|/10 (clustered
+    on ITS join key), C = |L|/100; the per-refresh delta is FIXED (100-row
+    MoR delete + 100-row append on L, one 10-key MoR update on C). The
+    customer update's arm must prune O directly and L through the
+    propagation wave — wall and bytes must stay ~flat as |V| grows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-join3-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_o = max(100, n_rows // 10)
+        n_c = max(10, n_rows // 100)
+        l = eng.create_table(
+            "lad.tl",
+            spark.range(1).select(
+                F.col("id").alias("lk"), F.col("id").alias("ok"), (F.col("id") * 1.0).alias("qty")
+            ).schema,
+            sort_by=["ok"],
+            properties={"write.distribution-mode": "range"},
+        )
+        # contiguous ok blocks per file so key pruning bites
+        l.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("lk"),
+                (F.col("id") % n_o).alias("ok"),
+                (F.col("id") * 1.0).alias("qty"),
+            )
+        )
+        o = eng.create_table(
+            "lad.to",
+            spark.range(1).select(
+                F.col("id").alias("ok"), F.col("id").alias("ck"), (F.col("id") * 2.0).alias("op")
+            ).schema,
+            sort_by=["ck"],
+            properties={"write.distribution-mode": "range"},
+        )
+        o.append(
+            spark.range(n_o).select(
+                F.col("id").alias("ok"),
+                (F.col("id") * n_c / n_o).cast("long").alias("ck"),
+                (F.col("id") * 2.0).alias("op"),
+            )
+        )
+        c = eng.create_table(
+            "lad.tc",
+            spark.range(1).select(
+                F.col("id").alias("ck"), (F.col("id") * 3.0).alias("cv")
+            ).schema,
+        )
+        c.append(
+            spark.range(n_c).select(F.col("id").alias("ck"), (F.col("id") * 3.0).alias("cv"))
+        )
+        sql = (
+            "SELECT l.lk, l.qty, o.op, c.cv FROM lad.tl l "
+            "JOIN lad.to o ON l.ok = o.ok JOIN lad.tc c ON o.ck = c.ck"
+        )
+        eng.create_materialized_view("lad.j3mv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(l, f"lk >= {lo} AND lk < {lo + 100}", mode="merge-on-read")
+            l.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("lk"),
+                    (F.col("id") % n_o).alias("ok"),
+                    (F.col("id") * 1.0).alias("qty"),
+                )
+            )
+            next_k += 100
+            update_where(
+                c, {"cv": "cv + 0.5"}, f"ck >= {i * 10} AND ck < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.j3mv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.j3mv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.j3mv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-join3", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = eng.scan_materialized_view("lad.j3mv").count()
+        want = eng.sql(
+            "SELECT count(*) c FROM lad.tl l JOIN lad.to o ON l.ok = o.ok "
+            "JOIN lad.tc c ON o.ck = c.ck"
+        ).first().c
+        assert got == want, (got, want)
+        return {
+            "mode": "join3",
+            "rows_l": n_rows,
+            "rows_o": n_o,
+            "rows_c": n_c,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": got,
+        }
+    finally:
+        for obj in ("lad.j3mv", "lad.tl", "lad.to", "lad.tc"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     agg = "--agg" in args
     join = "--join" in args
     join_compound = "--join-compound" in args
     join_agg = "--join-agg" in args
+    join3 = "--join3" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
@@ -436,6 +554,8 @@ def main():
             out = run_rung_join(spark, n, compound=True)
         elif join_agg:
             out = run_rung_join_agg(spark, n)
+        elif join3:
+            out = run_rung_join3(spark, n)
         elif join:
             out = run_rung_join(spark, n)
         elif agg:
