@@ -80,7 +80,14 @@ def _active_session(spark):
     try:
         from pyspark.sql import SparkSession
 
-        return SparkSession.getActiveSession()
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return s
+        # getActiveSession is THREAD-LOCAL and invisible inside worker
+        # thread pools (footer-stats collection, r11). The JVM gateway and
+        # its Hadoop configuration are process-global, so the instantiated
+        # session serves scheme routing identically from any thread.
+        return SparkSession._instantiatedSession
     except Exception:
         return None
 
@@ -211,6 +218,76 @@ def hadoop_range_reader(path: str, spark=None):
         return bytes(stream.readNBytes(n))
 
     return read, size, stream.close
+
+
+class HadoopFileIO:
+    """FileIO backend serving any scheme the JVM's Hadoop configuration
+    can resolve (``viewfs://``, ``hdfs://``, ``s3a://`` when the cloud
+    jars are present) — the analogue of iceberg-java's HadoopFileIO.
+    Register per scheme::
+
+        FileIO.register("viewfs", HadoopFileIO())
+
+    With this, a table LOCATION on any Hadoop scheme works END TO END:
+    the metadata plane (metadata.json, manifests, Puffin blobs) reads and
+    writes through the JVM FileSystem, and the data plane was already
+    scheme-routed (Spark writes/reads the files; ``io.lister`` enumerates
+    via its direct Hadoop route — this class deliberately implements no
+    ``list`` method so enumeration stays there). Reads are ranged over
+    one open stream per call, so parquet footer access costs O(footer),
+    never a whole-object download; writes are create-with-overwrite,
+    safe for the engine's immutable uuid-named objects. Driver-side
+    only: the executor data path ships (path, offset) pairs and Spark
+    itself does the IO, so this backend never needs to pickle."""
+
+    def __init__(self, spark=None):
+        self._spark = spark
+
+    def _fs(self, path: str):
+        spark = _active_session(self._spark)
+        if spark is None:
+            raise ValueError(
+                f"HadoopFileIO needs an active SparkSession to reach {path!r}"
+            )
+        return _jfs(spark, path)
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, jpath = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+
+    def read_range(self, path: str, offset: int, size: int) -> bytes:
+        fs, jpath = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            stream.seek(offset)
+            return bytes(stream.readNBytes(size))
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        fs, jpath = self._fs(path)
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        fs, jpath = self._fs(path)
+        return bool(fs.exists(jpath))
+
+    def size(self, path: str) -> int:
+        fs, jpath = self._fs(path)
+        return int(fs.getFileStatus(jpath).getLen())
+
+    def delete(self, path: str) -> None:
+        fs, jpath = self._fs(path)
+        if not fs.delete(jpath, False) and fs.exists(jpath):
+            raise OSError(f"could not delete {path}")
 
 
 def file_size(path: str, spark=None) -> int:

@@ -108,6 +108,9 @@ def test_unknown_scheme_without_session_raises(monkeypatch):
     from pyspark.sql import SparkSession
 
     monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    # r12: worker threads fall back to the process-global session — both
+    # must be absent for the no-session error to fire
+    monkeypatch.setattr(SparkSession, "_instantiatedSession", None)
     with pytest.raises(ValueError, match="no FileIO backend"):
         list_files("st9z://bucket/data", None)
 
