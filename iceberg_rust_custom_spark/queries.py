@@ -47,6 +47,64 @@ ORACLES: dict = {}
 # also returns engine-specific ones (snapshot ids etc.).
 BAND_ORACLES: dict = {}
 
+# Recall-band oracles (r12, VERDICT r11 #5) for the approximate-by-design
+# retrieval family: each admits an EXACT reference set computable in
+# DuckDB, and the check is a recall floor instead of a value band.
+# tools/check_correctness.py modes:
+# * key_overlap       — recall of the oracle's key tuples among the Spark
+#                       result's key tuples (exact top-k vs approx top-k);
+# * pair_overlap      — same, over UNORDERED (id_a, id_b) pairs;
+# * pairs_same_group  — fraction of oracle pairs whose two ids share one
+#                       group in the Spark result (id_col → group_col).
+# Floors carry margin under the observed deterministic values (synthetic
+# near-random 64-dim embeddings are the ADVERSARIAL case for locality
+# structures — real corpora cluster far more):
+# ivf observed 0.73-0.77 (nprobe=4/16), lsh 0.45-0.54 vs the cos≥0.4 pair
+# set (theory for 4×4 random-hyperplane bands at cos 0.4 predicts ~0.5),
+# planted-duplicate co-clustering 1.0 by construction.
+RECALL_ORACLES: dict = {}
+
+RECALL_ORACLES["ivf_topk_approx"] = {
+    "mode": "key_overlap",
+    "keys": ["query_id", "vec_id"],
+    "min_recall": 0.6,
+    "sql": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r
+          FROM scored) t
+        WHERE r <= 10
+    """,
+}
+
+RECALL_ORACLES["embedding_lsh_candidates"] = {
+    "mode": "pair_overlap",
+    "keys": ["id_a", "id_b"],
+    "min_recall": 0.3,
+    "sql": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+}
+
+RECALL_ORACLES["semantic_dedup"] = {
+    "mode": "pairs_same_group",
+    "id_col": "vec_id",
+    "group_col": "cluster_id",
+    "min_recall": 0.95,
+    "sql": """
+        SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+        FROM embeddings WHERE vec_id % 25 = 0
+    """,
+}
+
 BAND_ORACLES["approx_aggregates"] = {
     # HLL++ (rsd 5% default → 15% at 3σ) and percentile_approx (rank error
     # 1/accuracy; value tolerance covers discrete-value steps)
@@ -1924,13 +1982,24 @@ def embedding_lsh_candidates(spark, sf_dir):
     return S.cosine_lsh_candidates(_t(spark, sf_dir, "embeddings"), n_planes=16, bands=4, dim=64)
 
 
-@q("semantic_dedup")  # k-means cells bound the search: rows-only check, like IVF
+@q("semantic_dedup")  # k-means cells bound the search: recall-checked (r12)
 def semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication: k-means-partition the
     embedding space, near-dup pairs only within cells (O(N²/k) quadratic
-    work), connected components → (id, cluster_id, is_canonical)."""
+    work), connected components → (id, cluster_id, is_canonical).
+
+    The corpus carries PLANTED exact duplicates (every 25th vector copied
+    under id+1,000,000) so the approximate result has a numeric oracle:
+    a true duplicate pair lands in the same k-means cell by construction
+    (identical vectors share a nearest centroid), so every planted pair
+    must co-cluster — RECALL_ORACLES['semantic_dedup'] checks that
+    planted-duplicate recall against the deterministic pair list."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
     return S.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"),
+        emb.unionByName(planted),
         "vec_id",
         "embedding",
         threshold=0.4,

@@ -111,13 +111,66 @@ def compare_band(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, s
     return problems
 
 
+def compare_recall(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, spec: dict):
+    """(recall, n_exact, problem|None) against an EXACT reference set
+    (r12, VERDICT r11 #5). Modes:
+
+    * ``key_overlap``      — fraction of the oracle's key tuples present
+      in the Spark result's key tuples (exact vs approx top-k);
+    * ``pair_overlap``     — same over UNORDERED (id_a, id_b) pairs;
+    * ``pairs_same_group`` — fraction of oracle pairs whose two ids map
+      to the SAME group in the Spark result (spec id_col → group_col).
+
+    An empty oracle set passes vacuously (nothing to recall)."""
+    mode = spec["mode"]
+    floor = float(spec["min_recall"])
+    if not len(oracle_pdf):
+        return 1.0, 0, None
+    if mode == "key_overlap":
+        keys = spec["keys"]
+        want = set(map(tuple, oracle_pdf[keys].itertuples(index=False)))
+        got = set(map(tuple, spark_pdf[keys].itertuples(index=False)))
+        recall = len(want & got) / len(want)
+    elif mode == "pair_overlap":
+        ka, kb = spec["keys"]
+        want = {
+            (min(a, b), max(a, b))
+            for a, b in zip(oracle_pdf[ka], oracle_pdf[kb])
+        }
+        got = {
+            (min(a, b), max(a, b))
+            for a, b in zip(spark_pdf[ka], spark_pdf[kb])
+        }
+        recall = len(want & got) / len(want)
+    elif mode == "pairs_same_group":
+        grp = dict(zip(spark_pdf[spec["id_col"]], spark_pdf[spec["group_col"]]))
+        same = sum(
+            1
+            for a, b in zip(oracle_pdf["id_a"], oracle_pdf["id_b"])
+            if a in grp and b in grp and grp[a] == grp[b]
+        )
+        recall = same / len(oracle_pdf)
+    else:
+        return 0.0, len(oracle_pdf), f"unknown recall mode {mode!r}"
+    if recall < floor:
+        return recall, len(oracle_pdf), (
+            f"recall {recall:.3f} below floor {floor} over {len(oracle_pdf)} exact rows"
+        )
+    return recall, len(oracle_pdf), None
+
+
 def main():
     # default to sf0.01 — the scale the driver gates at; sf0.001 is too small
     # to surface tie-ordering and float-conversion mismatches
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
-    from iceberg_rust_custom_spark.queries import BAND_ORACLES, ORACLES, QUERIES
+    from iceberg_rust_custom_spark.queries import (
+        BAND_ORACLES,
+        ORACLES,
+        QUERIES,
+        RECALL_ORACLES,
+    )
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("check_correctness")
@@ -157,6 +210,26 @@ def main():
                     print(
                         f"BAND  {name}: {len(spark_pdf)} rows within tolerance "
                         f"[{time.time()-t0:.1f}s]"
+                    )
+                    n_pass += 1
+                continue
+            if name in RECALL_ORACLES:
+                spec = RECALL_ORACLES[name]
+                try:
+                    oracle_pdf = con.execute(spec["sql"]).df()
+                except Exception as e:
+                    print(f"FAIL  {name}: recall oracle error: {str(e).splitlines()[0][:160]}")
+                    n_fail += 1
+                    continue
+                recall, n_exact, problem = compare_recall(name, spark_pdf, oracle_pdf, spec)
+                if problem:
+                    print(f"FAIL  {name} (recall) [{time.time()-t0:.1f}s]")
+                    print(f"      - {problem}")
+                    n_fail += 1
+                else:
+                    print(
+                        f"RECALL {name}: {recall:.3f} >= {spec['min_recall']} "
+                        f"over {n_exact} exact rows [{time.time()-t0:.1f}s]"
                     )
                     n_pass += 1
                 continue
