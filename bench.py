@@ -121,6 +121,9 @@ HEADLINE = [
     "iceberg_expiry_safe_changelog",
     # round 11
     "iceberg_mv_join_delta_storage",
+    # round 12
+    "iceberg_mv_join_agg_delta",
+    "iceberg_mv_join3_delta",
 ]
 
 
@@ -282,6 +285,10 @@ def main():
         "wh": wh_state,
         "setup": setup,
         "sentinel_1task_sec": sentinel_s,
+        # recorded TWICE (r12, VERDICT r11 #8): start vs end makes MID-RUN
+        # box degradation visible in the artifact itself, not just
+        # run-over-run drift
+        "sentinel_end_1task_sec": _sentinel(),
         "queries": timings,
     }
     if dedup_scale:

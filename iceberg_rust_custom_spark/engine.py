@@ -846,11 +846,33 @@ class Engine:
             "source-table-states": source_states,
         }
         tx = storage.new_transaction().rewrite_with_lineage(files, refresh_state)
-        if {_INC.SRC_ROW_ID, _INC.SRC_ROW_ID_A} & storage_cols:
-            # a full rewrite re-derives every row's lineage: rid keys are
-            # trustworthy again (null-filled rids stay guarded by the
-            # null probe regardless of this property)
-            tx.set_properties({"write.mv.rid-keys-trusted": "true"})
+        rid_cols_present = [
+            c
+            for c in (
+                _INC.SRC_ROW_ID,
+                _INC.SRC_ROW_ID_A,
+                _INC.SRC_ROW_ID_B,
+                _INC.SRC_ROW_ID_C,
+            )
+            if c in storage_cols
+        ]
+        if rid_cols_present:
+            # three-state trust stamp (review r12). "true" only when the
+            # rewrite derived REAL lineage for every row (the just-written
+            # footers prove zero rid nulls); a null-filled or partially
+            # null result stamps "unavailable" — fast paths stay off AND
+            # the auto-heal never re-fires, because another rewrite cannot
+            # do better (the old unconditional "true" ping-ponged such MVs
+            # between a content-path poison and an O(|V|) heal rewrite
+            # every other refresh — the exact cost delta commits removed).
+            rid_nulls = null_rid_fill or any(
+                (f.null_value_counts or {}).get(c, 0) > 0
+                for f in files
+                for c in rid_cols_present
+            )
+            tx.set_properties(
+                {"write.mv.rid-keys-trusted": "unavailable" if rid_nulls else "true"}
+            )
         storage.metadata = tx.commit()
         return "full"
 
@@ -868,25 +890,28 @@ class Engine:
         plan = classify_view_sql(md.current_sql())
         if plan is None:
             return False
+        # one metadata load serves the trust check AND every branch below
+        # (review r12: the heal check was re-loading what each branch loads)
+        storage = self.load_table(md.storage_table)
         # auto-heal poisoned rid lineage (r12, VERDICT r11 #6): a multiset
         # content fallback that tombstoned rows on a rid-carrying storage
         # stamps rid-keys-trusted=false, which parks every later refresh on
         # the slow content path. Route THIS refresh to a full rewrite
-        # instead — it re-derives every row's lineage and re-stamps
-        # trusted=true, so the delta fast paths come back by themselves.
+        # instead — it re-derives every row's lineage and re-stamps trust.
+        # Storages whose lineage CANNOT be re-derived carry "unavailable"
+        # (stamped by the rewrite itself) and never re-heal: fast paths
+        # stay off, delta content commits keep working.
         if (
-            self.load_table(md.storage_table).metadata.properties.get(
-                "write.mv.rid-keys-trusted"
-            )
+            storage.metadata.properties.get("write.mv.rid-keys-trusted")
             == "false"
         ):
             return False
         if plan.mode == "join":
-            return self._incremental_join_refresh(md, plan)
+            return self._incremental_join_refresh(md, plan, storage)
         if plan.mode == "join_agg":
-            return self._incremental_join_agg_refresh(md, plan)
+            return self._incremental_join_agg_refresh(md, plan, storage)
         if plan.mode == "join3":
-            return self._incremental_join3_refresh(md, plan)
+            return self._incremental_join3_refresh(md, plan, storage)
         rel_cat, ident = self.resolve(plan.relation)
         if not rel_cat.tabular_exists(ident):
             return False
@@ -894,7 +919,6 @@ class Engine:
         if kind != "table":
             return False  # view-over-view: full refresh
         src = self.load_table(plan.relation)
-        storage = self.load_table(md.storage_table)
         state = self._storage_refresh_state(storage)
         stored_id = state.get("source-table-states", {}).get(src.metadata.table_uuid)
         if stored_id is None:
@@ -1001,8 +1025,10 @@ class Engine:
         # rid-carrying storage may have killed the "wrong" physical row
         # among content-equal duplicates, leaving rids non-null but
         # MIS-ASSIGNED — the commit stamps this property, and only a full
-        # refresh (fresh lineage for every row) clears it (review r11)
-        if md.properties.get("write.mv.rid-keys-trusted") == "false":
+        # refresh (fresh lineage for every row) clears it (review r11).
+        # "unavailable" (r12): a rewrite PROVED lineage can't be derived
+        # for this MV — fast paths stay off without re-triggering heals.
+        if md.properties.get("write.mv.rid-keys-trusted") in ("false", "unavailable"):
             return False
         unknown = False
         for f in plan_files(md, md.snapshot_for_ref()):
@@ -1205,8 +1231,20 @@ class Engine:
         # content-keyed tombstones cannot tell content-equal rows with
         # DIFFERENT rids apart — once any were written on a rid-carrying
         # storage, the rid fast paths must stay off until a full refresh
-        # reassigns trustworthy lineage (review r11)
-        props = {"write.mv.rid-keys-trusted": "false"} if (null_rid and del_files) else None
+        # reassigns trustworthy lineage (review r11). Never DOWNGRADE
+        # "unavailable" to "false" (r12): that would re-arm the auto-heal
+        # and ping-pong a lineage-incapable MV between content commits and
+        # O(|V|) full rewrites forever.
+        props = (
+            {"write.mv.rid-keys-trusted": "false"}
+            if (
+                null_rid
+                and del_files
+                and storage.metadata.properties.get("write.mv.rid-keys-trusted")
+                != "unavailable"
+            )
+            else None
+        )
         self._commit_storage_files(storage, del_files, ins_files, new_state, props=props)
         return "ok"
 
@@ -1484,7 +1522,7 @@ class Engine:
         )
         return True
 
-    def _incremental_join_refresh(self, md, plan):
+    def _incremental_join_refresh(self, md, plan, storage=None):
         """Delta-join maintenance for two-table inner-join views:
 
             Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
@@ -1513,7 +1551,7 @@ class Engine:
             if kind != "table":
                 return False
             sources.append(self.load_table(rel))
-        storage = self.load_table(md.storage_table)
+        storage = storage or self.load_table(md.storage_table)
         stored = self._storage_refresh_state(storage).get("source-table-states", {})
         anchors, kinds = [], []
         for src in sources:
@@ -1682,7 +1720,7 @@ class Engine:
             # same probe contract as the SPJ changelog path (ADVICE r8);
             # metadata-first via footer null counts (r11)
             if self._storage_rids_ok(storage, rid_cols):
-                deltas = []
+                deltas, cached = [], []
                 try:
                     for src, sid in zip(sources, anchors):
                         deltas.append(
@@ -1732,12 +1770,16 @@ class Engine:
                         a_old = a.scan(
                             predicate=a_pred, snapshot_id=a_sid, row_lineage=True
                         ).drop("_last_updated_sequence_number")
+                        # persist both sides: the commit runs TWO actions
+                        # (eq-delete write, then the append) — without this
+                        # each re-evaluates all four join arms (review r12)
                         pos = run(run_sql, a_ins, b_new, out_cols).unionByName(
                             run(run_sql, a_old, b_ins, out_cols)
-                        )
+                        ).persist()
                         neg = run(run_sql, a_del, b_new, out_cols).unionByName(
                             run(run_sql, a_old, b_del, out_cols)
-                        )
+                        ).persist()
+                        cached.extend((pos, neg))
                         # NET both sides: intermediate versions and
                         # cross-term pairs cancel (see docstring); the
                         # delete keys come from the NETTED side only
@@ -1749,7 +1791,7 @@ class Engine:
                         )
                         return "incremental-changelog-join"
                 finally:
-                    for d in deltas:
+                    for d in deltas + cached:
                         d.unpersist()
                 # NULL source row ids (pre-lineage rows): fall through to
                 # the multiset path — never a wrong answer
@@ -1791,10 +1833,10 @@ class Engine:
         a_old = a.scan(predicate=a_pred, snapshot_id=a_sid)
         pos = run(plain_sql, a_ins, b_new, vis).unionByName(
             run(plain_sql, a_old, b_ins, vis)
-        )
+        ).persist()
         neg = run(plain_sql, a_del, b_new, vis).unionByName(
             run(plain_sql, a_old, b_del, vis)
-        )
+        ).persist()
         # delta-sized multiset commit (position tombstones + append); the
         # truncating identity (V ∪ Δ⁺) ∖ Δ⁻ = (V ∖ (Δ⁻ ∖ Δ⁺)) ∪ (Δ⁺ ∖ Δ⁻)
         # keeps cross-term rows exact without unioning positives first (r9
@@ -1807,10 +1849,10 @@ class Engine:
             # restriction; full refresh is the always-correct fallback
             return "incremental-changelog-join" if ran is not None else False
         finally:
-            for d in deltas:
+            for d in deltas + [pos, neg]:
                 d.unpersist()
 
-    def _incremental_join3_refresh(self, md, plan):
+    def _incremental_join3_refresh(self, md, plan, storage=None):
         """Delta maintenance for three-table inner-join SPJ views (r12,
         VERDICT r11 #3) via the telescoping identity over signed multiset
         deltas (⋈/σ/π are linear, so the n=2 algebra generalizes):
@@ -1862,7 +1904,7 @@ class Engine:
             if kind != "table":
                 return False
             sources.append(self.load_table(rel))
-        storage = self.load_table(md.storage_table)
+        storage = storage or self.load_table(md.storage_table)
         stored = self._storage_refresh_state(storage).get("source-table-states", {})
         anchors = []
         for src in sources:
@@ -1925,9 +1967,11 @@ class Engine:
                             )
                             preds[j] = join_key_predicate(df_k, pjk)
                             changed = True
+                            break  # a FAILED probe falls through to the
+                            # next pivot instead of abandoning slot j
+                            # (review r12)
                         except Exception:
                             pass
-                        break
             return preds
 
         def run_arms(run_sql, deltas_split, cols, row_lineage: bool):
@@ -1962,7 +2006,7 @@ class Engine:
 
         if lsql is not None and self._storage_cols_joinable(storage, out_cols):
             if self._storage_rids_ok(storage, rid_cols):
-                deltas = []
+                deltas, cached = [], []
                 try:
                     for src, sid in zip(sources, anchors):
                         deltas.append(
@@ -1992,9 +2036,17 @@ class Engine:
                             )
                             for ch in deltas
                         ]
-                        pos, neg = run_arms(
-                            transform_relations(lsql), split, out_cols, True
+                        # persist both sides: the commit runs TWO actions
+                        # (eq-delete write from del_keys, then the append
+                        # from net_ins) — without this each re-evaluates
+                        # all six join arms from scratch (review r12)
+                        pos, neg = (
+                            df.persist()
+                            for df in run_arms(
+                                transform_relations(lsql), split, out_cols, True
+                            )
                         )
+                        cached.extend((pos, neg))
                         net_ins = pos.exceptAll(neg)
                         net_del = neg.exceptAll(pos)
                         del_keys = net_del.select(*rid_cols).distinct()
@@ -2003,11 +2055,11 @@ class Engine:
                         )
                         return "incremental-join3"
                 finally:
-                    for d in deltas:
+                    for d in deltas + cached:
                         d.unpersist()
                 # NULL source row ids: fall through to the multiset path
 
-        deltas = []
+        deltas, cached = [], []
         try:
             for src, sid in zip(sources, anchors):
                 deltas.append(
@@ -2027,16 +2079,20 @@ class Engine:
                 )
                 for ch in deltas
             ]
-            pos, neg = run_arms(transform_relations(sql), split, vis, False)
+            pos, neg = (
+                df.persist()
+                for df in run_arms(transform_relations(sql), split, vis, False)
+            )
+            cached.extend((pos, neg))
             ran = self._multiset_delta_commit(
                 storage, pos, neg, vis, new_state, data_dir, null_rid=has_rids
             )
             return "incremental-join3" if ran is not None else False
         finally:
-            for d in deltas:
+            for d in deltas + cached:
                 d.unpersist()
 
-    def _incremental_join_agg_refresh(self, md, plan):
+    def _incremental_join_agg_refresh(self, md, plan, storage=None):
         """Delta maintenance for two-table inner-join GROUP BY views (r12,
         VERDICT r11 #2 — the TPC-H q5 star shape, the most common
         production MV; the reference registers empty ``__delta__``
@@ -2086,7 +2142,7 @@ class Engine:
             if kind != "table":
                 return False
             sources.append(self.load_table(rel))
-        storage = self.load_table(md.storage_table)
+        storage = storage or self.load_table(md.storage_table)
         stored = self._storage_refresh_state(storage).get("source-table-states", {})
         anchors = []
         for src in sources:

@@ -272,6 +272,11 @@ class FileIO:
             return pq.ParquetFile(_LocalScheme._strip_any(path))
         impl = cls._schemes.get(scheme)
         if impl is not None:
+            if hasattr(impl, "range_reader"):
+                # one kept-open stream for all of pyarrow's footer reads
+                # (HadoopFileIO: open-per-read costs an RPC each, r12)
+                reader, size, close = impl.range_reader(path)
+                return pq.ParquetFile(_RangeReadFile(reader, size, close))
             if hasattr(impl, "read_range"):
                 return pq.ParquetFile(
                     _RangeReadFile(

@@ -268,6 +268,15 @@ class HadoopFileIO:
         finally:
             stream.close()
 
+    def range_reader(self, path: str):
+        """(reader, size, close) over ONE kept-open FSDataInputStream —
+        pyarrow issues several ranged reads per parquet footer, and an
+        open-per-read would cost an open RPC each on a real NameNode
+        (review r12). ``FileIO.pq_parquet_file`` prefers this over
+        ``read_range`` when a backend offers it."""
+        spark = _active_session(self._spark)
+        return hadoop_range_reader(path, spark)
+
     def write_bytes(self, path: str, data: bytes) -> None:
         fs, jpath = self._fs(path)
         stream = fs.create(jpath, True)

@@ -301,6 +301,39 @@ def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
     assert _mv_rows(eng, "tr.mv") == _oracle(eng, "tr")
 
 
+def test_unhealable_lineage_stamps_unavailable_and_never_pingpongs(eng, spark, monkeypatch):
+    """Review r12: when a full rewrite CANNOT re-derive lineage (view
+    sources, v2 imports — simulated by forcing the lineage rewrite to
+    opt out), it stamps rid-keys-trusted=unavailable instead of true.
+    Subsequent content-path deltas must keep working delta-sized WITHOUT
+    re-arming the auto-heal — the old unconditional true/false flip
+    ping-ponged such MVs between a content poison and an O(|V|) full
+    rewrite every other refresh."""
+    a, b = _mk(eng, spark, "uh", n=12)
+    eng.create_materialized_view(
+        "uh.mv", "SELECT a.ak, b.bk FROM uh.a a JOIN uh.b b ON a.k = b.k"
+    )
+    # lineage becomes underivable from now on
+    monkeypatch.setattr(Engine, "_sql_with_join_lineage", lambda self, sql: None)
+    monkeypatch.setattr(Engine, "_mv_lineage_join_sql", lambda self, sql, plan=None: None)
+    b.append(spark.createDataFrame([(100, "b100")], "k long, bk string"))
+    assert eng.refresh_materialized_view("uh.mv", mode="full") == "full"
+    storage = eng.load_table("uh.mv__storage")
+    assert storage.metadata.properties.get("write.mv.rid-keys-trusted") == "unavailable"
+    # content-path deltas stay incremental (delta-sized), answers exact,
+    # and the state is NOT downgraded to "false" (which would re-arm heal)
+    delete_where(a, "k IN (3, 5)", mode="merge-on-read")
+    flavor = eng.refresh_materialized_view("uh.mv")
+    assert flavor == "incremental-changelog-join", flavor
+    assert _mv_rows(eng, "uh.mv") == _oracle(eng, "uh")
+    storage = eng.load_table("uh.mv__storage")
+    assert storage.metadata.properties.get("write.mv.rid-keys-trusted") == "unavailable"
+    # and the next delta refresh STILL doesn't route to a full rewrite
+    delete_where(b, "k = 7", mode="merge-on-read")
+    assert eng.refresh_materialized_view("uh.mv") == "incremental-changelog-join"
+    assert _mv_rows(eng, "uh.mv") == _oracle(eng, "uh")
+
+
 def test_join_mv_storage_is_changelog_followable(eng, spark):
     """r12 (VERDICT r11 #7): a join MV's pair-keyed equality-delete
     commits replay through the STORAGE table's changelog, so a downstream
