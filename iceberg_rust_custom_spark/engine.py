@@ -485,7 +485,7 @@ class Engine:
             out_names = {f.name for f in result_schema.fields}
             if (
                 plan is not None
-                and plan.mode in ("aggregate", "join_agg")
+                and plan.mode in ("aggregate", "join_agg", "join3_agg")
                 and plan.group_keys
                 and all(k in out_names for k in plan.group_keys)
             ):
@@ -912,6 +912,8 @@ class Engine:
             return self._incremental_join_agg_refresh(md, plan, storage)
         if plan.mode == "join3":
             return self._incremental_join3_refresh(md, plan, storage)
+        if plan.mode == "join3_agg":
+            return self._incremental_join3_agg_refresh(md, plan, storage)
         rel_cat, ident = self.resolve(plan.relation)
         if not rel_cat.tabular_exists(ident):
             return False
@@ -2091,6 +2093,171 @@ class Engine:
         finally:
             for d in deltas + cached:
                 d.unpersist()
+
+    def _incremental_join3_agg_refresh(self, md, plan, storage=None):
+        """Delta maintenance for THREE-table inner-join GROUP BY views —
+        the full TPC-H q5 star (fact ⋈ dim ⋈ dim + GROUP BY dim key),
+        r12. Same composition as the 2-table ``_incremental_join_agg_
+        refresh``: affected groups from the group-key projection run over
+        the three telescoped delta arms (all change events; full slots
+        staged OLD before the delta slot, NEW after, pruned by the
+        delta's equi keys with one propagation wave through the equi
+        graph), exact recompute of ONLY those groups (group-key values
+        pushed into whichever slot owns each key column, then propagated
+        across the equi graph — in the q5 star the affected nation names
+        prune customers, customers prune orders, orders prune lineitem),
+        and a delta-sized commit: group-keyed MoR equality deletes + an
+        append."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.expressions import And as _And
+        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+        from iceberg_rust_custom_spark.views.incremental import history_kind
+
+        rels = (plan.relation, plan.relation_b, plan.relation_c)
+        sources = []
+        for rel in rels:
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
+                return False
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                return False
+            sources.append(self.load_table(rel))
+        storage = storage or self.load_table(md.storage_table)
+        stored = self._storage_refresh_state(storage).get("source-table-states", {})
+        anchors, kinds = [], []
+        for src in sources:
+            sid = stored.get(src.metadata.table_uuid)
+            hist = history_kind(src.metadata, sid) if sid is not None else None
+            if hist is None:
+                return False
+            anchors.append(sid)
+            kinds.append(hist)
+        sql = md.current_sql()
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        keys = list(plan.group_keys)
+        ekeys = dict(plan.equi_keys)
+
+        def pairs_between(x: int, y: int):
+            p = ekeys.get((min(x, y), max(x, y)))
+            if not p:
+                return None
+            return list(p) if x < y else [(cy, cx) for cx, cy in p]
+
+        def wave(preds: dict, forbidden: set, snap_for):
+            """One propagation pass: unpredicated slots gain a predicate
+            probed from an already-predicated slot they share equality
+            pairs with (never a forbidden pivot)."""
+            changed = True
+            while changed:
+                changed = False
+                for j in range(3):
+                    if j in forbidden or preds.get(j) is not None:
+                        continue
+                    for k in range(3):
+                        if k == j or k in forbidden or preds.get(k) is None:
+                            continue
+                        pjk = pairs_between(j, k)
+                        if not pjk:
+                            continue
+                        try:
+                            df_k = sources[k].scan(
+                                predicate=preds[k], snapshot_id=snap_for(k)
+                            )
+                            preds[j] = join_key_predicate(df_k, pjk)
+                            changed = True
+                            break
+                        except Exception:
+                            pass
+            return preds
+
+        deltas = []
+        try:
+            for src, sid, hist in zip(sources, anchors, kinds):
+                seq = src.metadata.snapshots[sid].sequence_number
+                if hist == "appends":
+                    deltas.append(src.incremental_scan(seq).persist())
+                else:
+                    deltas.append(src.changes(seq).drop("_change_type").persist())
+        except ValueError:
+            for d in deltas:
+                d.unpersist()
+            return False
+        try:
+            probe = transform_relations(plan.probe_sql)
+            parts = []
+            for i in range(3):
+                preds: dict[int, object] = {}
+                for j in range(3):
+                    if j == i:
+                        continue
+                    pj = pairs_between(j, i)
+                    if pj:
+                        try:
+                            preds[j] = self._join_delta_key_predicate(deltas[i], pj)
+                        except Exception:
+                            pass
+                wave(preds, {i}, lambda k, _i=i: anchors[k] if k < _i else None)
+                for j in range(3):
+                    df = (
+                        deltas[i]
+                        if j == i
+                        else sources[j].scan(
+                            predicate=preds.get(j),
+                            snapshot_id=anchors[j] if j < i else None,
+                        )
+                    )
+                    df.createOrReplaceTempView(transform_name(rels[j]))
+                parts.append(self.spark.sql(probe))
+            affected = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+            rows = affected.limit(10_001).collect()
+        finally:
+            for d in deltas:
+                d.unpersist()
+        if len(rows) > 10_000 or any(r[k] is None for r in rows for k in keys):
+            return False  # huge or NULL-keyed group set → full refresh
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+                for src in sources
+            },
+        }
+        if not rows:
+            return (
+                "incremental-noop"
+                if self._commit_state_only(storage, new_state)
+                else False
+            )
+        aff = self.spark.createDataFrame(rows, affected.schema)
+
+        src_preds: dict[int, object] = {}
+        for ks, key in zip(plan.key_sources, keys):
+            if ks is None:
+                continue
+            slot, col = ks
+            try:
+                p = join_key_predicate(aff, [(col, key)])
+            except Exception:
+                continue
+            src_preds[slot] = (
+                p if src_preds.get(slot) is None else _And(src_preds[slot], p)
+            )
+        # star-join pruning chain at the NEW states: restricted slots
+        # prune their equi neighbors (nation → customer → orders → …)
+        wave(src_preds, set(), lambda k: None)
+        for j in range(3):
+            sources[j].scan(predicate=src_preds.get(j)).createOrReplaceTempView(
+                transform_name(rels[j])
+            )
+        full = self.spark.sql(transform_relations(sql))
+        recomputed = full.join(F.broadcast(aff), keys, "left_semi").select(*out_cols)
+        data_dir = os.path.join(
+            storage.metadata.location, "data", _uuid.uuid4().hex[:12]
+        )
+        self._commit_storage_delta(storage, aff.select(*keys), recomputed, new_state, data_dir)
+        return "incremental-join3-aggregate"
 
     def _incremental_join_agg_refresh(self, md, plan, storage=None):
         """Delta maintenance for two-table inner-join GROUP BY views (r12,

@@ -5958,6 +5958,90 @@ def iceberg_mv_join_agg_delta(spark, sf_dir):
 
 
 @q(
+    "iceberg_mv_q5_star_delta",
+    """
+    SELECT c_mktsegment,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+           COUNT(l_orderkey) AS cnt
+    FROM (SELECT * FROM lineitem WHERE l_orderkey % 13 <> 0) l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'BLDG2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ) c ON o.o_custkey = c.c_custkey
+    WHERE l.l_quantity > 5
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_mv_q5_star_delta(spark, sf_dir):
+    """r12: the FULL TPC-H q5 star shape as an incrementally-maintained
+    MV — 3-table chain (lineitem ⋈ orders ⋈ customer) + GROUP BY the dim
+    key. The delta (a MoR segment rename on customer + a MoR delete on
+    lineitem) replays through three telescoped probe arms; ONLY the
+    affected segments recompute, with the affected keys propagated down
+    the star chain (segments → customers → orders → lineitems) as scan
+    predicates; the commit is group-keyed equality deletes + an append —
+    asserted in-gate: no pre-existing storage file rewritten. Oracle =
+    full recompute of the final state."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+    from iceberg_rust_custom_spark.table.scan import plan_delete_files, plan_files
+
+    tag = hashlib.md5(f"{sf_dir}:mvq5star".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.li_q5"):
+        ldf = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        odf = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        cdf = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        tl = eng.create_table("rt.li_q5", ldf.schema)
+        tl.append(ldf)
+        to = eng.create_table("rt.ord_q5", odf.schema)
+        to.append(odf)
+        tc = eng.create_table("rt.cust_q5", cdf.schema)
+        tc.append(cdf)
+        eng.create_materialized_view(
+            "rt.mvq5",
+            "SELECT c.c_mktsegment, "
+            "SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS revenue, "
+            "COUNT(l.l_orderkey) AS cnt "
+            "FROM rt.li_q5 l JOIN rt.ord_q5 o ON l.l_orderkey = o.o_orderkey "
+            "JOIN rt.cust_q5 c ON o.o_custkey = c.c_custkey "
+            "WHERE l.l_quantity > 5 GROUP BY c.c_mktsegment",
+        )
+        st = eng.load_table("rt.mvq5__storage")
+        before = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        update_where(
+            tc, {"c_mktsegment": "'BLDG2'"}, "c_mktsegment = 'BUILDING'",
+            mode="merge-on-read",
+        )
+        delete_where(tl, "l_orderkey % 13 = 0", mode="merge-on-read")
+        mode = eng.refresh_materialized_view("rt.mvq5")
+        assert mode == "incremental-join3-aggregate", mode
+        st = eng.load_table("rt.mvq5__storage")
+        snap = st.metadata.snapshot_for_ref()
+        after = {f.file_path for f in plan_files(st.metadata, snap)}
+        assert before <= after, "q5-star delta refresh rewrote pre-existing storage files"
+        assert [
+            e.data_file for e in plan_delete_files(st.metadata, snap)
+            if e.data_file.content == 2
+        ], "expected group-keyed equality-delete tombstones"
+    mv = eng.scan_materialized_view("rt.mvq5")
+    return mv.select(
+        "c_mktsegment", F.round("revenue", 4).cast("double").alias("revenue"), "cnt"
+    )
+
+
+@q(
     "iceberg_timestamp_ns_lossless",
     """
     SELECT o_orderkey, 1700000000000000000 + o_orderkey * 1000 + 789 AS ts_ns

@@ -71,7 +71,7 @@ _JOIN_SHAPE_RE = re.compile(
 
 @dataclass(frozen=True)
 class IncrementalPlan:
-    mode: str  # "append" | "aggregate" | "join" | "join_agg" | "join3"
+    mode: str  # "append" | "aggregate" | "join" | "join_agg" | "join3" | "join3_agg"
     relation: str
     group_keys: tuple = ()
     merge_ops: dict = field(default_factory=dict)  # output column -> sum|min|max
@@ -286,6 +286,118 @@ def classify_join3_sql(sql: str) -> IncrementalPlan | None:
     )
 
 
+# three-table join + GROUP BY views (r12 — the full TPC-H q5 star):
+# same 3-relation inner-join FROM clause, mandatory GROUP BY tail
+_JOIN3_AGG_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond_ab>.*?)"
+    r"\s+(?:INNER\s+)?JOIN\s+"
+    r"(?P<rel_c>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_c>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond_c>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def classify_join3_agg_sql(sql: str) -> IncrementalPlan | None:
+    """Three-relation inner-join GROUP BY views — the full TPC-H q5 star
+    (fact ⋈ dim ⋈ dim + GROUP BY dim key). Maintenance mirrors the
+    2-table join_agg: affected groups from the group-key projection over
+    the three telescoped delta arms, exact recompute of only those
+    groups, group-keyed eq-delete + append commit. None → full
+    refresh."""
+    from iceberg_rust_custom_spark.ddl import _split_top_level
+
+    jm = _JOIN3_AGG_SHAPE_RE.match(sql.strip())
+    if not jm or _FORBIDDEN_JOINAGG_RE.search(sql):
+        return None
+    rels = [jm.group("rel_a"), jm.group("rel_b"), jm.group("rel_c")]
+    if len({r.lower() for r in rels}) != 3:
+        return None
+    if re.search(
+        r"\bJOIN\b", jm.group("cond_c") + (jm.group("where") or ""), re.IGNORECASE
+    ):
+        return None  # 4+ relations
+    key_exprs = tuple(k.strip() for k in _split_top_level(jm.group("group")))
+    if not key_exprs or not all(
+        _KEY_ITEM_RE.fullmatch(k) and " " not in k for k in key_exprs
+    ):
+        return None
+    quals = []
+    for r, al in zip(rels, ("alias_a", "alias_b", "alias_c")):
+        quals.append((jm.group(al) or ("" if "." in r else r)).lower())
+    if len({q for q in quals if q}) != sum(1 for q in quals if q):
+        return None  # duplicate qualifiers
+    sel_keys: list[tuple[str, str]] = []
+    agg_seen = False
+    for item in _split_top_level(jm.group("select")):
+        item = item.strip()
+        if _JOINAGG_ITEM_RE.match(item):
+            agg_seen = True
+            continue
+        km = _KEY_ITEM_RE.fullmatch(item)
+        if not km or km.group("expr") not in key_exprs:
+            return None
+        expr = km.group("expr")
+        sel_keys.append((expr, km.group("alias") or expr.split(".")[-1]))
+    if not agg_seen or not sel_keys:
+        return None
+    if {e for e, _ in sel_keys} != set(key_exprs):
+        return None
+    out_names = tuple(n for _, n in sel_keys)
+    if len(out_names) != len(set(out_names)):
+        return None
+    al = [
+        f" {jm.group(a)}" if jm.group(a) else ""
+        for a in ("alias_a", "alias_b", "alias_c")
+    ]
+    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
+    proj = ", ".join(f"{e} AS {n}" for e, n in sel_keys)
+    probe_sql = (
+        f"SELECT {proj} FROM {rels[0]}{al[0]} JOIN {rels[1]}{al[1]} "
+        f"ON {jm.group('cond_ab')} JOIN {rels[2]}{al[2]} "
+        f"ON {jm.group('cond_c')}{where}"
+    )
+    # equality pairs between relation slots, join3-style
+    idx = {q: i for i, q in enumerate(quals) if q}
+    pairs: dict[tuple[int, int], list[tuple[str, str]]] = {}
+    for cond in (jm.group("cond_ab"), jm.group("cond_c")):
+        if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
+            continue
+        for conjunct in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+            cm = _EQUI_COND_RE.match(conjunct)
+            if not cm:
+                continue
+            li, ri = idx.get(cm.group("l").lower()), idx.get(cm.group("r").lower())
+            if li is None or ri is None or li == ri:
+                continue
+            if li < ri:
+                pairs.setdefault((li, ri), []).append((cm.group("lc"), cm.group("rc")))
+            else:
+                pairs.setdefault((ri, li), []).append((cm.group("rc"), cm.group("lc")))
+    key_sources: list[tuple[int, str] | None] = []
+    for expr, _ in sel_keys:
+        if "." in expr:
+            q, col = expr.split(".", 1)
+            key_sources.append((idx[q.lower()], col) if q.lower() in idx else None)
+        else:
+            key_sources.append(None)
+    return IncrementalPlan(
+        "join3_agg",
+        rels[0],
+        group_keys=out_names,
+        relation_b=rels[1],
+        relation_c=rels[2],
+        probe_sql=probe_sql,
+        equi_keys=tuple((ij, tuple(p)) for ij, p in sorted(pairs.items())),
+        key_sources=tuple(key_sources),
+    )
+
+
 # join + GROUP BY views (r12, VERDICT r11 #2 — the TPC-H q5 star shape):
 # same two-relation inner-join FROM clause, mandatory GROUP BY tail
 _JOIN_AGG_SHAPE_RE = re.compile(
@@ -466,7 +578,10 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
         plan3 = classify_join3_sql(sql)
         if plan3 is not None:
             return plan3
-        # join + GROUP BY (r12): affected-group recompute
+        # join + GROUP BY, 2- or 3-table (r12): affected-group recompute
+        plan3a = classify_join3_agg_sql(sql)
+        if plan3a is not None:
+            return plan3a
         return classify_join_agg_sql(sql)
     m = _SHAPE_RE.match(sql.strip())
     if not m:

@@ -207,6 +207,82 @@ def test_join_agg_mv_full_side_arms_prune_by_delta_keys(eng, spark):
     assert got == want
 
 
+def test_join3_agg_star_mv_refreshes_incrementally(eng, spark):
+    """r12: the FULL TPC-H q5 star — 3-table chain + GROUP BY a dim key.
+    Affected groups probe through three telescoped arms; the recompute
+    prunes through the star chain (affected segs → customers → orders →
+    lineitems); commits stay group-keyed eq-delete + append."""
+    sql = (
+        "SELECT c.seg, sum(l.amt) AS rev, count(l.lk) AS cnt "
+        "FROM q5.l l JOIN q5.o o ON l.ok = o.ok JOIN q5.c c ON o.ck = c.ck "
+        "WHERE l.amt >= 0 GROUP BY c.seg"
+    )
+    p = classify_view_sql(sql)
+    assert p is not None and p.mode == "join3_agg"
+    assert p.group_keys == ("seg",) and p.key_sources == ((2, "seg"),)
+    assert dict(p.equi_keys) == {(0, 1): (("ok", "ok"),), (1, 2): (("ck", "ck"),)}
+
+    l = eng.create_table(
+        "q5.l",
+        spark.range(1).select(
+            F.col("id").alias("lk"), F.col("id").alias("ok"), (F.col("id") * 1.0).alias("amt")
+        ).schema,
+    )
+    l.append(
+        spark.range(3000).select(
+            F.col("id").alias("lk"), (F.col("id") % 600).alias("ok"), (F.col("id") * 1.0).alias("amt")
+        )
+    )
+    o = eng.create_table(
+        "q5.o", spark.range(1).select(F.col("id").alias("ok"), F.col("id").alias("ck")).schema
+    )
+    o.append(spark.range(600).select(F.col("id").alias("ok"), (F.col("id") % 60).alias("ck")))
+    c = eng.create_table(
+        "q5.c",
+        spark.range(1).select(
+            F.col("id").alias("ck"), F.concat(F.lit("s"), F.col("id") % 5).alias("seg")
+        ).schema,
+    )
+    c.append(
+        spark.range(60).select(
+            F.col("id").alias("ck"), F.concat(F.lit("s"), F.col("id") % 5).alias("seg")
+        )
+    )
+    eng.create_materialized_view("q5.mv", sql)
+    storage = eng.load_table("q5.mv__storage")
+    key_id = storage.metadata.current_schema().field_by_name("seg").field_id
+
+    def check(tag):
+        got = sorted((r.seg, r.rev, r.cnt) for r in eng.scan_materialized_view("q5.mv").collect())
+        want = sorted((r.seg, r.rev, r.cnt) for r in eng.sql(sql).collect())
+        assert got == want, (tag, got, want)
+
+    check("initial")
+    before = {
+        f.file_path for f in plan_files(storage.metadata, storage.metadata.snapshot_for_ref())
+    }
+    # deltas on all three slots across refreshes
+    l.append(spark.createDataFrame([(9000, 3, 5.0)], "lk long, ok long, amt double"))
+    assert eng.refresh_materialized_view("q5.mv") == "incremental-join3-aggregate"
+    check("append")
+    delete_where(l, "lk % 17 = 0", mode="merge-on-read")
+    assert eng.refresh_materialized_view("q5.mv") == "incremental-join3-aggregate"
+    check("fact-delete")
+    update_where(c, {"seg": "concat(seg, '_x')"}, "ck % 5 = 1", mode="merge-on-read")
+    assert eng.refresh_materialized_view("q5.mv") == "incremental-join3-aggregate"
+    check("seg-rename")
+    delete_where(o, "ok = 9", mode="merge-on-read")
+    assert eng.refresh_materialized_view("q5.mv") == "incremental-join3-aggregate"
+    check("mid-delete")
+    storage = eng.load_table("q5.mv__storage")
+    snap = storage.metadata.snapshot_for_ref()
+    after = {f.file_path for f in plan_files(storage.metadata, snap)}
+    assert before <= after, "star delta refresh rewrote pre-existing storage files"
+    eqs = [e.data_file for e in plan_delete_files(storage.metadata, snap) if e.data_file.content == 2]
+    assert eqs and all(set(d.equality_ids or ()) == {key_id} for d in eqs)
+    assert eng.refresh_materialized_view("q5.mv") is False
+
+
 def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     """NULL group keys and file-set-replacing source rewrites route to a
     full refresh — never a wrong answer."""

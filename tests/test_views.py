@@ -248,14 +248,24 @@ def test_classify_join_view_shapes():
         "SELECT a.x, b.y FROM ns.a a JOIN ns.b b ON a.k = b.k WHERE a.x > 0"
     )
     assert p is not None and p.mode == "join" and (p.relation, p.relation_b) == ("ns.a", "ns.b")
-    # rejected: outer join, aggregates, self-join, three relations
+    # rejected: outer join, self-join, four relations
     assert classify_view_sql("SELECT * FROM ns.a a LEFT JOIN ns.b b ON a.k = b.k") is None
-    assert classify_view_sql("SELECT SUM(a.x) AS s FROM ns.a a JOIN ns.b b ON a.k = b.k") is None
     assert classify_view_sql("SELECT a1.x FROM ns.a a1 JOIN ns.a a2 ON a1.k = a2.k") is None
     assert (
-        classify_view_sql("SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k JOIN ns.c c ON b.j = c.j")
+        classify_view_sql(
+            "SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k "
+            "JOIN ns.c c ON b.j = c.j JOIN ns.d d ON c.z = d.z"
+        )
         is None
     )
+    # 2-table aggregate join → join_agg (r12); 3 relations → join3 (r12)
+    p = classify_view_sql("SELECT b.g, SUM(a.x) AS s FROM ns.a a JOIN ns.b b ON a.k = b.k GROUP BY b.g")
+    assert p is not None and p.mode == "join_agg"
+    assert classify_view_sql("SELECT SUM(a.x) AS s FROM ns.a a JOIN ns.b b ON a.k = b.k") is None
+    p = classify_view_sql(
+        "SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k JOIN ns.c c ON b.j = c.j"
+    )
+    assert p is not None and p.mode == "join3" and p.relation_c == "ns.c"
 
 
 def test_multi_dialect_view_representations(engine, spark):

@@ -538,6 +538,126 @@ def run_rung_join3(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_join3_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Three-table star + GROUP BY rung (r12 — the full TPC-H q5 shape):
+    fact L grows 10× per rung, O = |L|/10, C = |L|/100 carrying 50
+    segment groups over contiguous key blocks; fixed delta per refresh
+    (100-row MoR delete + 100-row append on L, one 10-key MoR update on
+    C). Affected-group recompute must prune down the star chain — wall
+    and bytes must stay ~flat."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-j3agg-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_o = max(100, n_rows // 10)
+        n_c = max(50, n_rows // 100)
+        l = eng.create_table(
+            "lad.sl",
+            spark.range(1).select(
+                F.col("id").alias("lk"), F.col("id").alias("ok"), (F.col("id") * 1.0).alias("amt")
+            ).schema,
+            sort_by=["ok"],
+            properties={"write.distribution-mode": "range"},
+        )
+        l.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("lk"),
+                (F.col("id") % n_o).alias("ok"),
+                (F.col("id") * 1.0).alias("amt"),
+            )
+        )
+        o = eng.create_table(
+            "lad.so",
+            spark.range(1).select(
+                F.col("id").alias("ok"), F.col("id").alias("ck")
+            ).schema,
+            sort_by=["ck"],
+            properties={"write.distribution-mode": "range"},
+        )
+        o.append(
+            spark.range(n_o).select(
+                F.col("id").alias("ok"), (F.col("id") * n_c / n_o).cast("long").alias("ck")
+            )
+        )
+        c = eng.create_table(
+            "lad.sc",
+            spark.range(1).select(
+                F.col("id").alias("ck"), F.col("id").alias("seg"), (F.col("id") * 1.0).alias("cv")
+            ).schema,
+        )
+        c.append(
+            spark.range(n_c).select(
+                F.col("id").alias("ck"),
+                (F.col("id") * 50 / n_c).cast("long").alias("seg"),
+                (F.col("id") * 1.0).alias("cv"),
+            )
+        )
+        sql = (
+            "SELECT c.seg, sum(l.amt) AS rev, count(l.lk) AS cnt "
+            "FROM lad.sl l JOIN lad.so o ON l.ok = o.ok "
+            "JOIN lad.sc c ON o.ck = c.ck GROUP BY c.seg"
+        )
+        eng.create_materialized_view("lad.smv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(l, f"lk >= {lo} AND lk < {lo + 100}", mode="merge-on-read")
+            base = (i * 137) % max(1, n_o - 100)
+            l.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("lk"),
+                    (F.col("id") + base).alias("ok"),
+                    (F.col("id") * 1.0).alias("amt"),
+                )
+            )
+            next_k += 100
+            update_where(
+                c, {"cv": "cv + 0.5"}, f"ck >= {i * 10} AND ck < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.smv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.smv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.smv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-join3-aggregate", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = sorted(
+            (r.seg, r.rev, r.cnt) for r in eng.scan_materialized_view("lad.smv").collect()
+        )
+        want = sorted((r.seg, r.rev, r.cnt) for r in eng.sql(sql).collect())
+        assert got == want, (got[:3], want[:3])
+        return {
+            "mode": "join3-agg",
+            "rows_l": n_rows,
+            "rows_o": n_o,
+            "rows_c": n_c,
+            "groups": 50,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": len(got),
+        }
+    finally:
+        for obj in ("lad.smv", "lad.sl", "lad.so", "lad.sc"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     agg = "--agg" in args
@@ -545,6 +665,7 @@ def main():
     join_compound = "--join-compound" in args
     join_agg = "--join-agg" in args
     join3 = "--join3" in args
+    join3_agg = "--join3-agg" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
@@ -552,6 +673,8 @@ def main():
     for n in rungs:
         if join_compound:
             out = run_rung_join(spark, n, compound=True)
+        elif join3_agg:
+            out = run_rung_join3_agg(spark, n)
         elif join_agg:
             out = run_rung_join_agg(spark, n)
         elif join3:
