@@ -1854,6 +1854,41 @@ class Engine:
             for d in deltas + [pos, neg]:
                 d.unpersist()
 
+    @staticmethod
+    def _propagate_equi_preds(sources, preds, pairs_between, snap_for, forbidden=frozenset()):
+        """One equi-graph propagation wave, shared by the join3 SPJ arms
+        and the join3_agg probe/recompute (review r12: two hand-copies of
+        this logic had already drifted): slots without a predicate gain
+        one probed from an already-predicated slot they share equality
+        pairs with. A FAILED probe falls through to the next pivot
+        instead of abandoning the slot; ``forbidden`` slots neither gain
+        predicates nor serve as pivots (the arm's delta slot)."""
+        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+
+        changed = True
+        n = len(sources)
+        while changed:
+            changed = False
+            for j in range(n):
+                if j in forbidden or preds.get(j) is not None:
+                    continue
+                for k in range(n):
+                    if k == j or k in forbidden or preds.get(k) is None:
+                        continue
+                    pjk = pairs_between(j, k)
+                    if not pjk:
+                        continue
+                    try:
+                        df_k = sources[k].scan(
+                            predicate=preds[k], snapshot_id=snap_for(k)
+                        )
+                        preds[j] = join_key_predicate(df_k, pjk)
+                        changed = True
+                        break
+                    except Exception:
+                        pass
+        return preds
+
     def _incremental_join3_refresh(self, md, plan, storage=None):
         """Delta maintenance for three-table inner-join SPJ views (r12,
         VERDICT r11 #3) via the telescoping identity over signed multiset
@@ -1893,7 +1928,6 @@ class Engine:
         answer."""
         from functools import reduce
 
-        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
         from iceberg_rust_custom_spark.views.incremental import history_kind
 
         rels = (plan.relation, plan.relation_b, plan.relation_c)
@@ -1950,31 +1984,13 @@ class Engine:
                         preds[j] = self._join_delta_key_predicate(delta_all, pj)
                     except Exception:
                         pass
-            changed = True
-            while changed:
-                changed = False
-                for j in range(3):
-                    if j == i or preds.get(j) is not None:
-                        continue
-                    for k in range(3):
-                        if k in (i, j) or preds.get(k) is None:
-                            continue
-                        pjk = pairs_between(j, k)
-                        if not pjk:
-                            continue
-                        try:
-                            df_k = sources[k].scan(
-                                predicate=preds[k],
-                                snapshot_id=anchors[k] if k < i else None,
-                            )
-                            preds[j] = join_key_predicate(df_k, pjk)
-                            changed = True
-                            break  # a FAILED probe falls through to the
-                            # next pivot instead of abandoning slot j
-                            # (review r12)
-                        except Exception:
-                            pass
-            return preds
+            return self._propagate_equi_preds(
+                sources,
+                preds,
+                pairs_between,
+                lambda k, _i=i: anchors[k] if k < _i else None,
+                forbidden={i},
+            )
 
         def run_arms(run_sql, deltas_split, cols, row_lineage: bool):
             """pos/neg DataFrames from the three telescoped arms.
@@ -2145,33 +2161,6 @@ class Engine:
                 return None
             return list(p) if x < y else [(cy, cx) for cx, cy in p]
 
-        def wave(preds: dict, forbidden: set, snap_for):
-            """One propagation pass: unpredicated slots gain a predicate
-            probed from an already-predicated slot they share equality
-            pairs with (never a forbidden pivot)."""
-            changed = True
-            while changed:
-                changed = False
-                for j in range(3):
-                    if j in forbidden or preds.get(j) is not None:
-                        continue
-                    for k in range(3):
-                        if k == j or k in forbidden or preds.get(k) is None:
-                            continue
-                        pjk = pairs_between(j, k)
-                        if not pjk:
-                            continue
-                        try:
-                            df_k = sources[k].scan(
-                                predicate=preds[k], snapshot_id=snap_for(k)
-                            )
-                            preds[j] = join_key_predicate(df_k, pjk)
-                            changed = True
-                            break
-                        except Exception:
-                            pass
-            return preds
-
         deltas = []
         try:
             for src, sid, hist in zip(sources, anchors, kinds):
@@ -2198,7 +2187,13 @@ class Engine:
                             preds[j] = self._join_delta_key_predicate(deltas[i], pj)
                         except Exception:
                             pass
-                wave(preds, {i}, lambda k, _i=i: anchors[k] if k < _i else None)
+                self._propagate_equi_preds(
+                    sources,
+                    preds,
+                    pairs_between,
+                    lambda k, _i=i: anchors[k] if k < _i else None,
+                    forbidden={i},
+                )
                 for j in range(3):
                     df = (
                         deltas[i]
@@ -2246,7 +2241,7 @@ class Engine:
             )
         # star-join pruning chain at the NEW states: restricted slots
         # prune their equi neighbors (nation → customer → orders → …)
-        wave(src_preds, set(), lambda k: None)
+        self._propagate_equi_preds(sources, src_preds, pairs_between, lambda k: None)
         for j in range(3):
             sources[j].scan(predicate=src_preds.get(j)).createOrReplaceTempView(
                 transform_name(rels[j])

@@ -252,17 +252,15 @@ def join3_equi_keys(sql: str) -> dict[tuple[int, int], list[tuple[str, str]]] | 
     for cond in (jm.group("cond_ab"), jm.group("cond_c")):
         if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
             continue
-        for conjunct in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
-            cm = _EQUI_COND_RE.match(conjunct)
-            if not cm:
-                continue
-            li, ri = idx.get(cm.group("l").lower()), idx.get(cm.group("r").lower())
-            if li is None or ri is None or li == ri:
-                continue
-            if li < ri:
-                out.setdefault((li, ri), []).append((cm.group("lc"), cm.group("rc")))
-            else:
-                out.setdefault((ri, li), []).append((cm.group("rc"), cm.group("lc")))
+        # the shared conjunct parser per qualifier pair, so orientation /
+        # theta-skip rules live in ONE place (review r12)
+        for qx, x in idx.items():
+            for qy, y in idx.items():
+                if x >= y:
+                    continue
+                p = equi_pairs_between(cond, qx, qy)
+                if p:
+                    out.setdefault((x, y), []).extend(p)
     return out or None
 
 
@@ -362,23 +360,20 @@ def classify_join3_agg_sql(sql: str) -> IncrementalPlan | None:
         f"ON {jm.group('cond_ab')} JOIN {rels[2]}{al[2]} "
         f"ON {jm.group('cond_c')}{where}"
     )
-    # equality pairs between relation slots, join3-style
+    # equality pairs between relation slots — through the shared
+    # conjunct parser so orientation/theta-skip rules live in one place
     idx = {q: i for i, q in enumerate(quals) if q}
     pairs: dict[tuple[int, int], list[tuple[str, str]]] = {}
     for cond in (jm.group("cond_ab"), jm.group("cond_c")):
         if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
             continue
-        for conjunct in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
-            cm = _EQUI_COND_RE.match(conjunct)
-            if not cm:
-                continue
-            li, ri = idx.get(cm.group("l").lower()), idx.get(cm.group("r").lower())
-            if li is None or ri is None or li == ri:
-                continue
-            if li < ri:
-                pairs.setdefault((li, ri), []).append((cm.group("lc"), cm.group("rc")))
-            else:
-                pairs.setdefault((ri, li), []).append((cm.group("rc"), cm.group("lc")))
+        for qx, x in idx.items():
+            for qy, y in idx.items():
+                if x >= y:
+                    continue
+                p = equi_pairs_between(cond, qx, qy)
+                if p:
+                    pairs.setdefault((x, y), []).extend(p)
     key_sources: list[tuple[int, str] | None] = []
     for expr, _ in sel_keys:
         if "." in expr:

@@ -283,6 +283,66 @@ def test_join3_agg_star_mv_refreshes_incrementally(eng, spark):
     assert eng.refresh_materialized_view("q5.mv") is False
 
 
+def test_join3_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
+    """The 3-table star guards mirror the 2-table ones: a NULL-keyed
+    affected group and a file-set-replacing source rewrite both route to
+    a full refresh — never a wrong incremental answer (review r12)."""
+    sql = (
+        "SELECT c.seg, sum(l.amt) AS rev FROM f5.l l "
+        "JOIN f5.o o ON l.ok = o.ok JOIN f5.c c ON o.ck = c.ck GROUP BY c.seg"
+    )
+    l = eng.create_table(
+        "f5.l",
+        spark.range(1).select(
+            F.col("id").alias("lk"), F.col("id").alias("ok"), (F.col("id") * 1.0).alias("amt")
+        ).schema,
+    )
+    l.append(
+        spark.range(200).select(
+            F.col("id").alias("lk"), (F.col("id") % 40).alias("ok"), (F.col("id") * 1.0).alias("amt")
+        )
+    )
+    o = eng.create_table(
+        "f5.o", spark.range(1).select(F.col("id").alias("ok"), F.col("id").alias("ck")).schema
+    )
+    o.append(spark.range(40).select(F.col("id").alias("ok"), (F.col("id") % 8).alias("ck")))
+    c = eng.create_table(
+        "f5.c",
+        spark.range(1).select(
+            F.col("id").alias("ck"), F.concat(F.lit("s"), F.col("id")).alias("seg")
+        ).schema,
+    )
+    c.append(
+        spark.range(8).select(F.col("id").alias("ck"), F.concat(F.lit("s"), F.col("id")).alias("seg"))
+    )
+    # one NULL-segment dim row whose group the delta will touch
+    c.append(spark.createDataFrame([(80, None)], "ck long, seg string"))
+    o.append(spark.createDataFrame([(900, 80)], "ok long, ck long"))
+    l.append(spark.createDataFrame([(9000, 900, 1.0)], "lk long, ok long, amt double"))
+    eng.create_materialized_view("f5.mv", sql)
+
+    def check(tag):
+        got = sorted(
+            (r.seg or "", r.rev) for r in eng.scan_materialized_view("f5.mv").collect()
+        )
+        want = sorted((r.seg or "", r.rev) for r in eng.sql(sql).collect())
+        assert got == want, tag
+
+    check("initial")
+    # delta touching the NULL-keyed group → full refresh, never wrong
+    l.append(spark.createDataFrame([(9001, 900, 2.0)], "lk long, ok long, amt double"))
+    assert eng.refresh_materialized_view("f5.mv") == "full"
+    check("null-group-delta")
+    # a clean delta afterwards goes incremental again
+    l.append(spark.createDataFrame([(9002, 3, 2.0)], "lk long, ok long, amt double"))
+    assert eng.refresh_materialized_view("f5.mv") == "incremental-join3-aggregate"
+    check("clean-delta")
+    # CoW delete (file-set replacement) breaks the anchor: full refresh
+    delete_where(l, "lk = 10", mode="copy-on-write")
+    assert eng.refresh_materialized_view("f5.mv") == "full"
+    check("cow")
+
+
 def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     """NULL group keys and file-set-replacing source rewrites route to a
     full refresh — never a wrong answer."""
