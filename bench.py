@@ -124,6 +124,7 @@ HEADLINE = [
     # round 12
     "iceberg_mv_join_agg_delta",
     "iceberg_mv_join3_delta",
+    "iceberg_mv_q5_star_delta",
 ]
 
 
