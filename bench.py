@@ -125,6 +125,10 @@ HEADLINE = [
     "iceberg_mv_join_agg_delta",
     "iceberg_mv_join3_delta",
     "iceberg_mv_q5_star_delta",
+    # round 13
+    "iceberg_mv_q5_real_delta",
+    "iceberg_mv_left_join_delta",
+    "iceberg_mv_time_rollup_delta",
 ]
 
 

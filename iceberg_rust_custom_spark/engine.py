@@ -446,8 +446,8 @@ class Engine:
             SRC_ROW_ID,
             SRC_ROW_ID_A,
             SRC_ROW_ID_B,
-            SRC_ROW_ID_C,
             classify_view_sql,
+            src_row_id_cols,
         )
 
         result_schema = self.sql(sql).schema
@@ -470,22 +470,19 @@ class Engine:
             )
             sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B]
             props = {"write.distribution-mode": "range"}
-        elif self._mv_lineage_join3_sql(sql, plan):
+        elif self._mv_lineage_joinN_sql(sql, plan):
+            rid = src_row_id_cols(len(plan.relations))
             result_schema = _T.StructType(
                 list(result_schema.fields)
-                + [
-                    _T.StructField(SRC_ROW_ID_A, _T.LongType(), True),
-                    _T.StructField(SRC_ROW_ID_B, _T.LongType(), True),
-                    _T.StructField(SRC_ROW_ID_C, _T.LongType(), True),
-                ]
+                + [_T.StructField(c, _T.LongType(), True) for c in rid]
             )
-            sort_by = [SRC_ROW_ID_A, SRC_ROW_ID_B, SRC_ROW_ID_C]
+            sort_by = rid
             props = {"write.distribution-mode": "range"}
         else:
             out_names = {f.name for f in result_schema.fields}
             if (
                 plan is not None
-                and plan.mode in ("aggregate", "join_agg", "join3_agg")
+                and plan.mode in ("aggregate", "join_agg", "joinN_agg", "agg_recompute")
                 and plan.group_keys
                 and all(k in out_names for k in plan.group_keys)
             ):
@@ -563,22 +560,29 @@ class Engine:
             return None
 
     def _mv_lineage_join_sql(self, sql: str, plan=None) -> str | None:
-        """The pair-lineage-instrumented rewrite of a two-table inner-join
-        SPJ view SQL (views/incremental.py::join_lineage_sql), or None when
-        the shape or either source (both must be plain tables) rules it
-        out. Pass an already-classified ``plan`` to skip re-parsing
-        (review r11: one refresh was classifying the same SQL four times
-        and loading both sources twice)."""
+        """The pair-lineage-instrumented rewrite of a two-table join SPJ
+        view SQL — inner (views/incremental.py::join_lineage_sql) or LEFT
+        outer (r13, ::left_join_lineage_sql; rid_b is naturally NULL on
+        null-extended rows) — or None when the shape or either source
+        (both must be plain tables) rules it out. Pass an
+        already-classified ``plan`` to skip re-parsing (review r11: one
+        refresh was classifying the same SQL four times and loading both
+        sources twice)."""
         from iceberg_rust_custom_spark.views.incremental import (
             classify_view_sql,
             join_lineage_sql,
+            left_join_lineage_sql,
         )
 
         if plan is None:
             plan = classify_view_sql(sql)
-        if plan is None or plan.mode != "join":
+        if plan is None or plan.mode not in ("join", "left_join"):
             return None
-        lsql = join_lineage_sql(sql)
+        lsql = (
+            join_lineage_sql(sql)
+            if plan.mode == "join"
+            else left_join_lineage_sql(sql)
+        )
         if lsql is None:
             return None
         for rel in (plan.relation, plan.relation_b):
@@ -590,24 +594,24 @@ class Engine:
                 return None
         return lsql
 
-    def _mv_lineage_join3_sql(self, sql: str, plan=None) -> str | None:
-        """The triple-lineage-instrumented rewrite of a three-table
-        inner-join SPJ view SQL (views/incremental.py::join3_lineage_sql),
+    def _mv_lineage_joinN_sql(self, sql: str, plan=None) -> str | None:
+        """The slot-lineage-instrumented rewrite of an n-relation
+        inner-join SPJ view SQL (views/incremental.py::joinN_lineage_sql),
         or None when the shape or any source (all must be plain tables)
         rules it out."""
         from iceberg_rust_custom_spark.views.incremental import (
             classify_view_sql,
-            join3_lineage_sql,
+            joinN_lineage_sql,
         )
 
         if plan is None:
             plan = classify_view_sql(sql)
-        if plan is None or plan.mode != "join3":
+        if plan is None or plan.mode != "joinN":
             return None
-        lsql = join3_lineage_sql(sql)
+        lsql = joinN_lineage_sql(sql)
         if lsql is None:
             return None
-        for rel in (plan.relation, plan.relation_b, plan.relation_c):
+        for rel in plan.relations:
             rel_cat, ident = self.resolve(rel)
             if not rel_cat.tabular_exists(ident):
                 return None
@@ -616,18 +620,18 @@ class Engine:
                 return None
         return lsql
 
-    def _sql_with_join3_lineage(self, sql: str):
-        """Run the triple-lineage join rewrite with all three sources
+    def _sql_with_joinN_lineage(self, sql: str):
+        """Run the slot-lineage join rewrite with all n sources
         registered as row-lineage scans; None → caller uses the plain SQL
         (and null-fills the hidden rid columns)."""
         from iceberg_rust_custom_spark.views.incremental import classify_view_sql
 
         plan = classify_view_sql(sql)
-        lsql = self._mv_lineage_join3_sql(sql, plan)
+        lsql = self._mv_lineage_joinN_sql(sql, plan)
         if lsql is None:
             return None
         try:
-            for rel in (plan.relation, plan.relation_b, plan.relation_c):
+            for rel in plan.relations:
                 self.load_table(rel).scan(row_lineage=True).drop(
                     "_last_updated_sequence_number"
                 ).createOrReplaceTempView(transform_name(rel))
@@ -682,16 +686,11 @@ class Engine:
         """The storage table's current content (no recompute), hidden
         maintenance columns dropped."""
         md = self._load_view_metadata(name)
-        return (
-            self.load_table(md.storage_table)
-            .scan()
-            .drop(
-                _INC.SRC_ROW_ID,
-                _INC.SRC_ROW_ID_A,
-                _INC.SRC_ROW_ID_B,
-                _INC.SRC_ROW_ID_C,
-            )
-        )
+        df = self.load_table(md.storage_table).scan()
+        # SRC_ROW_ID is the family prefix: the SPJ column itself, the
+        # join pair/triple _a/_b/_c names, and the numbered slot-3+ names
+        # of an n-relation chain (r13) all start with it
+        return df.drop(*[c for c in df.columns if c.startswith(_INC.SRC_ROW_ID)])
 
     def _mv_source_states(self, sql: str) -> list[tuple[str, str, int | None]]:
         """(relation, state key, current snapshot id) for every catalog
@@ -823,16 +822,16 @@ class Engine:
                 null_rid_fill = True
         elif _INC.SRC_ROW_ID_A in storage_cols:
             result = (
-                self._sql_with_join3_lineage(md.current_sql())
-                if _INC.SRC_ROW_ID_C in storage_cols
+                self._sql_with_joinN_lineage(md.current_sql())
+                if _INC.SRC_ROW_ID_C in storage_cols  # n >= 3 slots
                 else self._sql_with_join_lineage(md.current_sql())
             )
             if result is None:  # same null-fill contract as the SPJ shape
                 from pyspark.sql import functions as _F
 
                 result = self.sql(md.current_sql())
-                for rc in (_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B, _INC.SRC_ROW_ID_C):
-                    if rc in storage_cols:
+                for rc in sorted(storage_cols):
+                    if rc.startswith(_INC.SRC_ROW_ID):
                         result = result.withColumn(rc, _F.lit(None).cast("long"))
                 null_rid_fill = True
         if result is None:
@@ -847,14 +846,7 @@ class Engine:
         }
         tx = storage.new_transaction().rewrite_with_lineage(files, refresh_state)
         rid_cols_present = [
-            c
-            for c in (
-                _INC.SRC_ROW_ID,
-                _INC.SRC_ROW_ID_A,
-                _INC.SRC_ROW_ID_B,
-                _INC.SRC_ROW_ID_C,
-            )
-            if c in storage_cols
+            c for c in sorted(storage_cols) if c.startswith(_INC.SRC_ROW_ID)
         ]
         if rid_cols_present:
             # three-state trust stamp (review r12). "true" only when the
@@ -865,10 +857,16 @@ class Engine:
             # do better (the old unconditional "true" ping-ponged such MVs
             # between a content-path poison and an O(|V|) heal rewrite
             # every other refresh — the exact cost delta commits removed).
+            trust_cols = rid_cols_present
+            plan_shape = _INC.classify_view_sql(md.current_sql())
+            if plan_shape is not None and plan_shape.mode == "left_join":
+                # rid_b is legitimately NULL on null-extended rows of a
+                # LEFT-join MV (r13) — only rid_a carries the trust claim
+                trust_cols = [c for c in rid_cols_present if c != _INC.SRC_ROW_ID_B]
             rid_nulls = null_rid_fill or any(
                 (f.null_value_counts or {}).get(c, 0) > 0
                 for f in files
-                for c in rid_cols_present
+                for c in trust_cols
             )
             tx.set_properties(
                 {"write.mv.rid-keys-trusted": "unavailable" if rid_nulls else "true"}
@@ -910,10 +908,14 @@ class Engine:
             return self._incremental_join_refresh(md, plan, storage)
         if plan.mode == "join_agg":
             return self._incremental_join_agg_refresh(md, plan, storage)
-        if plan.mode == "join3":
-            return self._incremental_join3_refresh(md, plan, storage)
-        if plan.mode == "join3_agg":
-            return self._incremental_join3_agg_refresh(md, plan, storage)
+        if plan.mode == "joinN":
+            return self._incremental_joinN_refresh(md, plan, storage)
+        if plan.mode == "joinN_agg":
+            return self._incremental_joinN_agg_refresh(md, plan, storage)
+        if plan.mode == "agg_recompute":
+            return self._incremental_agg_recompute_refresh(md, plan, storage)
+        if plan.mode == "left_join":
+            return self._incremental_left_join_refresh(md, plan, storage)
         rel_cat, ident = self.resolve(plan.relation)
         if not rel_cat.tabular_exists(ident):
             return False
@@ -1215,13 +1217,8 @@ class Engine:
                 # schema carries but the plain (no-lineage) SQL couldn't
                 # produce: the SPJ rid, or the join pair rids (r11)
                 st_names = {f.name for f in storage.metadata.current_schema().fields}
-                for rc in (
-                    _INC.SRC_ROW_ID,
-                    _INC.SRC_ROW_ID_A,
-                    _INC.SRC_ROW_ID_B,
-                    _INC.SRC_ROW_ID_C,
-                ):
-                    if rc in st_names and rc not in net_ins.columns:
+                for rc in sorted(st_names):
+                    if rc.startswith(_INC.SRC_ROW_ID) and rc not in net_ins.columns:
                         net_ins = net_ins.withColumn(rc, F.lit(None).cast("long"))
             # null_rid: an all-null rid column must not range-shuffle the
             # whole insert side into one task (r10 rid clustering)
@@ -1856,8 +1853,8 @@ class Engine:
 
     @staticmethod
     def _propagate_equi_preds(sources, preds, pairs_between, snap_for, forbidden=frozenset()):
-        """One equi-graph propagation wave, shared by the join3 SPJ arms
-        and the join3_agg probe/recompute (review r12: two hand-copies of
+        """One equi-graph propagation wave, shared by the joinN SPJ arms
+        and the joinN_agg probe/recompute (review r12: two hand-copies of
         this logic had already drifted): slots without a predicate gain
         one probed from an already-predicated slot they share equality
         pairs with. A FAILED probe falls through to the next pivot
@@ -1889,26 +1886,28 @@ class Engine:
                         pass
         return preds
 
-    def _incremental_join3_refresh(self, md, plan, storage=None):
-        """Delta maintenance for three-table inner-join SPJ views (r12,
-        VERDICT r11 #3) via the telescoping identity over signed multiset
-        deltas (⋈/σ/π are linear, so the n=2 algebra generalizes):
+    def _incremental_joinN_refresh(self, md, plan, storage=None):
+        """Delta maintenance for n-relation inner-join SPJ views (r12:
+        n=3 with hard-coded slots; r13 generalizes to the relation list,
+        VERDICT r12 #1) via the telescoping identity over signed multiset
+        deltas (⋈/σ/π are linear, so the n=2 algebra generalizes) — for
+        n=3:
 
             V_new − V_old = ΔA ⋈ B_new ⋈ C_new
                           ∪ A_old ⋈ ΔB ⋈ C_new
                           ∪ A_old ⋈ B_old ⋈ ΔC
 
-        — each arm stages the already-applied slots at their NEW state and
-        the not-yet-applied slots at their OLD state, so cross terms land
-        exactly once; with signed deltas the positive side uses each
-        slot's insert events and the negative side its delete events, and
-        the two sides NET via exceptAll before committing (intermediate
-        versions and cross-term pairs cancel, same as the 2-table path).
+        — arm i stages slot j at NEW for j > i and OLD for j < i, so
+        cross terms land exactly once; with signed deltas the positive
+        side uses each slot's insert events and the negative side its
+        delete events, and the two sides NET via exceptAll before
+        committing (intermediate versions and cross-term tuples cancel,
+        same as the 2-table path).
 
-        **Triple-lineage commit**: an inner join emits one output row per
-        matching (a, b, c) source-row triple, so (rid_a, rid_b, rid_c) is
+        **Slot-lineage commit**: an inner join emits one output row per
+        matching (r_0, …, r_{n-1}) source-row tuple, so the rid tuple is
         a key of the view multiset — Δ⁻ commits as ONE MoR equality-delete
-        set on the three long rid columns (storage range-clusters on
+        set on the n long rid columns (storage range-clusters on
         rid_a → bounds-pruned victim application), Δ⁺ as an append; no
         pre-existing storage file is read or rewritten
         (``_commit_storage_delta``).
@@ -1930,7 +1929,8 @@ class Engine:
 
         from iceberg_rust_custom_spark.views.incremental import history_kind
 
-        rels = (plan.relation, plan.relation_b, plan.relation_c)
+        rels = plan.relations
+        n = len(rels)
         sources = []
         for rel in rels:
             rel_cat, ident = self.resolve(rel)
@@ -1950,10 +1950,10 @@ class Engine:
             anchors.append(sid)
         sql = md.current_sql()
         out_cols = [f.name for f in storage.metadata.current_schema().fields]
-        rid_cols = [_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B, _INC.SRC_ROW_ID_C]
+        rid_cols = _INC.src_row_id_cols(n)
         has_rids = all(c in out_cols for c in rid_cols)
-        lsql = self._mv_lineage_join3_sql(sql, plan) if has_rids else None
-        ekeys = _INC.join3_equi_keys(sql) or {}
+        lsql = self._mv_lineage_joinN_sql(sql, plan) if has_rids else None
+        ekeys = _INC.joinN_equi_keys(sql) or {}
         new_state = {
             "refresh-version-id": md.current_version_id,
             "source-table-states": {
@@ -1975,7 +1975,7 @@ class Engine:
             by the delta's keys, then one propagation wave prunes slots
             reachable through an already-pruned slot."""
             preds: dict[int, object] = {}
-            for j in range(3):
+            for j in range(n):
                 if j == i:
                     continue
                 pj = pairs_between(j, i)
@@ -1993,14 +1993,14 @@ class Engine:
             )
 
         def run_arms(run_sql, deltas_split, cols, row_lineage: bool):
-            """pos/neg DataFrames from the three telescoped arms.
+            """pos/neg DataFrames from the n telescoped arms.
             deltas_split[i] = (all_events, ins_events, del_events)."""
             pos_parts, neg_parts = [], []
-            for i in range(3):
+            for i in range(n):
                 all_i, ins_i, del_i = deltas_split[i]
                 preds = arm_preds(all_i, i)
                 fulls = {}
-                for j in range(3):
+                for j in range(n):
                     if j == i:
                         continue
                     df = sources[j].scan(
@@ -2012,7 +2012,7 @@ class Engine:
                         df = df.drop("_last_updated_sequence_number")
                     fulls[j] = df
                 for sign_df, parts in ((ins_i, pos_parts), (del_i, neg_parts)):
-                    for j in range(3):
+                    for j in range(n):
                         (sign_df if j == i else fulls[j]).createOrReplaceTempView(
                             transform_name(rels[j])
                         )
@@ -2071,7 +2071,7 @@ class Engine:
                         self._commit_storage_delta(
                             storage, del_keys, net_ins, new_state, data_dir
                         )
-                        return "incremental-join3"
+                        return f"incremental-join{n}"
                 finally:
                     for d in deltas + cached:
                         d.unpersist()
@@ -2105,32 +2105,35 @@ class Engine:
             ran = self._multiset_delta_commit(
                 storage, pos, neg, vis, new_state, data_dir, null_rid=has_rids
             )
-            return "incremental-join3" if ran is not None else False
+            return f"incremental-join{n}" if ran is not None else False
         finally:
             for d in deltas + cached:
                 d.unpersist()
 
-    def _incremental_join3_agg_refresh(self, md, plan, storage=None):
-        """Delta maintenance for THREE-table inner-join GROUP BY views —
-        the full TPC-H q5 star (fact ⋈ dim ⋈ dim + GROUP BY dim key),
-        r12. Same composition as the 2-table ``_incremental_join_agg_
-        refresh``: affected groups from the group-key projection run over
-        the three telescoped delta arms (all change events; full slots
-        staged OLD before the delta slot, NEW after, pruned by the
-        delta's equi keys with one propagation wave through the equi
-        graph), exact recompute of ONLY those groups (group-key values
-        pushed into whichever slot owns each key column, then propagated
-        across the equi graph — in the q5 star the affected nation names
-        prune customers, customers prune orders, orders prune lineitem),
-        and a delta-sized commit: group-keyed MoR equality deletes + an
-        append."""
+    def _incremental_joinN_agg_refresh(self, md, plan, storage=None):
+        """Delta maintenance for n-relation inner-join GROUP BY views —
+        the REAL TPC-H q5 is the n=6 member (customer ⋈ orders ⋈
+        lineitem ⋈ supplier ⋈ nation ⋈ region + region filter + GROUP BY
+        nation; r12 landed n=3 with hard-coded slots, r13 generalizes the
+        slot loop, VERDICT r12 #1). Same composition as the 2-table
+        ``_incremental_join_agg_refresh``: affected groups from the
+        group-key projection run over the n telescoped delta arms (all
+        change events; full slots staged OLD before the delta slot, NEW
+        after, pruned by the delta's equi keys with one propagation wave
+        through the equi graph), exact recompute of ONLY those groups
+        (group-key values pushed into whichever slot owns each key
+        column, then propagated across the equi graph — in the q5 star
+        the affected nation names prune suppliers/customers, customers
+        prune orders, orders prune lineitem), and a delta-sized commit:
+        group-keyed MoR equality deletes + an append."""
         from pyspark.sql import functions as F
 
         from iceberg_rust_custom_spark.metadata.expressions import And as _And
         from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
         from iceberg_rust_custom_spark.views.incremental import history_kind
 
-        rels = (plan.relation, plan.relation_b, plan.relation_c)
+        rels = plan.relations
+        n = len(rels)
         sources = []
         for rel in rels:
             rel_cat, ident = self.resolve(rel)
@@ -2174,11 +2177,13 @@ class Engine:
                 d.unpersist()
             return False
         try:
+            from functools import reduce as _reduce
+
             probe = transform_relations(plan.probe_sql)
             parts = []
-            for i in range(3):
+            for i in range(n):
                 preds: dict[int, object] = {}
-                for j in range(3):
+                for j in range(n):
                     if j == i:
                         continue
                     pj = pairs_between(j, i)
@@ -2194,7 +2199,7 @@ class Engine:
                     lambda k, _i=i: anchors[k] if k < _i else None,
                     forbidden={i},
                 )
-                for j in range(3):
+                for j in range(n):
                     df = (
                         deltas[i]
                         if j == i
@@ -2205,7 +2210,7 @@ class Engine:
                     )
                     df.createOrReplaceTempView(transform_name(rels[j]))
                 parts.append(self.spark.sql(probe))
-            affected = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+            affected = _reduce(lambda x, y: x.unionByName(y), parts).distinct()
             rows = affected.limit(10_001).collect()
         finally:
             for d in deltas:
@@ -2242,7 +2247,7 @@ class Engine:
         # star-join pruning chain at the NEW states: restricted slots
         # prune their equi neighbors (nation → customer → orders → …)
         self._propagate_equi_preds(sources, src_preds, pairs_between, lambda k: None)
-        for j in range(3):
+        for j in range(n):
             sources[j].scan(predicate=src_preds.get(j)).createOrReplaceTempView(
                 transform_name(rels[j])
             )
@@ -2252,7 +2257,7 @@ class Engine:
             storage.metadata.location, "data", _uuid.uuid4().hex[:12]
         )
         self._commit_storage_delta(storage, aff.select(*keys), recomputed, new_state, data_dir)
-        return "incremental-join3-aggregate"
+        return f"incremental-join{n}-aggregate"
 
     def _incremental_join_agg_refresh(self, md, plan, storage=None):
         """Delta maintenance for two-table inner-join GROUP BY views (r12,
@@ -2421,6 +2426,291 @@ class Engine:
         # untouched groups' files are never rewritten
         self._commit_storage_delta(storage, aff.select(*keys), recomputed, new_state, data_dir)
         return "incremental-join-aggregate"
+
+    def _incremental_agg_recompute_refresh(self, md, plan, storage=None):
+        """Affected-group recompute for single-table GROUP BY views the
+        partial-merge path cannot maintain (r13, VERDICT r12 #3):
+        non-decomposable aggregates (AVG/STDDEV/MEDIAN — partials don't
+        merge) and expression group keys (``GROUP BY date_trunc('month',
+        ts)``, the standard time-rollup MV). Same strategy the join_agg
+        family proved in r12, minus the join:
+
+        1. **Affected groups** = the group-key projection
+           (``plan.probe_sql``) over the source delta — ALL change events
+           (a deleted row still marks its group).
+        2. **Recompute only those groups**: the source re-scans with the
+           affected keys pushed down — plain-column keys as per-key
+           IN/range predicates, ``date_trunc`` keys as a raw-column
+           envelope ``col ∈ [min_bucket, max_bucket + 1 unit]`` (every
+           row of an affected bucket lies inside it; the widened upper
+           bound keeps the predicate NECESSARY, extra rows belong to
+           unaffected groups and trim below) — then the view SQL re-runs
+           and a post-aggregate semi-join trims to exactly the affected
+           groups. Recomputed-not-merged, so ANY deterministic aggregate
+           works and group disappearance falls out naturally.
+        3. **Delta-sized commit**: group-keyed MoR eq-delete + append
+           (``_commit_storage_delta``) — untouched groups' storage files
+           are never read or rewritten.
+
+        NULL or >10k affected group keys fall back to a full refresh."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.expressions import And as _And
+        from iceberg_rust_custom_spark.metadata.expressions import Comparison
+        from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
+        from iceberg_rust_custom_spark.views.incremental import history_kind
+
+        rel_cat, ident = self.resolve(plan.relation)
+        if not rel_cat.tabular_exists(ident):
+            return False
+        _, kind = rel_cat.load(ident)
+        if kind != "table":
+            return False
+        src = self.load_table(plan.relation)
+        storage = storage or self.load_table(md.storage_table)
+        stored = self._storage_refresh_state(storage).get("source-table-states", {})
+        sid = stored.get(src.metadata.table_uuid)
+        hist = history_kind(src.metadata, sid) if sid is not None else None
+        if hist is None:
+            return False  # no anchor, or file-set replacement in range
+        seq = src.metadata.snapshots[sid].sequence_number
+        try:
+            delta = (
+                src.incremental_scan(seq)
+                if hist == "appends"
+                else src.changes(seq).drop("_change_type")
+            ).persist()
+        except ValueError:
+            return False  # commit shape the changelog cannot replay
+        keys = list(plan.group_keys)
+        try:
+            delta.createOrReplaceTempView(transform_name(plan.relation))
+            affected = self.spark.sql(transform_relations(plan.probe_sql)).distinct()
+            rows = affected.limit(10_001).collect()
+        finally:
+            delta.unpersist()
+        if len(rows) > 10_000 or any(r[k] is None for r in rows for k in keys):
+            return False  # huge or NULL-keyed group set → full refresh
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+            },
+        }
+        if not rows:
+            return (
+                "incremental-noop"
+                if self._commit_state_only(storage, new_state)
+                else False
+            )
+        aff = self.spark.createDataFrame(rows, affected.schema)
+
+        pred = None
+        for spec, key in zip(plan.key_sources, keys):
+            p = None
+            if spec[0] == "col":
+                try:
+                    p = join_key_predicate(aff, [(spec[1], key)])
+                except Exception:
+                    p = None
+            elif spec[0] == "dtrunc":
+                col, unit = spec[1], spec[2]
+                iv = "3 MONTH" if unit == "quarter" else f"1 {unit.upper()}"
+                try:
+                    bounds = aff.agg(
+                        F.min(key).alias("_lo"),
+                        F.max(F.col(key) + F.expr(f"INTERVAL {iv}")).alias("_hi"),
+                    ).first()
+                    if bounds["_lo"] is not None:
+                        p = _And(
+                            Comparison(col, ">=", bounds["_lo"]),
+                            Comparison(col, "<=", bounds["_hi"]),
+                        )
+                except Exception:
+                    p = None
+            # "opaque" key exprs contribute no predicate: the recompute
+            # reads the source fully, the semi-join keeps it exact
+            if p is not None:
+                pred = p if pred is None else _And(pred, p)
+        src.scan(predicate=pred).createOrReplaceTempView(
+            transform_name(plan.relation)
+        )
+        full = self.spark.sql(transform_relations(md.current_sql()))
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        recomputed = full.join(F.broadcast(aff), keys, "left_semi").select(*out_cols)
+        data_dir = os.path.join(
+            storage.metadata.location, "data", _uuid.uuid4().hex[:12]
+        )
+        self._commit_storage_delta(
+            storage, aff.select(*keys), recomputed, new_state, data_dir
+        )
+        return "incremental-agg-recompute"
+
+    def _incremental_left_join_refresh(self, md, plan, storage=None):
+        """Delta maintenance for two-table LEFT-outer-join SPJ views
+        (r13, VERDICT r12 #2) via affected-A-row recompute with
+        null-extension repair. The delta algebra hazard of outer joins —
+        a ΔB insert can flip a previously-unmatched A-row from
+        null-extended to matched, and a ΔB delete can flip it back — is
+        sidestepped by the shape's key property: every output row of
+        ``A LEFT JOIN B`` is a function of ONE A-row and all of B, so
+
+        1. **Affected A-rows** = rids of ΔA (all events — a deleted row's
+           output must leave) ∪ rids of A_new rows whose equi keys match
+           ΔB's (a superset of the truly-affected rows is exact here: the
+           recompute re-derives any included row identically). The
+           A_new probe file-prunes by ΔB's key values.
+        2. **Eq-delete by rid_a ALONE** — one long-column MoR equality
+           delete catches BOTH the matched rows (rid_a, rid_b) and the
+           null-extended row (rid_a, NULL) of every affected A-row;
+           rid_a range-clustering bounds-prunes application.
+        3. **Recompute**: the view SQL re-runs with A restricted to the
+           affected rids (scan file-pruned by keys(ΔA) ∪ keys(ΔB),
+           row-trimmed by a rid semi-join) against B_new (file-pruned the
+           same way) — null-extension, WHERE semantics, and update pairs
+           all fall out of just running the SQL; the append carries fresh
+           (rid_a, rid_b) pair lineage with rid_b NULL where unmatched.
+
+        Requires pair-lineage storage with trusted rid_a and non-null
+        source lineage on both sides; anything else → full refresh,
+        never a wrong answer."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.expressions import Or as _Or
+        from iceberg_rust_custom_spark.views.incremental import history_kind
+
+        rels = (plan.relation, plan.relation_b)
+        sources = []
+        for rel in rels:
+            rel_cat, ident = self.resolve(rel)
+            if not rel_cat.tabular_exists(ident):
+                return False
+            _, kind = rel_cat.load(ident)
+            if kind != "table":
+                return False
+            sources.append(self.load_table(rel))
+        storage = storage or self.load_table(md.storage_table)
+        stored = self._storage_refresh_state(storage).get("source-table-states", {})
+        anchors = []
+        for src in sources:
+            sid = stored.get(src.metadata.table_uuid)
+            if sid is None or history_kind(src.metadata, sid) is None:
+                return False  # no anchor, or file-set replacement in range
+            anchors.append(sid)
+        a, b = sources
+        a_sid, b_sid = anchors
+        sql = md.current_sql()
+        out_cols = [f.name for f in storage.metadata.current_schema().fields]
+        rid_cols = [_INC.SRC_ROW_ID_A, _INC.SRC_ROW_ID_B]
+        if not all(c in out_cols for c in rid_cols):
+            return False  # legacy storage without pair lineage
+        lsql = self._mv_lineage_join_sql(sql, plan)
+        if lsql is None or not self._storage_cols_joinable(storage, out_cols):
+            return False
+        # only rid_a carries the key claim (rid_b is NULL on null-extended
+        # rows by design); the trusted-property check inside still guards
+        # against content-fallback poisoning
+        if not self._storage_rids_ok(storage, [_INC.SRC_ROW_ID_A]):
+            return False
+        pairs = list(plan.equi_keys)  # [(col on A, col on B), …]
+
+        new_state = {
+            "refresh-version-id": md.current_version_id,
+            "source-table-states": {
+                src.metadata.table_uuid: src.metadata.current_snapshot_id
+                for src in sources
+            },
+        }
+        data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
+        cached = []
+        try:
+            try:
+                da = a.changes(
+                    a.metadata.snapshots[a_sid].sequence_number, with_lineage=True
+                ).persist()
+                cached.append(da)
+                db = b.changes(b.metadata.snapshots[b_sid].sequence_number).persist()
+                cached.append(db)
+            except ValueError:
+                return False  # commit shape the changelog cannot replay
+            if da.where("_row_id IS NULL").limit(1).count() > 0:
+                return False  # pre-lineage A rows: rid identity unusable
+            da_c = da.drop("_change_type")
+            db_c = db.drop("_change_type")
+            # affected A-rows, part 1: every rid ΔA touched
+            rids_a = da_c.select(F.col("_row_id").alias(_INC.SRC_ROW_ID_A))
+            # part 2: A_new rows whose keys match ΔB's (file-pruned probe)
+            try:
+                a_pred_db = self._join_delta_key_predicate(db_c, pairs)
+            except Exception:
+                a_pred_db = None
+            b_keys = db_c.select(
+                *[F.col(bc).alias(f"_sg_bk_{i}") for i, (_, bc) in enumerate(pairs)]
+            ).distinct()
+            a_probe = a.scan(predicate=a_pred_db, row_lineage=True)
+            cond = None
+            for i, (ac, _) in enumerate(pairs):
+                eq = a_probe[ac] == b_keys[f"_sg_bk_{i}"]
+                cond = eq if cond is None else (cond & eq)
+            rids_b = a_probe.join(b_keys, cond, "left_semi").select(
+                F.col("_row_id").alias(_INC.SRC_ROW_ID_A)
+            )
+            aff_rids = rids_a.unionByName(rids_b).distinct().persist()
+            cached.append(aff_rids)
+            if not aff_rids.head(1):
+                return (
+                    "incremental-noop"
+                    if self._commit_state_only(storage, new_state)
+                    else False
+                )
+            # recompute scans: an affected-and-alive A-row's current key is
+            # in keys(ΔA events) ∪ keys(ΔB) — a NECESSARY file-level
+            # condition (the rid semi-join below is the exact row trim)
+            def _or_pred(p1, p2):
+                if p1 is None or p2 is None:
+                    return None
+                return _Or(p1, p2)
+
+            try:
+                a_pred = _or_pred(
+                    self._join_delta_key_predicate(da_c, [(ac, ac) for ac, _ in pairs]),
+                    a_pred_db,
+                )
+            except Exception:
+                a_pred = None
+            try:
+                b_pred = _or_pred(
+                    self._join_delta_key_predicate(da_c, [(bc, ac) for ac, bc in pairs]),
+                    self._join_delta_key_predicate(db_c, [(bc, bc) for _, bc in pairs]),
+                )
+            except Exception:
+                b_pred = None
+            a_aff = (
+                a.scan(predicate=a_pred, row_lineage=True)
+                .drop("_last_updated_sequence_number")
+                .join(aff_rids.withColumnRenamed(_INC.SRC_ROW_ID_A, "_row_id"),
+                      ["_row_id"], "left_semi")
+            )
+            b_new = b.scan(predicate=b_pred, row_lineage=True).drop(
+                "_last_updated_sequence_number"
+            )
+            # matched rows must carry a REAL rid_b — a null one would be
+            # indistinguishable from null-extension (pruned-scan probes)
+            if (
+                b_new.where("_row_id IS NULL").limit(1).count() > 0
+                or a_aff.where("_row_id IS NULL").limit(1).count() > 0
+            ):
+                return False
+            a_aff.createOrReplaceTempView(transform_name(rels[0]))
+            b_new.createOrReplaceTempView(transform_name(rels[1]))
+            recomputed = self.spark.sql(transform_relations(lsql)).select(*out_cols)
+            self._commit_storage_delta(
+                storage, aff_rids, recomputed, new_state, data_dir
+            )
+            return "incremental-left-join"
+        finally:
+            for d in cached:
+                d.unpersist()
 
     def register_function_registry(self) -> None:
         """Expose maintenance entry points as session SQL functions, mirroring

@@ -71,12 +71,12 @@ _JOIN_SHAPE_RE = re.compile(
 
 @dataclass(frozen=True)
 class IncrementalPlan:
-    mode: str  # "append" | "aggregate" | "join" | "join_agg" | "join3" | "join3_agg"
+    mode: str  # "append" | "aggregate" | "join" | "join_agg" | "joinN" | "joinN_agg"
     relation: str
     group_keys: tuple = ()
     merge_ops: dict = field(default_factory=dict)  # output column -> sum|min|max
     relation_b: str | None = None  # second source of a "join" view
-    relation_c: str | None = None  # third source of a "join3" view (r12)
+    relation_c: str | None = None  # third source of an n-relation view
     # join_agg (r12): the SPJ projection of the group keys over the same
     # FROM/ON/WHERE — run over the delta arms to find the affected groups
     probe_sql: str | None = None
@@ -86,7 +86,11 @@ class IncrementalPlan:
     equi_keys: tuple = ()
     # join_agg: per group key, the source column to push the affected-set
     # filter into: ("a"|"b", column) or None when the key's side is unknown
+    # (joinN_agg: (slot index, column) or None)
     key_sources: tuple = ()
+    # joinN (r13): ALL relations of an n-relation join chain, in join
+    # order — slot i's delta arm stages slots j<i at OLD, j>i at NEW
+    relations: tuple = ()
 
 
 # hidden MV-storage column carrying the SOURCE row's v3 _row_id for
@@ -162,94 +166,228 @@ _EQUI_COND_RE = re.compile(
     r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
 )
 
-# three-table inner-join SPJ views (r12, VERDICT r11 #3): triple row
-# lineage generalizes the pair — an inner join emits one output row per
-# matching (a, b, c) source-row triple, so (rid_a, rid_b, rid_c) is a key
-# of the view multiset and delete maintenance is MoR equality deletes on
-# the three long columns.
+# LEFT-outer-join SPJ views (r13, VERDICT r12 #2): ``A LEFT JOIN dim``
+# (preserve unmatched facts) is a very common production MV. The same
+# pair-lineage storage carries it — matched output rows key
+# (rid_a, rid_b), null-extended rows (rid_a, NULL) — and because every
+# output row of a LEFT join is a function of ONE A-row and all of B,
+# maintenance is an affected-A-row recompute: eq-delete by rid_a alone
+# (catches both the matched and the null-extended rows of an affected
+# A-row), re-derive those A-rows' full contribution against B_new.
+_LEFT_JOIN_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
+    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!LEFT\b|JOIN\b)(?P<alias_a>[A-Za-z_]\w*))?"
+    r"\s+LEFT\s+(?:OUTER\s+)?JOIN\s+"
+    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FORBIDDEN_LEFTJOIN_RE = re.compile(
+    r"\b(union|intersect|except|distinct|over|limit|order\s+by|having"
+    r"|group\s+by|right|full|cross|semi|anti)\b|\(\s*select\b",
+    re.IGNORECASE,
+)
+
+
+def _left_join_match(sql: str):
+    """The LEFT-join shape match + (qa, qb), or None. The affected-row
+    machinery needs usable, distinct qualifiers on BOTH sides and an
+    AND-conjoined ON containing at least one two-sided equality (the
+    key-superset that makes the affected-A-row set computable; theta
+    conjuncts are fine — the equality pairs stay necessary). OR'd or
+    parenthesized conditions, self-joins, aggregates, and SELECT * all
+    route to a full refresh."""
+    jm = _LEFT_JOIN_SHAPE_RE.match(sql.strip())
+    if not jm or _FORBIDDEN_LEFTJOIN_RE.search(sql):
+        return None
+    if jm.group("rel_a").lower() == jm.group("rel_b").lower():
+        return None
+    if re.search(
+        r"\bJOIN\b", jm.group("cond") + (jm.group("where") or ""), re.IGNORECASE
+    ):
+        return None  # 3+ relations: full refresh for outer shapes
+    if _AGG_CALL_RE.search(jm.group("select")) or "*" in jm.group("select"):
+        return None
+    qa = (jm.group("alias_a") or ("" if "." in jm.group("rel_a") else jm.group("rel_a"))).lower()
+    qb = (jm.group("alias_b") or ("" if "." in jm.group("rel_b") else jm.group("rel_b"))).lower()
+    if not qa or not qb or qa == qb:
+        return None
+    cond = jm.group("cond")
+    if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
+        return None
+    pairs = equi_pairs_between(cond, qa, qb)
+    if not pairs:
+        return None
+    return jm, qa, qb, pairs
+
+
+def classify_left_join_sql(sql: str) -> IncrementalPlan | None:
+    """Two-table LEFT-outer-join select-project-filter views:
+    maintainable via affected-A-row recompute (see
+    engine._incremental_left_join_refresh). ``equi_keys`` carries the
+    (col on A, col on B) pairs the affected-set computation keys on."""
+    m = _left_join_match(sql)
+    if m is None:
+        return None
+    jm, _, _, pairs = m
+    return IncrementalPlan(
+        "left_join",
+        jm.group("rel_a"),
+        relation_b=jm.group("rel_b"),
+        equi_keys=tuple(pairs),
+    )
+
+
+def left_join_lineage_sql(sql: str) -> str | None:
+    """The pair-lineage-instrumented rewrite of a LEFT-join SPJ view SQL
+    — identical to the inner-join rewrite except the join keyword;
+    ``rid_b`` is naturally NULL on null-extended rows."""
+    m = _left_join_match(sql)
+    if m is None:
+        return None
+    jm, qa, qb, _ = m
+    aa = f" {jm.group('alias_a')}" if jm.group("alias_a") else ""
+    ab = f" {jm.group('alias_b')}" if jm.group("alias_b") else ""
+    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
+    return (
+        f"SELECT {jm.group('select')}, {qa}._row_id AS {SRC_ROW_ID_A}, "
+        f"{qb}._row_id AS {SRC_ROW_ID_B} "
+        f"FROM {jm.group('rel_a')}{aa} LEFT JOIN {jm.group('rel_b')}{ab} "
+        f"ON {jm.group('cond')}{where}"
+    )
+
+# n-relation inner-join SPJ views (r12 added n=3; r13 generalizes to a
+# relation LIST, VERDICT r12 #1): row lineage generalizes slot-wise — an
+# inner join emits one output row per matching (r_0, …, r_{n-1}) source-row
+# tuple, so the rid tuple is a key of the view multiset and delete
+# maintenance is MoR equality deletes on the n long columns.
 SRC_ROW_ID_C = "__sg_src_row_id_c"
 
-_JOIN3_SHAPE_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
-    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
-    r"\s+(?:INNER\s+)?JOIN\s+"
-    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<cond_ab>.*?)"
-    r"\s+(?:INNER\s+)?JOIN\s+"
-    r"(?P<rel_c>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_c>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<cond_c>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+# classifier bound, not an algebra limit: each extra relation adds one
+# telescoped delta arm (n full-side scans), so refresh cost is O(n²) scans
+# of PRUNED slots — fine for star schemas (TPC-H q5 is n=6), but a
+# 20-relation chain almost certainly wants a full refresh anyway.
+MAX_JOIN_RELATIONS = 8
+
+
+def src_row_id_cols(n: int) -> list[str]:
+    """The hidden per-slot lineage column names for an n-relation join
+    view. Slots 0-2 keep the r11/r12 names (_a/_b/_c) so storages created
+    before the r13 generalization keep their rid fast path; slot 3+ are
+    numbered."""
+    legacy = [SRC_ROW_ID_A, SRC_ROW_ID_B, SRC_ROW_ID_C]
+    return [legacy[i] if i < 3 else f"__sg_src_row_id_{i}" for i in range(n)]
+
+
+@dataclass(frozen=True)
+class JoinChain:
+    """A parsed ``FROM r0 [a0] JOIN r1 [a1] ON c1 … [WHERE w] [GROUP BY g]``
+    tail — the iterative replacement for the r12 hard-coded 2/3-slot shape
+    regexes. ``conds[i]`` is the ON condition attached to slot ``i + 1``
+    and may reference ANY earlier slot (the real TPC-H q5 joins supplier
+    to both lineitem and customer in one ON)."""
+
+    select: str
+    rels: tuple  # relation names, join order
+    aliases: tuple  # SQL alias or None, per slot
+    quals: tuple  # lower-cased usable qualifier per slot ("" when none)
+    conds: tuple  # len(rels) - 1 ON conditions
+    where: str | None
+    group: str | None
+
+
+_CHAIN_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<tail>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CHAIN_HEAD_RE = re.compile(
+    r"^(?P<rel>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?$",
+    re.IGNORECASE,
+)
+_CHAIN_JOIN_RE = re.compile(
+    r"^(?P<rel>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
-def _join3_match(sql: str):
-    """The 3-table shape match + qualifier triple, or None. Shared by the
-    classifier, the lineage rewrite, and the equi-key extractor."""
-    jm = _JOIN3_SHAPE_RE.match(sql.strip())
-    if not jm or _FORBIDDEN_NONJOIN_RE.search(sql):
+def parse_join_chain(sql: str) -> JoinChain | None:
+    """Parse an inner-join chain of ANY length (the caller applies the
+    forbidden-shape regexes and relation-count bounds). None when the
+    FROM tail is not a plain ``rel [alias] (JOIN rel [alias] ON cond)*``
+    sequence."""
+    m = _CHAIN_SHAPE_RE.match(sql.strip())
+    if not m:
         return None
-    rels = [jm.group("rel_a"), jm.group("rel_b"), jm.group("rel_c")]
-    if len({r.lower() for r in rels}) != 3:
-        return None  # self-joins: row identity across slots is ambiguous
-    if re.search(
-        r"\bJOIN\b", jm.group("cond_c") + (jm.group("where") or ""), re.IGNORECASE
-    ):
-        return None  # 4+ relations
-    quals = []
-    for r, al in zip(rels, ("alias_a", "alias_b", "alias_c")):
-        quals.append(
-            (jm.group(al) or ("" if "." in r else r)).lower()
-        )
-    return jm, quals
-
-
-def join3_lineage_sql(sql: str) -> str | None:
-    """The triple-lineage-instrumented rewrite of a three-table inner-join
-    SPJ view SQL, or None when the shape rules it out (aggregates,
-    SELECT *, a side without a usable qualifier)."""
-    m = _join3_match(sql)
-    if m is None:
+    parts = re.split(
+        r"\s+(?:INNER\s+)?JOIN\s+", m.group("tail").strip(), flags=re.IGNORECASE
+    )
+    hm = _CHAIN_HEAD_RE.match(parts[0].strip())
+    if not hm:
         return None
-    jm, quals = m
-    if (
-        _AGG_CALL_RE.search(jm.group("select"))
-        or "*" in jm.group("select")
-        or any(not q for q in quals)
-        or len(set(quals)) != 3
-    ):
-        return None
-    al = [
-        f" {jm.group(a)}" if jm.group(a) else ""
-        for a in ("alias_a", "alias_b", "alias_c")
-    ]
-    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
-    return (
-        f"SELECT {jm.group('select')}, {quals[0]}._row_id AS {SRC_ROW_ID_A}, "
-        f"{quals[1]}._row_id AS {SRC_ROW_ID_B}, "
-        f"{quals[2]}._row_id AS {SRC_ROW_ID_C} "
-        f"FROM {jm.group('rel_a')}{al[0]} JOIN {jm.group('rel_b')}{al[1]} "
-        f"ON {jm.group('cond_ab')} JOIN {jm.group('rel_c')}{al[2]} "
-        f"ON {jm.group('cond_c')}{where}"
+    rels, aliases, conds = [hm.group("rel")], [hm.group("alias")], []
+    for part in parts[1:]:
+        jm = _CHAIN_JOIN_RE.match(part.strip())
+        if not jm:
+            return None
+        rels.append(jm.group("rel"))
+        aliases.append(jm.group("alias"))
+        conds.append(jm.group("cond").strip())
+    quals = tuple(
+        (a or ("" if "." in r else r)).lower() for r, a in zip(rels, aliases)
+    )
+    return JoinChain(
+        m.group("select").strip(),
+        tuple(rels),
+        tuple(aliases),
+        quals,
+        tuple(conds),
+        m.group("where"),
+        m.group("group"),
     )
 
 
-def join3_equi_keys(sql: str) -> dict[tuple[int, int], list[tuple[str, str]]] | None:
+def _chain_match(sql: str, agg: bool) -> JoinChain | None:
+    """The n-relation (3 ≤ n ≤ MAX_JOIN_RELATIONS) chain match + validity
+    shared by the joinN classifiers, the lineage rewrite, and the
+    equi-key extractor. ``agg`` selects the GROUP-BY-permitting forbidden
+    set and requires/forbids the GROUP BY tail accordingly."""
+    forbidden = _FORBIDDEN_JOINAGG_RE if agg else _FORBIDDEN_NONJOIN_RE
+    if forbidden.search(sql):
+        return None
+    ch = parse_join_chain(sql)
+    if ch is None or not 3 <= len(ch.rels) <= MAX_JOIN_RELATIONS:
+        return None
+    if (ch.group is not None) != agg:
+        return None
+    if len({r.lower() for r in ch.rels}) != len(ch.rels):
+        return None  # self-joins: row identity across slots is ambiguous
+    return ch
+
+
+def _chain_from_sql(ch: JoinChain) -> str:
+    """Reassemble the chain's FROM/ON/WHERE tail (no GROUP BY)."""
+    frm = ch.rels[0] + (f" {ch.aliases[0]}" if ch.aliases[0] else "")
+    for r, a, c in zip(ch.rels[1:], ch.aliases[1:], ch.conds):
+        frm += f" JOIN {r}" + (f" {a}" if a else "") + f" ON {c}"
+    return frm + (f" WHERE {ch.where}" if ch.where else "")
+
+
+def _pairs_by_slot(
+    conds, quals
+) -> dict[tuple[int, int], list[tuple[str, str]]]:
     """{(i, j): [(col on rel_i, col on rel_j), …]} for every two-sided
-    equality between distinct relations in the two ON conditions (i < j,
-    relation slots 0/1/2). Conditions containing OR or parentheses
-    contribute nothing (a disjunct could join outside any conjunct's key
-    set); theta conjuncts are skipped — the remaining equality pairs stay
-    a NECESSARY join condition, so pruning by them is sound."""
-    m = _join3_match(sql)
-    if m is None:
-        return None
-    jm, quals = m
-    if any(not q for q in quals) or len(set(quals)) != 3:
-        return None
-    idx = {q: i for i, q in enumerate(quals)}
+    equality between distinct slots across all ON conditions (i < j).
+    Conditions containing OR or parentheses contribute nothing (a
+    disjunct could join outside any conjunct's key set); theta conjuncts
+    are skipped — the remaining equality pairs stay a NECESSARY join
+    condition, so pruning by them is sound."""
+    idx = {q: i for i, q in enumerate(quals) if q}
     out: dict[tuple[int, int], list[tuple[str, str]]] = {}
-    for cond in (jm.group("cond_ab"), jm.group("cond_c")):
+    for cond in conds:
         if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
             continue
         # the shared conjunct parser per qualifier pair, so orientation /
@@ -261,78 +399,87 @@ def join3_equi_keys(sql: str) -> dict[tuple[int, int], list[tuple[str, str]]] | 
                 p = equi_pairs_between(cond, qx, qy)
                 if p:
                     out.setdefault((x, y), []).extend(p)
-    return out or None
+    return out
 
 
-def classify_join3_sql(sql: str) -> IncrementalPlan | None:
-    """Three-relation inner-join select-project-filter views: maintainable
-    via the telescoping delta identity (see engine._incremental_join3_
-    refresh). The reference's __delta__ placeholders stop at registering
-    source deltas (materialized_view.rs:147-159); this implements the
-    n=3 member of the family."""
-    m = _join3_match(sql)
-    if m is None:
+def joinN_lineage_sql(sql: str) -> str | None:
+    """The slot-lineage-instrumented rewrite of an n-relation inner-join
+    SPJ view SQL, or None when the shape rules it out (aggregates,
+    SELECT *, a slot without a usable qualifier)."""
+    ch = _chain_match(sql, agg=False)
+    if ch is None:
         return None
-    jm, _ = m
-    if _AGG_CALL_RE.search(jm.group("select")):
+    if (
+        _AGG_CALL_RE.search(ch.select)
+        or "*" in ch.select
+        or any(not q for q in ch.quals)
+        or len(set(ch.quals)) != len(ch.quals)
+    ):
+        return None
+    rid_proj = ", ".join(
+        f"{q}._row_id AS {c}"
+        for q, c in zip(ch.quals, src_row_id_cols(len(ch.rels)))
+    )
+    return f"SELECT {ch.select}, {rid_proj} FROM {_chain_from_sql(ch)}"
+
+
+def joinN_equi_keys(sql: str) -> dict[tuple[int, int], list[tuple[str, str]]] | None:
+    """Per-slot-pair equality keys of an n-relation SPJ chain (see
+    ``_pairs_by_slot`` for the soundness rules)."""
+    ch = _chain_match(sql, agg=False)
+    if ch is None:
+        return None
+    if any(not q for q in ch.quals) or len(set(ch.quals)) != len(ch.quals):
+        return None
+    return _pairs_by_slot(ch.conds, ch.quals) or None
+
+
+# r12 names — the n=3 calls are bit-identical through the general parser
+join3_lineage_sql = joinN_lineage_sql
+join3_equi_keys = joinN_equi_keys
+
+
+def classify_joinN_sql(sql: str) -> IncrementalPlan | None:
+    """n-relation inner-join select-project-filter views (3 ≤ n ≤
+    MAX_JOIN_RELATIONS): maintainable via the telescoping delta identity
+    (see engine._incremental_joinN_refresh). The reference's __delta__
+    placeholders stop at registering source deltas
+    (materialized_view.rs:147-159); r12 implemented the n=3 member with
+    hard-coded slots, r13 generalizes to a relation list."""
+    ch = _chain_match(sql, agg=False)
+    if ch is None or _AGG_CALL_RE.search(ch.select):
         return None
     return IncrementalPlan(
-        "join3",
-        jm.group("rel_a"),
-        relation_b=jm.group("rel_b"),
-        relation_c=jm.group("rel_c"),
+        "joinN",
+        ch.rels[0],
+        relation_b=ch.rels[1],
+        relation_c=ch.rels[2],
+        relations=ch.rels,
     )
 
 
-# three-table join + GROUP BY views (r12 — the full TPC-H q5 star):
-# same 3-relation inner-join FROM clause, mandatory GROUP BY tail
-_JOIN3_AGG_SHAPE_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+"
-    r"(?P<rel_a>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b)(?P<alias_a>[A-Za-z_]\w*))?"
-    r"\s+(?:INNER\s+)?JOIN\s+"
-    r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<cond_ab>.*?)"
-    r"\s+(?:INNER\s+)?JOIN\s+"
-    r"(?P<rel_c>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_c>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<cond_c>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<group>.*?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
-def classify_join3_agg_sql(sql: str) -> IncrementalPlan | None:
-    """Three-relation inner-join GROUP BY views — the full TPC-H q5 star
-    (fact ⋈ dim ⋈ dim + GROUP BY dim key). Maintenance mirrors the
+def classify_joinN_agg_sql(sql: str) -> IncrementalPlan | None:
+    """n-relation inner-join GROUP BY views — the REAL TPC-H q5 is the
+    n=6 member (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    region + region filter + GROUP BY nation). Maintenance mirrors the
     2-table join_agg: affected groups from the group-key projection over
-    the three telescoped delta arms, exact recompute of only those
-    groups, group-keyed eq-delete + append commit. None → full
-    refresh."""
+    the n telescoped delta arms, exact recompute of only those groups,
+    group-keyed eq-delete + append commit. None → full refresh."""
     from iceberg_rust_custom_spark.ddl import _split_top_level
 
-    jm = _JOIN3_AGG_SHAPE_RE.match(sql.strip())
-    if not jm or _FORBIDDEN_JOINAGG_RE.search(sql):
+    ch = _chain_match(sql, agg=True)
+    if ch is None:
         return None
-    rels = [jm.group("rel_a"), jm.group("rel_b"), jm.group("rel_c")]
-    if len({r.lower() for r in rels}) != 3:
-        return None
-    if re.search(
-        r"\bJOIN\b", jm.group("cond_c") + (jm.group("where") or ""), re.IGNORECASE
-    ):
-        return None  # 4+ relations
-    key_exprs = tuple(k.strip() for k in _split_top_level(jm.group("group")))
+    key_exprs = tuple(k.strip() for k in _split_top_level(ch.group))
     if not key_exprs or not all(
         _KEY_ITEM_RE.fullmatch(k) and " " not in k for k in key_exprs
     ):
         return None
-    quals = []
-    for r, al in zip(rels, ("alias_a", "alias_b", "alias_c")):
-        quals.append((jm.group(al) or ("" if "." in r else r)).lower())
-    if len({q for q in quals if q}) != sum(1 for q in quals if q):
+    if len({q for q in ch.quals if q}) != sum(1 for q in ch.quals if q):
         return None  # duplicate qualifiers
     sel_keys: list[tuple[str, str]] = []
     agg_seen = False
-    for item in _split_top_level(jm.group("select")):
+    for item in _split_top_level(ch.select):
         item = item.strip()
         if _JOINAGG_ITEM_RE.match(item):
             agg_seen = True
@@ -349,31 +496,10 @@ def classify_join3_agg_sql(sql: str) -> IncrementalPlan | None:
     out_names = tuple(n for _, n in sel_keys)
     if len(out_names) != len(set(out_names)):
         return None
-    al = [
-        f" {jm.group(a)}" if jm.group(a) else ""
-        for a in ("alias_a", "alias_b", "alias_c")
-    ]
-    where = f" WHERE {jm.group('where')}" if jm.group("where") else ""
     proj = ", ".join(f"{e} AS {n}" for e, n in sel_keys)
-    probe_sql = (
-        f"SELECT {proj} FROM {rels[0]}{al[0]} JOIN {rels[1]}{al[1]} "
-        f"ON {jm.group('cond_ab')} JOIN {rels[2]}{al[2]} "
-        f"ON {jm.group('cond_c')}{where}"
-    )
-    # equality pairs between relation slots — through the shared
-    # conjunct parser so orientation/theta-skip rules live in one place
-    idx = {q: i for i, q in enumerate(quals) if q}
-    pairs: dict[tuple[int, int], list[tuple[str, str]]] = {}
-    for cond in (jm.group("cond_ab"), jm.group("cond_c")):
-        if "(" in cond or re.search(r"\bor\b", cond, re.IGNORECASE):
-            continue
-        for qx, x in idx.items():
-            for qy, y in idx.items():
-                if x >= y:
-                    continue
-                p = equi_pairs_between(cond, qx, qy)
-                if p:
-                    pairs.setdefault((x, y), []).extend(p)
+    probe_sql = f"SELECT {proj} FROM {_chain_from_sql(ch)}"
+    idx = {q: i for i, q in enumerate(ch.quals) if q}
+    pairs = _pairs_by_slot(ch.conds, ch.quals)
     key_sources: list[tuple[int, str] | None] = []
     for expr, _ in sel_keys:
         if "." in expr:
@@ -382,14 +508,15 @@ def classify_join3_agg_sql(sql: str) -> IncrementalPlan | None:
         else:
             key_sources.append(None)
     return IncrementalPlan(
-        "join3_agg",
-        rels[0],
+        "joinN_agg",
+        ch.rels[0],
         group_keys=out_names,
-        relation_b=rels[1],
-        relation_c=rels[2],
+        relation_b=ch.rels[1],
+        relation_c=ch.rels[2],
         probe_sql=probe_sql,
         equi_keys=tuple((ij, tuple(p)) for ij, p in sorted(pairs.items())),
         key_sources=tuple(key_sources),
+        relations=ch.rels,
     )
 
 
@@ -548,11 +675,96 @@ def equi_pairs_between(cond: str, qa: str, qb: str) -> list[tuple[str, str]] | N
     return pairs or None
 
 
+# expression group keys the agg_recompute path can FILE-PRUNE the source
+# by: date_trunc('unit', col) maps to a raw-column envelope (every row of
+# an affected group has col in [min_bucket, max_bucket + 1 unit)); other
+# deterministic single-column expressions stay row-level-only (opaque)
+_DTRUNC_KEY_RE = re.compile(
+    r"^date_trunc\(\s*'(?P<unit>year|quarter|month|week|day|hour)'\s*,\s*"
+    r"(?P<col>[A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+# a group-key EXPRESSION in the select list must carry an alias (it names
+# the storage column the refresh eq-deletes by); plain columns default
+_AGGREC_KEY_RE = re.compile(
+    r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def classify_agg_recompute_sql(sql: str) -> IncrementalPlan | None:
+    """Single-table GROUP BY views the partial-merge path rejects —
+    non-decomposable aggregates (AVG/STDDEV/MEDIAN/…) or expression group
+    keys (``GROUP BY date_trunc('month', ts)``, the standard time-rollup
+    MV). Maintenance recomputes ONLY the affected groups (VERDICT r12
+    #3): probe = the group-key projection over the source delta, exact
+    recompute of those groups from a key-pruned source scan, group-keyed
+    eq-delete + append commit. The n-table join_agg machinery proved the
+    strategy (engine.py join_agg r12); the single-table case is the same
+    minus the join. None → full refresh."""
+    from iceberg_rust_custom_spark.ddl import _split_top_level
+
+    m = _SHAPE_RE.match(sql.strip())
+    if not m or _FORBIDDEN_RE.search(sql) or not m.group("group"):
+        return None
+    key_exprs = tuple(k.strip() for k in _split_top_level(m.group("group")))
+    if not key_exprs:
+        return None
+    specs: dict[str, tuple] = {}  # key expr -> pruning spec
+    for k in key_exprs:
+        if re.fullmatch(r"[A-Za-z_]\w*", k):
+            specs[k] = ("col", k)
+        else:
+            dm = _DTRUNC_KEY_RE.fullmatch(k)
+            if dm:
+                specs[k] = ("dtrunc", dm.group("col"), dm.group("unit").lower())
+            elif "(" in k and ")" in k:
+                specs[k] = ("opaque",)  # deterministic expr: no file pruning
+            else:
+                return None  # not obviously deterministic — full refresh
+    sel_keys: list[tuple[str, str]] = []  # (source expr, output name)
+    agg_seen = False
+    for item in _split_top_level(m.group("select")):
+        item = item.strip()
+        if _JOINAGG_ITEM_RE.match(item):
+            agg_seen = True
+            continue
+        km = _AGGREC_KEY_RE.fullmatch(item)
+        if not km or km.group("expr").strip() not in specs:
+            return None  # derived non-key expression: full refresh
+        expr = km.group("expr").strip()
+        alias = km.group("alias")
+        if alias is None:
+            if not re.fullmatch(r"[A-Za-z_]\w*", expr):
+                return None  # expression key must name its storage column
+            alias = expr
+        sel_keys.append((expr, alias))
+    if not agg_seen or not sel_keys:
+        return None
+    if {e for e, _ in sel_keys} != set(key_exprs):
+        return None  # every GROUP BY key must be projected (eq-delete key)
+    out_names = tuple(nm for _, nm in sel_keys)
+    if len(out_names) != len(set(out_names)):
+        return None
+    rel = m.group("rel")
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    proj = ", ".join(f"{e} AS {nm}" for e, nm in sel_keys)
+    return IncrementalPlan(
+        "agg_recompute",
+        rel,
+        group_keys=out_names,
+        probe_sql=f"SELECT {proj} FROM {rel}{where}",
+        key_sources=tuple(specs[e] for e, _ in sel_keys),
+    )
+
+
 def classify_view_sql(sql: str) -> IncrementalPlan | None:
     """Shape-match the view SQL; None means "not incrementally
     maintainable, do a full refresh". Deliberately conservative: one
     catalog relation, no joins/set-ops/windows/subqueries; aggregates
-    restricted to the decomposable SUM/COUNT/MIN/MAX."""
+    restricted to the decomposable SUM/COUNT/MIN/MAX (partial merge) —
+    non-decomposable aggregates and expression keys route to the
+    affected-group recompute classifier (r13)."""
     from iceberg_rust_custom_spark.ddl import _split_top_level
 
     if _FORBIDDEN_RE.search(sql):
@@ -569,15 +781,20 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
             # two-relation inner equi/theta join, select-project-filter only:
             # maintainable via the delta-join identity (see join refresh)
             return IncrementalPlan("join", jm.group("rel_a"), relation_b=jm.group("rel_b"))
-        # three-table inner join (r12): telescoping delta identity
-        plan3 = classify_join3_sql(sql)
-        if plan3 is not None:
-            return plan3
-        # join + GROUP BY, 2- or 3-table (r12): affected-group recompute
-        plan3a = classify_join3_agg_sql(sql)
-        if plan3a is not None:
-            return plan3a
-        return classify_join_agg_sql(sql)
+        # n-relation inner join (r12: n=3; r13: relation list up to
+        # MAX_JOIN_RELATIONS): telescoping delta identity
+        planN = classify_joinN_sql(sql)
+        if planN is not None:
+            return planN
+        # join + GROUP BY, 2..n relations: affected-group recompute
+        planNa = classify_joinN_agg_sql(sql)
+        if planNa is not None:
+            return planNa
+        plan2a = classify_join_agg_sql(sql)
+        if plan2a is not None:
+            return plan2a
+        # LEFT-outer SPJ (r13): affected-A-row recompute
+        return classify_left_join_sql(sql)
     m = _SHAPE_RE.match(sql.strip())
     if not m:
         return None
@@ -588,7 +805,8 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
 
     keys = tuple(k.strip() for k in _split_top_level(group))
     if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
-        return None  # expression keys: fall back to full refresh
+        # expression keys (date_trunc rollups): affected-group recompute
+        return classify_agg_recompute_sql(sql)
     merge_ops: dict[str, str] = {}
     for item in _split_top_level(m.group("select")):
         item = item.strip()
@@ -596,10 +814,11 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
             continue
         am = _AGG_RE.match(item)
         if not am:
-            return None  # unaliased/derived/AVG-style aggregate
+            # AVG/STDDEV/aliased-key shapes: affected-group recompute
+            return classify_agg_recompute_sql(sql)
         merge_ops[am.group("alias")] = _MERGEABLE[am.group("fn").lower()]
     if not merge_ops:
-        return None
+        return classify_agg_recompute_sql(sql)
     return IncrementalPlan("aggregate", rel, keys, merge_ops)
 
 

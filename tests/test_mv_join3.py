@@ -43,7 +43,7 @@ def test_join3_classifier_and_lineage_shapes():
         "JOIN t.c c ON o.ck = c.ck WHERE l.lv > 0"
     )
     p = classify_view_sql(sql)
-    assert p.mode == "join3" and (p.relation, p.relation_b, p.relation_c) == (
+    assert p.mode == "joinN" and (p.relation, p.relation_b, p.relation_c) == (
         "t.l", "t.o", "t.c",
     )
     lsql = join3_lineage_sql(sql)
@@ -57,16 +57,23 @@ def test_join3_classifier_and_lineage_shapes():
         "SELECT a.x, b.y, c.z FROM ta a JOIN tb b ON a.k = b.k "
         "JOIN tc c ON a.j = c.j AND b.m = c.m"
     ) == {(0, 1): [("k", "k")], (0, 2): [("j", "j")], (1, 2): [("m", "m")]}
-    # ruled out: self-join, outer join, 4 relations, aggregates, GROUP BY
+    # 4 relations classify since the r13 generalization (stale r12 pin)
+    four = "SELECT a.x FROM ta a JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j JOIN td d ON c.z=d.z"
+    assert classify_view_sql(four).mode == "joinN"
+    assert classify_view_sql(four).relations == ("ta", "tb", "tc", "td")
+    # ruled out: self-join, outer join, >MAX_JOIN_RELATIONS, aggregates, GROUP BY
+    nine = "SELECT a1.x FROM t1 a1 " + " ".join(
+        f"JOIN t{i} a{i} ON a{i-1}.k = a{i}.k" for i in range(2, 10)
+    )
     for bad in [
         "SELECT a.x FROM ta a JOIN tb b ON a.k=b.k JOIN ta c ON b.j=c.j",
         "SELECT a.x FROM ta a LEFT JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j",
-        "SELECT a.x FROM ta a JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j JOIN td d ON c.z=d.z",
+        nine,
         "SELECT sum(a.x) AS s FROM ta a JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j",
         "SELECT a.x FROM ta a JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j GROUP BY a.x",
     ]:
         got = classify_view_sql(bad)
-        assert got is None or got.mode != "join3", bad
+        assert got is None or got.mode != "joinN", bad
     # SELECT * / missing qualifier: classifies join3 but lineage opts out
     assert join3_lineage_sql(
         "SELECT * FROM ta a JOIN tb b ON a.k=b.k JOIN tc c ON b.j=c.j"

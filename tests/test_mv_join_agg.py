@@ -218,7 +218,7 @@ def test_join3_agg_star_mv_refreshes_incrementally(eng, spark):
         "WHERE l.amt >= 0 GROUP BY c.seg"
     )
     p = classify_view_sql(sql)
-    assert p is not None and p.mode == "join3_agg"
+    assert p is not None and p.mode == "joinN_agg"
     assert p.group_keys == ("seg",) and p.key_sources == ((2, "seg"),)
     assert dict(p.equi_keys) == {(0, 1): (("ok", "ok"),), (1, 2): (("ck", "ck"),)}
 

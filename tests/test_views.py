@@ -265,7 +265,7 @@ def test_classify_join_view_shapes():
     p = classify_view_sql(
         "SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k JOIN ns.c c ON b.j = c.j"
     )
-    assert p is not None and p.mode == "join3" and p.relation_c == "ns.c"
+    assert p is not None and p.mode == "joinN" and p.relation_c == "ns.c"
 
 
 def test_multi_dialect_view_representations(engine, spark):

@@ -210,8 +210,109 @@ def run_catchup(n_commits: int = 100, rows_per_commit: int = 10_000) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_follow_join(n_rows: int, n_refreshes: int = 5) -> dict:
+    """Changelog-follow rung for JOIN-MV storages (VERDICT r12 #5). r12
+    pinned that a pair-keyed storage's delta commits (eq-delete on the
+    rid pair + append) are changelog-FOLLOWABLE; this measures that a
+    follower's per-batch cost tracks the DELTA, not the storage: a CDC
+    follower consumes each refresh's change batch as the fact side grows
+    10× per rung, and the follow wall must stay ~flat — the eq-delete
+    replay victim-prunes by the tombstones' rid bounds (the storage
+    range-clusters on rid_a) instead of re-scanning storage history."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.session import get_spark
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    spark = get_spark("cdc_follow_join")
+    wh = _tf.mkdtemp(prefix="cdc_follow_join_")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_dim = max(10, n_rows // 10)
+        a = eng.create_table(
+            "lad.ja",
+            spark.range(1).select(
+                F.col("id").alias("k"), F.col("id").alias("fk"), (F.col("id") * 1.0).alias("av")
+            ).schema,
+        )
+        a.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_dim).alias("fk"),
+                (F.col("id") * 1.0).alias("av"),
+            )
+        )
+        b = eng.create_table(
+            "lad.jb",
+            spark.range(1).select(
+                F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv")
+            ).schema,
+        )
+        b.append(spark.range(n_dim).select(F.col("id").alias("fk"), (F.col("id") * 2.0).alias("bv")))
+        eng.create_materialized_view(
+            "lad.jmv", "SELECT a.k, a.av, b.bv FROM lad.ja a JOIN lad.jb b ON a.fk = b.fk"
+        )
+        storage = eng.load_table("lad.jmv__storage")
+        anchor = storage.metadata.last_sequence_number
+        refresh_walls, follow_walls, follow_rows = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(a, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            a.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"),
+                    (F.col("id") % n_dim).alias("fk"),
+                    (F.col("id") * 1.0).alias("av"),
+                )
+            )
+            next_k += 100
+            update_where(
+                b, {"bv": "bv + 0.5"}, f"fk >= {i * 10} AND fk < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            t0 = time.time()
+            flavor = eng.refresh_materialized_view("lad.jmv")
+            refresh_walls.append(time.time() - t0)
+            assert flavor == "incremental-changelog-join", flavor
+            # the follower consumes exactly this refresh's change batch
+            storage = eng.load_table("lad.jmv__storage")
+            t0 = time.time()
+            batch = storage.changes(anchor)
+            cnt = batch.count()
+            follow_walls.append(time.time() - t0)
+            follow_rows.append(cnt)
+            anchor = storage.metadata.last_sequence_number
+        import statistics
+
+        return {
+            "mode": "follow-join",
+            "rows_a": n_rows,
+            "rows_b": n_dim,
+            "refresh_wall_s": round(statistics.median(refresh_walls), 3),
+            "follow_wall_s": round(statistics.median(follow_walls), 3),
+            "follow_wall_all": [round(w, 3) for w in follow_walls],
+            "follow_rows_per_batch": int(statistics.median(follow_rows)),
+        }
+    finally:
+        for obj in ("lad.jmv", "lad.ja", "lad.jb"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
+    if "--follow-join" in args:
+        nums = [int(a) for a in args if a.isdigit()]
+        for n in nums or [10_000, 100_000, 1_000_000]:
+            print(json.dumps(run_follow_join(n)), flush=True)
+        return
     if "--catchup" in args:
         nums = [int(a) for a in args if a.isdigit()]
         print(

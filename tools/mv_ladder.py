@@ -658,6 +658,200 @@ def run_rung_join3_agg(spark, n_rows: int, n_refreshes: int = 5) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_joinN(spark, n_rows: int, n_refreshes: int = 5, n_rel: int = 4) -> dict:
+    """n-relation chain rung (r13, VERDICT r12 #1 — the generalization
+    past the r12 hard-coded 3 slots). A chain t0 ⋈ t1 ⋈ … ⋈ t{n-1} with
+    each slot 10× smaller than the last, every slot clustered on its
+    outgoing join key; fixed delta per refresh (100-row MoR delete +
+    100-row append on t0, one 10-key MoR update on the TAIL dim — the
+    worst case: its arm must prune every other slot through the
+    propagation wave). Wall and bytes must stay ~flat as |t0| grows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-joinN-")
+    eng = Engine(spark, warehouse=wh)
+    names = [f"lad.n{i}" for i in range(n_rel)]
+    try:
+        sizes = [max(10, n_rows // (10 ** i)) for i in range(n_rel)]
+        tabs = []
+        for i, (name, sz) in enumerate(zip(names, sizes)):
+            t = eng.create_table(
+                name,
+                spark.range(1).select(
+                    F.col("id").alias(f"k{i}"),
+                    F.col("id").alias(f"f{i}"),
+                    (F.col("id") * 1.0).alias(f"v{i}"),
+                ).schema,
+                sort_by=[f"f{i}"],
+                properties={"write.distribution-mode": "range"},
+            )
+            nxt = sizes[i + 1] if i + 1 < n_rel else 1
+            # contiguous fk blocks per file so key pruning bites
+            t.append(
+                spark.range(sz).select(
+                    F.col("id").alias(f"k{i}"),
+                    (F.col("id") * nxt / sz).cast("long").alias(f"f{i}"),
+                    (F.col("id") * 1.0).alias(f"v{i}"),
+                )
+            )
+            tabs.append(t)
+        frm = f"{names[0]} x0 " + " ".join(
+            f"JOIN {names[i]} x{i} ON x{i-1}.f{i-1} = x{i}.k{i}"
+            for i in range(1, n_rel)
+        )
+        sql = (
+            f"SELECT x0.k0, x0.v0, x{n_rel-1}.v{n_rel-1} AS tail FROM {frm}"
+        )
+        eng.create_materialized_view("lad.nmv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        tail = tabs[-1]
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(tabs[0], f"k0 >= {lo} AND k0 < {lo + 100}", mode="merge-on-read")
+            tabs[0].append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k0"),
+                    (F.col("id") % sizes[1]).alias("f0"),
+                    (F.col("id") * 1.0).alias("v0"),
+                )
+            )
+            next_k += 100
+            update_where(
+                tail, {f"v{n_rel-1}": f"v{n_rel-1} + 0.5"},
+                f"k{n_rel-1} >= {i * 10} AND k{n_rel-1} < {i * 10 + 10}",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.nmv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.nmv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.nmv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == f"incremental-join{n_rel}", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = eng.scan_materialized_view("lad.nmv").count()
+        want = eng.sql(f"SELECT count(*) c FROM {frm}").first().c
+        assert got == want, (got, want)
+        return {
+            "mode": f"join{n_rel}-chain",
+            "rows_t0": n_rows,
+            "sizes": sizes,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": got,
+        }
+    finally:
+        for obj in ["lad.nmv"] + names:
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def run_rung_rollup(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """Time-rollup rung (r13, VERDICT r12 #3): AVG + GROUP BY
+    date_trunc('day', ts) over a ts-clustered source growing 10× per
+    rung; fixed delta per refresh (100-row MoR delete + 100-row append
+    inside ONE day bucket). The affected-group recompute pushes the
+    raw-column envelope [min_bucket, max_bucket + 1 day] into the source
+    scan, so refresh wall and bytes must stay ~flat while the source and
+    its day count grow."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-rollup-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        # ~1000 rows per day bucket; day count grows with the source
+        t = eng.create_table(
+            "lad.rt",
+            spark.range(1).select(
+                F.col("id").alias("k"),
+                F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+                (F.col("id") * 1.0).alias("v"),
+            ).schema,
+            sort_by=["ts"],
+            properties={"write.distribution-mode": "range"},
+        )
+        t.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                F.expr(
+                    "timestampadd(SECOND, CAST(id * 86.4 AS LONG), "
+                    "TIMESTAMP '2024-01-01 00:00:00')"
+                ).alias("ts"),
+                (F.col("id") * 1.0).alias("v"),
+            )
+        )
+        sql = (
+            "SELECT date_trunc('day', ts) AS d, avg(v) AS av, count(*) AS n "
+            "FROM lad.rt GROUP BY date_trunc('day', ts)"
+        )
+        eng.create_materialized_view("lad.rmv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(t, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            t.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"),
+                    F.expr(
+                        f"timestampadd(SECOND, CAST(id + {i * 100} AS LONG), "
+                        "TIMESTAMP '2024-01-01 12:00:00')"
+                    ).alias("ts"),
+                    (F.col("id") * 1.0).alias("v"),
+                )
+            )
+            next_k += 100
+            storage = eng.load_table("lad.rmv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.rmv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.rmv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-agg-recompute", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = sorted(
+            (str(r.d), r.n) for r in eng.scan_materialized_view("lad.rmv").collect()
+        )
+        want = sorted((str(r.d), r.n) for r in eng.sql(sql).collect())
+        assert got == want, (got[:2], want[:2])
+        return {
+            "mode": "rollup-avg",
+            "rows": n_rows,
+            "day_buckets": len(got),
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+        }
+    finally:
+        for obj in ("lad.rmv", "lad.rt"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     agg = "--agg" in args
@@ -666,12 +860,18 @@ def main():
     join_agg = "--join-agg" in args
     join3 = "--join3" in args
     join3_agg = "--join3-agg" in args
+    joinN = "--joinN" in args
+    rollup = "--rollup" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
     spark = get_spark("mv_ladder")
     for n in rungs:
-        if join_compound:
+        if joinN:
+            out = run_rung_joinN(spark, n)
+        elif rollup:
+            out = run_rung_rollup(spark, n)
+        elif join_compound:
             out = run_rung_join(spark, n, compound=True)
         elif join3_agg:
             out = run_rung_join3_agg(spark, n)
