@@ -129,6 +129,7 @@ HEADLINE = [
     "iceberg_mv_q5_real_delta",
     "iceberg_mv_left_join_delta",
     "iceberg_mv_time_rollup_delta",
+    "iceberg_mv_join_rollup_delta",
 ]
 
 

@@ -2236,11 +2236,17 @@ class Engine:
         for ks, key in zip(plan.key_sources, keys):
             if ks is None:
                 continue
-            slot, col = ks
-            try:
-                p = join_key_predicate(aff, [(col, key)])
-            except Exception:
-                continue
+            if len(ks) == 3:  # date_trunc key (r13): raw-column envelope
+                slot, col, unit = ks
+                p = self._dtrunc_envelope_predicate(aff, key, col, unit, sources[slot])
+                if p is None:
+                    continue
+            else:
+                slot, col = ks
+                try:
+                    p = join_key_predicate(aff, [(col, key)])
+                except Exception:
+                    continue
             src_preds[slot] = (
                 p if src_preds.get(slot) is None else _And(src_preds[slot], p)
             )
@@ -2386,11 +2392,19 @@ class Engine:
         for ks, key in zip(plan.key_sources, keys):
             if ks is None:
                 continue  # unqualified key: recompute reads that side fully
-            side, col = ks
-            try:
-                p = join_key_predicate(aff, [(col, key)])
-            except Exception:
-                continue
+            if len(ks) == 3:  # date_trunc key (r13): raw-column envelope
+                side, col, unit = ks
+                p = self._dtrunc_envelope_predicate(
+                    aff, key, col, unit, a if side == "a" else b
+                )
+                if p is None:
+                    continue
+            else:
+                side, col = ks
+                try:
+                    p = join_key_predicate(aff, [(col, key)])
+                except Exception:
+                    continue
             src_preds[side] = p if src_preds[side] is None else _And(src_preds[side], p)
         a_pred2, b_pred2 = src_preds["a"], src_preds["b"]
         # second-level runtime filter (star-join pruning): when only one
@@ -2514,20 +2528,7 @@ class Engine:
                 except Exception:
                     p = None
             elif spec[0] == "dtrunc":
-                col, unit = spec[1], spec[2]
-                iv = "3 MONTH" if unit == "quarter" else f"1 {unit.upper()}"
-                try:
-                    bounds = aff.agg(
-                        F.min(key).alias("_lo"),
-                        F.max(F.col(key) + F.expr(f"INTERVAL {iv}")).alias("_hi"),
-                    ).first()
-                    if bounds["_lo"] is not None:
-                        p = _And(
-                            Comparison(col, ">=", bounds["_lo"]),
-                            Comparison(col, "<=", bounds["_hi"]),
-                        )
-                except Exception:
-                    p = None
+                p = self._dtrunc_envelope_predicate(aff, key, spec[1], spec[2], src)
             # "opaque" key exprs contribute no predicate: the recompute
             # reads the source fully, the semi-join keeps it exact
             if p is not None:
@@ -2545,6 +2546,43 @@ class Engine:
             storage, aff.select(*keys), recomputed, new_state, data_dir
         )
         return "incremental-agg-recompute"
+
+    @staticmethod
+    def _dtrunc_envelope_predicate(aff, key, col, unit, src=None):
+        """RAW-column envelope predicate for a ``date_trunc('unit', col)``
+        group key: every source row of an affected bucket has
+        ``col ∈ [min_bucket, max_bucket + 1 unit]`` — the widened,
+        INCLUSIVE upper bound keeps the predicate NECESSARY regardless of
+        bucket alignment (extra admitted rows belong to unaffected groups
+        and are trimmed by the post-aggregate semi-join). When the raw
+        column is a DATE, the timestamp bounds cast to dates (session tz
+        is pinned UTC, so the month/day boundary maps exactly). None on
+        any surprise — the recompute then reads the source unpruned,
+        still exact."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_custom_spark.metadata.expressions import And as _And
+        from iceberg_rust_custom_spark.metadata.expressions import Comparison
+
+        iv = "3 MONTH" if unit == "quarter" else f"1 {unit.upper()}"
+        try:
+            lo = F.col(key)
+            hi = F.col(key) + F.expr(f"INTERVAL {iv}")
+            if src is not None:
+                import pyspark.sql.types as _T
+
+                dt = src.metadata.current_schema().spark_schema()[col].dataType
+                if isinstance(dt, _T.DateType):
+                    lo, hi = lo.cast("date"), hi.cast("date")
+            bounds = aff.agg(F.min(lo).alias("_lo"), F.max(hi).alias("_hi")).first()
+            if bounds["_lo"] is None:
+                return None
+            return _And(
+                Comparison(col, ">=", bounds["_lo"]),
+                Comparison(col, "<=", bounds["_hi"]),
+            )
+        except Exception:
+            return None
 
     def _incremental_left_join_refresh(self, md, plan, storage=None):
         """Delta maintenance for two-table LEFT-outer-join SPJ views

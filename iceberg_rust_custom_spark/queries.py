@@ -6280,6 +6280,87 @@ def iceberg_mv_time_rollup_delta(spark, sf_dir):
 
 
 @q(
+    "iceberg_mv_join_rollup_delta",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+           c_mktsegment,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS rev,
+           COUNT(o_orderkey) AS n
+    FROM (SELECT * FROM orders WHERE o_orderkey % 9 <> 0) o
+    JOIN (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 2 THEN c_mktsegment || '_x'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ) c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def iceberg_mv_join_rollup_delta(spark, sf_dir):
+    """r13: the time-rollup-over-a-join MV — GROUP BY
+    date_trunc('month', fact date) + dim segment. The r12 classifier
+    rejected expression group keys outright (full refresh); the r13
+    affected-group recompute admits them, pruning the fact by the
+    RAW-column envelope of the affected months (date column: timestamp
+    bounds cast to dates) and the dim by the affected segment values.
+    Delta = a MoR delete on orders + a MoR segment rename on customer;
+    asserted in-gate: refresh flavor, no pre-existing storage file
+    rewritten. Oracle = full recompute of the final state."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where, update_where
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    tag = hashlib.md5(f"{sf_dir}:mvjoinrollup".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ord_jr"):
+        odf = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        cdf = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        to = eng.create_table(
+            "rt.ord_jr",
+            odf.schema,
+            sort_by=["o_orderdate"],
+            properties={"write.distribution-mode": "range"},
+        )
+        to.append(odf)
+        tc = eng.create_table("rt.cust_jr", cdf.schema)
+        tc.append(cdf)
+        eng.create_materialized_view(
+            "rt.mvjr",
+            "SELECT date_trunc('month', o.o_orderdate) AS mo, c.c_mktsegment, "
+            "SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS rev, "
+            "COUNT(o.o_orderkey) AS n "
+            "FROM rt.ord_jr o JOIN rt.cust_jr c ON o.o_custkey = c.c_custkey "
+            "GROUP BY date_trunc('month', o.o_orderdate), c.c_mktsegment",
+        )
+        st = eng.load_table("rt.mvjr__storage")
+        before = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        delete_where(to, "o_orderkey % 9 = 0", mode="merge-on-read")
+        update_where(
+            tc, {"c_mktsegment": "concat(c_mktsegment, '_x')"}, "c_custkey % 5 = 2",
+            mode="merge-on-read",
+        )
+        mode = eng.refresh_materialized_view("rt.mvjr")
+        assert mode == "incremental-join-aggregate", mode
+        st = eng.load_table("rt.mvjr__storage")
+        after = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        assert before <= after, "join-rollup delta refresh rewrote pre-existing storage files"
+    mv = eng.scan_materialized_view("rt.mvjr")
+    return mv.select(
+        "mo", "c_mktsegment", F.round("rev", 4).cast("double").alias("rev"), "n"
+    )
+
+
+@q(
     "iceberg_timestamp_ns_lossless",
     """
     SELECT o_orderkey, 1700000000000000000 + o_orderkey * 1000 + 789 AS ts_ns

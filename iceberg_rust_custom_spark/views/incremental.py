@@ -471,9 +471,7 @@ def classify_joinN_agg_sql(sql: str) -> IncrementalPlan | None:
     if ch is None:
         return None
     key_exprs = tuple(k.strip() for k in _split_top_level(ch.group))
-    if not key_exprs or not all(
-        _KEY_ITEM_RE.fullmatch(k) and " " not in k for k in key_exprs
-    ):
+    if not key_exprs or not all(_valid_agg_key_expr(k) for k in key_exprs):
         return None
     if len({q for q in ch.quals if q}) != sum(1 for q in ch.quals if q):
         return None  # duplicate qualifiers
@@ -484,11 +482,10 @@ def classify_joinN_agg_sql(sql: str) -> IncrementalPlan | None:
         if _JOINAGG_ITEM_RE.match(item):
             agg_seen = True
             continue
-        km = _KEY_ITEM_RE.fullmatch(item)
-        if not km or km.group("expr") not in key_exprs:
+        parsed = _agg_key_item(item, key_exprs)
+        if parsed is None:
             return None
-        expr = km.group("expr")
-        sel_keys.append((expr, km.group("alias") or expr.split(".")[-1]))
+        sel_keys.append(parsed)
     if not agg_seen or not sel_keys:
         return None
     if {e for e, _ in sel_keys} != set(key_exprs):
@@ -500,9 +497,17 @@ def classify_joinN_agg_sql(sql: str) -> IncrementalPlan | None:
     probe_sql = f"SELECT {proj} FROM {_chain_from_sql(ch)}"
     idx = {q: i for i, q in enumerate(ch.quals) if q}
     pairs = _pairs_by_slot(ch.conds, ch.quals)
-    key_sources: list[tuple[int, str] | None] = []
+    key_sources: list[tuple | None] = []
     for expr, _ in sel_keys:
-        if "." in expr:
+        dm = _DTRUNC_QUAL_KEY_RE.fullmatch(expr)
+        if dm:
+            q = (dm.group("q") or "").lower()
+            key_sources.append(
+                (idx[q], dm.group("col"), dm.group("unit").lower())
+                if q in idx
+                else None
+            )
+        elif "." in expr:
             q, col = expr.split(".", 1)
             key_sources.append((idx[q.lower()], col) if q.lower() in idx else None)
         else:
@@ -544,6 +549,41 @@ _KEY_ITEM_RE = re.compile(
     r"^(?P<expr>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$",
     re.IGNORECASE,
 )
+# r13: date_trunc over an optionally-qualified column is also a legal
+# join-agg group key — the time-rollup-over-a-join MV. The engine prunes
+# the owning side by the raw-column envelope (see
+# Engine._dtrunc_envelope_predicate); the affected-group recompute is
+# already exact for any deterministic key expression.
+_DTRUNC_QUAL_KEY_RE = re.compile(
+    r"^date_trunc\(\s*'(?P<unit>year|quarter|month|week|day|hour)'\s*,\s*"
+    r"(?:(?P<q>[A-Za-z_]\w*)\.)?(?P<col>[A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _agg_key_item(item: str, key_exprs: tuple) -> tuple[str, str] | None:
+    """Parse a select-list group-key item of a join-agg view: a plain or
+    qualified column, or a ``date_trunc('unit', [q.]col)`` expression —
+    which must carry an alias (it names the storage column the refresh
+    eq-deletes by). Returns (source expr, output name), or None when the
+    item is not a projection of a GROUP BY key."""
+    km = _AGGREC_KEY_RE.fullmatch(item)
+    if not km or km.group("expr").strip() not in key_exprs:
+        return None
+    expr = km.group("expr").strip()
+    alias = km.group("alias")
+    if alias is None:
+        if not _KEY_ITEM_RE.fullmatch(expr):
+            return None  # expression key must name its storage column
+        alias = expr.split(".")[-1]
+    return expr, alias
+
+
+def _valid_agg_key_expr(k: str) -> bool:
+    return bool(
+        (_KEY_ITEM_RE.fullmatch(k) and " " not in k)
+        or _DTRUNC_QUAL_KEY_RE.fullmatch(k)
+    )
 
 
 def classify_join_agg_sql(sql: str) -> IncrementalPlan | None:
@@ -567,7 +607,7 @@ def classify_join_agg_sql(sql: str) -> IncrementalPlan | None:
     ):
         return None  # 3+ relations
     key_exprs = tuple(k.strip() for k in _split_top_level(jm.group("group")))
-    if not key_exprs or not all(_KEY_ITEM_RE.fullmatch(k) and " " not in k for k in key_exprs):
+    if not key_exprs or not all(_valid_agg_key_expr(k) for k in key_exprs):
         return None
     qa = (
         jm.group("alias_a") or ("" if "." in jm.group("rel_a") else jm.group("rel_a"))
@@ -584,11 +624,10 @@ def classify_join_agg_sql(sql: str) -> IncrementalPlan | None:
         if _JOINAGG_ITEM_RE.match(item):
             agg_seen = True
             continue
-        km = _KEY_ITEM_RE.fullmatch(item)
-        if not km or km.group("expr") not in key_exprs:
+        parsed = _agg_key_item(item, key_exprs)
+        if parsed is None:
             return None  # derived/unaliased expression: full refresh
-        expr = km.group("expr")
-        sel_keys.append((expr, km.group("alias") or expr.split(".")[-1]))
+        sel_keys.append(parsed)
     if not agg_seen or not sel_keys:
         return None
     if {e for e, _ in sel_keys} != set(key_exprs):
@@ -609,9 +648,16 @@ def classify_join_agg_sql(sql: str) -> IncrementalPlan | None:
     pairs = None
     if qa and qb and "(" not in cond and not re.search(r"\bor\b", cond, re.IGNORECASE):
         pairs = equi_pairs_between(cond, qa, qb)
-    key_sources: list[tuple[str, str] | None] = []
+    key_sources: list[tuple | None] = []
     for expr, _ in sel_keys:
-        if "." in expr:
+        dm = _DTRUNC_QUAL_KEY_RE.fullmatch(expr)
+        if dm:
+            q = (dm.group("q") or "").lower()
+            side = "a" if (qa and q == qa) else ("b" if (qb and q == qb) else None)
+            key_sources.append(
+                (side, dm.group("col"), dm.group("unit").lower()) if side else None
+            )
+        elif "." in expr:
             q, col = expr.split(".", 1)
             if qa and q.lower() == qa:
                 key_sources.append(("a", col))

@@ -361,3 +361,82 @@ def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     delete_where(o, "ok = 10", mode="copy-on-write")
     assert eng.refresh_materialized_view("jag.mv") == "full"
     _check(eng, "cow")
+
+
+def test_join_rollup_dtrunc_key_refreshes_incrementally(eng, spark):
+    """r13: the time-rollup-over-a-join MV — GROUP BY date_trunc('day',
+    fact.ts), dim.seg with AVG. The date_trunc key classifies (r12
+    rejected expression keys outright) and the recompute prunes the fact
+    by the raw-column envelope of the affected day buckets."""
+    import datetime as dt
+
+    f = eng.create_table(
+        "jr.f",
+        spark.range(1).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("fk"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            (F.col("id") * 1.0).alias("v"),
+        ).schema,
+        sort_by=["ts"],
+        properties={"write.distribution-mode": "range"},
+    )
+    f.append(
+        spark.range(2000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 40).alias("fk"),
+            F.expr(
+                "timestampadd(HOUR, CAST(id % 240 AS INT), TIMESTAMP '2024-01-01 00:30:00')"
+            ).alias("ts"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    d = eng.create_table(
+        "jr.d",
+        spark.range(1).select(
+            F.col("id").alias("dk"), F.concat(F.lit("s"), F.col("id") % 4).alias("seg")
+        ).schema,
+    )
+    d.append(
+        spark.range(40).select(
+            F.col("id").alias("dk"), F.concat(F.lit("s"), F.col("id") % 4).alias("seg")
+        )
+    )
+    sql = (
+        "SELECT date_trunc('day', f.ts) AS day, d.seg, avg(f.v) AS av, "
+        "count(f.k) AS n FROM jr.f f JOIN jr.d d ON f.fk = d.dk "
+        "GROUP BY date_trunc('day', f.ts), d.seg"
+    )
+    p = classify_view_sql(sql)
+    assert p is not None and p.mode == "join_agg"
+    assert p.key_sources == (("a", "ts", "day"), ("b", "seg"))
+    eng.create_materialized_view("jr.mv", sql)
+
+    def check(tag):
+        got = sorted(
+            (str(r.day), r.seg, round(r.av, 9), r.n)
+            for r in eng.scan_materialized_view("jr.mv").collect()
+        )
+        want = sorted(
+            (str(r.day), r.seg, round(r.av, 9), r.n) for r in eng.sql(sql).collect()
+        )
+        assert got == want, tag
+
+    check("initial")
+    # append inside one day bucket
+    f.append(
+        spark.createDataFrame(
+            [(9000, 3, dt.datetime(2024, 1, 5, 10, 0), 50.0)],
+            "k long, fk long, ts timestamp, v double",
+        )
+    )
+    assert eng.refresh_materialized_view("jr.mv") == "incremental-join-aggregate"
+    check("append")
+    # MoR delete scattered across buckets
+    delete_where(f, "k % 17 = 0", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jr.mv") == "incremental-join-aggregate"
+    check("fact-delete")
+    # dim rename moves rows between segment groups
+    update_where(d, {"seg": "concat(seg, '_x')"}, "dk % 8 = 1", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jr.mv") == "incremental-join-aggregate"
+    check("dim-rename")
