@@ -759,6 +759,116 @@ def run_rung_joinN(spark, n_rows: int, n_refreshes: int = 5, n_rel: int = 4) -> 
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_rung_left_join(spark, n_rows: int, n_refreshes: int = 5) -> dict:
+    """LEFT-join rung (r13, VERDICT r12 #2): fact A grows 10× per rung,
+    dim B = |A|/10 but covering only HALF the fact key space (so
+    null-extended rows are a standing population); fixed delta per
+    refresh — 100-row MoR delete + 100-row append on A, plus a 10-key
+    dim flip (insert 5 previously-missing keys, MoR-delete 5 present
+    ones) that converts specific fact rows matched↔null-extended both
+    ways. The affected-A-row recompute must keep wall and bytes ~flat:
+    both rescans file-prune by keys(ΔA) ∪ keys(ΔB)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+
+    wh = tempfile.mkdtemp(prefix="mvlad-lj-")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        n_keys = max(20, n_rows // 10)
+        a = eng.create_table(
+            "lad.la",
+            spark.range(1).select(
+                F.col("id").alias("k"), F.col("id").alias("fk"), (F.col("id") * 1.0).alias("av")
+            ).schema,
+            sort_by=["fk"],
+            properties={"write.distribution-mode": "range"},
+        )
+        a.append(
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_keys).alias("fk"),
+                (F.col("id") * 1.0).alias("av"),
+            )
+        )
+        b = eng.create_table(
+            "lad.lb",
+            spark.range(1).select(
+                F.col("id").alias("bk"), (F.col("id") * 2.0).alias("bv")
+            ).schema,
+        )
+        # even keys only: odd-keyed facts stay null-extended
+        b.append(
+            spark.range(n_keys // 2).select(
+                (F.col("id") * 2).alias("bk"), (F.col("id") * 2.0).alias("bv")
+            )
+        )
+        sql = "SELECT a.k, a.av, b.bv FROM lad.la a LEFT JOIN lad.lb b ON a.fk = b.bk"
+        eng.create_materialized_view("lad.lmv", sql)
+        walls, bytes_w, files_w = [], [], []
+        next_k = n_rows
+        for i in range(n_refreshes):
+            lo = i * 100
+            delete_where(a, f"k >= {lo} AND k < {lo + 100}", mode="merge-on-read")
+            a.append(
+                spark.range(100).select(
+                    (F.col("id") + next_k).alias("k"),
+                    (F.col("id") % n_keys).alias("fk"),
+                    (F.col("id") * 1.0).alias("av"),
+                )
+            )
+            next_k += 100
+            # flip 5 odd keys to matched, 5 even keys to null-extended
+            base = (i * 10) % (n_keys - 10)
+            b.append(
+                spark.createDataFrame(
+                    [(base + 2 * j + 1, 9.9) for j in range(5)], "bk long, bv double"
+                )
+            )
+            delete_where(
+                b, f"bk >= {base} AND bk < {base + 10} AND bk % 2 = 0",
+                mode="merge-on-read",
+            )
+            storage = eng.load_table("lad.lmv__storage")
+            before = _storage_file_sizes(storage)
+            t0 = time.perf_counter()
+            flavor = eng.refresh_materialized_view("lad.lmv")
+            walls.append(time.perf_counter() - t0)
+            storage = eng.load_table("lad.lmv__storage")
+            after = _storage_file_sizes(storage)
+            added = {p: s for p, s in after.items() if p not in before}
+            bytes_w.append(sum(added.values()))
+            files_w.append(len(added))
+            assert flavor == "incremental-left-join", flavor
+            assert all(p in after for p in before), "pre-existing storage file dropped"
+        got = eng.scan_materialized_view("lad.lmv")
+        n_all, n_null = got.count(), got.where("bv IS NULL").count()
+        want = eng.sql(f"SELECT count(*) c FROM ({sql})").first().c
+        want_null = eng.sql(
+            f"SELECT count(*) c FROM ({sql}) WHERE bv IS NULL"
+        ).first().c
+        assert (n_all, n_null) == (want, want_null), ((n_all, n_null), (want, want_null))
+        return {
+            "mode": "left-join",
+            "rows_a": n_rows,
+            "dim_keys": n_keys,
+            "null_extended_rows": n_null,
+            "refresh_wall_s": round(statistics.median(walls), 3),
+            "refresh_wall_all": [round(w, 3) for w in walls],
+            "bytes_written": int(statistics.median(bytes_w)),
+            "files_written": int(statistics.median(files_w)),
+            "storage_rows": n_all,
+        }
+    finally:
+        for obj in ("lad.lmv", "lad.la", "lad.lb"):
+            try:
+                eng.drop(obj)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_rung_rollup(spark, n_rows: int, n_refreshes: int = 5) -> dict:
     """Time-rollup rung (r13, VERDICT r12 #3): AVG + GROUP BY
     date_trunc('day', ts) over a ts-clustered source growing 10× per
@@ -862,6 +972,7 @@ def main():
     join3_agg = "--join3-agg" in args
     joinN = "--joinN" in args
     rollup = "--rollup" in args
+    left_join = "--left-join" in args
     rungs = [int(a) for a in args if a.isdigit()] or [10_000, 100_000, 1_000_000]
     from iceberg_rust_custom_spark.session import get_spark
 
@@ -871,6 +982,8 @@ def main():
             out = run_rung_joinN(spark, n)
         elif rollup:
             out = run_rung_rollup(spark, n)
+        elif left_join:
+            out = run_rung_left_join(spark, n)
         elif join_compound:
             out = run_rung_join(spark, n, compound=True)
         elif join3_agg:
