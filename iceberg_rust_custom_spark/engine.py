@@ -2470,7 +2470,6 @@ class Engine:
         from pyspark.sql import functions as F
 
         from iceberg_rust_custom_spark.metadata.expressions import And as _And
-        from iceberg_rust_custom_spark.metadata.expressions import Comparison
         from iceberg_rust_custom_spark.table.runtime_filter import join_key_predicate
         from iceberg_rust_custom_spark.views.incremental import history_kind
 
@@ -2714,6 +2713,21 @@ class Engine:
                     self._join_delta_key_predicate(da_c, [(ac, ac) for ac, _ in pairs]),
                     a_pred_db,
                 )
+                # the key predicate applies ROW-LEVEL in the scan and the
+                # runtime-filter prober ignores NULL keys — but a LEFT
+                # join PRESERVES NULL-key A rows (they are null-extended,
+                # affected only via ΔA, and their rids are in aff_rids).
+                # Without the IS NULL disjunct the recompute drops them
+                # while the eq-delete still removes their old output
+                # (review r13, reproduced: an update setting fk=NULL made
+                # the row vanish from the MV).
+                if a_pred is not None:
+                    from iceberg_rust_custom_spark.metadata.expressions import (
+                        IsNull as _IsNull,
+                    )
+
+                    for ac, _ in pairs:
+                        a_pred = _Or(a_pred, _IsNull(ac))
             except Exception:
                 a_pred = None
             try:

@@ -736,6 +736,16 @@ _AGGREC_KEY_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+# non-date_trunc expression keys admitted by the agg-recompute path: a
+# DETERMINISTIC single-column function whitelist (review r13 — the old
+# "any parenthesized expression" rule admitted current_date()/rand()
+# keys, whose affected-group commits would mix two key epochs in storage)
+_DETERMINISTIC_KEY_FN_RE = re.compile(
+    r"^(?:upper|lower|trim|ltrim|rtrim|abs|floor|ceil|year|quarter|month"
+    r"|day|dayofmonth|dayofweek|hour|minute|to_date|length)"
+    r"\(\s*[A-Za-z_]\w*\s*\)$",
+    re.IGNORECASE,
+)
 
 
 def classify_agg_recompute_sql(sql: str) -> IncrementalPlan | None:
@@ -764,10 +774,14 @@ def classify_agg_recompute_sql(sql: str) -> IncrementalPlan | None:
             dm = _DTRUNC_KEY_RE.fullmatch(k)
             if dm:
                 specs[k] = ("dtrunc", dm.group("col"), dm.group("unit").lower())
-            elif "(" in k and ")" in k:
-                specs[k] = ("opaque",)  # deterministic expr: no file pruning
+            elif _DETERMINISTIC_KEY_FN_RE.fullmatch(k):
+                specs[k] = ("opaque",)  # deterministic, but no file pruning
             else:
-                return None  # not obviously deterministic — full refresh
+                # anything else may be nondeterministic or time-dependent
+                # (current_date(), rand(), …) — an affected-group commit
+                # would mix two key epochs in storage (review r13): full
+                # refresh, never a wrong answer
+                return None
     sel_keys: list[tuple[str, str]] = []  # (source expr, output name)
     agg_seen = False
     for item in _split_top_level(m.group("select")):
@@ -775,16 +789,10 @@ def classify_agg_recompute_sql(sql: str) -> IncrementalPlan | None:
         if _JOINAGG_ITEM_RE.match(item):
             agg_seen = True
             continue
-        km = _AGGREC_KEY_RE.fullmatch(item)
-        if not km or km.group("expr").strip() not in specs:
+        parsed = _agg_key_item(item, key_exprs)
+        if parsed is None:
             return None  # derived non-key expression: full refresh
-        expr = km.group("expr").strip()
-        alias = km.group("alias")
-        if alias is None:
-            if not re.fullmatch(r"[A-Za-z_]\w*", expr):
-                return None  # expression key must name its storage column
-            alias = expr
-        sel_keys.append((expr, alias))
+        sel_keys.append(parsed)
     if not agg_seen or not sel_keys:
         return None
     if {e for e, _ in sel_keys} != set(key_exprs):

@@ -38,15 +38,24 @@ def test_agg_recompute_classifier_shapes():
     assert p.key_sources == (("col", "g"),)
     # decomposable aggregates stay on the cheaper partial-merge path
     assert classify_view_sql("SELECT g, sum(v) AS s FROM t GROUP BY g").mode == "aggregate"
-    # opaque deterministic expression keys classify without pruning spec
+    # whitelisted deterministic expression keys classify without pruning
     p = classify_view_sql("SELECT upper(g) AS ug, avg(v) AS av FROM t GROUP BY upper(g)")
     assert p is not None and p.mode == "agg_recompute" and p.key_sources == (("opaque",),)
-    # ruled out: unaliased expression key, non-whitelisted aggregate
+    # ruled out: unaliased expression key, non-whitelisted aggregate, and
+    # NONDETERMINISTIC / time-dependent keys (review r13: an
+    # affected-group commit under such a key would mix two key epochs)
     assert classify_view_sql(
         "SELECT date_trunc('month', ts), avg(v) AS av FROM t "
         "GROUP BY date_trunc('month', ts)"
     ) is None
     assert classify_view_sql("SELECT g, collect_list(v) AS l FROM t GROUP BY g") is None
+    for nondet in [
+        "SELECT datediff(current_date(), ts) AS age, avg(v) AS av FROM t "
+        "GROUP BY datediff(current_date(), ts)",
+        "SELECT cast(rand() * 10 AS int) AS b, avg(v) AS av FROM t "
+        "GROUP BY cast(rand() * 10 AS int)",
+    ]:
+        assert classify_view_sql(nondet) is None, nondet
 
 
 _SQL = (

@@ -188,6 +188,45 @@ def test_left_join_anti_pattern_where_b_is_null(eng, spark):
     check("fact-append")
 
 
+def test_left_join_preserves_null_key_fact_rows(eng, spark):
+    """Review r13 (reproduced bug): a NULL-join-key fact row is PRESERVED
+    by a LEFT join (null-extended) but the recompute scan's key predicate
+    applies row-level and the runtime-filter prober ignores NULL keys —
+    without the IS NULL disjunct, an appended NULL-key row never entered
+    the MV, and an update setting fk=NULL made the row VANISH (its old
+    output eq-deleted by rid_a, no replacement appended)."""
+    a, b = _mk(eng, spark, n_a=300, n_b=20)
+    eng.create_materialized_view("lj.mv", _SQL)
+    _check(eng, "initial")
+    # append a NULL-key fact row (plus a normal one in the same delta)
+    a.append(
+        spark.createDataFrame(
+            [(9000, None, 5.0), (9001, 2, 6.0)], "k long, fk long, v double"
+        )
+    )
+    assert eng.refresh_materialized_view("lj.mv") == "incremental-left-join"
+    _check(eng, "null-key-append")
+    assert (
+        eng.scan_materialized_view("lj.mv").where("k = 9000 AND w IS NULL").count() == 1
+    )
+    # update an existing matched row's key to NULL: it must flip to
+    # null-extended, not vanish
+    update_where(a, {"fk": "NULL"}, "k = 5", mode="merge-on-read")
+    assert eng.refresh_materialized_view("lj.mv") == "incremental-left-join"
+    _check(eng, "update-key-to-null")
+    assert (
+        eng.scan_materialized_view("lj.mv").where("k = 5 AND w IS NULL").count() == 1
+    )
+    # and back from NULL to a matched key
+    update_where(a, {"fk": "3"}, "k = 9000", mode="merge-on-read")
+    assert eng.refresh_materialized_view("lj.mv") == "incremental-left-join"
+    _check(eng, "update-key-from-null")
+    assert (
+        eng.scan_materialized_view("lj.mv").where("k = 9000 AND w IS NOT NULL").count()
+        == 1
+    )
+
+
 def test_left_join_falls_back_to_full_on_hard_shapes(eng, spark):
     """CoW file-set replacement on either source breaks rid anchoring →
     full refresh; content stays exact; a later clean delta resumes the
@@ -218,6 +257,10 @@ _oplj = st.one_of(
     st.tuples(st.just("delete_b"), st.integers(0, 9)),
     st.tuples(st.just("update_a"), st.integers(0, 9)),
     st.tuples(st.just("update_b"), st.integers(0, 9)),
+    # NULL-key churn (review r13: the original grammar never produced a
+    # NULL join key, missing the preserved-row drop bug)
+    st.tuples(st.just("nullify_a"), st.integers(0, 9)),
+    st.tuples(st.just("rekey_a"), st.integers(0, 9)),
     st.tuples(st.just("refresh"), st.just(0)),
 )
 
@@ -296,6 +339,13 @@ def test_left_join_mv_random_op_sequences_match_recompute(
             update_where(a, {"v": "v + 1"}, f"k % 10 = {arg}", mode="merge-on-read")
         elif kind == "update_b":
             update_where(b, {"w": "w + 1"}, f"bk % 10 = {arg}", mode="merge-on-read")
+        elif kind == "nullify_a":
+            update_where(a, {"fk": "NULL"}, f"k % 10 = {arg}", mode="merge-on-read")
+        elif kind == "rekey_a":
+            update_where(
+                a, {"fk": f"{arg % 7}"}, f"k % 10 = {arg} AND fk IS NULL",
+                mode="merge-on-read",
+            )
         else:
             eng.refresh_materialized_view("fl.mv")
             check()
