@@ -180,11 +180,13 @@ def test_classifier_shapes():
     p = classify_view_sql("SELECT k, SUM(v) AS s, COUNT(*) AS n FROM ns.t GROUP BY k")
     assert p.mode == "aggregate" and p.group_keys == ("k",)
     assert p.merge_ops == {"s": "sum", "n": "sum"}
-    assert classify_view_sql("SELECT k, AVG(v) AS a FROM ns.t GROUP BY k") is None
+    # AVG routes to affected-group recompute since r13 (stale r12 pin)
+    assert classify_view_sql("SELECT k, AVG(v) AS a FROM ns.t GROUP BY k").mode == "agg_recompute"
     p = classify_view_sql("SELECT a FROM t1 JOIN t2 ON t1.k = t2.k")
     assert p.mode == "join" and (p.relation, p.relation_b) == ("t1", "t2")
     assert classify_view_sql("SELECT DISTINCT a FROM t") is None
     assert classify_view_sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY s") is None
+    # unaliased expression key still cannot name its storage column
     assert classify_view_sql("SELECT upper(k), SUM(v) AS s FROM t GROUP BY upper(k)") is None
 
 
@@ -248,16 +250,15 @@ def test_classify_join_view_shapes():
         "SELECT a.x, b.y FROM ns.a a JOIN ns.b b ON a.k = b.k WHERE a.x > 0"
     )
     assert p is not None and p.mode == "join" and (p.relation, p.relation_b) == ("ns.a", "ns.b")
-    # rejected: outer join, self-join, four relations
+    # rejected: SELECT * outer join (no lineage columns), self-join
     assert classify_view_sql("SELECT * FROM ns.a a LEFT JOIN ns.b b ON a.k = b.k") is None
     assert classify_view_sql("SELECT a1.x FROM ns.a a1 JOIN ns.a a2 ON a1.k = a2.k") is None
-    assert (
-        classify_view_sql(
-            "SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k "
-            "JOIN ns.c c ON b.j = c.j JOIN ns.d d ON c.z = d.z"
-        )
-        is None
+    # four relations classify since the r13 generalization (stale r12 pin)
+    p4 = classify_view_sql(
+        "SELECT a.x FROM ns.a a JOIN ns.b b ON a.k = b.k "
+        "JOIN ns.c c ON b.j = c.j JOIN ns.d d ON c.z = d.z"
     )
+    assert p4 is not None and p4.mode == "joinN" and len(p4.relations) == 4
     # 2-table aggregate join → join_agg (r12); 3 relations → join3 (r12)
     p = classify_view_sql("SELECT b.g, SUM(a.x) AS s FROM ns.a a JOIN ns.b b ON a.k = b.k GROUP BY b.g")
     assert p is not None and p.mode == "join_agg"
