@@ -130,6 +130,7 @@ HEADLINE = [
     "iceberg_mv_left_join_delta",
     "iceberg_mv_time_rollup_delta",
     "iceberg_mv_join_rollup_delta",
+    "iceberg_mv_having_delta",
 ]
 
 

@@ -6361,6 +6361,66 @@ def iceberg_mv_join_rollup_delta(spark, sf_dir):
 
 
 @q(
+    "iceberg_mv_having_delta",
+    """
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(ROUND(AVG(value), 6) AS DOUBLE) AS av
+    FROM (SELECT * FROM events WHERE event_id % 5 <> 0)
+    GROUP BY user_id HAVING COUNT(*) >= 55
+    """,
+)
+def iceberg_mv_having_delta(spark, sf_dir):
+    """r13: HAVING on an incrementally-maintained aggregate MV. The
+    partial-merge path cannot drop HAVING-failing groups, so HAVING
+    routes to the affected-group recompute, which evaluates it naturally:
+    the probe finds affected groups WITHOUT the filter (a group that just
+    fell below the threshold must still be eq-deleted) and the recompute
+    re-applies it — here a MoR delete pushes ~half the users below the
+    COUNT(*) >= 55 threshold and they DISAPPEAR from the MV (140 → 61
+    groups at sf0.01), asserted incremental in-gate. Oracle = full
+    recompute of the final state."""
+    import hashlib
+    import os
+
+    from iceberg_rust_custom_spark.engine import Engine
+    from iceberg_rust_custom_spark.table.maintenance import delete_where
+    from iceberg_rust_custom_spark.table.scan import plan_files
+
+    tag = hashlib.md5(f"{sf_dir}:mvhaving".encode()).hexdigest()[:12]
+    wh = os.path.join("/tmp", "iceberg_rust_custom_spark_wh", tag)
+    eng = Engine(spark, warehouse=wh)
+    if not eng.table_exists("rt.ev_hv"):
+        edf = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        t = eng.create_table(
+            "rt.ev_hv",
+            edf.schema,
+            sort_by=["user_id"],
+            properties={"write.distribution-mode": "range"},
+        )
+        t.append(edf)
+        eng.create_materialized_view(
+            "rt.mvhv",
+            "SELECT user_id, count(*) AS n, avg(value) AS av "
+            "FROM rt.ev_hv GROUP BY user_id HAVING count(*) >= 55",
+        )
+        st = eng.load_table("rt.mvhv__storage")
+        before = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        delete_where(t, "event_id % 5 = 0", mode="merge-on-read")
+        mode = eng.refresh_materialized_view("rt.mvhv")
+        assert mode == "incremental-agg-recompute", mode
+        st = eng.load_table("rt.mvhv__storage")
+        after = {
+            f.file_path for f in plan_files(st.metadata, st.metadata.snapshot_for_ref())
+        }
+        assert before <= after, "HAVING delta refresh rewrote pre-existing storage files"
+    mv = eng.scan_materialized_view("rt.mvhv")
+    return mv.select("user_id", "n", F.round("av", 6).cast("double").alias("av"))
+
+
+@q(
     "iceberg_timestamp_ns_lossless",
     """
     SELECT o_orderkey, 1700000000000000000 + o_orderkey * 1000 + 789 AS ts_ns

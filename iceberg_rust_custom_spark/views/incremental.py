@@ -32,7 +32,8 @@ _MERGEABLE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 _SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<rel>[A-Za-z_][\w.]*)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_RE = re.compile(
@@ -41,8 +42,11 @@ _AGG_RE = re.compile(
     r"^\s*(?P<fn>sum|count|min|max)\s*\((?P<arg>.*)\)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# HAVING left out (r13): the affected-group recompute path evaluates it
+# naturally — a group failing HAVING is eq-deleted and not re-appended;
+# the SPJ/lineage paths and the partial-merge path still reject it
 _FORBIDDEN_RE = re.compile(
-    r"\b(join|union|intersect|except|distinct|over|limit|order\s+by|having)\b|\(\s*select\b",
+    r"\b(join|union|intersect|except|distinct|over|limit|order\s+by)\b|\(\s*select\b",
     re.IGNORECASE,
 )
 # join views: the same exclusions minus the single inner JOIN itself
@@ -52,8 +56,9 @@ _FORBIDDEN_NONJOIN_RE = re.compile(
     re.IGNORECASE,
 )
 # join+aggregate views (r12): the join exclusions minus GROUP BY itself
+# (and minus HAVING since r13 — affected-group recompute evaluates it)
 _FORBIDDEN_JOINAGG_RE = re.compile(
-    r"\b(union|intersect|except|distinct|over|limit|order\s+by|having"
+    r"\b(union|intersect|except|distinct|over|limit|order\s+by"
     r"|left|right|full|cross|outer|semi|anti)\b|\(\s*select\b",
     re.IGNORECASE,
 )
@@ -107,7 +112,7 @@ def lineage_sql(sql: str) -> str | None:
     doesn't allow it (aggregates, joins, SELECT * — which would already
     expand the lineage columns of the instrumented source view)."""
     m = _SHAPE_RE.match(sql.strip())
-    if not m or _FORBIDDEN_RE.search(sql) or m.group("group"):
+    if not m or _FORBIDDEN_RE.search(sql) or m.group("group") or m.group("having"):
         return None
     if "*" in m.group("select"):
         return None
@@ -295,12 +300,14 @@ class JoinChain:
     conds: tuple  # len(rels) - 1 ON conditions
     where: str | None
     group: str | None
+    having: str | None = None  # r13: evaluated by the recompute, not the probe
 
 
 _CHAIN_SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<tail>.*?)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CHAIN_HEAD_RE = re.compile(
@@ -347,6 +354,7 @@ def parse_join_chain(sql: str) -> JoinChain | None:
         tuple(conds),
         m.group("where"),
         m.group("group"),
+        m.group("having"),
     )
 
 
@@ -534,7 +542,8 @@ _JOIN_AGG_SHAPE_RE = re.compile(
     r"(?P<rel_b>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!ON\b)(?P<alias_b>[A-Za-z_]\w*))?"
     r"\s+ON\s+(?P<cond>.*?)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<group>.*?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(?P<group>.*?)"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # affected groups are RECOMPUTED exactly (not merged), so any
@@ -854,6 +863,11 @@ def classify_view_sql(sql: str) -> IncrementalPlan | None:
         return None
     rel = m.group("rel")
     group = m.group("group")
+    if m.group("having"):
+        # the partial-merge path cannot drop HAVING-failing groups; the
+        # affected-group recompute evaluates HAVING naturally (r13) — a
+        # recomputed group failing it is eq-deleted and not re-appended
+        return classify_agg_recompute_sql(sql) if group is not None else None
     if group is None:
         return IncrementalPlan("append", rel)
 

@@ -205,3 +205,49 @@ def test_agg_recompute_falls_back_to_full_on_hard_shapes(eng, spark):
     delete_where(t, "k = 10", mode="copy-on-write")
     assert eng.refresh_materialized_view("ar.mv") == "full"
     _check(eng, spark, "cow")
+
+
+def test_having_group_threshold_crossings(eng, spark):
+    """r13: HAVING routes to the recompute path, which evaluates it
+    naturally — a delta pushing a group BELOW the threshold removes it
+    from the MV (eq-deleted, not re-appended), and one pushing a group
+    ABOVE it makes it appear."""
+    t = eng.create_table(
+        "hv.t",
+        spark.range(1).select(
+            F.col("id").alias("k"), F.col("id").alias("g"), (F.col("id") * 1.0).alias("v")
+        ).schema,
+    )
+    # groups 0..9 with 6 rows each
+    t.append(
+        spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    sql = "SELECT g, count(v) AS n, avg(v) AS av FROM hv.t GROUP BY g HAVING count(v) >= 5"
+    from iceberg_rust_custom_spark.views.incremental import classify_view_sql
+
+    assert classify_view_sql(sql).mode == "agg_recompute"
+    eng.create_materialized_view("hv.mv", sql)
+
+    def check(tag):
+        got = sorted((r.g, r.n, r.av) for r in eng.scan_materialized_view("hv.mv").collect())
+        want = sorted((r.g, r.n, r.av) for r in eng.sql(sql).collect())
+        assert got == want, (tag, got, want)
+
+    check("initial")
+    assert eng.scan_materialized_view("hv.mv").count() == 10
+    # group 3 drops to 4 rows: falls below the threshold and DISAPPEARS
+    delete_where(t, "g = 3 AND k < 33", mode="merge-on-read")
+    assert eng.refresh_materialized_view("hv.mv") == "incremental-agg-recompute"
+    check("drop-below")
+    assert eng.scan_materialized_view("hv.mv").where("g = 3").count() == 0
+    # new group 10 crosses the threshold upward and APPEARS
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, 10, 1.0 * i) for i in range(5)], "k long, g long, v double"
+        )
+    )
+    assert eng.refresh_materialized_view("hv.mv") == "incremental-agg-recompute"
+    check("cross-above")
+    assert eng.scan_materialized_view("hv.mv").where("g = 10").count() == 1

@@ -440,3 +440,36 @@ def test_join_rollup_dtrunc_key_refreshes_incrementally(eng, spark):
     update_where(d, {"seg": "concat(seg, '_x')"}, "dk % 8 = 1", mode="merge-on-read")
     assert eng.refresh_materialized_view("jr.mv") == "incremental-join-aggregate"
     check("dim-rename")
+
+
+def test_join_agg_having_threshold_crossings(eng, spark):
+    """r13: HAVING on a join-agg MV — the probe finds affected groups
+    WITHOUT the HAVING filter (a group that just fell out must still be
+    eq-deleted) and the recompute applies it."""
+    o, n = _mk(eng, spark, n_orders=120)
+    sql = (
+        "SELECT n.nname, sum(o.price) AS rev, count(o.ok) AS cnt "
+        "FROM jag.o o JOIN jag.n n ON o.nk = n.nk "
+        "GROUP BY n.nname HAVING count(o.ok) >= 10"
+    )
+    assert classify_view_sql(sql).mode == "join_agg"
+    eng.create_materialized_view("jag.hmv", sql)
+
+    def check(tag):
+        got = sorted((r.nname, r.rev, r.cnt) for r in eng.scan_materialized_view("jag.hmv").collect())
+        want = sorted((r.nname, r.rev, r.cnt) for r in eng.sql(sql).collect())
+        assert got == want, (tag, got, want)
+
+    check("initial")
+    # delete most of one nation's orders: it falls below 10 and disappears
+    delete_where(o, "nk = 2 AND ok % 3 <> 0", mode="merge-on-read")
+    assert eng.refresh_materialized_view("jag.hmv") == "incremental-join-aggregate"
+    check("drop-below")
+    # append orders for it until it crosses back up
+    o.append(
+        spark.createDataFrame(
+            [(5000 + i, 2, 1.0) for i in range(12)], "ok long, nk long, price double"
+        )
+    )
+    assert eng.refresh_materialized_view("jag.hmv") == "incremental-join-aggregate"
+    check("cross-above")
