@@ -720,9 +720,14 @@ def run_rung_joinN(spark, n_rows: int, n_refreshes: int = 5, n_rel: int = 4) -> 
                 )
             )
             next_k += 100
+            # wrap the 10-key window inside the tail's key space so EVERY
+            # rung's refresh updates 10 real keys (10 keys × fanout
+            # |t0|/|tail| = same affected-view-row count per rung — the
+            # like-for-like delta the flatness claim needs)
+            base = (i * 10) % max(1, sizes[-1] - 9)
             update_where(
                 tail, {f"v{n_rel-1}": f"v{n_rel-1} + 0.5"},
-                f"k{n_rel-1} >= {i * 10} AND k{n_rel-1} < {i * 10 + 10}",
+                f"k{n_rel-1} >= {base} AND k{n_rel-1} < {base + 10}",
                 mode="merge-on-read",
             )
             storage = eng.load_table("lad.nmv__storage")
