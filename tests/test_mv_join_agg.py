@@ -41,11 +41,16 @@ def test_classify_join_agg_shapes():
     )
     assert p is not None and p.mode == "join_agg"
     assert p.group_keys == ("gg",) and p.equi_keys == (("k", "k"), ("j", "j"))
-    # ruled out: outer join, HAVING, non-key bare column, derived key,
+    # HAVING is admitted since r13 — the affected-group recompute path
+    # evaluates it (a group failing HAVING is eq-deleted, not re-appended)
+    p = classify_view_sql(
+        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g HAVING sum(b.v) > 1"
+    )
+    assert p is not None and p.mode == "join_agg"
+    # ruled out: outer join, non-key bare column, derived key,
     # unaliased aggregate, ORDER BY, subquery, self-join
     for bad in [
         "SELECT a.g, sum(b.v) AS s FROM ta a LEFT JOIN tb b ON a.k = b.k GROUP BY a.g",
-        "SELECT a.g, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g HAVING sum(b.v) > 1",
         "SELECT a.g, sum(b.v) AS s, b.h FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g",
         "SELECT upper(a.g) AS g2, sum(b.v) AS s FROM ta a JOIN tb b ON a.k = b.k GROUP BY upper(a.g)",
         "SELECT a.g, sum(b.v) FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.g",
