@@ -964,7 +964,7 @@ class Engine:
             storage.metadata.location, "data", _uuid.uuid4().hex[:12]
         )
         if plan.mode == "append":
-            files = write_partitioned(delta_result, storage.metadata, data_dir)
+            files = write_partitioned(delta_result, storage.metadata, data_dir, small_hint=True)
             storage.metadata = (
                 storage.new_transaction().append_with_lineage(files, new_state).commit()
             )
@@ -974,6 +974,11 @@ class Engine:
         # untouched groups' files are never read into the merge nor
         # rewritten — refresh cost tracks delta-group count, not aggregate
         # cardinality
+        # r13: the delta aggregate feeds THREE consumers (the affected-group
+        # probe, the merge, and the eq-delete key write) — materialize it
+        # once per refresh instead of re-aggregating the incremental scan
+        # three times. Delta-group-sized by construction.
+        delta_result = delta_result.localCheckpoint()
         keys = list(plan.group_keys)
         d_keys = delta_result.select(*keys)
         for k in keys:
@@ -1090,7 +1095,9 @@ class Engine:
             _write_equality_delete_files(storage, del_keys) if del_keys is not None else []
         )
         ins_files = (
-            write_partitioned(ins_df, storage.metadata, data_dir) if ins_df is not None else []
+            write_partitioned(ins_df, storage.metadata, data_dir, small_hint=True)
+            if ins_df is not None
+            else []
         )
         return self._commit_storage_files(storage, eq_files, ins_files, new_state)
 
@@ -1223,7 +1230,8 @@ class Engine:
             # null_rid: an all-null rid column must not range-shuffle the
             # whole insert side into one task (r10 rid clustering)
             ins_files = write_partitioned(
-                net_ins, storage.metadata, data_dir, keep_layout=null_rid
+                net_ins, storage.metadata, data_dir, keep_layout=null_rid,
+                small_hint=not null_rid,
             )
         finally:
             d_cnt.unpersist()
@@ -1652,7 +1660,7 @@ class Engine:
             },
         }
         data_dir = os.path.join(storage.metadata.location, "data", _uuid.uuid4().hex[:12])
-        files = write_partitioned(delta_result, storage.metadata, data_dir)
+        files = write_partitioned(delta_result, storage.metadata, data_dir, small_hint=True)
         storage.metadata = (
             storage.new_transaction().append_with_lineage(files, new_state).commit()
         )

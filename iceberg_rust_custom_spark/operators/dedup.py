@@ -151,6 +151,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_hashes_col(sh_col) -> F.Column:
+    """long md5h32 hashes of a shingle-array column (single-md5 fast form,
+    Column-spelled — value-identical to md5h32_spark_sql, asserted in
+    tests)."""
+    return F.transform(
+        sh_col, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def _minhash_cols(hashes_col, num_hashes: int) -> list:
+    """mh_i = MIN over the hash array of affine_i(h) — per-row, no explode,
+    no aggregate. An empty hash array yields NULL mh_i."""
+
+    def _affine(a: int, b: int):
+        # closure factory: default-arg binding would change the lambda's
+        # arity as seen by PySpark's higher-order-function introspection
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
+
+    cols = []
+    for i, (a, b) in enumerate(minhash_params(num_hashes)):
+        cols.append(F.array_min(F.transform(hashes_col, _affine(a, b))).alias(f"mh_{i}"))
+    return cols
+
+
 def minhash_signature_columns(text_col, num_hashes: int = 16, shingle_n: int = 3) -> list:
     """Per-ROW MinHash signature expressions — ``mh_i = MIN over shingles
     of affine_i(md5h32(shingle))`` computed entirely inside one row's array
@@ -161,22 +185,7 @@ def minhash_signature_columns(text_col, num_hashes: int = 16, shingle_n: int = 3
     state for what is logically a per-row computation). Docs with no
     shingles yield NULL mh_0 (the batch pipeline emits no row for them —
     filter ``mh_0 IS NOT NULL`` for parity)."""
-    from iceberg_rust_custom_spark.functions.hashing import MERSENNE_31, minhash_params
-
-    sh = shingle_array(text_col, shingle_n)
-    # single-md5 fast form, Column-spelled (value-identical to md5h32_spark_sql)
-    hashes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
-    def _affine(a: int, b: int):
-        # closure factory: default-arg binding would change the lambda's
-        # arity as seen by PySpark's higher-order-function introspection
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
-
-    cols = []
-    for i, (a, b) in enumerate(minhash_params(num_hashes)):
-        cols.append(F.array_min(F.transform(hashes, _affine(a, b))).alias(f"mh_{i}"))
-    return cols
+    return _minhash_cols(_shingle_hashes_col(shingle_array(text_col, shingle_n)), num_hashes)
 
 
 def duplicate_spans(
@@ -208,10 +217,17 @@ def duplicate_spans(
     # per-gram lambda would re-tokenize the document for every window
     # position (the O(len²) trap ngram_lm_scores hit)
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    # xxhash64 instead of md5 (r13): the gram hash is internal — only the
+    # span positions are output — so any collision-free hash yields the
+    # same spans, and xxhash64 is a single 64-bit codegen op versus a
+    # cryptographic digest + 32-char string per window. The checkpoint
+    # shares the tokenize+explode stream between the dup-hash aggregate
+    # and the position join (previously the whole gram pipeline ran twice,
+    # once per consumer); per invocation, never across runs.
     grams_expr = (
         f"CASE WHEN size(_tk) >= {L} THEN "
         f"transform(sequence(1, size(_tk) - {L - 1}), "
-        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(_tk, i, {L}))) AS h)) "
+        f"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(_tk, i, {L}))) AS h)) "
         f"ELSE array() END"
     )
     grams = (
@@ -219,6 +235,7 @@ def duplicate_spans(
         .selectExpr(id_col, f"{toks} AS _tk")
         .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
         .select(id_col, "g.pos", "g.h")
+        .localCheckpoint()
     )
     dup_hashes = (
         grams.groupBy("h")
@@ -304,15 +321,22 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}): k-permutation MinHash over word shingles.
-    One explode + one aggregate (map-side combine makes the min cheap)."""
-    sh = shingles(df, id_col, text_col, shingle_n)
-    h = F.expr(md5h32_spark_sql("shingle"))
-    hashed = sh.select(id_col, h.alias("h0"))
-    aggs = [
-        F.min(F.expr(affine_hash_sql("h0", a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_params(num_hashes))
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+
+    Per-row form (r13): each document's mins are folded inside its own
+    shingle array — ZERO shuffles and no corpus-wide hash aggregate (the
+    previous explode + 16-way MIN aggregate paid one full shuffle of the
+    exploded shingle stream; the per-row form is the streaming shape that
+    minhash_signature_columns already proved value-identical — same
+    shingle set, same hash family, pinned in tests). Docs with no shingles
+    emit no row (array_min of an empty array is NULL → filtered), matching
+    the exploded form, which never produced a group for them."""
+    src = ensure_min_parallelism(df).select(
+        F.col(id_col), shingle_array(text_col, shingle_n).alias("_sh")
+    )
+    hashed = src.select(F.col(id_col), _shingle_hashes_col(F.col("_sh")).alias("_th"))
+    return hashed.select(
+        F.col(id_col), *_minhash_cols(F.col("_th"), num_hashes)
+    ).where(F.col("mh_0").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -331,20 +355,26 @@ def minhash_lsh_pairs(
 
     Buckets larger than ``max_bucket`` (default ``MAX_LSH_BUCKET``) are
     dropped; ``on_overflow`` controls visibility — see ``_bucket_pairs``."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.concat_ws("_", *[c.cast("string") for c in cols]).alias(f"band_{b}"))
-    banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_sig")) for b in range(len(band_cols))])
-        ).alias("bs"),
-    ).select(id_col, "bs.band_idx", "bs.band_sig")
+    stacked = _banded(sig, id_col, id_col, num_hashes, bands)
     return _bucket_pairs(stacked, id_col, max_bucket, on_overflow)
+
+
+def _banded(sig: DataFrame, id_col: str, out_id: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, mh_*) signatures → (out_id, band_idx, band_sig) LSH band rows
+    (one explode; band_sig is the '_'-joined stringified band slice)."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for bi in range(bands):
+        cols = [
+            F.col(f"mh_{bi * rows_per_band + r}").cast("string") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_idx"), F.concat_ws("_", *cols).alias("band_sig"))
+        )
+    return sig.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(out_id, "bs.band_idx", "bs.band_sig")
 
 
 MAX_LSH_BUCKET = 10_000  # pairs per bucket capped at ~5·10^7
@@ -517,13 +547,24 @@ def lsh_verified_pairs(
     Scale shape: the candidate pairs join the per-document shingle sets on
     id (two hash joins keyed by doc id); the intersection/union runs as an
     array expression inside codegen — no UDF, no re-shuffle of the corpus."""
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, on_overflow
-    )
+    # One shingle pass per invocation: the per-doc distinct shingle array is
+    # computed ONCE (pure projection, zero shuffles) and materialized with an
+    # eager localCheckpoint, then shared by the signature derivation AND both
+    # sides of the exact-verify join. The previous shape ran the shingle
+    # pipeline twice (signature explode + collect_set re-aggregation) plus a
+    # corpus-wide groupBy(id) shuffle for each. shingle_array is already
+    # array_distinct'd, so the per-row array IS the collect_set value.
     sets = (
-        shingles(df, id_col, text_col, shingle_n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sset"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), shingle_array(text_col, shingle_n).alias("sset"))
+        .where(F.size("sset") > 0)
+        .localCheckpoint()
+    )
+    sig = sets.select(F.col(id_col), _shingle_hashes_col(F.col("sset")).alias("_th")).select(
+        F.col(id_col), *_minhash_cols(F.col("_th"), num_hashes)
+    )
+    cand = _bucket_pairs(
+        _banded(sig, id_col, id_col, num_hashes, bands), id_col, max_bucket, on_overflow
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
@@ -567,27 +608,9 @@ def incremental_minhash_pairs(
 
     Returns distinct (new_id, corpus_id); both sides' ids must be disjoint
     (enforce upstream — e.g. corpus ids < batch ids)."""
-    rows_per_band = num_hashes // bands
-
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        band_structs = []
-        for bi in range(bands):
-            cols = [
-                F.col(f"mh_{bi * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]
-            band_structs.append(
-                F.struct(
-                    F.lit(bi).alias("band_idx"), F.concat_ws("_", *cols).alias("band_sig")
-                )
-            )
-        return sig.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*band_structs)).alias("bs")
-        ).select(out_id, "bs.band_idx", "bs.band_sig")
-
     new_sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n)
-    nb = banded(new_sigs, "new_id")
-    cb = banded(corpus_sigs, "corpus_id")
+    nb = _banded(new_sigs, id_col, "new_id", num_hashes, bands)
+    cb = _banded(corpus_sigs, id_col, "corpus_id", num_hashes, bands)
     return (
         nb.join(cb, ["band_idx", "band_sig"])
         .select("new_id", "corpus_id")
@@ -597,21 +620,36 @@ def incremental_minhash_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint: for each bit position j, sum +1/-1 over
-    token hashes, take the sign. One explode + one aggregate; the bit loop
-    is column expressions (stays in codegen)."""
+    token hashes, take the sign.
+
+    Per-row form (r13): the token hashes are materialized once per row,
+    then each bit's ±1 sum is an ``aggregate`` fold over that array —
+    ZERO shuffles (the previous explode + 32-way conditional SUM paid a
+    corpus-wide hash-aggregate shuffle of the exploded token stream).
+    Integer sums are order-independent, so values are bit-identical to the
+    exploded form; docs with no tokens emit no row, matching it."""
     toks = tokens(F.lower(F.col(text_col)))
-    exploded = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    h = F.expr(md5h32_spark_sql("tok"))
-    hashed = exploded.select(id_col, h.alias("th"))
+    src = ensure_min_parallelism(df).select(F.col(id_col), toks.alias("_tk")).where(
+        F.size("_tk") > 0
+    )
+    hashed = src.select(
+        F.col(id_col),
+        F.transform(
+            "_tk", lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        ).alias("_th"),
+    )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+        F.aggregate(
+            "_th",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
-            )
+            ),
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
-    summed = hashed.groupBy(id_col).agg(*bit_sums)
+    summed = hashed.select(F.col(id_col), *bit_sums)
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -1014,22 +1052,37 @@ def fuzzy_decontaminate(
     near-dups of the benchmark, not corpus scale.
 
     Returns the surviving TRAIN rows (all columns)."""
-    test_sigs = minhash_signature(test, id_col, text_col, num_hashes, shingle_n)
-    cand = incremental_minhash_pairs(
-        test_sigs, train, id_col, text_col, num_hashes, bands, shingle_n
-    ).withColumnRenamed("new_id", "train_id").withColumnRenamed("corpus_id", "test_id")
-
+    # One shingle pass per corpus (the lsh_verified_pairs r13 shape): the
+    # per-doc distinct shingle array is a pure projection, checkpointed once,
+    # and feeds BOTH the per-row MinHash banding and the exact-Jaccard
+    # verification — previously each corpus was shingled twice (signature
+    # explode + collect_set), each with its own corpus-wide shuffle.
     t_sets = (
-        shingles(train, id_col, text_col, shingle_n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("set_a"))
-        .select(F.col(id_col).alias("train_id"), "set_a")
+        ensure_min_parallelism(train)
+        .select(F.col(id_col).alias("train_id"), shingle_array(text_col, shingle_n).alias("set_a"))
+        .where(F.size("set_a") > 0)
+        .localCheckpoint()
     )
     b_sets = (
-        shingles(test, id_col, text_col, shingle_n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("set_b"))
-        .select(F.col(id_col).alias("test_id"), "set_b")
+        ensure_min_parallelism(test)
+        .select(F.col(id_col).alias("test_id"), shingle_array(text_col, shingle_n).alias("set_b"))
+        .where(F.size("set_b") > 0)
+        .localCheckpoint()
+    )
+
+    def _sig(sets: DataFrame, sid: str, set_col: str) -> DataFrame:
+        return sets.select(
+            F.col(sid), _shingle_hashes_col(F.col(set_col)).alias("_th")
+        ).select(F.col(sid), *_minhash_cols(F.col("_th"), num_hashes))
+
+    cand = (
+        _banded(_sig(t_sets, "train_id", "set_a"), "train_id", "train_id", num_hashes, bands)
+        .join(
+            _banded(_sig(b_sets, "test_id", "set_b"), "test_id", "test_id", num_hashes, bands),
+            ["band_idx", "band_sig"],
+        )
+        .select("train_id", "test_id")
+        .distinct()
     )
     contaminated = (
         cand.join(t_sets, "train_id")

@@ -205,32 +205,48 @@ def kmeans_centroids(
         .withColumn("nv", F.transform("cv", lambda x: x / F.col("cnorm")))
         .select("_id", "nv")
     )
+    spark = corpus.sparkSession
+    if max(0, iterations) == 0:
+        return _kmeans_init(c, n_centroids)
+    cached = ensure_min_parallelism(c).localCheckpoint()
+    cent_rows = _kmeans_rows(cached, n_centroids, iterations)
+    return spark.createDataFrame(
+        [(cid, v) for cid, v in cent_rows], "centroid_id int, centv array<double>"
+    )
+
+
+def _kmeans_init(c: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seeds over a (_id, nv) frame: one representative per
+    ``crc32(id) % k`` bucket, min-(hash, id) row wins."""
     bucket = (F.crc32(F.encode(F.col("_id").cast("string"), "utf-8")) % n_centroids).cast("int")
     hsh = F.crc32(F.encode(F.concat(F.lit("seed:"), F.col("_id").cast("string")), "utf-8"))
     # min_by with map-side partial aggregation: only k×num_partitions rows
     # shuffle. (A row_number window partitioned by _b would shuffle the WHOLE
     # corpus into k partitions — guaranteed skew at scale.) The (hash, id)
     # struct ordering picks the same winner the old window orderBy did.
-    cents = (
+    return (
         c.withColumn("_b", bucket)
         .withColumn("_h", hsh)
         .groupBy("_b")
         .agg(F.min_by("nv", F.struct("_h", "_id")).alias("centv"))
         .select(F.col("_b").alias("centroid_id"), "centv")
     )
-    spark = corpus.sparkSession
-    if max(0, iterations) == 0:
-        return cents
 
+
+def _kmeans_rows(cached: DataFrame, n_centroids: int, iterations: int) -> list:
+    """Lloyd rounds over a MATERIALIZED (_id, nv) frame (the caller
+    localCheckpoints it once — semantic_dedup shares the same frame with
+    its assignment pass, so the corpus is scanned/normalized exactly once
+    per invocation). Returns the sorted [(centroid_id, vec)] list —
+    callers that need the rows driver-side (every current one) skip a
+    redundant createDataFrame→collect round trip."""
     import numpy as np
 
     # k rows — metadata-sized by construction; driver state between rounds
     cent_rows = sorted(
-        ((r["centroid_id"], list(r["centv"])) for r in cents.collect()), key=lambda t: t[0]
+        ((r["centroid_id"], list(r["centv"])) for r in _kmeans_init(cached, n_centroids).collect()),
+        key=lambda t: t[0],
     )
-    # scan/normalize once, reuse per round; spread the BLAS work when the
-    # source arrives under-partitioned (single small parquet file)
-    cached = ensure_min_parallelism(c.select("nv")).persist()
     try:
         n_parts = cached._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
@@ -259,7 +275,12 @@ def kmeans_centroids(
                 {"ci": nz, "sv": list(sums[nz]), "n": cnts[nz]}
             )
 
-        partials_df = cached.mapInPandas(partial_sums, "ci int, sv array<double>, n long")
+        # project to nv before the Python boundary: the shared frame also
+        # carries _id (and, from semantic_dedup, the raw vector) — guide
+        # §4: ship only the columns the function needs
+        partials_df = cached.select("nv").mapInPandas(
+            partial_sums, "ci int, sv array<double>, n long"
+        )
         if n_parts > 256:
             # treeAggregate depth-2: on very wide clusters the driver would
             # otherwise collect k rows PER PARTITION (k × 10^4 × dim doubles
@@ -309,10 +330,7 @@ def kmeans_centroids(
             else:
                 new_rows.append((cid, old))  # empty centroid: keep position
         cent_rows = new_rows
-    cached.unpersist()
-    return spark.createDataFrame(
-        [(cid, v) for cid, v in cent_rows], "centroid_id int, centv array<double>"
-    )
+    return cent_rows
 
 
 def ivf_topk(
@@ -469,31 +487,44 @@ def semantic_dedup(
     from iceberg_rust_custom_spark.functions.hashing import md5h32_spark_sql
     from iceberg_rust_custom_spark.operators.dedup import dedup_clusters
 
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iterations)
-    cent_rows = sorted(
-        ((r["centroid_id"], list(r["centv"])) for r in cents.collect()), key=lambda t: t[0]
+    # ONE corpus scan per invocation (r13): (_id, raw vector, unit-normalized
+    # vector) is checkpointed once and shared by the k-means init, every
+    # Lloyd round, AND the assignment pass — previously the corpus was
+    # re-read and re-normalized for each of those (kmeans kept its own
+    # persisted copy; assignment re-normalized inside Python), and the
+    # centroids did a redundant createDataFrame→collect round trip.
+    src = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+    )
+    cn = _norm(F.col("_v"))
+    prep = src.withColumn(
+        "nv",
+        F.transform("_v", lambda x: x / F.when(cn > 0, cn).otherwise(F.lit(1.0))),
+    ).localCheckpoint()
+    cent_rows = _kmeans_rows(
+        prep.where(_norm(F.col("_v")) > 0).select("_id", "nv"), n_centroids, iterations
     )
     C = np.asarray([v for _, v in cent_rows], dtype=np.float64)
     cids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
 
-    src = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    )
     id_type = corpus.schema[id_col].dataType
 
     def assign(batches, _C=C, _cids=cids):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["_v"].to_numpy())
-            norms = np.linalg.norm(X, axis=1)
-            norms[norms == 0] = 1.0
-            a = ((X / norms[:, None]) @ _C.T).argmax(axis=1)
+            # nv is the already-normalized vector (zero rows stay zero →
+            # argmax picks index 0, same as the norms==0 → 1.0 guard the
+            # raw-vector form used)
+            X = np.stack(pdf["nv"].to_numpy())
+            a = (X @ _C.T).argmax(axis=1)
             out = pdf[["_id", "_v"]].copy()
             out["_cell"] = _cids[a]
             yield out
 
-    assigned = ensure_min_parallelism(src).mapInPandas(
+    assigned = prep.mapInPandas(
         assign,
         T.StructType(
             [

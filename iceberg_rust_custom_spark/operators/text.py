@@ -94,35 +94,76 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     counted per occurrence rather than de-overlapped (the common open
     reproduction), and fractions are clamped to 1.
 
-    Scale shape: ONE explode per branch (lines; all n-gram orders are
-    stacked into a single explode), shuffles keyed by (doc, token-group) then
-    doc — partial aggregation absorbs the fan-out map-side. No UDFs.
+    Scale shape (r13): every signal is PER-DOCUMENT, so nothing needs a
+    shuffle at all — each n-gram order is materialized as an in-row array,
+    sorted, and reduced with one ``aggregate`` fold over equal-gram runs
+    (count of a gram = length of its run in the sorted array). The
+    previous shape exploded all 7 orders into a corpus×orders row stream
+    and paid a corpus-wide (doc, n, gram) hash-aggregate shuffle — at
+    100 TB that shuffle moves ~7× the tokenized corpus for what is
+    row-local arithmetic. Counts are integers, so the fold is
+    order-independent and value-identical to the exploded form. No UDFs.
     """
     c = F.col(text_col)
     top_ns, dup_ns = sorted(GOPHER_TOP_NGRAM_MAX), sorted(GOPHER_DUP_NGRAM_MAX)
-    all_ns = top_ns + dup_ns
 
     base = df.select(F.col(id_col), F.length(c).alias("_chars"), c.alias("_t"))
 
-    # ---- duplicate-line signals -----------------------------------------
+    def _long(x):
+        return x.cast("long") if hasattr(x, "cast") else F.lit(x).cast("long")
+
+    # ---- duplicate-line signals: one fold over the sorted line array ----
     lines = F.filter(
         F.transform(F.split(F.col("_t"), "\n"), lambda x: F.trim(x)), lambda x: x != F.lit("")
     )
-    line_counts = (
-        base.select(id_col, F.explode(lines).alias("_line"))
-        .groupBy(id_col, "_line")
-        .agg(F.count("*").alias("_cnt"))
-    )
-    dup = F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))
-    line_stats = line_counts.groupBy(id_col).agg(
-        (F.sum(dup) / F.sum("_cnt")).alias("_dlf"),
-        (
-            F.sum(dup * F.length("_line"))
-            / F.sum(F.col("_cnt") * F.length("_line"))
-        ).alias("_dlcf"),
-    )
 
-    # ---- n-gram signals: one explode for every order --------------------
+    def _line_stats(arr):
+        """struct(dc, dcc, tot, totc): duplicate-line count/chars and total
+        line count/chars, from runs of the sorted array (run length r of
+        line L ≡ the exploded form's per-(doc, line) count r)."""
+        z = F.struct(
+            F.lit("").alias("prev"),
+            _long(0).alias("run"),
+            _long(0).alias("dc"),
+            _long(0).alias("dcc"),
+        )
+
+        def _flush(acc):
+            dup_run = acc["run"] >= 2
+            return (
+                acc["dc"] + F.when(dup_run, acc["run"]).otherwise(_long(0)),
+                acc["dcc"]
+                + F.when(dup_run, acc["run"] * F.length(acc["prev"])).otherwise(_long(0)),
+            )
+
+        def step(acc, x):
+            dc2, dcc2 = _flush(acc)
+            return F.when(
+                x == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["dc"].alias("dc"),
+                    acc["dcc"].alias("dcc"),
+                ),
+            ).otherwise(
+                F.struct(x.alias("prev"), _long(1).alias("run"), dc2.alias("dc"), dcc2.alias("dcc"))
+            )
+
+        def fin(acc):
+            dc2, dcc2 = _flush(acc)
+            return F.struct(dc2.alias("dc"), dcc2.alias("dcc"))
+
+        folded = F.aggregate(F.array_sort(arr), z, step, fin)
+        tot = F.size(arr).cast("long")
+        totc = F.aggregate(arr, _long(0), lambda a, x: a + F.length(x))
+        return folded, tot, totc
+
+    _lstats, _ltot, _ltotc = _line_stats(lines)
+    dlf = F.when(_ltot > 0, _lstats["dc"] / _ltot)
+    dlcf = F.when(_ltotc > 0, _lstats["dcc"] / _ltotc)
+
+    # ---- n-gram signals: one sorted-run fold per order ------------------
     toks = tokens(F.lower(F.col("_t")))
 
     # NB: F.transform feeds (element, index) to ANY two-parameter lambda, so
@@ -131,38 +172,64 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     def _gram(n):
         return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
 
-    def _tag(n):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    gram_arrays = []
-    for n in all_ns:
+    def _gram_stats(n):
+        """struct(best, dup): max single-gram character mass and total
+        repeated-gram character mass for order n (mass of a run of r copies
+        of gram g = r * length(g), exactly the exploded form's
+        cnt * length(gram))."""
         grams = F.when(
             F.size(toks) >= n,
             F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), _gram(n)),
         ).otherwise(F.array().cast("array<string>"))
-        gram_arrays.append(F.transform(grams, _tag(n)))
-    gram_counts = (
-        base.select(id_col, "_chars", F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"))
-        .select(id_col, "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
-        .groupBy(id_col, "_n", "_gram")
-        .agg(F.count("*").alias("_cnt"), F.first("_chars").alias("_chars"))
-    )
-    mass = F.col("_cnt") * F.length("_gram")
-    per_n = gram_counts.groupBy(id_col, "_n").agg(
-        (F.max(mass) / F.first("_chars")).alias("_top"),
-        (F.sum(F.when(F.col("_cnt") >= 2, mass).otherwise(F.lit(0))) / F.first("_chars")).alias(
-            "_dup"
-        ),
-    )
-    wide = per_n.groupBy(id_col).agg(
-        *[F.max(F.when(F.col("_n") == n, F.col("_top"))).alias(f"_top_{n}") for n in top_ns],
-        *[F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup_{n}") for n in dup_ns],
-    )
+        z = F.struct(
+            F.lit("").alias("prev"),
+            _long(0).alias("run"),
+            _long(0).alias("best"),
+            _long(0).alias("dup"),
+        )
 
-    out = (
-        base.select(id_col)
-        .join(line_stats, id_col, "left")
-        .join(wide, id_col, "left")
+        def _flush(acc):
+            m = acc["run"] * F.length(acc["prev"])
+            return (
+                F.greatest(acc["best"], m),
+                acc["dup"] + F.when(acc["run"] >= 2, m).otherwise(_long(0)),
+            )
+
+        def step(acc, x):
+            best2, dup2 = _flush(acc)
+            return F.when(
+                x == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["best"].alias("best"),
+                    acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"), _long(1).alias("run"), best2.alias("best"), dup2.alias("dup")
+                )
+            )
+
+        def fin(acc):
+            best2, dup2 = _flush(acc)
+            return F.struct(best2.alias("best"), dup2.alias("dup"))
+
+        return F.aggregate(F.array_sort(grams), z, step, fin)
+
+    chars = F.col("_chars")
+    stat_cols = []
+    for n in top_ns:
+        g = _gram_stats(n)
+        # no grams for this order → best = 0 → mass 0, matching the
+        # exploded form's absent-group → NULL → coalesce(0) path
+        stat_cols.append(F.when(chars > 0, g["best"] / chars).alias(f"_top_{n}"))
+    for n in dup_ns:
+        g = _gram_stats(n)
+        stat_cols.append(F.when(chars > 0, g["dup"] / chars).alias(f"_dup_{n}"))
+
+    out = base.select(
+        F.col(id_col), dlf.alias("_dlf"), dlcf.alias("_dlcf"), *stat_cols
     )
     frac = lambda col: F.round(F.least(F.coalesce(col, F.lit(0.0)), F.lit(1.0)), 6)
     passing = (F.coalesce(F.col("_dlf"), F.lit(0.0)) <= 0.30) & (
@@ -302,10 +369,14 @@ def tfidf_top_terms(
     engine-exact; tfidf itself is rounded to 4 dp to absorb libm ln ulps.
     """
     toks = tokens(F.lower(F.col(text_col)))
+    # r13: tf feeds BOTH the document-frequency aggregate and the scoring
+    # join — materialize it once per invocation instead of running the
+    # tokenize+explode+aggregate pipeline twice
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = df.select(F.count("*").alias("n_docs"))
@@ -345,11 +416,15 @@ def bm25_scores(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # r13: the query-term tf table is tiny (docs × |terms| upper bound) but
+    # its subtree tokenizes the whole corpus — materialize once; the
+    # docfreq aggregate and the scoring join then reuse it
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(
@@ -497,6 +572,7 @@ def ngram_lm_scores(
     text_col: str,
     ref_df: DataFrame | None = None,
     n: int = 3,
+    ref_pred: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality proxy (Wenzek et al. 2020): score
     every document by the average negative log-likelihood of its character
@@ -522,17 +598,32 @@ def ngram_lm_scores(
         f"transform(sequence(1, length(_nrm) - {n - 1}), i -> substring(_nrm, i, {n})) "
         f"ELSE array() END"
     )
-    ref = ref_df if ref_df is not None else df
-    ref_grams = ref.selectExpr(f"{norm} AS _nrm").select(
-        F.explode(F.expr(grams_expr)).alias("g")
-    )
-    counts = ref_grams.groupBy("g").agg(F.count("*").alias("c"))
+    if ref_df is None or ref_pred is not None:
+        # reference = the corpus itself (or a predicate-defined subset of
+        # it): normalize + explode ONCE and share the gram stream between
+        # the model counts and the scoring side via an eager
+        # localCheckpoint — per invocation, never across runs. The
+        # two-subtree shape ran the O(doc length) gram generation twice
+        # (ref counts + doc scoring); values are unchanged (the counts are
+        # the same multiset of grams).
+        flag = ref_pred if ref_pred is not None else "true"
+        doc_grams = (
+            df.selectExpr(id_col, f"{norm} AS _nrm", f"({flag}) AS _ref")
+            .select(F.col(id_col), F.col("_ref"), F.explode(F.expr(grams_expr)).alias("g"))
+            .localCheckpoint()
+        )
+        counts = doc_grams.where("_ref").groupBy("g").agg(F.count("*").alias("c"))
+    else:
+        ref_grams = ref_df.selectExpr(f"{norm} AS _nrm").select(
+            F.explode(F.expr(grams_expr)).alias("g")
+        )
+        counts = ref_grams.groupBy("g").agg(F.count("*").alias("c"))
+        doc_grams = df.selectExpr(id_col, f"{norm} AS _nrm").select(
+            F.col(id_col), F.explode(F.expr(grams_expr)).alias("g")
+        )
     stats = counts.agg(
         F.sum("c").alias("_N"), F.count("*").alias("_V")
     )  # total grams, vocab size
-    doc_grams = df.selectExpr(id_col, f"{norm} AS _nrm").select(
-        F.col(id_col), F.explode(F.expr(grams_expr)).alias("g")
-    )
     scored = (
         doc_grams.join(F.broadcast(counts), "g", "left")
         .crossJoin(F.broadcast(stats))
@@ -740,9 +831,16 @@ def dsir_select(
     broadcast join + groupBy(doc) sum. Out-of-vocabulary tokens contribute
     nothing (both distributions smooth them identically). Top-k orders by
     (score DESC, id ASC) for bit-stable output."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
-    ).where("w != ''")
+    # r13: the token stream feeds THREE consumers (raw counts, target
+    # counts, scoring) — materialize it once per invocation instead of
+    # re-tokenizing the corpus three times
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where("w != ''")
+        .localCheckpoint()
+    )
     raw = toks.groupBy("w").agg(F.count("*").alias("rcnt"))
     # distributed top-V (TakeOrderedAndProject), NOT a row_number over an
     # unpartitioned window — the word table has one row per distinct token

@@ -3505,7 +3505,7 @@ def ngram_lm_quality(spark, sf_dir):
     of a curation pipeline, as pure DataFrame ops (the trained model is a
     broadcastable counts table, no UDF)."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.ngram_lm_scores(docs, "doc_id", "text", ref_df=docs.where("lang = 'en'"))
+    return TX.ngram_lm_scores(docs, "doc_id", "text", ref_pred="lang = 'en'")
 
 
 _MIX_WEIGHTS = {"en": 0.6, "de": 0.2, "fr": 0.2}
@@ -3685,27 +3685,36 @@ def q2_min_cost_supplier(spark, sf_dir):
     At scale: part/supplier/nation/region are all dim-sized (broadcast);
     only the ps derivation shuffles lineitem once on (partkey, suppkey)."""
     _tpch_views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    # r13: the correlated scalar subquery decorrelated BY HAND to a window
+    # MIN — Catalyst's decorrelation planned the EUROPE part-supplier
+    # subplan (including the lineitem shuffle behind ps) TWICE, once for
+    # the outer join tree and once for the aggregate; the window form
+    # computes it once and pays one extra partkey-local sort. Equivalent
+    # by construction: outer candidate rows were already restricted to
+    # EUROPE suppliers, so the correlated MIN over EUROPE suppliers of the
+    # same part is exactly MIN(supplycost) OVER (PARTITION BY l_partkey).
     return spark.sql(
         """
         WITH ps AS (
           SELECT l_partkey, l_suppkey,
                  MIN(l_extendedprice / l_quantity) AS supplycost
           FROM _tpch_lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT ps.l_partkey, ps.supplycost,
+                 s.s_acctbal, s.s_name, s.s_suppkey, n.n_name
+          FROM ps
+          JOIN _tpch_supplier s ON s.s_suppkey = ps.l_suppkey
+          JOIN _tpch_nation n ON s.s_nationkey = n.n_nationkey
+          JOIN _tpch_region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
         )
-        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, s.s_suppkey
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.s_suppkey
         FROM _tpch_part p
-        JOIN ps ON p.p_partkey = ps.l_partkey
-        JOIN _tpch_supplier s ON s.s_suppkey = ps.l_suppkey
-        JOIN _tpch_nation n ON s.s_nationkey = n.n_nationkey
-        JOIN _tpch_region r ON n.n_regionkey = r.r_regionkey
-        WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
-          AND ps.supplycost = (
-            SELECT MIN(ps2.supplycost)
-            FROM ps ps2
-            JOIN _tpch_supplier s2 ON s2.s_suppkey = ps2.l_suppkey
-            JOIN _tpch_nation n2 ON s2.s_nationkey = n2.n_nationkey
-            JOIN _tpch_region r2 ON n2.n_regionkey = r2.r_regionkey
-            WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        JOIN (
+          SELECT eu.*, MIN(supplycost) OVER (PARTITION BY l_partkey) AS mc FROM eu
+        ) e ON p.p_partkey = e.l_partkey AND e.supplycost = e.mc
+        WHERE p.p_size = 15
         ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20
         """
     )
@@ -4512,7 +4521,7 @@ def corpus_curation_v2(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     v1 = corpus_curation(spark, sf_dir).select("doc_id", F.col("keep").alias("keep_v1"))
-    lm = TX.ngram_lm_scores(d, "doc_id", "text", ref_df=d.where("lang = 'en'")).select(
+    lm = TX.ngram_lm_scores(d, "doc_id", "text", ref_pred="lang = 'en'").select(
         "doc_id", (F.col("nll") <= 5.40).alias("lm_pass")
     )
     # each stage referenced ONCE (a pool-subset + re-join shape executed the

@@ -159,7 +159,11 @@ def append_sink(table, checkpoint_dir: str):
         last = last_committed_batch_id(t, sink_id)
         if last is not None and batch_id <= last:
             return  # replayed micro-batch: already committed
-        t.append(batch_df, summary={SINK_ID_KEY: sink_id, BATCH_ID_KEY: str(batch_id)})
+        t.append(
+            batch_df,
+            summary={SINK_ID_KEY: sink_id, BATCH_ID_KEY: str(batch_id)},
+            small_hint=True,  # micro-batches are delta-sized; oversize falls back
+        )
 
     return sink
 

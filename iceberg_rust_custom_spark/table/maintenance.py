@@ -1020,6 +1020,22 @@ def _write_equality_delete_files(table: Table, keys) -> list:
     )
     out_dir = os.path.join(md.location, "data", "eq-deletes-" + _uuid.uuid4().hex[:12])
     target_rows = int(md.properties.get("write.eq-delete.target-rows", 4_000_000))
+    # r13 fast path: key sets are usually delta-sized — one bounded
+    # distinct+collect action and a driver-side parquet write replaces the
+    # persist + count + distributed-write trio (three actions → one).
+    # Oversize key sets (or non-local warehouses) fall back unchanged.
+    from iceberg_rust_custom_spark.table.write import _small_local_write
+
+    fast = _small_local_write(
+        keys.distinct(), key_schema, out_dir, "zstd",
+        nan_counts=False, schema_id=md.current_schema_id,
+    )
+    if fast is not None:
+        return [
+            _dc.replace(d, content=2, equality_ids=eq_ids or None)
+            for d in fast
+            if d.record_count > 0
+        ]
     distinct = keys.distinct().persist(_SL.MEMORY_AND_DISK)
     try:
         n = distinct.count()

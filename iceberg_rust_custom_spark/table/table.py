@@ -697,6 +697,13 @@ class Table:
         # killed it (a position tombstone and an equality delete can both
         # target the same row)
         tombs = tombs.groupBy("file_path", "pos").agg(F.min("_del_seq").alias("_del_seq"))
+        # r13: materialize the tombstone set ONCE (eager localCheckpoint,
+        # per call) — the `touched` collect below plus the victims join in
+        # the returned plan would otherwise each execute the whole
+        # tombstone subplan (for equality deletes that includes the
+        # sequence-gated victim-candidate join over live data files).
+        # Tombstones are delete-range-sized, never table-sized.
+        tombs = tombs.localCheckpoint()
         # only the data files the tombstones reference need reading
         touched = [r.file_path for r in tombs.select("file_path").distinct().collect()]
         if with_lineage:
@@ -812,10 +819,20 @@ class Table:
         except Exception:
             pass
 
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH, summary: dict | None = None) -> "Table":
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = MAIN_BRANCH,
+        summary: dict | None = None,
+        small_hint: bool = False,
+    ) -> "Table":
+        """``small_hint=True`` (r13): the caller expects a delta-sized
+        frame (streaming micro-batches, MV delta commits) — try the
+        driver-side single-file write fast path; oversize inputs fall back
+        to the distributed write automatically."""
         self._refresh_for_write()
         data_dir = os.path.join(self.metadata.data_dir(), _uuid.uuid4().hex[:12])
-        files = write_partitioned(df, self.metadata, data_dir)
+        files = write_partitioned(df, self.metadata, data_dir, small_hint=small_hint)
         tx = self.new_transaction(branch).append(files)
         if summary:
             tx.set_summary(summary)

@@ -273,12 +273,91 @@ def _align_to_schema(df: DataFrame, target, iceberg_schema=None) -> DataFrame:
     return df.select(*cols)
 
 
+#: row cap for the hinted driver-side small-write fast path. Hinted callers
+#: are delta-sized by construction (MV delta commits, streaming micro-batch
+#: appends); anything over the cap falls back to the distributed write at
+#: the cost of one extra scan of the (small) plan.
+SMALL_WRITE_ROW_CAP = 100_000
+
+
+def _small_local_write(
+    df: DataFrame,
+    schema,
+    data_dir: str,
+    codec: str,
+    nan_counts: bool,
+    schema_id: int | None = None,
+    sort_spec: list | None = None,
+    sort_order_id: int | None = None,
+):
+    """Driver-side single-file parquet write for DELTA-SIZED frames (r13,
+    guide §1/§5): a distributed ``df.write.parquet`` costs a full Spark
+    job (planning + task launch + commit protocol) that dwarfs the data
+    when the delta is a few rows — per-micro-batch MV maintenance paid it
+    twice per batch. Bounded probe: ``limit(cap+1).toArrow()`` is ONE
+    action; if more than the cap comes back (or the destination is not a
+    local filesystem, or arrow conversion fails) return None and the
+    caller runs the normal distributed write. NaN counts are computed from
+    the in-memory table (same semantics as the distributed read-back pass:
+    NULL is not NaN). Stats come from the same ``collect_datafile_stats``
+    footer path as distributed files."""
+    if "://" in data_dir and not data_dir.startswith("file:"):
+        return None
+    local_dir = data_dir[len("file:"):] if data_dir.startswith("file:") else data_dir
+    try:
+        tbl = df.limit(SMALL_WRITE_ROW_CAP + 1).toArrow()
+    except Exception:
+        return None
+    if tbl.num_rows > SMALL_WRITE_ROW_CAP:
+        return None
+    if tbl.num_rows == 0:
+        return []
+    import uuid as _uuid
+
+    if sort_spec:
+        # honor the table's sort order driver-side (identity fields only —
+        # the caller checked): same layout/stat tightness the distributed
+        # sortWithinPartitions produced. Iceberg null order maps to arrow
+        # null_placement (nulls-first → at_start).
+        try:
+            tbl = tbl.sort_by(
+                [(name, direction) for name, direction, _ in sort_spec],
+                null_placement="at_start" if sort_spec[0][2] == "nulls-first" else "at_end",
+            )
+        except Exception:
+            return None
+    os.makedirs(local_dir, exist_ok=True)
+    fpath = os.path.join(local_dir, f"part-00000-{_uuid.uuid4().hex[:12]}-local.parquet")
+    pq.write_table(tbl, fpath, compression=codec)
+    d = collect_datafile_stats(
+        fpath,
+        schema,
+        {},
+        schema.schema_id if schema_id is None else schema_id,
+        sort_order_id=sort_order_id,
+        file_size=os.path.getsize(fpath),
+        spark=df.sparkSession,
+    )
+    if nan_counts:
+        import pyarrow.compute as pc
+
+        float_cols = [f.name for f in schema.fields if f.field_type in ("float", "double")]
+        d.nan_value_counts = {
+            c: int(pc.sum(pc.cast(pc.is_nan(tbl.column(c)), "int64")).as_py() or 0)
+            for c in float_cols
+        }
+    if "_row_id" in df.columns:
+        d.first_row_id = -1
+    return [d]
+
+
 def write_partitioned(
     df: DataFrame,
     metadata: TableMetadata,
     data_dir: str,
     branch_hint: str = "main",
     keep_layout: bool = False,
+    small_hint: bool = False,
 ) -> list[DataFile]:
     """Run the distributed write job; return DataFile records with stats.
 
@@ -338,6 +417,41 @@ def write_partitioned(
     )
     if keep_layout:
         dist, order_cols = "none", []
+    # r13 small-delta fast path: hinted callers with no partition spec and
+    # an (empty or all-identity-ascending) sort order can write driver-side
+    # — the arrow table is sorted locally and the DataFile carries the same
+    # sort_order_id the distributed write would stamp.
+    if (
+        small_hint
+        and not pnames
+        and not keep_layout
+        and metadata.properties.get("write.metadata.distinct-counts", "false") != "true"
+        and not metadata.properties.get("write.metadata.bloom-filter-columns", "").strip()
+        and not any(k.startswith("write.spark.option.") for k in metadata.properties)
+    ):
+        sort_spec = []
+        sortable = True
+        if order and order.fields:
+            for sf in order.fields:
+                if sf.transform.name != "identity" or sf.direction != "asc":
+                    sortable = False
+                    break
+                sort_spec.append(
+                    (schema.field_by_id(sf.source_id).name, "ascending", "nulls-first")
+                )
+        if sortable:
+            nan_prop = metadata.properties.get("write.metadata.nan-counts", "auto")
+            fast = _small_local_write(
+                df,
+                schema,
+                data_dir,
+                codec,
+                nan_counts=nan_prop in ("auto", "true"),
+                sort_spec=sort_spec or None,
+                sort_order_id=metadata.default_sort_order_id if sort_spec else None,
+            )
+            if fast is not None:
+                return fast
     if dist == "range":
         range_cols = [F.col(p) for p in pnames] + order_cols
         if range_cols:

@@ -289,9 +289,13 @@ def test_stream_append_with_mv_maintenance(eng, spark, tmp_path):
     src_dir = tmp_path / "src"
     src_dir.mkdir()
     for i, lo in enumerate((1, 41)):
+        # coalesce like the other stream sources in this file: the default
+        # 32-way write makes ~64 one-row micro-batches, whose fixed
+        # per-batch cost can exceed awaitTermination's 300 s ceiling on a
+        # slow box — 8 batches exercise the same multi-batch maintenance
         spark.createDataFrame(
             [(k, k % 3, float(k)) for k in range(lo, lo + 40)], "id long, grp long, v double"
-        ).write.parquet(str(src_dir / f"p{i}"))
+        ).coalesce(4).write.parquet(str(src_dir / f"p{i}"))
     stream = (
         spark.readStream.schema("id long, grp long, v double")
         .option("maxFilesPerTrigger", 1)
