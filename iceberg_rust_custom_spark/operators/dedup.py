@@ -321,22 +321,32 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}): k-permutation MinHash over word shingles.
+    One explode + one aggregate (map-side combine makes the min cheap).
 
-    Per-row form (r13): each document's mins are folded inside its own
-    shingle array — ZERO shuffles and no corpus-wide hash aggregate (the
-    previous explode + 16-way MIN aggregate paid one full shuffle of the
-    exploded shingle stream; the per-row form is the streaming shape that
-    minhash_signature_columns already proved value-identical — same
-    shingle set, same hash family, pinned in tests). Docs with no shingles
-    emit no row (array_min of an empty array is NULL → filtered), matching
-    the exploded form, which never produced a group for them."""
-    src = ensure_min_parallelism(df).select(
-        F.col(id_col), shingle_array(text_col, shingle_n).alias("_sh")
+    r13 note: a per-row array_min-fold form (zero shuffle) was measured
+    3× SLOWER at sf0.1 — Spark evaluates higher-order functions
+    interpreted, while the explode + MIN aggregate stays in whole-stage
+    codegen; the map-side partial aggregation already keeps the shuffle
+    signature-sized. Kept the codegen form. (The per-row expressions
+    remain available as minhash_signature_columns for the streaming map,
+    where a groupBy would drag in state-store semantics.)"""
+    return _minhash_signature_from_shingles(
+        shingles(df, id_col, text_col, shingle_n), id_col, num_hashes
     )
-    hashed = src.select(F.col(id_col), _shingle_hashes_col(F.col("_sh")).alias("_th"))
-    return hashed.select(
-        F.col(id_col), *_minhash_cols(F.col("_th"), num_hashes)
-    ).where(F.col("mh_0").isNotNull())
+
+
+def _minhash_signature_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """minhash_signature over an EXISTING (id, shingle) stream (r13: lets
+    lsh_verified_pairs / fuzzy_decontaminate share one checkpointed
+    shingle explode between the signature aggregate and the exact-verify
+    set aggregate). Value-identical to minhash_signature."""
+    h = F.expr(md5h32_spark_sql("shingle"))
+    hashed = sh.select(id_col, h.alias("h0"))
+    aggs = [
+        F.min(F.expr(affine_hash_sql("h0", a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -560,8 +570,12 @@ def lsh_verified_pairs(
         .where(F.size("sset") > 0)
         .localCheckpoint()
     )
-    sig = sets.select(F.col(id_col), _shingle_hashes_col(F.col("sset")).alias("_th")).select(
-        F.col(id_col), *_minhash_cols(F.col("_th"), num_hashes)
+    # signatures from an explode of the CHECKPOINTED arrays + the codegen
+    # MIN aggregate — measured 3× faster than per-row array_min folds
+    # (Spark evaluates higher-order-function lambdas interpreted, outside
+    # whole-stage codegen; explode + hash aggregate stays inside it)
+    sig = _minhash_signature_from_shingles(
+        sets.select(F.col(id_col), F.explode("sset").alias("shingle")), id_col, num_hashes
     )
     cand = _bucket_pairs(
         _banded(sig, id_col, id_col, num_hashes, bands), id_col, max_bucket, on_overflow
@@ -620,36 +634,27 @@ def incremental_minhash_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint: for each bit position j, sum +1/-1 over
-    token hashes, take the sign.
+    token hashes, take the sign. One explode + one aggregate; the bit loop
+    is column expressions (stays in codegen).
 
-    Per-row form (r13): the token hashes are materialized once per row,
-    then each bit's ±1 sum is an ``aggregate`` fold over that array —
-    ZERO shuffles (the previous explode + 32-way conditional SUM paid a
-    corpus-wide hash-aggregate shuffle of the exploded token stream).
-    Integer sums are order-independent, so values are bit-identical to the
-    exploded form; docs with no tokens emit no row, matching it."""
+    r13 note: a per-row ``aggregate``-fold form (zero shuffle) was
+    measured ~40% slower at sf0.1 — higher-order-function lambdas are
+    interpreted, while the explode + 32 conditional SUMs run inside
+    whole-stage codegen with map-side partial aggregation keeping the
+    shuffle fingerprint-sized. Kept the codegen form."""
     toks = tokens(F.lower(F.col(text_col)))
-    src = ensure_min_parallelism(df).select(F.col(id_col), toks.alias("_tk")).where(
-        F.size("_tk") > 0
-    )
-    hashed = src.select(
-        F.col(id_col),
-        F.transform(
-            "_tk", lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        ).alias("_th"),
-    )
+    exploded = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.expr(md5h32_spark_sql("tok"))
+    hashed = exploded.select(id_col, h.alias("th"))
     bit_sums = [
-        F.aggregate(
-            "_th",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
-            ),
+            )
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
-    summed = hashed.select(F.col(id_col), *bit_sums)
+    summed = hashed.groupBy(id_col).agg(*bit_sums)
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -1052,37 +1057,28 @@ def fuzzy_decontaminate(
     near-dups of the benchmark, not corpus scale.
 
     Returns the surviving TRAIN rows (all columns)."""
-    # One shingle pass per corpus (the lsh_verified_pairs r13 shape): the
-    # per-doc distinct shingle array is a pure projection, checkpointed once,
-    # and feeds BOTH the per-row MinHash banding and the exact-Jaccard
-    # verification — previously each corpus was shingled twice (signature
-    # explode + collect_set), each with its own corpus-wide shuffle.
+    # r13 measurement note: a shared-checkpoint shape (per-doc shingle
+    # ARRAYS checkpointed once, signatures and exact-verify derived from
+    # them) measured 2.5x SLOWER at sf0.1 (2.59 s -> 6.37 s min-of-4):
+    # materializing fat array rows costs more than re-running the cheap
+    # tokenize+shingle projection, and the codegen aggregates below absorb
+    # the exploded stream map-side. Kept the two-aggregate structure.
+    test_sigs = minhash_signature(test, id_col, text_col, num_hashes, shingle_n)
+    cand = incremental_minhash_pairs(
+        test_sigs, train, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumnRenamed("new_id", "train_id").withColumnRenamed("corpus_id", "test_id")
+
     t_sets = (
-        ensure_min_parallelism(train)
-        .select(F.col(id_col).alias("train_id"), shingle_array(text_col, shingle_n).alias("set_a"))
-        .where(F.size("set_a") > 0)
-        .localCheckpoint()
+        shingles(train, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("set_a"))
+        .select(F.col(id_col).alias("train_id"), "set_a")
     )
     b_sets = (
-        ensure_min_parallelism(test)
-        .select(F.col(id_col).alias("test_id"), shingle_array(text_col, shingle_n).alias("set_b"))
-        .where(F.size("set_b") > 0)
-        .localCheckpoint()
-    )
-
-    def _sig(sets: DataFrame, sid: str, set_col: str) -> DataFrame:
-        return sets.select(
-            F.col(sid), _shingle_hashes_col(F.col(set_col)).alias("_th")
-        ).select(F.col(sid), *_minhash_cols(F.col("_th"), num_hashes))
-
-    cand = (
-        _banded(_sig(t_sets, "train_id", "set_a"), "train_id", "train_id", num_hashes, bands)
-        .join(
-            _banded(_sig(b_sets, "test_id", "set_b"), "test_id", "test_id", num_hashes, bands),
-            ["band_idx", "band_sig"],
-        )
-        .select("train_id", "test_id")
-        .distinct()
+        shingles(test, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("set_b"))
+        .select(F.col(id_col).alias("test_id"), "set_b")
     )
     contaminated = (
         cand.join(t_sets, "train_id")

@@ -94,76 +94,42 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     counted per occurrence rather than de-overlapped (the common open
     reproduction), and fractions are clamped to 1.
 
-    Scale shape (r13): every signal is PER-DOCUMENT, so nothing needs a
-    shuffle at all — each n-gram order is materialized as an in-row array,
-    sorted, and reduced with one ``aggregate`` fold over equal-gram runs
-    (count of a gram = length of its run in the sorted array). The
-    previous shape exploded all 7 orders into a corpus×orders row stream
-    and paid a corpus-wide (doc, n, gram) hash-aggregate shuffle — at
-    100 TB that shuffle moves ~7× the tokenized corpus for what is
-    row-local arithmetic. Counts are integers, so the fold is
-    order-independent and value-identical to the exploded form. No UDFs.
+    Scale shape: ONE explode per branch (lines; all n-gram orders are
+    stacked into a single explode), shuffles keyed by (doc, token-group) then
+    doc — partial aggregation absorbs the fan-out map-side. No UDFs.
+
+    r13 note: a per-row sorted-run fold form (zero shuffle) was tried
+    and REVERTED: higher-order-function lambdas evaluate interpreted
+    (outside whole-stage codegen), and corpus_curation regressed 2x
+    (1.96 s -> 3.95 s min-of-4 at sf0.1) with the fold form. The
+    explode + (doc, n, gram) hash aggregate stays in codegen and its
+    shuffle is absorbed map-side by partial aggregation.
     """
     c = F.col(text_col)
     top_ns, dup_ns = sorted(GOPHER_TOP_NGRAM_MAX), sorted(GOPHER_DUP_NGRAM_MAX)
+    all_ns = top_ns + dup_ns
 
     base = df.select(F.col(id_col), F.length(c).alias("_chars"), c.alias("_t"))
 
-    def _long(x):
-        return x.cast("long") if hasattr(x, "cast") else F.lit(x).cast("long")
-
-    # ---- duplicate-line signals: one fold over the sorted line array ----
+    # ---- duplicate-line signals -----------------------------------------
     lines = F.filter(
         F.transform(F.split(F.col("_t"), "\n"), lambda x: F.trim(x)), lambda x: x != F.lit("")
     )
+    line_counts = (
+        base.select(id_col, F.explode(lines).alias("_line"))
+        .groupBy(id_col, "_line")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    dup = F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))
+    line_stats = line_counts.groupBy(id_col).agg(
+        (F.sum(dup) / F.sum("_cnt")).alias("_dlf"),
+        (
+            F.sum(dup * F.length("_line"))
+            / F.sum(F.col("_cnt") * F.length("_line"))
+        ).alias("_dlcf"),
+    )
 
-    def _line_stats(arr):
-        """struct(dc, dcc, tot, totc): duplicate-line count/chars and total
-        line count/chars, from runs of the sorted array (run length r of
-        line L ≡ the exploded form's per-(doc, line) count r)."""
-        z = F.struct(
-            F.lit("").alias("prev"),
-            _long(0).alias("run"),
-            _long(0).alias("dc"),
-            _long(0).alias("dcc"),
-        )
-
-        def _flush(acc):
-            dup_run = acc["run"] >= 2
-            return (
-                acc["dc"] + F.when(dup_run, acc["run"]).otherwise(_long(0)),
-                acc["dcc"]
-                + F.when(dup_run, acc["run"] * F.length(acc["prev"])).otherwise(_long(0)),
-            )
-
-        def step(acc, x):
-            dc2, dcc2 = _flush(acc)
-            return F.when(
-                x == acc["prev"],
-                F.struct(
-                    acc["prev"].alias("prev"),
-                    (acc["run"] + 1).alias("run"),
-                    acc["dc"].alias("dc"),
-                    acc["dcc"].alias("dcc"),
-                ),
-            ).otherwise(
-                F.struct(x.alias("prev"), _long(1).alias("run"), dc2.alias("dc"), dcc2.alias("dcc"))
-            )
-
-        def fin(acc):
-            dc2, dcc2 = _flush(acc)
-            return F.struct(dc2.alias("dc"), dcc2.alias("dcc"))
-
-        folded = F.aggregate(F.array_sort(arr), z, step, fin)
-        tot = F.size(arr).cast("long")
-        totc = F.aggregate(arr, _long(0), lambda a, x: a + F.length(x))
-        return folded, tot, totc
-
-    _lstats, _ltot, _ltotc = _line_stats(lines)
-    dlf = F.when(_ltot > 0, _lstats["dc"] / _ltot)
-    dlcf = F.when(_ltotc > 0, _lstats["dcc"] / _ltotc)
-
-    # ---- n-gram signals: one sorted-run fold per order ------------------
+    # ---- n-gram signals: one explode for every order --------------------
     toks = tokens(F.lower(F.col("_t")))
 
     # NB: F.transform feeds (element, index) to ANY two-parameter lambda, so
@@ -172,64 +138,38 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     def _gram(n):
         return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
 
-    def _gram_stats(n):
-        """struct(best, dup): max single-gram character mass and total
-        repeated-gram character mass for order n (mass of a run of r copies
-        of gram g = r * length(g), exactly the exploded form's
-        cnt * length(gram))."""
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = []
+    for n in all_ns:
         grams = F.when(
             F.size(toks) >= n,
             F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), _gram(n)),
         ).otherwise(F.array().cast("array<string>"))
-        z = F.struct(
-            F.lit("").alias("prev"),
-            _long(0).alias("run"),
-            _long(0).alias("best"),
-            _long(0).alias("dup"),
-        )
+        gram_arrays.append(F.transform(grams, _tag(n)))
+    gram_counts = (
+        base.select(id_col, "_chars", F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"))
+        .select(id_col, "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
+        .groupBy(id_col, "_n", "_gram")
+        .agg(F.count("*").alias("_cnt"), F.first("_chars").alias("_chars"))
+    )
+    mass = F.col("_cnt") * F.length("_gram")
+    per_n = gram_counts.groupBy(id_col, "_n").agg(
+        (F.max(mass) / F.first("_chars")).alias("_top"),
+        (F.sum(F.when(F.col("_cnt") >= 2, mass).otherwise(F.lit(0))) / F.first("_chars")).alias(
+            "_dup"
+        ),
+    )
+    wide = per_n.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("_n") == n, F.col("_top"))).alias(f"_top_{n}") for n in top_ns],
+        *[F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup_{n}") for n in dup_ns],
+    )
 
-        def _flush(acc):
-            m = acc["run"] * F.length(acc["prev"])
-            return (
-                F.greatest(acc["best"], m),
-                acc["dup"] + F.when(acc["run"] >= 2, m).otherwise(_long(0)),
-            )
-
-        def step(acc, x):
-            best2, dup2 = _flush(acc)
-            return F.when(
-                x == acc["prev"],
-                F.struct(
-                    acc["prev"].alias("prev"),
-                    (acc["run"] + 1).alias("run"),
-                    acc["best"].alias("best"),
-                    acc["dup"].alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    x.alias("prev"), _long(1).alias("run"), best2.alias("best"), dup2.alias("dup")
-                )
-            )
-
-        def fin(acc):
-            best2, dup2 = _flush(acc)
-            return F.struct(best2.alias("best"), dup2.alias("dup"))
-
-        return F.aggregate(F.array_sort(grams), z, step, fin)
-
-    chars = F.col("_chars")
-    stat_cols = []
-    for n in top_ns:
-        g = _gram_stats(n)
-        # no grams for this order → best = 0 → mass 0, matching the
-        # exploded form's absent-group → NULL → coalesce(0) path
-        stat_cols.append(F.when(chars > 0, g["best"] / chars).alias(f"_top_{n}"))
-    for n in dup_ns:
-        g = _gram_stats(n)
-        stat_cols.append(F.when(chars > 0, g["dup"] / chars).alias(f"_dup_{n}"))
-
-    out = base.select(
-        F.col(id_col), dlf.alias("_dlf"), dlcf.alias("_dlcf"), *stat_cols
+    out = (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(wide, id_col, "left")
     )
     frac = lambda col: F.round(F.least(F.coalesce(col, F.lit(0.0)), F.lit(1.0)), 6)
     passing = (F.coalesce(F.col("_dlf"), F.lit(0.0)) <= 0.30) & (
@@ -369,14 +309,14 @@ def tfidf_top_terms(
     engine-exact; tfidf itself is rounded to 4 dp to absorb libm ln ulps.
     """
     toks = tokens(F.lower(F.col(text_col)))
-    # r13: tf feeds BOTH the document-frequency aggregate and the scoring
-    # join — materialize it once per invocation instead of running the
-    # tokenize+explode+aggregate pipeline twice
+    # r13 note: checkpointing tf to share it between docfreq and the
+    # scoring join measured slightly SLOWER (1.10 s -> 1.20 s min-of-4 at
+    # sf0.1) — the materialization costs more than re-running the codegen
+    # explode+aggregate. Left as two subtree executions.
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
     )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = df.select(F.count("*").alias("n_docs"))

@@ -41,6 +41,13 @@ def get_spark(
         # harness box has 128 GiB; override with SPARK_GRAFT_DRIVER_MEM)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # r13: operators materialize shared subtrees with per-invocation
+        # localCheckpoint; their blocks are released by the ContextCleaner
+        # only after a driver GC notices the RDD is unreachable. The
+        # default periodic-GC interval (30min) lets dead checkpoint blocks
+        # accumulate across a many-query session and evict live ones —
+        # tighten it so storage turns over with the workload.
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Spark 4 gates its native GEOMETRY/GEOGRAPHY types behind this
         # flag; the engine maps Iceberg v3 geo columns onto them (WKB

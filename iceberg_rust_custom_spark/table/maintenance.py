@@ -1026,9 +1026,12 @@ def _write_equality_delete_files(table: Table, keys) -> list:
     # Oversize key sets (or non-local warehouses) fall back unchanged.
     from iceberg_rust_custom_spark.table.write import _small_local_write
 
+    # row_cap = target_rows: key sets past the target must keep the
+    # range-partitioned multi-file layout (disjoint per-file key bounds
+    # drive victim pruning) — pinned by test_large_delete_key_set_is_not_funneled
     fast = _small_local_write(
         keys.distinct(), key_schema, out_dir, "zstd",
-        nan_counts=False, schema_id=md.current_schema_id,
+        nan_counts=False, schema_id=md.current_schema_id, row_cap=target_rows,
     )
     if fast is not None:
         return [

@@ -289,6 +289,7 @@ def _small_local_write(
     schema_id: int | None = None,
     sort_spec: list | None = None,
     sort_order_id: int | None = None,
+    row_cap: int | None = None,
 ):
     """Driver-side single-file parquet write for DELTA-SIZED frames (r13,
     guide §1/§5): a distributed ``df.write.parquet`` costs a full Spark
@@ -304,11 +305,12 @@ def _small_local_write(
     if "://" in data_dir and not data_dir.startswith("file:"):
         return None
     local_dir = data_dir[len("file:"):] if data_dir.startswith("file:") else data_dir
+    cap = SMALL_WRITE_ROW_CAP if row_cap is None else min(row_cap, SMALL_WRITE_ROW_CAP)
     try:
-        tbl = df.limit(SMALL_WRITE_ROW_CAP + 1).toArrow()
+        tbl = df.limit(cap + 1).toArrow()
     except Exception:
         return None
-    if tbl.num_rows > SMALL_WRITE_ROW_CAP:
+    if tbl.num_rows > cap:
         return None
     if tbl.num_rows == 0:
         return []
