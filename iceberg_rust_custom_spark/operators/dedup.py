@@ -34,7 +34,10 @@ from iceberg_rust_custom_spark.functions.hashing import (
     minhash_params,
 )
 from iceberg_rust_custom_spark.operators.text import tokens
-from iceberg_rust_custom_spark.operators.util import ensure_min_parallelism
+from iceberg_rust_custom_spark.operators.util import (
+    ensure_min_parallelism,
+    materialize_if_small,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -220,22 +223,26 @@ def duplicate_spans(
     # xxhash64 instead of md5 (r13): the gram hash is internal — only the
     # span positions are output — so any collision-free hash yields the
     # same spans, and xxhash64 is a single 64-bit codegen op versus a
-    # cryptographic digest + 32-char string per window. The checkpoint
-    # shares the tokenize+explode stream between the dup-hash aggregate
-    # and the position join (previously the whole gram pipeline ran twice,
-    # once per consumer); per invocation, never across runs.
+    # cryptographic digest + 32-char string per window. (Collision bound:
+    # two DIFFERENT grams colliding on the 64-bit hash would fabricate a
+    # duplicate span — ~n²/2^65 for n distinct grams, ~3% at 10^9 grams;
+    # at that scale pass a wider key or pre-partition the corpus.) The
+    # shared tokenize+explode stream feeds the dup-hash aggregate and the
+    # position join; it is materialized only for small inputs
+    # (materialize_if_small — one row per token position is O(corpus),
+    # r14 scale-safety gate; per invocation, never across runs).
     grams_expr = (
         f"CASE WHEN size(_tk) >= {L} THEN "
         f"transform(sequence(1, size(_tk) - {L - 1}), "
         f"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(_tk, i, {L}))) AS h)) "
         f"ELSE array() END"
     )
-    grams = (
+    grams = materialize_if_small(
         ensure_min_parallelism(df)
         .selectExpr(id_col, f"{toks} AS _tk")
         .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
-        .select(id_col, "g.pos", "g.h")
-        .localCheckpoint()
+        .select(id_col, "g.pos", "g.h"),
+        df,
     )
     dup_hashes = (
         grams.groupBy("h")
@@ -556,29 +563,25 @@ def lsh_verified_pairs(
 
     Scale shape: the candidate pairs join the per-document shingle sets on
     id (two hash joins keyed by doc id); the intersection/union runs as an
-    array expression inside codegen — no UDF, no re-shuffle of the corpus."""
-    # One shingle pass per invocation: the per-doc distinct shingle array is
-    # computed ONCE (pure projection, zero shuffles) and materialized with an
-    # eager localCheckpoint, then shared by the signature derivation AND both
-    # sides of the exact-verify join. The previous shape ran the shingle
-    # pipeline twice (signature explode + collect_set re-aggregation) plus a
-    # corpus-wide groupBy(id) shuffle for each. shingle_array is already
-    # array_distinct'd, so the per-row array IS the collect_set value.
+    array expression inside codegen — no UDF, no re-shuffle of the corpus.
+
+    r14 note: an r13 variant eagerly localCheckpointed the per-doc shingle
+    ARRAYS and derived signatures + both verify sides from the checkpoint.
+    It measured ~2× SLOWER at sf0.1 (driver bench 2.97 s → 5.69 s, both
+    core counts; same box min-of-4 4.54 s → 2.6 s after this revert) —
+    materializing fat array rows (every distinct shingle per doc) costs
+    more than re-running the cheap codegen tokenize+shingle projection,
+    exactly the trade fuzzy_decontaminate measured (2.59 s → 6.37 s) and
+    reverted in r13. Kept the lazy two-subtree form; it is also the
+    scale-safe one (no O(corpus) executor-storage materialization, lineage
+    intact)."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, on_overflow
+    )
     sets = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), shingle_array(text_col, shingle_n).alias("sset"))
-        .where(F.size("sset") > 0)
-        .localCheckpoint()
-    )
-    # signatures from an explode of the CHECKPOINTED arrays + the codegen
-    # MIN aggregate — measured 3× faster than per-row array_min folds
-    # (Spark evaluates higher-order-function lambdas interpreted, outside
-    # whole-stage codegen; explode + hash aggregate stays inside it)
-    sig = _minhash_signature_from_shingles(
-        sets.select(F.col(id_col), F.explode("sset").alias("shingle")), id_col, num_hashes
-    )
-    cand = _bucket_pairs(
-        _banded(sig, id_col, id_col, num_hashes, bands), id_col, max_bucket, on_overflow
+        shingles(df, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sset"))
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))

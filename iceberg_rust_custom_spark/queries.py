@@ -4521,9 +4521,15 @@ def corpus_curation_v2(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     v1 = corpus_curation(spark, sf_dir).select("doc_id", F.col("keep").alias("keep_v1"))
-    lm = TX.ngram_lm_scores(d, "doc_id", "text", ref_pred="lang = 'en'").select(
-        "doc_id", (F.col("nll") <= 5.40).alias("lm_pass")
-    )
+    # materialize=False (r14, VERDICT r13 #3): inside this composite the
+    # eager gram-stream checkpoint serialized against the other curation
+    # stages and LOST on the driver (2.66 s → 3.71 s, both core counts)
+    # even though it wins for the standalone LM query — keep the lazy
+    # two-subtree shape here (the _ref predicate pushes into the counts
+    # subtree's scan).
+    lm = TX.ngram_lm_scores(
+        d, "doc_id", "text", ref_pred="lang = 'en'", materialize=False
+    ).select("doc_id", (F.col("nll") <= 5.40).alias("lm_pass"))
     # each stage referenced ONCE (a pool-subset + re-join shape executed the
     # v1 and LM subtrees twice — 29 s at sf0.1): rank every doc per source
     # with passing docs first, so the rank restricted to the passing prefix
