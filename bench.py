@@ -300,7 +300,26 @@ def main():
     }
     if dedup_scale:
         out["dedup_scale"] = {"factor": factor, "queries": dedup_scale}
-    print(json.dumps(out))
+    # r14 (VERDICT r13 #9, additive only): the driver archives a bounded
+    # TAIL of this line; r12's capture lost the head (metric/value/"setup")
+    # and PERF_r13 could not parse round-over-round numbers. Duplicate the
+    # totals at the very END of the dict so any tail longer than ~100 bytes
+    # carries them, and ALSO write the full JSON to BENCH_local.json next
+    # to this script so the artifact survives stdout truncation entirely.
+    out["totals_tail"] = {
+        "value": total,
+        "sf": sf,
+        "wh": wh_state,
+        "sentinel_1task_sec": sentinel_s,
+        "sentinel_end_1task_sec": out["sentinel_end_1task_sec"],
+    }
+    line = json.dumps(out)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line remains the contract
+    print(line)
 
 
 if __name__ == "__main__":

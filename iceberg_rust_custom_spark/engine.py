@@ -22,6 +22,7 @@ from iceberg_rust_custom_spark.metadata.schema import Schema
 from iceberg_rust_custom_spark.metadata.sort import SortField, SortOrder
 from iceberg_rust_custom_spark.metadata.table_metadata import TableMetadata
 from iceberg_rust_custom_spark.table.table import Table
+from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
 from iceberg_rust_custom_spark.table.write import write_partitioned
 from iceberg_rust_custom_spark.views import incremental as _INC
 from iceberg_rust_custom_spark.views.view import (
@@ -1497,7 +1498,7 @@ class Engine:
             return False  # huge or NULL-keyed group set → full refresh
         if not rows:
             return "incremental-noop" if self._commit_state_only(storage, new_state) else False
-        aff = self.spark.createDataFrame(rows, affected.schema)
+        aff = local_rows_df(self.spark, rows, affected.schema)
         try:
             # runtime file pruning: only source files whose key stats
             # overlap the affected groups are read
@@ -2238,7 +2239,7 @@ class Engine:
                 if self._commit_state_only(storage, new_state)
                 else False
             )
-        aff = self.spark.createDataFrame(rows, affected.schema)
+        aff = local_rows_df(self.spark, rows, affected.schema)
 
         src_preds: dict[int, object] = {}
         for ks, key in zip(plan.key_sources, keys):
@@ -2391,7 +2392,7 @@ class Engine:
                 if self._commit_state_only(storage, new_state)
                 else False
             )
-        aff = self.spark.createDataFrame(rows, affected.schema)
+        aff = local_rows_df(self.spark, rows, affected.schema)
 
         # recompute: push the affected-key set into whichever source owns
         # each group-key column (superset restriction — per-column IN sets
@@ -2524,7 +2525,7 @@ class Engine:
                 if self._commit_state_only(storage, new_state)
                 else False
             )
-        aff = self.spark.createDataFrame(rows, affected.schema)
+        aff = local_rows_df(self.spark, rows, affected.schema)
 
         pred = None
         for spec, key in zip(plan.key_sources, keys):

@@ -34,6 +34,7 @@ from iceberg_rust_custom_spark.functions.hashing import (
     minhash_params,
 )
 from iceberg_rust_custom_spark.operators.text import tokens
+from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
 from iceberg_rust_custom_spark.operators.util import (
     ensure_min_parallelism,
     materialize_if_small,
@@ -814,7 +815,7 @@ def connected_components(
         out = [(x, find(x)) for x in sorted(nodes)]
         spark = e.sparkSession
         schema = e.select(F_u.alias("node"), F_v.alias("component")).schema
-        return spark.createDataFrame(out, schema)
+        return local_rows_df(spark, out, schema)
 
     edges = edges.localCheckpoint()
     # the eager checkpoint is the first action over the (possibly observed)

@@ -251,7 +251,9 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
          64, 64, 5000 if i % 3 == 0 else None)
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+    return local_rows_df(spark, rows, MEDIA_SCHEMA)
 
 
 def _decode_wav(payload: bytes) -> dict | None:

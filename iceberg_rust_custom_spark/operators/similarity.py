@@ -210,8 +210,10 @@ def kmeans_centroids(
         return _kmeans_init(c, n_centroids)
     cached = ensure_min_parallelism(c).localCheckpoint()
     cent_rows = _kmeans_rows(cached, n_centroids, iterations)
-    return spark.createDataFrame(
-        [(cid, v) for cid, v in cent_rows], "centroid_id int, centv array<double>"
+    from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+    return local_rows_df(
+        spark, [(cid, v) for cid, v in cent_rows], "centroid_id int, centv array<double>"
     )
 
 

@@ -42,7 +42,9 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
 def read_memory(spark: SparkSession, rows: list, schema: T.StructType | str) -> DataFrame:
     """In-memory batch source (reference: ctx.read_batch(RecordBatch),
     examples/dataframe.rs:71-82)."""
-    return spark.createDataFrame(rows, _schema(schema))
+    from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+    return local_rows_df(spark, rows, _schema(schema))
 
 
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:

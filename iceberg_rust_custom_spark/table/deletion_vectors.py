@@ -231,7 +231,10 @@ def dv_positions_df(spark, dv_files: list[DataFile], with_seq: bool = False) -> 
         return _is_local(p) or urlparse(p).scheme in spec
 
     if all(_executor_readable(f.file_path) for f in dv_files):
-        refs = spark.createDataFrame(
+        from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+        refs = local_rows_df(
+            spark,
             [
                 (
                     f.file_path,
@@ -264,7 +267,10 @@ def dv_positions_df(spark, dv_files: list[DataFile], with_seq: bool = False) -> 
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         blobs = list(ex.map(read_dv_blob, dv_files))
-    refs = spark.createDataFrame(
+    from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+    refs = local_rows_df(
+        spark,
         [(f.referenced_data_file, b, f.data_sequence_number) for f, b in zip(dv_files, blobs)],
         "file_path string, blob binary, seq long",
     ).repartition(max(32, len(dv_files) // 4))

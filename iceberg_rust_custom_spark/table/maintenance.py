@@ -968,9 +968,12 @@ def delete_by_key(table: Table, keys, key_cols: list[str] | None = None) -> Tabl
     if not isinstance(keys, _DF):
         if not key_cols or len(key_cols) != 1:
             raise ValueError("pass key_cols=[col] when keys is a list of values")
-        keys = table.spark.createDataFrame(
+        from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
+
+        keys = local_rows_df(
+            table.spark,
             [(k,) for k in keys],
-            table.spark.createDataFrame([], md.current_schema().spark_schema())
+            local_rows_df(table.spark, [], md.current_schema().spark_schema())
             .select(*key_cols)
             .schema,
         )

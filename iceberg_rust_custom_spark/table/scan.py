@@ -27,6 +27,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_rust_custom_spark.io.lister import canon_path
+from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
 from iceberg_rust_custom_spark.metadata.expressions import (
     Expr,
     FileBounds,
@@ -367,7 +368,7 @@ def plan_files_distributed(
                     yield pd.DataFrame(rows, columns=names)
 
             pruned = (
-                spark.createDataFrame([(p,) for p in avro_paths], "manifest_path string")
+                local_rows_df(spark, [(p,) for p in avro_paths], "manifest_path string")
                 .repartition(min(len(avro_paths), 256))
                 .mapInPandas(prune_avro, schema_cols)
                 .collect()
@@ -711,7 +712,7 @@ def scan_to_dataframe(
                 list(read_schema.fields)
                 + [T.StructField(c, _meta_types[c], True) for c in metadata_columns]
             )
-        df = spark.createDataFrame([], read_schema)
+        df = local_rows_df(spark, [], read_schema)
     elif len(metadata.schemas) > 1:
         df = _read_with_field_id_resolution(
             spark, metadata, schema, files, lineage=lineage, physical_lineage=row_lineage
@@ -911,7 +912,7 @@ def _attach_metadata_columns(
             for f in files
         ]
         m = F.broadcast(
-            spark.createDataFrame(rows, "file_path string, _spec_id int, _partition string")
+            local_rows_df(spark, rows, "file_path string, _spec_id int, _partition string")
         )
         keep = [c for c in ("_spec_id", "_partition") if c in metadata_columns]
         m = m.select("file_path", *keep)
@@ -941,7 +942,7 @@ def _attach_row_lineage(spark, df: DataFrame, files: list, file_seqs: dict) -> D
         for f in files
     ]
     m = F.broadcast(
-        spark.createDataFrame(rows, "file_path string, _sg_frid long, _sg_fseq long")
+        local_rows_df(spark, rows, "file_path string, _sg_frid long, _sg_fseq long")
     )
     norm = F.regexp_replace(df["_sg_file"], "^file:/+", "/")
     df = df.join(m, norm == m["file_path"], "left").drop("file_path")
@@ -1126,7 +1127,7 @@ def _equality_deletes_impl(
 
     seq_rows = [(canon_path(p), s) for p, s in file_seqs.items()]
     seq_df = F.broadcast(
-        spark.createDataFrame(seq_rows, "file_path string, _sg_dseq long")
+        local_rows_df(spark, seq_rows, "file_path string, _sg_dseq long")
     )
     # _metadata.file_path is a file: URI; manifest paths are plain — compare
     # scheme-stripped forms
@@ -1189,14 +1190,14 @@ def _equality_deletes_impl(
             df = df.join(eq_df, cond, "left_anti")
     if how == "left_semi":
         if not semi_parts:
-            return spark.createDataFrame([], "_sg_file string, _sg_pos long")
+            return local_rows_df(spark, [], "_sg_file string, _sg_pos long")
         out = semi_parts[0]
         for p in semi_parts[1:]:
             out = out.unionByName(p)
         return out.distinct()
     if how == "hits":
         if not semi_parts:
-            return spark.createDataFrame([], "_sg_file string, _sg_pos long, _del_seq long")
+            return local_rows_df(spark, [], "_sg_file string, _sg_pos long, _del_seq long")
         out = semi_parts[0]
         for p in semi_parts[1:]:
             out = out.unionByName(p)
@@ -1414,11 +1415,11 @@ def files_df(
     if manifest_paths is not None:
         paths = list(manifest_paths)
     elif snapshot is None:
-        return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
+        return local_rows_df(spark, [], MANIFEST_ENTRY_SPARK_SCHEMA)
     else:
         paths = [r["manifest_path"] for r in read_manifest_list(snapshot.manifest_list)]
     if not paths:
-        return spark.createDataFrame([], MANIFEST_ENTRY_SPARK_SCHEMA)
+        return local_rows_df(spark, [], MANIFEST_ENTRY_SPARK_SCHEMA)
     avro_paths = [p for p in paths if p.endswith(".avro")]
     pq_paths = [p for p in paths if not p.endswith(".avro")]
     parts = []
@@ -1443,7 +1444,7 @@ def files_df(
                 yield pd.DataFrame(rows, columns=names)
 
         parts.append(
-            spark.createDataFrame([(p,) for p in avro_paths], "manifest_path string")
+            local_rows_df(spark, [(p,) for p in avro_paths], "manifest_path string")
             .repartition(min(len(avro_paths), 256))
             .mapInPandas(decode, MANIFEST_ENTRY_SPARK_SCHEMA)
         )

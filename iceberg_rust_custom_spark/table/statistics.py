@@ -27,6 +27,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
 from iceberg_rust_custom_spark.io.fileio import FileIO
 from iceberg_rust_custom_spark.table.table import Table
 
@@ -109,7 +110,7 @@ def analyze(table: Table, columns: list[str] | None = None) -> Table:
     if not all_rows:
         raise ValueError("nothing to sketch (no columns or no rows)")
     merged_df = (
-        spark.createDataFrame(all_rows, "column string, hll_sketch binary")
+        local_rows_df(spark, all_rows, "column string, hll_sketch binary")
         .groupBy("column")
         .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
         .select(
@@ -211,7 +212,7 @@ def table_statistics(table: Table) -> DataFrame:
     entry = latest_statistics(table)
     schema = "column string, ndv long, snapshot_id long, sequence_number long"
     if entry is None:
-        return table.spark.createDataFrame([], schema)
+        return local_rows_df(table.spark, [], schema)
     rows = [
         (
             b["fields"][0],
@@ -221,4 +222,4 @@ def table_statistics(table: Table) -> DataFrame:
         )
         for b in entry["blob-metadata"]
     ]
-    return table.spark.createDataFrame(rows, schema)
+    return local_rows_df(table.spark, rows, schema)

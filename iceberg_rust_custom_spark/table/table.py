@@ -12,6 +12,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_rust_custom_spark.catalog.base import Catalog, Identifier
+from iceberg_rust_custom_spark.functions.local_rows import local_rows_df
 from iceberg_rust_custom_spark.metadata.expressions import Expr, parse_predicate
 from iceberg_rust_custom_spark.metadata.snapshot import MAIN_BRANCH, Snapshot
 from iceberg_rust_custom_spark.io.fileio import FileIO
@@ -484,7 +485,7 @@ class Table:
         cur = self.metadata.current_schema()
         if not files:
             return _decode_variants(
-                self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+                local_rows_df(self.spark, [], cur.physical_spark_schema()), cur
             )
         if len(self.metadata.schemas) > 1:
             # evolved table: files span write schemas — project by field id
@@ -548,7 +549,7 @@ class Table:
 
             cur = self.metadata.current_schema()
             empty = _decode_variants(
-                self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+                local_rows_df(self.spark, [], cur.physical_spark_schema()), cur
             )
             if with_lineage:
                 empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
@@ -587,7 +588,7 @@ class Table:
                 cur = self.metadata.current_schema()
                 inserts = (
                     _decode_variants(
-                        self.spark.createDataFrame([], cur.physical_spark_schema()), cur
+                        local_rows_df(self.spark, [], cur.physical_spark_schema()), cur
                     )
                     .withColumn("_row_id", F.lit(None).cast("long"))
                     .withColumn("_sg_cseq", F.lit(None).cast("long"))
@@ -634,7 +635,8 @@ class Table:
         pq_dels = [d for d in del_files if d.file_format != "puffin"]
         if pq_dels:
             seq_map = F.broadcast(
-                self.spark.createDataFrame(
+                local_rows_df(
+                    self.spark,
                     [(d.file_path, d.data_sequence_number) for d in pq_dels],
                     "dpath string, _del_seq long",
                 )
@@ -1009,7 +1011,7 @@ class Table:
             )
             for s in self.metadata.snapshots.values()
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark, 
             rows,
             "snapshot_id long, parent_id long, sequence_number long, timestamp_ms long, operation string, manifest_list string",
         )
@@ -1062,7 +1064,7 @@ class Table:
         uniform with files()/entries()."""
         snap = self._resolve_snapshot(snapshot_id)
         if snap is None:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], "manifest_path string, partition_spec_id int, content int, "
                 "sequence_number long, min_sequence_number long, added_files_count int, "
                 "existing_files_count int, deleted_files_count int, added_rows_count long, "
@@ -1114,7 +1116,7 @@ class Table:
             for s in self.metadata.snapshots.values()
             for r in read_manifest_list(s.manifest_list)
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark, 
             rows,
             "reference_snapshot_id long, manifest_path string, partition_spec_id int, "
             "content int, sequence_number long, added_files_count int, "
@@ -1148,14 +1150,14 @@ class Table:
             )
             for name, ref in self.metadata.refs.items()
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark, 
             rows,
             "name string, type string, snapshot_id long, min_snapshots_to_keep int, "
             "max_snapshot_age_ms long, max_ref_age_ms long",
         )
 
     def history(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark, 
             [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log],
             "timestamp_ms long, snapshot_id long",
         )
