@@ -1032,18 +1032,23 @@ def _write_equality_delete_files(table: Table, keys) -> list:
     # row_cap = target_rows: key sets past the target must keep the
     # range-partitioned multi-file layout (disjoint per-file key bounds
     # drive victim pruning) — pinned by test_large_delete_key_set_is_not_funneled
-    fast = _small_local_write(
-        keys.distinct(), key_schema, out_dir, "zstd",
-        nan_counts=False, schema_id=md.current_schema_id, row_cap=target_rows,
-    )
-    if fast is not None:
-        return [
-            _dc.replace(d, content=2, equality_ids=eq_ids or None)
-            for d in fast
-            if d.record_count > 0
-        ]
+    # The distinct frame is persisted BEFORE the probe (ADVICE r13): when
+    # the key set overflows the cap, the probe has already computed
+    # keys.distinct() — the fallback below must reuse it, not pay a second
+    # full distinct pass. For the common small case the persist just
+    # caches a delta-sized frame during the probe's single action.
     distinct = keys.distinct().persist(_SL.MEMORY_AND_DISK)
     try:
+        fast = _small_local_write(
+            distinct, key_schema, out_dir, "zstd",
+            nan_counts=False, schema_id=md.current_schema_id, row_cap=target_rows,
+        )
+        if fast is not None:
+            return [
+                _dc.replace(d, content=2, equality_ids=eq_ids or None)
+                for d in fast
+                if d.record_count > 0
+            ]
         n = distinct.count()
         if n == 0:
             return []

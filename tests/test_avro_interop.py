@@ -160,6 +160,7 @@ def test_import_roundtrip_preserves_rows_and_pruning(spark, exported_table, tmp_
     assert n == orig.scan().count()
 
 
+@pytest.mark.slow
 def test_export_mor_table_with_delete_manifests(spark, tmp_path, sf_dir):
     """A snapshot holding live position AND equality deletes exports as
     spec v2 with separate delete manifests (content=1 rows, "content":
@@ -221,6 +222,7 @@ def test_export_mor_table_with_delete_manifests(spark, tmp_path, sf_dir):
     assert t2.scan("id = 50").count() == 1
 
 
+@pytest.mark.slow
 def test_export_import_eq_delete_key_bounds_and_lineage_marker(spark, tmp_path):
     """r10 (VERDICT r9 item 7): the r9 surface survives the spec-v2
     round-trip both directions —
@@ -332,6 +334,7 @@ def test_export_import_eq_delete_key_bounds_and_lineage_marker(spark, tmp_path):
     assert t3.changes(snap3.sequence_number - 1).count() == 0
 
 
+@pytest.mark.slow
 def test_v3_export_import_roundtrip_preserves_lineage_and_dvs(spark, tmp_path):
     """r11 (VERDICT r10 #6): format_version=3 export writes v3 metadata
     JSON (format-version 3, next-row-id, per-snapshot first-row-id) and

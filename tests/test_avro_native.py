@@ -97,6 +97,7 @@ def test_mor_delete_separate_delete_manifest(avro_table):
     assert any(r["content"] == 1 for r in rows)
 
 
+@pytest.mark.slow
 def test_mor_upsert_and_compaction(avro_table, spark):
     src = spark.createDataFrame([(3, "z", dt.date(2020, 2, 1), 333), (9, "n", dt.date(2020, 4, 1), 90)], SCH.spark_schema())
     M.merge_upsert(avro_table, src, ["id"], mode="merge-on-read")

@@ -45,6 +45,7 @@ def _feed(spark, engine, table):
     )
 
 
+@pytest.mark.slow
 def test_batch_feed_matches_table_changes(spark, engine):
     """Inserts + MoR position deletes (parquet or DV) + MoR update replay
     identically to Table.changes(0)."""
@@ -83,6 +84,7 @@ def test_commit_seq_attribution_and_pre_range_suppression(spark, engine):
     assert {r._commit_seq for r in rows} == {anchor + 1}
 
 
+@pytest.mark.slow
 def test_added_column_reads_null_for_old_files(spark, engine):
     t = engine.create_table("s.e", _orders(spark).schema)
     t.append(_orders(spark, 50))
@@ -107,6 +109,7 @@ def test_refusals_are_loud_not_wrong(spark, engine):
         _feed(spark, engine, "s.r").collect()
 
 
+@pytest.mark.slow
 def test_equality_deletes_replay_as_delete_events(spark, engine):
     """delete_by_key victims emit as delete events (executor-side key join
     with strictly-older gating): a key re-inserted AFTER the delete
@@ -153,6 +156,7 @@ def test_eq_and_pos_deletes_first_killer_exactly_once(spark, engine):
     assert {(r.k, r._change_type) for r in rows} == {(10, "delete")}
 
 
+@pytest.mark.slow
 def test_follow_streaming_upsert_fed_table(spark, engine, tmp_path):
     """The CDC source follows a table fed by stream_upsert_to_table (whose
     every batch commits an equality delete + append) — the end state
@@ -211,6 +215,7 @@ def test_position_chunking_preserves_results(spark, engine):
     assert got == list(range(0, 300, 2))
 
 
+@pytest.mark.slow
 def test_stream_resume_exactly_once(spark, engine, tmp_path):
     """availableNow → parquet sink; a second run after a new commit ships
     ONLY the delta (offsets from the checkpoint), no duplicates."""
@@ -373,6 +378,7 @@ def test_eq_victim_lookup_ships_refs_past_the_cap(spark, engine):
     assert dels[0] == 2 and dels[1] == 3 and dels[3] == 2 and dels[4] == 3
 
 
+@pytest.mark.slow
 def test_rename_resolves_by_field_id(spark, engine):
     """Schema evolution in the feed: after rename_column(amt→amount), old
     files' values surface under the NEW name, and a NEW column reusing the
@@ -431,6 +437,7 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_op, min_size=2, max_size=5))
+@pytest.mark.slow
 def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
     """Differential fuzz: over random replayable op sequences (appends, MoR
     position deletes, equality deletes, MoR updates) the batch feed must
@@ -524,6 +531,7 @@ def test_feed_differential_vs_changes(spark, tmp_path_factory, ops):
     eng.drop("fz.feed")
 
 
+@pytest.mark.slow
 def test_geo_columns_flow_physically_through_feed(spark, engine):
     """r10 (VERDICT r9 missing #1): geometry-bearing tables can be
     followed (previously refused — the last unfollowable column type).
@@ -559,6 +567,7 @@ def test_geo_columns_flow_physically_through_feed(spark, engine):
     assert decoded.select(F.st_srid("g").alias("s")).distinct().first().s == 4326
 
 
+@pytest.mark.slow
 def test_eq_delete_matches_defaulted_added_key_column(spark, engine):
     """ADVICE r8: an equality delete keyed on a column ADDED WITH A DEFAULT
     after some files were written must still kill the old rows — they
@@ -585,6 +594,7 @@ def test_eq_delete_matches_defaulted_added_key_column(spark, engine):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_with_lineage_update_pairs_through_the_feed(spark, engine):
     """r9: option with_lineage=true emits the v3 _row_id;
     pair_update_events relabels same-commit delete/insert pairs exactly
@@ -612,6 +622,7 @@ def test_with_lineage_update_pairs_through_the_feed(spark, engine):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_with_lineage_rids_survive_compaction(spark, engine):
     """Explicit _row_id columns (written by a compaction) win over the
     inherited first_row_id + position — the feed's rids are stable across
@@ -644,6 +655,7 @@ def test_with_lineage_rids_survive_compaction(spark, engine):
     assert paired.where("_change_type = 'update_after' AND k = 20").count() == 1
 
 
+@pytest.mark.slow
 def test_variant_columns_flow_physically_through_feed(spark, engine):
     """r9: variant-bearing tables can be followed (previously refused).
     The feed emits the physical JSON text; decode_variant_columns restores
@@ -677,6 +689,7 @@ def test_variant_columns_flow_physically_through_feed(spark, engine):
     assert decoded.selectExpr("sum(variant_get(v, '$.x', 'long'))").first()[0] > 0
 
 
+@pytest.mark.slow
 def test_update_heavy_feed_pairs_without_broadcast_hint(spark, engine):
     """r10 (VERDICT r9 weak #2): pair_update_events must NOT hard-code
     F.broadcast on the paired key set — a catch-up read over an
@@ -712,6 +725,7 @@ def test_update_heavy_feed_pairs_without_broadcast_hint(spark, engine):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_geo_stream_flavor_delivers_decoded_rows(spark, engine, tmp_path):
     """r10: the STREAMING flavor also rides geo tables — WKB binary through
     the executor batches, decode_geo_columns at the reader boundary,
@@ -752,6 +766,7 @@ def test_geo_stream_flavor_delivers_decoded_rows(spark, engine, tmp_path):
     assert all(r.gw == want_hex[r.k] for r in got)
 
 
+@pytest.mark.slow
 def test_catchup_pairing_routes_through_shuffle_join(spark, engine):
     """r11 (VERDICT r10 #5): when the update-pair key set exceeds the
     broadcast threshold, AQE must route the pairing join through a

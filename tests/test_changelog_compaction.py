@@ -56,6 +56,7 @@ def _mixed_history(eng, spark, name):
     return t
 
 
+@pytest.mark.slow
 def test_changes_hash_match_across_mid_range_compact(eng, spark):
     """changes(0) before and after compact() are value-identical — the
     full MoR grammar (position deletes, MoR update, equality deletes,
@@ -75,6 +76,7 @@ def test_changes_hash_match_across_mid_range_compact(eng, spark):
     assert (50,) in {(r.k,) for r in post.where("_change_type = 'delete'").collect()}
 
 
+@pytest.mark.slow
 def test_zorder_and_rewrite_position_deletes_transparent(eng, spark):
     t = _mixed_history(eng, spark, "c.t2")
     before = _key(t.changes(0))
@@ -84,6 +86,7 @@ def test_zorder_and_rewrite_position_deletes_transparent(eng, spark):
     assert _key(t.changes(0)) == before
 
 
+@pytest.mark.slow
 def test_segments_split_shape(eng, spark):
     t = _mixed_history(eng, spark, "c.t3")
     t = compact(t)                       # seq 6
@@ -95,6 +98,7 @@ def test_segments_split_shape(eng, spark):
     assert segs[1][2].sequence_number == 7
 
 
+@pytest.mark.slow
 def test_destructive_compact_still_refuses_below(eng, spark):
     """retain_history=False restores the reference's destructive rewrite:
     a range reaching below it raises (history is gone); a caught-up range
@@ -110,6 +114,7 @@ def test_destructive_compact_still_refuses_below(eng, spark):
     assert [r.k for r in post.where("_change_type = 'delete'").collect()] == [12]
 
 
+@pytest.mark.slow
 def test_cow_rewrite_still_refuses(eng, spark):
     """A net-row-change rewrite (CoW delete) is NOT transparent."""
     t = _mixed_history(eng, spark, "c.t5")
@@ -118,6 +123,7 @@ def test_cow_rewrite_still_refuses(eng, spark):
         t.changes(0).collect()
 
 
+@pytest.mark.slow
 def test_cdc_stream_survives_compaction(eng, spark, tmp_path):
     """A checkpointed stream keeps following across a compaction: the next
     batch after compact emits exactly the post-checkpoint events, nothing
@@ -153,6 +159,7 @@ def test_cdc_stream_survives_compaction(eng, spark, tmp_path):
     assert new.where("_change_type = 'delete' AND k = 33").count() == 1
 
 
+@pytest.mark.slow
 def test_incremental_mv_survives_mid_range_compaction(eng, spark):
     """Changelog-driven MV maintenance keeps running incrementally across
     a source compaction (previously: forced full refresh). Content matches
@@ -171,6 +178,7 @@ def test_incremental_mv_survives_mid_range_compaction(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_aggregate_mv_survives_compaction(eng, spark):
     t = eng.create_table("c.src2", _rows(spark).schema)
     t.append(_rows(spark, 60))
@@ -192,6 +200,7 @@ def test_aggregate_mv_survives_compaction(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_range_end_below_a_later_compaction(eng, spark):
     """changes(0, mid) must replay against the state AT mid even when a
     compaction later rewrote everything — the anchor walks main's ancestry

@@ -31,6 +31,7 @@ def _rows(spark, n=20, base=0):
     )
 
 
+@pytest.mark.slow
 def test_append_only_expiry_keeps_full_replay(eng, spark):
     """r10 replay floor: expiry of plain appends/MoR deletes loses NOTHING
     (their files keep their sequence numbers in surviving manifests) —
@@ -140,6 +141,7 @@ def test_branch_cow_replacement_does_not_poison_main_changelog(eng, spark):
     assert t.changes(0).count() == 10  # main replays fine
 
 
+@pytest.mark.slow
 def test_mv_storage_auto_expiry_optout(eng, spark):
     """ADVICE r9 #4: write.mv.auto-expire=false keeps every storage
     snapshot for long-lagging storage followers."""
@@ -162,6 +164,7 @@ def test_mv_storage_auto_expiry_optout(eng, spark):
     )
 
 
+@pytest.mark.slow
 def test_mv_storage_is_cdc_followable_within_window(eng, spark):
     """A downstream consumer can follow the MV STORAGE table itself: delta
     refresh commits are MoR-shaped (overwrite without the rewritten
@@ -181,6 +184,7 @@ def test_mv_storage_is_cdc_followable_within_window(eng, spark):
     dels = sorted(r.k for r in ch.where("_change_type = 'delete'").collect())
     assert dels == [4] and ins == [100]
 
+@pytest.mark.slow
 def test_explicit_hi_below_retained_window_replays(eng, spark):
     """ADVICE r10 (medium): after an append-only expiry (floor 0), a
     changes(lo, hi) whose EXPLICIT hi sits below the oldest retained
@@ -202,6 +206,7 @@ def test_explicit_hi_below_retained_window_replays(eng, spark):
     assert [(lo, hi) for lo, hi, _ in segs] == [(0, 2)]
 
 
+@pytest.mark.slow
 def test_preexisting_dangling_chain_seeds_floor_conservatively(eng, spark):
     """ADVICE r10 (low): when the parent chain ALREADY dangles from a
     legacy (pre-floor-stamping) expiry, a later expire_snapshots must not

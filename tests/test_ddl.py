@@ -124,6 +124,7 @@ def test_update_prunes_untouched_files(eng, spark):
     assert t.scan().where("v = 1.0").count() == 100
 
 
+@pytest.mark.slow
 def test_optimize_and_vacuum(eng, spark):
     from iceberg_rust_custom_spark.table.scan import plan_files
 
@@ -387,6 +388,7 @@ def test_truncate_table(eng):
     assert eng.sql("SELECT * FROM ns.tr").count() == 1
 
 
+@pytest.mark.slow
 def test_merge_matched_condition(eng, spark):
     eng.sql("CREATE TABLE ns.mc (id BIGINT, status STRING, v BIGINT) STORED AS ICEBERG")
     eng.sql("INSERT INTO ns.mc VALUES (1, 'open', 10), (2, 'locked', 20), (3, 'open', 30)")

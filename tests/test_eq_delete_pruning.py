@@ -82,6 +82,7 @@ def test_victim_candidates_are_bounds_pruned(eng, spark, t):
     assert cand[0].lower_bounds["k"] == 200
 
 
+@pytest.mark.slow
 def test_cdc_planner_prunes_victim_partitions(eng, spark, t):
     delete_by_key(t, [250, 260], key_cols=["k"])
     r = IcebergChangelogStreamReader(

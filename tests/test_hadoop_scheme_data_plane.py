@@ -55,6 +55,7 @@ def eng(spark, tmp_path):
     return Engine(spark, warehouse=str(tmp_path / "wh"))
 
 
+@pytest.mark.slow
 def test_viewfs_location_full_chain(eng, spark, viewfs, monkeypatch):
     """create → append (footer stats) → pruned scan → MoR delete →
     file-group-local split scan → CDC changelog → join-MV delta refresh →

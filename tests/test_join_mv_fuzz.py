@@ -171,6 +171,7 @@ def _run_fuzz(spark, tmp, ops, compound: bool):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_op, min_size=4, max_size=9))
+@pytest.mark.slow
 def test_join_mv_random_op_sequences_match_recompute(spark, tmp_path_factory, ops):
     _run_fuzz(spark, tmp_path_factory.mktemp("jfz"), ops, compound=False)
 
@@ -182,6 +183,7 @@ def test_join_mv_random_op_sequences_match_recompute(spark, tmp_path_factory, op
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_op, min_size=4, max_size=9))
+@pytest.mark.slow
 def test_compound_key_join_mv_random_op_sequences_match_recompute(
     spark, tmp_path_factory, ops
 ):

@@ -52,6 +52,7 @@ def test_merge_empty_source_noop(eng, spark):
     assert t.metadata.current_snapshot_id == snap_before
 
 
+@pytest.mark.slow
 def test_stateful_dedup_stream_matches_batch(spark, tmp_path):
     """Streaming dedup (applyInPandasWithState) == batch dropDuplicates."""
     from iceberg_rust_custom_spark.streaming.stateful import dedup_stream
@@ -88,6 +89,7 @@ def test_stateful_dedup_stream_matches_batch(spark, tmp_path):
     assert sorted(r.event_id for r in got) == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.slow
 def test_stream_append_to_table(eng, spark, tmp_path):
     """Streaming ingest into an engine table: foreachBatch append commits
     per micro-batch; final table content == source content."""
@@ -115,6 +117,7 @@ def test_stream_append_to_table(eng, spark, tmp_path):
     assert len(t.metadata.snapshots) >= 2  # one commit per non-empty batch
 
 
+@pytest.mark.slow
 def test_maintain_compacts_after_small_appends(eng, spark):
     """Policy: many small files → one compaction; healthy table → no-op."""
     from iceberg_rust_custom_spark.table.maintenance import maintain
@@ -135,6 +138,7 @@ def test_maintain_compacts_after_small_appends(eng, spark):
     assert t.metadata.current_snapshot_id == snap
 
 
+@pytest.mark.slow
 def test_stream_upsert_to_table(eng, spark, tmp_path):
     """CDC-style streaming upsert: later micro-batch records replace earlier
     rows with the same key (equality-delete + append per batch)."""
@@ -174,6 +178,7 @@ def test_minhash_signature_columns_match_batch(spark):
     assert batch == rowwise and batch
 
 
+@pytest.mark.slow
 def test_neardup_stream_matches_batch(spark, tmp_path):
     """Streaming MinHash-LSH near-dup detection == batch minhash_lsh_pairs
     (as a pair SET; the stream emits per band collision, downstream
@@ -270,6 +275,7 @@ def test_stream_upsert_replay_exactly_once(eng, spark, tmp_path):
     assert got == {0: 0.0, 1: 0.0, 2: 22.0, 3: 0.0, 4: 0.0, 7: 77.0}
 
 
+@pytest.mark.slow
 def test_stream_append_with_mv_maintenance(eng, spark, tmp_path):
     """r8: continuous MV maintenance — every micro-batch append refreshes
     the dependent GROUP BY MV incrementally (partial-aggregate merge, no
@@ -322,6 +328,7 @@ def test_stream_append_with_mv_maintenance(eng, spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_upsert_with_mv_maintenance(eng, spark, tmp_path):
     """Streaming upserts (equality delete + append per batch) keep the MV
     fresh through the row-level changelog — replaced rows leave the MV."""

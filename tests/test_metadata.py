@@ -133,6 +133,7 @@ def test_sort_order_serde():
     assert so.to_dict()["fields"][0]["source-id"] == 4
 
 
+@pytest.mark.slow
 def test_murmur3_string_expression_bit_exact(spark):
     """The pure-expression murmur3_x86_32 over strings equals the Python
     reference byte-for-byte on ASCII/unicode/emoji/empty inputs (kept as

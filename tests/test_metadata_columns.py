@@ -37,6 +37,7 @@ def test_file_and_pos(eng, spark):
         assert sorted(poss) == list(range(len(poss)))
 
 
+@pytest.mark.slow
 def test_partition_and_spec_id_across_evolution(eng, spark):
     eng.sql(
         "CREATE TABLE ns.m2 (id BIGINT, part BIGINT) STORED AS ICEBERG PARTITIONED BY (part)"
@@ -81,6 +82,7 @@ def test_metadata_columns_compose_with_row_lineage(eng, spark):
     assert all(r[1] is not None and r[2] is not None for r in rows)
 
 
+@pytest.mark.slow
 def test_v3_read_views_in_sql(eng, spark):
     """SQL surface for the v3 reads: ns.t.row_lineage, ns.t.with_metadata,
     ns.t.changes (changelog with update detection)."""

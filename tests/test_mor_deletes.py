@@ -52,6 +52,7 @@ def test_mor_deletes_accumulate(t):
     assert t.scan().selectExpr("min(id) AS m").first().m == 10
 
 
+@pytest.mark.slow
 def test_mor_matches_cow_result(eng, spark):
     rows = [(i, float(i)) for i in range(50)]
     for name, mode in (("ns.c1", "copy-on-write"), ("ns.c2", "merge-on-read")):
@@ -87,6 +88,7 @@ def test_cow_delete_after_mor_does_not_resurrect(t):
     assert t.scan().where("id < 20").count() == 0
 
 
+@pytest.mark.slow
 def test_merge_upsert_respects_pending_deletes(t, eng, spark):
     delete_where(t, "id < 50", mode="merge-on-read")
     src = spark.createDataFrame([(200, "new", 1.0), (60, "odd", -60.0)], "id long, grp string, v double")
@@ -122,6 +124,7 @@ def test_table_property_selects_mode(eng, spark):
     assert tt.scan().count() == 15
 
 
+@pytest.mark.slow
 def test_merge_upsert_mor_no_rewrite(t, spark):
     before = {f.file_path for f in _datafiles(t)}
     src = spark.createDataFrame(
@@ -138,6 +141,7 @@ def test_merge_upsert_mor_no_rewrite(t, spark):
     assert len(plan_delete_files(t.metadata, t.metadata.snapshot_for_ref())) == 1
 
 
+@pytest.mark.slow
 def test_merge_upsert_mor_then_compact(t, spark):
     src = spark.createDataFrame([(i, "upd", -float(i)) for i in range(5)], "id long, grp string, v double")
     merge_upsert(t, src, ["id"], mode="merge-on-read")
@@ -181,6 +185,7 @@ def test_remove_orphan_respects_age_cutoff(t):
 
 
 # ------------------------------------------------------------------- CDC
+@pytest.mark.slow
 def test_changes_inserts_and_deletes(eng, spark):
     eng.sql("CREATE TABLE ns.cdc (id BIGINT, v STRING) STORED AS ICEBERG")
     t = eng.load_table("ns.cdc")
@@ -307,6 +312,7 @@ def test_changes_skips_pre_range_dead_rows(t, spark):
     assert ch == {(5, "delete")}
 
 
+@pytest.mark.slow
 def test_changes_dv_commits_batch_into_one_union_part(eng, spark):
     """r8 (VERDICT task 7): ≥3 DV-bearing commits in the range decode as
     ONE dv_positions_df part with per-blob sequence numbers — results
@@ -361,6 +367,7 @@ def test_update_mor_does_not_resurrect_deleted_rows(t, spark):
 
 
 # ------------------------------------------------- property: model equivalence
+@pytest.mark.slow
 def test_random_op_sequences_match_dict_model(eng, spark):
     """Run randomized append / delete_by_key / delete_where(MoR) /
     merge_upsert(MoR) sequences and compare the table against a plain
@@ -711,6 +718,7 @@ def test_rewrite_position_deletes_keeps_time_travel(t):
     assert t.scan(snapshot_id=pre_delete_snap).count() == 110  # history retained
 
 
+@pytest.mark.slow
 def test_row_level_ops_resolve_renamed_columns_by_field_id(eng, spark, t):
     """r9 fix: after rename_column, row-level ops must read matched files
     by FIELD ID — a by-name read binds the renamed column to NULL and the

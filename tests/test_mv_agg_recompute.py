@@ -98,6 +98,7 @@ def _check(eng, spark, tag):
     assert got == want, (tag, got[:3], want[:3])
 
 
+@pytest.mark.slow
 def test_time_rollup_avg_mv_refreshes_incrementally(eng, spark):
     """AVG + GROUP BY date_trunc('month', ts): every delta refreshes via
     affected-group recompute with group-keyed eq-delete + append commits
@@ -147,6 +148,7 @@ def test_time_rollup_avg_mv_refreshes_incrementally(eng, spark):
     assert eng.refresh_materialized_view("ar.mv") is False
 
 
+@pytest.mark.slow
 def test_agg_recompute_plain_column_key(eng, spark):
     """AVG over a plain-column group key prunes the recompute scan by the
     affected key set (the join_key_predicate IN/range path)."""
@@ -183,6 +185,7 @@ def test_agg_recompute_plain_column_key(eng, spark):
     check("delete")
 
 
+@pytest.mark.slow
 def test_agg_recompute_falls_back_to_full_on_hard_shapes(eng, spark):
     """NULL group keys and file-set-replacing source rewrites route to a
     full refresh — never a wrong answer."""
@@ -207,6 +210,7 @@ def test_agg_recompute_falls_back_to_full_on_hard_shapes(eng, spark):
     _check(eng, spark, "cow")
 
 
+@pytest.mark.slow
 def test_having_group_threshold_crossings(eng, spark):
     """r13: HAVING routes to the recompute path, which evaluates it
     naturally — a delta pushing a group BELOW the threshold removes it

@@ -43,6 +43,7 @@ def _race(monkeypatch, loser, winner, mv_name):
     return state
 
 
+@pytest.mark.slow
 def test_concurrent_refresh_rid_path_loser_raises_and_converges(
     spark, tmp_path, monkeypatch
 ):
@@ -88,6 +89,7 @@ def test_concurrent_refresh_rid_path_loser_raises_and_converges(
     assert got == want
 
 
+@pytest.mark.slow
 def test_concurrent_refresh_multiset_fallback_loser_raises_and_converges(
     spark, tmp_path, monkeypatch
 ):

@@ -34,6 +34,7 @@ def _storage_files(eng, mv):
     return {f.file_path for f in plan_files(t.metadata, t.metadata.snapshot_for_ref())}
 
 
+@pytest.mark.slow
 def test_spj_changelog_refresh_is_delta_sized(eng, spark):
     t = eng.create_table("m.src", _rows(spark).schema)
     t.append(_rows(spark, 60))
@@ -52,6 +53,7 @@ def test_spj_changelog_refresh_is_delta_sized(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_spj_double_update_leaves_only_final_version(eng, spark):
     """r9 bug fix: a row updated TWICE between refreshes emits its
     intermediate version as both insert and delete events; the delta
@@ -72,6 +74,7 @@ def test_spj_double_update_leaves_only_final_version(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_aggregate_changelog_refresh_is_delta_sized(eng, spark):
     t = eng.create_table("m.src3", _rows(spark).schema)
     t.append(_rows(spark, 60))
@@ -96,6 +99,7 @@ def test_aggregate_changelog_refresh_is_delta_sized(eng, spark):
     assert eng.scan_materialized_view("m.v3").where("grp = 2").count() == 0
 
 
+@pytest.mark.slow
 def test_null_rid_poisoned_storage_falls_back_correctly(eng, spark):
     """ADVICE r8 (medium): storage holding NULL SRC_ROW_ID rows must not
     take the rid delete path (a NULL key never matches — deleted rows
@@ -130,6 +134,7 @@ def test_null_rid_poisoned_storage_falls_back_correctly(eng, spark):
     assert all(k >= 10 for k, _ in got)
 
 
+@pytest.mark.slow
 def test_join_view_changelog_refresh_is_delta_sized(eng, spark):
     """r9: the join-view changelog refresh commits position tombstones +
     append instead of rewriting the full storage. Includes the cross-term
@@ -166,6 +171,7 @@ def test_join_view_changelog_refresh_is_delta_sized(eng, spark):
     assert not any(ak == "a2" for ak, _ in got)  # cross-term row fully gone
 
 
+@pytest.mark.slow
 def test_multiset_tombstones_remove_exact_multiplicity(eng, spark):
     """Duplicate-content storage rows: deleting ONE source row removes
     exactly one occurrence (row_number-capped kill), not all of them."""
@@ -197,6 +203,7 @@ def test_multiset_tombstones_remove_exact_multiplicity(eng, spark):
     assert got == [(0, 5.0), (1, 7.0)]  # exactly one of the two dupes left
 
 
+@pytest.mark.slow
 def test_appends_only_aggregate_refresh_is_delta_sized(eng, spark):
     """r9: the appends-only partial-aggregate merge also commits
     delta-sized — only groups the delta touches eq-delete and re-enter
@@ -229,6 +236,7 @@ def test_appends_only_aggregate_refresh_is_delta_sized(eng, spark):
     assert [(r.sv, r.n) for r in row] == [(5.0, 2)]
 
 
+@pytest.mark.slow
 def test_update_of_nonprojected_column_keeps_mv_row(eng, spark):
     """Review r9 (top finding): an update that leaves every VIEW-PROJECTED
     column unchanged must be a no-op on the MV — the raw-event delete keys
@@ -247,6 +255,7 @@ def test_update_of_nonprojected_column_keeps_mv_row(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_storage_maintenance_does_not_erase_refresh_anchor(eng, spark):
     """Review r9: a maintenance commit on the MV storage (tombstone
     consolidation, manual compact) carries no refresh-state; freshness and
@@ -294,6 +303,7 @@ def test_map_typed_view_falls_back_to_full_refresh(eng, spark):
     assert eng.scan_materialized_view("m.v8").count() == 15
 
 
+@pytest.mark.slow
 def test_multiset_storage_read_is_range_pruned(eng, spark):
     """r9: the multiset path's storage read file-prunes by the net-delete
     content ranges — a narrow delta must not read every storage file."""
@@ -363,6 +373,7 @@ def test_delta_range_predicate_safety_rails(eng, spark):
     assert _E._delta_range_predicate(d2, ["k"], t) is None
 
 
+@pytest.mark.slow
 def test_storage_snapshot_history_stays_bounded(eng, spark):
     """r9: delta refreshes commit one snapshot each (streaming maintenance
     = one per micro-batch) — the engine-managed storage auto-expires past
@@ -433,6 +444,7 @@ def test_delta_range_predicate_covers_timestamps(eng, spark):
     assert p2 is not None and "ts >=" not in p2 and "tz >=" in p2
 
 
+@pytest.mark.slow
 def test_time_keyed_multiset_storage_read_is_range_pruned(eng, spark):
     """End-to-end: a time-keyed MV's multiset refresh prunes its storage
     scan by the delta's timestamp range."""
@@ -471,6 +483,7 @@ def test_time_keyed_multiset_storage_read_is_range_pruned(eng, spark):
     assert got == want == 500 - 31
 
 
+@pytest.mark.slow
 def test_spj_storage_is_rid_clustered_and_prunable(eng, spark):
     """r10: SPJ MV storage is written range-distributed on the hidden
     source-row-id, so every storage file carries a disjoint rid range with
@@ -578,6 +591,7 @@ from hypothesis import strategies as st
         max_size=6,
     ),
 )
+@pytest.mark.slow
 def test_delta_range_predicate_soundness_property(spark, tmp_path_factory, ks, ss, fs, ts):
     """Soundness: whatever conjunction _delta_range_predicate emits, EVERY
     delta row must satisfy it (a matching storage row shares the delta
@@ -620,6 +634,7 @@ def test_delta_range_predicate_soundness_property(spark, tmp_path_factory, ks, s
     assert escaped == 0, pred
 
 
+@pytest.mark.slow
 def test_consolidation_fires_at_threshold_and_bounds_tombstones(eng, spark):
     """r11 (VERDICT r10 #3): `write.mv.delete-file-threshold` is the
     tombstone-count bound — once pending delete files exceed it, the next

@@ -134,6 +134,7 @@ def _check(eng, tag=""):
     assert got == want, (tag, len(got), len(want))
 
 
+@pytest.mark.slow
 def test_join3_mv_storage_and_delta_commit_shape(eng, spark):
     """Storage carries the triple rid columns (non-null, unique as a
     triple); a changelog refresh commits Δ⁻ as equality deletes on all
@@ -173,6 +174,7 @@ def test_join3_mv_storage_and_delta_commit_shape(eng, spark):
     _check(eng, "delta")
 
 
+@pytest.mark.slow
 def test_join3_mv_simultaneous_deltas_and_updates(eng, spark):
     """Deltas on all three slots in ONE refresh window, including an
     update pair (same rids, new content) and a dim-row delete that kills
@@ -187,6 +189,7 @@ def test_join3_mv_simultaneous_deltas_and_updates(eng, spark):
     assert eng.refresh_materialized_view("j3.mv") is False
 
 
+@pytest.mark.slow
 def test_join3_chain_pruning_machinery(eng, spark):
     """The arm-pruning chain on a clustered chain join: a small customer
     delta prunes orders directly, and the restricted orders probe prunes
@@ -254,6 +257,7 @@ def test_join3_chain_pruning_machinery(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_join3_mv_without_lineage_uses_multiset_fallback(eng, spark):
     """A SELECT * 3-table view gets no rid columns (lineage would expand
     the instrumented sources) — refreshes still run the join3 path via
@@ -332,6 +336,7 @@ _FZ_SQL = (
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_op3, min_size=4, max_size=8))
+@pytest.mark.slow
 def test_join3_mv_random_op_sequences_match_recompute(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("j3fz")
     eng = Engine(spark, warehouse=str(tmp / "wh"))

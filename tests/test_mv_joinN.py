@@ -174,6 +174,7 @@ def test_real_q5_classifies_as_six_slot_star():
     }
 
 
+@pytest.mark.slow
 def test_real_q5_star_mv_refreshes_incrementally(eng, spark):
     """The full six-table TPC-H q5 refreshes incrementally under deltas
     on the fact, a dim rename, and a mid-chain delete — group-keyed
@@ -253,6 +254,7 @@ def test_real_q5_star_mv_refreshes_incrementally(eng, spark):
     assert eng.refresh_materialized_view("tpch.q5") is False
 
 
+@pytest.mark.slow
 def test_join4_spj_chain_delta_refresh(eng, spark):
     """A 4-relation SPJ chain carries FOUR slot-lineage columns (the
     fourth uses the numbered r13 name) and commits deltas as eq-deletes
@@ -355,6 +357,7 @@ _opN = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(n_rel=st.integers(4, 6), ops=st.lists(_opN, min_size=3, max_size=7), agg=st.booleans())
+@pytest.mark.slow
 def test_joinN_mv_random_op_sequences_match_recompute(
     spark, tmp_path_factory, n_rel, ops, agg
 ):

@@ -112,6 +112,7 @@ def _check(eng, tag=""):
     assert got == want, (tag, got[:3], want[:3])
 
 
+@pytest.mark.slow
 def test_join_agg_mv_delta_refresh_is_group_keyed_and_exact(eng, spark):
     """The driver-style gate: a small delta refresh must (a) never rewrite
     a pre-existing storage file (file-path-asserted), (b) commit Δ⁻ as
@@ -167,6 +168,7 @@ def test_join_agg_mv_delta_refresh_is_group_keyed_and_exact(eng, spark):
     assert eng.refresh_materialized_view("jag.mv") is False
 
 
+@pytest.mark.slow
 def test_join_agg_mv_full_side_arms_prune_by_delta_keys(eng, spark):
     """The affected-group probe's full-side arms file-prune by the delta's
     join-key values: a 30-row dim update against a 20k-row range-clustered
@@ -212,6 +214,7 @@ def test_join_agg_mv_full_side_arms_prune_by_delta_keys(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_join3_agg_star_mv_refreshes_incrementally(eng, spark):
     """r12: the FULL TPC-H q5 star — 3-table chain + GROUP BY a dim key.
     Affected groups probe through three telescoped arms; the recompute
@@ -288,6 +291,7 @@ def test_join3_agg_star_mv_refreshes_incrementally(eng, spark):
     assert eng.refresh_materialized_view("q5.mv") is False
 
 
+@pytest.mark.slow
 def test_join3_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     """The 3-table star guards mirror the 2-table ones: a NULL-keyed
     affected group and a file-set-replacing source rewrite both route to
@@ -348,6 +352,7 @@ def test_join3_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     check("cow")
 
 
+@pytest.mark.slow
 def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     """NULL group keys and file-set-replacing source rewrites route to a
     full refresh — never a wrong answer."""
@@ -368,6 +373,7 @@ def test_join_agg_mv_falls_back_to_full_on_hard_shapes(eng, spark):
     _check(eng, "cow")
 
 
+@pytest.mark.slow
 def test_join_rollup_dtrunc_key_refreshes_incrementally(eng, spark):
     """r13: the time-rollup-over-a-join MV — GROUP BY date_trunc('day',
     fact.ts), dim.seg with AVG. The date_trunc key classifies (r12
@@ -447,6 +453,7 @@ def test_join_rollup_dtrunc_key_refreshes_incrementally(eng, spark):
     check("dim-rename")
 
 
+@pytest.mark.slow
 def test_join_agg_having_threshold_crossings(eng, spark):
     """r13: HAVING on a join-agg MV — the probe finds affected groups
     WITHOUT the HAVING filter (a group that just fell out must still be

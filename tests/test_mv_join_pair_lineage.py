@@ -85,6 +85,7 @@ def test_join_mv_storage_has_pair_columns_and_nonnull_rids(eng, spark):
     assert _mv_rows(eng, "p.mv") == _oracle(eng, "p")
 
 
+@pytest.mark.slow
 def test_join_changelog_refresh_commits_pair_eq_deletes(eng, spark):
     """The delta commit's Δ⁻ is an EQUALITY delete file keyed on the two
     rid columns (with footer bounds for victim pruning) — not position
@@ -116,6 +117,7 @@ def test_join_changelog_refresh_commits_pair_eq_deletes(eng, spark):
     assert _mv_rows(eng, "q.mv") == _oracle(eng, "q")
 
 
+@pytest.mark.slow
 def test_join_mv_update_pair_lands_final_version(eng, spark):
     """A MoR UPDATE keeps the source row's rid: the pair eq-deletes its old
     storage row while the same-commit append (which equality deletes never
@@ -138,6 +140,7 @@ def test_join_mv_update_pair_lands_final_version(eng, spark):
     assert sum(1 for g in got if g[0] == 5) == 1  # no stale intermediates
 
 
+@pytest.mark.slow
 def test_join_mv_cross_term_nets_out(eng, spark):
     """A-row deleted in-range joining a B-row inserted in-range: the pair
     lands in BOTH Δ⁺V and Δ⁻V and must cancel before the commit — eq-
@@ -153,6 +156,7 @@ def test_join_mv_cross_term_nets_out(eng, spark):
     assert not any(ak == "a2" for ak, _ in got)
 
 
+@pytest.mark.slow
 def test_null_rid_poisoned_join_storage_falls_back(eng, spark):
     """Storage holding NULL pair rids must not take the eq-delete path (a
     NULL key never matches). The probe falls back to the multiset content
@@ -181,6 +185,7 @@ def test_null_rid_poisoned_join_storage_falls_back(eng, spark):
     assert all(not ak.startswith("a0") and ak != "a1" for ak, _ in _mv_rows(eng, "n.mv") if len(ak) == 2)
 
 
+@pytest.mark.slow
 def test_join_mv_storage_is_rid_a_clustered_and_prunable(eng, spark):
     """Storage range-distributes on (rid_a, rid_b): disjoint per-file rid_a
     ranges with tight footer bounds, so a narrow delta's pair eq-deletes
@@ -231,6 +236,7 @@ def test_join_mv_storage_is_rid_a_clustered_and_prunable(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_appends_only_join_refresh_carries_pair_rids(eng, spark):
     """The appends-only (incremental-join) path writes delta rows WITH
     their pair rids, so a later MoR delete still takes the eq-delete
@@ -250,6 +256,7 @@ def test_appends_only_join_refresh_carries_pair_rids(eng, spark):
     assert _mv_rows(eng, "ap.mv") == _oracle(eng, "ap")
 
 
+@pytest.mark.slow
 def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
     """Review r11: content-keyed tombstones cannot tell content-equal rows
     with DIFFERENT rids apart — a multiset fallback that tombstoned rows
@@ -301,6 +308,7 @@ def test_multiset_fallback_poisons_rid_trust_until_full_refresh(eng, spark):
     assert _mv_rows(eng, "tr.mv") == _oracle(eng, "tr")
 
 
+@pytest.mark.slow
 def test_unhealable_lineage_stamps_unavailable_and_never_pingpongs(eng, spark, monkeypatch):
     """Review r12: when a full rewrite CANNOT re-derive lineage (view
     sources, v2 imports — simulated by forcing the lineage rewrite to
@@ -334,6 +342,7 @@ def test_unhealable_lineage_stamps_unavailable_and_never_pingpongs(eng, spark, m
     assert _mv_rows(eng, "uh.mv") == _oracle(eng, "uh")
 
 
+@pytest.mark.slow
 def test_join_mv_storage_is_changelog_followable(eng, spark):
     """r12 (VERDICT r11 #7): a join MV's pair-keyed equality-delete
     commits replay through the STORAGE table's changelog, so a downstream
@@ -443,6 +452,7 @@ def test_join_delta_key_predicate_shapes(eng, spark):
     assert "kk IN (3, 7)" in sql and "gg IN ('x', 'y')" in sql and " AND " in sql
 
 
+@pytest.mark.slow
 def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
     """r11: with an equi-join, a small B-delta must not re-scan all of A —
     the A_old arm plans only files whose key bounds intersect the delta.
@@ -482,6 +492,7 @@ def test_join_refresh_prunes_full_side_files_by_delta_keys(eng, spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_compound_key_join_refresh_prunes_and_stays_exact(eng, spark):
     """r12 (VERDICT r11 #1): an AND-conjoined compound equi-join ON
     condition prunes the full-side arms on EVERY key pair — previously

@@ -92,6 +92,7 @@ def _check(eng, tag):
     assert got == want, (tag, len(got), len(want))
 
 
+@pytest.mark.slow
 def test_left_join_mv_null_extension_repair(eng, spark):
     """The core outer-join hazard, both directions: a dim insert flips
     specific fact rows from null-extended to matched; a dim delete flips
@@ -159,6 +160,7 @@ def test_left_join_mv_null_extension_repair(eng, spark):
     assert eng.refresh_materialized_view("lj.mv") is False
 
 
+@pytest.mark.slow
 def test_left_join_anti_pattern_where_b_is_null(eng, spark):
     """``LEFT JOIN … WHERE b.x IS NULL`` — the anti-join idiom — stays
     exact through flips in both directions."""
@@ -188,6 +190,7 @@ def test_left_join_anti_pattern_where_b_is_null(eng, spark):
     check("fact-append")
 
 
+@pytest.mark.slow
 def test_left_join_preserves_null_key_fact_rows(eng, spark):
     """Review r13 (reproduced bug): a NULL-join-key fact row is PRESERVED
     by a LEFT join (null-extended) but the recompute scan's key predicate
@@ -227,6 +230,7 @@ def test_left_join_preserves_null_key_fact_rows(eng, spark):
     )
 
 
+@pytest.mark.slow
 def test_left_join_falls_back_to_full_on_hard_shapes(eng, spark):
     """CoW file-set replacement on either source breaks rid anchoring →
     full refresh; content stays exact; a later clean delta resumes the
@@ -277,6 +281,7 @@ _FZ_SQL = (
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_oplj, min_size=4, max_size=8))
+@pytest.mark.slow
 def test_left_join_mv_random_op_sequences_match_recompute(
     spark, tmp_path_factory, ops
 ):

@@ -90,6 +90,7 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_connected_components_distributed_rounds(spark):
     """Force the large-star/small-star path (driver_finish_edges=0) and
     check it agrees with the union-find fast path."""
@@ -401,6 +402,7 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert got.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join == the same condition as a
     batch join over identical data."""
@@ -476,6 +478,7 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+@pytest.mark.slow
 def test_bucket_transform_spark_matches_python(spark):
     """The JVM murmur3 expression must agree with the reference-validated
     python implementation for every bucketable type — including sub-second

@@ -118,6 +118,7 @@ def test_append_after_evolution_merges_only_same_spec_manifests(evolved, spark):
     assert t.scan().count() == 18
 
 
+@pytest.mark.slow
 def test_param_only_bucket_evolution_cow_rewrite(eng, spark):
     """bucket(4,id) -> bucket(8,id): both specs generate the field name
     'id_bucket', so key-set inference cannot tell them apart. A CoW

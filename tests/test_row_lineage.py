@@ -213,6 +213,7 @@ def test_cow_merge_lineage(eng, spark):
     _merge_case(eng, spark, "ns.rl12", "copy-on-write")
 
 
+@pytest.mark.slow
 def test_mor_merge_lineage(eng, spark):
     _merge_case(eng, spark, "ns.rl13", "merge-on-read")
 
@@ -280,6 +281,7 @@ def test_changes_detects_mor_update(eng, spark):
     assert raw == {(2, "b", "delete"), (2, "B", "insert")}
 
 
+@pytest.mark.slow
 def test_changes_mor_merge_mixed_update_and_insert(eng, spark):
     from iceberg_rust_custom_spark.table.maintenance import merge_upsert
 
@@ -311,6 +313,7 @@ def test_changes_still_rejects_true_rewrites(eng, spark):
 
 
 @pytest.mark.parametrize("fmt", ["parquet", "avro"])
+@pytest.mark.slow
 def test_first_row_id_marker_survives_manifest_roundtrip(eng, spark, fmt):
     """r8 regression (found by the transaction fuzz): the internal
     first_row_id=-1 'explicit lineage columns in file' marker is exported

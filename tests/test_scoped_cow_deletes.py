@@ -45,6 +45,7 @@ def _files(t):
     return plan_files(t.metadata, t.metadata.snapshot_for_ref())
 
 
+@pytest.mark.slow
 def test_cow_delete_skips_unreferenced_files(eng, spark):
     t = _mk(eng, spark)
     # MoR-delete rows living in the id<100 file(s) only
@@ -67,6 +68,7 @@ def test_cow_delete_skips_unreferenced_files(eng, spark):
     assert before & after, "not a full-table rewrite: some files must carry over"
 
 
+@pytest.mark.slow
 def test_cow_update_skips_unreferenced_files(eng, spark):
     t = _mk(eng, spark)
     delete_where(t, "id = 250", mode="merge-on-read")  # tombstone in the 200s file
@@ -82,6 +84,7 @@ def test_cow_update_skips_unreferenced_files(eng, spark):
     assert len(rows) == 299
 
 
+@pytest.mark.slow
 def test_cow_merge_skips_unreferenced_files(eng, spark):
     t = _mk(eng, spark)
     delete_where(t, "id = 5", mode="merge-on-read")
@@ -101,6 +104,7 @@ def test_cow_merge_skips_unreferenced_files(eng, spark):
     assert len(rows) == 300  # 300 - deleted(5) - replaced(100 counted once) + new(999)
 
 
+@pytest.mark.slow
 def test_cow_delete_with_lineage_and_pending_dv(eng, spark):
     eng.sql(
         "CREATE TABLE ns.ld (id BIGINT, v DOUBLE) STORED AS ICEBERG "
@@ -144,6 +148,7 @@ def test_cow_merge_lineage_id_map_dedup(eng, spark):
     assert len(ids) == len(set(ids)) == 2
 
 
+@pytest.mark.slow
 def test_cow_ops_match_oracle_under_equality_deletes(eng, spark):
     from iceberg_rust_custom_spark.table.maintenance import delete_by_key
 

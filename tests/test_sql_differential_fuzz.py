@@ -154,6 +154,7 @@ def engines(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(q=_select())
+@pytest.mark.slow
 def test_generated_sql_matches_duckdb(engines, q):
     # LIMIT prefixes are deterministic because the grammar orders by every
     # selected column (a total order over the projected tuple)
@@ -220,6 +221,7 @@ def _scan_predicate(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(pred=_scan_predicate())
+@pytest.mark.slow
 def test_iceberg_scan_pruning_matches_duckdb(iceberg_orders, pred):
     t, con = iceberg_orders
     got = sorted(r.o_orderkey for r in t.scan(pred).select("o_orderkey").collect())
@@ -251,6 +253,7 @@ def _dim_spec(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(spec=_dim_spec())
+@pytest.mark.slow
 def test_join_scan_matches_plain_join(iceberg_orders, spec):
     lo, hi, step, max_keys, pred = spec
     t, con = iceberg_orders
@@ -331,6 +334,7 @@ def iceberg_dv_orders(spark, tmp_path_factory):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(pred=_scan_predicate())
+@pytest.mark.slow
 def test_dv_scan_pruning_matches_duckdb(iceberg_dv_orders, pred):
     t, con = iceberg_dv_orders
     got = sorted(r.o_orderkey for r in t.scan(pred).select("o_orderkey").collect())

@@ -456,6 +456,7 @@ def test_manifests_and_refs_metadata_tables(engine, spark):
     assert refs["v1"].snapshot_id == t.metadata.current_snapshot_id
 
 
+@pytest.mark.slow
 def test_bloom_filter_file_skipping(engine, spark):
     """Per-file bloom sketches prune `col = v` point lookups that min/max
     bounds cannot (interleaved keys make every file's range span the whole
@@ -572,6 +573,7 @@ def test_rollback_ddl(engine, spark):
     assert engine.load_table("ns.rbddl").scan().count() == 2
 
 
+@pytest.mark.slow
 def test_distributed_planning_matches_driver_walk(spark, tmp_path, sf_dir):
     """plan_files_distributed (the 100 TB mapInPandas planner) must return
     exactly the driver walk's file set for a spread of predicates, over a

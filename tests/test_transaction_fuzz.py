@@ -81,6 +81,7 @@ def test_cow_rewrite_after_partition_evolution_keeps_old_spec_files(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=8), fmt=st.sampled_from(["parquet", "avro"]))
+@pytest.mark.slow
 def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, fmt):
     tmp = tmp_path_factory.mktemp("fuzz")
     eng = Engine(spark, warehouse=str(tmp / "wh"))

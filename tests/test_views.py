@@ -190,6 +190,7 @@ def test_classifier_shapes():
     assert classify_view_sql("SELECT upper(k), SUM(v) AS s FROM t GROUP BY upper(k)") is None
 
 
+@pytest.mark.slow
 def test_incremental_join_refresh(engine, spark):
     """Two-table inner-join view: after appends to BOTH sources, refresh
     runs the delta-join identity (ΔA⋈B_new ∪ A_old⋈ΔB) and APPENDS the
@@ -448,6 +449,7 @@ def test_main_mv_unaffected_by_branch_commit(engine, spark):
     assert engine.refresh_materialized_view("test.main_mv") is False
 
 
+@pytest.mark.slow
 def test_changelog_spj_refresh_under_mor_rowlevel_ops(engine, spark):
     """r8 (VERDICT task 2): an SPJ view over a source receiving MoR
     DELETE + UPDATE refreshes via the row-level changelog (storage ∖ Δ⁻ ∪
@@ -572,6 +574,7 @@ def test_changelog_full_fallback_after_cow(engine, spark):
     assert _rows(engine, "test.cw_mv") == {(1, 1), (3, 3), (4, 1), (5, 2), (6, 3)}
 
 
+@pytest.mark.slow
 def test_changelog_join_refresh_signed_deltas(engine, spark):
     """r8: a two-table join MV maintained through MoR row-level ops on
     either source via SIGNED changelog deltas — including the cross-term
@@ -630,6 +633,7 @@ def test_changelog_join_refresh_signed_deltas(engine, spark):
     assert engine.refresh_materialized_view("test.jc_mv") is False
 
 
+@pytest.mark.slow
 def test_changelog_join_refresh_delete_on_dim_side(engine, spark):
     """A MoR delete on the DIMENSION source (B) removes every joined row —
     the A_old ⋈ Δ⁻B term."""
