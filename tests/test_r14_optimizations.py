@@ -139,3 +139,21 @@ def test_touched_data_files_superset_and_fallbacks(tmp_path):
     # non-local path → None
     remote = DataFile(file_path="s3://bucket/d.parquet", file_size_in_bytes=10, content=1)
     assert _touched_data_files([remote], [], []) is None
+
+
+def test_fuzzy_decontaminate_candidate_filtered_path_matches(spark, sf_dir):
+    from iceberg_rust_custom_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where("doc_id % 7 != 0")
+    test = docs.where("doc_id % 7 = 0")
+    plain = {r["doc_id"] for r in fuzzy_decontaminate(train, test, "doc_id", "text").select("doc_id").collect()}
+    os.environ[MATERIALIZE_CAP_ENV] = "1"  # force the candidate-filtered scale path
+    try:
+        filtered = {
+            r["doc_id"]
+            for r in fuzzy_decontaminate(train, test, "doc_id", "text").select("doc_id").collect()
+        }
+    finally:
+        del os.environ[MATERIALIZE_CAP_ENV]
+    assert plain == filtered
