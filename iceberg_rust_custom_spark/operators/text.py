@@ -358,15 +358,17 @@ def bm25_scores(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    # r13: the query-term tf table is tiny (docs × |terms| upper bound) but
+    # r13: the query-term tf table is small (docs × |terms| upper bound) but
     # its subtree tokenizes the whole corpus — materialize once; the
-    # docfreq aggregate and the scoring join then reuse it
-    tf = (
+    # docfreq aggregate and the scoring join then reuse it. r14: size-gated
+    # like the other shared-stream materializations (the tf table is still
+    # O(matching docs); at production scale stay lazy, lineage intact).
+    tf = materialize_if_small(
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .agg(F.count("*").alias("tf")),
+        df,
     )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(
